@@ -1,38 +1,787 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions), each with a DuckDB ``oracle_sql()``
+twin. Engine code lives in ``iowa_liquor_sales_spark/``; this module only
+wires operators to the synthetic tables.
+
+Determinism conventions (SURVEY §7.3):
+- money-like double aggregates go through exact DECIMAL sums and come back
+  as double (``functions/sums.py``) so hashes are partition-order stable;
+- every ranked/limited query has a total order (unique tiebreak column);
+- cross-engine hashing uses md5-derived integers (``functions/hashing.py``);
+- FP-scored similarity queries output ids/ranks, not raw scores.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iowa_liquor_sales_spark.functions.cleansing import coerce_numeric, coerce_timestamp
+from iowa_liquor_sales_spark.functions.dates import date_parts
+from iowa_liquor_sales_spark.multimodal.binary_ops import attach_payload, extract_features
+from iowa_liquor_sales_spark.operators.aggregates import (
+    count_star,
+    distinct_dim,
+    pricing_summary,
+    running_total,
+    topk_per_group,
+)
+from iowa_liquor_sales_spark.operators.dedup import (
+    dedup_by_key,
+    dedup_rank,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash,
+)
+from iowa_liquor_sales_spark.operators.joins import (
+    fk_violations,
+    pk_duplicates,
+    semi_join,
+    star_join,
+)
+from iowa_liquor_sales_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    rh_hyperplanes,
+)
+from iowa_liquor_sales_spark.operators.text import (
+    LANG_MARKERS,
+    TOKEN_PATTERN,
+    fingerprints,
+    lang_id,
+    quality_metrics,
+    token_counts,
+)
+from iowa_liquor_sales_spark.schemas import read_table
+from iowa_liquor_sales_spark.sources.readers import read_csv
+from iowa_liquor_sales_spark.sources.writers import write_csv
+from iowa_liquor_sales_spark.streaming.events import windowed_counts_batch
+
+SF001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- helpers
+
+_DEC = "CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def _dsum(expr: str, scale: int = 2) -> str:
+    return _DEC.format(expr=expr, scale=scale)
+
+
+_SHINGLE_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM w WHERE len(ws) >= 3
+)"""
+
+_JACCARD_CTE = (
+    _SHINGLE_CTE
+    + """,
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+)"""
+)
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join("1.0" if c > 0 else "-1.0" for c in plane) + "]"
+
+
+def _bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
+    planes = rh_hyperplanes(n_planes, dim)
+    terms = [
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql(p)}) > 0 "
+        f"THEN {2 ** j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    ]
+    return " + ".join(terms)
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H-Q1-shaped pricing summary (the 'sales by
+    category' rollup the reference's star schema exists to serve)."""
+    return pricing_summary(read_table(spark, SF001, "lineitem"))
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_scan_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    # S4/S5: full typed parquet scan.
+    return read_table(spark, sf, "lineitem")
+
+
+def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # S2/S7: CSV sink in COPY wire format (\N nulls, no header) + typed
+    # CSV scan — the reference's to_csv/read_csv round trip.
+    subset = read_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        F.to_date("l_shipdate").alias("ship_date"),
+    )
+    path = tempfile.mkdtemp(prefix="iowa_csv_rt_")
+    write_csv(subset, path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("ship_date", T.DateType()),
+        ]
+    )
+    return read_csv(spark, path, schema, header=False, null_value="\\N")
+
+
+def q_project(spark: SparkSession, sf: str) -> DataFrame:
+    # P1/P5: column-subset projection (Catalyst prunes the scan to 3 cols).
+    return read_table(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_filter_between(spark: SparkSession, sf: str) -> DataFrame:
+    # P2: timestamp range predicate, pushed to parquet row groups.
+    li = read_table(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between("1996-01-01 00:00:00", "1996-12-31 23:59:59")
+    ).select(
+        "l_orderkey", "l_linenumber", F.to_date("l_shipdate").alias("ship_date")
+    )
+
+
+def q_filter_notnull(spark: SparkSession, sf: str) -> DataFrame:
+    # P4: IS NOT NULL dim filter.
+    ev = read_table(spark, sf, "events")
+    return ev.filter(F.col("event_type").isNotNull() & F.col("props").isNotNull()).select(
+        "event_id", "event_type"
+    )
+
+
+def q_limit(spark: SparkSession, sf: str) -> DataFrame:
+    # P3: LIMIT — made deterministic with a total order (SURVEY §7.3).
+    return (
+        read_table(spark, sf, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def q_count(spark: SparkSession, sf: str) -> DataFrame:
+    # A3/A4: COUNT(*) load verification.
+    return count_star(read_table(spark, sf, "lineitem"))
+
+
+def q_cast_ts(spark: SparkSession, sf: str) -> DataFrame:
+    # C1: string→timestamp coercion, malformed→NULL (src/transform.py:12).
+    o = read_table(spark, sf, "orders")
+    raw = F.when(F.col("o_orderkey") % 97 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    )
+    return o.select("o_orderkey", coerce_timestamp(raw).alias("parsed_ts"))
+
+
+def q_cast_num(spark: SparkSession, sf: str) -> DataFrame:
+    # C2: string→numeric coercion, malformed→NULL (src/transform.py:15-21).
+    c = read_table(spark, sf, "customer")
+    raw = F.when(F.col("c_custkey") % 13 == 0, F.lit("N/A")).otherwise(
+        F.col("c_acctbal").cast("string")
+    )
+    return c.select("c_custkey", coerce_numeric(raw).alias("acct_num"))
+
+
+def q_fillna(spark: SparkSession, sf: str) -> DataFrame:
+    # C3: coercion + null→0 fill (src/transform.py:21).
+    c = read_table(spark, sf, "customer")
+    raw = F.when(F.col("c_custkey") % 13 == 0, F.lit("N/A")).otherwise(
+        F.col("c_acctbal").cast("string")
+    )
+    return c.select(
+        "c_custkey", F.coalesce(coerce_numeric(raw), F.lit(0.0)).alias("acct_filled")
+    )
+
+
+def q_date_dim(spark: SparkSession, sf: str) -> DataFrame:
+    # D1-D6 + C4: the dim_date build (Postgres DOW convention).
+    o = read_table(spark, sf, "orders")
+    parts = date_parts("o_orderdate")
+    return o.select(*parts).withColumnRenamed("date", "date_day").distinct()
+
+
+def q_distinct_dim(spark: SparkSession, sf: str) -> DataFrame:
+    # A1: SELECT DISTINCT dim extraction.
+    return distinct_dim(read_table(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"])
+
+
+def q_dedup_key(spark: SparkSession, sf: str) -> DataFrame:
+    # A2: first-wins key dedup; winner unspecified, so compare key-only.
+    return dedup_by_key(read_table(spark, sf, "customer"), ["c_mktsegment"]).select(
+        "c_mktsegment"
+    )
+
+
+def q_dedup_rank(spark: SparkSession, sf: str) -> DataFrame:
+    # A2 (deterministic variant): first order per customer.
+    o = read_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    return dedup_rank(o, ["o_custkey"], ["order_date", "o_orderkey"])
+
+
+def q_pk_check(spark: SparkSession, sf: str) -> DataFrame:
+    # J2: PK uniqueness violations (empty on healthy data).
+    return pk_duplicates(read_table(spark, sf, "lineitem"), ["l_orderkey", "l_linenumber"])
+
+
+def q_fk_antijoin(spark: SparkSession, sf: str) -> DataFrame:
+    # J1: FK validation anti-join (genuine FK — expect empty).
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    return fk_violations(li, o, "l_orderkey", "o_orderkey").select("l_orderkey", "l_linenumber")
+
+
+def q_fk_violations(spark: SparkSession, sf: str) -> DataFrame:
+    # J1 with an induced violation set (dim filtered to ~6/7ths).
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    return fk_violations(li, o, "l_orderkey", "o_orderkey").select("l_orderkey").distinct()
+
+
+def q_groupby_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # The flagship rollup (GROUP BY + sum/avg/count).
+    return pricing_summary(read_table(spark, sf, "lineitem"))
+
+
+def q_star_join(spark: SparkSession, sf: str) -> DataFrame:
+    # J1 at query time: fact ⋈ broadcast dims ⋈ ... → rollup.
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    joined = star_join(
+        li,
+        [
+            (o, F.col("l_orderkey") == F.col("o_orderkey")),
+            (c, F.col("o_custkey") == F.col("c_custkey")),
+            (n, F.col("c_nationkey") == F.col("n_nationkey")),
+            (r, F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return (
+        joined.withColumn(
+            "disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        .groupBy("r_name", "n_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.sum(F.col("disc_price").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_semijoin(spark: SparkSession, sf: str) -> DataFrame:
+    # EXISTS-style semi join: customers with ≥1 order in 1995.
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders").filter(F.year("o_orderdate") == 1995)
+    return semi_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "c_name"
+    )
+
+
+def _year_custkeys(spark: SparkSession, sf: str, year: int) -> DataFrame:
+    o = read_table(spark, sf, "orders")
+    return o.filter(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+
+def q_set_union(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _year_custkeys(spark, sf, 1995)
+        .union(_year_custkeys(spark, sf, 1996))
+        .distinct()
+    )
+
+
+def q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    return _year_custkeys(spark, sf, 1995).intersect(_year_custkeys(spark, sf, 1996))
+
+
+def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    return _year_custkeys(spark, sf, 1995).subtract(_year_custkeys(spark, sf, 1996))
+
+
+def q_topk_pergroup(spark: SparkSession, sf: str) -> DataFrame:
+    # Window top-k: 5 richest customers per market segment.
+    c = read_table(spark, sf, "customer").select("c_mktsegment", "c_custkey", "c_acctbal")
+    return topk_per_group(
+        c, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 5
+    )
+
+
+def q_window_running(spark: SparkSession, sf: str) -> DataFrame:
+    # Cumulative window aggregate (exact decimal accumulation).
+    o = read_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    return running_total(o, ["o_custkey"], ["order_date", "o_orderkey"], "o_totalprice")
+
+
+# ---- training-data-pipeline extensions: dedup family
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup(read_table(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    sh = shingles(read_table(spark, sf, "documents"), "text", "doc_id", n=3)
+    return jaccard_pairs(sh, min_jaccard=0.5)
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        read_table(spark, sf, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        num_hashes=32,
+        rows_per_band=4,
+        min_jaccard=0.8,
+    )
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash(read_table(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_near_dup_pairs(read_table(spark, sf, "embeddings"), min_cosine=0.45)
+
+
+# ---- similarity search
+
+
+def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return brute_force_topk(emb, qvec, k=10, exclude_ids=[0]).select("vec_id", "rnk")
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_table(spark, sf, "embeddings")
+    return ann_lsh_topk(emb, query_id=0, k=10, n_planes=8, dim=64).select("vec_id", "rnk")
+
+
+# ---- text analysis
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_metrics(read_table(spark, sf, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    return token_counts(read_table(spark, sf, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return lang_id(read_table(spark, sf, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return fingerprints(read_table(spark, sf, "documents"))
+
+
+# ---- events: windowed aggregation + sessionization
+
+
+def q_events_window(spark: SparkSession, sf: str) -> DataFrame:
+    return windowed_counts_batch(read_table(spark, sf, "events"))
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+# ---- multimodal
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_table(spark, sf, "documents")
+    return extract_features(attach_payload(docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_scan_parquet": q_scan_parquet,
+        "q_csv_roundtrip": q_csv_roundtrip,
+        "q_project": q_project,
+        "q_filter_between": q_filter_between,
+        "q_filter_notnull": q_filter_notnull,
+        "q_limit": q_limit,
+        "q_count": q_count,
+        "q_cast_ts": q_cast_ts,
+        "q_cast_num": q_cast_num,
+        "q_fillna": q_fillna,
+        "q_date_dim": q_date_dim,
+        "q_distinct_dim": q_distinct_dim,
+        "q_dedup_key": q_dedup_key,
+        "q_dedup_rank": q_dedup_rank,
+        "q_pk_check": q_pk_check,
+        "q_fk_antijoin": q_fk_antijoin,
+        "q_fk_violations": q_fk_violations,
+        "q_groupby_agg": q_groupby_agg,
+        "q_star_join": q_star_join,
+        "q_semijoin": q_semijoin,
+        "q_set_union": q_set_union,
+        "q_set_intersect": q_set_intersect,
+        "q_set_except": q_set_except,
+        "q_topk_pergroup": q_topk_pergroup,
+        "q_window_running": q_window_running,
+        "q_dedup_exact": q_dedup_exact,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash": q_simhash,
+        "q_embed_neardup": q_embed_neardup,
+        "q_ann_bruteforce": q_ann_bruteforce,
+        "q_ann_lsh": q_ann_lsh,
+        "q_text_quality": q_text_quality,
+        "q_token_count": q_token_count,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_events_window": q_events_window,
+        "q_sessionize": q_sessionize,
+        "q_multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = {
+        lang: f"len(list_intersect(ws, {markers!r}))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    gm = "greatest(" + ", ".join(lang_scores.values()) + ")"
+    lang_case = (
+        f"CASE WHEN {gm} = 0 THEN 'unk' "
+        + " ".join(
+            f"WHEN {lang_scores[lang]} = {gm} THEN '{lang}'"
+            for lang in list(LANG_MARKERS)[:-1]
+        )
+        + f" ELSE '{list(LANG_MARKERS)[-1]}' END"
+    )
+
+    return {
+        "q_scan_parquet": "SELECT * FROM lineitem",
+        "q_csv_roundtrip": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                   l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+            FROM lineitem""",
+        "q_project": "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+        "q_filter_between": """
+            SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1996-12-31 23:59:59'""",
+        "q_filter_notnull": """
+            SELECT event_id, event_type FROM events
+            WHERE event_type IS NOT NULL AND props IS NOT NULL""",
+        "q_limit": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+        "q_count": "SELECT COUNT(*) AS n FROM lineitem",
+        "q_cast_ts": """
+            SELECT o_orderkey,
+                   TRY_CAST(CASE WHEN o_orderkey % 97 = 0 THEN 'not-a-date'
+                                 ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                            END AS TIMESTAMP) AS parsed_ts
+            FROM orders""",
+        "q_cast_num": """
+            SELECT c_custkey,
+                   TRY_CAST(CASE WHEN c_custkey % 13 = 0 THEN 'N/A'
+                                 ELSE CAST(c_acctbal AS VARCHAR) END AS DOUBLE)
+                   AS acct_num
+            FROM customer""",
+        "q_fillna": """
+            SELECT c_custkey,
+                   COALESCE(TRY_CAST(CASE WHEN c_custkey % 13 = 0 THEN 'N/A'
+                                          ELSE CAST(c_acctbal AS VARCHAR) END
+                                     AS DOUBLE), 0.0) AS acct_filled
+            FROM customer""",
+        "q_date_dim": """
+            SELECT DISTINCT
+                   CAST(o_orderdate AS DATE) AS date_day,
+                   CAST(year(o_orderdate) AS INTEGER) AS year,
+                   CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+                   CAST(month(o_orderdate) AS INTEGER) AS month,
+                   CAST(dayofweek(o_orderdate) AS INTEGER) AS day_of_week,
+                   dayofweek(o_orderdate) IN (0, 6) AS is_weekend
+            FROM orders""",
+        "q_distinct_dim": "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+        "q_dedup_key": "SELECT DISTINCT c_mktsegment FROM customer",
+        "q_dedup_rank": """
+            SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                   o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(o_orderdate AS DATE), o_orderkey) = 1""",
+        "q_pk_check": """
+            SELECT l_orderkey, l_linenumber, COUNT(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1""",
+        "q_fk_antijoin": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)""",
+        "q_fk_violations": """
+            SELECT DISTINCT l_orderkey FROM lineitem
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_orderkey % 7 <> 0 AND o_orderkey = l_orderkey)""",
+        "q_groupby_agg": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_dsum("l_quantity")} AS sum_qty,
+                   {_dsum("l_extendedprice")} AS sum_base_price,
+                   {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+                   {_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+                   {_dsum("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+                   {_dsum("l_extendedprice")} / COUNT(l_extendedprice) AS avg_price,
+                   {_dsum("l_discount")} / COUNT(l_discount) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q_star_join": f"""
+            SELECT r_name, n_name,
+                   CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1, 2, 3""",
+        "q_semijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)""",
+        "q_set_union": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            UNION
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+        "q_set_intersect": """
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+        "q_set_except": """
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+        "q_topk_pergroup": """
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   CAST(row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rnk
+            FROM customer
+            QUALIFY rnk <= 5""",
+        "q_window_running": """
+            SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                   o_totalprice,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS running_sum
+            FROM orders""",
+        "q_dedup_exact": """
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "q_ngram_jaccard": f"""
+            WITH {_JACCARD_CTE}
+            SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""",
+        "q_minhash_lsh": f"""
+            WITH {_JACCARD_CTE},
+            hx AS (
+              SELECT doc_id, i,
+                     MIN(CAST(('0x' || substr(md5(shingle || '#' || CAST(i AS VARCHAR)), 1, 15))
+                              AS BIGINT)) AS sig
+              FROM sh, range(32) t(i)
+              GROUP BY doc_id, i
+            ),
+            bands AS (
+              SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                     md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bucket
+              FROM hx GROUP BY doc_id, CAST(i // 4 AS INTEGER)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b USING (band, bucket)
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard
+            FROM cand JOIN jac USING (doc_a, doc_b)
+            WHERE jaccard >= 0.8""",
+        "q_simhash": """
+            WITH wd AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+              FROM wd
+            ),
+            votes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+              FROM h, range(60) b(bit)
+              GROUP BY doc_id, b.bit
+            )
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                            ELSE CAST(0 AS BIGINT) END) AS simhash
+            FROM votes GROUP BY doc_id""",
+        "q_embed_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  >= 0.45""",
+        "q_ann_bruteforce": """
+            SELECT vec_id,
+                   CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                           embedding::DOUBLE[],
+                           (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))
+                       DESC, vec_id) AS INTEGER) AS rnk
+            FROM embeddings WHERE vec_id <> 0
+            QUALIFY rnk <= 10""",
+        "q_ann_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, ({_bucket_sql(8, 64)}) AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT bucket AS qb, embedding AS qv FROM b WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[])
+                       DESC, vec_id) AS INTEGER) AS rnk
+            FROM b, q
+            WHERE b.bucket = q.qb AND vec_id <> 0
+            QUALIFY rnk <= 10""",
+        "q_text_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+                       AS n_distinct_words,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS type_token_ratio,
+                   CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                       / len(string_split(text, ' ')) AS mean_word_len,
+                   CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text) AS punct_ratio
+            FROM documents""",
+        "q_token_count": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INTEGER)
+                       AS re_tokens
+            FROM documents""",
+        "q_lang_id": f"""
+            WITH w AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   {", ".join(f"CAST({lang_scores[lang]} AS INTEGER) AS score_{lang}" for lang in LANG_MARKERS)},
+                   {lang_case} AS pred_lang
+            FROM w""",
+        "q_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(text)) AS fp_full,
+                   md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp_head
+            FROM documents""",
+        "q_events_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "q_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, event_id, ts,
+                     SUM(new_session) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+            FROM sess GROUP BY user_id, session_id""",
+        "q_multimodal_features": """
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS byte_len,
+                   CAST(length(text) - length(replace(text, 'a', '')) AS INTEGER)
+                       AS n_a_bytes
+            FROM documents""",
+    }

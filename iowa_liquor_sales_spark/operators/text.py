@@ -1,0 +1,105 @@
+"""Text-analysis operators for a training-data pipeline: quality scoring,
+token counting, language-ID heuristic, and document fingerprinting.
+
+Everything is built from Catalyst string/array expressions (split,
+regexp_count, transform, array_intersect, md5) — no Python in the row path,
+so these run at scan speed over a 100 TB corpus and compose with the dedup
+operators (same shingling/hash primitives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword marker profiles for the language-ID heuristic. On corpora
+# where the vocabularies genuinely differ these separate well; the synthetic
+# test corpus shares one vocabulary across its `lang` labels, so the
+# heuristic's *prediction quality* is meaningless there — the operator is
+# still exercised end-to-end and oracle-checked for determinism.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "ne"],
+    "es": ["el", "los", "las", "y", "no"],
+}
+
+# BPE-ish tokenization: runs of letters, runs of digits, or single
+# non-alphanumeric-non-space symbols. Same regex evaluated by the oracle.
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: char length, word/distinct-word
+    counts, type-token ratio, mean word length, punctuation ratio."""
+    w = words(text_col)
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), "[a-z0-9 ]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("int").alias("n_chars"),
+        n_words.cast("int").alias("n_words"),
+        n_distinct.cast("int").alias("n_distinct_words"),
+        (n_distinct.cast("double") / n_words).alias("type_token_ratio"),
+        ((n_chars - n_words + 1).cast("double") / n_words).alias("mean_word_len"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    return df.select(
+        F.col(id_col),
+        F.size(words(text_col)).cast("int").alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN))
+        .cast("int")
+        .alias("re_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID: score = number of distinct marker
+    words present; winner by score with a fixed tie-break order
+    ('unk' when no marker matches)."""
+    w = F.array_distinct(words(text_col))
+    scores = {
+        lang: F.size(
+            F.array_intersect(w, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit("unk")
+    best_score = F.lit(0)
+    # Strict greater-than + priority iteration order: the winner is the
+    # first language (in LANG_MARKERS order) reaching the max score, 'unk'
+    # when every score is 0 — mirrored exactly by the oracle's CASE chain.
+    for lang in langs:
+        s = scores[lang]
+        new_best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+        best = new_best
+    out_cols = [F.col(id_col)]
+    out_cols += [scores[lang].cast("int").alias(f"score_{lang}") for lang in langs]
+    out_cols.append(best.alias("pred_lang"))
+    return df.select(*out_cols)
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: full-content md5 (lower-cased) and a head
+    fingerprint over the first 8 words — a cheap prefix sketch for
+    clustering boilerplate. Both reproducible in any md5-capable engine."""
+    w = words(text_col)
+    head = F.concat_ws(" ", F.slice(w, 1, 8))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.col(text_col)).cast("binary")).alias("fp_full"),
+        F.md5(head.cast("binary")).alias("fp_head"),
+    )

@@ -1,0 +1,122 @@
+"""Sinks (reference S4, S6-S10 re-expressed).
+
+- Parquet sinks replace the reference's per-chunk ``df.to_parquet`` files
+  (``src/extract.py:51-52``, ``src/transform.py:35-37``); deterministic task
+  output + ``mode("overwrite")`` gives the same restartability as its
+  numbered chunk files.
+- The relational sink replaces the in-memory-CSV + Postgres ``COPY FROM
+  STDIN`` bulk load (``src/load.py:35-44``). Spark's JDBC writer does
+  batched inserts per partition; ``reWriteBatchedInserts=true`` is the knob
+  that gets Postgres within range of COPY. For full COPY parity there is a
+  ``foreachPartition`` fast path, import-gated on psycopg2 so correctness
+  tests never need a live database.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` is the scale lever: partitioning the
+    silver/gold tables by e.g. year(date) turns every date-windowed query
+    into a partition-pruned scan."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    null_value: str = "\\N",
+    header: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """CSV sink in the reference's COPY wire format (S7, src/load.py:36-38:
+    ``na_rep="\\N"``, no header)."""
+    (
+        df.write.mode(mode)
+        .option("nullValue", null_value)
+        .option("emptyValue", "")
+        .option("header", header)
+        .csv(path)
+    )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Standard JDBC sink (S8). ``reWriteBatchedInserts`` collapses the
+    batch into multi-row INSERTs server-side — the documented way to
+    approach COPY throughput without a native path. ``num_partitions``
+    bounds concurrent connections against the database."""
+    props = {"reWriteBatchedInserts": "true", "batchsize": str(batch_size)}
+    if properties:
+        props.update(properties)
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = out.write.mode(mode)
+    for k, v in props.items():
+        writer = writer.option(k, v)
+    writer.jdbc(url=url, table=table, properties=props)
+
+
+def write_postgres_copy(
+    df: DataFrame,
+    dsn: str,
+    table: str,
+    columns: list[str] | None = None,
+) -> None:
+    """COPY-speed Postgres sink: each partition serializes itself to CSV in
+    memory and streams it through ``COPY ... FROM STDIN`` — the reference's
+    bulk-load trick (src/load.py:35-44), but one COPY per partition in
+    parallel instead of a serial chunk loop.
+
+    Requires psycopg2 on the executors; raises ImportError otherwise (the
+    JDBC sink is the dependency-free path).
+    """
+    cols = columns or df.columns
+
+    def _copy_partition(rows) -> None:
+        import csv
+        import io
+
+        import psycopg2  # deferred: executors only, optional dependency
+
+        buf = io.StringIO()
+        writer = csv.writer(buf)
+        n = 0
+        for row in rows:
+            writer.writerow(["\\N" if v is None else v for v in row])
+            n += 1
+        if n == 0:
+            return
+        buf.seek(0)
+        conn = psycopg2.connect(dsn)
+        try:
+            with conn.cursor() as cur:
+                cur.copy_expert(
+                    f"COPY {table} ({', '.join(cols)}) FROM STDIN "
+                    "WITH (FORMAT CSV, NULL '\\N')",
+                    buf,
+                )
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.select(*cols).foreachPartition(_copy_partition)

@@ -1,0 +1,105 @@
+"""Streaming ingest & windowed aggregation over the events stream.
+
+The reference has no streaming — its chunk loop (src/extract.py:46-57) is
+incremental *batch* I/O (SURVEY §2.7). This module is the faithful scale-up
+of that pattern: a file-source stream (each landed file ≈ one reference
+"chunk"), event-time windows with a watermark for late data, and an
+``availableNow`` trigger that drains everything currently staged and stops —
+exactly the reference's "run until the API returns an empty page" semantics,
+but restartable via checkpoint instead of chunk numbering.
+
+The batch twin :func:`windowed_counts_batch` computes identical results on
+the same data (tested in tests/test_streaming.py), which is what makes the
+streaming operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iowa_liquor_sales_spark.functions.sums import dsum
+from iowa_liquor_sales_spark.schemas import TESTDATA_SCHEMAS
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling-window aggregate with late-data watermark.
+
+    State scales with (#open windows × #event types), not with input volume;
+    the watermark bounds open windows, so this runs indefinitely at any
+    input rate. Works on both streaming and batch DataFrames.
+    """
+    with_wm = (
+        events.withWatermark("ts", watermark) if events.isStreaming else events
+    )
+    return (
+        with_wm.groupBy(
+            F.window("ts", window).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2, "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch twin of :func:`windowed_counts` (same plan minus watermark)."""
+    return windowed_counts(events, window=window)
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Drain all currently-available input into a parquet sink and stop —
+    the reference's bounded ingest loop (stop-on-empty-page,
+    src/extract.py:48-49), with exactly-once file output via checkpoint.
+    Use for raw/silver row streams (append mode)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_windowed_to_memory(
+    agg_df: DataFrame, table_name: str, checkpoint_dir: str
+) -> None:
+    """Run a streaming windowed aggregate to an in-memory table in
+    ``complete`` mode and drain with availableNow. (Append-mode file sinks
+    only emit windows older than the watermark — on a bounded drain the
+    tail windows would be withheld, so tests/demos use complete+memory;
+    production continuous jobs use append + a real sink.)"""
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
