@@ -106,6 +106,13 @@ jac AS (
 )
 
 
+from iowa_liquor_sales_spark.functions.hashing import affine_params as _affine_params
+
+_MH_A, _MH_B = (
+    "[" + ", ".join(str(x) for x in lst) + "]" for lst in _affine_params(32)
+)
+
+
 def _plane_sql(plane: list[float]) -> str:
     return "[" + ", ".join("1.0" if c > 0 else "-1.0" for c in plane) + "]"
 
@@ -650,11 +657,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""",
         "q_minhash_lsh": f"""
             WITH {_JACCARD_CTE},
+            h31 AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                         % 2147483647 AS h31
+              FROM sh
+            ),
             hx AS (
               SELECT doc_id, i,
-                     MIN(CAST(('0x' || substr(md5(shingle || '#' || CAST(i AS VARCHAR)), 1, 15))
-                              AS BIGINT)) AS sig
-              FROM sh, range(32) t(i)
+                     MIN(({_MH_A}[i + 1] * h31 + {_MH_B}[i + 1]) % 2147483647)
+                         AS sig
+              FROM h31, range(32) t(i)
               GROUP BY doc_id, i
             ),
             bands AS (

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Every query is forced end-to-end with the noop sink (full compute, no
+collect-to-driver skew in the timing). The mix mirrors the reference's
+measurable stages (BASELINE.md): silver-transform throughput (its 645k
+rows/s pandas loop), CSV serialization (its COPY wire format), and the
+analytical/star/dedup/similarity surface the engine adds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from iowa_liquor_sales_spark import get_spark  # noqa: E402
+from iowa_liquor_sales_spark.functions.cleansing import to_silver  # noqa: E402
+from iowa_liquor_sales_spark.schemas import read_table  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+HEADLINE = [
+    "q_scan_parquet",
+    "q_groupby_agg",
+    "q_star_join",
+    "q_topk_pergroup",
+    "q_window_running",
+    "q_dedup_rank",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_embed_neardup",
+    "q_ann_bruteforce",
+    "q_text_quality",
+    "q_token_count",
+    "q_fingerprint",
+    "q_events_window",
+    "q_sessionize",
+    "q_multimodal_features",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def q_silver_transform(spark, sf):
+    """Reference transform-stage analog (BASELINE: 645k rows/s in pandas):
+    string-ify then coerce timestamp + numerics + fill, full table."""
+    li = read_table(spark, sf, "lineitem")
+    stringly = li.select(
+        F.col("l_orderkey").cast("string").alias("l_orderkey"),
+        F.col("l_shipdate").cast("string").alias("date"),
+        *[
+            F.col(c).cast("string").alias(c)
+            for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ],
+    )
+    return to_silver(
+        stringly,
+        ts_cols=("date",),
+        int_cols=(),
+        num_cols=("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="iowa-engine-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/session on the smallest scale so first-query JIT/codegen
+    # cost doesn't land on an arbitrary headline query.
+    _force(entry_mod.entry(spark))
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _force(q_silver_transform(spark, sf_dir))
+    timings["q_silver_transform"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

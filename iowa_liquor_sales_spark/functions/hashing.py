@@ -32,3 +32,28 @@ def hash60(col: Column | str) -> Column:
 def hash60_sql(expr: str) -> str:
     """DuckDB rendering of :func:`hash60` (bit-identical)."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# Universal-hash family over the Mersenne prime 2^31-1: sig_i(x) =
+# (a_i * (hash60(x) mod P) + b_i) mod P. One md5 per input, k cheap affine
+# transforms — the classic MinHash permutation family. Operands stay below
+# 2^62, so the arithmetic is exact int64 in any engine (and ANSI-safe).
+MERSENNE31 = 2_147_483_647
+
+
+def affine_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) streams derived from md5 — reproducible as
+    plain literals in the SQL oracle."""
+    import hashlib
+
+    a = [
+        int(hashlib.md5(f"mh_a_{i}".encode()).hexdigest()[:8], 16)
+        % (MERSENNE31 - 1)
+        + 1
+        for i in range(num_hashes)
+    ]
+    b = [
+        int(hashlib.md5(f"mh_b_{i}".encode()).hexdigest()[:8], 16) % MERSENNE31
+        for i in range(num_hashes)
+    ]
+    return a, b

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from iowa_liquor_sales_spark.functions.hashing import hash60, md5_hex
+from iowa_liquor_sales_spark.functions.hashing import (
+    MERSENNE31,
+    affine_params,
+    hash60,
+    md5_hex,
+)
 
 
 def dedup_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -100,9 +105,13 @@ def jaccard_pairs(shingle_df: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     At 100 TB you do not run this raw: compose with :func:`minhash_lsh_pairs`
     (LSH candidates → exact verify) or ``max_df`` shingle capping.
     """
-    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingle_df.alias("a")
-    b = shingle_df.alias("b")
+    # Join on a 64-bit hash of the shingle instead of the string: same
+    # intersection counts (collision odds ~n²/2^64 — vanishing), far
+    # smaller shuffle payload at corpus scale.
+    keyed = shingle_df.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    sizes = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -122,44 +131,54 @@ def jaccard_pairs(shingle_df: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
 
 
 def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 32) -> DataFrame:
-    """MinHash signatures in long format (doc_id, i, sig).
+    """MinHash signatures in wide format: (doc_id, sig_0..sig_{k-1}).
 
-    Each of the ``num_hashes`` permutations is simulated by salting the
-    shingle hash: sig_i(doc) = min over shingles of hash60(shingle || '#i').
-    The explode is map-side; the min-aggregate has partial aggregation, so
-    shuffle volume is O(docs × num_hashes) regardless of corpus size.
+    Permutations come from the universal affine family over 2^31-1
+    (``functions.hashing.affine_params``): ONE md5 per shingle, then k
+    exact-int64 affine transforms — k aggregate columns over one pass of
+    the shingle relation. No k-fold row explode, and partial (map-side)
+    aggregation reduces each partition to one row per doc before the
+    shuffle, so shuffle volume is O(docs) rows of k columns regardless of
+    corpus size.
     """
-    return (
-        shingle_df.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-            F.col("shingle"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            hash60(
-                F.concat(F.col("shingle"), F.lit("#"), F.col("i").cast("string"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("sig"))
+    a, b = affine_params(num_hashes)
+    p = MERSENNE31
+    hashed = shingle_df.select(
+        "doc_id", (hash60("shingle") % F.lit(p)).alias("h31")
     )
+    aggs = [
+        F.min((F.lit(a[i]) * F.col("h31") + F.lit(b[i])) % F.lit(p)).alias(
+            f"sig_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_buckets(sig_df: DataFrame, rows_per_band: int = 4) -> DataFrame:
-    """LSH banding: hash each band of ``rows_per_band`` signature rows to a
-    bucket id. Documents colliding in any band become candidates."""
-    banded = sig_df.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-    band_sig = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "sig"))),
-            lambda s: s["sig"].cast("string"),
-        ),
-        ",",
-    )
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(band_sig.cast("binary")).alias("bucket")
+def minhash_band_buckets(
+    sig_df: DataFrame, rows_per_band: int = 4, num_hashes: int = 32
+) -> DataFrame:
+    """LSH banding over wide signatures: each band of ``rows_per_band``
+    consecutive signature values hashes to a bucket (md5 of the
+    comma-joined values — reproducible in the SQL oracle via string_agg
+    ORDER BY i). Output long: (doc_id, band, bucket)."""
+    n_bands = num_hashes // rows_per_band
+    band_cols = []
+    for b in range(n_bands):
+        sig_str = F.concat_ws(
+            ",",
+            *[
+                F.col(f"sig_{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
+        band_cols.append(F.md5(sig_str.cast("binary")))
+    stack_args: list = []
+    for b, c in enumerate(band_cols):
+        stack_args += [F.lit(b), c]
+    return sig_df.select(
+        "doc_id",
+        F.stack(F.lit(len(band_cols)), *stack_args).alias("band", "bucket"),
     )
 
 
@@ -174,10 +193,18 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup detection with exact verification:
     shingle → signatures → band buckets → bucket self-join (candidates) →
-    exact Jaccard on candidates only. Returns (doc_a, doc_b, jaccard)."""
+    exact Jaccard on the CANDIDATES ONLY (never all pairs — that is the
+    whole point of LSH at corpus scale). Returns (doc_a, doc_b, jaccard).
+
+    Verification joins each candidate pair to the two documents'
+    hashed-shingle sets (one array per doc) and computes
+    |A∩B| / |A∪B| with array intrinsics — O(candidates × shingles), fully
+    distributed, no second inverted-index pass."""
     sh = shingles(df, text_col, id_col, n=n)
     buckets = minhash_band_buckets(
-        minhash_signatures(sh, num_hashes=num_hashes), rows_per_band=rows_per_band
+        minhash_signatures(sh, num_hashes=num_hashes),
+        rows_per_band=rows_per_band,
+        num_hashes=num_hashes,
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -189,8 +216,28 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    verified = jaccard_pairs(sh, min_jaccard=min_jaccard)
-    return cand.join(verified, ["doc_a", "doc_b"])
+    doc_sets = (
+        sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    return (
+        cand.join(
+            doc_sets.withColumnsRenamed({"doc_id": "doc_a", "hs": "set_a"}),
+            "doc_a",
+        )
+        .join(
+            doc_sets.withColumnsRenamed({"doc_id": "doc_b", "hs": "set_b"}),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            inter / (F.size("set_a") + F.size("set_b") - inter),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:

@@ -24,7 +24,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from iowa_liquor_sales_spark.functions.vectors import cosine_similarity, dot
+from iowa_liquor_sales_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def rh_component(j: int, k: int) -> float:
@@ -126,22 +126,86 @@ def embedding_near_dup_pairs(
     min_cosine: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (ids only — the score is
     FP-order sensitive at the last bit, ids are stable).
 
-    This is the exact all-pairs form; at corpus scale compose with
-    :func:`rh_bucketize` and join on bucket first so only same-bucket pairs
-    are scored.
+    Default path (``use_arrow``): blocked matrix multiply via
+    ``mapInPandas`` — each partition's block of vectors is multiplied
+    (BLAS) against a broadcast of the full normalized matrix, and only
+    above-threshold pairs are emitted. Same memory contract as a broadcast
+    hash join: one side must fit in executor memory (here the comparison
+    matrix); beyond that, compose :func:`rh_bucketize` + a bucket join so
+    each task only multiplies against its bucket's block.
+
+    The non-Arrow fallback is the pure-Catalyst theta-join form (exact
+    same semantics, no Python), useful where Arrow is unavailable.
     """
+    if use_arrow:
+        return _near_dup_pairs_blocked(embeddings, min_cosine, id_col, vec_col)
+    # Precompute each vector's norm ONCE (n aggregates) instead of inside
+    # the pair predicate (2·n² aggregates) — same expression tree per
+    # value, so results are bit-identical, but the pair stage is one dot
+    # product per candidate.
     a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        l2_norm(F.col(vec_col)).alias("norm_a"),
     )
     b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        l2_norm(F.col(vec_col)).alias("norm_b"),
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity(F.col("vec_a"), F.col("vec_b")) >= min_cosine)
+        .filter(
+            dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+            >= min_cosine
+        )
         .select("id_a", "id_b")
     )
+
+
+def _near_dup_pairs_blocked(
+    embeddings: DataFrame, min_cosine: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Blocked all-pairs cosine: numpy matmul per Arrow batch against a
+    broadcast normalized matrix. Emits (id_a, id_b) with id_a < id_b."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    unit = mat / norms[:, None]
+    sc = embeddings.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_unit = sc.broadcast(unit)
+
+    out_schema = T.StructType(
+        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
+    )
+
+    def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids = b_ids.value
+        all_unit = b_unit.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.sqrt((m * m).sum(axis=1))[:, None]
+            sims = m @ all_unit.T
+            my_ids = pdf[id_col].to_numpy()
+            ii, jj = np.nonzero(sims >= min_cosine)
+            ia, ib = my_ids[ii], all_ids[jj]
+            keep = ia < ib
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(_block, out_schema)
