@@ -1,0 +1,106 @@
+"""Unit-level operator behavior not covered by the oracle-parity sweep:
+plan-shape assertions (broadcasts, pushdown, partial aggregation) and
+edge-case semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iowa_liquor_sales_spark.operators.aggregates import topk_per_group
+from iowa_liquor_sales_spark.operators.dedup import (
+    dedup_rank,
+    minhash_signatures,
+    shingles,
+)
+from iowa_liquor_sales_spark.operators.joins import fk_violations, star_join
+from iowa_liquor_sales_spark.operators.similarity import rh_component
+from iowa_liquor_sales_spark.schemas import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shingles_short_docs_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    got = shingles(df, "text", "doc_id", n=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    # doc 1: two 3-shingles; docs 2/3 shorter than n: no rows (and no
+    # descending-sequence corruption).
+    assert by_doc == {1: {"a b c", "b c d"}}
+
+
+def test_minhash_signature_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "w x y z q"), (2, "w x y z q"), (3, "totally different text here")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(shingles(df, "text", "doc_id"), num_hashes=8)
+    rows = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)] for r in sig.collect()}
+    assert rows[1] == rows[2]  # identical text → identical signature
+    assert rows[1] != rows[3]
+
+
+def test_dedup_rank_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b"), ("j", 9, "z")],
+        ["key", "ord", "val"],
+    )
+    got = {
+        (r["key"], r["val"])
+        for r in dedup_rank(df, ["key"], ["ord"]).collect()
+    }
+    assert got == {("k", "a"), ("j", "z")}
+
+
+def test_topk_requires_total_order(spark):
+    df = spark.createDataFrame(
+        [("g", i % 3, i) for i in range(9)], ["g", "score", "id"]
+    )
+    top = topk_per_group(df, ["g"], [F.col("score").desc(), F.col("id")], 4)
+    ids = [r["id"] for r in top.orderBy("rnk").collect()]
+    assert ids == [2, 5, 8, 1]  # score 2,2,2 then first score-1 by id
+
+
+def test_star_join_broadcasts_dims(spark):
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders")
+    c = read_table(spark, SF, "customer")
+    joined = star_join(
+        li,
+        [
+            (o, F.col("l_orderkey") == F.col("o_orderkey")),
+            (c, F.col("o_custkey") == F.col("c_custkey")),
+        ],
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # Every dim side must be a broadcast hash join — zero fact shuffles.
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = read_table(spark, SF, "lineitem").filter(F.col("l_orderkey") == 42).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = li._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
+    # Column pruning: only the two selected columns are read.
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_fk_violation_broadcast_anti_join(spark):
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders")
+    v = fk_violations(li, o, "l_orderkey", "o_orderkey")
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert v.count() == 0
+
+
+def test_rh_component_deterministic():
+    assert rh_component(0, 0) == rh_component(0, 0)
+    grid = [rh_component(j, k) for j in range(4) for k in range(16)]
+    assert set(grid) == {1.0, -1.0}  # both signs occur
