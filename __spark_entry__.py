@@ -27,6 +27,7 @@ from iowa_liquor_sales_spark.functions.dates import date_parts
 from iowa_liquor_sales_spark.multimodal.binary_ops import attach_payload, extract_features
 from iowa_liquor_sales_spark.operators.aggregates import (
     count_star,
+    cube_summary,
     distinct_dim,
     pricing_summary,
     running_total,
@@ -362,6 +363,29 @@ def q_window_running(spark: SparkSession, sf: str) -> DataFrame:
     return running_total(o, ["o_custkey"], ["order_date", "o_orderkey"], "o_totalprice")
 
 
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    # Multi-grain rollup: CUBE(returnflag, linestatus) — all subtotal
+    # combinations in one shuffle (Expand + hash aggregate).
+    return cube_summary(
+        read_table(spark, sf, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+    )
+
+
+def q_offset(spark: SparkSession, sf: str) -> DataFrame:
+    # P3's other half: OFFSET pagination (deterministic under a total
+    # order). Pagination is an anti-pattern at scale — partitioning
+    # replaces it — but the surface exists (Spark ≥3.4 offset).
+    return (
+        read_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(100)
+        .limit(50)
+    )
+
+
 # ---- training-data-pipeline extensions: dedup family
 
 
@@ -491,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_except": q_set_except,
         "q_topk_pergroup": q_topk_pergroup,
         "q_window_running": q_window_running,
+        "q_cube": q_cube,
+        "q_offset": q_offset,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
@@ -648,6 +674,15 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS DOUBLE) AS running_sum
             FROM orders""",
+        "q_cube": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_dsum("l_quantity")} AS sum_l_quantity,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "q_offset": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber LIMIT 50 OFFSET 100""",
         "q_dedup_exact": """
             SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
                    COUNT(*) AS n_dups

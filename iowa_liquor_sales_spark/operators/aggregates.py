@@ -62,6 +62,17 @@ def group_rollup(df: DataFrame, keys: list[str], measure: str, scale: int = 2) -
     )
 
 
+def cube_summary(df: DataFrame, keys: list[str], measure: str, scale: int = 2) -> DataFrame:
+    """CUBE over the keys with deterministic sums — the multi-grain rollup
+    (all subtotal combinations) the star schema's analytics call for.
+    Catalyst expands the cube via Expand + one hash aggregate: a single
+    shuffle regardless of how many grouping sets."""
+    return df.cube(*keys).agg(
+        dsum(measure, scale, f"sum_{measure}"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: list[str],

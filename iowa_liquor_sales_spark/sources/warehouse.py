@@ -1,0 +1,52 @@
+"""Warehouse surface (reference S9/S10): DDL + full-table load.
+
+The reference executes DDL from a .sql file before loading
+(``src/load.py:22,52-55`` reading ``include/sql/create_table.sql``) and then
+bulk-loads every chunk in one transaction (``src/load.py:47-66``). Spark's
+equivalents: ``CREATE TABLE ... USING PARQUET`` against the session catalog,
+and a single ``saveAsTable``/``insertInto`` action whose atomicity comes
+from the file-commit protocol (staging + rename), not a DB transaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _ddl_columns(schema: T.StructType) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
+def create_table(
+    spark: SparkSession,
+    name: str,
+    schema: T.StructType,
+    partition_by: list[str] | None = None,
+    location: str | None = None,
+) -> None:
+    """S9: declarative table create, idempotent like the reference's
+    ``CREATE TABLE IF NOT EXISTS`` DDL (create_table.sql:1)."""
+    parts = f" PARTITIONED BY ({', '.join(partition_by)})" if partition_by else ""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({_ddl_columns(schema)}) "
+        f"USING PARQUET{parts}{loc}"
+    )
+
+
+def full_load(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> int:
+    """S10: one write action replaces the reference's serial per-chunk COPY
+    loop; returns the loaded row count (its cumulative-count log,
+    src/load.py:60-62). Idempotent re-runs via overwrite mode — the
+    engine-side analog of the single-transaction load."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
+    return df.sparkSession.table(name).count()

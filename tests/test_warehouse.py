@@ -1,0 +1,46 @@
+"""S9/S10: catalog DDL + full-table load (reference src/load.py:22-66)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iowa_liquor_sales_spark.schemas import TESTDATA_SCHEMAS, read_table
+from iowa_liquor_sales_spark.sources.warehouse import create_table, full_load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_create_table_idempotent(spark):
+    create_table(spark, "tw_nation", TESTDATA_SCHEMAS["nation"])
+    create_table(spark, "tw_nation", TESTDATA_SCHEMAS["nation"])  # IF NOT EXISTS
+    assert spark.catalog.tableExists("tw_nation")
+    assert [f.name for f in spark.table("tw_nation").schema.fields] == [
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+    ]
+    spark.sql("DROP TABLE tw_nation")
+
+
+def test_full_load_and_idempotent_rerun(spark):
+    src = read_table(spark, SF, "customer")
+    n = full_load(src, "tw_customer")
+    assert n == src.count()
+    # Re-run (reference's retry semantics): overwrite keeps it exact.
+    n2 = full_load(src, "tw_customer")
+    assert n2 == n
+    assert spark.table("tw_customer").count() == n
+    spark.sql("DROP TABLE tw_customer")
+
+
+def test_partitioned_load_prunes(spark):
+    src = read_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    full_load(src, "tw_orders", partition_by=["order_year"])
+    q = spark.table("tw_orders").filter(F.col("order_year") == 1996)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # Partition pruning: the year predicate never touches row data.
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    assert q.count() > 0
+    spark.sql("DROP TABLE tw_orders")
