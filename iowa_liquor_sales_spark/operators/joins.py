@@ -45,6 +45,39 @@ def semi_join(left: DataFrame, right: DataFrame, on, broadcast_right: bool = Tru
     return left.join(r, on, "left_semi")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: fan the hot left keys across ``n_salts``
+    shuffle partitions by salting, and replicate each right row to all
+    salts. Deterministic salt (hash of a stable discriminator column set)
+    so re-runs shuffle identically.
+
+    Use when one join key holds a disproportionate share of rows and AQE's
+    skew splitting is unavailable (e.g. ShuffledHashJoin, or pre-3.x
+    clusters). With AQE on (engine default) prefer letting
+    ``spark.sql.adaptive.skewJoin`` handle it — this operator is the
+    explicit fallback and the building block for skewed aggregations.
+    """
+    salt = (F.xxhash64(*[F.col(c) for c in left.columns]) % n_salts).cast("int")
+    salted_left = left.withColumn("__salt", F.pmod(salt, F.lit(n_salts)))
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_left.join(
+        salted_right,
+        (salted_left[left_key] == salted_right[right_key])
+        & (salted_left["__salt"] == salted_right["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
 def star_join(
     fact: DataFrame, dims: list[tuple[DataFrame, object]], broadcast_dims: bool = True
 ) -> DataFrame:

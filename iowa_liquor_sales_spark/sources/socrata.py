@@ -1,0 +1,101 @@
+"""Custom Python DataSource: a Socrata-style paged scan (reference S1).
+
+The reference's extract loop (``src/extract.py:18-60``) issues sequential
+HTTP GETs with ``$limit/$offset`` paging and stops on an empty page — one
+page at a time, single-threaded, ~5,450 rows/s (BASELINE.md). The faithful
+*engine-side* design is a DataSource whose **partitions are the pages**:
+the driver plans one ``InputPartition`` per page range and executors fetch
+pages concurrently — the same protocol, parallelized by Spark's scheduler.
+
+Because this container has no network, the page fetcher reads staged page
+files (one CSV file per page, exactly what the reference's fetcher would
+see in an HTTP body). Swapping ``_fetch_page`` for a real
+``requests.get(API_URL, params={"$limit": ..., "$offset": ...})`` is the
+only change needed for a live source; the Spark integration (schema,
+partition planning, per-partition iteration) is identical and is what this
+module actually exercises.
+
+Deployment note: the DataSource class is cloudpickled **by reference**, so
+Python workers must be able to import this package — run from the repo
+root, install the package, or ship it with ``spark-submit --py-files`` /
+``sc.addPyFile`` (the normal contract for any Python package on a
+cluster).
+
+Registration:
+    spark.dataSource.register(SocrataPagedDataSource)
+    df = (spark.read.format("socrata_paged")
+          .schema(schema)  # all-string bronze schema; silver owns casts
+          .option("pages_dir", staged_dir)
+          .load())
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class PagePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class SocrataPagedDataSource(DataSource):
+    """``format("socrata_paged")`` — one partition per API page."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "socrata_paged"
+
+    def schema(self) -> str:
+        # Bronze contract: everything arrives as string (CSV wire format);
+        # callers normally pass an explicit schema instead.
+        first = sorted(glob.glob(os.path.join(self.options["pages_dir"], "*.csv")))
+        if not first:
+            return "value string"
+        with open(first[0], newline="") as f:
+            header = next(csv.reader(f))
+        return ", ".join(f"`{c}` string" for c in header)
+
+    def reader(self, schema) -> "SocrataPagedReader":
+        return SocrataPagedReader(self.options, schema)
+
+
+class SocrataPagedReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self.pages_dir = options["pages_dir"]
+        self.n_cols = len(schema.fields)
+
+    def partitions(self):
+        # Plan-time page discovery = the reference's offset loop, but all
+        # pages become independent tasks instead of a serial while-loop.
+        # Zero pages (the reference's immediate empty-page stop) still
+        # needs one empty partition: Spark invokes read() regardless.
+        pages = sorted(glob.glob(os.path.join(self.pages_dir, "*.csv")))
+        return [PagePartition(p) for p in pages] or [PagePartition(None)]
+
+    def read(self, partition: PagePartition):
+        if partition is None or partition.path is None:
+            return
+        # Executor-side "HTTP GET" — the process→network boundary of
+        # src/extract.py:25 becomes a per-task fetch.
+        rows = self._fetch_page(partition.path)
+        for row in rows:
+            yield tuple((v if v != "" else None) for v in row[: self.n_cols])
+
+    @staticmethod
+    def _fetch_page(path: str):
+        """Stub for the network fetch: reads one staged page body. A live
+        source replaces this with requests.get(...).text — nothing else
+        in the DataSource changes."""
+        with open(path, newline="") as f:
+            reader = csv.reader(f)
+            header_skipped = False
+            for row in reader:
+                if not header_skipped:
+                    header_skipped = True
+                    continue
+                yield row

@@ -42,11 +42,20 @@ def full_load(
     partition_by: list[str] | None = None,
 ) -> int:
     """S10: one write action replaces the reference's serial per-chunk COPY
-    loop; returns the loaded row count (its cumulative-count log,
-    src/load.py:60-62). Idempotent re-runs via overwrite mode — the
-    engine-side analog of the single-transaction load."""
-    writer = df.write.mode(mode).format("parquet")
+    loop; returns the loaded row count. Idempotent re-runs via overwrite
+    mode — the engine-side analog of the single-transaction load.
+
+    The count comes from an ``Observation`` attached to the write itself
+    (the Spark equivalent of the reference's cumulative per-chunk log,
+    src/load.py:60-62) — no second scan of the table."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        mode
+    ).format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(name)
-    return df.sparkSession.table(name).count()
+    return int(obs.get["rows"])
