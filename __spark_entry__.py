@@ -54,6 +54,7 @@ from iowa_liquor_sales_spark.operators.similarity import (
     embedding_near_dup_pairs,
     rh_hyperplanes,
 )
+from iowa_liquor_sales_spark.operators.upsert import insert_ignore
 from iowa_liquor_sales_spark.operators.text import (
     LANG_MARKERS,
     TOKEN_PATTERN,
@@ -363,6 +364,95 @@ def q_window_running(spark: SparkSession, sf: str) -> DataFrame:
     return running_total(o, ["o_custkey"], ["order_date", "o_orderkey"], "o_totalprice")
 
 
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q3 shape: selective dim filters + star join + rollup + top-k.
+    # Catalyst pushes all three filters into the scans; dims broadcast.
+    c = read_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1996-06-30")
+    )
+    li = read_table(spark, sf, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1996-06-30")
+    )
+    joined = star_join(
+        li,
+        [
+            (o, F.col("l_orderkey") == F.col("o_orderkey")),
+            (c, F.col("o_custkey") == F.col("c_custkey")),
+        ],
+    )
+    return (
+        joined.withColumn(
+            "disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.sum(F.col("disc_price").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q14 shape: CASE-gated aggregate ratio (promo revenue share).
+    li = read_table(spark, sf, "lineitem").filter(
+        F.to_date("l_shipdate").between("1996-01-01", "1996-01-31")
+    )
+    p = read_table(spark, sf, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.sum(promo.cast("decimal(18,4)")).cast("double").alias("promo_revenue"),
+        F.sum(disc.cast("decimal(18,4)")).cast("double").alias("total_revenue"),
+    )
+    return agg.withColumn(
+        "promo_share", F.col("promo_revenue") / F.col("total_revenue")
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    # String expression surface (upper/lower/length/substring/concat/
+    # replace/lpad/regexp_extract) — all JVM codegen, no UDFs.
+    c = read_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.substring("c_name", 1, 5).alias("name_head"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.replace(F.col("c_name"), F.lit("0"), F.lit("O")).alias("name_o"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    # JSON path extraction over the events props column.
+    ev = read_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+    )
+
+
+def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    # A2 into an EXISTING table: INSERT ... ON CONFLICT DO NOTHING
+    # (existing rows win, new keys inserted) via anti-join + union.
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_name")
+    target = c.filter(F.col("c_custkey") % 2 == 0)
+    incoming = c.select("c_custkey", F.upper("c_name").alias("c_name"))
+    return insert_ignore(target, incoming, ["c_custkey"])
+
+
 def q_cube(spark: SparkSession, sf: str) -> DataFrame:
     # Multi-grain rollup: CUBE(returnflag, linestatus) — all subtotal
     # combinations in one shuffle (Expand + hash aggregate).
@@ -517,6 +607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": q_window_running,
         "q_cube": q_cube,
         "q_offset": q_offset,
+        "q_shipping_priority": q_shipping_priority,
+        "q_conditional_agg": q_conditional_agg,
+        "q_string_funcs": q_string_funcs,
+        "q_json_extract": q_json_extract,
+        "q_upsert": q_upsert,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
@@ -674,6 +769,52 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS DOUBLE) AS running_sum
             FROM orders""",
+        "q_shipping_priority": f"""
+            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                   {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND CAST(o_orderdate AS DATE) < DATE '1996-06-30'
+              AND CAST(l_shipdate AS DATE) > DATE '1996-06-30'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10""",
+        "q_conditional_agg": f"""
+            SELECT promo_revenue, total_revenue,
+                   promo_revenue / total_revenue AS promo_share
+            FROM (
+              SELECT
+                {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)}
+                    AS promo_revenue,
+                {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE CAST(l_shipdate AS DATE)
+                    BETWEEN DATE '1996-01-01' AND DATE '1996-01-31'
+            )""",
+        "q_string_funcs": """
+            SELECT c_custkey,
+                   upper(c_name) AS name_upper,
+                   lower(c_name) AS name_lower,
+                   CAST(length(c_name) AS INTEGER) AS name_len,
+                   substring(c_name, 1, 5) AS name_head,
+                   concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR))
+                       AS seg_nation,
+                   regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+                   replace(c_name, '0', 'O') AS name_o,
+                   lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded
+            FROM customer""",
+        "q_json_extract": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_str,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+            FROM events""",
+        "q_upsert": """
+            SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT c_custkey, upper(c_name) AS c_name FROM customer
+            WHERE c_custkey % 2 <> 0""",
         "q_cube": f"""
             SELECT l_returnflag, l_linestatus,
                    {_dsum("l_quantity")} AS sum_l_quantity,
