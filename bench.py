@@ -31,6 +31,9 @@ HEADLINE = [
     "q_scan_parquet",
     "q_groupby_agg",
     "q_star_join",
+    "q_shipping_priority",
+    "q_conditional_agg",
+    "q_cube",
     "q_topk_pergroup",
     "q_window_running",
     "q_dedup_rank",

@@ -60,6 +60,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Explode-heavy operators multiply row counts 100×+; if the input sits
+    in fewer partitions than the cluster has cores (tiny dimension tables,
+    single-file scans), the explode runs underparallelized. Repartition up
+    to the default parallelism — a negligible shuffle of the *pre*-explode
+    rows that unlocks full-width execution of the expensive part. No-op
+    when the input is already wide (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, max_df: int | None = None
 ) -> DataFrame:
@@ -70,6 +83,7 @@ def shingles(
     optionally drops shingles occurring in more than that many documents —
     at corpus scale, stop-shingles are what blow up the inverted index.
     """
+    df = _ensure_parallelism(df)
     words = F.split(F.col(text_col), " ")
     # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an empty
     # array — documents shorter than n words must be handled explicitly
@@ -200,11 +214,28 @@ def minhash_lsh_pairs(
     hashed-shingle sets (one array per doc) and computes
     |A∩B| / |A∪B| with array intrinsics — O(candidates × shingles), fully
     distributed, no second inverted-index pass."""
+    # ONE shingle pass + ONE shuffle: the same aggregate produces all k
+    # signature mins (from the oracle-portable md5 hash) and the exact
+    # hashed-shingle set (xxhash64) used for verification.
     sh = shingles(df, text_col, id_col, n=n)
+    a_, b_ = affine_params(num_hashes)
+    p = MERSENNE31
+    hashed = sh.select(
+        "doc_id",
+        (hash60("shingle") % F.lit(p)).alias("h31"),
+        F.xxhash64("shingle").alias("h64"),
+    )
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a_[i]) * F.col("h31") + F.lit(b_[i])) % F.lit(p)).alias(
+                f"sig_{i}"
+            )
+            for i in range(num_hashes)
+        ],
+        F.collect_set("h64").alias("hs"),
+    )
     buckets = minhash_band_buckets(
-        minhash_signatures(sh, num_hashes=num_hashes),
-        rows_per_band=rows_per_band,
-        num_hashes=num_hashes,
+        per_doc, rows_per_band=rows_per_band, num_hashes=num_hashes
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -216,11 +247,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    doc_sets = (
-        sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("hs"))
-    )
+    doc_sets = per_doc.select("doc_id", "hs")
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     return (
         cand.join(
@@ -249,7 +276,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     tiny and both aggregates are partial — still a single shuffle of
     O(docs × bits).
     """
-    words = df.select(
+    words = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     ).withColumn("h", hash60("w"))
