@@ -570,6 +570,23 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    # Conservation checks as engine surface: one scan, all rules.
+    from iowa_liquor_sales_spark.operators.quality import not_null, rule_counts
+
+    li = read_table(spark, sf, "lineitem")
+    return rule_counts(
+        li,
+        {
+            "shipdate_notnull": not_null("l_shipdate"),
+            "qty_positive": F.col("l_quantity") > 0,
+            "price_nonneg": F.col("l_extendedprice") >= 0,
+            "discount_range": F.col("l_discount").between(0.0, 0.5),
+            "flag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
 # ---- multimodal
 
 
@@ -625,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_events_window": q_events_window,
         "q_sessionize": q_sessionize,
+        "q_quality_report": q_quality_report,
         "q_multimodal_features": q_multimodal_features,
     }
 
@@ -967,6 +985,21 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts) AS session_start,
                    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
             FROM sess GROUP BY user_id, session_id""",
+        "q_quality_report": """
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(CASE WHEN NOT COALESCE(l_shipdate IS NOT NULL, FALSE)
+                              THEN 1 END) AS viol_shipdate_notnull,
+                   COUNT(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE)
+                              THEN 1 END) AS viol_qty_positive,
+                   COUNT(CASE WHEN NOT COALESCE(l_extendedprice >= 0, FALSE)
+                              THEN 1 END) AS viol_price_nonneg,
+                   COUNT(CASE WHEN NOT COALESCE(l_discount BETWEEN 0.0 AND 0.5,
+                                                FALSE) THEN 1 END)
+                       AS viol_discount_range,
+                   COUNT(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'),
+                                                FALSE) THEN 1 END)
+                       AS viol_flag_domain
+            FROM lineitem""",
         "q_multimodal_features": """
             SELECT doc_id,
                    CAST(length(text) AS INTEGER) AS byte_len,

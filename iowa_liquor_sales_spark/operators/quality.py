@@ -1,0 +1,56 @@
+"""Data-quality validation operators.
+
+The reference's correctness style is conservation checks — row counts
+preserved across stages, zero nulls after coercion, `COUNT(*) > 0` after
+load (tests/test_transform.py:11, tests/test_load.py:14-16, and the
+Postgres PK/FK constraints). This module turns that style into engine
+surface: declarative expectations evaluated in ONE aggregate pass over the
+table (every rule is a conditional count inside the same scan — no
+rule-per-scan blowup at 100 TB), plus key/referential rules that need their
+own aggregate or anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def rule_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate named boolean rules in one scan: returns a single row with
+    ``n_rows`` and one violation count per rule (count of rows where the
+    rule is FALSE or NULL)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.count(F.when(~F.coalesce(cond, F.lit(False)), F.lit(1))).alias(
+                f"viol_{name}"
+            )
+        )
+    return df.agg(*aggs)
+
+
+def not_null(col: str) -> Column:
+    return F.col(col).isNotNull()
+
+
+def unique_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows beyond the first per key (0 = key is unique)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_extra_rows"))
+    )
+
+
+def referential_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Count of child rows with no parent (broadcast anti-join, one scan)."""
+    orphans = child.join(
+        broadcast(parent.select(parent_key).distinct()),
+        child[child_key] == parent[parent_key],
+        "left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))

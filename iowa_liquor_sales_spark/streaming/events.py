@@ -86,6 +86,27 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_foreach_batch(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    sink,
+    trigger_available_now: bool = True,
+) -> None:
+    """Micro-batch sink adapter: each micro-batch DataFrame is handed to
+    ``sink(df, batch_id)``. This is how the reference's Postgres load stage
+    becomes a *streaming* consumer (live-feed parity, SURVEY §2.7): pass a
+    sink that calls ``sources.writers.write_jdbc`` (or the COPY fast path)
+    and the checkpoint gives at-least-once delivery with batch_id for
+    dedup/idempotence on the DB side."""
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def run_windowed_to_memory(
     agg_df: DataFrame, table_name: str, checkpoint_dir: str
 ) -> None:

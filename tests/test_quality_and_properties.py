@@ -1,0 +1,138 @@
+"""Quality operators + property-based checks (hypothesis) — the rigor the
+reference lacks (SURVEY §5: no property tests anywhere in the repo)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from iowa_liquor_sales_spark.operators.quality import (
+    not_null,
+    referential_violations,
+    rule_counts,
+    unique_violations,
+)
+from iowa_liquor_sales_spark.schemas import read_table
+
+SF = "/root/testdata/sf0.001"
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def test_rule_counts_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, -1.0, "X"), (3, None, "N")],
+        ["id", "v", "flag"],
+    )
+    row = rule_counts(
+        df,
+        {
+            "v_notnull": not_null("v"),
+            "v_pos": F.col("v") > 0,
+            "flag_domain": F.col("flag").isin("A", "N", "R"),
+        },
+    ).head()
+    assert row["n_rows"] == 3
+    assert row["viol_v_notnull"] == 1
+    assert row["viol_v_pos"] == 2  # -1.0 fails, NULL counts as violation
+    assert row["viol_flag_domain"] == 1
+    # Single scan: exactly one aggregate over one FileScan/LocalScan.
+    plan = rule_counts(df, {"v_pos": F.col("v") > 0})._jdf.queryExecution()
+    assert plan.executedPlan().toString().count("Scan") <= 2  # partial+final
+
+
+def test_unique_and_referential(spark):
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders")
+    assert unique_violations(o, ["o_orderkey"]).head()["n_extra_rows"] == 0
+    assert (
+        referential_violations(li, o, "l_orderkey", "o_orderkey").head()["n_orphans"]
+        == 0
+    )
+
+
+# ---- property-based: engine semantics hold for arbitrary inputs
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ).map(lambda x: round(x, 2)),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_decimal_sum_matches_exact_arithmetic(spark, xs):
+    """dsum (decimal-exact sum cast to double) equals Python's exact
+    Fraction arithmetic on 2-decimal inputs, for any partitioning."""
+    from fractions import Fraction
+
+    from iowa_liquor_sales_spark.functions.sums import dsum
+
+    df = spark.createDataFrame([(x,) for x in xs], "v double").repartition(7)
+    got = df.agg(dsum("v", 2, "s")).head()["s"]
+    vals = [Fraction(round(x * 100)) / 100 for x in xs if x is not None]
+    want = float(sum(vals)) if vals else None
+    assert got == want
+
+
+@given(st.text(alphabet="ab ", max_size=40))
+@_settings
+def test_shingles_match_python_reference(spark, text):
+    """Spark shingling equals a trivial Python implementation for any
+    space-separated text (incl. empty/short/degenerate runs)."""
+    from iowa_liquor_sales_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {r["shingle"] for r in shingles(df, "text", "doc_id", 3).collect()}
+    ws = text.split(" ")
+    want = {
+        " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+    } if len(ws) >= 3 else set()
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=5),
+)
+@_settings
+def test_topk_matches_sorted_prefix(spark, xs, k):
+    from iowa_liquor_sales_spark.operators.aggregates import topk_per_group
+
+    df = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate(xs)], ["g", "v", "id"]
+    )
+    got = [
+        (r["v"], r["id"])
+        for r in topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k)
+        .orderBy("rnk")
+        .collect()
+    ]
+    want = sorted(((v, i) for i, v in enumerate(xs)), key=lambda t: (-t[0], t[1]))[:k]
+    assert got == want
+
+
+@given(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False))
+@_settings
+def test_try_cast_roundtrip(spark, x):
+    """String round-trip of any double through try_cast is lossless."""
+    df = spark.createDataFrame([(repr(x),)], ["s"])
+    got = df.select(F.col("s").try_cast("double").alias("v")).head()["v"]
+    assert got == x or (math.isnan(x) and math.isnan(got))

@@ -5,6 +5,8 @@ exactly once."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from iowa_liquor_sales_spark.schemas import read_table
 from iowa_liquor_sales_spark.streaming.events import (
     read_events_stream,
@@ -56,4 +58,28 @@ def test_available_now_ingest_exactly_once(spark, tmp_path):
     # Re-running against the same checkpoint ingests nothing new
     # (restartable, exactly-once — the reference's resumable chunk naming).
     run_available_now(read_events_stream(spark, staged), ckpt, out)
+    assert spark.read.parquet(out).count() == n_src
+
+
+def test_foreach_batch_sink_idempotent_restart(spark, tmp_path):
+    from iowa_liquor_sales_spark.streaming.events import run_foreach_batch
+
+    staged = _stage_events(spark, tmp_path / "fb_staged")
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    def sink(df, batch_id: int) -> None:
+        # Stand-in for write_jdbc: same per-batch contract, file sink.
+        df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    run_foreach_batch(stream, ckpt, sink)
+    n_src = spark.read.parquet(staged).count()
+    got = spark.read.parquet(out)
+    assert got.count() == n_src
+    assert got.select("_batch_id").distinct().count() >= 2  # micro-batched
+    # Restart on same checkpoint: nothing re-delivered.
+    run_foreach_batch(read_events_stream(spark, staged), ckpt, sink)
     assert spark.read.parquet(out).count() == n_src
