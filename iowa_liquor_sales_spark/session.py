@@ -29,6 +29,11 @@ from pyspark.sql import SparkSession
 #   dynamic broadcast selection — the knobs that matter most at 100 TB.
 # - Arrow on: any mapInPandas/pandas_udf path ships columnar batches.
 _DEFAULTS = {
+    # local[*] runs everything in the driver JVM, whose 1g default heap is
+    # far below this box's RAM; on a real cluster spark-submit's
+    # --driver-memory/--executor-memory override this. Only effective when
+    # the builder launches the JVM (ignored on an existing session).
+    "spark.driver.memory": "8g",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
