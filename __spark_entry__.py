@@ -216,7 +216,14 @@ def q_cast_ts(spark: SparkSession, sf: str) -> DataFrame:
     raw = F.when(F.col("o_orderkey") % 97 == 0, F.lit("not-a-date")).otherwise(
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
     )
-    return o.select("o_orderkey", coerce_timestamp(raw).alias("parsed_ts"))
+    # Output the parse result re-formatted (parse→format in one session is
+    # TZ-identity), so the compared value is session-TZ independent.
+    return o.select(
+        "o_orderkey",
+        F.date_format(coerce_timestamp(raw), "yyyy-MM-dd HH:mm:ss").alias(
+            "parsed_ts"
+        ),
+    )
 
 
 def q_cast_num(spark: SparkSession, sf: str) -> DataFrame:
@@ -545,7 +552,14 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_events_window(spark: SparkSession, sf: str) -> DataFrame:
-    return windowed_counts_batch(read_table(spark, sf, "events"))
+    # Window start exported as epoch micros: instant-based, so the compared
+    # value is independent of the (driver-controlled) session timezone.
+    return windowed_counts_batch(read_table(spark, sf, "events")).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
 
 
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
@@ -565,7 +579,7 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
 
@@ -686,9 +700,11 @@ def oracle_sql() -> dict[str, str]:
         "q_count": "SELECT COUNT(*) AS n FROM lineitem",
         "q_cast_ts": """
             SELECT o_orderkey,
-                   TRY_CAST(CASE WHEN o_orderkey % 97 = 0 THEN 'not-a-date'
-                                 ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
-                            END AS TIMESTAMP) AS parsed_ts
+                   strftime(
+                       TRY_CAST(CASE WHEN o_orderkey % 97 = 0 THEN 'not-a-date'
+                                     ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                                END AS TIMESTAMP),
+                       '%Y-%m-%d %H:%M:%S') AS parsed_ts
             FROM orders""",
         "q_cast_num": """
             SELECT c_custkey,
@@ -958,7 +974,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp_head
             FROM documents""",
         "q_events_window": """
-            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+            SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
                    event_type,
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -982,7 +998,7 @@ def oracle_sql() -> dict[str, str]:
               FROM flagged
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
-                   MIN(ts) AS session_start,
+                   epoch_us(MIN(ts)) AS session_start_us,
                    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
             FROM sess GROUP BY user_id, session_id""",
         "q_quality_report": """

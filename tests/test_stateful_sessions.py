@@ -32,13 +32,19 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     )
     q.awaitTermination()
     got = {
-        (r["user_id"], r["session_start"], r["n_events"])
-        for r in spark.table("closed_sessions").collect()
+        (r["user_id"], r["su"], r["n_events"])
+        for r in spark.table("closed_sessions")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("su"),
+            "n_events",
+        )
+        .collect()
     }
 
     batch = entry_mod.q_sessionize(spark, SF)
     want_all = {
-        (r["user_id"], r["session_start"], r["n_events"])
+        (r["user_id"], r["session_start_us"], r["n_events"])
         for r in batch.collect()
     }
     # Closed streaming sessions are exactly batch sessions (the stream may
@@ -67,8 +73,10 @@ def test_open_tail_sessions_are_the_difference(spark, tmp_path):
     closed = spark.table("closed2")
     batch = entry_mod.q_sessionize(spark, SF)
     missing = batch.join(
-        closed.select("user_id", "session_start"),
-        ["user_id", "session_start"],
+        closed.select(
+            "user_id", F.unix_micros("session_start").alias("session_start_us")
+        ),
+        ["user_id", "session_start_us"],
         "left_anti",
     )
     # Every unclosed session must extend into the final-watermark tail —
@@ -76,8 +84,6 @@ def test_open_tail_sessions_are_the_difference(spark, tmp_path):
     max_ts = read_table(spark, SF, "events").agg(F.max("ts")).head()[0]
     horizon_us = int(max_ts.timestamp() * 1_000_000) - (1800 + 600) * 1_000_000
     stragglers = missing.withColumn(
-        "end_us",
-        F.unix_micros(F.col("session_start"))
-        + F.col("duration_us"),
+        "end_us", F.col("session_start_us") + F.col("duration_us")
     ).filter(F.col("end_us") < horizon_us)
     assert stragglers.count() == 0, stragglers.collect()[:5]
