@@ -119,13 +119,16 @@ def _plane_sql(plane: list[float]) -> str:
     return "[" + ", ".join("1.0" if c > 0 else "-1.0" for c in plane) + "]"
 
 
-def _bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
-    planes = rh_hyperplanes(n_planes, dim)
-    terms = [
-        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql(p)}) > 0 "
-        f"THEN {2 ** j} ELSE 0 END)"
-        for j, p in enumerate(planes)
-    ]
+def _bucket_sql(n_planes: int = 8, dim: int = 64, plane_offset: int = 0) -> str:
+    from iowa_liquor_sales_spark.operators.similarity import rh_component
+
+    terms = []
+    for j in range(n_planes):
+        plane = [rh_component(plane_offset + j, k) for k in range(dim)]
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql(plane)}) > 0 "
+            f"THEN {2 ** j} ELSE 0 END)"
+        )
     return " + ".join(terms)
 
 
@@ -526,7 +529,16 @@ def q_ann_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_table(spark, sf, "embeddings")
-    return ann_lsh_topk(emb, query_id=0, k=10, n_planes=8, dim=64).select("vec_id", "rnk")
+    return ann_lsh_topk(
+        emb, query_id=0, k=10, n_planes=6, n_tables=4, dim=64
+    ).select("vec_id", "rnk")
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from iowa_liquor_sales_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf, "embeddings")
+    return ivf_topk(emb, query_id=0, k=10, n_cells=16).select("vec_id", "rnk")
 
 
 # ---- text analysis
@@ -650,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": q_embed_neardup,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_text_quality": q_text_quality,
         "q_token_count": q_token_count,
         "q_lang_id": q_lang_id,
@@ -929,16 +942,47 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rnk <= 10""",
         "q_ann_lsh": f"""
             WITH b AS (
-              SELECT vec_id, embedding, ({_bucket_sql(8, 64)}) AS bucket
+              SELECT vec_id, embedding,
+                     {", ".join(f"({_bucket_sql(6, 64, t * 6)}) AS bucket_{t}" for t in range(4))}
               FROM embeddings
             ),
-            q AS (SELECT bucket AS qb, embedding AS qv FROM b WHERE vec_id = 0)
+            q AS (SELECT embedding AS qv,
+                         {", ".join(f"bucket_{t} AS qb_{t}" for t in range(4))}
+                  FROM b WHERE vec_id = 0)
             SELECT vec_id,
                    CAST(row_number() OVER (
                        ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[])
                        DESC, vec_id) AS INTEGER) AS rnk
             FROM b, q
-            WHERE b.bucket = q.qb AND vec_id <> 0
+            WHERE ({" OR ".join(f"b.bucket_{t} = q.qb_{t}" for t in range(4))})
+              AND vec_id <> 0
+            QUALIFY rnk <= 10""",
+        "q_ann_ivf": """
+            WITH cent AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id < 16
+            ),
+            assigned AS (
+              SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding::DOUBLE[],
+                                        c.cvec::DOUBLE[]) DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+              WHERE rn = 1
+            ),
+            q AS (SELECT cell AS q_cell, embedding AS q_vec FROM assigned
+                  WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                                       q_vec::DOUBLE[])
+                       DESC, vec_id) AS INTEGER) AS rnk
+            FROM assigned, q
+            WHERE cell = q_cell AND vec_id <> 0
             QUALIFY rnk <= 10""",
         "q_text_quality": """
             SELECT doc_id,

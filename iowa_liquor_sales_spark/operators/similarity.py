@@ -71,13 +71,16 @@ def rh_bucketize(
     n_planes: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Assign each vector an LSH bucket = integer of sign bits of dot
-    products with the deterministic hyperplanes. Narrow projection — at
-    scale, persist partitioned/bucketed by this column."""
-    planes = rh_hyperplanes(n_planes, dim)
+    products with the deterministic hyperplanes (global plane indices
+    ``plane_offset .. plane_offset+n_planes-1`` — distinct offsets give
+    independent tables). Narrow projection — at scale, persist
+    partitioned/bucketed by this column."""
     bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
+    for j in range(n_planes):
+        plane = [rh_component(plane_offset + j, kk) for kk in range(dim)]
         p = F.array(*[F.lit(c) for c in plane])
         bucket = bucket + F.when(
             dot(F.col(vec_col), p) > 0, F.lit(2**j).cast("long")
@@ -89,26 +92,37 @@ def ann_lsh_topk(
     embeddings: DataFrame,
     query_id: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Approximate top-k via **multi-table** random-hyperplane LSH: a
+    vector is a candidate if it shares the query's bucket in ANY of the
+    ``n_tables`` independent tables (OR-amplification — the standard fix
+    for single-table recall collapse; a lone b-bit table needs all b sign
+    bits to agree, which starves recall as b grows).
 
-    Recall < 1 by design; the bucket-join is a broadcast of the single query
-    row, so the plan is scan → filter(bucket = q.bucket) → local top-k.
+    Plan shape: scan → n_tables bucket columns (narrow projections) →
+    broadcast of the single query row → OR-filter → local top-k. At scale,
+    persist one bucket column per table and union the per-table partition
+    scans.
     """
-    b = rh_bucketize(embeddings, n_planes=n_planes, dim=dim, vec_col=vec_col)
-    q = (
-        b.filter(F.col(id_col) == query_id)
-        .select(
-            F.col("bucket").alias("q_bucket"), F.col(vec_col).alias("q_vec")
-        )
+    b = embeddings
+    for t in range(n_tables):
+        b = rh_bucketize(
+            b, n_planes=n_planes, dim=dim, vec_col=vec_col, plane_offset=t * n_planes
+        ).withColumnRenamed("bucket", f"bucket_{t}")
+    q = b.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q_vec"),
+        *[F.col(f"bucket_{t}").alias(f"q_bucket_{t}") for t in range(n_tables)],
     )
-    cand = b.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket")).filter(
-        F.col(id_col) != query_id
-    )
+    match_any = None
+    for t in range(n_tables):
+        m = F.col(f"bucket_{t}") == F.col(f"q_bucket_{t}")
+        match_any = m if match_any is None else (match_any | m)
+    cand = b.join(F.broadcast(q), match_any).filter(F.col(id_col) != query_id)
     scored = cand.select(
         F.col(id_col),
         cosine_similarity(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
@@ -209,3 +223,67 @@ def _near_dup_pairs_blocked(
             yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
 
     return embeddings.select(id_col, vec_col).mapInPandas(_block, out_schema)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    cell (by cosine, deterministic tiebreak on centroid id).
+
+    The quantizer here is deliberately training-free — centroids are the
+    first ``n_cells`` vectors by id — so the assignment is reproducible in
+    the SQL oracle. A production build would k-means the centroids offline
+    and broadcast them exactly the same way; the engine plan (broadcast
+    centroids → per-row argmax → cell column) is identical.
+
+    Scale path: persist partitioned by ``cell``; a query then scans only
+    its probe cells (partition pruning), like the LSH bucket path.
+    """
+    cent = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = embeddings.join(F.broadcast(cent)).select(
+        id_col,
+        vec_col,
+        "cid",
+        cosine_similarity(F.col(vec_col), F.col("cvec")).alias("csim"),
+    )
+    # max_by over a (sim, -cid) struct: deterministic argmax in any engine.
+    return scored.groupBy(id_col, vec_col).agg(
+        F.max_by(
+            F.col("cid"), F.struct(F.col("csim"), (-F.col("cid")).cast("long"))
+        ).alias("cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe-1 ANN: score only vectors in the query's cell. Recall < 1
+    by construction (raise nprobe by unioning more cells at scale)."""
+    assigned = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        F.col("cell").alias("q_cell"), F.col(vec_col).alias("q_vec")
+    )
+    cand = assigned.join(F.broadcast(q), F.col("cell") == F.col("q_cell")).filter(
+        F.col(id_col) != query_id
+    )
+    scored = cand.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "cos_sim")
+    )
