@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Training-data curation pipeline over the documents + embeddings tables:
+
+    documents --quality filter--> --lang id--> --exact dedup-->
+      --MinHash near-dup removal--> + embedding near-dup removal
+      --> curated parquet with fingerprints and token counts
+
+Every stage is one of the engine's declared operators, composed; this is
+the 100 TB corpus-curation shape (each arrow is a DataFrame, nothing
+collects to the driver except the final counts).
+
+Usage: python examples/curate_corpus.py [sf_dir] [outdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from iowa_liquor_sales_spark import get_spark  # noqa: E402
+from iowa_liquor_sales_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from iowa_liquor_sales_spark.operators.similarity import (  # noqa: E402
+    embedding_near_dup_pairs,
+)
+from iowa_liquor_sales_spark.operators.text import (  # noqa: E402
+    fingerprints,
+    lang_id,
+    quality_metrics,
+    token_counts,
+)
+from iowa_liquor_sales_spark.schemas import read_table  # noqa: E402
+from iowa_liquor_sales_spark.sources.writers import write_parquet  # noqa: E402
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> dict:
+    out = outdir or tempfile.mkdtemp(prefix="curated_")
+    spark = get_spark(
+        app_name="corpus-curation",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = read_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate: drop thin/degenerate docs.
+    q = quality_metrics(docs)
+    keep_q = q.filter(
+        (F.col("n_words") >= 20) & (F.col("type_token_ratio") >= 0.05)
+    ).select("doc_id")
+    docs1 = docs.join(keep_q, "doc_id", "left_semi")
+
+    # 2. exact dedup: keep the min-id copy of identical texts.
+    keepers = exact_dedup(docs1, "text", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    docs2 = docs1.join(keepers, "doc_id", "left_semi")
+
+    # 3. near-dup removal (MinHash+LSH, verified Jaccard >= 0.8):
+    #    drop the higher id of each near-dup pair.
+    pairs = minhash_lsh_pairs(docs2, "text", "doc_id", min_jaccard=0.8)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs3 = docs2.join(drop, "doc_id", "left_anti")
+
+    # 4. embedding near-dups (vec_id aligned with doc_id in the synthetic
+    #    tables): drop the higher id of each pair.
+    emb = read_table(spark, sf_dir, "embeddings")
+    epairs = embedding_near_dup_pairs(emb, min_cosine=0.45)
+    edrop = epairs.select(F.col("id_b").alias("doc_id")).distinct()
+    docs4 = docs3.join(edrop, "doc_id", "left_anti")
+
+    # 5. enrich + write curated corpus.
+    curated = (
+        docs4.join(lang_id(docs4).select("doc_id", "pred_lang"), "doc_id")
+        .join(token_counts(docs4), "doc_id")
+        .join(fingerprints(docs4), "doc_id")
+    )
+    write_parquet(curated, out)
+    stats = {
+        "input": n0,
+        "after_quality": docs1.count(),
+        "after_exact_dedup": docs2.count(),
+        "after_minhash": docs3.count(),
+        "after_embedding_dedup": docs4.count(),
+        "outdir": out,
+    }
+    print(stats)
+    return stats
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:3] or ["/root/testdata/sf0.01"]))

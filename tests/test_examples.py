@@ -1,0 +1,32 @@
+"""The example pipelines are product surface — smoke them end-to-end."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "examples")
+
+
+def test_iowa_pipeline_end_to_end(spark, tmp_path):
+    from examples.run_iowa_pipeline import main
+
+    counts = main(str(tmp_path / "iowa"))
+    assert counts["bronze_rows"] == counts["silver_rows"] == 5000
+    assert counts["fact_rows"] == 5000  # unique invoice PKs preserved
+    assert counts["dim_store_rows"] == 40
+    assert counts["report_rows"] > 0
+
+
+def test_curation_pipeline_monotone(spark):
+    from examples.curate_corpus import main
+
+    stats = main("/root/testdata/sf0.001")
+    chain = [
+        stats["input"],
+        stats["after_quality"],
+        stats["after_exact_dedup"],
+        stats["after_minhash"],
+        stats["after_embedding_dedup"],
+    ]
+    assert chain == sorted(chain, reverse=True)  # each stage only removes
+    assert chain[-1] > 0
