@@ -486,6 +486,61 @@ def q_offset(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact interpolated percentiles per group (median / p90) — Spark's
+    # percentile == SQL-standard PERCENTILE_CONT interpolation.
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact distinct aggregates (Catalyst expands to a two-level aggregate).
+    o = read_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # Moment aggregates. Welford-style merges are FP-order sensitive at
+    # the last bits, so outputs are rounded (6 places — far above the
+    # ~1e-11 cross-engine drift, far below data resolution).
+    c = read_table(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_acctbal"),
+        F.round(F.avg("c_acctbal"), 6).alias("mean_acctbal"),
+        F.round(F.corr("c_acctbal", "c_nationkey"), 6).alias("corr_bal_nation"),
+    )
+
+
+def q_wordcount(spark: SparkSession, sf: str) -> DataFrame:
+    # The canonical explode: top-20 corpus word frequencies.
+    docs = read_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    # Pivot with an explicit value list (bounded-width contract — an
+    # unbounded pivot is a driver-side distinct scan at scale).
+    ev = read_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
 # ---- training-data-pipeline extensions: dedup family
 
 
@@ -650,6 +705,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": q_window_running,
         "q_cube": q_cube,
         "q_offset": q_offset,
+        "q_percentiles": q_percentiles,
+        "q_count_distinct": q_count_distinct,
+        "q_stats_agg": q_stats_agg,
+        "q_wordcount": q_wordcount,
+        "q_pivot": q_pivot,
         "q_shipping_priority": q_shipping_priority,
         "q_conditional_agg": q_conditional_agg,
         "q_string_funcs": q_string_funcs,
@@ -816,6 +876,34 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS DOUBLE) AS running_sum
             FROM orders""",
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS median_qty,
+                   quantile_cont(l_extendedprice, 0.9) AS p90_price
+            FROM lineitem GROUP BY l_returnflag""",
+        "q_count_distinct": """
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus""",
+        "q_stats_agg": """
+            SELECT c_mktsegment,
+                   round(stddev_samp(c_acctbal), 6) AS sd_acctbal,
+                   round(avg(c_acctbal), 6) AS mean_acctbal,
+                   round(corr(c_acctbal, c_nationkey), 6) AS corr_bal_nation
+            FROM customer GROUP BY c_mktsegment""",
+        "q_wordcount": """
+            SELECT word, COUNT(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+        "q_pivot": """
+            SELECT user_id,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                   COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+            FROM events GROUP BY user_id""",
         "q_shipping_priority": f"""
             SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
                    {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
