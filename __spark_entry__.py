@@ -676,6 +676,14 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+def q_group_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    # Grouped-map Arrow UDF (applyInPandas): per-segment z-score; the
+    # oracle is the JVM window-function twin.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import group_normalize
+
+    return group_normalize(read_table(spark, sf, "customer"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_parquet": q_scan_parquet,
@@ -731,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_quality_report": q_quality_report,
         "q_multimodal_features": q_multimodal_features,
+        "q_group_normalize": q_group_normalize,
     }
 
 
@@ -1133,6 +1142,14 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(MIN(ts)) AS session_start_us,
                    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
             FROM sess GROUP BY user_id, session_id""",
+        "q_group_normalize": """
+            SELECT c_mktsegment, c_custkey,
+                   round(CASE WHEN stddev_samp(c_acctbal) OVER w > 0
+                              THEN (c_acctbal - avg(c_acctbal) OVER w)
+                                   / (stddev_samp(c_acctbal) OVER w)
+                              ELSE 0.0 END, 6) AS z_acctbal
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment)""",
         "q_quality_report": """
             SELECT COUNT(*) AS n_rows,
                    COUNT(CASE WHEN NOT COALESCE(l_shipdate IS NOT NULL, FALSE)

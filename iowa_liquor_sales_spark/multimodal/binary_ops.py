@@ -86,3 +86,38 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+GROUP_NORM_SCHEMA = T.StructType(
+    [
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("z_acctbal", T.DoubleType()),
+    ]
+)
+
+
+def group_normalize(df: DataFrame, group_col: str = "c_mktsegment") -> DataFrame:
+    """Grouped-map Arrow UDF (``applyInPandas``): z-score a measure within
+    each group. Exists to exercise the grouped-map API — each group's rows
+    are shipped to Python as ONE Arrow batch (so groups must fit in
+    memory; for unbounded groups use window functions, which compute the
+    same thing JVM-side — that expression twin is this operator's oracle).
+    Values are rounded to 6dp: cross-engine reduction-order drift is
+    ~1e-14, so a 5e-7 rounding boundary is effectively never straddled.
+    """
+    import numpy as np
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["c_acctbal"].to_numpy(dtype="float64")
+        sd = np.std(v, ddof=1) if len(v) > 1 else 0.0
+        z = (v - v.mean()) / sd if sd > 0 else np.zeros(len(v))
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pdf[group_col],
+                "c_custkey": pdf["c_custkey"],
+                "z_acctbal": np.round(z, 6),
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(_norm, GROUP_NORM_SCHEMA)
