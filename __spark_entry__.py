@@ -676,6 +676,21 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+def q_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    # Array-function surface over array<float>: size / min / max /
+    # element access / slicing — all exact (order-independent or
+    # positional), so floats compare bit-for-bit cross-engine.
+    emb = read_table(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.array_min("embedding").cast("double").alias("vmin"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.size(F.slice("embedding", 1, 8)).cast("int").alias("head_len"),
+    )
+
+
 def q_group_normalize(spark: SparkSession, sf: str) -> DataFrame:
     # Grouped-map Arrow UDF (applyInPandas): per-segment z-score; the
     # oracle is the JVM window-function twin.
@@ -739,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_quality_report": q_quality_report,
         "q_multimodal_features": q_multimodal_features,
+        "q_array_funcs": q_array_funcs,
         "q_group_normalize": q_group_normalize,
     }
 
@@ -1142,6 +1158,14 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(MIN(ts)) AS session_start_us,
                    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
             FROM sess GROUP BY user_id, session_id""",
+        "q_array_funcs": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INTEGER) AS dim,
+                   CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
+                   CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+                   CAST(embedding[1] AS DOUBLE) AS first_val,
+                   CAST(len(embedding[1:8]) AS INTEGER) AS head_len
+            FROM embeddings""",
         "q_group_normalize": """
             SELECT c_mktsegment, c_custkey,
                    round(CASE WHEN stddev_samp(c_acctbal) OVER w > 0

@@ -17,6 +17,7 @@ from iowa_liquor_sales_spark.streaming.events import (
 )
 
 SF = "/root/testdata/sf0.001"
+SF_EVENTS = SF
 
 
 def _stage_events(spark, tmp_path) -> str:
@@ -83,3 +84,36 @@ def test_foreach_batch_sink_idempotent_restart(spark, tmp_path):
     # Restart on same checkpoint: nothing re-delivered.
     run_foreach_batch(read_events_stream(spark, staged), ckpt, sink)
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static join: enrich the event stream with a static dim —
+    results equal the batch join on the same data."""
+    from iowa_liquor_sales_spark.streaming.events import read_events_stream
+
+    staged = _stage_events(spark, tmp_path / "ssj_staged")
+    users = (
+        read_table(spark, SF_EVENTS, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = read_events_stream(spark, staged)
+    joined = stream.join(users, "user_id").groupBy("c_mktsegment").count()
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("ssj").collect()}
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(staged)
+        .join(users, "user_id")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    }
+    assert got == want and got
