@@ -83,3 +83,17 @@ def test_salted_join_equals_plain_join(spark):
     )
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_env_config_overrides(monkeypatch):
+    from iowa_liquor_sales_spark.config import load_config
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    monkeypatch.setenv("IOWA_SHUFFLE_PARTITIONS", "64")
+    monkeypatch.setenv("IOWA_JDBC_URL", "jdbc:postgresql://db:5432/iowa")
+    cfg = load_config()
+    assert cfg.cpus == 8
+    assert cfg.resolved_shuffle_partitions() == 64
+    assert cfg.jdbc_url == "jdbc:postgresql://db:5432/iowa"
+    monkeypatch.delenv("IOWA_SHUFFLE_PARTITIONS")
+    assert load_config().resolved_shuffle_partitions() == 8
