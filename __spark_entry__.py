@@ -473,6 +473,22 @@ def q_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    # Hierarchical subtotals (year -> year,status -> grand total): one
+    # Expand + single-shuffle hash aggregate, like CUBE.
+    o = read_table(spark, sf, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def q_offset(spark: SparkSession, sf: str) -> DataFrame:
     # P3's other half: OFFSET pagination (deterministic under a total
     # order). Pagination is an anti-pattern at scale — partitioning
@@ -727,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_pergroup": q_topk_pergroup,
         "q_window_running": q_window_running,
         "q_cube": q_cube,
+        "q_rollup": q_rollup,
         "q_offset": q_offset,
         "q_percentiles": q_percentiles,
         "q_count_distinct": q_count_distinct,
@@ -981,6 +998,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "q_rollup": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   o_orderstatus,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_price,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)""",
         "q_offset": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
             ORDER BY l_orderkey, l_linenumber LIMIT 50 OFFSET 100""",
