@@ -59,3 +59,29 @@ def full_load(
         writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(name)
     return int(obs.get["rows"])
+
+
+def overwrite_partitions(df: DataFrame, name: str) -> int:
+    """Incremental reload: replace ONLY the partitions present in ``df``
+    (dynamic partition overwrite), leaving the rest of the table intact —
+    the warehouse-scale answer to the reference's full-table re-runs. At
+    100 TB a daily load rewrites one day's partition, never the table.
+
+    Returns the number of rows written (write-attached Observation).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        obs = Observation()
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.mode("overwrite")
+            .insertInto(name)
+        )
+        return int(obs.get["rows"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -86,6 +86,22 @@ def run_available_now(
     q.awaitTermination()
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drop re-deliveries of the same
+    event id. With a watermark, Spark bounds the dedup state to keys newer
+    than the watermark — the unbounded-stream-safe form (state is O(keys
+    per watermark window), not O(stream)). The batch twin is
+    ``dropDuplicates`` on the same keys."""
+    keys = key_cols or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def run_foreach_batch(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -117,3 +117,28 @@ def test_stream_static_join(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_dedup_exactly_once(spark, tmp_path):
+    """Duplicate every event in the staged input; the streamed dedup must
+    emit each event_id exactly once (== batch dropDuplicates)."""
+    from iowa_liquor_sales_spark.streaming.events import dedup_stream
+
+    src = read_table(spark, SF_EVENTS, "events")
+    staged = str(tmp_path / "dup_staged")
+    src.union(src).repartition(4).write.mode("overwrite").parquet(staged)
+
+    stream = read_events_stream(spark, staged)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_out")
+    assert out.count() == src.count()
+    assert out.groupBy("event_id").count().filter("count > 1").count() == 0

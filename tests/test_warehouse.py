@@ -44,3 +44,24 @@ def test_partitioned_load_prunes(spark):
     assert "PartitionFilters: [isnotnull(order_year" in plan
     assert q.count() > 0
     spark.sql("DROP TABLE tw_orders")
+
+
+def test_overwrite_partitions_incremental(spark):
+    from iowa_liquor_sales_spark.sources.warehouse import overwrite_partitions
+
+    src = read_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    full_load(src, "tw_inc", partition_by=["order_year"])
+    before = spark.table("tw_inc").count()
+    # Reload ONLY 1996 with a modified measure; other years untouched.
+    updated = src.filter(F.col("order_year") == 1996).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000000.0
+    )
+    n = overwrite_partitions(updated, "tw_inc")
+    assert n == updated.count()
+    t = spark.table("tw_inc")
+    assert t.count() == before  # same totals: one partition swapped
+    assert t.filter("order_year = 1996 AND o_totalprice < 1000000").count() == 0
+    assert t.filter("order_year <> 1996 AND o_totalprice >= 1000000").count() == 0
+    spark.sql("DROP TABLE tw_inc")
