@@ -35,16 +35,22 @@ def read_events_stream(
 
 
 def windowed_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame, window: str = "1 hour", watermark: str | None = "2 hours"
 ) -> DataFrame:
     """Event-time tumbling-window aggregate with late-data watermark.
 
     State scales with (#open windows × #event types), not with input volume;
     the watermark bounds open windows, so this runs indefinitely at any
     input rate. Works on both streaming and batch DataFrames.
+
+    Pass ``watermark=None`` when composing after an operator that already
+    set one (a stream's watermark is defined ONCE at the source; Spark
+    rejects redefinition downstream).
     """
     with_wm = (
-        events.withWatermark("ts", watermark) if events.isStreaming else events
+        events.withWatermark("ts", watermark)
+        if events.isStreaming and watermark
+        else events
     )
     return (
         with_wm.groupBy(
@@ -89,16 +95,22 @@ def run_available_now(
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str] | None = None,
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Streaming exactly-once-per-key dedup: drop re-deliveries of the same
     event id. With a watermark, Spark bounds the dedup state to keys newer
     than the watermark — the unbounded-stream-safe form (state is O(keys
     per watermark window), not O(stream)). The batch twin is
-    ``dropDuplicates`` on the same keys."""
+    ``dropDuplicates`` on the same keys.
+
+    ``watermark=None``: assume the caller already set the stream's
+    watermark (it is defined once at the source — see windowed_counts).
+    When composing dedup → windowed agg, set it HERE and pass None
+    downstream."""
     keys = key_cols or ["event_id"]
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+        wm = events.withWatermark("ts", watermark) if watermark else events
+        return wm.dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
 
 

@@ -30,3 +30,11 @@ def test_curation_pipeline_monotone(spark):
     ]
     assert chain == sorted(chain, reverse=True)  # each stage only removes
     assert chain[-1] > 0
+
+
+def test_stream_demo_end_to_end(spark):
+    from examples.stream_events import main
+
+    stats = main("/root/testdata/sf0.001")
+    assert stats["unique_events"] == stats["staged_rows"] // 2
+    assert stats["window_rows"] > 0 and stats["closed_sessions"] > 0
