@@ -473,6 +473,27 @@ def q_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    # Null-semantics torture: NULL group keys (grouped together),
+    # COUNT(col) vs COUNT(*) under nulls, null-masked exact sums.
+    o = read_table(spark, sf, "orders")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    masked = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        o.select(st.alias("status_n"), masked.alias("masked_price"))
+        .groupBy("status_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("masked_price").alias("n_nonnull"),
+            F.sum(F.col("masked_price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_masked"),
+        )
+    )
+
+
 def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     # Hierarchical subtotals (year -> year,status -> grand total): one
     # Expand + single-shuffle hash aggregate, like CUBE.
@@ -744,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": q_window_running,
         "q_cube": q_cube,
         "q_rollup": q_rollup,
+        "q_null_semantics": q_null_semantics,
         "q_offset": q_offset,
         "q_percentiles": q_percentiles,
         "q_count_distinct": q_count_distinct,
@@ -998,6 +1020,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "q_null_semantics": """
+            SELECT nullif(o_orderstatus, 'O') AS status_n,
+                   COUNT(*) AS n_rows,
+                   COUNT(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                              ELSE o_totalprice END) AS n_nonnull,
+                   CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                                      ELSE o_totalprice END
+                                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_masked
+            FROM orders
+            GROUP BY nullif(o_orderstatus, 'O')""",
         "q_rollup": """
             SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
                    o_orderstatus,

@@ -136,3 +136,93 @@ def test_try_cast_roundtrip(spark, x):
     df = spark.createDataFrame([(repr(x),)], ["s"])
     got = df.select(F.col("s").try_cast("double").alias("v")).head()["v"]
     assert got == x or (math.isnan(x) and math.isnan(got))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=20000),  # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@_settings
+def test_sessionize_matches_python_reference(spark, events):
+    """The batch sessionizer (lag + cumulative window) equals a direct
+    Python implementation for arbitrary event layouts."""
+    from pyspark.sql import Window
+
+    gap = 1800
+    df = spark.createDataFrame(
+        [(u, i, 1_700_000_000_000_000 + s * 1_000_000) for i, (u, s) in enumerate(events)],
+        "user_id long, event_id long, ts_us long",
+    ).select("user_id", "event_id", F.timestamp_micros("ts_us").alias("ts"))
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = df.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = {
+        (r["user_id"], r["session_id"], r["n"])
+        for r in flagged.withColumn("session_id", F.sum("new_session").over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    # Python reference.
+    want = set()
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(events):
+        by_user.setdefault(u, []).append((s * 1_000_000, i))
+    for u, ts_list in by_user.items():
+        ts_list.sort()
+        sid, n, prev = 0, 0, None
+        for t, _ in ts_list:
+            if prev is None or t - prev > gap * 1_000_000:
+                if n:
+                    want.add((u, sid, n))
+                sid, n = sid + 1, 1
+            else:
+                n += 1
+            prev = t
+        want.add((u, sid, n))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False).map(
+            lambda x: round(x, 2)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_running_total_matches_prefix_sums(spark, xs):
+    from fractions import Fraction
+
+    from iowa_liquor_sales_spark.operators.aggregates import running_total
+
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "g string, i long, v double"
+    )
+    got = [
+        r["running_sum"]
+        for r in running_total(df, ["g"], ["i"], "v").orderBy("i").collect()
+    ]
+    acc, want = Fraction(0), []
+    for x in xs:
+        acc += Fraction(round(x * 100)) / 100
+        want.append(float(acc))
+    assert got == want
