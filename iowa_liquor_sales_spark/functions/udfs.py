@@ -1,0 +1,61 @@
+"""Python UDF surface — the escape hatches, each paired with its JVM twin.
+
+The engine's rule (README): built-in Catalyst expressions in hot paths;
+when Python is genuinely needed, Arrow-vectorized forms only. This module
+completes the API surface with the two forms not used elsewhere:
+
+- a scalar ``@pandas_udf`` (Arrow columnar batches, numpy math) — here the
+  L2 norm, whose expression twin is ``functions.vectors.l2_norm``; tests
+  assert the two agree, which is the pattern for validating any future
+  Python kernel against a slower-but-trusted JVM expression;
+- a ``@udtf`` table function (one row in, N rows out with schema known to
+  Catalyst) — here a whitespace sentence splitter, twin of
+  explode+split.
+
+Row-at-a-time ``F.udf`` is deliberately absent: 10-100x slower than
+either form and never necessary in this engine.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
+
+
+@pandas_udf(DoubleType())
+def l2_norm_py(vectors: pd.Series) -> pd.Series:
+    """Vectorized scalar pandas UDF: L2 norm of an array<float> column.
+    Arrow ships the column as one batch; numpy reduces it C-side."""
+    import numpy as np
+
+    return vectors.map(
+        lambda v: float(np.sqrt(np.dot(np.asarray(v, dtype="float64"),
+                                       np.asarray(v, dtype="float64"))))
+    )
+
+
+@udtf(returnType="sent_id int, sentence string, n_words int")
+class SplitSentences:
+    """Python UDTF: explode a document into '.'-terminated sentences with
+    per-sentence word counts. One input row → N typed output rows, usable
+    in SQL as ``LATERAL split_sentences(text)`` after registration."""
+
+    def eval(self, text: str):  # noqa: D102
+        if not text:
+            return
+        for i, raw in enumerate(text.split(".")):
+            s = raw.strip()
+            if s:
+                yield i, s, len(s.split(" "))
+
+
+def register_udfs(spark) -> None:
+    """Register the Python functions for SQL use."""
+    spark.udf.register("l2_norm_py", l2_norm_py)
+    spark.udtf.register("split_sentences", SplitSentences)
+
+
+__all__ = ["l2_norm_py", "SplitSentences", "register_udfs", "F"]
