@@ -473,6 +473,36 @@ def q_cube(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_exists_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q4 shape: EXISTS with a correlated non-equi predicate, then
+    # aggregate. Planned as a semi join on (equi key AND theta condition).
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_outer_count_dist(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q13 shape: LEFT OUTER join + COUNT(col) null semantics
+    # (customers with zero orders count as c_count = 0), then a second
+    # aggregate over the counts.
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
 def q_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
     # Null-semantics torture: NULL group keys (grouped together),
     # COUNT(col) vs COUNT(*) under nulls, null-masked exact sums.
@@ -766,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube": q_cube,
         "q_rollup": q_rollup,
         "q_null_semantics": q_null_semantics,
+        "q_exists_agg": q_exists_agg,
+        "q_outer_count_dist": q_outer_count_dist,
         "q_offset": q_offset,
         "q_percentiles": q_percentiles,
         "q_count_distinct": q_count_distinct,
@@ -1020,6 +1052,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "q_exists_agg": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority""",
+        "q_outer_count_dist": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            GROUP BY c_count""",
         "q_null_semantics": """
             SELECT nullif(o_orderstatus, 'O') AS status_n,
                    COUNT(*) AS n_rows,

@@ -11,6 +11,7 @@ from the file-commit protocol (staging + rename), not a DB transaction.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -59,6 +60,38 @@ def full_load(
         writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(name)
     return int(obs.get["rows"])
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_records_per_file: int = 1_000_000,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(rows / target) files. Streaming ingest and per-task writes leave
+    thousands of small files; at 100 TB, scan throughput collapses under
+    file-open overhead, so compaction runs as periodic maintenance.
+
+    Rewrites through a staging directory and swaps, so a crash leaves the
+    original intact (the reference's restartable-intermediate posture).
+    Returns (files_before, files_after).
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files_before = df.select(F.input_file_name()).distinct().count()
+    n_out = max(1, -(-n_rows // target_records_per_file))
+    staging = path.rstrip("/") + "__compacting"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + "__pre_compact"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    n_files_after = after.select(F.input_file_name()).distinct().count()
+    return n_files_before, n_files_after
 
 
 def overwrite_partitions(df: DataFrame, name: str) -> int:

@@ -65,3 +65,18 @@ def test_overwrite_partitions_incremental(spark):
     assert t.filter("order_year = 1996 AND o_totalprice < 1000000").count() == 0
     assert t.filter("order_year <> 1996 AND o_totalprice >= 1000000").count() == 0
     spark.sql("DROP TABLE tw_inc")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from iowa_liquor_sales_spark.sources.warehouse import compact
+
+    path = str(tmp_path / "frag")
+    src = read_table(spark, SF, "lineitem")
+    src.repartition(40).write.parquet(path)  # fragment into 40 files
+    before, after = compact(spark, path, target_records_per_file=10_000)
+    assert before == 40
+    assert after == 1  # 6k rows fit one file
+    got = spark.read.parquet(path)
+    assert got.count() == src.count()
+    # Content preserved exactly.
+    assert got.exceptAll(src).count() == 0 and src.exceptAll(got).count() == 0
