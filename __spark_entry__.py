@@ -63,6 +63,7 @@ from iowa_liquor_sales_spark.operators.text import (
     quality_metrics,
     token_counts,
 )
+from iowa_liquor_sales_spark.functions.sums import dsum
 from iowa_liquor_sales_spark.schemas import read_table
 from iowa_liquor_sales_spark.sources.readers import read_csv
 from iowa_liquor_sales_spark.sources.writers import write_csv
@@ -718,6 +719,67 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    # As-of join (operators/temporal.asof_join): each purchase event picks
+    # up the user's most recent click at-or-before it. Union+window plan —
+    # one shuffle on user_id, no non-equi pair blowup. The right side is
+    # deterministically deduped per (user_id, ts) so the oracle agrees on
+    # tie winners.
+    from iowa_liquor_sales_spark.operators.dedup import dedup_rank
+    from iowa_liquor_sales_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = dedup_rank(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts", "value"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_time="ts", right_time="ts"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("r_event_id").alias("click_event_id"),
+        F.col("r_value").alias("click_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Bucketed interval join (operators/temporal.range_join): sliding
+    # 2-week windows hopping 1 week (overlapping — every event matches two
+    # windows), counts + exact sums per window. Windows derive from the
+    # data's own epoch-week span, so the query is scale-free.
+    from iowa_liquor_sales_spark.operators.temporal import range_join
+
+    WEEK_US = 7 * 86_400 * 1_000_000
+    ev = read_table(spark, sf, "events").select(
+        F.unix_micros("ts").alias("us"), "value"
+    )
+    bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    windows = bounds.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"lo div {WEEK_US} - 1"), F.expr(f"hi div {WEEK_US}")
+            )
+        ).alias("k")
+    ).select(
+        (F.col("k") * WEEK_US).alias("w_start"),
+        ((F.col("k") + 2) * WEEK_US).alias("w_end"),
+    )
+    joined = range_join(ev, windows, "us", "w_start", "w_end", bucket_width=WEEK_US)
+    return joined.groupBy("w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", alias="sum_value"),
+    )
+
+
 def q_quality_report(spark: SparkSession, sf: str) -> DataFrame:
     # Conservation checks as engine surface: one scan, all rules.
     from iowa_liquor_sales_spark.operators.quality import not_null, rule_counts
@@ -823,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_events_window": q_events_window,
         "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_quality_report": q_quality_report,
         "q_multimodal_features": q_multimodal_features,
         "q_array_funcs": q_array_funcs,
@@ -1238,6 +1302,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "q_asof_join": """
+            WITH clicks AS (
+              SELECT user_id, event_id, ts, value
+              FROM (SELECT user_id, event_id, ts, value,
+                           row_number() OVER (PARTITION BY user_id, ts
+                                              ORDER BY event_id) AS rn
+                    FROM events WHERE event_type = 'click')
+              WHERE rn = 1),
+            purchases AS (
+              SELECT user_id, event_id, ts
+              FROM events WHERE event_type = 'purchase')
+            SELECT p.user_id, p.event_id,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   c.event_id AS click_event_id,
+                   c.value AS click_value
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "q_range_join": """
+            WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+            b AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+            ks AS (
+              SELECT unnest(range(lo // 604800000000 - 1,
+                                  hi // 604800000000 + 1)) AS k FROM b),
+            w AS (SELECT k * 604800000000 AS w_start,
+                         (k + 2) * 604800000000 AS w_end FROM ks)
+            SELECT w_start, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM ev JOIN w ON w_start <= us AND us < w_end
+            GROUP BY w_start""",
         "q_sessionize": """
             WITH flagged AS (
               SELECT user_id, event_id, ts,

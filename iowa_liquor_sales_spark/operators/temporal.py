@@ -1,0 +1,152 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bucketed range (interval) join.
+
+The reference has no temporal joins (its only join surface is the star
+schema's FK equi-joins, IowaLiquor-RDS.session.sql:67-73), but any
+time-series extension of its event data needs them, and they are the
+canonical examples of operators that are catastrophic when expressed
+naively on a distributed engine:
+
+- naive as-of join  = non-equi theta join -> O(n*m) pair blowup per key;
+- naive range join  = cross join + filter -> O(n*m) over the whole table.
+
+Both are implemented here with single-shuffle plans:
+
+- :func:`asof_join` uses the union+sort trick: tag both inputs, union,
+  ONE shuffle on the join keys, sort each partition by event time, and
+  carry the most recent right row forward with
+  ``last(payload, ignorenulls=True)`` over a running window. Cost is one
+  shuffle + per-partition sort regardless of time spread — the plan a
+  kdb/QuestDB-style engine executes natively for ``aj``/ASOF JOIN.
+- :func:`range_join` quantizes intervals to covering buckets of a fixed
+  width (``explode(sequence(...))`` — narrow), joins points to buckets by
+  equality (shuffle or broadcast hash join, Catalyst's choice), then
+  applies the exact bound predicate. Each point lives in exactly one
+  bucket, so no duplicate elimination is needed. This is the standard
+  bucketing strategy for interval joins at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the single right row
+    with the largest ``right_time <= left_time`` (direction ``backward``,
+    inclusive) or the smallest ``right_time >= left_time`` (``forward``),
+    within the same ``on`` key group.
+
+    Unmatched left rows survive with nulls (left-outer semantics).
+    ``tolerance_us`` (microseconds) voids matches further away than the
+    tolerance. Right payload columns come back prefixed with
+    ``right_prefix``. Ties between right rows at the same timestamp are
+    resolved arbitrarily — pre-dedup the right side (e.g.
+    :func:`..dedup.dedup_rank` on the key+time) for full determinism.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    l_payload = [c for c in left.columns if c not in on]
+    r_payload = [c for c in right.columns if c not in on]
+
+    tagged_r = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__is_r"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
+    )
+    tagged_l = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__is_r"),
+        F.struct(*[F.col(c) for c in l_payload]).alias("__l"),
+    )
+    # unionByName(allowMissingColumns): left rows hold null __r, right rows
+    # null __l — the nulls are exactly what ignorenulls skips below.
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+
+    if direction == "backward":
+        # Right rows sort BEFORE left rows at equal time -> inclusive <=.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("__r", ignorenulls=True).over(w)
+    else:
+        # Left rows sort BEFORE right rows at equal time -> inclusive >=.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__is_r").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = F.first("__r", ignorenulls=True).over(w)
+
+    out = unioned.withColumn("__m", matched).filter(F.col("__is_r") == 0)
+    if tolerance_us is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__t")) - F.unix_micros(F.col(f"__m.{right_time}"))
+        )
+        out = out.withColumn("__m", F.when(gap <= tolerance_us, F.col("__m")))
+    return out.select(
+        *on,
+        *[F.col(f"__l.{c}").alias(c) for c in l_payload],
+        *[F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in r_payload],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_expr: str,
+    start_expr: str,
+    end_expr: str,
+    bucket_width: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join each point row to every interval row with
+    ``start <= point < end`` (half-open), optionally also matching equal
+    ``on`` keys.
+
+    ``point_expr`` / ``start_expr`` / ``end_expr`` are integer-valued
+    column names (epoch micros for time — caller converts; plain ints for
+    numeric bands). Intervals are exploded to their covering buckets of
+    ``bucket_width`` (cheap: ceil(len / width) rows each); each point maps
+    to exactly one bucket, so the bucket equi-join plus the exact bound
+    predicate is duplicate-free — no distinct needed. Pick ``bucket_width``
+    near the typical interval length: wider -> fewer index rows, narrower
+    -> tighter candidate sets. Overlapping intervals are fine (each match
+    is its own output row).
+    """
+    on = on or []
+    # Integer `div`, not floating `/` + floor: epoch-micros values are
+    # ~1.7e15 and must bucket exactly. Assumes non-negative domains
+    # (`div` truncates toward zero).
+    idx = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"`{start_expr}` div {bucket_width}"),
+                F.expr(f"(`{end_expr}` - 1) div {bucket_width}"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "__bucket", F.expr(f"`{point_expr}` div {bucket_width}")
+    )
+    cond = (F.col(start_expr) <= F.col(point_expr)) & (
+        F.col(point_expr) < F.col(end_expr)
+    )
+    return pts.join(idx, on=[*on, "__bucket"], how="inner").filter(cond).drop(
+        "__bucket"
+    )

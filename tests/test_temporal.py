@@ -1,0 +1,99 @@
+"""As-of join and bucketed range join: directions, tolerance, outer
+semantics, overlapping intervals, and scale-shaped plan properties."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from iowa_liquor_sales_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2026-01-01 10:00:05"), 100),
+            ("A", _ts("2026-01-01 10:00:00"), 99),  # tie with a quote
+            ("B", _ts("2026-01-01 10:00:01"), 50),
+            ("C", _ts("2026-01-01 10:00:01"), 7),  # no quotes at all
+        ],
+        ["sym", "t_ts", "qty"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2026-01-01 10:00:00"), 1.0),
+            ("A", _ts("2026-01-01 10:00:03"), 2.0),
+            ("A", _ts("2026-01-01 10:00:07"), 3.0),
+            ("B", _ts("2026-01-01 10:00:02"), 9.0),  # only AFTER B's trade
+        ],
+        ["sym", "q_ts", "px"],
+    )
+    return trades, quotes
+
+
+def test_asof_backward(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, ["sym"], "t_ts", "q_ts").collect()
+    got = {(r["sym"], r["qty"]): r["r_px"] for r in out}
+    assert got == {
+        ("A", 100): 2.0,  # 10:00:03 is latest <= 10:00:05
+        ("A", 99): 1.0,  # equal-time quote matches (inclusive)
+        ("B", 50): None,  # only future quotes exist
+        ("C", 7): None,  # no quotes for key at all
+    }
+    assert len(out) == 4  # left-outer: every trade survives exactly once
+
+
+def test_asof_forward_and_tolerance(spark):
+    trades, quotes = _trades_quotes(spark)
+    fwd = asof_join(trades, quotes, ["sym"], "t_ts", "q_ts", direction="forward")
+    got = {(r["sym"], r["qty"]): r["r_px"] for r in fwd.collect()}
+    assert got == {
+        ("A", 100): 3.0,  # earliest >= 10:00:05
+        ("A", 99): 1.0,  # equal time, inclusive
+        ("B", 50): 9.0,
+        ("C", 7): None,
+    }
+    tight = asof_join(
+        trades, quotes, ["sym"], "t_ts", "q_ts", tolerance_us=1_000_000
+    )
+    got = {(r["sym"], r["qty"]): r["r_px"] for r in tight.collect()}
+    # A@10:00:05's nearest earlier quote (10:00:03) is 2s away -> voided.
+    assert got == {("A", 100): None, ("A", 99): 1.0, ("B", 50): None, ("C", 7): None}
+
+
+def test_asof_plan_single_shuffle(spark):
+    trades, quotes = _trades_quotes(spark)
+    plan = asof_join(trades, quotes, ["sym"], "t_ts", "q_ts")._jdf.queryExecution().executedPlan().toString()
+    # The whole join is one exchange (on the key) + sort + window: no
+    # joins, no cartesian products in the physical plan.
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_overlap_and_bounds(spark):
+    points = spark.createDataFrame(
+        [(i,) for i in [0, 5, 10, 15, 20, 99]], ["x"]
+    )
+    intervals = spark.createDataFrame(
+        [(0, 10), (5, 16), (10, 11), (90, 95)],
+        ["lo", "hi"],
+    )
+    out = range_join(points, intervals, "x", "lo", "hi", bucket_width=4)
+    got = sorted((r["x"], r["lo"]) for r in out.collect())
+    # Half-open [lo, hi): 10 not in (0,10); overlapping intervals both hit;
+    # 99 outside everything; each (point, interval) pair appears once even
+    # though intervals span multiple buckets.
+    assert got == [(0, 0), (5, 0), (5, 5), (10, 5), (10, 10), (15, 5)]
+
+
+def test_range_join_keyed(spark):
+    points = spark.createDataFrame([("u1", 5), ("u2", 5)], ["k", "x"])
+    intervals = spark.createDataFrame([("u1", 0, 10)], ["k", "lo", "hi"])
+    out = range_join(points, intervals, "x", "lo", "hi", bucket_width=8, on=["k"])
+    assert [(r["k"], r["x"]) for r in out.collect()] == [("u1", 5)]
