@@ -780,6 +780,18 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # KMV bottom-k sketch (operators/sketches): approximate COUNT(DISTINCT)
+    # with O(k) state per task and no shuffle of the key domain — yet
+    # bit-identical to the oracle because the sketch hash is the portable
+    # md5-based hash60. k=256 -> ~6% standard error (tested vs exact).
+    from iowa_liquor_sales_spark.operators.sketches import kmv_distinct_estimate
+
+    li = read_table(spark, sf, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return kmv_distinct_estimate(li, key, k=256)
+
+
 def q_quality_report(spark: SparkSession, sf: str) -> DataFrame:
     # Conservation checks as engine surface: one scan, all rules.
     from iowa_liquor_sales_spark.operators.quality import not_null, rule_counts
@@ -887,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
+        "q_approx_distinct": q_approx_distinct,
         "q_quality_report": q_quality_report,
         "q_multimodal_features": q_multimodal_features,
         "q_array_funcs": q_array_funcs,
@@ -1333,6 +1346,17 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value
             FROM ev JOIN w ON w_start <= us AND us < w_end
             GROUP BY w_start""",
+        "q_approx_distinct": """
+            WITH mins AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5(
+                       CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM lineitem ORDER BY h LIMIT 256)
+            SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE CAST(255 AS DOUBLE) * pow(2, 60)
+                             / CAST(MAX(h) AS DOUBLE)
+                   END AS est_distinct
+            FROM mins""",
         "q_sessionize": """
             WITH flagged AS (
               SELECT user_id, event_id, ts,

@@ -1,0 +1,109 @@
+"""Bounded-state sketch aggregates for the interactive path at corpus
+scale.
+
+Exact COUNT(DISTINCT) over 100 TB shuffles every distinct key
+(`q_count_distinct` does it exactly when that is affordable). The sketch
+alternative here is KMV (k-minimum-values, the bottom-k theta sketch):
+keep the k smallest distinct hash values ever seen; the k-th smallest
+min estimates the distinct count as ``(k-1) / kth_min_normalized``.
+Standard error ~ 1/sqrt(k-2) (~3% at k=1024).
+
+Unlike HLL-style built-ins (``approx_count_distinct``), this sketch is
+built on the engine's portable md5 hash (:mod:`..functions.hashing`), so
+its output is BIT-IDENTICAL across engines and the driver's DuckDB oracle
+can check it exactly — an approximate operator with an exact correctness
+gate.
+
+Scale shape: one ``mapInPandas`` pass keeps O(k) state per task and emits
+<= k rows per partition (numpy over hashed int64s — no Python-per-row
+cost), a single k-row-per-partition shuffle to one task merges, done.
+No shuffle of the distinct key domain ever happens. The per-partition
+sketches are trivially mergeable — the same combine step serves
+partition-parallel, day-over-day incremental, or cross-table union
+estimates (:func:`kmv_union_estimate`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iowa_liquor_sales_spark.functions.hashing import hash60
+
+_TWO60 = float(2**60)
+
+
+def _kmins_pass(k: int):
+    """mapInPandas stage: distinct k smallest `h` across the partition."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            hs = pdf["h"].to_numpy(dtype=np.int64)
+            best = np.unique(np.concatenate([best, hs]))[:k]
+        yield pd.DataFrame({"h": best})
+
+    return run
+
+
+def kmv_kmins(df: DataFrame, expr: Column | str, k: int = 1024) -> DataFrame:
+    """The sketch itself: k smallest distinct hash60 values of ``expr``
+    (fewer if the input has fewer distincts). Mergeable: union two
+    sketches and re-take the k smallest."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    hashed = df.select(hash60(c.cast("string")).alias("h"))
+    partial = hashed.mapInPandas(_kmins_pass(k), "h long")
+    return partial.repartition(1).mapInPandas(_kmins_pass(k), "h long")
+
+
+def _estimate(kmins: DataFrame, k: int) -> DataFrame:
+    # Exact when the domain is smaller than k (the sketch saw everything);
+    # (k-1) * 2^60 / kth_min otherwise. Both engines evaluate the same
+    # double expression tree -> bit-identical.
+    return kmins.agg(
+        F.count(F.lit(1)).alias("n_mins"), F.max("h").alias("kth_min")
+    ).select(
+        F.when(F.col("n_mins") < k, F.col("n_mins").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(_TWO60) / F.col("kth_min").cast("double")
+        )
+        .alias("est_distinct")
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, expr: Column | str, k: int = 1024
+) -> DataFrame:
+    """1-row DataFrame ``(est_distinct double)``."""
+    return _estimate(kmv_kmins(df, expr, k), k)
+
+
+def kmv_union_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 1024
+) -> DataFrame:
+    """Distinct-count estimate of A ∪ B from the two sketches alone —
+    no rescan of either input (the mergeability that makes sketches
+    usable as pre-aggregated warehouse columns)."""
+    merged = (
+        sketch_a.unionByName(sketch_b)
+        .repartition(1)
+        .mapInPandas(_kmins_pass(k), "h long")
+    )
+    return _estimate(merged, k)
+
+
+def kmv_sql(expr: str, table: str, k: int) -> str:
+    """DuckDB rendering of the full estimate (exact sort — the oracle does
+    not need the bounded-state plan, only identical bits)."""
+    return f"""
+        WITH mins AS (
+          SELECT DISTINCT CAST(('0x' || substr(md5(CAST(({expr}) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM {table} ORDER BY h LIMIT {k})
+        SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST({k - 1} AS DOUBLE) * pow(2, 60) / CAST(MAX(h) AS DOUBLE)
+               END AS est_distinct
+        FROM mins"""

@@ -94,6 +94,39 @@ def compact(
     return n_files_before, n_files_after
 
 
+def bucketize(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sort-bucketed) table.
+
+    Bucketing is the 100 TB join strategy the reference's Postgres indexes
+    approximate: both sides of a recurring fact⋈fact join are pre-hashed
+    into the same number of buckets on the join key, so every subsequent
+    join/aggregation on that key runs WITHOUT a shuffle — Catalyst sees
+    the compatible output partitioning and plans SortMergeJoin over the
+    existing buckets (zero Exchange nodes; asserted in tests). Pay one
+    shuffle at write time, amortized over every downstream query.
+
+    ``n_buckets`` should be sized so a bucket of the LARGER table fits an
+    executor core's working memory (e.g. 100 TB / 4096 buckets ≈ 25 GB of
+    raw scan per bucket, ~task-sized after column pruning).
+    """
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def overwrite_partitions(df: DataFrame, name: str) -> int:
     """Incremental reload: replace ONLY the partitions present in ``df``
     (dynamic partition overwrite), leaving the rest of the table intact —

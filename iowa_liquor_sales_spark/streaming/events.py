@@ -152,3 +152,51 @@ def run_windowed_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def attribute_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: every purchase matched to
+    ALL of the same user's clicks in the preceding ``max_gap``.
+
+    This is the canonical watermarked stream-stream join: with a
+    watermark on BOTH sides plus the event-time range in the join
+    condition, Spark can bound each side's join state (a click older than
+    watermark + max_gap can never match a future purchase and is evicted),
+    so the join runs indefinitely at any stream rate — state is
+    O(events per gap window), not O(stream).
+
+    Works identically on batch DataFrames (the batch twin used by the
+    equivalence test): same plan minus watermarks/state.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if c.isStreaming and watermark:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (p["user_id"] == c["user_id"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return p.join(c, cond, "inner").select(
+        p["user_id"],
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

@@ -142,3 +142,39 @@ def test_stream_dedup_exactly_once(spark, tmp_path):
     out = spark.table("dedup_out")
     assert out.count() == src.count()
     assert out.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream join drains to the same rows as the
+    batch-twin plan on identical data."""
+    from iowa_liquor_sales_spark.streaming.events import (
+        attribute_purchases,
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_table(spark, SF, "events")
+    src = str(tmp_path / "src")
+    # Several files so the availableNow drain sees multiple micro-batches.
+    ev.repartition(4).write.parquet(src)
+
+    batch = attribute_purchases(
+        ev.filter("event_type = 'click'"), ev.filter("event_type = 'purchase'")
+    )
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    # The staged files are in random event-time order, so a short watermark
+    # would legitimately DROP late rows (that's the semantics, not a bug);
+    # a watermark wider than the dataset's time span keeps stream == batch.
+    out = attribute_purchases(
+        stream.filter("event_type = 'click'"),
+        stream.filter("event_type = 'purchase'"),
+        watermark="3650 days",
+    )
+    out_dir = str(tmp_path / "out")
+    run_available_now(out, str(tmp_path / "ckpt"), out_dir)
+    got = spark.read.parquet(out_dir)
+
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0

@@ -80,3 +80,29 @@ def test_compact_small_files(spark, tmp_path):
     assert got.count() == src.count()
     # Content preserved exactly.
     assert got.exceptAll(src).count() == 0 and src.exceptAll(got).count() == 0
+
+
+def test_bucketed_join_no_shuffle(spark):
+    from iowa_liquor_sales_spark.sources.warehouse import bucketize
+
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    bucketize(li, "tb_li", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    bucketize(o, "tb_o", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("tb_li")
+        b = spark.table("tb_o")
+        j = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # Co-located buckets: the join plans with ZERO shuffles.
+        assert "Exchange" not in plan
+        # Same join without bucketing shuffles both sides.
+        plain = li.join(o, li.l_orderkey == o.o_orderkey)
+        assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE tb_li")
+        spark.sql("DROP TABLE tb_o")
