@@ -780,6 +780,43 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # Near-dup pairs -> duplicate CLUSTERS via distributed connected
+    # components (operators/graph): every clustered doc labeled with its
+    # canonical keeper (min doc id of the component). Oracle = recursive
+    # CTE transitive closure over the same exact-Jaccard pair graph.
+    from iowa_liquor_sales_spark.operators.dedup import jaccard_pairs, shingles
+    from iowa_liquor_sales_spark.operators.graph import dedup_clusters
+
+    docs = read_table(spark, sf, "documents")
+    pairs = jaccard_pairs(shingles(docs, "text", "doc_id", n=3), min_jaccard=0.5)
+    return dedup_clusters(pairs)
+
+
+def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic content-keyed train/val/test split (operators/sampling):
+    # md5-bucket carving, stable under repartition/rerun/cluster resize —
+    # rand()-based splits are none of those. Narrow projection, no shuffle.
+    from iowa_liquor_sales_spark.operators.sampling import hash_split
+
+    docs = read_table(spark, sf, "documents").select("doc_id")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact n-per-stratum sampling ranked by content hash (total,
+    # data-independent order) — reproducible across engines and layouts.
+    from iowa_liquor_sales_spark.operators.sampling import stratified_sample
+
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    picked = stratified_sample(o, ["o_orderpriority"], "o_orderkey", n=10)
+    return picked.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     # KMV bottom-k sketch (operators/sketches): approximate COUNT(DISTINCT)
     # with O(k) state per task and no shuffle of the key domain — yet
@@ -900,6 +937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_approx_distinct": q_approx_distinct,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_split_assign": q_split_assign,
+        "q_stratified_sample": q_stratified_sample,
         "q_quality_report": q_quality_report,
         "q_multimodal_features": q_multimodal_features,
         "q_array_funcs": q_array_funcs,
@@ -1346,6 +1386,42 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value
             FROM ev JOIN w ON w_start <= us AND us < w_end
             GROUP BY w_start""",
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE {_JACCARD_CTE},
+            pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION
+                      SELECT doc_b AS a, doc_a AS b FROM pairs),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id,
+                   least(a, MIN(b)) AS cluster_id,
+                   a = least(a, MIN(b)) AS is_keeper
+            FROM reach GROUP BY a""",
+        "q_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5('split' ||
+                              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 10000 AS b
+                  FROM documents)""",
+        "q_stratified_sample": """
+            SELECT o_orderkey, o_orderpriority, sample_rank
+            FROM (SELECT o_orderkey, o_orderpriority,
+                         CAST(row_number() OVER (
+                             PARTITION BY o_orderpriority
+                             ORDER BY CAST(('0x' || substr(md5('sample' ||
+                                  CAST(o_orderkey AS VARCHAR)), 1, 15))
+                                  AS BIGINT), o_orderkey) AS INT)
+                           AS sample_rank
+                  FROM orders)
+            WHERE sample_rank <= 10""",
         "q_approx_distinct": """
             WITH mins AS (
               SELECT DISTINCT CAST(('0x' || substr(md5(

@@ -1,0 +1,103 @@
+"""Deterministic sampling and dataset splitting.
+
+A training-data pipeline needs reproducible sampling: the same document
+must land in the same train/val/test split on every run, on any cluster
+size, regardless of partitioning — which rules out ``rand()`` and
+``df.sample`` (both seed per-partition, so a repartition reshuffles the
+assignment). The engine's primitives are **content-keyed**:
+
+- :func:`hash_split` — split assignment by ``hash60(salt || key)``
+  bucketed into 10_000 slots, carved by cumulative weight. Adding a new
+  split or re-running never moves an existing row between the splits it
+  was already eligible for. One narrow projection — no shuffle, no
+  state, scales to any row count.
+- :func:`stratified_sample` — exact per-stratum sampling: rank rows
+  within each stratum by the content hash and keep either a fixed
+  ``n`` or an exact ``fraction`` of the stratum. One shuffle on the
+  strata columns. For heavily skewed strata at 100 TB the same
+  semantics compose from a two-phase top-n (per-partition prune, then
+  final window) — the rank-by-hash definition is what makes that
+  rewrite legal, since the hash order is total and data-independent.
+
+Both are pure JVM expressions (md5 + conv), reproducible bit-for-bit in
+the DuckDB oracle via :func:`..functions.hashing.hash60_sql`.
+
+Reference parity note: the reference pipeline has no sampling at all
+(SURVEY.md §2.7); these are north-star training-data operators.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+
+_BUCKETS = 10_000
+
+
+def split_bucket(key: Column | str, salt: str = "split") -> Column:
+    """Stable bucket in [0, 10000) for a key column: hash60(salt||key) mod 1e4."""
+    c = F.col(key) if isinstance(key, str) else key
+    return hash60(F.concat(F.lit(salt), c.cast("string"))) % _BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label.
+
+    ``weights`` maps label -> fraction (need not sum to 1; the remainder
+    is dropped — useful for "sample 1% as eval"). Labels are carved in
+    the mapping's iteration order, so insertion order is part of the
+    contract (Python dicts preserve it).
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = split_bucket(key, salt)
+    expr = F.lit(None).cast("string")
+    hi = 0.0
+    cases = []
+    for label, w in weights.items():
+        lo, hi = hi, hi + w
+        cases.append((int(round(lo * _BUCKETS)), int(round(hi * _BUCKETS)), label))
+    # Build CASE from the last carve backwards so the first match wins.
+    for lo_b, hi_b, label in reversed(cases):
+        expr = F.when((bucket >= lo_b) & (bucket < hi_b), F.lit(label)).otherwise(
+            expr
+        )
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    key: str,
+    n: int | None = None,
+    fraction: float | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep an exact per-stratum subset, chosen by content-hash rank.
+
+    Exactly one of ``n`` (fixed rows per stratum) or ``fraction``
+    (ceil(fraction * stratum size) rows) must be given. Rank order is
+    ``(hash60(salt||key), key)`` — total and data-independent, so the
+    selected set is stable across runs and cluster layouts.
+    """
+    if (n is None) == (fraction is None):
+        raise ValueError("give exactly one of n= or fraction=")
+    h = hash60(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(key).asc())
+    ranked = df.withColumn("sample_rank", F.row_number().over(w))
+    if n is not None:
+        return ranked.filter(F.col("sample_rank") <= n)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(*strata))
+    return (
+        ranked.withColumn("_cnt", cnt)
+        .filter(F.col("sample_rank") <= F.ceil(F.lit(fraction) * F.col("_cnt")))
+        .drop("_cnt")
+    )
