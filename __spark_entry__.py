@@ -793,6 +793,81 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    # Top-5 TF-IDF terms per document (operators/text.tfidf_top_terms).
+    # Scores on an integer 1e-6 grid so cross-engine ln() ulp differences
+    # can't flip ranks (determinism conventions, module docstring).
+    from iowa_liquor_sales_spark.operators.text import tfidf_top_terms
+
+    docs = read_table(spark, sf, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=5)
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    # GROUPING SETS — the general form of CUBE/ROLLUP: one Expand + one
+    # hash aggregate, single shuffle for all three grains.
+    li = read_table(spark, sf, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            dsum("l_quantity", 2, "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    # lag/lead window navigation: per-user gap to the previous event and
+    # time to the next (TZ-independent epoch-us per engine conventions).
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        (F.unix_micros(F.lead("ts").over(w)) - us).alias("next_us"),
+    )
+
+
+def q_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    # NTILE quartiles of customers by balance (total order via custkey
+    # tiebreak) + per-quartile aggregate.
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("c_acctbal", 2, "sum_bal"),
+        )
+    )
+
+
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    # Fixed-width histogram of order totals. Integer bucket arithmetic
+    # (floor of an exact-at-the-boundary division) — width_bucket's
+    # internal (v-min)/(max-min)*n float path can put boundary values in
+    # different buckets across engines.
+    o = read_table(spark, sf, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / F.lit(30000.0)).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     # Deterministic content-keyed train/val/test split (operators/sampling):
     # md5-bucket carving, stable under repartition/rerun/cluster resize —
@@ -940,6 +1015,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
+        "q_tfidf": q_tfidf,
+        "q_grouping_sets": q_grouping_sets,
+        "q_lag_lead": q_lag_lead,
+        "q_ntile": q_ntile,
+        "q_histogram": q_histogram,
         "q_quality_report": q_quality_report,
         "q_multimodal_features": q_multimodal_features,
         "q_array_funcs": q_array_funcs,
@@ -1422,6 +1502,49 @@ def oracle_sql() -> dict[str, str]:
                            AS sample_rank
                   FROM orders)
             WHERE sample_rank <= 10""",
+        "q_tfidf": """
+            WITH tokens AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf
+                   FROM tokens GROUP BY doc_id, word),
+            dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, word,
+                     CAST(floor(tf * ln(n_docs / df) * 1e6 + 0.5) AS BIGINT)
+                       AS score_e6
+              FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+            SELECT doc_id, word, score_e6, rnk FROM (
+              SELECT doc_id, word, score_e6,
+                     CAST(row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY score_e6 DESC, word) AS INT) AS rnk
+              FROM scored)
+            WHERE rnk <= 5""",
+        "q_grouping_sets": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_dsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+        "q_lag_lead": """
+            SELECT user_id, event_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+                   epoch_us(lead(ts) OVER w) - epoch_us(ts) AS next_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "q_ntile": f"""
+            SELECT quartile, COUNT(*) AS n, {_dsum("c_acctbal")} AS sum_bal
+            FROM (SELECT c_acctbal,
+                         CAST(ntile(4) OVER (
+                             ORDER BY c_acctbal DESC, c_custkey) AS INT)
+                           AS quartile
+                  FROM customer)
+            GROUP BY quartile""",
+        "q_histogram": """
+            SELECT CAST(floor(o_totalprice / 30000.0) AS INT) AS bucket,
+                   COUNT(*) AS n
+            FROM orders GROUP BY bucket""",
         "q_approx_distinct": """
             WITH mins AS (
               SELECT DISTINCT CAST(('0x' || substr(md5(

@@ -103,3 +103,52 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.md5(F.lower(F.col(text_col)).cast("binary")).alias("fp_full"),
         F.md5(head.cast("binary")).alias("fp_head"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, word, score_e6, rnk).
+
+    tf = in-document term count, idf = ln(N / df) with df = number of
+    documents containing the word, N = corpus size. Dataflow: explode →
+    tf aggregate on (doc, word) → df aggregate on word → join back on
+    word → broadcast the 1-row corpus count → window top-k per doc.
+    The word-keyed join is the skew point at corpus scale (stopwords
+    dominate); AQE skew-join splits those partitions, and the vocabulary
+    table is orders of magnitude smaller than the corpus, so the join is
+    cheap relative to the explode.
+
+    Scores are quantized to an integer 1e-6 grid (``score_e6``): the two
+    verification engines' ``ln`` may legitimately differ in the last ulp,
+    and ranking on raw doubles would let a 1-ulp difference flip a rank.
+    On the grid the ordering (score_e6 DESC, word) is total and
+    engine-independent.
+    """
+    from pyspark.sql import Window
+
+    tokens = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("word")
+    )
+    tf = tokens.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_e6",
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1e6 + 0.5
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score_e6").desc(), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "word", "score_e6", "rnk")
+    )
