@@ -868,6 +868,24 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    # Rolling-hash winnowing fingerprints (MOSS): any shared run of
+    # w+k-1 = 8 words guarantees a shared fingerprint.
+    from iowa_liquor_sales_spark.operators.text import winnow_fingerprints
+
+    docs = read_table(spark, sf, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=4, w=5)
+
+
+def q_embed_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-label centroid accumulators on an exact integer grid (the IVF /
+    # k-means reduce step). Output width = labels x dims, row-count free.
+    from iowa_liquor_sales_spark.operators.similarity import label_centroids_e6
+
+    emb = read_table(spark, sf, "embeddings")
+    return label_centroids_e6(emb, "embedding", "label")
+
+
 def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     # Deterministic content-keyed train/val/test split (operators/sampling):
     # md5-bucket carving, stable under repartition/rerun/cluster resize —
@@ -1016,6 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
         "q_tfidf": q_tfidf,
+        "q_winnow_fingerprint": q_winnow_fingerprint,
+        "q_embed_centroid": q_embed_centroid,
         "q_grouping_sets": q_grouping_sets,
         "q_lag_lead": q_lag_lead,
         "q_ntile": q_ntile,
@@ -1522,6 +1542,38 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY score_e6 DESC, word) AS INT) AS rnk
               FROM scored)
             WHERE rnk <= 5""",
+        "q_winnow_fingerprint": """
+            WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM documents),
+            g AS (SELECT doc_id,
+                         list_transform(
+                             generate_series(1, len(ws) - 3),
+                             i -> array_to_string(list_slice(ws, i, i + 3), ' '))
+                           AS grams
+                  FROM wd WHERE len(ws) >= 4),
+            h AS (SELECT doc_id,
+                         list_transform(grams,
+                             s -> CAST(('0x' || substr(md5(s), 1, 15))
+                                       AS BIGINT)) AS hs
+                  FROM g),
+            m AS (SELECT doc_id,
+                         CASE WHEN len(hs) >= 5 THEN
+                                list_transform(
+                                    generate_series(1, len(hs) - 4),
+                                    i -> list_min(list_slice(hs, i, i + 4)))
+                              ELSE [list_min(hs)] END AS mins
+                  FROM h)
+            SELECT DISTINCT doc_id, fp
+            FROM (SELECT doc_id, unnest(mins) AS fp FROM m)""",
+        "q_embed_centroid": """
+            SELECT label, pos, SUM(x_e6) AS sum_e6, COUNT(*) AS n
+            FROM (SELECT label,
+                         CAST(generate_subscripts(embedding, 1) - 1 AS INT)
+                           AS pos,
+                         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6
+                                    + 0.5) AS BIGINT) AS x_e6
+                  FROM embeddings)
+            GROUP BY label, pos""",
         "q_grouping_sets": f"""
             SELECT l_returnflag, l_linestatus,
                    {_dsum("l_quantity")} AS sum_qty, COUNT(*) AS n

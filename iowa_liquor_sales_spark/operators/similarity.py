@@ -287,3 +287,31 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select(id_col, "rnk", "cos_sim")
     )
+
+
+def label_centroids_e6(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label elementwise centroid accumulators: (label, pos, sum_e6, n).
+
+    The IVF coarse-quantizer building block (and the reduce step of any
+    distributed k-means iteration). Elements are quantized to an integer
+    1e-6 grid *before* summing, so the aggregate is exact int64 arithmetic
+    — float sums are partition-order dependent and would never
+    hash-match across engines or even across two Spark runs. The caller
+    divides sum_e6 / (n * 1e6) to get the mean vector.
+
+    Dataflow: posexplode → hash aggregate on (label, pos). One shuffle
+    whose width is labels × dims — independent of row count, so the
+    reduce side stays tiny even over billions of vectors (map-side
+    partial aggregation does the heavy lifting).
+    """
+    ex = df.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    q = F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        ex.withColumn("x_e6", q)
+        .groupBy(label_col, F.col("pos").cast("int").alias("pos"))
+        .agg(F.sum("x_e6").alias("sum_e6"), F.count(F.lit(1)).alias("n"))
+    )

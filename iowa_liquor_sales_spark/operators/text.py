@@ -152,3 +152,56 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "word", "score_e6", "rnk")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every word k-gram, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum — guaranteeing any match of at least
+    ``w + k - 1`` words shares a fingerprint. Returns distinct
+    (doc_id, fp) rows.
+
+    Pure higher-order Catalyst expressions (split → transform → slice →
+    array_min → explode): narrow per-row work until the final explode, so
+    it runs at scan speed over a sharded corpus. Docs with fewer than
+    ``k`` words emit nothing; docs with fewer than ``w`` k-grams keep
+    their single global minimum (standard winnowing boundary rule).
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_grams = F.size(ws) - (k - 1)
+    # sequence(1, 0) is DESCENDING in Spark — short docs need the guard.
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)]),
+        ),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    nh = F.size(hashes)
+    mins = F.when(
+        nh >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nh - (w - 1)),
+                lambda i: F.array_min(F.slice(hashes, i, w)),
+            )
+        ),
+    ).when(nh >= 1, F.array(F.array_min(hashes)))
+    return (
+        df.select(F.col(id_col), mins.alias("mins"))
+        .filter(F.col("mins").isNotNull())
+        .select(id_col, F.explode("mins").alias("fp"))
+        .distinct()
+    )

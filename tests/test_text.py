@@ -23,3 +23,30 @@ def test_tfidf_top_terms_semantics(spark):
     assert [w for _, w, _ in sorted(by_doc[3])] == ["durian", "cherry"]
     # every doc emits at most k rows
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_winnow_shared_run_guarantees_shared_fp(spark):
+    from iowa_liquor_sales_spark.operators.text import winnow_fingerprints
+
+    # docs 1 and 2 share a run of 8 words (= w + k - 1 with k=4, w=5):
+    # winnowing guarantees at least one common fingerprint.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + shared + " tail one"),
+            (2, shared + " completely different ending here"),
+            (3, "nothing in common with the others at all"),
+            (4, "shorty"),  # < k words: no fingerprints
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=4, w=5).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    # doc with >= k but < w+k-1 words keeps its single global min
+    tiny = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+    assert winnow_fingerprints(tiny, "text", "doc_id", k=4, w=5).count() == 1
