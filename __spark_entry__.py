@@ -868,6 +868,68 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    # Ordered conversion funnel: signup -> first click after signup ->
+    # first purchase after that click, per user; one row per step with
+    # the surviving-user count. Each step is a per-user min over a
+    # filtered event set — all map-side-combinable aggregates, shuffle
+    # width = users, then a 3-row result. Epoch-us integer arithmetic
+    # keeps it TZ-independent.
+    ev = read_table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("us").alias("signup_us")
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("us") >= F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    step = lambda n, name, df_: df_.agg(  # noqa: E731
+        F.lit(n).alias("step"),
+        F.lit(name).alias("step_name"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return (
+        step(1, "signup", signup)
+        .unionByName(step(2, "click_after_signup", click))
+        .unionByName(step(3, "purchase_after_click", purchase))
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    # Weekly cohort retention: users bucketed by first-activity week,
+    # counted per week-offset they return. Weeks are integer
+    # days-since-epoch // 7 — no calendar/TZ dependence. Two shuffles
+    # (per-user first week, then cohort cell counts); cells are
+    # cohorts x offsets regardless of event volume.
+    # integer div, not / + cast: double division can round an exact-boundary
+    # quotient up before truncation (engine invariant: never div epochs as double)
+    ev = read_table(spark, sf, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    wk = ev.select("user_id", F.expr("day div 7").alias("week")).distinct()
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     # Rolling-hash winnowing fingerprints (MOSS): any shared run of
     # w+k-1 = 8 words guarantees a shared fingerprint.
@@ -1036,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_embed_centroid": q_embed_centroid,
+        "q_funnel": q_funnel,
+        "q_cohort_retention": q_cohort_retention,
         "q_grouping_sets": q_grouping_sets,
         "q_lag_lead": q_lag_lead,
         "q_ntile": q_ntile,
@@ -1542,6 +1606,36 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY score_e6 DESC, word) AS INT) AS rnk
               FROM scored)
             WHERE rnk <= 5""",
+        "q_funnel": """
+            WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                        FROM events),
+            signup AS (SELECT user_id, MIN(us) AS signup_us FROM ev
+                       WHERE event_type = 'signup' GROUP BY user_id),
+            click AS (SELECT e.user_id, MIN(us) AS click_us
+                      FROM ev e JOIN signup s USING (user_id)
+                      WHERE event_type = 'click' AND us >= signup_us
+                      GROUP BY e.user_id),
+            purchase AS (SELECT e.user_id, MIN(us) AS purchase_us
+                         FROM ev e JOIN click c USING (user_id)
+                         WHERE event_type = 'purchase' AND us >= click_us
+                         GROUP BY e.user_id)
+            SELECT 1 AS step, 'signup' AS step_name,
+                   COUNT(*) AS n_users FROM signup
+            UNION ALL
+            SELECT 2, 'click_after_signup', COUNT(*) FROM click
+            UNION ALL
+            SELECT 3, 'purchase_after_click', COUNT(*) FROM purchase""",
+        "q_cohort_retention": """
+            WITH wk AS (SELECT DISTINCT user_id,
+                               (epoch_us(ts) // 86400000000) // 7 AS week
+                        FROM events),
+            first AS (SELECT user_id, MIN(week) AS cohort_week FROM wk
+                      GROUP BY user_id)
+            SELECT cohort_week,
+                   CAST(week - cohort_week AS INT) AS week_offset,
+                   COUNT(*) AS n_users
+            FROM wk JOIN first USING (user_id)
+            GROUP BY cohort_week, week_offset""",
         "q_winnow_fingerprint": """
             WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws
                         FROM documents),
