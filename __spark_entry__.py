@@ -868,6 +868,19 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    # One exact Lloyd iteration of k-means on the int-1e-6 grid
+    # (operators/clustering): md5-content-hash seeding, exact int64
+    # distances, floor-div centroid update — fully deterministic, so the
+    # DuckDB oracle unrolls the identical iteration in SQL. The declared
+    # query returns the post-update assignment of every vector.
+    from iowa_liquor_sales_spark.operators.clustering import kmeans_e6
+
+    emb = read_table(spark, sf, "embeddings")
+    assigned, _ = kmeans_e6(emb, "embedding", "vec_id", k=4, iters=1)
+    return assigned
+
+
 def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     # Ordered conversion funnel: signup -> first click after signup ->
     # first purchase after that click, per user; one row per step with
@@ -1098,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_embed_centroid": q_embed_centroid,
+        "q_kmeans": q_kmeans,
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
         "q_grouping_sets": q_grouping_sets,
@@ -1606,6 +1620,47 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY score_e6 DESC, word) AS INT) AS rnk
               FROM scored)
             WHERE rnk <= 5""",
+        "q_kmeans": """
+            WITH q AS (SELECT vec_id AS vid,
+                              list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * 1e6
+                                            + 0.5) AS BIGINT)) AS q
+                       FROM embeddings),
+            hashed AS (SELECT vid, q,
+                              CAST(('0x' || substr(md5('km' ||
+                                   CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT)
+                                AS h
+                       FROM q),
+            seeds AS (SELECT cid, q AS c FROM (
+                        SELECT q, CAST(row_number() OVER (ORDER BY h, vid)
+                                       AS INT) - 1 AS cid
+                        FROM hashed)
+                      WHERE cid < 4),
+            a1 AS (SELECT vid, q.q AS q, s.cid,
+                          list_sum(list_transform(
+                              generate_series(1, len(q.q)),
+                              i -> (q.q[i] - s.c[i]) * (q.q[i] - s.c[i])))
+                            AS d
+                   FROM q CROSS JOIN seeds s),
+            b1 AS (SELECT vid, q, cid FROM a1
+                   QUALIFY row_number() OVER (
+                       PARTITION BY vid ORDER BY d, cid) = 1),
+            s1 AS (SELECT cid, pos, SUM(x) AS s, COUNT(*) AS n
+                   FROM (SELECT cid,
+                                CAST(generate_subscripts(q, 1) AS INT) AS pos,
+                                unnest(q) AS x
+                         FROM b1)
+                   GROUP BY cid, pos),
+            c1 AS (SELECT cid, list(s // n ORDER BY pos) AS c
+                   FROM s1 GROUP BY cid),
+            a2 AS (SELECT vid, q.q AS q, c1.cid,
+                          list_sum(list_transform(
+                              generate_series(1, len(q.q)),
+                              i -> (q.q[i] - c1.c[i]) * (q.q[i] - c1.c[i])))
+                            AS d
+                   FROM q CROSS JOIN c1)
+            SELECT vid AS vec_id, cid FROM a2
+            QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d, cid) = 1""",
         "q_funnel": """
             WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
                         FROM events),
