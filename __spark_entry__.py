@@ -868,6 +868,16 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    # Hypertable-style gap fill: hourly grid per user, last observation
+    # per bucket, forward-filled across empty buckets
+    # (operators/temporal.resample_ffill).
+    from iowa_liquor_sales_spark.operators.temporal import resample_ffill
+
+    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    return resample_ffill(ev, "ts", "user_id", "value", bucket_us=3_600_000_000)
+
+
 def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     # One exact Lloyd iteration of k-means on the int-1e-6 grid
     # (operators/clustering): md5-content-hash seeding, exact int64
@@ -1111,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_embed_centroid": q_embed_centroid,
+        "q_resample_ffill": q_resample_ffill,
         "q_kmeans": q_kmeans,
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
@@ -1620,6 +1631,29 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY score_e6 DESC, word) AS INT) AS rnk
               FROM scored)
             WHERE rnk <= 5""",
+        "q_resample_ffill": """
+            WITH ev AS (SELECT user_id, event_id, value,
+                               epoch_us(ts) AS us,
+                               epoch_us(ts) // 3600000000 AS bucket
+                        FROM events),
+            pb AS (SELECT user_id, bucket, v FROM (
+                     SELECT user_id, bucket, value AS v,
+                            row_number() OVER (
+                                PARTITION BY user_id, bucket
+                                ORDER BY us DESC, event_id DESC) AS rn
+                     FROM ev)
+                   WHERE rn = 1),
+            span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+                     FROM ev GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+                     FROM span)
+            SELECT g.user_id, g.bucket,
+                   last_value(pb.v IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS value_ffill
+            FROM grid g LEFT JOIN pb
+              ON g.user_id = pb.user_id AND g.bucket = pb.bucket""",
         "q_kmeans": """
             WITH q AS (SELECT vec_id AS vid,
                               list_transform(embedding,

@@ -150,3 +150,59 @@ def range_join(
     return pts.join(idx, on=[*on, "__bucket"], how="inner").filter(cond).drop(
         "__bucket"
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resampling with forward fill — the hypertable/
+    time_bucket gap-fill operator: bucket each series to a fixed
+    ``bucket_us`` grid, keep the last observation per bucket, densify
+    every key's span to a complete grid, and carry the last value
+    forward across empty buckets.
+
+    Returns (key, bucket, value_ffill); ``bucket`` is the integer
+    epoch-us division — TZ-free, and exact where a double division
+    would round. Dataflow: one shuffle on the key for the per-bucket
+    "last" window + span aggregate, a narrow ``sequence``-explode for
+    the grid (rows = span/bucket width, independent of event count),
+    and one more key-partitioned window for the fill. Leading buckets
+    before a key's first observation stay NULL by construction (the
+    grid starts at the key's first event).
+
+    The per-bucket reduction uses a row_number window rather than
+    ``max_by`` so the tie order (ts, tiebreak) is total and the result
+    reproducible in any engine.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    ev = df.withColumn("bucket", F.expr(f"unix_micros({ts_col}) div {bucket_us}"))
+    wlast = Window.partitionBy(key_col, "bucket").orderBy(
+        us.desc(), F.col(tiebreak).desc()
+    )
+    per_bucket = (
+        ev.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(key_col, "bucket", F.col(value_col).alias("v"))
+    )
+    span = ev.groupBy(key_col).agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        key_col, F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    joined = grid.join(per_bucket, [key_col, "bucket"], "left")
+    wfill = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.last("v", ignorenulls=True).over(wfill).alias("value_ffill"),
+    )

@@ -130,7 +130,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    tokens = df.select(
+    from .dedup import _ensure_parallelism
+
+    tokens = _ensure_parallelism(df).select(
         F.col(id_col), F.explode(words(text_col)).alias("word")
     )
     tf = tokens.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
@@ -173,6 +175,9 @@ def winnow_fingerprints(
     ``k`` words emit nothing; docs with fewer than ``w`` k-grams keep
     their single global minimum (standard winnowing boundary rule).
     """
+    from .dedup import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     ws = F.split(F.col(text_col), " ")
     n_grams = F.size(ws) - (k - 1)
     # sequence(1, 0) is DESCENDING in Spark — short docs need the guard.

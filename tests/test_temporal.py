@@ -97,3 +97,29 @@ def test_range_join_keyed(spark):
     intervals = spark.createDataFrame([("u1", 0, 10)], ["k", "lo", "hi"])
     out = range_join(points, intervals, "x", "lo", "hi", bucket_width=8, on=["k"])
     assert [(r["k"], r["x"]) for r in out.collect()] == [("u1", 5)]
+
+
+def test_resample_ffill_gaps_and_last_per_bucket(spark):
+    from iowa_liquor_sales_spark.operators.temporal import resample_ffill
+    from pyspark.sql import functions as F
+
+    # bucket = 10us grid; user A has events in buckets 1 and 4 (gap 2-3),
+    # bucket 1 has two events (later one must win).
+    rows = [
+        ("A", 1, 15, 1.0),
+        ("A", 2, 18, 2.0),   # same bucket 1, later ts -> wins
+        ("A", 3, 45, 9.0),   # bucket 4
+        ("B", 4, 30, 7.0),   # single bucket 3
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "us", "value"]).select(
+        "user_id", "event_id", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    out = resample_ffill(df, "ts", "user_id", "value", bucket_us=10)
+    got = {(r["user_id"], r["bucket"]): r["value_ffill"] for r in out.collect()}
+    assert got == {
+        ("A", 1): 2.0,  # last-in-bucket
+        ("A", 2): 2.0,  # forward-filled
+        ("A", 3): 2.0,  # forward-filled
+        ("A", 4): 9.0,
+        ("B", 3): 7.0,
+    }
