@@ -868,6 +868,29 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    # Scalar subquery: orders above the global average total, counted per
+    # priority. The scalar aggregate is a 1-row broadcast (Catalyst plans
+    # the uncorrelated subquery as a separate tiny stage) — exact decimal
+    # avg so the threshold is partition-order stable.
+    # x > sum/n rewritten as x*n > sum: exact decimal/integer arithmetic —
+    # engines disagree on decimal-division result scale, never on these.
+    o = read_table(spark, sf, "orders")
+    tot = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        o.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.col("n_orders")
+            > F.col("sum_total")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
 def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
     # Hypertable-style gap fill: hourly grid per user, last observation
     # per bucket, forward-filled across empty buckets
@@ -1121,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_embed_centroid": q_embed_centroid,
+        "q_scalar_subquery": q_scalar_subquery,
         "q_resample_ffill": q_resample_ffill,
         "q_kmeans": q_kmeans,
         "q_funnel": q_funnel,
@@ -1631,6 +1655,15 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY score_e6 DESC, word) AS INT) AS rnk
               FROM scored)
             WHERE rnk <= 5""",
+        "q_scalar_subquery": """
+            WITH t AS (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS sum_total,
+                              COUNT(*) AS n_orders
+                       FROM orders)
+            SELECT o_orderpriority, COUNT(*) AS n_above_avg
+            FROM orders, t
+            WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n_orders > sum_total
+            GROUP BY o_orderpriority""",
         "q_resample_ffill": """
             WITH ev AS (SELECT user_id, event_id, value,
                                epoch_us(ts) AS us,
