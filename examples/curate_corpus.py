@@ -27,6 +27,7 @@ from iowa_liquor_sales_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
 )
+from iowa_liquor_sales_spark.operators.graph import dedup_clusters  # noqa: E402
 from iowa_liquor_sales_spark.operators.similarity import (  # noqa: E402
     embedding_near_dup_pairs,
 )
@@ -64,18 +65,26 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
     )
     docs2 = docs1.join(keepers, "doc_id", "left_semi")
 
-    # 3. near-dup removal (MinHash+LSH, verified Jaccard >= 0.8):
-    #    drop the higher id of each near-dup pair.
-    pairs = minhash_lsh_pairs(docs2, "text", "doc_id", min_jaccard=0.8)
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    docs3 = docs2.join(drop, "doc_id", "left_anti")
-
-    # 4. embedding near-dups (vec_id aligned with doc_id in the synthetic
-    #    tables): drop the higher id of each pair.
+    # 3. near-dup removal, cluster policy: union text (MinHash+LSH,
+    #    verified Jaccard >= 0.8) and embedding (cosine >= 0.45) pair
+    #    signals into ONE graph, take connected components, keep exactly
+    #    one doc per duplicate cluster (the min id). Transitive closure is
+    #    the standard fuzzy-dedup policy — A~B and B~C drop both B and C
+    #    even when A~C was never directly detected.
+    pairs_text = minhash_lsh_pairs(docs2, "text", "doc_id", min_jaccard=0.8).select(
+        "doc_a", "doc_b"
+    )
     emb = read_table(spark, sf_dir, "embeddings")
-    epairs = embedding_near_dup_pairs(emb, min_cosine=0.45)
-    edrop = epairs.select(F.col("id_b").alias("doc_id")).distinct()
-    docs4 = docs3.join(edrop, "doc_id", "left_anti")
+    emb_live = emb.join(
+        docs2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    pairs_emb = embedding_near_dup_pairs(emb_live, min_cosine=0.45).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    clusters = dedup_clusters(pairs_text.unionByName(pairs_emb))
+    drop = clusters.filter(~F.col("is_keeper")).select("doc_id")
+    docs3 = docs2.join(drop, "doc_id", "left_anti")
+    docs4 = docs3
 
     # 5. enrich + write curated corpus.
     curated = (

@@ -177,36 +177,55 @@ def winnow_fingerprints(
     """
     from .dedup import _ensure_parallelism
 
-    df = _ensure_parallelism(df)
-    ws = F.split(F.col(text_col), " ")
-    n_grams = F.size(ws) - (k - 1)
+    # PERF: every stage below lives in its OWN projection so each lambda
+    # references a bound attribute, never an inlined expression tree.
+    # Catalyst does no CSE inside higher-order-function lambdas: inlining
+    # `split` into the gram lambda re-splits the text per element, and
+    # inlining the hash array into the sliding-min lambda re-hashes every
+    # gram per window — O(n·w) degrades to O(n²·w) (measured 100x on the
+    # synthetic corpus). CollapseProject keeps the boundaries because each
+    # alias is multiply-referenced and non-cheap. The explode at the end
+    # must be explode_outer + a post-filter on the OUTPUT attribute:
+    # plain explode triggers InferFiltersFromGenerate, whose synthesized
+    # size(mins) > 0 predicate gets pushed below the projections with the
+    # whole tree substituted in — re-running the pipeline per row
+    # (measured ~100x on the synthetic corpus). The rule skips outer
+    # generates, and a filter on the generator output cannot sink.
+    d0 = _ensure_parallelism(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("ws")
+    )
+    n_grams = F.size(F.col("ws")) - (k - 1)
     # sequence(1, 0) is DESCENDING in Spark — short docs need the guard.
     grams = F.when(
         n_grams >= 1,
         F.transform(
             F.sequence(F.lit(1), n_grams),
-            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)]),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("ws"), i + j) for j in range(k)]
+            ),
         ),
     )
+    d1 = d0.select(F.col(id_col), grams.alias("grams"))
     hashes = F.transform(
-        grams,
+        F.col("grams"),
         lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast(
             "long"
         ),
     )
-    nh = F.size(hashes)
+    d2 = d1.select(F.col(id_col), hashes.alias("hs"))
+    nh = F.size(F.col("hs"))
     mins = F.when(
         nh >= w,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), nh - (w - 1)),
-                lambda i: F.array_min(F.slice(hashes, i, w)),
+                lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
             )
         ),
-    ).when(nh >= 1, F.array(F.array_min(hashes)))
+    ).when(nh >= 1, F.array(F.array_min(F.col("hs"))))
     return (
-        df.select(F.col(id_col), mins.alias("mins"))
-        .filter(F.col("mins").isNotNull())
-        .select(id_col, F.explode("mins").alias("fp"))
+        d2.select(F.col(id_col), mins.alias("mins"))
+        .select(id_col, F.explode_outer("mins").alias("fp"))
+        .filter(F.col("fp").isNotNull())
         .distinct()
     )
