@@ -868,6 +868,18 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    # Pretraining sequence packing (operators/sampling.pack_sequences):
+    # greedy token-budget fill in content-hash order — deterministic
+    # layout, one shuffle, skew bounded by shard count.
+    from iowa_liquor_sales_spark.operators.sampling import pack_sequences
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("toks")
+    )
+    return pack_sequences(docs, "toks", "doc_id", budget=512, shards=8)
+
+
 def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
     # Scalar subquery: orders above the global average total, counted per
     # priority. The scalar aggregate is a 1-row broadcast (Catalyst plans
@@ -1144,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_embed_centroid": q_embed_centroid,
+        "q_pack_sequences": q_pack_sequences,
         "q_scalar_subquery": q_scalar_subquery,
         "q_resample_ffill": q_resample_ffill,
         "q_kmeans": q_kmeans,
@@ -1655,6 +1668,23 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY score_e6 DESC, word) AS INT) AS rnk
               FROM scored)
             WHERE rnk <= 5""",
+        "q_pack_sequences": """
+            WITH d AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS toks,
+                              CAST(('0x' || substr(md5('pack' ||
+                                   CAST(doc_id AS VARCHAR)), 1, 15))
+                                   AS BIGINT) AS h
+                       FROM documents),
+            c AS (SELECT doc_id, CAST(h % 8 AS INT) AS shard, toks,
+                         SUM(toks) OVER (
+                             PARTITION BY h % 8 ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+                  FROM d)
+            SELECT doc_id, shard,
+                   CAST((cum - toks) // 512 AS INT) AS seq,
+                   CAST(cum - toks AS BIGINT) AS start_tok
+            FROM c""",
         "q_scalar_subquery": """
             WITH t AS (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                               AS sum_total,

@@ -101,3 +101,46 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= F.ceil(F.lit(fraction) * F.col("_cnt")))
         .drop("_cnt")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    key: str,
+    budget: int,
+    shards: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    Every doc gets (shard, seq, seq_pos): docs are spread over ``shards``
+    by content hash, laid out in hash order within the shard, and a
+    running token total opens a new sequence whenever the budget would
+    overflow mid-doc — greedy streaming fill, the standard pretraining
+    packing layout. ``seq = (cumsum - tokens) // budget``: a doc starts
+    the sequence its *starting* offset falls in, so a sequence can
+    overflow by at most one doc (callers truncate or pad; docs longer
+    than the budget get a sequence of their own).
+
+    Deterministic: hash order is content-keyed (reruns, repartitions,
+    and cluster size cannot move a doc between sequences). One shuffle
+    on the shard key; each shard's window sort is independent, so skew
+    is bounded by shards, not corpus size.
+    """
+    h = hash60(F.concat(F.lit(salt), F.col(key).cast("string")))
+    d = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key)
+    cum = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("_cum", cum)
+        .select(
+            key,
+            "shard",
+            F.expr(f"CAST((_cum - {token_col}) div {budget} AS INT)").alias("seq"),
+            (F.col("_cum") - F.col(token_col)).alias("start_tok"),
+        )
+    )

@@ -55,3 +55,28 @@ def test_stratified_sample_arg_validation(spark):
         pass
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.sampling import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 10).alias("toks")
+    )
+    out = pack_sequences(df, "toks", "doc_id", budget=100, shards=4)
+    rows = out.collect()
+    assert len(rows) == 200
+    # every doc's start offset falls inside its sequence's budget window
+    for r in rows:
+        assert r["seq"] * 100 <= r["start_tok"] < (r["seq"] + 1) * 100
+    # sequences are contiguous from 0 within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], set()).add(r["seq"])
+    for seqs in by_shard.values():
+        assert seqs == set(range(max(seqs) + 1))
+    # layout survives repartitioning
+    again = pack_sequences(df.repartition(13), "toks", "doc_id", budget=100, shards=4)
+    assert out.exceptAll(again).isEmpty()
