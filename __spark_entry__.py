@@ -868,6 +868,18 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    # Order-independent content digest (operators/quality.table_checksum):
+    # XOR of row hashes — partitioning/row-order/engine independent, so
+    # the oracle computes the identical digest.
+    from iowa_liquor_sales_spark.operators.quality import table_checksum
+
+    li = read_table(spark, sf, "lineitem")
+    return table_checksum(
+        li, ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     # Pretraining sequence packing (operators/sampling.pack_sequences):
     # greedy token-budget fill in content-hash order — deterministic
@@ -1156,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_embed_centroid": q_embed_centroid,
+        "q_table_checksum": q_table_checksum,
         "q_pack_sequences": q_pack_sequences,
         "q_scalar_subquery": q_scalar_subquery,
         "q_resample_ffill": q_resample_ffill,
@@ -1668,6 +1681,18 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY score_e6 DESC, word) AS INT) AS rnk
               FROM scored)
             WHERE rnk <= 5""",
+        "q_table_checksum": """
+            SELECT COUNT(*) AS n_rows,
+                   bit_xor(CAST(('0x' || substr(md5(
+                       concat_ws('|',
+                           COALESCE(CAST(l_orderkey AS VARCHAR), '\\N'),
+                           COALESCE(CAST(l_linenumber AS VARCHAR), '\\N'),
+                           COALESCE(CAST(l_partkey AS VARCHAR), '\\N'),
+                           COALESCE(CAST(l_suppkey AS VARCHAR), '\\N'),
+                           COALESCE(l_returnflag, '\\N'),
+                           COALESCE(l_linestatus, '\\N'))), 1, 15))
+                       AS BIGINT)) AS checksum
+            FROM lineitem""",
         "q_pack_sequences": """
             WITH d AS (SELECT doc_id,
                               len(string_split(text, ' ')) AS toks,

@@ -54,3 +54,29 @@ def referential_violations(
         "left_anti",
     )
     return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+def table_checksum(df: DataFrame, cols: list[str], null_token: str = "\\N") -> DataFrame:
+    """Order-independent table digest: XOR of per-row md5-derived hashes
+    over a canonical ``|``-joined rendering of ``cols`` (NULLs become
+    ``null_token`` explicitly — concat_ws's silent null-skipping would
+    make ('a', NULL) and ('a',) collide).
+
+    XOR is commutative/associative with no overflow, so the digest is
+    independent of partitioning and row order and mergeable across
+    shards — the cheap cross-engine/cross-environment answer to "did the
+    copy land intact?" (same role as the reference's row-count
+    verification in tests/test_load.py:14, but content-sensitive).
+    One narrow scan + one 1-row aggregate; no shuffle of data rows.
+    Stick to int/string columns for cross-engine digests — float/
+    timestamp→string renderings are engine-specific.
+    """
+    from ..functions.hashing import hash60
+
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(null_token)) for c in cols]
+    )
+    return df.agg(
+        F.expr("count(*)").alias("n_rows"),
+        F.bit_xor(hash60(canon)).alias("checksum"),
+    )
