@@ -121,3 +121,119 @@ def group_normalize(df: DataFrame, group_col: str = "c_mktsegment") -> DataFrame
         )
 
     return df.groupBy(group_col).applyInPandas(_norm, GROUP_NORM_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.IntegerType()),
+                    T.StructField("target_w", T.IntegerType()),
+                    T.StructField("target_h", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """Binary-in → binary-out resize. STUB codec: a real deployment swaps
+    the fake resampler for PIL/libvips inside the same ``mapInPandas``
+    body — the Spark-side contract (Arrow batches of binary columns in,
+    declared binary+struct schema out, partition-parallel, no driver
+    hop) is exactly what production needs and is what's tested. The
+    fake resample is deterministic: truncate/cycle payload bytes to
+    ``target_w * target_h``.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            "real image resampling needs PIL/libvips — use codec='fake'"
+        )
+    n_out = target_w * target_h
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[payload_col].map(
+                lambda b: bytes(b[i % len(b)] for i in range(n_out)) if b else b""
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": out,
+                    "media_meta": [
+                        {
+                            "mime": "fake/resized",
+                            "n_bytes": len(p),
+                            "target_w": target_w,
+                            "target_h": target_h,
+                        }
+                        for p in out
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    frame_bytes: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: the 1→N row fan-out shape. Each input asset
+    yields every ``every_n``-th frame as its own row — downstream image
+    ops then treat frames uniformly. STUB codec chunks the payload into
+    fixed ``frame_bytes`` windows as "frames"; a real build decodes with
+    pyav/ffmpeg inside the same batch loop. The fan-out happens entirely
+    inside ``mapInPandas`` (an output batch larger than its input batch
+    is fine) — no explode, no driver round-trip.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            "real frame extraction needs pyav/ffmpeg — use codec='fake'"
+        )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                b = b or b""
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    ids.append(did)
+                    idxs.append(fi)
+                    frames.append(b[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_frames, FRAME_SCHEMA)

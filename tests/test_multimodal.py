@@ -43,3 +43,46 @@ def test_real_codec_is_stubbed():
         decode_image(b"\x89PNG...", codec="real")
     fake = decode_image(b"banana", codec="fake")
     assert fake == {"byte_len": 6, "n_a_bytes": 3}
+
+
+def test_resize_images_contract(spark):
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        attach_payload,
+        resize_images,
+    )
+    from iowa_liquor_sales_spark.schemas import read_table
+
+    docs = attach_payload(read_table(spark, "/root/testdata/sf0.001", "documents"))
+    out = resize_images(docs, target_w=8, target_h=4)
+    rows = out.limit(5).collect()
+    assert all(len(r["payload"]) == 32 for r in rows)
+    assert all(r["media_meta"]["target_w"] == 8 for r in rows)
+    assert out.count() == docs.count()
+    # deterministic fake resample
+    a = {r["doc_id"]: bytes(r["payload"]) for r in out.limit(5).collect()}
+    b = {r["doc_id"]: bytes(r["payload"]) for r in out.limit(5).collect()}
+    assert a == b
+
+
+def test_sample_frames_fanout(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.multimodal.binary_ops import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(200))), (2, b"x" * 64), (3, b"")],
+        ["doc_id", "payload"],
+    )
+    out = sample_frames(df, every_n=2, frame_bytes=64).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], len(r["frame"])))
+    # doc 1: 200 bytes -> frames 0..3 (ceil(200/64)=4), sampled 0 and 2
+    assert sorted(by_doc[1]) == [(0, 64), (2, 64)]
+    # doc 2: exactly one frame
+    assert by_doc[2] == [(0, 64)]
+    # doc 3: empty payload -> no frames
+    assert 3 not in by_doc
+    with pytest.raises(NotImplementedError):
+        sample_frames(df, codec="real").count()
