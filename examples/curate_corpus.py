@@ -2,7 +2,8 @@
 """Training-data curation pipeline over the documents + embeddings tables:
 
     documents --quality filter--> --lang id--> --exact dedup-->
-      --MinHash near-dup removal--> + embedding near-dup removal
+      --cluster near-dup removal (MinHash pairs + embedding pairs
+        --> connected components --> one keeper per cluster)
       --> curated parquet with fingerprints and token counts
 
 Every stage is one of the engine's declared operators, composed; this is
