@@ -1102,6 +1102,127 @@ def q_group_normalize(spark: SparkSession, sf: str) -> DataFrame:
     return group_normalize(read_table(spark, sf, "customer"))
 
 
+def q_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
+    # max_by/min_by (arg-max/arg-min) aggregates: the order that realized
+    # the extreme total per priority. The ordering key is an exact integer
+    # composite (cents * 1e7 + orderkey) so the winner is total-ordered —
+    # raw max_by(x, double) has unspecified tie winners in both engines.
+    # Single hash aggregate, map-side combinable, no window/shuffle-sort.
+    o = read_table(spark, sf, "orders")
+    score = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long") * F.lit(10_000_000) + F.col("o_orderkey")
+    return (
+        o.withColumn("score", score)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderkey, score)").alias("max_orderkey"),
+            F.expr("min_by(o_orderkey, score)").alias("min_orderkey"),
+            F.max("o_totalprice").alias("max_total"),
+            F.min("o_totalprice").alias("min_total"),
+        )
+    )
+
+
+def q_window_firstlast(spark: SparkSession, sf: str) -> DataFrame:
+    # first_value / last_value / nth_value over an explicit full-partition
+    # frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING — the default
+    # frame stops at CURRENT ROW, a classic cross-engine trap). Total
+    # order inside each user via the unique (ts, event_id) pair.
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+    )
+
+
+def q_mode(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic mode: the most frequent order priority per market
+    # segment (count DESC, then priority ASC on ties). Two aggregates +
+    # one 5x5-row window — the heavy shuffle is the first groupBy only.
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
+    )
+
+
+def q_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q10 shape: top-20 customers by revenue lost to returned items.
+    # 3-way fact⋈dim join (nation broadcast, customer/orders shuffle on
+    # custkey after AQE), exact decimal revenue, total order via custkey
+    # tiebreak. Exercises multi-join reordering + top-k in one plan.
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate").cast("date").between("1995-01-01", "1995-12-31")
+    )
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_time_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    # Hypertable-style time-weighted aggregate: each observation weighted
+    # by its holding duration (LOCF integral, TimescaleDB time_weight).
+    # Numerator is an exact decimal sum (value is 2-decimal by
+    # construction), denominator an int64 sum — the closing double
+    # division is the same IEEE op in both engines. Durations are whole
+    # MILLIseconds (integer div, same both sides): cents x micros sums
+    # pass 2^53 and the decimal->double cast then rounds differently
+    # across engines; cents x millis stays exact in double at any SF.
+    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    gap = F.expr(
+        "(unix_micros(lead(ts) over "
+        "(partition by user_id order by ts, event_id)) - unix_micros(ts)) div 1000"
+    ).alias("gap_ms")
+    segs = ev.select("user_id", "value", gap).filter(F.col("gap_ms").isNotNull())
+    weighted = (
+        F.col("value").cast("decimal(18,2)") * F.col("gap_ms").cast("decimal(18,0)")
+    )
+    return segs.groupBy("user_id").agg(
+        F.sum(weighted).cast("double").alias("weighted_sum"),
+        F.sum("gap_ms").alias("total_ms"),
+        (
+            F.sum(weighted).cast("double")
+            / F.sum("gap_ms").cast("double")
+        ).alias("twa_value"),
+    ).filter(F.col("total_ms") > 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_parquet": q_scan_parquet,
@@ -1183,6 +1304,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_array_funcs": q_array_funcs,
         "q_group_normalize": q_group_normalize,
+        "q_minmax_by": q_minmax_by,
+        "q_window_firstlast": q_window_firstlast,
+        "q_mode": q_mode,
+        "q_returned_revenue": q_returned_revenue,
+        "q_time_weighted": q_time_weighted,
     }
 
 
@@ -1938,4 +2064,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) - length(replace(text, 'a', '')) AS INTEGER)
                        AS n_a_bytes
             FROM documents""",
+        "q_minmax_by": """
+            SELECT o_orderpriority,
+                   max_by(o_orderkey, score) AS max_orderkey,
+                   min_by(o_orderkey, score) AS min_orderkey,
+                   MAX(o_totalprice) AS max_total,
+                   MIN(o_totalprice) AS min_total
+            FROM (SELECT *,
+                         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT) * 10000000 + o_orderkey AS score
+                  FROM orders)
+            GROUP BY o_orderpriority""",
+        "q_window_firstlast": """
+            SELECT user_id, event_id,
+                   first_value(event_id) OVER w AS first_event,
+                   last_value(event_id) OVER w AS last_event,
+                   nth_value(event_id, 2) OVER w AS second_event
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)""",
+        "q_mode": """
+            SELECT c_mktsegment, o_orderpriority AS modal_priority, n
+            FROM (
+              SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+                     row_number() OVER (
+                         PARTITION BY c_mktsegment
+                         ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment, o_orderpriority)
+            WHERE rn = 1""",
+        "q_returned_revenue": f"""
+            SELECT c_custkey, c_name, n_name,
+                   {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND CAST(o_orderdate AS DATE)
+                  BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20""",
+        "q_time_weighted": """
+            WITH segs AS (
+              SELECT user_id, value,
+                     (epoch_us(lead(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))
+                       - epoch_us(ts)) // 1000 AS gap_ms
+              FROM events)
+            SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(gap_ms AS DECIMAL(18,0))) AS DOUBLE)
+                       AS weighted_sum,
+                   CAST(SUM(gap_ms) AS BIGINT) AS total_ms,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(gap_ms AS DECIMAL(18,0))) AS DOUBLE)
+                     / CAST(SUM(gap_ms) AS DOUBLE) AS twa_value
+            FROM segs WHERE gap_ms IS NOT NULL
+            GROUP BY user_id
+            HAVING SUM(gap_ms) > 0""",
     }
