@@ -1223,6 +1223,108 @@ def q_time_weighted(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("total_ms") > 0)
 
 
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    # CDC-style snapshot diff: per-order revenue as-of two watermarks,
+    # full-outer-joined on the key and classified added / removed /
+    # changed / unchanged. The join coalesces the USING key in both
+    # engines; revenue equality is exact (decimal sums cast to double).
+    # One wide join on the key — at 100 TB both sides shuffle on
+    # l_orderkey and AQE coalesces the (usually tiny) diff output.
+    li = read_table(spark, sf, "lineitem")
+    rev = lambda cutoff: (  # noqa: E731
+        li.filter(F.col("l_shipdate").cast("date") < F.lit(cutoff))
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "rev"))
+    )
+    a = rev("1997-01-01").withColumnRenamed("rev", "rev_old")
+    b = rev("1998-01-01").withColumnRenamed("rev", "rev_new")
+    return a.join(b, "l_orderkey", "full_outer").select(
+        "l_orderkey",
+        "rev_old",
+        "rev_new",
+        F.when(F.col("rev_old").isNull(), "added")
+        .when(F.col("rev_new").isNull(), "removed")
+        .when(F.col("rev_old") != F.col("rev_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+def q_rolling_range(spark: SparkSession, sf: str) -> DataFrame:
+    # 30-day trailing revenue per customer: a RANGE frame over integer
+    # days-since-epoch (value-based, not row-based — same-day orders are
+    # peers and always aggregate together, which ROWS frames get wrong).
+    # One shuffle on custkey; the frame is evaluated in a single sorted
+    # pass per partition.
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-29, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30d"),
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q17 shape: revenue from below-one-fifth-of-average-quantity
+    # lineitems. The correlated scalar subquery (per-part avg) is
+    # expressed as its decorrelated form — a per-part aggregate joined
+    # back to the fact (exactly what Catalyst rewrites the subquery to).
+    # qty < 0.2*avg is evaluated as 100*qty*5*cnt < 100*sum: pure int64,
+    # no division, so the boundary is exact in both engines.
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").filter(F.col("p_brand").startswith("Brand#1"))
+    agg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("sq_c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(agg, li.l_partkey == agg.pk)
+        .filter(
+            F.col("l_quantity").cast("long") * 500 * F.col("cnt") < F.col("sq_c")
+        )
+        .agg(
+            (dsum("l_extendedprice", 2) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
+    # Hive-style partitioned write + partition-pruned scan: orders land
+    # as parquet partitioned by priority, and the filtered re-read must
+    # touch one directory (PartitionFilters in the scan, verified in
+    # tests/test_warehouse.py). The reference's date-window chunk dirs
+    # map to exactly this layout at scale.
+    o = read_table(spark, sf, "orders")
+    path = tempfile.mkdtemp(prefix="iowa_part_prune_")
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", 2, "sum_total"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_parquet": q_scan_parquet,
@@ -1309,6 +1411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode": q_mode,
         "q_returned_revenue": q_returned_revenue,
         "q_time_weighted": q_time_weighted,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_rolling_range": q_rolling_range,
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_partition_prune": q_partition_prune,
     }
 
 
@@ -2125,4 +2231,51 @@ def oracle_sql() -> dict[str, str]:
             FROM segs WHERE gap_ms IS NOT NULL
             GROUP BY user_id
             HAVING SUM(gap_ms) > 0""",
+        "q_snapshot_diff": f"""
+            WITH a AS (
+              SELECT l_orderkey,
+                     {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS rev_old
+              FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+              GROUP BY 1),
+            b AS (
+              SELECT l_orderkey,
+                     {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS rev_new
+              FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+              GROUP BY 1)
+            SELECT l_orderkey, rev_old, rev_new,
+                   CASE WHEN rev_old IS NULL THEN 'added'
+                        WHEN rev_new IS NULL THEN 'removed'
+                        WHEN rev_old <> rev_new THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL JOIN b USING (l_orderkey)""",
+        "q_rolling_range": """
+            SELECT o_custkey, o_orderkey, day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                       PARTITION BY o_custkey ORDER BY day
+                       RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS rolling_30d
+            FROM (SELECT *,
+                         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                              AS INTEGER) AS day
+                  FROM orders)""",
+        "q_small_qty_revenue": f"""
+            WITH agg AS (
+              SELECT l_partkey AS pk,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100
+                          AS BIGINT) AS sq_c,
+                     COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1)
+            SELECT {_dsum("l_extendedprice", 2)} / 7.0 AS avg_yearly,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN agg  ON l_partkey = pk
+            WHERE p_brand LIKE 'Brand#1%'
+              AND CAST(l_quantity AS BIGINT) * 500 * cnt < sq_c""",
+        "q_partition_prune": f"""
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {_dsum("o_totalprice", 2)} AS sum_total
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderstatus""",
     }
