@@ -1325,6 +1325,17 @@ def q_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_countmin(spark: SparkSession, sf: str) -> DataFrame:
+    # Count-Min frequency sketch (operators/sketches.countmin_counters):
+    # mergeable depth x width counter table over the portable md5 hash —
+    # approximate operator, exact cross-engine gate. Shuffle is capped at
+    # depth*width rows per task no matter the input size.
+    from iowa_liquor_sales_spark.operators.sketches import countmin_counters
+
+    li = read_table(spark, sf, "lineitem")
+    return countmin_counters(li, "l_suppkey", depth=4, width=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_parquet": q_scan_parquet,
@@ -1415,10 +1426,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_range": q_rolling_range,
         "q_small_qty_revenue": q_small_qty_revenue,
         "q_partition_prune": q_partition_prune,
+        "q_countmin": q_countmin,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _countmin_oracle() -> str:
+    from iowa_liquor_sales_spark.operators.sketches import countmin_sql
+
+    return countmin_sql("l_suppkey", "lineitem", depth=4, width=256)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2278,4 +2296,5 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY o_orderstatus""",
+        "q_countmin": _countmin_oracle(),
     }

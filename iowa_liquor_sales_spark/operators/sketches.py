@@ -96,6 +96,105 @@ def kmv_union_estimate(
     return _estimate(merged, k)
 
 
+def _cm_cells(key: Column, depth: int, width: int) -> Column:
+    """array<struct<depth,bucket>> of the sketch cells a key maps to."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("depth"),
+                F.pmod(hash60(F.concat(F.lit(f"{d}:"), key)), F.lit(width))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def countmin_counters(
+    df: DataFrame, expr: Column | str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch counter table ``(depth int, bucket int, cnt long)``.
+
+    Frequency sketch with the same portability contract as KMV: buckets
+    come from the md5-based ``hash60`` over a per-row salt ``"{d}:"``, so
+    the counter table is bit-identical in any engine and the DuckDB
+    oracle checks it exactly (``q_countmin``).
+
+    Scale shape: the explode fans each row out to ``depth`` cells, but the
+    following aggregate is map-side combinable, so every task emits at
+    most ``depth * width`` rows (1024 by default) regardless of input
+    size — the shuffle never carries the key domain, exactly like KMV.
+    Counter tables from disjoint inputs merge by summing cells
+    (:func:`countmin_merge`), serving incremental day-over-day builds.
+
+    ``explode_outer`` + non-null filter (not plain ``explode``) per the
+    InferFiltersFromGenerate engine invariant: the inferred
+    ``size(arr) > 0`` filter would re-inline all ``depth`` md5 calls.
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    cells = (
+        df.select(c.cast("string").alias("k"))
+        .select(F.explode_outer(_cm_cells(F.col("k"), depth, width)).alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    return cells.select("s.depth", "s.bucket").groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two counter tables built with the same (depth, width)."""
+    return (
+        a.unionByName(b)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def countmin_lookup(
+    counters: DataFrame,
+    keys: DataFrame,
+    expr: Column | str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates ``(k string, est long)``: min over the
+    key's cells. Never underestimates; overestimates decay as
+    ``e * n / width`` with probability ``1 - e^-depth``. The counter
+    table is tiny (``depth * width`` rows) and broadcast."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    probes = (
+        keys.select(c.cast("string").alias("k"))
+        .distinct()
+        .select(
+            "k", F.explode_outer(_cm_cells(F.col("k"), depth, width)).alias("s")
+        )
+        .filter(F.col("s").isNotNull())
+        .select("k", "s.depth", "s.bucket")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["depth", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def countmin_sql(expr: str, table: str, depth: int, width: int) -> str:
+    """DuckDB rendering of :func:`countmin_counters` (bit-identical)."""
+    return f"""
+        WITH st AS (
+          SELECT CAST(d.depth AS INTEGER) AS depth,
+                 CAST(CAST(('0x' || substr(md5(
+                        CAST(d.depth AS VARCHAR) || ':'
+                        || CAST(({expr}) AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % {width} AS INTEGER) AS bucket
+          FROM {table}
+          CROSS JOIN (SELECT unnest(range({depth})) AS depth) d)
+        SELECT depth, bucket, COUNT(*) AS cnt
+        FROM st GROUP BY depth, bucket"""
+
+
 def kmv_sql(expr: str, table: str, k: int) -> str:
     """DuckDB rendering of the full estimate (exact sort — the oracle does
     not need the bounded-state plan, only identical bits)."""

@@ -1,10 +1,14 @@
-"""KMV distinct sketch: accuracy, exact-small-domain path, mergeability."""
+"""KMV distinct sketch and Count-Min frequency sketch: accuracy,
+exact-small-domain path, mergeability, never-underestimate guarantee."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from iowa_liquor_sales_spark.operators.sketches import (
+    countmin_counters,
+    countmin_lookup,
+    countmin_merge,
     kmv_distinct_estimate,
     kmv_kmins,
     kmv_union_estimate,
@@ -38,3 +42,42 @@ def test_kmv_union_merge(spark):
     est = kmv_union_estimate(sk_lo, sk_hi, k=256).head()["est_distinct"]
     exact = lo.select("o_orderkey").union(hi.select("o_orderkey")).distinct().count()
     assert abs(est - exact) / exact < 0.2
+
+
+def test_countmin_never_underestimates(spark):
+    """CM guarantee: est(k) >= true count for every key; and with
+    width >> distinct keys the estimates are near-exact."""
+    li = read_table(spark, SF, "lineitem")
+    counters = countmin_counters(li, "l_suppkey", depth=4, width=256)
+    est = countmin_lookup(counters, li, "l_suppkey", depth=4, width=256)
+    exact = li.groupBy(F.col("l_suppkey").cast("string").alias("k")).count()
+    joined = est.join(exact, "k").collect()
+    assert len(joined) == exact.count()
+    for row in joined:
+        assert row["est"] >= row["count"]
+    # 10 suppliers vs 1024 cells: collisions are rare -> most are exact
+    n_exact = sum(1 for r in joined if r["est"] == r["count"])
+    assert n_exact >= len(joined) // 2
+
+
+def test_countmin_total_mass(spark):
+    """Each depth row holds every input exactly once."""
+    li = read_table(spark, SF, "lineitem")
+    n = li.count()
+    counters = countmin_counters(li, "l_suppkey", depth=4, width=256)
+    per_depth = counters.groupBy("depth").agg(F.sum("cnt").alias("mass")).collect()
+    assert len(per_depth) == 4
+    assert all(r["mass"] == n for r in per_depth)
+
+
+def test_countmin_merge_equals_full_build(spark):
+    """Summing counter tables of disjoint halves == one full build —
+    the mergeability that serves incremental day-over-day sketches."""
+    li = read_table(spark, SF, "lineitem")
+    lo = li.filter("l_orderkey % 2 = 0")
+    hi = li.filter("l_orderkey % 2 = 1")
+    merged = countmin_merge(
+        countmin_counters(lo, "l_suppkey"), countmin_counters(hi, "l_suppkey")
+    )
+    full = countmin_counters(li, "l_suppkey")
+    assert merged.exceptAll(full).isEmpty() and full.exceptAll(merged).isEmpty()
