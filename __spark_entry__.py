@@ -1336,6 +1336,308 @@ def q_countmin(spark: SparkSession, sf: str) -> DataFrame:
     return countmin_counters(li, "l_suppkey", depth=4, width=256)
 
 
+def q_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q5 shape: revenue by nation inside one region, with the
+    # customer-and-supplier-same-nation co-location predicate. Six-table
+    # join: region/nation broadcast, customer/orders/lineitem/supplier
+    # shuffle on their keys; Catalyst orders the joins, AQE picks sizes.
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate").cast("date").between("1996-01-01", "1996-12-31")
+    )
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q7 shape: shipping volume between two nations by direction and
+    # year. The disjunctive nation-pair predicate lands on a broadcast of
+    # the two tiny nation dims; the fact side shuffles once per join key.
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").cast("date").between("1996-01-01", "1997-12-31")
+    )
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    n1 = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold into
+    # EUROPE, per order year. Share = exact-decimal national revenue over
+    # exact-decimal total, divided once in double — deterministic on any
+    # partitioning, same bits as the oracle.
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    n1 = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n2 = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    natl = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            dsum(natl, 4, "nation_volume"),
+            dsum(vol, 4, "total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+        .orderBy("o_year")
+    )
+
+
+def q_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q9 shape: profit by supplier nation and year for LIKE-matched
+    # parts. The testdata has no partsupp, so supply cost is modeled as
+    # half the part's retail price (exact 3-decimal arithmetic). LIKE
+    # '%widget%' is evaluated on the broadcast part dim before the join.
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.col("p_retailprice") * F.lit(0.5) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("o_year", F.year("l_shipdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(dsum(amount, 4, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q12 shape: per line-status, how many lines belong to
+    # high-priority vs low-priority orders within a ship-date year.
+    # CASE-gated integer counts — exact in any engine.
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").cast("date").between("1997-01-01", "1997-12-31")
+    )
+    o = read_table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    # global maximum. The aggregated view is tiny, so the max-revenue
+    # scalar lands as a broadcast cross filter — no second fact scan.
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").cast("date").between("1996-01-01", "1996-03-31")
+    )
+    s = read_table(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.max_revenue)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    # joined back to customer detail. The HAVING pre-aggregate runs on the
+    # fact alone (partial map-side sums), then semi-joins the wide rows.
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_disjunctive_pred(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q19 shape: OR of three conjunctive brand/size/quantity groups.
+    # Catalyst extracts the common l_partkey join and pushes the p_* legs
+    # into the broadcast build side; the residual disjunction evaluates in
+    # whole-stage codegen. Single-row exact-decimal answer.
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part")
+    g1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(g1 | g2 | g3)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q21 shape: in finished multi-supplier orders, the supplier who
+    # shipped strictly last (EXISTS another supplier on the order; NOT
+    # EXISTS one shipping later). Both correlated subqueries become one
+    # semi- and one anti-join on l_orderkey — two shuffles, no fact re-agg.
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = read_table(spark, sf, "supplier")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q22 shape: customers with above-average positive balance and
+    # no recent orders, rolled up by market segment. The average-balance
+    # comparison runs in exact integer cents (bal_cents * N > total_cents)
+    # so the boundary never depends on FP rounding; the "no orders" leg is
+    # a left anti-join against the date-filtered fact.
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("2000-01-01").cast("date")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("tot_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    return (
+        c.withColumn("bal_cents", cents)
+        .join(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("tot_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", 2, "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q2 shape: per nation, the supplier(s) holding the minimum
+    # account balance — the classic correlated-min decorrelated into a
+    # groupwise-min self-join. Comparison is on stored values (no
+    # arithmetic), so double equality is exact cross-engine.
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    mins = s.groupBy(F.col("s_nationkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        s.join(
+            F.broadcast(mins),
+            (s.s_nationkey == F.col("mk")) & (s.s_acctbal == F.col("min_bal")),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_name", "s_acctbal")
+        .orderBy("n_name", "s_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_parquet": q_scan_parquet,
@@ -1427,6 +1729,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_small_qty_revenue": q_small_qty_revenue,
         "q_partition_prune": q_partition_prune,
         "q_countmin": q_countmin,
+        "q_regional_revenue": q_regional_revenue,
+        "q_volume_shipping": q_volume_shipping,
+        "q_market_share": q_market_share,
+        "q_product_profit": q_product_profit,
+        "q_shipmode_priority": q_shipmode_priority,
+        "q_top_supplier": q_top_supplier,
+        "q_large_orders": q_large_orders,
+        "q_disjunctive_pred": q_disjunctive_pred,
+        "q_waiting_suppliers": q_waiting_suppliers,
+        "q_idle_customers": q_idle_customers,
+        "q_min_cost_supplier": q_min_cost_supplier,
     }
 
 
@@ -2297,4 +2610,155 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY o_orderstatus""",
         "q_countmin": _countmin_oracle(),
+        "q_regional_revenue": f"""
+            SELECT n_name,
+                   {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND CAST(o_orderdate AS DATE)
+                  BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name""",
+        "q_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                   {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE CAST(l_shipdate AS DATE)
+                  BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3""",
+        "q_market_share": f"""
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   {_dsum("CASE WHEN n2.n_name = 'NATION_5' "
+                          "THEN l_extendedprice * (1 - l_discount) "
+                          "ELSE 0.0 END", 4)} AS nation_volume,
+                   {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS total_volume,
+                   {_dsum("CASE WHEN n2.n_name = 'NATION_5' "
+                          "THEN l_extendedprice * (1 - l_discount) "
+                          "ELSE 0.0 END", 4)}
+                     / {_dsum("l_extendedprice * (1 - l_discount)", 4)}
+                     AS mkt_share
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+            GROUP BY 1
+            ORDER BY 1""",
+        "q_product_profit": f"""
+            SELECT n_name AS nation, EXTRACT(YEAR FROM l_shipdate) AS o_year,
+                   {_dsum("l_extendedprice * (1 - l_discount)"
+                          " - p_retailprice * 0.5 * l_quantity", 4)} AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC""",
+        "q_shipmode_priority": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE CAST(l_shipdate AS DATE)
+                  BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus""",
+        "q_top_supplier": f"""
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     {_dsum("l_extendedprice * (1 - l_discount)", 4)}
+                         AS total_revenue
+              FROM lineitem
+              WHERE CAST(l_shipdate AS DATE)
+                    BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+            ORDER BY s_suppkey""",
+        "q_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum_qty
+            FROM big
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100""",
+        "q_disjunctive_pred": f"""
+            SELECT {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 35)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 50)""",
+        "q_waiting_suppliers": """
+            SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+            FROM lineitem l1
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            JOIN orders   ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > l1.l_shipdate)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20""",
+        "q_idle_customers": f"""
+            WITH pos AS (
+              SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS tot_cents,
+                     COUNT(*) AS n_pos
+              FROM customer WHERE c_acctbal > 0)
+            SELECT c_mktsegment, COUNT(*) AS numcust,
+                   {_dsum("c_acctbal", 2)} AS totacctbal
+            FROM customer, pos
+            WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > tot_cents
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment""",
+        "q_min_cost_supplier": """
+            SELECT n_name, s_name, s_acctbal
+            FROM supplier
+            JOIN (SELECT s_nationkey AS mk, MIN(s_acctbal) AS min_bal
+                  FROM supplier GROUP BY s_nationkey) m
+              ON s_nationkey = mk AND s_acctbal = min_bal
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY n_name, s_name""",
     }
