@@ -1638,6 +1638,84 @@ def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Test-set decontamination (curation.decontaminate): drop training
+    # docs sharing any 5-word shingle with the eval sources. Eval shingle
+    # set and contaminated-id set both broadcast; the train-side shingle
+    # explode is the only heavy stage and stays partition-parallel.
+    from iowa_liquor_sales_spark.operators.curation import decontaminate
+
+    docs = read_table(spark, sf, "documents")
+    ev = docs.filter(F.col("source").isin("src0", "src1"))
+    tr = docs.filter(~F.col("source").isin("src0", "src1"))
+    return decontaminate(tr, ev, n=5).select("doc_id").orderBy("doc_id")
+
+
+def q_quantile_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-language top-half length filter (curation.quantile_filter):
+    # integer rank arithmetic rn*2 <= cnt, deterministic doc_id tiebreak —
+    # the corpus quality-gate shape with no FP quantile boundary.
+    from iowa_liquor_sales_spark.operators.curation import quantile_filter
+
+    docs = read_table(spark, sf, "documents")
+    return quantile_filter(docs, "n_chars", "lang").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher-style duplicate-bigram share per doc in exact ppm
+    # (curation.repetition_ratio): pure JVM array expressions, zero
+    # shuffle — the whole corpus pass is one codegen stage.
+    from iowa_liquor_sales_spark.operators.curation import repetition_ratio
+
+    docs = read_table(spark, sf, "documents")
+    return repetition_ratio(docs, n=2)
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    # Regex masking pass (curation.scrub_patterns) over the events JSON
+    # props: digit runs -> <NUM>. RE2-safe pattern, global replace in
+    # both engines.
+    from iowa_liquor_sales_spark.operators.curation import scrub_patterns
+
+    ev = read_table(spark, sf, "events")
+    return scrub_patterns(ev, "props", [("[0-9]+", "<NUM>")]).select(
+        "event_id", "scrubbed"
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    # Misra-Gries heavy-hitter summary (sketches.misra_gries) over the
+    # corpus token stream: O(k) state per task, <= k rows per partition
+    # shuffled. k=64 exceeds the synthetic vocabulary, so no decrement
+    # fires and the summary is exactly the frequency table — approximate
+    # operator, exact oracle gate (same contract as KMV/Count-Min).
+    from iowa_liquor_sales_spark.operators.sketches import misra_gries
+
+    docs = read_table(spark, sf, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    return misra_gries(words, "token", k=64).select(
+        F.col("k").alias("token"), F.col("w").alias("weight")
+    )
+
+
+def q_mix_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    # Domain-mixture replication (curation.mix_epochs): per-language
+    # epoch weights (en x2, zh dropped, others x1) materialized as an
+    # explicit epoch index via per-row sequence explode — deterministic
+    # up/down-sampling for training-data mixing.
+    from iowa_liquor_sales_spark.operators.curation import mix_epochs
+
+    docs = read_table(spark, sf, "documents")
+    w = (
+        F.when(F.col("lang") == "en", F.lit(2))
+        .when(F.col("lang") == "zh", F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    return mix_epochs(docs, w).select("doc_id", "lang", "epoch")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_parquet": q_scan_parquet,
@@ -1740,6 +1818,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_waiting_suppliers": q_waiting_suppliers,
         "q_idle_customers": q_idle_customers,
         "q_min_cost_supplier": q_min_cost_supplier,
+        "q_decontaminate": q_decontaminate,
+        "q_quantile_filter": q_quantile_filter,
+        "q_repetition_ratio": q_repetition_ratio,
+        "q_pii_scrub": q_pii_scrub,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_mix_epochs": q_mix_epochs,
     }
 
 
@@ -2761,4 +2845,66 @@ def oracle_sql() -> dict[str, str]:
               ON s_nationkey = mk AND s_acctbal = min_bal
             JOIN nation ON s_nationkey = n_nationkey
             ORDER BY n_name, s_name""",
+        "q_decontaminate": """
+            WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                       FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(ws) - 3),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS s
+              FROM w WHERE len(ws) >= 5),
+            ev AS (SELECT DISTINCT s FROM sh
+                   WHERE source IN ('src0', 'src1')),
+            bad AS (SELECT DISTINCT doc_id FROM sh
+                    WHERE source NOT IN ('src0', 'src1')
+                      AND s IN (SELECT s FROM ev))
+            SELECT doc_id FROM documents
+            WHERE source NOT IN ('src0', 'src1')
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id""",
+        "q_quantile_filter": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY n_chars DESC, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS cnt
+              FROM documents)
+            WHERE rn * 2 <= cnt""",
+        "q_repetition_ratio": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (
+              SELECT doc_id,
+                     GREATEST(len(ws) - 1, 0) AS total_ngrams,
+                     CASE WHEN len(ws) >= 2 THEN len(list_distinct(
+                            list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])))
+                          ELSE 0 END AS distinct_ngrams
+              FROM w)
+            SELECT doc_id,
+                   CAST(total_ngrams AS BIGINT) AS total_ngrams,
+                   CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
+                   CAST(CASE WHEN total_ngrams > 0
+                             THEN ((total_ngrams - distinct_ngrams)
+                                   * 1000000) // total_ngrams
+                             ELSE 0 END AS BIGINT) AS dup_ppm
+            FROM g""",
+        "q_pii_scrub": """
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed
+            FROM events""",
+        "q_heavy_hitters": """
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS weight
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token""",
+        "q_mix_epochs": """
+            SELECT doc_id, lang, CAST(epoch AS INTEGER) AS epoch FROM (
+              SELECT doc_id, lang,
+                     unnest(range(1, CASE WHEN lang = 'en' THEN 3
+                                          WHEN lang = 'zh' THEN 1
+                                          ELSE 2 END)) AS epoch
+              FROM documents)""",
     }

@@ -1,0 +1,174 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference pipeline (sundar139/IOWA-Liquor-Sales) cleans a flat sales
+table (`src/transform.py:11-23` — coerce + fillna); a 100 TB pretraining
+corpus needs the same *shape* of stage — per-row cleansing plus corpus-level
+filtering — at document granularity. These operators cover the standard
+curation passes (The Pile / Gopher / RefinedWeb lineage):
+
+- test-set **decontamination** (n-gram overlap against an eval set),
+- per-group **quantile filtering** (keep the top half by a quality metric),
+- intra-document **repetition ratio** (duplicate n-gram share, a Gopher
+  quality signal),
+- regex **scrubbing** (PII-style masking),
+- **mixture replication** (per-domain epoch weights for data mixing).
+
+Scale posture: everything is expression-level or a single keyed shuffle.
+The eval-side shingle set in decontamination is the only broadcast, and it
+is DISTINCT-compressed first (eval sets are small by construction; if not,
+the join degrades gracefully to a shuffle join — Catalyst/AQE decides by
+size, we only *hint* broadcast when told the eval set is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Distinct word n-grams of a whitespace-tokenized text column,
+    computed entirely with JVM array expressions (no explode, no UDF)."""
+    ws = F.split(text if isinstance(text, Column) else F.col(text), " ")
+    # transform over 1..len-n+1 (1-based i) keeps the lambda index math
+    # identical to the DuckDB oracle's list_transform(range(...)). Texts
+    # shorter than n words yield an empty array (sequence(1, 0) would
+    # otherwise produce a DESCENDING [1, 0] and index 0 errors under ANSI).
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Remove training documents sharing any word ``n``-gram with the eval
+    set (test-set decontamination, GPT-3 appendix-C style).
+
+    Plan shape: eval -> distinct shingles (small) ->> semi-join train
+    shingles ->> distinct contaminated ids -> left_anti on train. At scale
+    the train-side shingle explode is the dominant cost and stays fully
+    partition-parallel; the contaminated-id set is tiny and broadcasts
+    into the final anti-join.
+    """
+    tr_sh = train.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle")
+    )
+    ev_sh = eval_df.select(
+        F.explode(word_ngrams(text_col, n)).alias("shingle")
+    ).distinct()
+    if broadcast_eval:
+        ev_sh = F.broadcast(ev_sh)
+    contaminated = (
+        tr_sh.join(ev_sh, "shingle", "left_semi").select(id_col).distinct()
+    )
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def quantile_filter(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    keep_fraction_num: int = 1,
+    keep_fraction_den: int = 2,
+) -> DataFrame:
+    """Keep the top ``num/den`` fraction of rows per group, ranked by
+    ``metric_col`` descending with ``id_col`` as the deterministic
+    tiebreak. Integer arithmetic (rn * den <= cnt * num) — no FP quantile
+    boundary, identical in any engine."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(metric_col).desc(), F.col(id_col)
+    )
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("rn_", F.row_number().over(w))
+        .withColumn("cnt_", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("rn_") * keep_fraction_den <= F.col("cnt_") * keep_fraction_num
+        )
+        .drop("rn_", "cnt_")
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Duplicate-n-gram share per document in exact parts-per-million:
+    (total - distinct) * 1_000_000 div total. Pure array expressions per
+    row — no shuffle at all; the whole pass is one codegen stage."""
+    ws = F.split(F.col(text_col), " ")
+    total = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    distinct = F.size(F.array_distinct(grams))
+    return (
+        df.select(
+            F.col(id_col),
+            total.cast("long").alias("total_ngrams"),
+            distinct.cast("long").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.when(
+                F.col("total_ngrams") > 0,
+                F.expr(
+                    "((total_ngrams - distinct_ngrams) * 1000000)"
+                    " div total_ngrams"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
+def scrub_patterns(
+    df: DataFrame,
+    text_col: str,
+    patterns: list[tuple[str, str]],
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Sequentially apply regex replacements (PII masking). Patterns must
+    stay in the RE2-compatible subset (no backrefs/lookaround) so Java and
+    DuckDB agree; replacement is global in both engines."""
+    col = F.col(text_col)
+    for pat, repl in patterns:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col, col)
+
+
+def mix_epochs(
+    df: DataFrame,
+    weight_col: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Replicate each row ``weight`` times (integer epochs) for domain
+    mixing: weight 0 drops the row, w > 1 up-samples with an explicit
+    ``epoch`` index (1..w) so downstream shuffles spread the copies.
+    Explode of a per-row sequence — partition-parallel, no driver state."""
+    seq = F.when(
+        weight_col > 0, F.sequence(F.lit(1), weight_col.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("epoch", F.explode(seq))

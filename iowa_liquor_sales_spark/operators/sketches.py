@@ -195,6 +195,75 @@ def countmin_sql(expr: str, table: str, depth: int, width: int) -> str:
         FROM st GROUP BY depth, bucket"""
 
 
+def _mg_compress(counts, k: int):
+    """Compress an exact/partial counter dict (pandas Series) to a valid
+    Misra-Gries summary of at most k counters: subtract the (k+1)-th
+    largest weight from everything, drop non-positives. Equivalent to
+    running the streaming decrements in bulk (Agarwal et al., 'Mergeable
+    summaries', PODS'12)."""
+    if len(counts) <= k:
+        return counts
+    cut = counts.nlargest(k + 1).iloc[k]
+    out = counts - cut
+    return out[out > 0]
+
+
+def _mg_pass(k: int):
+    """mapInPandas stage: Misra-Gries summary of the partition. Per batch
+    the exact counts come from vectorized value_counts; batches merge by
+    summed counters + compress — never more than ~2k live counters."""
+    import pandas as pd
+
+    def run(batches):
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["k"].value_counts()
+            acc = _mg_compress(acc.add(vc, fill_value=0).astype("int64"), k)
+        if len(acc):
+            yield pd.DataFrame({"k": acc.index, "w": acc.to_numpy()})
+
+    return run
+
+
+def misra_gries(df: DataFrame, expr: Column | str, k: int = 64) -> DataFrame:
+    """Misra-Gries heavy-hitter summary ``(k string, w long)``: at most
+    ``k`` counters, each undercounting its key's true frequency by at most
+    ``n/(k+1)``. Every key with frequency > n/(k+1) is guaranteed present.
+
+    Scale shape: one mapInPandas pass with O(k) state per task emits <= k
+    rows per partition; the partial summaries merge by per-key weight sum
+    (map-side combinable groupBy) followed by one final compress to k.
+    The shuffle carries at most ``partitions * k`` rows, never the key
+    domain — the heavy-hitter analog of the KMV/Count-Min contract above.
+    When ``k`` >= the true distinct count no decrement ever fires and the
+    summary IS the exact frequency table, which is how the driver's
+    DuckDB oracle checks it exactly (``q_heavy_hitters``).
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    partial = df.select(c.cast("string").alias("k")).mapInPandas(
+        _mg_pass(k), "k string, w long"
+    )
+    summed = partial.groupBy("k").agg(F.sum("w").alias("w"))
+    return summed.repartition(1).mapInPandas(_mg_pass_weighted(k), "k string, w long")
+
+
+def _mg_pass_weighted(k: int):
+    """Final merge: the incoming rows are (key, weight) partials, not raw
+    occurrences — aggregate weights then compress once."""
+    import pandas as pd
+
+    def run(batches):
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf.groupby("k")["w"].sum()
+            acc = acc.add(vc, fill_value=0).astype("int64")
+        acc = _mg_compress(acc, k)
+        if len(acc):
+            yield pd.DataFrame({"k": acc.index, "w": acc.to_numpy()})
+
+    return run
+
+
 def kmv_sql(expr: str, table: str, k: int) -> str:
     """DuckDB rendering of the full estimate (exact sort — the oracle does
     not need the bounded-state plan, only identical bits)."""

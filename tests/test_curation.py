@@ -1,0 +1,145 @@
+"""Corpus-curation operators: decontamination, quantile filtering,
+repetition ratio, regex scrubbing, mixture replication, Misra-Gries
+heavy hitters (guarantee + mergeability under eviction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iowa_liquor_sales_spark.operators.curation import (
+    decontaminate,
+    mix_epochs,
+    quantile_filter,
+    repetition_ratio,
+    scrub_patterns,
+    word_ngrams,
+)
+from iowa_liquor_sales_spark.operators.sketches import misra_gries
+from iowa_liquor_sales_spark.schemas import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_short_text_is_empty(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b c"), (3, "a b c d")])
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert out[1] == []
+    assert out[2] == ["a b c"]
+    assert out[3] == ["a b c", "b c d"]
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over"),  # shares 5-gram with eval
+            (2, "totally unrelated clean training text here"),
+            (3, "too short"),
+        ],
+    )
+    eval_df = _docs(spark, [(100, "xx the quick brown fox jumps yy")])
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(train, eval_df, n=5).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_quantile_filter_keeps_top_half_per_group(spark):
+    df = spark.createDataFrame(
+        [(i, "g1", i * 10) for i in range(1, 6)]
+        + [(i, "g2", 7) for i in range(10, 14)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = quantile_filter(df, "n_chars", "lang")
+    by_group = {
+        g: sorted(r["doc_id"] for r in rows)
+        for g, rows in [
+            (g, out.filter(F.col("lang") == g).collect()) for g in ("g1", "g2")
+        ]
+    }
+    # g1: 5 rows -> keep floor(5/2)=2 largest (doc 5, 4)
+    assert by_group["g1"] == [4, 5]
+    # g2: all-tie on metric -> deterministic doc_id tiebreak keeps 10, 11
+    assert by_group["g2"] == [10, 11]
+
+
+def test_repetition_ratio_exact_ppm(spark):
+    df = _docs(spark, [(1, "a b a b a"), (2, "a b c d"), (3, "x")])
+    out = {r["doc_id"]: r.asDict() for r in repetition_ratio(df, n=2).collect()}
+    # doc 1 bigrams: ab ba ab ba -> total 4, distinct 2 -> 500000 ppm
+    assert out[1]["total_ngrams"] == 4 and out[1]["dup_ppm"] == 500_000
+    assert out[2]["dup_ppm"] == 0
+    assert out[3]["total_ngrams"] == 0 and out[3]["dup_ppm"] == 0
+
+
+def test_scrub_patterns_masks_globally(spark):
+    df = spark.createDataFrame(
+        [(1, "call 555 or 1234 x5")], "id long, t string"
+    )
+    out = scrub_patterns(df, "t", [("[0-9]+", "<NUM>")]).head()["scrubbed"]
+    assert out == "call <NUM> or <NUM> x<NUM>"
+
+
+def test_mix_epochs_weights(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "zh"), (3, "fr")], "doc_id long, lang string"
+    )
+    w = (
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "zh", 0)
+        .otherwise(1)
+    )
+    rows = sorted(
+        (r["doc_id"], r["epoch"]) for r in mix_epochs(df, w).collect()
+    )
+    assert rows == [(1, 1), (1, 2), (3, 1)]
+
+
+def test_decontaminate_on_testdata_matches_duckdb_rate(spark):
+    docs = read_table(spark, SF, "documents")
+    ev = docs.filter(F.col("source").isin("src0", "src1"))
+    tr = docs.filter(~F.col("source").isin("src0", "src1"))
+    kept = decontaminate(tr, ev, n=5).count()
+    assert 0 < kept <= tr.count()
+
+
+# ---------------------------------------------------------------- Misra-Gries
+
+
+def _skewed(spark):
+    # 1000 rows: 'heavy' 400x, 'mid' 200x, tail of 40 keys 10x each
+    rows = (
+        [("heavy",)] * 400
+        + [("mid",)] * 200
+        + [(f"t{i}",) for i in range(40) for _ in range(10)]
+    )
+    return spark.createDataFrame(rows, "k string").repartition(7)
+
+
+def test_misra_gries_exact_when_k_large(spark):
+    df = _skewed(spark)
+    out = {r["k"]: r["w"] for r in misra_gries(df, "k", k=100).collect()}
+    assert out["heavy"] == 400 and out["mid"] == 200 and out["t0"] == 10
+
+
+def test_misra_gries_guarantee_under_eviction(spark):
+    df = _skewed(spark)
+    n = df.count()
+    k = 4
+    out = {r["k"]: r["w"] for r in misra_gries(df, "k", k=k).collect()}
+    assert len(out) <= k
+    # every key with freq > n/(k+1) = 200 must survive
+    assert "heavy" in out
+    true = {"heavy": 400, "mid": 200}
+    for key, w in out.items():
+        t = true.get(key, 10)
+        # never overcount; undercount bounded by n/(k+1)
+        assert w <= t
+        assert t - w <= n // (k + 1)
