@@ -1716,6 +1716,170 @@ def q_mix_epochs(spark: SparkSession, sf: str) -> DataFrame:
     return mix_epochs(docs, w).select("doc_id", "lang", "epoch")
 
 
+def q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # JSON-lines sink + typed scan (S2/S7 family, JSON flavor): write a
+    # projection as newline-delimited JSON, read it back with an explicit
+    # schema (no inference in production paths), aggregate. Dates travel
+    # as ISO strings — the JSON wire convention.
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+    path = tempfile.mkdtemp(prefix="iowa_json_rt_") + "/orders"
+    o.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("order_date", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", 2, "sum_total"),
+        F.min("order_date").alias("first_date"),
+    )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    # ORC sink + scan: the second columnar format the engine speaks
+    # (vectorized reader, predicate pushdown — same contract as parquet).
+    # The post-read filter must reach the ORC reader as a pushed filter.
+    c = read_table(spark, sf, "customer")
+    path = tempfile.mkdtemp(prefix="iowa_orc_rt_") + "/customer"
+    c.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("c_acctbal") > 0)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("c_acctbal", 2, "sum_bal"),
+    )
+
+
+def q_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
+    # percent_rank / cume_dist over a unique total order per segment:
+    # (rn-1)/(n-1) and rn/n on a tie-free ordering are single IEEE
+    # divisions of exact ints — deterministic bits in both engines.
+    from pyspark.sql.window import Window
+
+    c = read_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def q_grid_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    # Mergeable integer-grid quantile sketch (sketches.grid_quantiles):
+    # per-bucket counts as the O(buckets) mergeable state, exact at grid
+    # resolution, bit-identical oracle — the approx-percentile answer
+    # with a checkable contract.
+    from iowa_liquor_sales_spark.operators.sketches import grid_quantiles
+
+    o = read_table(spark, sf, "orders")
+    return grid_quantiles(o, "o_totalprice", percentiles=(50, 90, 99))
+
+
+def q_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    # Runtime-filter join (joins.bloom_build/bloom_prefilter): a Bloom
+    # bitmap over the filtered dim's keys probes the fact BEFORE the
+    # shuffle join — the semi-join-reduction pattern that keeps 100 TB
+    # exchanges carrying only plausible matches. No false negatives, so
+    # the post-join result is exactly the plain join (the oracle).
+    from iowa_liquor_sales_spark.operators.joins import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    words = bloom_build(o, "o_orderkey")
+    pre = bloom_prefilter(li, "l_orderkey", words)
+    return (
+        pre.join(o, pre.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic integer-grid PageRank (graph.pagerank_e12) on the
+    # customer<->supplier purchase graph, 3 unrolled iterations, floor-div
+    # damping — iterative graph analytics with an exact chained-CTE
+    # oracle (same convention as k-means). Top-20 hubs by rank.
+    from iowa_liquor_sales_spark.operators.graph import pagerank_e12
+
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        pagerank_e12(sym, iters=3)
+        .orderBy(F.col("rank_e12").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
+def _grid_quantiles_oracle() -> str:
+    from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
+
+    return grid_quantiles_sql("o_totalprice", "orders", (50, 90, 99))
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    # Chained-CTE rendering of graph.pagerank_e12 (bit-identical floor
+    # division). e0.s/e0.d qualified explicitly: DuckDB lateral column
+    # aliases would otherwise capture `s AS d` against the new alias.
+    parts = [
+        """WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT s, d FROM e0
+              UNION ALL SELECT e0.d AS s, e0.s AS d FROM e0),
+        n AS (SELECT DISTINCT s AS node FROM e),
+        deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM n)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+          SELECT e.d AS node, SUM(r{i-1}.r * 85 // (100 * deg.deg)) AS infl
+          FROM e JOIN deg ON e.s = deg.s JOIN r{i-1} ON r{i-1}.node = e.s
+          GROUP BY e.d),
+        r{i} AS (
+          SELECT n.node,
+                 CAST(150000000000 + COALESCE(infl, 0) AS BIGINT) AS r
+          FROM n LEFT JOIN c{i} USING (node))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT node, r AS rank_e12 FROM r{iters}
+        ORDER BY rank_e12 DESC, node LIMIT 20"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_scan_parquet": q_scan_parquet,
@@ -1824,6 +1988,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_heavy_hitters": q_heavy_hitters,
         "q_mix_epochs": q_mix_epochs,
+        "q_json_roundtrip": q_json_roundtrip,
+        "q_orc_roundtrip": q_orc_roundtrip,
+        "q_percent_rank": q_percent_rank,
+        "q_grid_quantiles": q_grid_quantiles,
+        "q_bloom_prefilter": q_bloom_prefilter,
+        "q_pagerank": q_pagerank,
     }
 
 
@@ -2907,4 +3077,30 @@ def oracle_sql() -> dict[str, str]:
                                           WHEN lang = 'zh' THEN 1
                                           ELSE 2 END)) AS epoch
               FROM documents)""",
+        "q_json_roundtrip": f"""
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   {_dsum("o_totalprice", 2)} AS sum_total,
+                   MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
+            FROM orders GROUP BY o_orderstatus""",
+        "q_orc_roundtrip": f"""
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   {_dsum("c_acctbal", 2)} AS sum_bal
+            FROM customer WHERE c_acctbal > 0
+            GROUP BY c_mktsegment""",
+        "q_percent_rank": """
+            SELECT c_mktsegment, c_custkey,
+                   percent_rank() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal, c_custkey) AS pct_rank,
+                   cume_dist() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal, c_custkey) AS cume
+            FROM customer""",
+        "q_grid_quantiles": _grid_quantiles_oracle(),
+        "q_bloom_prefilter": f"""
+            SELECT l_linestatus, COUNT(*) AS n,
+                   {_dsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus""",
+        "q_pagerank": _pagerank_oracle(3),
     }

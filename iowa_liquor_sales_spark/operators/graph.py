@@ -88,6 +88,55 @@ def connected_components(
     return labels
 
 
+def pagerank_e12(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic PageRank on an exact integer grid: ranks live as
+    int64 scaled by 1e12, damping 0.85 applied as ``* 85 div (100 *
+    outdeg)`` — floor division, so every engine computes identical bits
+    (the same convention as the k-means/centroid operators). Dangling
+    mass is dropped rather than redistributed (documented determinism
+    trade-off; the fixed teleport term 0.15e12 keeps ranks bounded).
+
+    Scale shape per iteration: one join edges⋈ranks on src (shuffle on
+    node id), one map-side-combinable aggregate on dst, one left join
+    back to the node set — all key-partitioned, no driver state. With
+    int64 grid ranks the contribution product stays < 2^63 for graphs
+    up to ~10^5 average rank multipliers; pick a smaller grid for
+    larger graphs. Fixed ``iters`` keeps the plan unrollable (and the
+    DuckDB oracle expressible as chained CTEs).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank_e12", F.lit(10**12).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "s")
+            .join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr("rank_e12 * 85 div (100 * deg)").alias("c"),
+            )
+        )
+        inbound = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = nodes.join(inbound, "node", "left").select(
+            "node",
+            (
+                F.lit(15 * 10**10).cast("long")
+                + F.coalesce(F.col("inflow"), F.lit(0))
+            ).alias("rank_e12"),
+        )
+    return ranks
+
+
 def dedup_clusters(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
 ) -> DataFrame:

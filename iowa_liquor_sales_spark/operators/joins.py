@@ -92,3 +92,85 @@ def star_join(
     for dim, cond in dims:
         out = out.join(broadcast(dim) if broadcast_dims else dim, cond)
     return out
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def _bloom_positions(key, num_hashes: int, num_bits: int):
+    """array<long> of the bit positions a key sets, from the engine's
+    portable md5 hash (``functions.hashing.hash60``) with per-hash salts —
+    the same cross-engine-reproducible convention as Count-Min/KMV."""
+    from iowa_liquor_sales_spark.functions.hashing import hash60
+
+    return F.array(
+        *[
+            F.pmod(
+                hash60(F.concat(F.lit(f"bf{i}:"), key.cast("string"))),
+                F.lit(num_bits),
+            ).cast("long")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_hashes: int = 3,
+    num_bits: int = 1 << 16,
+) -> list[int]:
+    """Build a Bloom-filter bitmap over ``df[key_col]`` and return it as
+    ``num_bits / 64`` int64 words. The reduction is a map-side-combinable
+    ``bit_or`` groupBy (at most ``num_bits/64`` rows shuffle), and only
+    the finished O(num_bits) sketch is collected — the same
+    driver-collects-a-sketch contract as a broadcast-join build side.
+    """
+    words = (
+        df.select(
+            F.explode(
+                _bloom_positions(F.col(key_col), num_hashes, num_bits)
+            ).alias("p")
+        )
+        .select(
+            F.expr("p div 64").cast("int").alias("w"),
+            F.expr("cast(1 as bigint) << cast(p % 64 as int)").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    out = [0] * (num_bits // 64)
+    for r in words:
+        out[r["w"]] = r["bits"]
+    return out
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    words: list[int],
+    num_hashes: int = 3,
+    num_bits: int = 1 << 16,
+) -> DataFrame:
+    """Keep only rows whose key *may* be in the Bloom filter (no false
+    negatives). This is the runtime-filter / semi-join-reduction pattern:
+    at 100 TB, probing the tiny bitmap BEFORE the shuffle join discards
+    the bulk of non-matching fact rows at scan time, so the exchange
+    carries only plausible matches. The bitmap rides along as a one-row
+    broadcast; the probe is pure int64 shift/mask in codegen."""
+    spark = df.sparkSession
+    bf = spark.createDataFrame([(words,)], "bf_words array<bigint>")
+    probed = df.crossJoin(F.broadcast(bf)).withColumn(
+        "__pos", _bloom_positions(F.col(key_col), num_hashes, num_bits)
+    )
+    hit = F.lit(True)
+    for i in range(num_hashes):
+        hit = hit & (
+            F.expr(
+                f"(element_at(bf_words, cast(__pos[{i}] div 64 as int) + 1)"
+                f" >> cast(__pos[{i}] % 64 as int)) & 1"
+            )
+            == 1
+        )
+    return probed.filter(hit).drop("bf_words", "__pos")

@@ -264,6 +264,74 @@ def _mg_pass_weighted(k: int):
     return run
 
 
+def grid_quantiles(
+    df: DataFrame,
+    expr: Column | str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable quantile sketch on an integer grid: bucket every value to
+    ``floor(value)``, keep per-bucket counts (the sketch — O(distinct
+    buckets) state, merges by summing), finalize with a cumulative-count
+    scan. The reported quantile is exact at grid resolution — and being
+    pure integer arithmetic, bit-identical to the DuckDB oracle
+    (``q_grid_quantiles``), unlike t-digest/GK which are
+    implementation-defined.
+
+    Scale shape: the heavy pass is a map-side-combinable groupBy bounded
+    by bucket cardinality; the finalize window runs over the tiny
+    histogram only (single partition BY DESIGN — it is sketch
+    finalization, like KMV's merge task, not a data-sized sort).
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(expr) if isinstance(expr, str) else expr
+    hist = (
+        df.select(F.floor(c).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    qs = df.sparkSession.createDataFrame(
+        [(q,) for q in percentiles], "q int"
+    )
+    return (
+        cum.join(
+            F.broadcast(qs), F.col("cum") * 100 >= F.col("q") * F.col("total")
+        )
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"))
+        .orderBy("q")
+    )
+
+
+def grid_quantiles_sql(
+    expr: str, table: str, percentiles: tuple[int, ...] = (50, 90, 99)
+) -> str:
+    """DuckDB rendering of :func:`grid_quantiles` (bit-identical)."""
+    qvals = " UNION ALL ".join(f"SELECT {q} AS q" for q in percentiles)
+    return f"""
+        WITH h AS (
+          SELECT CAST(FLOOR({expr}) AS BIGINT) AS bucket, COUNT(*) AS cnt
+          FROM {table} GROUP BY 1),
+        cum AS (
+          SELECT bucket,
+                 SUM(cnt) OVER (ORDER BY bucket) AS cum,
+                 SUM(cnt) OVER () AS total
+          FROM h),
+        qs AS ({qvals})
+        SELECT q, MIN(bucket) AS bucket
+        FROM cum JOIN qs ON cum * 100 >= q * total
+        GROUP BY q ORDER BY q"""
+
+
 def kmv_sql(expr: str, table: str, k: int) -> str:
     """DuckDB rendering of the full estimate (exact sort — the oracle does
     not need the bounded-state plan, only identical bits)."""

@@ -40,3 +40,31 @@ def test_dedup_clusters_keeper(spark):
         for r in dedup_clusters(pairs).collect()
     }
     assert got == {(3, 3, True), (7, 3, False), (9, 3, False)}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    from iowa_liquor_sales_spark.operators.graph import pagerank_e12
+
+    # Directed 4-cycle: perfect symmetry -> every node same rank, and
+    # with outdeg 1 everywhere no mass floors away: total stays 4e12.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"]
+    )
+    rows = pagerank_e12(edges, iters=3).collect()
+    ranks = {r["node"]: r["rank_e12"] for r in rows}
+    assert len(set(ranks.values())) == 1
+    assert sum(ranks.values()) == 4 * 10**12
+
+
+def test_pagerank_hub_ranks_highest_and_is_partition_invariant(spark):
+    from iowa_liquor_sales_spark.operators.graph import pagerank_e12
+
+    # Star: leaves 1..6 all point at hub 0, hub points back at leaf 1.
+    edges = [(i, 0) for i in range(1, 7)] + [(0, 1)]
+    e1 = spark.createDataFrame(edges, ["src", "dst"])
+    e2 = e1.repartition(13)
+    r1 = {r["node"]: r["rank_e12"] for r in pagerank_e12(e1, iters=3).collect()}
+    r2 = {r["node"]: r["rank_e12"] for r in pagerank_e12(e2, iters=3).collect()}
+    assert r1 == r2  # integer grid -> partitioning-independent bits
+    assert r1[0] == max(r1.values())
+    assert r1[1] > r1[2]  # leaf 1 gets the hub's backflow

@@ -81,3 +81,48 @@ def test_countmin_merge_equals_full_build(spark):
     )
     full = countmin_counters(li, "l_suppkey")
     assert merged.exceptAll(full).isEmpty() and full.exceptAll(merged).isEmpty()
+
+
+def test_grid_quantiles_exact_on_known_data(spark):
+    from iowa_liquor_sales_spark.operators.sketches import grid_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 101)], "x double")
+    got = {r["q"]: r["bucket"] for r in grid_quantiles(df, "x").collect()}
+    # cum*100 >= q*total with unit buckets over 1..100 -> bucket == q
+    assert got == {50: 50, 90: 90, 99: 99}
+
+
+def test_grid_quantiles_histogram_merges(spark):
+    """Histogram state of disjoint halves sums to the full histogram,
+    so the final quantiles agree — the mergeable-sketch contract."""
+    from iowa_liquor_sales_spark.operators.sketches import grid_quantiles
+
+    o = read_table(spark, SF, "orders")
+    full = {r["q"]: r["bucket"] for r in grid_quantiles(o, "o_totalprice").collect()}
+    merged_input = o.filter("o_orderkey % 2 = 0").unionByName(
+        o.filter("o_orderkey % 2 = 1")
+    )
+    merged = {
+        r["q"]: r["bucket"]
+        for r in grid_quantiles(merged_input, "o_totalprice").collect()
+    }
+    assert full == merged
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from iowa_liquor_sales_spark.operators.joins import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders").filter("o_orderpriority = '1-URGENT'")
+    words = bloom_build(o, "o_orderkey")
+    pre = bloom_prefilter(li, "l_orderkey", words)
+    truth = li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi")
+    # no false negatives: every truly-matching row survives the prefilter
+    assert truth.exceptAll(pre.select(*li.columns)).isEmpty()
+    # and the filter actually prunes (false positives stay rare)
+    n_all, n_pre, n_true = li.count(), pre.count(), truth.count()
+    assert n_pre < n_all
+    assert (n_pre - n_true) <= 0.05 * n_all
