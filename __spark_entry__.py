@@ -1841,6 +1841,72 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_date_arith(spark: SparkSession, sf: str) -> DataFrame:
+    # Date/interval arithmetic family: datediff, date_add, add_months,
+    # months_between, last_day, trunc — the scalar layer beyond the
+    # reference's extract()/trunc() (SURVEY §2.4).
+    o = read_table(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("age_days"),
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("plus_quarter"),
+        ((F.lit(2002) - F.year(d)) * 12 + (F.lit(1) - F.month(d)))
+        .cast("int")
+        .alias("age_months"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+    )
+
+
+def q_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # Ordered string aggregation (listagg): statuses per priority as a
+    # deterministic comma list — collect_set -> array_sort -> concat_ws
+    # keeps the result partition-order independent.
+    o = read_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("o_orderstatus"))
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    # UNPIVOT / melt: the wide per-part measure columns become (measure,
+    # value) rows — the inverse of q_pivot, Spark ids/values unpivot vs
+    # DuckDB UNPIVOT.
+    p = read_table(spark, sf, "part")
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn("value", F.col("value").cast("double"))
+
+
+def q_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    # Map construction + access: per-priority map of status -> count via
+    # map_from_entries over a sorted entry array, then keys/values
+    # projected back out as deterministic arrays.
+    o = read_table(spark, sf, "orders")
+    per = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("status_counts")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.map_keys("status_counts").alias("statuses"),
+        F.map_values("status_counts").alias("counts"),
+        F.element_at("status_counts", "O").alias("open_count"),
+    )
+
+
 def _grid_quantiles_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
 
@@ -1994,6 +2060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_quantiles": q_grid_quantiles,
         "q_bloom_prefilter": q_bloom_prefilter,
         "q_pagerank": q_pagerank,
+        "q_date_arith": q_date_arith,
+        "q_string_agg": q_string_agg,
+        "q_unpivot": q_unpivot,
+        "q_map_funcs": q_map_funcs,
     }
 
 
@@ -3103,4 +3173,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_linestatus
             ORDER BY l_linestatus""",
         "q_pagerank": _pagerank_oracle(3),
+        "q_date_arith": """
+            SELECT o_orderkey,
+                   CAST(datediff('day', CAST(o_orderdate AS DATE),
+                                 DATE '2002-01-01') AS INTEGER) AS age_days,
+                   CAST(o_orderdate AS DATE) + 30 AS due_date,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH
+                        AS DATE) AS plus_quarter,
+                   CAST((2002 - EXTRACT(YEAR FROM o_orderdate)) * 12
+                        + (1 - EXTRACT(MONTH FROM o_orderdate))
+                        AS INTEGER) AS age_months,
+                   last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                   CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                       AS quarter_start
+            FROM orders""",
+        "q_string_agg": """
+            SELECT o_orderpriority,
+                   array_to_string(list_sort(list_distinct(
+                       list(o_orderstatus))), ',') AS statuses,
+                   COUNT(*) AS n
+            FROM orders GROUP BY o_orderpriority""",
+        "q_unpivot": """
+            SELECT p_partkey, 'p_size' AS measure,
+                   CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS measure,
+                   p_retailprice AS value FROM part""",
+        "q_map_funcs": """
+            WITH per AS (
+              SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+              FROM orders GROUP BY 1, 2)
+            SELECT o_orderpriority,
+                   list(o_orderstatus ORDER BY o_orderstatus) AS statuses,
+                   list(n ORDER BY o_orderstatus) AS counts,
+                   MAX(CASE WHEN o_orderstatus = 'O' THEN n END)
+                       AS open_count
+            FROM per GROUP BY o_orderpriority""",
     }

@@ -50,6 +50,12 @@ HEADLINE = [
     "q_events_window",
     "q_sessionize",
     "q_multimodal_features",
+    "q_regional_revenue",
+    "q_decontaminate",
+    "q_bloom_prefilter",
+    "q_pagerank",
+    "q_grid_quantiles",
+    "q_heavy_hitters",
 ]
 
 

