@@ -109,15 +109,28 @@ def pagerank_e12(
     larger graphs. Fixed ``iters`` keeps the plan unrollable (and the
     DuckDB oracle expressible as chained CTEs).
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # Checkpoint the derived inputs ONCE: e/deg/nodes are re-consumed by
+    # every unrolled iteration, and ranks_i is consumed twice by
+    # ranks_{i+1} — left lazy, the upstream edge derivation (often an
+    # expensive join+distinct) re-executes O(2^iters) times and the
+    # analyzer chews an exponentially growing plan (same trap as
+    # connected_components above; measured 6.8s -> ~2s at sf0.1).
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank_e12", F.lit(10**12).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(deg, "s")
             .join(ranks.withColumnRenamed("node", "s"), "s")
@@ -134,6 +147,8 @@ def pagerank_e12(
                 + F.coalesce(F.col("inflow"), F.lit(0))
             ).alias("rank_e12"),
         )
+        if i < iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
