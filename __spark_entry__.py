@@ -110,6 +110,7 @@ jac AS (
 
 
 from iowa_liquor_sales_spark.functions.hashing import affine_params as _affine_params
+from iowa_liquor_sales_spark.functions.hashing import md5_hex
 
 _MH_A, _MH_B = (
     "[" + ", ".join(str(x) for x in lst) + "]" for lst in _affine_params(32)
@@ -1907,6 +1908,168 @@ def q_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    # ROLLUP hierarchy (flag -> flag,status -> grand total) — completes
+    # the CUBE / GROUPING SETS family: one Expand + one hash aggregate,
+    # single shuffle for all three grains.
+    li = read_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 2, "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_higher_order(spark: SparkSession, sf: str) -> DataFrame:
+    # Array higher-order functions (transform/filter/aggregate/exists/
+    # forall) — all JVM lambda codegen, zero shuffle. Split materialized
+    # once per row (Catalyst does not CSE inside HOF lambdas).
+    d = read_table(spark, sf, "documents")
+    ws = F.col("ws_")
+    return d.withColumn("ws_", F.split(F.col("text"), " ")).select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(F.filter(ws, lambda w: F.length(w) > 4)).alias("long_words"),
+        F.aggregate(
+            ws, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).alias("total_len"),
+        F.exists(ws, lambda w: w.rlike("[0-9]")).alias("has_digit"),
+        F.forall(ws, lambda w: F.length(w) <= 12).alias("all_short"),
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    # Array function surface: construct/distinct/sort/slice/contains/
+    # position/max/min/flatten — per-row JVM expressions, no shuffle.
+    p = read_table(spark, sf, "part")
+    arr = F.array(
+        F.col("p_size"),
+        F.col("p_size") + 1,
+        F.col("p_size") % 3,
+        F.col("p_size"),
+    )
+    return p.select(
+        "p_partkey",
+        F.array_sort(F.array_distinct(arr)).alias("sizes_sorted"),
+        F.slice(arr, 2, 2).alias("mid_two"),
+        F.array_contains(arr, 7).alias("has_seven"),
+        F.array_position(arr, F.col("p_size") + 1).alias("succ_pos"),
+        F.array_max(arr).alias("size_max"),
+        F.array_min(arr).alias("size_min"),
+        F.flatten(
+            F.array(F.array(F.col("p_size")), F.array(F.lit(0)))
+        ).alias("flat"),
+    )
+
+
+def q_window_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # Distinct users over a trailing 7-day RANGE window (active-user
+    # curve). Spark has no COUNT(DISTINCT) over windows; the engine
+    # rewrite is: dedup to (day, user) pairs first (the big shuffle,
+    # map-side combinable), then size(collect_set) over a RANGE frame on
+    # the *deduped* rows — the frame holds at most days*users entries,
+    # not raw events, so state stays bounded at 100 TB event volume.
+    ev = read_table(spark, sf, "events")
+    from pyspark.sql import Window
+
+    day = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).alias("epoch_day")
+    pairs = ev.select(day, "user_id").distinct()
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    return (
+        pairs.withColumn("u7", F.size(F.collect_set("user_id").over(w)))
+        .groupBy("epoch_day")
+        .agg(F.max("u7").alias("users_7d"))
+    )
+
+
+def q_date_spine(spark: SparkSession, sf: str) -> DataFrame:
+    # Gap-free date spine via sequence()+explode, left join daily counts,
+    # zero-fill — the hypertable/gap-fill companion to q_resample_ffill.
+    # The spine is one exploded row per day off a 1-row min/max aggregate
+    # (broadcast side); the daily rollup is the only real shuffle.
+    o = read_table(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    bounds = o.agg(F.min(d).alias("lo"), F.max(d).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = o.groupBy(d.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return F.broadcast(spine).join(daily, "day", "left").select(
+        "day", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+
+
+def q_bitwise_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # Bitwise aggregate family (bit_and/bit_or/bit_xor) — map-side
+    # combinable, O(1) state per group; bit_xor is the same primitive as
+    # the engine's order-independent table checksum.
+    o = read_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    # Curation analytics: exact-duplicate rate per source in ppm.
+    # Spark groups by md5(text) so the exchanges carry 32-byte keys, not
+    # documents (the oracle groups by text itself — identical up to md5
+    # collisions); keeper = min doc_id, duplicates = everyone else.
+    d = read_table(spark, sf, "documents").select(
+        "doc_id", "source", md5_hex("text").alias("h")
+    )
+    g = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    per = d.join(g, "h").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+        ).alias("n_dups"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_dups",
+        F.expr("n_dups * 1000000 div n_docs").alias("dup_ppm"),
+    )
+
+
+def q_corpus_yield(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus yield report: per language, docs and whitespace tokens
+    # before/after exact dedup — the summary a curation pipeline emits
+    # after a dedup pass. One window over the content hash (shuffle on
+    # md5, 32-byte keys) + one aggregate on lang.
+    from pyspark.sql import Window
+
+    d = (
+        read_table(spark, sf, "documents")
+        .withColumn("h", md5_hex("text"))
+        .withColumn(
+            "toks", F.size(F.split(F.col("text"), " ")).cast("long")
+        )
+    )
+    keeper = (
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    return (
+        d.withColumn("keeper", keeper)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum(F.when(F.col("keeper"), 1).otherwise(0)).alias(
+                "kept_docs"
+            ),
+            F.sum(F.when(F.col("keeper"), F.col("toks")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+
+
 def _grid_quantiles_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
 
@@ -2064,6 +2227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_string_agg": q_string_agg,
         "q_unpivot": q_unpivot,
         "q_map_funcs": q_map_funcs,
+        "q_rollup": q_rollup,
+        "q_higher_order": q_higher_order,
+        "q_array_funcs": q_array_funcs,
+        "q_window_distinct": q_window_distinct,
+        "q_date_spine": q_date_spine,
+        "q_bitwise_agg": q_bitwise_agg,
+        "q_dup_rate_by_source": q_dup_rate_by_source,
+        "q_corpus_yield": q_corpus_yield,
     }
 
 
@@ -3209,4 +3380,95 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN o_orderstatus = 'O' THEN n END)
                        AS open_count
             FROM per GROUP BY o_orderpriority""",
+        "q_rollup": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_dsum("l_quantity")} AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "q_higher_order": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                       w -> length(w) > 4)) AS long_words,
+                   coalesce(list_sum(list_transform(string_split(text, ' '),
+                       w -> length(w))), 0) AS total_len,
+                   len(list_filter(string_split(text, ' '),
+                       w -> regexp_matches(w, '[0-9]'))) > 0 AS has_digit,
+                   len(list_filter(string_split(text, ' '),
+                       w -> length(w) > 12)) = 0 AS all_short
+            FROM documents""",
+        "q_array_funcs": """
+            WITH a AS (
+              SELECT p_partkey,
+                     [p_size, p_size + 1, p_size % 3, p_size] AS arr,
+                     p_size FROM part)
+            SELECT p_partkey,
+                   list_sort(list_distinct(arr)) AS sizes_sorted,
+                   arr[2:3] AS mid_two,
+                   list_contains(arr, 7) AS has_seven,
+                   CAST(list_position(arr, p_size + 1) AS BIGINT)
+                       AS succ_pos,
+                   list_max(arr) AS size_max,
+                   list_min(arr) AS size_min,
+                   list_concat([p_size], [0]) AS flat
+            FROM a""",
+        "q_window_distinct": """
+            WITH pairs AS (
+              SELECT DISTINCT
+                     CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER)
+                         AS epoch_day,
+                     user_id
+              FROM events)
+            SELECT epoch_day,
+                   MAX(u7) AS users_7d
+            FROM (SELECT epoch_day,
+                         COUNT(DISTINCT user_id) OVER (ORDER BY epoch_day
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                             AS u7
+                  FROM pairs)
+            GROUP BY epoch_day""",
+        "q_date_spine": """
+            WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+                              MAX(CAST(o_orderdate AS DATE)) AS hi
+                       FROM orders),
+                 spine AS (SELECT CAST(unnest(generate_series(
+                               lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+                           FROM b),
+                 daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                                  COUNT(*) AS n_orders
+                           FROM orders GROUP BY 1)
+            SELECT spine.day, COALESCE(daily.n_orders, 0) AS n_orders
+            FROM spine LEFT JOIN daily ON spine.day = daily.day""",
+        "q_bitwise_agg": """
+            SELECT o_orderstatus,
+                   bit_and(o_orderkey) AS key_and,
+                   bit_or(o_orderkey) AS key_or,
+                   bit_xor(o_orderkey) AS key_xor
+            FROM orders GROUP BY o_orderstatus""",
+        "q_dup_rate_by_source": """
+            WITH g AS (SELECT text, MIN(doc_id) AS keeper
+                       FROM documents GROUP BY text)
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                       AS n_dups,
+                   SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                       * 1000000 // COUNT(*) AS dup_ppm
+            FROM documents JOIN g USING (text)
+            GROUP BY source""",
+        "q_corpus_yield": """
+            WITH d AS (
+              SELECT lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                     doc_id = MIN(doc_id) OVER (PARTITION BY text)
+                         AS keeper
+              FROM documents)
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(toks) AS n_tokens,
+                   SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS kept_docs,
+                   SUM(CASE WHEN keeper THEN toks ELSE 0 END)
+                       AS kept_tokens
+            FROM d GROUP BY lang""",
     }
