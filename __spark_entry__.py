@@ -1822,10 +1822,12 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # oracle (same convention as k-means). Top-20 hubs by rank.
     from iowa_liquor_sales_spark.operators.graph import pagerank_e12
 
-    o = read_table(spark, sf, "orders")
-    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    # Broadcast the 2-column orders side: the fact (lineitem) never
+    # shuffles for the edge build, only for the distinct.
     e = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),

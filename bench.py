@@ -123,6 +123,18 @@ def main() -> None:
     _force(q_silver_transform(spark, staged))
     timings["q_silver_transform"] = round(time.perf_counter() - t0, 3)
 
+    # Reference load-stage analog (BASELINE: 19k rows/s in-memory CSV +
+    # COPY FROM STDIN): serialize lineitem to the same CSV wire format
+    # (no header, NULLs as \N). A JDBC sink would add network/DB time the
+    # offline container can't reproduce; the Spark-side cost IS this
+    # partition-parallel serialization.
+    csv_dest = tempfile.mkdtemp(prefix="bench_csvload_") + "/lineitem_csv"
+    t0 = time.perf_counter()
+    read_table(spark, sf_dir, "lineitem").write.mode("overwrite").option(
+        "nullValue", "\\N"
+    ).option("header", "false").csv(csv_dest)
+    timings["q_csv_load"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -115,9 +115,16 @@ def pagerank_e12(
     # expensive join+distinct) re-executes O(2^iters) times and the
     # analyzer chews an exponentially growing plan (same trap as
     # connected_components above; measured 6.8s -> ~2s at sf0.1).
-    e = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint(eager=True)
+    # Pre-partition the edge set by its join key BEFORE checkpointing:
+    # localCheckpoint preserves the physical partitioning, so all three
+    # per-iteration joins on "s" reuse it instead of re-exchanging the
+    # (large) edge relation every iteration — only the (small) updated
+    # ranks side shuffles per round.
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .repartition(F.col("s"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
