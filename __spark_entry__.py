@@ -2072,6 +2072,16 @@ def q_corpus_yield(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    # Sliding-window chunking (curation.chunk_documents): docs become
+    # overlapping max-32-word windows with stride 24 — the pretraining
+    # context-layout stage upstream of q_pack_sequences. Zero shuffle.
+    from iowa_liquor_sales_spark.operators.curation import chunk_documents
+
+    d = read_table(spark, sf, "documents")
+    return chunk_documents(d, "text", "doc_id", max_words=32, overlap=8)
+
+
 def _grid_quantiles_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
 
@@ -2237,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitwise_agg": q_bitwise_agg,
         "q_dup_rate_by_source": q_dup_rate_by_source,
         "q_corpus_yield": q_corpus_yield,
+        "q_chunk_documents": q_chunk_documents,
     }
 
 
@@ -3473,4 +3484,18 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN keeper THEN toks ELSE 0 END)
                        AS kept_tokens
             FROM d GROUP BY lang""",
+        "q_chunk_documents": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+                 s AS (SELECT doc_id, ws,
+                              unnest(range(1,
+                                  greatest(len(ws) - 8, 1) + 1, 24)) AS s
+                       FROM w)
+            SELECT doc_id,
+                   (s - 1) // 24 AS chunk_id,
+                   array_to_string(list_slice(ws, s, s + 31), ' ')
+                       AS chunk_text,
+                   CAST(len(list_slice(ws, s, s + 31)) AS BIGINT)
+                       AS n_words
+            FROM s""",
     }

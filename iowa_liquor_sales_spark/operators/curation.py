@@ -209,3 +209,55 @@ def mix_epochs(
         weight_col > 0, F.sequence(F.lit(1), weight_col.cast("int"))
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("epoch", F.explode(seq))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    max_words: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking for pretraining context layout:
+    every document becomes ceil((n_words - overlap) / stride) chunks of at
+    most ``max_words`` whitespace words, consecutive chunks sharing
+    ``overlap`` words (stride = max_words - overlap). Documents shorter
+    than one window yield exactly one chunk.
+
+    Output: (id, chunk_id, chunk_text, n_words), chunk_id = 0-based
+    window index derived from the start offset — deterministic, no
+    ordinality dependence.
+
+    Scale shape: split once per row, explode the (tiny) start-offset
+    sequence, slice per chunk — all expression-level, partition-parallel,
+    zero shuffle; output rows ≈ input tokens / stride regardless of
+    document skew (a 1 GB document becomes many rows, not one giant row,
+    which is exactly what the downstream packing/tokenize stages want).
+    explode_outer + null filter per the InferFiltersFromGenerate engine
+    invariant (an inferred size()>0 filter would re-inline the sequence).
+    """
+    if overlap >= max_words:
+        raise ValueError("overlap must be < max_words")
+    stride = max_words - overlap
+    ws = F.col("ws_")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(ws) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        df.withColumn("ws_", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col),
+            "ws_",
+            F.explode_outer(starts).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .withColumn("chunk_", F.slice("ws_", F.col("s"), max_words))
+        .select(
+            id_col,
+            F.expr(f"(s - 1) div {stride}").alias("chunk_id"),
+            F.array_join("chunk_", " ").alias("chunk_text"),
+            F.size("chunk_").cast("long").alias("n_words"),
+        )
+    )

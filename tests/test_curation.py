@@ -143,3 +143,46 @@ def test_misra_gries_guarantee_under_eviction(spark):
         # never overcount; undercount bounded by n/(k+1)
         assert w <= t
         assert t - w <= n // (k + 1)
+
+
+def test_chunk_documents_windows(spark):
+    from iowa_liquor_sales_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b c d e f g h i j"),  # 10 words
+            ("d2", "x y"),  # shorter than one window
+            ("d3", "p q r s"),  # exactly one window
+        ],
+        "doc_id string, text string",
+    )
+    out = chunk_documents(
+        docs, "text", "doc_id", max_words=4, overlap=2
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # d1: starts 1,3,5,7 (stride 2, up to n-overlap=8) -> 4 chunks
+    d1 = sorted(by_doc["d1"], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2, 3]
+    assert d1[0]["chunk_text"] == "a b c d"
+    assert d1[1]["chunk_text"] == "c d e f"
+    assert d1[3]["chunk_text"] == "g h i j"
+    assert all(r["n_words"] == 4 for r in d1)
+    # consecutive chunks share exactly `overlap` words
+    assert d1[0]["chunk_text"].split()[-2:] == d1[1]["chunk_text"].split()[:2]
+    # short doc: one chunk, whole text
+    assert len(by_doc["d2"]) == 1 and by_doc["d2"][0]["chunk_text"] == "x y"
+    assert by_doc["d2"][0]["n_words"] == 2
+    # exact window: one chunk
+    assert len(by_doc["d3"]) == 1 and by_doc["d3"][0]["n_words"] == 4
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from iowa_liquor_sales_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([("d", "a b")], "doc_id string, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "text", "doc_id", max_words=4, overlap=4)
