@@ -2082,6 +2082,156 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     return chunk_documents(d, "text", "doc_id", max_words=32, overlap=8)
 
 
+def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q6 shape: forecast-revenue-change — a single-table scan with
+    # three range predicates and one exact-decimal aggregate. The whole
+    # query is one codegen stage; all three filters reach the parquet
+    # row-group stats (PushedFilters on l_shipdate/l_discount/l_quantity).
+    li = read_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").cast("date").between("1996-01-01", "1996-12-31")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4, "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q11 shape (no partsupp in testdata): per-part shipped value
+    # from one nation's suppliers, kept only if above a fixed fraction of
+    # the total. Both the per-part values and the global threshold come
+    # from the SAME exact-decimal sum over the base rows (never re-summing
+    # doubles), so the comparison is bit-identical on any partitioning.
+    # One shuffle for the groupBy; the scalar total is broadcast.
+    li = read_table(spark, sf, "lineitem")
+    s = read_table(spark, sf, "supplier").filter(
+        F.col("s_nationkey") == 3
+    )
+    vol = F.col("l_extendedprice") * F.col("l_quantity")
+    base = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    per_part = base.groupBy("l_partkey").agg(dsum(vol, 2, "stock_value"))
+    total = base.agg(dsum(vol, 2, "total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("stock_value") > F.col("total_value") * 0.0005)
+        .select("l_partkey", "stock_value")
+        .orderBy(F.col("stock_value").desc(), "l_partkey")
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q14 shape: promo share of one ship-month's revenue. Part dim
+    # broadcasts; the CASE-gated and total sums are exact decimals,
+    # divided once in double — same bits as the single-threaded oracle.
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").cast("date").between("1996-09-01", "1996-09-30")
+    )
+    p = read_table(spark, sf, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum(promo, 4, "promo_revenue"),
+            dsum(vol, 4, "total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+        )
+    )
+
+
+def q_parts_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    # for a size in-list, excluding one brand, the PROMO type, and a
+    # NOT-IN supplier set (names ending in '7') — the NOT IN becomes a
+    # broadcast left_anti before the groupBy, so the distinct-count
+    # shuffle only carries surviving rows.
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+    )
+    bad = read_table(spark, sf, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q_potential_promotion(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q20 shape: suppliers in one nation who shipped a large volume
+    # of 'red%' parts — the nested (partkey, suppkey) shipped-quantity
+    # aggregate qualifies pairs, then a semi join keeps suppliers. The
+    # quantity threshold is on an integer-valued sum (l_quantity is whole
+    # bottles), so the boundary is exact in both engines.
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").filter(F.col("p_name").like("red%"))
+    s = read_table(spark, sf, "supplier").filter(F.col("s_nationkey") == 2)
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(pairs, s.s_suppkey == pairs.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_geo_point_parse(spark: SparkSession, sf: str) -> DataFrame:
+    # The reference keeps `store_location` as opaque `POINT (lon lat)`
+    # text (create_table.sql:9); this query exercises the parse path it
+    # implies: build the POINT string from integer grid coords, parse it
+    # back with one regexp_extract per axis, and reduce to a per-segment
+    # bounding box. Integer-valued doubles end-to-end — no float-format
+    # drift between engines. Zero joins, one groupBy shuffle.
+    c = read_table(spark, sf, "customer")
+    lon = (F.col("c_custkey") % 360 - 180).cast("int")
+    lat = (F.col("c_nationkey") * 3 - 30).cast("int")
+    pts = c.select(
+        "c_mktsegment",
+        F.concat(
+            F.lit("POINT ("), lon.cast("string"), F.lit(" "),
+            lat.cast("string"), F.lit(")"),
+        ).alias("store_location"),
+    )
+    px = F.regexp_extract("store_location", r"POINT \((-?\d+) (-?\d+)\)", 1)
+    py = F.regexp_extract("store_location", r"POINT \((-?\d+) (-?\d+)\)", 2)
+    return (
+        pts.select(
+            "c_mktsegment",
+            px.cast("double").alias("lon"),
+            py.cast("double").alias("lat"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("lon").alias("min_lon"),
+            F.max("lon").alias("max_lon"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _grid_quantiles_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
 
@@ -2248,6 +2398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_rate_by_source": q_dup_rate_by_source,
         "q_corpus_yield": q_corpus_yield,
         "q_chunk_documents": q_chunk_documents,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_important_stock": q_important_stock,
+        "q_promo_revenue": q_promo_revenue,
+        "q_parts_supplier": q_parts_supplier,
+        "q_potential_promotion": q_potential_promotion,
+        "q_geo_point_parse": q_geo_point_parse,
     }
 
 
@@ -3498,4 +3654,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(ws, s, s + 31)) AS BIGINT)
                        AS n_words
             FROM s""",
+        "q_forecast_revenue": f"""
+            SELECT {_dsum("l_extendedprice * l_discount", 4)} AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE)
+                      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
+        "q_important_stock": f"""
+            WITH base AS (
+              SELECT l_partkey, l_extendedprice * l_quantity AS vol
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              WHERE s_nationkey = 3)
+            SELECT l_partkey,
+                   {_dsum("vol", 2)} AS stock_value
+            FROM base
+            GROUP BY l_partkey
+            HAVING {_dsum("vol", 2)} >
+                   (SELECT {_dsum("vol", 2)} FROM base) * 0.0005
+            ORDER BY stock_value DESC, l_partkey""",
+        "q_promo_revenue": f"""
+            SELECT promo_revenue, total_revenue,
+                   100.0 * promo_revenue / total_revenue AS promo_share
+            FROM (
+              SELECT
+                {_dsum(
+                    "CASE WHEN p_type = 'PROMO' "
+                    "THEN l_extendedprice * (1 - l_discount) "
+                    "ELSE 0.0 END", 4)} AS promo_revenue,
+                {_dsum("l_extendedprice * (1 - l_discount)", 4)}
+                    AS total_revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE CAST(l_shipdate AS DATE)
+                        BETWEEN DATE '1996-09-01' AND DATE '1996-09-30')""",
+        "q_parts_supplier": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "q_potential_promotion": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_nationkey = 2
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'red%'
+                GROUP BY l_suppkey, l_partkey
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 50)
+            ORDER BY s_suppkey""",
+        "q_geo_point_parse": """
+            WITH pts AS (
+              SELECT c_mktsegment,
+                     'POINT (' ||
+                     CAST(CAST(c_custkey % 360 - 180 AS INTEGER) AS VARCHAR)
+                     || ' ' ||
+                     CAST(CAST(c_nationkey * 3 - 30 AS INTEGER) AS VARCHAR)
+                     || ')' AS store_location
+              FROM customer),
+            parsed AS (
+              SELECT c_mktsegment,
+                     CAST(regexp_extract(store_location,
+                          'POINT \\((-?\\d+) (-?\\d+)\\)', 1) AS DOUBLE)
+                         AS lon,
+                     CAST(regexp_extract(store_location,
+                          'POINT \\((-?\\d+) (-?\\d+)\\)', 2) AS DOUBLE)
+                         AS lat
+              FROM pts)
+            SELECT c_mktsegment,
+                   MIN(lon) AS min_lon, MAX(lon) AS max_lon,
+                   MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+                   COUNT(*) AS n_points
+            FROM parsed
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment""",
     }
