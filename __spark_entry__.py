@@ -2232,10 +2232,105 @@ def q_geo_point_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hll(spark: SparkSession, sf: str) -> DataFrame:
+    # Portable HyperLogLog (sketches.hll_registers/hll_estimate): md5-
+    # derived registers, exact-int64 harmonic sum — an approximate
+    # distinct count with a bit-exact oracle. O(2^p) state per task,
+    # one 256-row shuffle; the register table itself is mergeable.
+    from iowa_liquor_sales_spark.operators.sketches import hll_estimate
+
+    li = read_table(spark, sf, "lineitem")
+    return hll_estimate(li, "l_orderkey", p=8)
+
+
+def q_csv_malformed(spark: SparkSession, sf: str) -> DataFrame:
+    # S2/C2 at the scan: PERMISSIVE CSV parse turns unparseable numeric
+    # cells into NULLs (the reference's pd.to_numeric(errors="coerce"),
+    # src/transform.py:15-21, pushed into the source). Rows whose
+    # orderkey is divisible by 97 get a corrupted quantity cell on
+    # write; the re-read must preserve the row and null just the cell.
+    li = read_table(spark, sf, "lineitem")
+    corrupted = li.select(
+        F.col("l_orderkey").cast("string").alias("l_orderkey"),
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit("xx"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("l_quantity"),
+    )
+    path = tempfile.mkdtemp(prefix="iowa_csv_bad_")
+    corrupted.write.mode("overwrite").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    back = spark.read.csv(path, schema=schema, mode="PERMISSIVE")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_parsed"),
+        dsum("l_quantity", 2, "sum_parsed"),
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    # Entity-resolution primitive: near-matching part names via
+    # levenshtein <= 3, blocked on the last name token so the self-join
+    # is per-block instead of all-pairs (at corpus scale the dictionary
+    # of distinct names is what gets joined, never the fact rows).
+    p = read_table(spark, sf, "part")
+    names = (
+        p.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(F.split("name", " "), -1))
+    )
+    a = names.select(F.col("name").alias("name_a"), "block")
+    b = names.select(F.col("name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+def q_bool_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # Boolean aggregate family (every/bool_or/count_if) — the SQL
+    # bool_and/bool_or surface over per-priority order groups.
+    o = read_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_posexplode(spark: SparkSession, sf: str) -> DataFrame:
+    # Ordinal explode (posexplode = UNNEST WITH ORDINALITY): first five
+    # whitespace tokens of every document with their 0-based position.
+    # Zero shuffle; the generator runs inside the scan stage.
+    d = read_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "word"),
+    )
+
+
 def _grid_quantiles_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
 
     return grid_quantiles_sql("o_totalprice", "orders", (50, 90, 99))
+
+
+def _hll_oracle() -> str:
+    from iowa_liquor_sales_spark.operators.sketches import hll_sql
+
+    return hll_sql("l_orderkey", "lineitem", p=8)
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
@@ -2404,6 +2499,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parts_supplier": q_parts_supplier,
         "q_potential_promotion": q_potential_promotion,
         "q_geo_point_parse": q_geo_point_parse,
+        "q_hll": q_hll,
+        "q_csv_malformed": q_csv_malformed,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_bool_agg": q_bool_agg,
+        "q_posexplode": q_posexplode,
     }
 
 
@@ -3735,4 +3835,39 @@ def oracle_sql() -> dict[str, str]:
             FROM parsed
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment""",
+        "q_hll": _hll_oracle(),
+        "q_csv_malformed": f"""
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(CASE WHEN l_orderkey % 97 <> 0 THEN 1 END)
+                       AS n_parsed,
+                   {_dsum(
+                       "CASE WHEN l_orderkey % 97 <> 0 "
+                       "THEN l_quantity END", 2)} AS sum_parsed
+            FROM lineitem""",
+        "q_fuzzy_match": """
+            WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+                 nb AS (SELECT name, string_split(name, ' ')[-1] AS block
+                        FROM names)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+            FROM nb a JOIN nb b
+              ON a.block = b.block AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 3
+            ORDER BY name_a, name_b""",
+        "q_bool_agg": """
+            SELECT o_orderpriority,
+                   bool_and(o_totalprice > 0) AS all_positive,
+                   bool_or(o_orderstatus = 'F') AS any_finished,
+                   COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""",
+        "q_posexplode": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+                 s AS (SELECT doc_id, ws,
+                              unnest(range(1, least(len(ws), 5) + 1)) AS i
+                       FROM w)
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS word
+            FROM s""",
     }

@@ -343,3 +343,91 @@ def kmv_sql(expr: str, table: str, k: int) -> str:
                     ELSE CAST({k - 1} AS DOUBLE) * pow(2, 60) / CAST(MAX(h) AS DOUBLE)
                END AS est_distinct
         FROM mins"""
+
+
+def hll_registers(df: DataFrame, expr: Column | str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table over the portable md5 hash: bucket =
+    low ``p`` bits of hash60, rho = leading-zero count of the remaining
+    ``60 - p`` bits plus one (so rho in [1, 61 - p]). Output
+    ``(bucket int, rho int)``, <= 2^p rows — the sketch itself, mergeable
+    by ``GROUP BY bucket -> MAX(rho)`` across partitions, days, or tables.
+
+    Unlike Spark's builtin ``approx_count_distinct`` (whose HLL++ registers
+    are engine-private), every bit here reproduces in the DuckDB oracle:
+    an approximate operator with an exact correctness gate.
+
+    Scale shape: one scan, map-side partial MAX into at most 2^p groups,
+    then a 2^p-row shuffle — state is O(2^p) per task no matter the input
+    (the same contract as the KMV/Count-Min sketches above).
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    m = 1 << p
+    wbits = 60 - p
+    h = hash60(c.cast("string"))
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(df: DataFrame, expr: Column | str, p: int = 8) -> DataFrame:
+    """1-row ``(est_distinct double, n_buckets_used long)`` from the
+    register table. The harmonic sum is computed in exact int64
+    (``2^(maxrho - rho)`` per register, empty registers contribute
+    ``2^maxrho``), so the only floating math is one literal-folded
+    constant times one division — bit-identical on any partitioning and
+    in the oracle. The raw HLL estimator (no small/large-range
+    correction): stderr ~ 1.04/sqrt(2^p), ~6.5% at p=8."""
+    m = 1 << p
+    maxrho = 61 - p
+    regs = hll_registers(df, expr, p)
+    s = regs.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr(f"shiftleft(1L, {maxrho} - rho)")).alias("hp"),
+    )
+    hsum = (F.col("hp") + (F.lit(m) - F.col("nb")) * F.lit(1 << maxrho)).cast(
+        "double"
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    return s.select(
+        (alpha * F.lit(float(m * m)) * F.lit(float(1 << maxrho)) / hsum).alias(
+            "est_distinct"
+        ),
+        F.col("nb").cast("long").alias("n_buckets_used"),
+    )
+
+
+def hll_sql(expr: str, table: str, p: int = 8) -> str:
+    """DuckDB rendering of :func:`hll_estimate` (bit-identical: same
+    integer harmonic sum, same literal constant expression tree)."""
+    m = 1 << p
+    maxrho = 61 - p
+    big = 1 << maxrho
+    return f"""
+        WITH h AS (
+          SELECT CAST(('0x' || substr(md5(CAST(({expr}) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM {table}),
+        regs AS (
+          SELECT h % {m} AS bucket,
+                 MAX(CASE WHEN h // {m} = 0 THEN {maxrho}
+                          ELSE {maxrho} - length(bin(h // {m})) END) AS rho
+          FROM h GROUP BY bucket),
+        s AS (
+          SELECT COUNT(*) AS nb,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({maxrho} - rho)) AS BIGINT) AS hp
+          FROM regs)
+        SELECT (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m * m)}
+                   * {float(big)} / CAST(hp + ({m} - nb) * {big} AS DOUBLE)
+               AS est_distinct,
+               CAST(nb AS BIGINT) AS n_buckets_used
+        FROM s"""

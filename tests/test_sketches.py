@@ -126,3 +126,28 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     n_all, n_pre, n_true = li.count(), pre.count(), truth.count()
     assert n_pre < n_all
     assert (n_pre - n_true) <= 0.05 * n_all
+
+
+def test_hll_estimate_within_error_and_mergeable(spark):
+    from iowa_liquor_sales_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    li = read_table(spark, SF, "lineitem")
+    est = hll_estimate(li, "l_orderkey", p=8).collect()[0]["est_distinct"]
+    exact = li.select("l_orderkey").distinct().count()
+    # raw HLL stderr ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - exact) <= 0.2 * exact
+    # registers merge: max-per-bucket over split inputs == whole input
+    whole = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(li, "l_orderkey", p=8).collect()
+    }
+    evens = hll_registers(li.filter("l_orderkey % 2 = 0"), "l_orderkey", p=8)
+    odds = hll_registers(li.filter("l_orderkey % 2 = 1"), "l_orderkey", p=8)
+    merged_df = (
+        evens.unionByName(odds).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    merged = {r["bucket"]: r["rho"] for r in merged_df.collect()}
+    assert merged == whole
