@@ -54,7 +54,7 @@ from iowa_liquor_sales_spark.operators.similarity import (
     embedding_near_dup_pairs,
     rh_hyperplanes,
 )
-from iowa_liquor_sales_spark.operators.upsert import insert_ignore
+from iowa_liquor_sales_spark.operators.upsert import insert_ignore, merge_upsert
 from iowa_liquor_sales_spark.operators.text import (
     LANG_MARKERS,
     TOKEN_PATTERN,
@@ -2321,6 +2321,83 @@ def q_posexplode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Skew-busting salted join (joins.salted_join): hot keys fan across 8
+    # salts, the dim side replicates to all salts — same result set as
+    # the plain join (the oracle IS the plain join), different shuffle
+    # shape. The explicit fallback for when AQE skew-split can't help.
+    from iowa_liquor_sales_spark.operators.joins import salted_join
+
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", 2, "sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    # ON CONFLICT DO UPDATE (operators/upsert.merge_upsert): incoming
+    # rows win. The delta updates every 10th order's total and inserts
+    # shifted-key copies of every 17th — one anti-join + union, then a
+    # per-status rollup so the compared output is compact and exact.
+    o = read_table(spark, sf, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = o.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    merged = merge_upsert(
+        o, updates.unionByName(inserts), ["o_orderkey"]
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2, "sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    # SCD2 lifecycle (operators/scd): init from snapshot 1, apply
+    # snapshot 2 where every 7th customer changes segment, every 13th is
+    # deleted, and every 11th reappears under a new key. The history
+    # carries (valid_from, valid_to, is_current) — closed + opened +
+    # unchanged versions, all derived from one full-outer join.
+    from iowa_liquor_sales_spark.operators.scd import scd2_apply, scd2_init
+
+    c = read_table(spark, sf, "customer")
+    snap1 = c.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    snap2 = (
+        snap1.filter(F.col("c_custkey") % 13 != 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .unionByName(
+            snap1.filter(F.col("c_custkey") % 11 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1_000_000
+            )
+        )
+    )
+    history = scd2_apply(
+        scd2_init(snap1, "2025-01-01"), snap2, "c_custkey", "2025-02-01"
+    )
+    return history
+
+
 def _grid_quantiles_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
 
@@ -2504,6 +2581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": q_fuzzy_match,
         "q_bool_agg": q_bool_agg,
         "q_posexplode": q_posexplode,
+        "q_salted_join": q_salted_join,
+        "q_merge_upsert": q_merge_upsert,
+        "q_scd2_history": q_scd2_history,
     }
 
 
@@ -3870,4 +3950,66 @@ def oracle_sql() -> dict[str, str]:
                        FROM w)
             SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS word
             FROM s""",
+        "q_salted_join": f"""
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_lines,
+                   {_dsum("l_extendedprice", 2)} AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""",
+        "q_merge_upsert": f"""
+            WITH delta AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 17 = 0),
+            merged AS (
+              SELECT * FROM orders
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+              UNION ALL
+              SELECT * FROM delta)
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   {_dsum("o_totalprice", 2)} AS sum_total
+            FROM merged
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus""",
+        "q_scd2_history": """
+            WITH snap1 AS (
+              SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+              FROM customer),
+            snap2 AS (
+              SELECT c_custkey, c_name,
+                     CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED'
+                          ELSE c_mktsegment END AS c_mktsegment,
+                     c_acctbal
+              FROM customer WHERE c_custkey % 13 <> 0
+              UNION ALL
+              SELECT c_custkey + 1000000, c_name, c_mktsegment, c_acctbal
+              FROM customer WHERE c_custkey % 11 = 0),
+            same AS (
+              SELECT s1.c_custkey
+              FROM snap1 s1 JOIN snap2 s2 ON s1.c_custkey = s2.c_custkey
+              WHERE s1.c_name IS NOT DISTINCT FROM s2.c_name
+                AND s1.c_mktsegment IS NOT DISTINCT FROM s2.c_mktsegment
+                AND s1.c_acctbal IS NOT DISTINCT FROM s2.c_acctbal)
+            SELECT s1.c_custkey, s1.c_name, s1.c_mktsegment, s1.c_acctbal,
+                   DATE '2025-01-01' AS valid_from,
+                   CAST(NULL AS DATE) AS valid_to,
+                   TRUE AS is_current
+            FROM snap1 s1 WHERE s1.c_custkey IN (SELECT c_custkey FROM same)
+            UNION ALL
+            SELECT s1.c_custkey, s1.c_name, s1.c_mktsegment, s1.c_acctbal,
+                   DATE '2025-01-01', DATE '2025-02-01', FALSE
+            FROM snap1 s1
+            WHERE s1.c_custkey NOT IN (SELECT c_custkey FROM same)
+            UNION ALL
+            SELECT s2.c_custkey, s2.c_name, s2.c_mktsegment, s2.c_acctbal,
+                   DATE '2025-02-01', CAST(NULL AS DATE), TRUE
+            FROM snap2 s2
+            WHERE s2.c_custkey NOT IN (SELECT c_custkey FROM same)""",
     }
