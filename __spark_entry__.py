@@ -2398,6 +2398,71 @@ def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     return history
 
 
+def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    # One-pass data-profiling aggregate (the pipeline pre-flight check):
+    # row/distinct/null counts, numeric min/max/exact-sum, date span, max
+    # string length — a single wide agg so the table is scanned once
+    # (Catalyst expands the distinct into a two-level aggregate).
+    li = read_table(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_quantity", 2, "sum_qty"),
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        F.max(F.length("l_returnflag")).alias("max_flag_len"),
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    # 7-row trailing moving average of daily revenue. Daily revenue is an
+    # exact-decimal sum converted to integer cents, so the window frame
+    # sums int64 (associative — safe under Spark's running accumulation
+    # AND DuckDB's segment-tree combine); one double division at the end.
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf, "lineitem")
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("ship_date"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("ship_date").rowsBetween(-6, 0)
+    return daily.select(
+        "ship_date",
+        (F.col("rev_cents") / 100.0).alias("day_revenue"),
+        (
+            F.sum("rev_cents").over(w)
+            / (F.lit(100.0) * F.count(F.lit(1)).over(w))
+        ).alias("ma7_revenue"),
+    ).orderBy("ship_date")
+
+
+def q_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    # Bigram frequency (n-gram LM surface): adjacent word pairs built
+    # array-side with an indexed transform (no self-join, no shuffle
+    # before the count), top-20 under a total order.
+    d = read_table(spark, sf, "documents")
+    ws = F.split("text", " ")
+    bigrams = F.transform(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(ws, i + 2)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
 def _grid_quantiles_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
 
@@ -2584,6 +2649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_merge_upsert": q_merge_upsert,
         "q_scd2_history": q_scd2_history,
+        "q_profile_table": q_profile_table,
+        "q_moving_avg": q_moving_avg,
+        "q_bigrams": q_bigrams,
     }
 
 
@@ -4012,4 +4080,41 @@ def oracle_sql() -> dict[str, str]:
                    DATE '2025-02-01', CAST(NULL AS DATE), TRUE
             FROM snap2 s2
             WHERE s2.c_custkey NOT IN (SELECT c_custkey FROM same)""",
+        "q_profile_table": f"""
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(DISTINCT l_orderkey) AS n_orders,
+                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                       AS null_qty,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty,
+                   {_dsum("l_quantity", 2)} AS sum_qty,
+                   MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+                   MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+                   CAST(MAX(length(l_returnflag)) AS INTEGER)
+                       AS max_flag_len
+            FROM lineitem""",
+        "q_moving_avg": """
+            WITH daily AS (
+              SELECT CAST(l_shipdate AS DATE) AS ship_date,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS rev_cents
+              FROM lineitem GROUP BY 1)
+            SELECT ship_date,
+                   rev_cents / 100.0 AS day_revenue,
+                   SUM(rev_cents) OVER w
+                       / (100.0 * COUNT(*) OVER w) AS ma7_revenue
+            FROM daily
+            WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 6 PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY ship_date""",
+        "q_bigrams": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws
+                       FROM documents),
+                 s AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)
+            SELECT ws[i] || ' ' || ws[i + 1] AS bigram,
+                   COUNT(*) AS n
+            FROM s
+            GROUP BY bigram
+            ORDER BY n DESC, bigram
+            LIMIT 20""",
     }
