@@ -2463,6 +2463,56 @@ def q_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    # Z-order layout value (operators/layout.zorder_value): Morton-
+    # interleave (l_partkey, l_suppkey) and summarize per curve bucket —
+    # the min/max spans shrinking in BOTH dimensions is exactly what
+    # makes parquet row-group skipping work on either column after a
+    # zorder-clustered write. Pure bit arithmetic, bit-exact oracle.
+    from iowa_liquor_sales_spark.operators.layout import zorder_value
+
+    li = read_table(spark, sf, "lineitem")
+    z = zorder_value("l_partkey", "l_suppkey", bits=16)
+    return (
+        li.select(z.alias("zv"), "l_partkey", "l_suppkey")
+        .groupBy(F.shiftright(F.col("zv"), 22).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def q_try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    # try_* arithmetic (the ANSI-safe face of the reference's
+    # errors→NULL coercions): division by a structurally-zero count
+    # yields NULL, never an error — identical on ANSI and non-ANSI
+    # sessions.
+    o = read_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            dsum("o_totalprice", 2, "sum_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("o_totalprice") < 0).alias("n_negative"),
+        )
+        .select(
+            "o_orderpriority",
+            F.try_divide(F.col("sum_total"), F.col("n_orders")).alias(
+                "avg_total"
+            ),
+            F.try_divide(F.col("sum_total"), F.col("n_negative")).alias(
+                "div_by_zero"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _grid_quantiles_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
 
@@ -2473,6 +2523,22 @@ def _hll_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import hll_sql
 
     return hll_sql("l_orderkey", "lineitem", p=8)
+
+
+def _zorder_oracle() -> str:
+    from iowa_liquor_sales_spark.operators.layout import zorder_sql
+
+    zv = zorder_sql("l_partkey", "l_suppkey", bits=16)
+    return f"""
+        SELECT ({zv}) >> 22 AS z_bucket,
+               COUNT(*) AS n_rows,
+               MIN(l_partkey) AS min_part,
+               MAX(l_partkey) AS max_part,
+               MIN(l_suppkey) AS min_supp,
+               MAX(l_suppkey) AS max_supp
+        FROM lineitem
+        GROUP BY z_bucket
+        ORDER BY z_bucket"""
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
@@ -2652,6 +2718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_table": q_profile_table,
         "q_moving_avg": q_moving_avg,
         "q_bigrams": q_bigrams,
+        "q_zorder": q_zorder,
+        "q_try_arithmetic": q_try_arithmetic,
     }
 
 
@@ -4117,4 +4185,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bigram
             ORDER BY n DESC, bigram
             LIMIT 20""",
+        "q_zorder": _zorder_oracle(),
+        "q_try_arithmetic": f"""
+            WITH g AS (
+              SELECT o_orderpriority,
+                     {_dsum("o_totalprice", 2)} AS sum_total,
+                     COUNT(*) AS n_orders,
+                     COUNT(*) FILTER (WHERE o_totalprice < 0) AS n_negative
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority,
+                   sum_total / n_orders AS avg_total,
+                   CASE WHEN n_negative = 0 THEN NULL
+                        ELSE sum_total / n_negative END AS div_by_zero
+            FROM g ORDER BY o_orderpriority""",
     }

@@ -1,0 +1,56 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-column
+file skipping.
+
+At 100 TB, min/max column statistics on parquet row groups only prune
+scans if the data is clustered on the filtered columns. Sorting clusters
+one column perfectly and the others not at all; interleaving the bits of
+k columns (a Z-order / Morton curve) gives every interleaved column
+locality, so range predicates on ANY of them skip most row groups.
+The production recipe is ``df.repartitionByRange(N, zv).sortWithinPartitions
+(zv)`` then write — both steps pure Spark; the curve value itself is the
+only thing the engine must supply.
+
+The reference has no layout control beyond chunk file naming
+(src/extract.py:51); this is the Spark-native replacement for "files
+ordered by extraction date" when queries filter on more than date.
+
+``zorder_value`` builds the curve as a pure Catalyst bit-expression
+(whole-stage codegen, no UDF); ``zorder_sql`` renders the identical
+integer expression for the DuckDB oracle, so layout decisions are
+bit-reproducible cross-engine.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zorder_value(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of two non-negative integer
+    columns: result bit ``2b`` is ``y``'s bit ``b``, bit ``2b+1`` is
+    ``x``'s bit ``b``. Pure int64 expression — exact in any engine."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    cx = cx.cast("long")
+    cy = cy.cast("long")
+    terms = []
+    for b in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(cx, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(cy, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return reduce(lambda a, c: a.bitwiseOR(c), terms)
+
+
+def zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB rendering of :func:`zorder_value` (bit-identical)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((CAST({x} AS BIGINT) >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"(((CAST({y} AS BIGINT) >> {b}) & 1) << {2 * b})")
+    return " | ".join(terms)

@@ -104,3 +104,23 @@ def test_rh_component_deterministic():
     assert rh_component(0, 0) == rh_component(0, 0)
     grid = [rh_component(j, k) for j in range(4) for k in range(16)]
     assert set(grid) == {1.0, -1.0}  # both signs occur
+
+
+def test_zorder_interleaves_bits_exactly(spark):
+    from iowa_liquor_sales_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(3, 1), (0, 0), (1, 0), (0, 1), (65535, 65535)], "x long, y long"
+    )
+    out = {
+        (r["x"], r["y"]): r["zv"]
+        for r in df.select(
+            "x", "y", zorder_value("x", "y").alias("zv")
+        ).collect()
+    }
+    # x bits land on odd positions, y bits on even: (3,1) -> 0b1011 = 11
+    assert out[(3, 1)] == 0b1011
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 2
+    assert out[(0, 1)] == 1
+    assert out[(65535, 65535)] == (1 << 32) - 1
