@@ -2513,6 +2513,18 @@ def q_try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus-wide line dedup (curation.dedup_lines, the CCNet/Dolma
+    # boilerplate pass): units occurring in more than 500 copies across
+    # the corpus are dropped from every document, survivors reassemble
+    # in original order (sort_array on (pos, line) structs — no window).
+    # The synthetic docs are single-line, so the unit here is the word.
+    from iowa_liquor_sales_spark.operators.curation import dedup_lines
+
+    d = read_table(spark, sf, "documents")
+    return dedup_lines(d, "text", "doc_id", sep=" ", max_copies=500)
+
+
 def _grid_quantiles_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
 
@@ -2720,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigrams": q_bigrams,
         "q_zorder": q_zorder,
         "q_try_arithmetic": q_try_arithmetic,
+        "q_line_dedup": q_line_dedup,
     }
 
 
@@ -4198,4 +4211,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_negative = 0 THEN NULL
                         ELSE sum_total / n_negative END AS div_by_zero
             FROM g ORDER BY o_orderpriority""",
+        "q_line_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+                 lines AS (
+                   SELECT doc_id,
+                          unnest(range(1, len(ws) + 1)) AS i, ws
+                   FROM w),
+                 hashed AS (
+                   SELECT doc_id, i - 1 AS pos, ws[i] AS line,
+                          CAST(('0x' || substr(md5(ws[i]), 1, 15)) AS BIGINT)
+                              AS lh
+                   FROM lines),
+                 hot AS (
+                   SELECT lh FROM hashed
+                   GROUP BY lh HAVING COUNT(*) > 500)
+            SELECT h.doc_id,
+                   COALESCE(array_to_string(
+                       list(h.line ORDER BY h.pos)
+                           FILTER (WHERE hot.lh IS NULL), ' '), '')
+                       AS text,
+                   COUNT(*) FILTER (WHERE hot.lh IS NULL) AS n_lines_kept,
+                   COUNT(*) FILTER (WHERE hot.lh IS NOT NULL)
+                       AS n_lines_dropped
+            FROM hashed h LEFT JOIN hot ON h.lh = hot.lh
+            GROUP BY h.doc_id""",
     }

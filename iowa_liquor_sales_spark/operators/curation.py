@@ -261,3 +261,62 @@ def chunk_documents(
             F.size("chunk_").cast("long").alias("n_words"),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_copies: int = 1,
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the CCNet/Dolma pass): split
+    every document into lines, count each distinct line across the WHOLE
+    corpus, drop lines occurring in more than ``max_copies`` documents,
+    and reassemble the surviving lines in their original order.
+
+    Output: (id, text, n_lines_kept, n_lines_dropped). Documents whose
+    lines are all dropped survive with empty text (filter downstream).
+
+    Scale shape: one explode (line grain), one groupBy on the 60-bit line
+    hash (shuffle is O(distinct lines), map-side combined), one shuffle
+    join of lines against the over-represented hash set, and one groupBy
+    back to doc grain where ``sort_array`` on (pos, line) structs restores
+    order without a window. Line text itself never shuffles twice — the
+    join key is the hash, the reassembly carries (pos, line) only.
+    """
+    from iowa_liquor_sales_spark.functions.hashing import hash60
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lh", hash60(F.col("line")))
+    hot = (
+        lines.groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > max_copies)
+        .select("lh")
+    )
+    # left join preserves every line; is_hot is non-null exactly on match
+    tagged = lines.join(hot.withColumn("is_hot", F.lit(True)), "lh", "left")
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_hot").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count_if(F.col("is_hot").isNull()).alias("n_lines_kept"),
+            F.count_if(F.col("is_hot").isNotNull()).alias("n_lines_dropped"),
+        )
+    )

@@ -186,3 +186,45 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([("d", "a b")], "doc_id string, text string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, "text", "doc_id", max_words=4, overlap=4)
+
+
+def test_dedup_lines_drops_corpus_hot_lines_in_order(spark):
+    from iowa_liquor_sales_spark.operators.curation import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "keep one\nBOILER\nkeep two"),
+            ("d2", "BOILER\nunique line"),
+            ("d3", "BOILER\nonly boiler doc\nBOILER"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            docs, "text", "doc_id", sep="\n", max_copies=2
+        ).collect()
+    }
+    # BOILER appears 4 times (> 2) -> dropped everywhere, order kept
+    assert out["d1"]["text"] == "keep one\nkeep two"
+    assert out["d1"]["n_lines_kept"] == 2
+    assert out["d1"]["n_lines_dropped"] == 1
+    assert out["d2"]["text"] == "unique line"
+    assert out["d3"]["text"] == "only boiler doc"
+    assert out["d3"]["n_lines_dropped"] == 2
+
+
+def test_dedup_lines_all_dropped_yields_empty_text(spark):
+    from iowa_liquor_sales_spark.operators.curation import dedup_lines
+
+    docs = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x")], "doc_id string, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            docs, "text", "doc_id", sep="\n", max_copies=1
+        ).collect()
+    }
+    assert all(out[k]["text"] == "" for k in "abc")
+    assert all(out[k]["n_lines_kept"] == 0 for k in "abc")
