@@ -2525,6 +2525,57 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_lines(d, "text", "doc_id", sep=" ", max_copies=500)
 
 
+def q_set_ops_all(spark: SparkSession, sf: str) -> DataFrame:
+    # Bag-semantics set operations (UNION ALL / INTERSECT ALL /
+    # EXCEPT ALL — multiplicity-preserving, Spark's unionAll/
+    # intersectAll/exceptAll) summarized per op so the multiplicities
+    # themselves are what's compared. Inputs keep duplicates (one row
+    # per order), so ALL-semantics differ from the DISTINCT set ops.
+    o = read_table(spark, sf, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    out = []
+    for tag, df in (
+        ("union_all", a.unionAll(b)),
+        ("intersect_all", a.intersectAll(b)),
+        ("except_all", a.exceptAll(b)),
+    ):
+        out.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("o_custkey").alias("n_keys"),
+            ).select(F.lit(tag).alias("op"), "n_rows", "n_keys")
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+def q_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
+    # Gaps-and-islands: consecutive-order-day streaks per customer via
+    # the date-minus-row_number trick (one window, one groupBy — no
+    # self-join). Distinct days first so ties don't split islands.
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf, "orders")
+    days = o.select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    per_island = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        per_island.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("max_streak"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def _grid_quantiles_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import grid_quantiles_sql
 
@@ -2733,6 +2784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder": q_zorder,
         "q_try_arithmetic": q_try_arithmetic,
         "q_line_dedup": q_line_dedup,
+        "q_set_ops_all": q_set_ops_all,
+        "q_gaps_islands": q_gaps_islands,
     }
 
 
@@ -4236,4 +4289,39 @@ def oracle_sql() -> dict[str, str]:
                        AS n_lines_dropped
             FROM hashed h LEFT JOIN hot ON h.lh = hot.lh
             GROUP BY h.doc_id""",
+        "q_set_ops_all": """
+            WITH a AS (SELECT o_custkey FROM orders
+                       WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+                 b AS (SELECT o_custkey FROM orders
+                       WHERE EXTRACT(YEAR FROM o_orderdate) = 1996),
+                 ua AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+                 ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+                 ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            SELECT 'union_all' AS op, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT o_custkey) AS n_keys FROM ua
+            UNION ALL
+            SELECT 'intersect_all', COUNT(*), COUNT(DISTINCT o_custkey)
+            FROM ia
+            UNION ALL
+            SELECT 'except_all', COUNT(*), COUNT(DISTINCT o_custkey)
+            FROM ea""",
+        "q_gaps_islands": """
+            WITH days AS (
+              SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+              FROM orders),
+            islands AS (
+              SELECT o_custkey, d,
+                     d - CAST(ROW_NUMBER() OVER
+                         (PARTITION BY o_custkey ORDER BY d) AS INTEGER)
+                         AS island
+              FROM days),
+            per_island AS (
+              SELECT o_custkey, island, COUNT(*) AS len
+              FROM islands GROUP BY o_custkey, island)
+            SELECT o_custkey,
+                   COUNT(*) AS n_streaks,
+                   MAX(len) AS max_streak
+            FROM per_island
+            GROUP BY o_custkey
+            ORDER BY o_custkey""",
     }
