@@ -24,9 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from iowa_liquor_sales_spark import get_spark  # noqa: E402
+from iowa_liquor_sales_spark.operators.curation import (  # noqa: E402
+    chunk_documents,
+    dedup_lines,
+)
 from iowa_liquor_sales_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
+)
+from iowa_liquor_sales_spark.operators.sampling import (  # noqa: E402
+    pack_sequences,
 )
 from iowa_liquor_sales_spark.operators.graph import dedup_clusters  # noqa: E402
 from iowa_liquor_sales_spark.operators.similarity import (  # noqa: E402
@@ -85,7 +92,21 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
     clusters = dedup_clusters(pairs_text.unionByName(pairs_emb))
     drop = clusters.filter(~F.col("is_keeper")).select("doc_id")
     docs3 = docs2.join(drop, "doc_id", "left_anti")
-    docs4 = docs3
+
+    # 4. boilerplate removal: units holding >5% of ALL unit instances
+    #    drop from every document (corpus-wide line dedup; the synthetic
+    #    docs are single-line so the unit is the word — on a real corpus
+    #    the unit is the line and the threshold a handful of copies).
+    total_units = docs3.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+    hot_threshold = max(total_units // 20, 1)
+    docs4 = dedup_lines(
+        docs3, "text", "doc_id", sep=" ", max_copies=hot_threshold
+    ).filter(F.col("n_lines_kept") > 0)
+    docs4 = docs3.select("doc_id", "lang", "source", "n_chars").join(
+        docs4.select("doc_id", "text", "n_lines_kept"), "doc_id"
+    )
 
     # 5. enrich + write curated corpus.
     curated = (
@@ -94,12 +115,23 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         .join(fingerprints(docs4), "doc_id")
     )
     write_parquet(curated, out)
+
+    # 6. context layout: overlapping chunks -> fixed-token-budget packed
+    #    sequences (what the trainer's data loader reads).
+    chunks = chunk_documents(
+        curated, "text", "doc_id", max_words=64, overlap=16
+    ).withColumn("chunk_key", F.concat_ws(":", "doc_id", "chunk_id"))
+    packed = pack_sequences(chunks, "n_words", "chunk_key", budget=256)
+    write_parquet(packed, out + "_packed")
+
     stats = {
         "input": n0,
         "after_quality": docs1.count(),
         "after_exact_dedup": docs2.count(),
-        "after_minhash": docs3.count(),
-        "after_embedding_dedup": docs4.count(),
+        "after_cluster_dedup": docs3.count(),
+        "after_line_dedup": docs4.count(),
+        "n_chunks": chunks.count(),
+        "n_sequences": packed.select("shard", "seq").distinct().count(),
         "outdir": out,
     }
     print(stats)

@@ -25,11 +25,14 @@ def test_curation_pipeline_monotone(spark):
         stats["input"],
         stats["after_quality"],
         stats["after_exact_dedup"],
-        stats["after_minhash"],
-        stats["after_embedding_dedup"],
+        stats["after_cluster_dedup"],
+        stats["after_line_dedup"],
     ]
     assert chain == sorted(chain, reverse=True)  # each stage only removes
     assert chain[-1] > 0
+    # layout stages fan docs out into chunks, then packs bound sequences
+    assert stats["n_chunks"] >= stats["after_line_dedup"]
+    assert 0 < stats["n_sequences"] <= stats["n_chunks"]
 
 
 def test_stream_demo_end_to_end(spark):
