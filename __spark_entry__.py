@@ -1043,6 +1043,19 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic importance sampling (operators/sampling.weighted_sample):
+    # keep each doc with probability n_chars/2000 (capped at 1) — the
+    # "downweight short docs" curation move — decided by a content-keyed
+    # hash coin, so the surviving set is identical on every run, any
+    # partitioning, and nested across thresholds. Narrow filter, no shuffle.
+    from iowa_liquor_sales_spark.operators.sampling import weighted_sample
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    prob = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    return weighted_sample(docs, "doc_id", prob)
+
+
 def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     # KMV bottom-k sketch (operators/sketches): approximate COUNT(DISTINCT)
     # with O(k) state per task and no shuffle of the key domain — yet
@@ -2700,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
+        "q_weighted_sample": q_weighted_sample,
         "q_tfidf": q_tfidf,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_embed_centroid": q_embed_centroid,
@@ -3259,6 +3273,13 @@ def oracle_sql() -> dict[str, str]:
                               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                            % 10000 AS b
                   FROM documents)""",
+        "q_weighted_sample": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE CAST(('0x' || substr(md5('wsample' ||
+                      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+                  < least(10000, CAST(floor(
+                        least(1.0, n_chars / 2000.0) * 10000) AS BIGINT))""",
         "q_stratified_sample": """
             SELECT o_orderkey, o_orderpriority, sample_rank
             FROM (SELECT o_orderkey, o_orderpriority,

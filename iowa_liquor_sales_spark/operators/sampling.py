@@ -103,6 +103,32 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    prob: Column,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Keep each row independently with probability ``prob`` (a per-row
+    column in [0, 1]), deterministically.
+
+    Importance sampling for corpus curation: downsample low-quality or
+    over-represented documents by score while keeping the decision
+    content-keyed — the same doc survives (or not) on every run and any
+    partitioning. The coin flip is ``bucket(key) < floor(prob * 10_000)``
+    on the same 10_000-slot hash grid as :func:`hash_split`, so a row
+    kept at prob p stays kept at any prob' >= p (nested samples, the
+    property rerun-able data mixes need).
+
+    Narrow projection + filter — no shuffle, no state; the scan's filter
+    pushdown and column pruning are untouched.
+    """
+    threshold = F.least(
+        F.lit(_BUCKETS), F.floor(prob * _BUCKETS).cast("long")
+    )
+    return df.filter(split_bucket(key, salt) < threshold)
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -176,19 +176,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Plain ``spark.read.parquet`` — filter/column
     pushdown then happens automatically in every query built on top.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; the portable path is the
-    ``nanosAsLong`` legacy flag + an exact integer ``div 1000`` down to
-    microseconds (matching how DuckDB/Spark both truncate ns → us).
-    Double division would lose precision above 2^53 ns (~mid-1970!), hence
-    the integer div.
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Depending on the
+    Spark build that surfaces either as a nanosecond ``bigint`` (when the
+    ``nanosAsLong`` legacy flag is honored) or natively as
+    ``timestamp_ntz`` (newer readers truncate ns → us themselves). Handle
+    both by inspecting the landed dtype: long → exact integer ``div 1000``
+    to microseconds (double division would lose precision above 2^53 ns);
+    timestamp_ntz → plain cast to session-zone timestamp so every query
+    sees one canonical ``TimestampType``.
     """
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

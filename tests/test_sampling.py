@@ -57,6 +57,24 @@ def test_stratified_sample_arg_validation(spark):
         raise AssertionError("expected ValueError")
 
 
+def test_weighted_sample_rate_determinism_and_nesting(spark):
+    from iowa_liquor_sales_spark.operators.sampling import weighted_sample
+
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    half = weighted_sample(df, "k", F.lit(0.5))
+    n_half = half.count()
+    assert 1800 < n_half < 2200  # ~Binomial(4000, 0.5), generous bounds
+    # deterministic under repartition/rerun
+    again = weighted_sample(df.repartition(9), "k", F.lit(0.5))
+    assert half.exceptAll(again).isEmpty()
+    # nested: everything kept at 0.3 is also kept at 0.5
+    low = weighted_sample(df, "k", F.lit(0.3))
+    assert low.exceptAll(half).isEmpty()
+    # degenerate probabilities
+    assert weighted_sample(df, "k", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "k", F.lit(1.0)).count() == 4000
+
+
 def test_pack_sequences_budget_and_determinism(spark):
     from pyspark.sql import functions as F
 
