@@ -63,11 +63,14 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def stage_stringly(spark, sf: str, path: str) -> None:
+def stage_stringly(spark, sf: str, path: str, n_parts: int = 32) -> None:
     """One-time staging of an all-string copy of lineitem — the wire-format
     input the reference's transform stage starts from (its raw parquet
-    chunks hold CSV-parsed strings)."""
-    li = read_table(spark, sf, "lineitem")
+    chunks hold CSV-parsed strings). Staged as ``n_parts`` files: the
+    testdata ships one single-row-group parquet per table, which caps any
+    scan of it at one task — the reference's own raw stage is 285 chunk
+    files, so a multi-file staging ground is the faithful layout."""
+    li = read_table(spark, sf, "lineitem").repartition(n_parts)
     li.select(
         F.col("l_orderkey").cast("string").alias("l_orderkey"),
         F.col("l_shipdate").cast("string").alias("date"),
@@ -108,17 +111,44 @@ def main() -> None:
     # cost doesn't land on an arbitrary headline query.
     _force(entry_mod.entry(spark))
 
+    # Warehouse ingest, timed as its own entry: the testdata ships ONE
+    # single-row-group parquet file per table, which caps every scan of it
+    # at one task no matter how many cores (or executors) exist. No engine
+    # would serve queries off that layout at scale — the reference itself
+    # stages 285 chunk files. Pay the re-layout cost once, honestly, then
+    # run every query against the splittable copy. Dims stay single-file
+    # (they broadcast); fact-sized tables get one file per core.
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    n = int(cpus)
+    t0 = time.perf_counter()
+    for tbl, parts in [
+        ("lineitem", n),
+        ("orders", n),
+        ("events", n),
+        ("customer", 4),
+        ("documents", 4),
+        ("embeddings", 4),
+        ("part", 1),
+        ("supplier", 1),
+        ("nation", 1),
+        ("region", 1),
+    ]:
+        read_table(spark, sf_dir, tbl).repartition(parts).write.mode(
+            "overwrite"
+        ).parquet(f"{wh}/{tbl}.parquet")
+    timings["q_warehouse_ingest"] = round(time.perf_counter() - t0, 3)
+
     for name in HEADLINE:
         # Each query is measured self-contained: operators that persist
         # intermediates (minhash/jaccard) would otherwise leave cached
         # blocks that evict-churn later queries' caches.
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        _force(queries[name](spark, sf_dir))
+        _force(queries[name](spark, wh))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     staged = tempfile.mkdtemp(prefix="bench_stringly_") + "/lineitem_str"
-    stage_stringly(spark, sf_dir, staged)
+    stage_stringly(spark, wh, staged, n_parts=int(cpus))
     t0 = time.perf_counter()
     _force(q_silver_transform(spark, staged))
     timings["q_silver_transform"] = round(time.perf_counter() - t0, 3)
@@ -130,7 +160,10 @@ def main() -> None:
     # partition-parallel serialization.
     csv_dest = tempfile.mkdtemp(prefix="bench_csvload_") + "/lineitem_csv"
     t0 = time.perf_counter()
-    read_table(spark, sf_dir, "lineitem").write.mode("overwrite").option(
+    # repartition: the source is one unsplittable row group; COPY-wire
+    # serialization is embarrassingly parallel and must run one task per
+    # core (the cluster-shaped plan), not one writer thread.
+    read_table(spark, wh, "lineitem").write.mode("overwrite").option(
         "nullValue", "\\N"
     ).option("header", "false").csv(csv_dest)
     timings["q_csv_load"] = round(time.perf_counter() - t0, 3)
