@@ -131,3 +131,30 @@ def test_dim_date_pg_dow_convention(spark):
     assert rows["2026-08-12"]["day_of_week"] == 3  # Wednesday
     assert rows["2026-08-09"]["is_weekend"] and rows["2026-08-15"]["is_weekend"]
     assert not rows["2026-08-12"]["is_weekend"]
+
+
+def test_cli_pipeline_end_to_end(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "examples")
+    from examples.run_iowa_pipeline import stage_sample_pages
+
+    from iowa_liquor_sales_spark.__main__ import main
+
+    pages = str(tmp_path / "pages")
+    stage_sample_pages(spark, pages, n_rows=2000)
+    rc = main(
+        [
+            "pipeline",
+            "--input",
+            pages,
+            "--workdir",
+            str(tmp_path / "wh"),
+            "--fact-partition-by-year",
+        ]
+    )
+    assert rc == 0
+    fact = spark.read.parquet(str(tmp_path / "wh/gold/fact_sales"))
+    assert fact.count() == 2000
+    # hive partitioning materialized: year appears as a partition column
+    assert "year" in fact.columns
