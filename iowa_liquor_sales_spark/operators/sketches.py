@@ -277,10 +277,13 @@ def grid_quantiles(
     (``q_grid_quantiles``), unlike t-digest/GK which are
     implementation-defined.
 
-    Scale shape: the heavy pass is a map-side-combinable groupBy bounded
-    by bucket cardinality; the finalize window runs over the tiny
-    histogram only (single partition BY DESIGN — it is sketch
-    finalization, like KMV's merge task, not a data-sized sort).
+    Scale shape: the heavy pass is a map-side-combinable groupBy whose
+    shuffle is bounded by bucket cardinality — the value domain at grid
+    resolution (~130k buckets for sf0.1 order totals), not the row
+    count. The finalize window runs over that histogram only (single
+    partition BY DESIGN — it is sketch finalization, like KMV's merge
+    task, not a data-sized sort; coarsen the grid if the value domain
+    itself is huge).
     """
     from pyspark.sql.window import Window
 

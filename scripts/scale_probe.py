@@ -52,9 +52,14 @@ def bench_one(spark, li_path: str) -> dict[str, float]:
     timings = {}
 
     def t(label, df):
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[label] = round(time.perf_counter() - t0, 2)
+        # best-of-2: single-shot walls on a busy local[32] JVM are noisy
+        # (GC, JIT, AQE re-plan); the min is the repeatable cost.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[label] = round(best, 2)
 
     t("groupby_agg", pricing_summary(li))
     # Star-ish join: fact joins broadcast orders dim (orderkey mod original
@@ -80,6 +85,64 @@ def bench_one(spark, li_path: str) -> dict[str, float]:
         ),
     )
     t("distinct_agg", li.select("l_orderkey").distinct().agg(F.count(F.lit(1))))
+    return timings
+
+
+def replicate_docs(spark, factor: int, out: str) -> None:
+    """Replicate documents with per-replica word salting. Salting every
+    word keeps replicas from being near-duplicates of each other (every
+    shingle differs), so MinHash/Jaccard candidate counts grow linearly
+    with the corpus instead of quadratically with the replication — the
+    probe then measures the operator, not an artifact of copying."""
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    n_docs = docs.count()
+    salted = F.when(
+        F.col("rep") == 0, F.col("text")
+    ).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("_"), F.col("rep").cast("string")),
+            ),
+            " ",
+        )
+    )
+    (
+        docs.select("*", reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n_docs))
+        .withColumn("text", salted)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+def bench_docs(spark, docs_path: str) -> dict[str, float]:
+    from iowa_liquor_sales_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from iowa_liquor_sales_spark.operators.text import quality_metrics, token_counts
+
+    docs = spark.read.parquet(docs_path)
+    timings = {}
+
+    def t(label, df):
+        # best-of-2: single-shot walls on a busy local[32] JVM are noisy
+        # (GC, JIT, AQE re-plan); the min is the repeatable cost.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[label] = round(best, 2)
+
+    t("exact_dedup", exact_dedup(docs, "text", "doc_id"))
+    t("token_count", token_counts(docs, "text", "doc_id"))
+    t("text_quality", quality_metrics(docs, "text", "doc_id"))
+    t("minhash_lsh", minhash_lsh_pairs(docs, "text", "doc_id"))
     return timings
 
 
@@ -123,9 +186,43 @@ def main() -> None:
             + " | ".join(f"{results[f][q]:.2f}s" for f in (1, 10, 50))
             + " |"
         )
+    doc_results: dict[int, dict[str, float]] = {}
+    doc_rows: dict[int, int] = {}
+    for factor in (1, 4, 16):
+        path = f"{WORK}/documents_x{factor}"
+        if factor == 1:
+            path = f"{BASE}/documents.parquet"
+        else:
+            replicate_docs(spark, factor, path)
+        doc_rows[factor] = spark.read.parquet(path).count()
+        doc_results[factor] = bench_docs(spark, path)
+
+    lines += [
+        "",
+        "## Corpus-op probe (replicated, word-salted documents)",
+        "",
+        "Same shape check for the training-data operators: documents",
+        "replicated with per-replica word salting so replicas are NOT",
+        "near-duplicates of each other (candidate pairs grow with the",
+        "corpus, not quadratically with the copying). MinHash cost is one",
+        "shingle scan + banded self-join on (band, bucket); exact dedup,",
+        "token and quality passes are single-scan map-side aggregates.",
+        "",
+        "| op | "
+        + " | ".join(f"x{f} ({doc_rows[f]:,} docs)" for f in (1, 4, 16))
+        + " |",
+        "|---|---|---|---|",
+    ]
+    for q in doc_results[1]:
+        lines.append(
+            f"| {q} | "
+            + " | ".join(f"{doc_results[f][q]:.2f}s" for f in (1, 4, 16))
+            + " |"
+        )
+
     with open("SCALE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("\n".join(lines[-5:]))
+    print("\n".join(lines[-12:]))
     shutil.rmtree(WORK, ignore_errors=True)
 
 
