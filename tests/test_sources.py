@@ -72,6 +72,53 @@ def test_inferred_schema_from_page_header(spark, tmp_path):
     ]
 
 
+def test_paged_stream_reader_incremental_exactly_once(spark, tmp_path):
+    """The streaming twin: pages arriving over time are consumed once
+    each, across separate availableNow runs sharing a checkpoint."""
+    pages_dir = str(tmp_path / "stream_pages")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    n_rows, n_pages = _stage_pages(spark, pages_dir, page_rows=50)
+    assert n_pages >= 2
+    # Hold back the last page to simulate a feed that grows mid-stream.
+    held_back = os.path.join(pages_dir, f"page_{n_pages - 1:05d}.csv")
+    with open(held_back) as f:
+        held_rows = sum(1 for _ in f) - 1  # minus header
+    parked = str(tmp_path / "parked.csv")
+    os.rename(held_back, parked)
+
+    spark.dataSource.register(SocrataPagedDataSource)
+
+    def drain():
+        stream = (
+            spark.readStream.format("socrata_paged")
+            .schema(
+                "c_custkey string, c_name string, c_nationkey string, "
+                "c_acctbal string, c_mktsegment string"
+            )
+            .option("pages_dir", pages_dir)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(out).count()
+    assert first == n_rows - held_rows  # all but the held-back page
+    # Feed grows; a restarted query picks up ONLY the new page.
+    os.rename(parked, held_back)
+    drain()
+    final = spark.read.parquet(out)
+    assert final.count() == n_rows
+    assert final.select("c_custkey").distinct().count() == n_rows
+
+
 def test_salted_join_equals_plain_join(spark):
     li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
     o = read_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
