@@ -56,6 +56,11 @@ HEADLINE = [
     "q_pagerank",
     "q_grid_quantiles",
     "q_heavy_hitters",
+    "q_split_assign",
+    "q_weighted_sample",
+    "q_pack_sequences",
+    "q_hll",
+    "q_zorder",
 ]
 
 
