@@ -456,6 +456,38 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_socrata_scan(spark: SparkSession, sf: str) -> DataFrame:
+    # S1/S3: the paged Socrata-style Python DataSource (sources/socrata):
+    # customer staged as CSV pages (the HTTP wire format), scanned back
+    # with one Spark partition per page, typed in the silver layer. The
+    # oracle is the original table — a pure round-trip identity, which is
+    # exactly the reference extract stage's correctness contract.
+    from iowa_liquor_sales_spark.sources.socrata import SocrataPagedDataSource
+    from iowa_liquor_sales_spark.sources.writers import write_csv
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    pages = tempfile.mkdtemp(prefix="iowa_socrata_pages_")
+    write_csv(c.repartition(8), pages, header=True)
+    spark.dataSource.register(SocrataPagedDataSource)
+    raw = (
+        spark.read.format("socrata_paged")
+        .schema(
+            "c_custkey string, c_name string, c_acctbal string, "
+            "c_mktsegment string"
+        )
+        .option("pages_dir", pages)
+        .load()
+    )
+    return raw.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
 def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
     # A2 into an EXISTING table: INSERT ... ON CONFLICT DO NOTHING
     # (existing rows win, new keys inserted) via anti-join + union.
@@ -2692,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conditional_agg": q_conditional_agg,
         "q_string_funcs": q_string_funcs,
         "q_json_extract": q_json_extract,
+        "q_socrata_scan": q_socrata_scan,
         "q_upsert": q_upsert,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -2834,6 +2867,9 @@ def oracle_sql() -> dict[str, str]:
                    l_quantity, CAST(l_shipdate AS DATE) AS ship_date
             FROM lineitem""",
         "q_project": "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+        "q_socrata_scan": """
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+            FROM customer""",
         "q_filter_between": """
             SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
             FROM lineitem
