@@ -1125,6 +1125,24 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    # Video-style 1->N frame fan-out inside mapInPandas (multimodal/
+    # binary_ops.sample_frames): every 2nd fixed-64-byte "frame" of each
+    # payload becomes its own row, fanned out batch-side with no explode
+    # and no driver hop. The stub codec slices bytes; documents.text is
+    # pure ASCII, so the byte windows are SQL-expressible and the whole
+    # Arrow-batched pipeline gets a bit-exact oracle.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import sample_frames
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    framed = sample_frames(attach_payload(docs), every_n=2, frame_bytes=64)
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        F.col("frame").cast("string").alias("frame_txt"),
+    )
+
+
 def q_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     # Array-function surface over array<float>: size / min / max /
     # element access / slicing — all exact (order-independent or
@@ -2763,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "q_quality_report": q_quality_report,
         "q_multimodal_features": q_multimodal_features,
+        "q_multimodal_frames": q_multimodal_frames,
         "q_array_funcs": q_array_funcs,
         "q_group_normalize": q_group_normalize,
         "q_minmax_by": q_minmax_by,
@@ -3604,6 +3623,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) - length(replace(text, 'a', '')) AS INTEGER)
                        AS n_a_bytes
             FROM documents""",
+        "q_multimodal_frames": """
+            SELECT doc_id,
+                   CAST(fi AS INTEGER) AS frame_idx,
+                   substr(text, CAST(fi * 64 + 1 AS INTEGER), 64) AS frame_txt
+            FROM (SELECT doc_id, text,
+                         unnest(range(0,
+                             CAST(ceil(length(text) / 64.0) AS BIGINT),
+                             2)) AS fi
+                  FROM documents)""",
         "q_minmax_by": """
             SELECT o_orderpriority,
                    max_by(o_orderkey, score) AS max_orderkey,
