@@ -488,6 +488,23 @@ def q_socrata_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    # Binary->binary resize through the Arrow mapInPandas path
+    # (multimodal/binary_ops.resize_images). The stub codec cycles
+    # payload bytes to exactly target_w*target_h=256; over pure-ASCII
+    # text that equals repeat-then-truncate, so the oracle reproduces
+    # the bytes with repeat()+substr() and the comparison is bit-exact.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import resize_images
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    resized = resize_images(attach_payload(docs), target_w=16, target_h=16)
+    return resized.select(
+        "doc_id",
+        F.col("payload").cast("string").alias("resized_txt"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+
+
 def q_upsert(spark: SparkSession, sf: str) -> DataFrame:
     # A2 into an EXISTING table: INSERT ... ON CONFLICT DO NOTHING
     # (existing rows win, new keys inserted) via anti-join + union.
@@ -2782,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_report": q_quality_report,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_frames": q_multimodal_frames,
+        "q_multimodal_resize": q_multimodal_resize,
         "q_array_funcs": q_array_funcs,
         "q_group_normalize": q_group_normalize,
         "q_minmax_by": q_minmax_by,
@@ -3632,6 +3650,13 @@ def oracle_sql() -> dict[str, str]:
                              CAST(ceil(length(text) / 64.0) AS BIGINT),
                              2)) AS fi
                   FROM documents)""",
+        "q_multimodal_resize": """
+            SELECT doc_id,
+                   substr(repeat(text,
+                          CAST(ceil(256.0 / length(text)) AS INTEGER)),
+                          1, 256) AS resized_txt,
+                   256 AS n_bytes
+            FROM documents""",
         "q_minmax_by": """
             SELECT o_orderpriority,
                    max_by(o_orderkey, score) AS max_orderkey,
