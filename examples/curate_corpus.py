@@ -34,6 +34,7 @@ from iowa_liquor_sales_spark.operators.dedup import (  # noqa: E402
 )
 from iowa_liquor_sales_spark.operators.sampling import (  # noqa: E402
     pack_sequences,
+    weighted_sample,
 )
 from iowa_liquor_sales_spark.operators.graph import dedup_clusters  # noqa: E402
 from iowa_liquor_sales_spark.operators.similarity import (  # noqa: E402
@@ -108,15 +109,23 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         docs4.select("doc_id", "text", "n_lines_kept"), "doc_id"
     )
 
-    # 5. enrich + write curated corpus.
+    # 5. importance sampling: downweight the short-doc tail with a
+    #    content-keyed hash coin (deterministic across reruns and
+    #    repartitions — a rand() sample would reshuffle every run).
+    #    Keep probability ramps 0->1 up to 800 chars.
+    docs5 = weighted_sample(
+        docs4, "doc_id", F.least(F.lit(1.0), F.col("n_chars") / F.lit(800.0))
+    )
+
+    # 6. enrich + write curated corpus.
     curated = (
-        docs4.join(lang_id(docs4).select("doc_id", "pred_lang"), "doc_id")
-        .join(token_counts(docs4), "doc_id")
-        .join(fingerprints(docs4), "doc_id")
+        docs5.join(lang_id(docs5).select("doc_id", "pred_lang"), "doc_id")
+        .join(token_counts(docs5), "doc_id")
+        .join(fingerprints(docs5), "doc_id")
     )
     write_parquet(curated, out)
 
-    # 6. context layout: overlapping chunks -> fixed-token-budget packed
+    # 7. context layout: overlapping chunks -> fixed-token-budget packed
     #    sequences (what the trainer's data loader reads).
     chunks = chunk_documents(
         curated, "text", "doc_id", max_words=64, overlap=16
@@ -130,6 +139,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         "after_exact_dedup": docs2.count(),
         "after_cluster_dedup": docs3.count(),
         "after_line_dedup": docs4.count(),
+        "after_weighted_sample": docs5.count(),
         "n_chunks": chunks.count(),
         "n_sequences": packed.select("shard", "seq").distinct().count(),
         "outdir": out,

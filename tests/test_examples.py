@@ -27,11 +27,12 @@ def test_curation_pipeline_monotone(spark):
         stats["after_exact_dedup"],
         stats["after_cluster_dedup"],
         stats["after_line_dedup"],
+        stats["after_weighted_sample"],
     ]
     assert chain == sorted(chain, reverse=True)  # each stage only removes
     assert chain[-1] > 0
     # layout stages fan docs out into chunks, then packs bound sequences
-    assert stats["n_chunks"] >= stats["after_line_dedup"]
+    assert stats["n_chunks"] >= stats["after_weighted_sample"]
     assert 0 < stats["n_sequences"] <= stats["n_chunks"]
 
 
