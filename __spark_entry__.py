@@ -1183,6 +1183,79 @@ def q_group_normalize(spark: SparkSession, sf: str) -> DataFrame:
     return group_normalize(read_table(spark, sf, "customer"))
 
 
+def q_ratio_to_report(spark: SparkSession, sf: str) -> DataFrame:
+    # Ratio-to-report window: each positive-balance customer's share of
+    # its market segment's balance, in exact integer ppm (cents * 1e6
+    # div segment cents) so the division is bit-identical cross-engine
+    # (restricted to positive cents: Spark `div` truncates toward zero
+    # while DuckDB `//` floors, which disagree below zero). One shuffle
+    # on the segment key; the window aggregate is a running-free SUM OVER
+    # PARTITION — no sort, state O(1) per partition.
+    c = read_table(spark, sf, "customer").filter(F.col("c_acctbal") > 0)
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        c.withColumn("cents", cents)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "cents",
+            F.expr(
+                "cents * 1000000 div sum(cents) over "
+                "(partition by c_mktsegment)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+def q_yoy_growth(spark: SparkSession, sf: str) -> DataFrame:
+    # Year-over-year growth: yearly revenue rollup (map-side combinable,
+    # O(years) state), then lag over the tiny yearly frame — the window
+    # runs on the aggregate, never the fact rows. Growth is an exact
+    # integer cents delta; NULL for the first year (three-valued lag).
+    o = read_table(spark, sf, "orders")
+    from pyspark.sql.window import Window
+
+    yearly = (
+        o.groupBy(F.year("o_orderdate").alias("year"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("year")
+    return yearly.select(
+        "year",
+        "rev_cents",
+        (F.col("rev_cents") - F.lag("rev_cents").over(w)).alias(
+            "yoy_delta_cents"
+        ),
+    )
+
+
+def q_keyset_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    # Keyset (seek-method) pagination: the scalable replacement for
+    # OFFSET (P3) — resume AFTER a known composite key instead of
+    # skipping N rows, so the predicate pushes to the scan and page cost
+    # stays O(page), not O(offset). Composite strict-after predicate on
+    # the unique (l_orderkey, l_linenumber) order.
+    li = read_table(spark, sf, "lineitem")
+    after_key, after_line = 1000, 2
+    page = (
+        li.filter(
+            (F.col("l_orderkey") > after_key)
+            | (
+                (F.col("l_orderkey") == after_key)
+                & (F.col("l_linenumber") > after_line)
+            )
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+    return page
+
+
 def q_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
     # max_by/min_by (arg-max/arg-min) aggregates: the order that realized
     # the extreme total per priority. The ordering key is an exact integer
@@ -2802,6 +2875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_resize": q_multimodal_resize,
         "q_array_funcs": q_array_funcs,
         "q_group_normalize": q_group_normalize,
+        "q_ratio_to_report": q_ratio_to_report,
+        "q_yoy_growth": q_yoy_growth,
+        "q_keyset_pagination": q_keyset_pagination,
         "q_minmax_by": q_minmax_by,
         "q_window_firstlast": q_window_firstlast,
         "q_mode": q_mode,
@@ -3657,6 +3733,34 @@ def oracle_sql() -> dict[str, str]:
                           1, 256) AS resized_txt,
                    256 AS n_bytes
             FROM documents""",
+        "q_ratio_to_report": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * 1000000
+                   // SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                          AS BIGINT))
+                      OVER (PARTITION BY c_mktsegment) AS share_ppm
+            FROM customer WHERE c_acctbal > 0""",
+        "q_yoy_growth": """
+            WITH yearly AS (
+              SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+                         AS year,
+                     SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS rev_cents
+              FROM orders GROUP BY 1)
+            SELECT year, rev_cents,
+                   rev_cents - lag(rev_cents) OVER (ORDER BY year)
+                       AS yoy_delta_cents
+            FROM yearly""",
+        "q_keyset_pagination": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey > 1000
+               OR (l_orderkey = 1000 AND l_linenumber > 2)
+            ORDER BY l_orderkey, l_linenumber
+            LIMIT 100""",
         "q_minmax_by": """
             SELECT o_orderpriority,
                    max_by(o_orderkey, score) AS max_orderkey,
