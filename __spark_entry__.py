@@ -1256,6 +1256,43 @@ def q_keyset_pagination(spark: SparkSession, sf: str) -> DataFrame:
     return page
 
 
+def q_rank_dense(spark: SparkSession, sf: str) -> DataFrame:
+    # Tie-aware ranking semantics: rank() leaves gaps after ties,
+    # dense_rank() doesn't. Ordering is by value only, so tied rows get
+    # identical ranks and the output is deterministic without a unique
+    # tiebreak — the one window family where ties are the point.
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.rank().over(w).alias("qty_rank"),
+        F.dense_rank().over(w).alias("qty_dense_rank"),
+    )
+
+
+def q_cross_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Explicit CROSS JOIN (cartesian grid): every (region, nation) cell —
+    # the dimension-grid shape behind coverage matrices and date spines.
+    # Both sides are tiny dims, so the product is a broadcast
+    # nested-loop, never a shuffled cartesian of fact-sized inputs.
+    r = read_table(spark, sf, "region").select(
+        F.col("r_regionkey").alias("grid_regionkey"),
+        F.col("r_name").alias("region_name"),
+    )
+    n = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("grid_nationkey"),
+        F.col("n_name").alias("nation_name"),
+    )
+    return r.crossJoin(n)
+
+
 def q_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
     # max_by/min_by (arg-max/arg-min) aggregates: the order that realized
     # the extreme total per priority. The ordering key is an exact integer
@@ -2875,6 +2912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_resize": q_multimodal_resize,
         "q_array_funcs": q_array_funcs,
         "q_group_normalize": q_group_normalize,
+        "q_rank_dense": q_rank_dense,
+        "q_cross_join": q_cross_join,
         "q_ratio_to_report": q_ratio_to_report,
         "q_yoy_growth": q_yoy_growth,
         "q_keyset_pagination": q_keyset_pagination,
@@ -3733,6 +3772,17 @@ def oracle_sql() -> dict[str, str]:
                           1, 256) AS resized_txt,
                    256 AS n_bytes
             FROM documents""",
+        "q_rank_dense": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                   CAST(rank() OVER w AS INTEGER) AS qty_rank,
+                   CAST(dense_rank() OVER w AS INTEGER) AS qty_dense_rank
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_quantity DESC)""",
+        "q_cross_join": """
+            SELECT r_regionkey AS grid_regionkey, r_name AS region_name,
+                   n_nationkey AS grid_nationkey, n_name AS nation_name
+            FROM region CROSS JOIN nation""",
         "q_ratio_to_report": """
             SELECT c_custkey, c_mktsegment,
                    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
