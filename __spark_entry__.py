@@ -3305,8 +3305,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id, b.bit
             )
             SELECT doc_id,
-                   SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
-                            ELSE CAST(0 AS BIGINT) END) AS simhash
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                            ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id""",
         "q_embed_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -3655,7 +3655,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, fp
             FROM (SELECT doc_id, unnest(mins) AS fp FROM m)""",
         "q_embed_centroid": """
-            SELECT label, pos, SUM(x_e6) AS sum_e6, COUNT(*) AS n
+            SELECT label, pos, CAST(SUM(x_e6) AS BIGINT) AS sum_e6,
+                   COUNT(*) AS n
             FROM (SELECT label,
                          CAST(generate_subscripts(embedding, 1) - 1 AS INT)
                            AS pos,
@@ -3709,10 +3710,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             sess AS (
               SELECT user_id, event_id, ts,
-                     SUM(new_session) OVER (
+                     CAST(SUM(new_session) OVER (
                          PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS session_id
+                     AS BIGINT) AS session_id
               FROM flagged
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -3787,18 +3788,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_mktsegment,
                    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
                        AS cents,
-                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
                        * 1000000
                    // SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
                           AS BIGINT))
-                      OVER (PARTITION BY c_mktsegment) AS share_ppm
+                      OVER (PARTITION BY c_mktsegment) AS BIGINT) AS share_ppm
             FROM customer WHERE c_acctbal > 0""",
         "q_yoy_growth": """
             WITH yearly AS (
               SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
                          AS year,
-                     SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                         AS BIGINT)) AS rev_cents
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_cents
               FROM orders GROUP BY 1)
             SELECT year, rev_cents,
                    rev_cents - lag(rev_cents) OVER (ORDER BY year)
@@ -3986,10 +3987,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY nation, o_year DESC""",
         "q_shipmode_priority": """
             SELECT l_linestatus,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                            ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE CAST(l_shipdate AS DATE)
                   BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
@@ -4206,8 +4209,9 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) AS n_words,
                    len(list_filter(string_split(text, ' '),
                        w -> length(w) > 4)) AS long_words,
-                   coalesce(list_sum(list_transform(string_split(text, ' '),
-                       w -> length(w))), 0) AS total_len,
+                   CAST(coalesce(list_sum(list_transform(
+                       string_split(text, ' '),
+                       w -> length(w))), 0) AS BIGINT) AS total_len,
                    len(list_filter(string_split(text, ' '),
                        w -> regexp_matches(w, '[0-9]'))) > 0 AS has_digit,
                    len(list_filter(string_split(text, ' '),
@@ -4266,10 +4270,10 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents GROUP BY text)
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
-                       AS n_dups,
-                   SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
-                       * 1000000 // COUNT(*) AS dup_ppm
+                   CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_dups,
+                   CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                       * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
             FROM documents JOIN g USING (text)
             GROUP BY source""",
         "q_corpus_yield": """
@@ -4281,10 +4285,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   SUM(toks) AS n_tokens,
-                   SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS kept_docs,
-                   SUM(CASE WHEN keeper THEN toks ELSE 0 END)
-                       AS kept_tokens
+                   CAST(SUM(toks) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT)
+                       AS kept_docs,
+                   CAST(SUM(CASE WHEN keeper THEN toks ELSE 0 END)
+                       AS BIGINT) AS kept_tokens
             FROM d GROUP BY lang""",
         "q_chunk_documents": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -4481,8 +4486,8 @@ def oracle_sql() -> dict[str, str]:
         "q_profile_table": f"""
             SELECT COUNT(*) AS n_rows,
                    COUNT(DISTINCT l_orderkey) AS n_orders,
-                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
-                       AS null_qty,
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_qty,
                    MIN(l_quantity) AS min_qty,
                    MAX(l_quantity) AS max_qty,
                    {_dsum("l_quantity", 2)} AS sum_qty,

@@ -28,12 +28,21 @@ def _norm(v):
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, Decimal):
+        # Integral decimals beyond float64's exact-int range (2^53) must
+        # compare exactly — float() would silently drop low bits (the
+        # round-1 q_simhash driver failure mode).
+        if v == v.to_integral_value() and abs(v) > 2**53:
+            return ("i", int(v))
         return ("f", float(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
         return ("f", round(v, 9))
     if isinstance(v, int):
+        # Small ints keep the float encoding (lenient across int/float/
+        # Decimal column types); big ints compare exactly.
+        if abs(v) > 2**53:
+            return ("i", v)
         return ("f", float(v))
     if isinstance(v, datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
