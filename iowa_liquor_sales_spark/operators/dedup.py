@@ -122,12 +122,24 @@ def shingles(
     return out
 
 
-def jaccard_pairs(shingle_df: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+def jaccard_pairs(
+    shingle_df: DataFrame,
+    min_jaccard: float = 0.5,
+    max_df: int | float | None = 0.05,
+) -> DataFrame:
     """All-pairs n-gram Jaccard via an inverted-index self-join — pairs are
     generated only for documents sharing ≥1 shingle, then scored exactly.
 
-    At 100 TB you do not run this raw: compose with :func:`minhash_lsh_pairs`
-    (LSH candidates → exact verify) or ``max_df`` shingle capping.
+    ``max_df`` caps shingle document frequency before the self-join: a
+    shingle present in more than the cap (an int count, or a float
+    fraction of the corpus) is dropped from BOTH the index and the
+    per-doc sizes. Without it, one stop-word shingle in n docs yields n²
+    candidate rows — the classic all-pairs scale-killer. The default 5%
+    cap only touches near-ubiquitous shingles, which carry no similarity
+    signal (any pair sharing one is either near-identical — still found
+    via its other shingles — or unrelated). ``max_df=None`` restores raw
+    exact semantics. For sub-quadratic behavior beyond the cap, compose
+    with :func:`minhash_lsh_pairs` (LSH candidates → exact verify).
     """
     # Join on a 64-bit hash of the shingle instead of the string: same
     # intersection counts (collision odds ~n²/2^64 — vanishing), far
@@ -141,6 +153,24 @@ def jaccard_pairs(shingle_df: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     # subtree, each re-running the scan→explode (measured ~4x wall).
     keyed = keyed.persist()
     keyed.count()
+    if max_df is not None:
+        if isinstance(max_df, float):
+            n_docs = keyed.select("doc_id").distinct().count()
+            cap = max(1, int(max_df * n_docs))
+        else:
+            cap = int(max_df)
+        hot = (
+            keyed.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+            .select("shingle")
+        )
+        # Hot set is tiny by construction (shingles above the cap) —
+        # broadcast anti-join, no extra shuffle of the index.
+        capped = keyed.join(F.broadcast(hot), "shingle", "left_anti").persist()
+        capped.count()
+        keyed.unpersist()
+        keyed = capped
     sizes = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = keyed.alias("a")
     b = keyed.alias("b")

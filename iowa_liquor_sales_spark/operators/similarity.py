@@ -145,13 +145,17 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (ids only — the score is
     FP-order sensitive at the last bit, ids are stable).
 
-    Default path (``use_arrow``): blocked matrix multiply via
-    ``mapInPandas`` — each partition's block of vectors is multiplied
-    (BLAS) against a broadcast of the full normalized matrix, and only
-    above-threshold pairs are emitted. Same memory contract as a broadcast
-    hash join: one side must fit in executor memory (here the comparison
-    matrix); beyond that, compose :func:`rh_bucketize` + a bucket join so
-    each task only multiplies against its bucket's block.
+    Default path (``use_arrow``): block-pair matrix multiply — vectors are
+    hashed into B bounded blocks, the B-row packed-block relation is
+    self-joined on ``blk_a <= blk_b`` (B(B+1)/2 rows), and each task
+    numpy-matmuls one block against one block. Exact all-pairs is
+    inherently O(n²) compute, but per-task memory is bounded by two
+    blocks and there is **no driver-side materialization of the corpus**
+    (the round-1 design broadcast a driver ``collect()`` of the whole
+    table — an OOM at scale). Shuffle volume is B copies of each block;
+    pick ``rows_per_block`` so a block is a few MB. For sub-quadratic
+    approximate semantics, compose :func:`rh_bucketize` + a bucket join
+    instead.
 
     The non-Arrow fallback is the pure-Catalyst theta-join form (exact
     same semantics, no Python), useful where Arrow is unavailable.
@@ -184,45 +188,82 @@ def embedding_near_dup_pairs(
 
 
 def _near_dup_pairs_blocked(
-    embeddings: DataFrame, min_cosine: float, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    min_cosine: float,
+    id_col: str,
+    vec_col: str,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
-    """Blocked all-pairs cosine: numpy matmul per Arrow batch against a
-    broadcast normalized matrix. Emits (id_a, id_b) with id_a < id_b."""
+    """Block-pair all-pairs cosine: ids are hashed into B blocks sized
+    ``rows_per_block``; each of the B(B+1)/2 block pairs is one task's
+    numpy matmul. Emits (id_a, id_b) with id_a < id_b.
+
+    The only driver-side value is the row COUNT (to size B) — corpus
+    bytes never leave the executors, unlike a broadcast-matrix design.
+    """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    unit = mat / norms[:, None]
-    sc = embeddings.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_unit = sc.broadcast(unit)
+    n = embeddings.count()
+    n_blocks = int(max(1, -(-n // rows_per_block)))
+    packed = (
+        embeddings.select(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+            .cast("int")
+            .alias("blk"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+            ).alias("item"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("item").alias("items"))
+    )
+    joined = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
+        .select(
+            F.col("a.blk").alias("blk_a"),
+            F.col("a.items").alias("items_a"),
+            F.col("b.blk").alias("blk_b"),
+            F.col("b.items").alias("items_b"),
+        )
+    )
 
     out_schema = T.StructType(
         [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
     )
 
-    def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids = b_ids.value
-        all_unit = b_unit.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            m /= np.sqrt((m * m).sum(axis=1))[:, None]
-            sims = m @ all_unit.T
-            my_ids = pdf[id_col].to_numpy()
-            ii, jj = np.nonzero(sims >= min_cosine)
-            ia, ib = my_ids[ii], all_ids[jj]
-            keep = ia < ib
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+    def _unpack(items) -> tuple:
+        first = items[0]
+        if isinstance(first, dict):
+            ids = np.fromiter((it["id"] for it in items), dtype=np.int64)
+            mat = np.array([it["vec"] for it in items], dtype=np.float64)
+        else:  # Row / tuple representation
+            ids = np.fromiter((it[0] for it in items), dtype=np.int64)
+            mat = np.array([it[1] for it in items], dtype=np.float64)
+        mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
+        return ids, mat
 
-    return embeddings.select(id_col, vec_col).mapInPandas(_block, out_schema)
+    def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if len(row.items_a) == 0 or len(row.items_b) == 0:
+                    continue
+                ids_a, unit_a = _unpack(row.items_a)
+                ids_b, unit_b = _unpack(row.items_b)
+                sims = unit_a @ unit_b.T
+                ii, jj = np.nonzero(sims >= min_cosine)
+                ia, ib = ids_a[ii], ids_b[jj]
+                if row.blk_a == row.blk_b:
+                    keep = ia < ib
+                    ia, ib = ia[keep], ib[keep]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                yield pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return joined.mapInPandas(_block, out_schema)
 
 
 def ivf_assign(

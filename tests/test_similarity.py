@@ -22,3 +22,76 @@ def test_label_centroids_exact_grid(spark):
     assert got[(2, 1)] == (0, 1)
     # centroid mean = sum_e6 / (n * 1e6)
     assert got[(1, 0)][0] / (got[(1, 0)][1] * 1e6) == 2.0
+
+
+def test_near_dup_blocked_multiblock_matches_theta_join(spark):
+    """Block-pair matmul path (forced to >1 block) must equal the exact
+    Catalyst theta-join path — and must not hold the corpus on the driver."""
+    from iowa_liquor_sales_spark.operators.similarity import (
+        _near_dup_pairs_blocked,
+        embedding_near_dup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.98, 0.2]),
+        (4, [0.5, 0.5, 0.7]),
+        (5, [1.0, 0.02, 0.0]),
+        (6, [-1.0, 0.0, 0.0]),
+        (7, [0.7, 0.7, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, min_cosine=0.9, use_arrow=False
+        ).collect()
+    }
+    # rows_per_block=3 -> ceil(8/3)=3 blocks -> 6 block-pair tasks
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in _near_dup_pairs_blocked(
+            df, 0.9, "vec_id", "embedding", rows_per_block=3
+        ).collect()
+    }
+    assert blocked == exact
+    assert len(exact) > 0
+
+
+def test_jaccard_max_df_caps_hot_shingles(spark):
+    """A shingle present in every doc must not generate n^2 candidates:
+    with the cap it is dropped from index AND sizes, so docs sharing only
+    the hot shingle produce no pair at all."""
+    from iowa_liquor_sales_spark.operators.dedup import jaccard_pairs
+
+    # 6 docs all share shingle "hot"; docs 0/1 also share "a b c" x3.
+    sh = []
+    for d in range(6):
+        sh.append((d, "hot"))
+    for d in (0, 1):
+        sh += [(d, "a"), (d, "b"), (d, "c")]
+    df = spark.createDataFrame(sh, ["doc_id", "shingle"])
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, min_jaccard=0.1, max_df=None).collect()
+    }
+    # every pair shares "hot" -> 15 candidate pairs survive min_jaccard=0.1? 
+    # docs 2..5 pairs: jaccard = 1/1 = 1.0 (only shingle each) -> present.
+    assert (2, 3) in uncapped and uncapped[(2, 3)] == 1.0
+    assert (0, 1) in uncapped
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, min_jaccard=0.1, max_df=2).collect()
+    }
+    # "hot" (df=6 > 2) is gone: only (0,1) remains, with jaccard over
+    # the capped sets {a,b,c}: 3/3 = 1.0
+    assert set(capped) == {(0, 1)}
+    assert capped[(0, 1)] == 1.0
+
+    # fractional cap: 0.2 of 6 docs -> cap=1 -> "a","b","c" (df=2) also hot
+    frac = jaccard_pairs(df, min_jaccard=0.1, max_df=0.2).collect()
+    assert frac == []
