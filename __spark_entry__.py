@@ -2829,6 +2829,121 @@ def _pagerank_oracle(iters: int = 3) -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- head of the registry = the driver gate's coverage window.
+        # Round 1's gate checked only the first 50 entries; this ordering
+        # puts the round-2 changes and every previously-ungated area
+        # (text, curation, sketches, temporal, sampling, multimodal,
+        # warehouse, graph, joins-at-scale) inside that window. The full
+        # local sweep (scripts/oracle_sweep.py) still checks all entries.
+        "q_simhash": q_simhash,
+        "q_embed_neardup": q_embed_neardup,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_sessionize": q_sessionize,
+        "q_embed_centroid": q_embed_centroid,
+        "q_ratio_to_report": q_ratio_to_report,
+        "q_yoy_growth": q_yoy_growth,
+        "q_shipmode_priority": q_shipmode_priority,
+        "q_higher_order": q_higher_order,
+        "q_dup_rate_by_source": q_dup_rate_by_source,
+        "q_corpus_yield": q_corpus_yield,
+        "q_profile_table": q_profile_table,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_pagerank": q_pagerank,
+        "q_salted_join": q_salted_join,
+        "q_bloom_prefilter": q_bloom_prefilter,
+        "q_text_quality": q_text_quality,
+        "q_token_count": q_token_count,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_tfidf": q_tfidf,
+        "q_winnow_fingerprint": q_winnow_fingerprint,
+        "q_bigrams": q_bigrams,
+        "q_decontaminate": q_decontaminate,
+        "q_quantile_filter": q_quantile_filter,
+        "q_repetition_ratio": q_repetition_ratio,
+        "q_pii_scrub": q_pii_scrub,
+        "q_mix_epochs": q_mix_epochs,
+        "q_chunk_documents": q_chunk_documents,
+        "q_line_dedup": q_line_dedup,
+        "q_approx_distinct": q_approx_distinct,
+        "q_countmin": q_countmin,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_grid_quantiles": q_grid_quantiles,
+        "q_hll": q_hll,
+        "q_events_window": q_events_window,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_resample_ffill": q_resample_ffill,
+        "q_time_weighted": q_time_weighted,
+        "q_date_spine": q_date_spine,
+        "q_split_assign": q_split_assign,
+        "q_stratified_sample": q_stratified_sample,
+        "q_weighted_sample": q_weighted_sample,
+        "q_pack_sequences": q_pack_sequences,
+        "q_multimodal_features": q_multimodal_features,
+        "q_multimodal_frames": q_multimodal_frames,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_scd2_history": q_scd2_history,
+        "q_table_checksum": q_table_checksum,
+        # --- remaining round-1-ungated queries, in original order.
+        "q_scalar_subquery": q_scalar_subquery,
+        "q_kmeans": q_kmeans,
+        "q_funnel": q_funnel,
+        "q_cohort_retention": q_cohort_retention,
+        "q_grouping_sets": q_grouping_sets,
+        "q_lag_lead": q_lag_lead,
+        "q_ntile": q_ntile,
+        "q_histogram": q_histogram,
+        "q_quality_report": q_quality_report,
+        "q_array_funcs": q_array_funcs,
+        "q_group_normalize": q_group_normalize,
+        "q_rank_dense": q_rank_dense,
+        "q_cross_join": q_cross_join,
+        "q_keyset_pagination": q_keyset_pagination,
+        "q_minmax_by": q_minmax_by,
+        "q_window_firstlast": q_window_firstlast,
+        "q_mode": q_mode,
+        "q_returned_revenue": q_returned_revenue,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_rolling_range": q_rolling_range,
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_partition_prune": q_partition_prune,
+        "q_regional_revenue": q_regional_revenue,
+        "q_volume_shipping": q_volume_shipping,
+        "q_market_share": q_market_share,
+        "q_product_profit": q_product_profit,
+        "q_top_supplier": q_top_supplier,
+        "q_large_orders": q_large_orders,
+        "q_disjunctive_pred": q_disjunctive_pred,
+        "q_waiting_suppliers": q_waiting_suppliers,
+        "q_idle_customers": q_idle_customers,
+        "q_min_cost_supplier": q_min_cost_supplier,
+        "q_json_roundtrip": q_json_roundtrip,
+        "q_orc_roundtrip": q_orc_roundtrip,
+        "q_percent_rank": q_percent_rank,
+        "q_date_arith": q_date_arith,
+        "q_string_agg": q_string_agg,
+        "q_unpivot": q_unpivot,
+        "q_map_funcs": q_map_funcs,
+        "q_window_distinct": q_window_distinct,
+        "q_bitwise_agg": q_bitwise_agg,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_important_stock": q_important_stock,
+        "q_promo_revenue": q_promo_revenue,
+        "q_parts_supplier": q_parts_supplier,
+        "q_potential_promotion": q_potential_promotion,
+        "q_geo_point_parse": q_geo_point_parse,
+        "q_csv_malformed": q_csv_malformed,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_bool_agg": q_bool_agg,
+        "q_posexplode": q_posexplode,
+        "q_merge_upsert": q_merge_upsert,
+        "q_moving_avg": q_moving_avg,
+        "q_zorder": q_zorder,
+        "q_try_arithmetic": q_try_arithmetic,
+        "q_set_ops_all": q_set_ops_all,
+        "q_gaps_islands": q_gaps_islands,
+        # --- round-1 driver-green queries (CORRECTNESS_r01.json).
         "q_scan_parquet": q_scan_parquet,
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_project": q_project,
@@ -2872,119 +2987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_socrata_scan": q_socrata_scan,
         "q_upsert": q_upsert,
         "q_dedup_exact": q_dedup_exact,
-        "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
-        "q_simhash": q_simhash,
-        "q_embed_neardup": q_embed_neardup,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
-        "q_text_quality": q_text_quality,
-        "q_token_count": q_token_count,
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
-        "q_events_window": q_events_window,
-        "q_sessionize": q_sessionize,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_approx_distinct": q_approx_distinct,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_split_assign": q_split_assign,
-        "q_stratified_sample": q_stratified_sample,
-        "q_weighted_sample": q_weighted_sample,
-        "q_tfidf": q_tfidf,
-        "q_winnow_fingerprint": q_winnow_fingerprint,
-        "q_embed_centroid": q_embed_centroid,
-        "q_table_checksum": q_table_checksum,
-        "q_pack_sequences": q_pack_sequences,
-        "q_scalar_subquery": q_scalar_subquery,
-        "q_resample_ffill": q_resample_ffill,
-        "q_kmeans": q_kmeans,
-        "q_funnel": q_funnel,
-        "q_cohort_retention": q_cohort_retention,
-        "q_grouping_sets": q_grouping_sets,
-        "q_lag_lead": q_lag_lead,
-        "q_ntile": q_ntile,
-        "q_histogram": q_histogram,
-        "q_quality_report": q_quality_report,
-        "q_multimodal_features": q_multimodal_features,
-        "q_multimodal_frames": q_multimodal_frames,
-        "q_multimodal_resize": q_multimodal_resize,
-        "q_array_funcs": q_array_funcs,
-        "q_group_normalize": q_group_normalize,
-        "q_rank_dense": q_rank_dense,
-        "q_cross_join": q_cross_join,
-        "q_ratio_to_report": q_ratio_to_report,
-        "q_yoy_growth": q_yoy_growth,
-        "q_keyset_pagination": q_keyset_pagination,
-        "q_minmax_by": q_minmax_by,
-        "q_window_firstlast": q_window_firstlast,
-        "q_mode": q_mode,
-        "q_returned_revenue": q_returned_revenue,
-        "q_time_weighted": q_time_weighted,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_rolling_range": q_rolling_range,
-        "q_small_qty_revenue": q_small_qty_revenue,
-        "q_partition_prune": q_partition_prune,
-        "q_countmin": q_countmin,
-        "q_regional_revenue": q_regional_revenue,
-        "q_volume_shipping": q_volume_shipping,
-        "q_market_share": q_market_share,
-        "q_product_profit": q_product_profit,
-        "q_shipmode_priority": q_shipmode_priority,
-        "q_top_supplier": q_top_supplier,
-        "q_large_orders": q_large_orders,
-        "q_disjunctive_pred": q_disjunctive_pred,
-        "q_waiting_suppliers": q_waiting_suppliers,
-        "q_idle_customers": q_idle_customers,
-        "q_min_cost_supplier": q_min_cost_supplier,
-        "q_decontaminate": q_decontaminate,
-        "q_quantile_filter": q_quantile_filter,
-        "q_repetition_ratio": q_repetition_ratio,
-        "q_pii_scrub": q_pii_scrub,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_mix_epochs": q_mix_epochs,
-        "q_json_roundtrip": q_json_roundtrip,
-        "q_orc_roundtrip": q_orc_roundtrip,
-        "q_percent_rank": q_percent_rank,
-        "q_grid_quantiles": q_grid_quantiles,
-        "q_bloom_prefilter": q_bloom_prefilter,
-        "q_pagerank": q_pagerank,
-        "q_date_arith": q_date_arith,
-        "q_string_agg": q_string_agg,
-        "q_unpivot": q_unpivot,
-        "q_map_funcs": q_map_funcs,
-        "q_rollup": q_rollup,
-        "q_higher_order": q_higher_order,
-        "q_array_funcs": q_array_funcs,
-        "q_window_distinct": q_window_distinct,
-        "q_date_spine": q_date_spine,
-        "q_bitwise_agg": q_bitwise_agg,
-        "q_dup_rate_by_source": q_dup_rate_by_source,
-        "q_corpus_yield": q_corpus_yield,
-        "q_chunk_documents": q_chunk_documents,
-        "q_forecast_revenue": q_forecast_revenue,
-        "q_important_stock": q_important_stock,
-        "q_promo_revenue": q_promo_revenue,
-        "q_parts_supplier": q_parts_supplier,
-        "q_potential_promotion": q_potential_promotion,
-        "q_geo_point_parse": q_geo_point_parse,
-        "q_hll": q_hll,
-        "q_csv_malformed": q_csv_malformed,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_bool_agg": q_bool_agg,
-        "q_posexplode": q_posexplode,
-        "q_salted_join": q_salted_join,
-        "q_merge_upsert": q_merge_upsert,
-        "q_scd2_history": q_scd2_history,
-        "q_profile_table": q_profile_table,
-        "q_moving_avg": q_moving_avg,
-        "q_bigrams": q_bigrams,
-        "q_zorder": q_zorder,
-        "q_try_arithmetic": q_try_arithmetic,
-        "q_line_dedup": q_line_dedup,
-        "q_set_ops_all": q_set_ops_all,
-        "q_gaps_islands": q_gaps_islands,
     }
 
 
