@@ -16,7 +16,13 @@ Determinism conventions (SURVEY §7.3):
 from __future__ import annotations
 
 from collections.abc import Callable
+import atexit
+import os
+import shutil
 import tempfile
+
+# q_socrata_scan staging dirs, keyed by sf dir (see that query's comment).
+_SOCRATA_PAGES_CACHE: dict[str, str] = {}
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -468,8 +474,14 @@ def q_socrata_scan(spark: SparkSession, sf: str) -> DataFrame:
     c = read_table(spark, sf, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
-    pages = tempfile.mkdtemp(prefix="iowa_socrata_pages_")
-    write_csv(c.repartition(8), pages, header=True)
+    # Stage the pages ONCE per sf dir and clean up at interpreter exit —
+    # repeated sweeps/bench runs were leaking a fresh mkdtemp per call.
+    pages = _SOCRATA_PAGES_CACHE.get(sf)
+    if pages is None or not os.path.isdir(pages):
+        pages = tempfile.mkdtemp(prefix="iowa_socrata_pages_")
+        atexit.register(shutil.rmtree, pages, ignore_errors=True)
+        write_csv(c.repartition(8), pages, header=True)
+        _SOCRATA_PAGES_CACHE[sf] = pages
     spark.dataSource.register(SocrataPagedDataSource)
     raw = (
         spark.read.format("socrata_paged")
@@ -3775,9 +3787,10 @@ def oracle_sql() -> dict[str, str]:
         "q_multimodal_resize": """
             SELECT doc_id,
                    substr(repeat(text,
-                          CAST(ceil(256.0 / length(text)) AS INTEGER)),
+                          CAST(ceil(256.0 / greatest(length(text), 1))
+                               AS INTEGER)),
                           1, 256) AS resized_txt,
-                   256 AS n_bytes
+                   CASE WHEN length(text) = 0 THEN 0 ELSE 256 END AS n_bytes
             FROM documents""",
         "q_rank_dense": """
             SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,

@@ -48,17 +48,53 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes, codec: str = "real"):
-    """STUB: image decode requires PIL/libvips, not available here.
+    """Image decode. Compressed formats (JPEG/PNG/...) require PIL/libvips,
+    not available here — those stay behind ``NotImplementedError``.
 
-    ``codec="fake"`` returns a deterministic pseudo-decode (byte stats) so
-    the pipeline shape is testable end-to-end.
+    Two codecs ARE real here:
+    - ``codec="ppm"`` decodes binary PPM (P6) — an actual uncompressed
+      image format — with a pure-Python header parse, so the full
+      decode→features path runs end-to-end without native libraries;
+    - ``codec="fake"`` is the deterministic byte-stats pseudo-decode used
+      by the oracle-checked queries.
     """
     if codec == "fake":
         return {"byte_len": len(payload), "n_a_bytes": payload.count(b"a")}
+    if codec == "ppm":
+        return _decode_ppm(payload)
     raise NotImplementedError(
-        "image decoding needs PIL/libvips — not present in this container; "
-        "use codec='fake' for the deterministic test codec"
+        "compressed image decoding needs PIL/libvips — not present in this "
+        "container; use codec='ppm' (real, uncompressed) or codec='fake'"
     )
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6) decoder: ``P6 <w> <h> <maxval>`` header (whitespace
+    and ``#`` comments per the netpbm spec), then w*h*3 raw RGB bytes.
+    Emits the same feature dict shape as the other codecs, computed from
+    the actual pixel buffer."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pixels = payload[pos : pos + w * h * 3]
+    if len(pixels) != w * h * 3:
+        raise ValueError(f"truncated PPM: want {w * h * 3} bytes, got {len(pixels)}")
+    return {"byte_len": len(pixels), "n_a_bytes": pixels.count(b"a")}
 
 
 def extract_features(

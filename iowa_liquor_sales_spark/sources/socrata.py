@@ -139,13 +139,35 @@ class SocrataPagedStreamReader(DataSourceStreamReader):
         return sorted(glob.glob(os.path.join(self.pages_dir, "*.csv")))
 
     def initialOffset(self) -> dict:
-        return {"page": 0}
+        return {"page": 0, "last": ""}
 
     def latestOffset(self) -> dict:
-        return {"page": len(self._pages())}
+        # The offset records the high-water page NAME, not just a count:
+        # with a bare count, a late-arriving file that sorts before
+        # already-consumed pages would shift the index→file mapping and
+        # duplicate some pages while skipping the new one. Name-bounded
+        # selection consumes each page at most once; a file whose name
+        # sorts below the high-water mark is never consumed (the source
+        # contract is append-only, lexicographically increasing page
+        # names — exactly what an $offset pager or a feed cursor emits).
+        pages = self._pages()
+        return {
+            "page": len(pages),
+            "last": os.path.basename(pages[-1]) if pages else "",
+        }
 
     def partitions(self, start: dict, end: dict):
-        pages = self._pages()[start["page"] : end["page"]]
+        lo, hi = start.get("last"), end.get("last")
+        if lo is None or hi is None:
+            # Legacy count-only checkpoint: fall back to index slicing.
+            pages = self._pages()[start["page"] : end["page"]]
+        else:
+            pages = [
+                p
+                for p in self._pages()
+                if (lo == "" or os.path.basename(p) > lo)
+                and (hi != "" and os.path.basename(p) <= hi)
+            ]
         # An empty batch still needs one (empty) partition — same contract
         # as the batch reader: Spark invokes read() regardless.
         return [PagePartition(p) for p in pages] or [PagePartition(None)]

@@ -120,3 +120,65 @@ def write_postgres_copy(
             conn.close()
 
     df.select(*cols).foreachPartition(_copy_partition)
+
+
+def write_postgres_atomic(
+    df: DataFrame,
+    dsn: str,
+    table: str,
+    columns: list[str] | None = None,
+    connect=None,
+    copy_fn=None,
+) -> None:
+    """All-or-nothing relational load (reference ``src/load.py:52-64``
+    parity: one commit after all chunks, so a mid-load failure leaves
+    the target untouched).
+
+    :func:`write_postgres_copy` commits per partition — fast, but a
+    failed job leaves a partial table where the reference leaves
+    nothing. This wrapper restores atomicity WITHOUT serializing the
+    load: partitions COPY concurrently into a staging table (invisible
+    to readers), then one driver-side transaction swaps staging into
+    place via ``ALTER TABLE ... RENAME``. Postgres DDL is transactional,
+    so readers see either the complete old table or the complete new
+    one, never a partial load.
+
+    ``connect``/``copy_fn`` are injectable for testing without a live
+    database (default: ``psycopg2.connect`` / :func:`write_postgres_copy`).
+    """
+    if connect is None:
+        import psycopg2  # deferred: optional dependency
+
+        connect = psycopg2.connect
+    copy_fn = copy_fn or write_postgres_copy
+    staging, old = f"{table}__staging", f"{table}__old"
+
+    def _exec(statements: list[str]) -> None:
+        conn = connect(dsn)
+        try:
+            with conn.cursor() as cur:
+                for stmt in statements:
+                    cur.execute(stmt)
+            conn.commit()
+        finally:
+            conn.close()
+
+    _exec(
+        [
+            f"DROP TABLE IF EXISTS {staging}",
+            f"CREATE TABLE {staging} (LIKE {table} INCLUDING ALL)",
+        ]
+    )
+    # Any failure here (executor crash, constraint violation) aborts with
+    # the target table untouched — only the staging table is dirty, and
+    # the next run drops it.
+    copy_fn(df, dsn, staging, columns)
+    # The swap: one transaction, target is never absent or partial.
+    _exec(
+        [
+            f"DROP TABLE IF EXISTS {old}",
+            f"ALTER TABLE {table} RENAME TO {table.split('.')[-1]}__old",
+            f"ALTER TABLE {staging} RENAME TO {table.split('.')[-1]}",
+            f"DROP TABLE {old}",
+        ]
+    )

@@ -86,3 +86,40 @@ def test_sample_frames_fanout(spark):
     assert 3 not in by_doc
     with pytest.raises(NotImplementedError):
         sample_frames(df, codec="real").count()
+
+
+def test_ppm_decode_is_real(spark):
+    """A real uncompressed image format (binary PPM/P6) through the SAME
+    mapInPandas pipeline as the stub codec — header parse + pixel stats
+    computed from the actual buffer."""
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        decode_image,
+        extract_features,
+    )
+
+    def ppm(w, h, px):
+        assert len(px) == w * h * 3
+        return b"P6\n# a comment\n%d %d\n255\n" % (w, h) + px
+
+    img1 = ppm(2, 2, b"a" * 12)
+    img2 = ppm(3, 1, bytes(range(9)))
+    assert decode_image(img1, codec="ppm") == {"byte_len": 12, "n_a_bytes": 12}
+    assert decode_image(img2, codec="ppm") == {"byte_len": 9, "n_a_bytes": 0}
+
+    df = spark.createDataFrame(
+        [(1, bytearray(img1)), (2, bytearray(img2))], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: (r["byte_len"], r["n_a_bytes"])
+        for r in extract_features(
+            df, decoder=lambda b: decode_image(bytes(b), codec="ppm")
+        ).collect()
+    }
+    assert got == {1: (12, 12), 2: (9, 0)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n255\n" + b"a" * 5, codec="ppm")  # truncated
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...", codec="real")

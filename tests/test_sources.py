@@ -5,6 +5,7 @@ from __future__ import annotations
 import csv
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from iowa_liquor_sales_spark.operators.joins import salted_join
@@ -144,3 +145,121 @@ def test_env_config_overrides(monkeypatch):
     assert cfg.jdbc_url == "jdbc:postgresql://db:5432/iowa"
     monkeypatch.delenv("IOWA_SHUFFLE_PARTITIONS")
     assert load_config().resolved_shuffle_partitions() == 8
+
+
+def test_stream_offset_is_name_bounded_not_count_bounded(tmp_path):
+    """A late-arriving file that sorts BEFORE consumed pages must not
+    shift the index->file mapping (which would re-read an old page and
+    silently skip the new one). Offsets carry the high-water page name."""
+    from iowa_liquor_sales_spark.sources.socrata import SocrataPagedStreamReader
+
+    d = tmp_path / "pages"
+    d.mkdir()
+
+    class FakeSchema:
+        fields = [None]
+
+    def mk(name):
+        (d / name).write_text("h\nv\n")
+
+    r = SocrataPagedStreamReader({"pages_dir": str(d)}, FakeSchema())
+    mk("page_1.csv")
+    mk("page_2.csv")
+    o0, o1 = r.initialOffset(), r.latestOffset()
+    batch1 = [p.path for p in r.partitions(o0, o1)]
+    assert [os.path.basename(p) for p in batch1] == ["page_1.csv", "page_2.csv"]
+
+    # Late file sorting before the high-water mark arrives.
+    mk("page_0.csv")
+    o2 = r.latestOffset()
+    batch2 = [p.path for p in r.partitions(o1, o2)]
+    # Name-bounded: nothing re-read. (A count-bounded slice would have
+    # returned page_2.csv again — a duplicate.)
+    assert [os.path.basename(p) for p in batch2 if p] == []
+
+    # Normal growth after the high-water mark is picked up exactly once.
+    mk("page_3.csv")
+    o3 = r.latestOffset()
+    batch3 = [p.path for p in r.partitions(o2, o3)]
+    assert [os.path.basename(p) for p in batch3] == ["page_3.csv"]
+
+    # Legacy count-only checkpoints still work (fallback path).
+    legacy = [p.path for p in r.partitions({"page": 0}, {"page": 2})]
+    assert len(legacy) == 2
+
+
+class _FakeConn:
+    def __init__(self, log):
+        self.log = log
+
+    def cursor(self):
+        conn = self
+
+        class Cur:
+            def execute(self, stmt):
+                conn.log.append(("exec", " ".join(stmt.split())))
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        return Cur()
+
+    def commit(self):
+        self.log.append(("commit",))
+
+    def close(self):
+        self.log.append(("close",))
+
+
+def test_atomic_load_failure_leaves_target_untouched():
+    from iowa_liquor_sales_spark.sources.writers import write_postgres_atomic
+
+    log = []
+
+    def connect(dsn):
+        return _FakeConn(log)
+
+    def failing_copy(df, dsn, table, columns):
+        assert table == "sales__staging"
+        raise RuntimeError("executor died mid-COPY")
+
+    with pytest.raises(RuntimeError):
+        write_postgres_atomic(
+            None, "dsn", "sales", connect=connect, copy_fn=failing_copy
+        )
+    stmts = [s for op, *rest in log if op == "exec" for s in rest]
+    # Staging was prepared, but the target was never renamed or dropped.
+    assert any("CREATE TABLE sales__staging" in s for s in stmts)
+    assert not any("ALTER TABLE sales " in s for s in stmts)
+    assert not any(s.startswith("DROP TABLE sales ") or s == "DROP TABLE sales"
+                   for s in stmts)
+
+
+def test_atomic_load_swaps_in_single_transaction():
+    from iowa_liquor_sales_spark.sources.writers import write_postgres_atomic
+
+    log = []
+
+    def connect(dsn):
+        return _FakeConn(log)
+
+    loaded = []
+
+    def ok_copy(df, dsn, table, columns):
+        loaded.append(table)
+
+    write_postgres_atomic(None, "dsn", "sales", connect=connect, copy_fn=ok_copy)
+    assert loaded == ["sales__staging"]
+    # The swap statements all precede ONE commit (transactional rename).
+    commit_idxs = [i for i, e in enumerate(log) if e == ("commit",)]
+    assert len(commit_idxs) == 2  # staging-prep txn + swap txn
+    swap = [e[1] for e in log[commit_idxs[0] + 1 : commit_idxs[1]] if e[0] == "exec"]
+    assert swap == [
+        "DROP TABLE IF EXISTS sales__old",
+        "ALTER TABLE sales RENAME TO sales__old",
+        "ALTER TABLE sales__staging RENAME TO sales",
+        "DROP TABLE sales__old",
+    ]
