@@ -143,8 +143,12 @@ def main() -> None:
         ("orders", n),
         ("events", n),
         ("customer", 4),
-        ("documents", 4),
-        ("embeddings", 4),
+        # documents/embeddings feed the explode- and matmul-heavy queries
+        # (shingles, minhash, simhash, fingerprint, near-dup): their scan
+        # parallelism is bounded by file count, so lay them out per-core
+        # like the fact tables even though they're row-count small.
+        ("documents", n),
+        ("embeddings", n),
         ("part", 1),
         ("supplier", 1),
         ("nation", 1),
