@@ -2850,6 +2850,83 @@ def _pagerank_oracle(iters: int = 3) -> str:
     )
 
 
+
+# ---- round-2 curation/dedup additions
+
+
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023) deterministic variant: IVF cell
+    # assignment (broadcast-centroid argmax, same quantizer as q_ann_ivf)
+    # then drop members too close to the cell's min-id keeper
+    # (operators/curation.semdedup). Oracle reuses the exact cell
+    # assignment SQL + list_cosine_similarity to the keeper.
+    from iowa_liquor_sales_spark.operators.curation import semdedup
+
+    return semdedup(
+        read_table(spark, sf, "embeddings"), n_cells=16, min_cosine=0.45
+    )
+
+
+def q_minhash_est(spark: SparkSession, sf: str) -> DataFrame:
+    # MinHash Jaccard ESTIMATION (operators/dedup.minhash_jaccard_est):
+    # same banded-LSH candidates as q_minhash_lsh, but scored by signature
+    # agreement (agree_k/32 as exact ppm) instead of exact shingle-set
+    # verification -- the O(k)-per-pair screen used at corpus scale.
+    from iowa_liquor_sales_spark.operators.dedup import minhash_jaccard_est
+
+    return minhash_jaccard_est(
+        read_table(spark, sf, "documents"), "text", "doc_id",
+        n=3, num_hashes=32, rows_per_band=4,
+    )
+
+
+def q_quality_weights(spark: SparkSession, sf: str) -> DataFrame:
+    # Model-based quality filter (operators/curation.quality_score_linear):
+    # fixed-weight linear classifier over exact integer ppm features --
+    # the transparent stand-in for a fasttext-style quality model.
+    from iowa_liquor_sales_spark.operators.curation import quality_score_linear
+
+    return quality_score_linear(read_table(spark, sf, "documents"))
+
+
+def q_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-domain volume caps (operators/curation.cap_per_source): keep at
+    # most 20 docs per source by deterministic md5 hash rank -- the
+    # data-mixing downsampling pass.
+    from iowa_liquor_sales_spark.operators.curation import cap_per_source
+
+    return cap_per_source(
+        read_table(spark, sf, "documents"), max_per_source=20
+    )
+
+
+def q_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    # Near-dup cluster size histogram (operators/graph.
+    # cluster_size_histogram over dedup_clusters): the shape-of-
+    # duplication report; heavy tail = boilerplate flooding the corpus.
+    from iowa_liquor_sales_spark.operators.dedup import jaccard_pairs, shingles
+    from iowa_liquor_sales_spark.operators.graph import (
+        cluster_size_histogram,
+        dedup_clusters,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    cap = max(1, int(0.05 * docs.count()))
+    pairs = jaccard_pairs(
+        shingles(docs, "text", "doc_id", n=3), min_jaccard=0.5, max_df=cap
+    )
+    return cluster_size_histogram(dedup_clusters(pairs))
+
+
+def q_dup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher-style intra-doc repetition: duplicate 2-gram fraction in
+    # exact ppm (operators/text.dup_ngram_stats). Pure array expressions,
+    # zero shuffle.
+    from iowa_liquor_sales_spark.operators.text import dup_ngram_stats
+
+    return dup_ngram_stats(read_table(spark, sf, "documents"), n=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -2908,6 +2985,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_resize": q_multimodal_resize,
         "q_scd2_history": q_scd2_history,
         "q_table_checksum": q_table_checksum,
+        # --- round-2 additions (driver-ungated until next reorder).
+        "q_semdedup": q_semdedup,
+        "q_minhash_est": q_minhash_est,
+        "q_quality_weights": q_quality_weights,
+        "q_source_cap": q_source_cap,
+        "q_cluster_sizes": q_cluster_sizes,
+        "q_dup_ngram": q_dup_ngram,
         # --- remaining round-1-ungated queries, in original order.
         "q_scalar_subquery": q_scalar_subquery,
         "q_kmeans": q_kmeans,
@@ -4623,4 +4707,148 @@ def oracle_sql() -> dict[str, str]:
             FROM per_island
             GROUP BY o_custkey
             ORDER BY o_custkey""",
+        "q_semdedup": """
+            WITH cent AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id < 16
+            ),
+            assigned AS (
+              SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding::DOUBLE[],
+                                        c.cvec::DOUBLE[]) DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+              WHERE rn = 1
+            ),
+            keep AS (SELECT cell, MIN(vec_id) AS keeper_id
+                     FROM assigned GROUP BY cell),
+            kv AS (SELECT k.cell, k.keeper_id, e.embedding AS kvec
+                   FROM keep k JOIN embeddings e ON e.vec_id = k.keeper_id)
+            SELECT a.vec_id, a.cell,
+                   (a.vec_id = k.keeper_id
+                    OR list_cosine_similarity(a.embedding::DOUBLE[],
+                                              k.kvec::DOUBLE[]) < 0.45)
+                       AS is_kept
+            FROM assigned a JOIN kv k USING (cell)""",
+        "q_minhash_est": f"""
+            WITH {_SHINGLE_CTE},
+            h31 AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                         % 2147483647 AS h31
+              FROM sh
+            ),
+            hx AS (
+              SELECT doc_id, i,
+                     MIN(({_MH_A}[i + 1] * h31 + {_MH_B}[i + 1]) % 2147483647)
+                         AS sig
+              FROM h31, range(32) t(i)
+              GROUP BY doc_id, i
+            ),
+            bands AS (
+              SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                     md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i))
+                         AS bucket
+              FROM hx GROUP BY doc_id, CAST(i // 4 AS INTEGER)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b USING (band, bucket)
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                        AS BIGINT) AS agree_k,
+                   CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                        * 1000000 // 32 AS BIGINT) AS est_ppm
+            FROM cand
+            JOIN hx sa ON sa.doc_id = doc_a
+            JOIN hx sb ON sb.doc_id = doc_b AND sb.i = sa.i
+            GROUP BY doc_a, doc_b""",
+        "q_quality_weights": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          w -> list_contains(['a','the','of','and','to',
+                                              'in','is'], w)))
+                          AS BIGINT) AS n_stop,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          w -> regexp_matches(w, '[0-9]')))
+                          AS BIGINT) AS n_digit
+              FROM documents),
+            f AS (
+              SELECT doc_id, n_words,
+                     CAST(CASE WHEN n_words > 0
+                          THEN ((n_chars - n_words + 1) * 1000000) // n_words
+                          ELSE 0 END AS BIGINT) AS mean_wlen_ppm,
+                     CAST(CASE WHEN n_words > 0
+                          THEN (n_stop * 1000000) // n_words
+                          ELSE 0 END AS BIGINT) AS stopword_ppm,
+                     CAST(CASE WHEN n_words > 0
+                          THEN (n_digit * 1000000) // n_words
+                          ELSE 0 END AS BIGINT) AS digit_word_ppm
+              FROM b)
+            SELECT doc_id, n_words, mean_wlen_ppm, stopword_ppm,
+                   digit_word_ppm,
+                   CAST(n_words * 3 + mean_wlen_ppm * 2 + stopword_ppm
+                        - digit_word_ppm * 2 AS BIGINT) AS score,
+                   (n_words * 3 + mean_wlen_ppm * 2 + stopword_ppm
+                    - digit_word_ppm * 2) >= 9000000 AS keep
+            FROM f""",
+        "q_source_cap": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5('cap' ||
+                                CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                                doc_id) AS INTEGER) AS cap_rank,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5('cap' ||
+                                CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                                doc_id) <= 20 AS kept
+            FROM documents""",
+        "q_cluster_sizes": f"""
+            WITH RECURSIVE {_JACCARD_CTE},
+            pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION
+                      SELECT doc_b AS a, doc_a AS b FROM pairs),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            clusters AS (
+              SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+              FROM reach GROUP BY a),
+            per_cluster AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM clusters GROUP BY cluster_id)
+            SELECT cluster_size,
+                   COUNT(*) AS n_clusters,
+                   CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+            FROM per_cluster GROUP BY cluster_size""",
+        "q_dup_ngram": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(ws) >= 2
+                              THEN list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])
+                              ELSE [] END AS grams
+                  FROM w)
+            SELECT doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_ngrams,
+                   CAST(CASE WHEN len(grams) > 0
+                        THEN ((len(grams) - len(list_distinct(grams)))
+                              * 1000000) // len(grams)
+                        ELSE 0 END AS BIGINT) AS dup_ppm
+            FROM g""",
     }

@@ -320,3 +320,149 @@ def dedup_lines(
             F.count_if(F.col("is_hot").isNotNull()).alias("n_lines_dropped"),
         )
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    min_cosine: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
+    the embedding space, then drop documents too similar to their
+    cluster's canonical keeper. Output: (id, cell, is_kept).
+
+    This deterministic variant keeps the minimum id per cell and drops
+    any member with cosine >= ``min_cosine`` to that keeper — a single
+    representative comparison instead of the paper's all-pairs-within-
+    cluster, which keeps the oracle exact and the cost O(n) after
+    assignment. For the full within-cell pair semantics, compose
+    :func:`~..similarity.embedding_near_dup_pairs` per cell.
+
+    Scale shape: cell assignment is a broadcast-centroids argmax (one
+    shuffle on id), keepers are an O(cells) aggregate broadcast back —
+    the corpus never shuffles on anything but its own id.
+    """
+    from iowa_liquor_sales_spark.functions.vectors import cosine_similarity
+    from iowa_liquor_sales_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    keepers = assigned.groupBy("cell").agg(F.min(F.col(id_col)).alias("keeper_id"))
+    kvecs = assigned.select(
+        F.col(id_col).alias("keeper_id"), F.col(vec_col).alias("keeper_vec")
+    )
+    k = keepers.join(kvecs, "keeper_id")
+    return assigned.join(F.broadcast(k), "cell").select(
+        F.col(id_col),
+        F.col("cell"),
+        (
+            (F.col(id_col) == F.col("keeper_id"))
+            | (
+                cosine_similarity(F.col(vec_col), F.col("keeper_vec"))
+                < F.lit(min_cosine)
+            )
+        ).alias("is_kept"),
+    )
+
+
+# Transparent fixed weights for the linear quality model: ppm-scale
+# integer features, so the score is exact int64 on any engine.
+QUALITY_WEIGHTS = {
+    "n_words": 3,            # longer docs score higher
+    "mean_wlen_ppm": 2,      # per-ppm of mean word length
+    "stopword_ppm": 1,       # natural-language prior
+    "digit_word_ppm": -2,    # tables/serial numbers score lower
+}
+QUALITY_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is")
+
+
+def quality_score_linear(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_threshold: int = 9_000_000,
+) -> DataFrame:
+    """Model-based quality filter: a fixed-weight linear classifier over
+    integer ppm features (the transparent stand-in for a fasttext-style
+    quality model — same pipeline seat, deterministic weights).
+
+    Features are exact integers (counts and floor-divided ppm ratios), so
+    ``score = w . x`` is bit-identical across engines. Output:
+    (id, n_words, mean_wlen_ppm, stopword_ppm, digit_word_ppm, score,
+    keep).
+    """
+    ws = F.col("ws_")
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    base = df.withColumn("ws_", F.split(F.col(text_col), " ")).select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_words"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.filter(ws, lambda w: w.rlike("[0-9]")))
+        .cast("long")
+        .alias("n_digit"),
+    )
+    # Integer `div` (all operands non-negative) mirrors DuckDB `//`
+    # exactly — the engine-wide convention for cross-engine-stable ratios.
+    feat = base.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN "
+            "((n_chars - n_words + 1) * 1000000) div n_words "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("mean_wlen_ppm"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (n_stop * 1000000) div n_words "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("stopword_ppm"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (n_digit * 1000000) div n_words "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("digit_word_ppm"),
+    )
+    w8 = QUALITY_WEIGHTS
+    score = (
+        F.col("n_words") * F.lit(w8["n_words"])
+        + F.col("mean_wlen_ppm") * F.lit(w8["mean_wlen_ppm"])
+        + F.col("stopword_ppm") * F.lit(w8["stopword_ppm"])
+        + F.col("digit_word_ppm") * F.lit(w8["digit_word_ppm"])
+    ).cast("long")
+    return feat.select(
+        "*",
+        score.alias("score"),
+        (score >= F.lit(keep_threshold)).alias("keep"),
+    )
+
+
+def cap_per_source(
+    df: DataFrame,
+    max_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain volume caps (data-mixing downsampling): keep at most
+    ``max_per_source`` docs per source, chosen by deterministic hash rank
+    so re-runs and engines agree without a seed. Output keeps every row
+    with its rank and the keep flag — callers filter ``kept``.
+
+    Scale shape: one window shuffle keyed by source. Hot sources are
+    exactly the ones being capped, so the skewed key's partition does a
+    bounded top-K sort; for extreme skew compose with pre-aggregation
+    or use rank-over-sample thresholds.
+    """
+    from iowa_liquor_sales_spark.functions.hashing import hash60
+    from pyspark.sql import Window
+
+    h = hash60(F.concat(F.lit("cap"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.row_number().over(w).cast("int").alias("cap_rank"),
+    ).withColumn("kept", F.col("cap_rank") <= max_per_source)

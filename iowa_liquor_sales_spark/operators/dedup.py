@@ -372,3 +372,64 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
         .groupBy("doc_id")
         .agg(F.sum("bit_val").alias("simhash"))
     )
+
+
+def minhash_jaccard_est(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """MinHash *estimation* path: for each LSH candidate pair, estimate
+    Jaccard as the fraction of agreeing signature components — the
+    standard O(k)-per-pair screen used when exact shingle-set
+    verification is too expensive (its complement,
+    :func:`minhash_lsh_pairs`, verifies exactly). Output:
+    (doc_a, doc_b, agree_k, est_ppm) with est_ppm = agree_k * 1e6 // k —
+    exact integer arithmetic, engine-portable.
+
+    Scale shape: identical to the LSH pair path (one shingle pass, one
+    O(docs) signature aggregate, banded self-join); the estimate adds no
+    extra shuffle because both sides of the candidate join already carry
+    their k signature columns.
+    """
+    sh = shingles(df, text_col, id_col, n=n)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes).persist()
+    sigs.count()
+    buckets = minhash_band_buckets(
+        sigs, rows_per_band=rows_per_band, num_hashes=num_hashes
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("long").alias("agree_k"),
+            F.expr(f"CAST({'+'.join(f'(CASE WHEN a_{i} = b_{i} THEN 1 ELSE 0 END)' for i in range(num_hashes))} AS BIGINT) * 1000000 div {num_hashes}").alias("est_ppm"),
+        )
+    )

@@ -171,3 +171,20 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+def cluster_size_histogram(
+    clusters: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Distribution of near-dup cluster sizes: (cluster_size, n_clusters,
+    n_docs). The shape-of-duplication report every corpus dedup run ends
+    with — a heavy tail here means a boilerplate template is flooding the
+    corpus. Two map-side-combinable aggregates; output is O(distinct
+    sizes), safe to collect at any corpus scale."""
+    per_cluster = clusters.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )

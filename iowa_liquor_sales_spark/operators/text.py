@@ -229,3 +229,45 @@ def winnow_fingerprints(
         .filter(F.col("fp").isNotNull())
         .distinct()
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signal: the fraction of
+    word n-gram occurrences that are duplicates of an earlier occurrence.
+    Output: (id, n_ngrams, dup_ppm) with
+    dup_ppm = (n_ngrams - n_distinct) * 1e6 // n_ngrams — exact integers.
+
+    Pure Catalyst array expressions (split once, transform, array_distinct)
+    — zero shuffle, zero Python; composes with quantile_filter for the
+    actual drop decision.
+    """
+    # Split materialized ONCE per row (engine-wide convention: Catalyst
+    # does not CSE inside higher-order-function lambdas — an inline split
+    # would re-run per element_at).
+    ws = F.col("ws_")
+    base = df.withColumn("ws_", F.split(F.col(text_col), " ")).select(
+        F.col(id_col),
+        F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ws, i + j) for j in range(n)]
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("grams").cast("long").alias("n_ngrams"),
+        F.expr(
+            "CASE WHEN size(grams) > 0 THEN "
+            "(CAST(size(grams) - size(array_distinct(grams)) AS BIGINT) "
+            " * 1000000) div size(grams) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("dup_ppm"),
+    )

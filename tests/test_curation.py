@@ -228,3 +228,67 @@ def test_dedup_lines_all_dropped_yields_empty_text(spark):
     }
     assert all(out[k]["text"] == "" for k in "abc")
     assert all(out[k]["n_lines_kept"] == 0 for k in "abc")
+
+
+def test_semdedup_keeps_cell_keepers(spark):
+    from iowa_liquor_sales_spark.operators.curation import semdedup
+
+    # cells form around the first n_cells ids (training-free quantizer);
+    # vec 3 duplicates vec 0 exactly -> dropped; vec 4 is orthogonalish.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [-1.0, 0.5]),
+        (3, [1.0, 0.0]),
+        (4, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r for r in semdedup(df, n_cells=3, min_cosine=0.95).collect()}
+    assert len(got) == 5
+    assert got[0]["is_kept"] and got[1]["is_kept"] and got[2]["is_kept"]
+    assert not got[3]["is_kept"]          # exact dup of keeper 0
+    assert not got[4]["is_kept"]          # cos(v4, v0) = 0.9939 >= 0.95
+    # sanity: keeper flag follows cell membership, every cell kept >= 1
+    cells = {}
+    for r in got.values():
+        cells.setdefault(r["cell"], []).append(r["is_kept"])
+    assert all(any(flags) for flags in cells.values())
+
+
+def test_quality_score_linear_exact_features(spark):
+    from iowa_liquor_sales_spark.operators.curation import quality_score_linear
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on 9 mats"), (2, "x")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in quality_score_linear(df).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 6
+    # chars=21, words=6 -> (21-6+1)*1e6 div 6 = 2666666
+    assert r1["mean_wlen_ppm"] == 2_666_666
+    assert r1["stopword_ppm"] == 1_000_000 // 6 * 1  # 'the' 1/6 -> 166666
+    assert r1["digit_word_ppm"] == 166_666
+    assert r1["score"] == (
+        6 * 3 + 2_666_666 * 2 + 166_666 - 2 * 166_666
+    )
+    assert not r1["keep"]  # score ~5.2M < 9M
+
+
+def test_cap_per_source_deterministic(spark):
+    from iowa_liquor_sales_spark.operators.curation import cap_per_source
+
+    rows = [(i, f"src{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = cap_per_source(df, max_per_source=3).collect()
+    assert len(got) == 10
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, rs in per_src.items():
+        assert sorted(r["cap_rank"] for r in rs) == list(range(1, 6))
+        assert sum(r["kept"] for r in rs) == 3
+    # determinism across invocations
+    again = cap_per_source(df, max_per_source=3).collect()
+    assert {(r["doc_id"], r["cap_rank"]) for r in again} == {
+        (r["doc_id"], r["cap_rank"]) for r in got
+    }

@@ -68,3 +68,16 @@ def test_pagerank_hub_ranks_highest_and_is_partition_invariant(spark):
     assert r1 == r2  # integer grid -> partitioning-independent bits
     assert r1[0] == max(r1.values())
     assert r1[1] > r1[2]  # leaf 1 gets the hub's backflow
+
+
+def test_cluster_size_histogram(spark):
+    from iowa_liquor_sales_spark.operators.graph import cluster_size_histogram
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 3), (6, 6)],
+        ["doc_id", "cluster_id"],
+    )
+    got = {r["cluster_size"]: r for r in cluster_size_histogram(clusters).collect()}
+    assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
+    assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
+    assert got[1]["n_clusters"] == 1 and got[1]["n_docs"] == 1

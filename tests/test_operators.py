@@ -124,3 +124,36 @@ def test_zorder_interleaves_bits_exactly(spark):
     assert out[(1, 0)] == 2
     assert out[(0, 1)] == 1
     assert out[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_minhash_est_tracks_true_jaccard(spark):
+    """Signature-agreement estimate must correlate with exact Jaccard:
+    identical docs estimate 1.0; the estimate is within the standard
+    MinHash error band (~1/sqrt(32) ~ 0.18) of exact for candidates."""
+    from iowa_liquor_sales_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_jaccard_est,
+        shingles,
+    )
+
+    rows = [
+        (1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),          # identical to 1
+        (3, "w0 w1 w2 w3 w4 w5 w6 w7 zz yy"),          # near-dup of 1
+        (4, "a0 a1 a2 a3 a4 a5 a6 a7 a8 a9"),          # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_ppm"]
+        for r in minhash_jaccard_est(df, "text", "doc_id", n=3).collect()
+    }
+    assert est[(1, 2)] == 1_000_000
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            shingles(df, "text", "doc_id", n=3), min_jaccard=0.0, max_df=None
+        ).collect()
+    }
+    for pair, ppm in est.items():
+        if pair in exact:
+            assert abs(ppm / 1e6 - exact[pair]) < 0.25

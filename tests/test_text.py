@@ -50,3 +50,16 @@ def test_winnow_shared_run_guarantees_shared_fp(spark):
     # doc with >= k but < w+k-1 words keeps its single global min
     tiny = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
     assert winnow_fingerprints(tiny, "text", "doc_id", k=4, w=5).count() == 1
+
+
+def test_dup_ngram_stats_exact(spark):
+    from iowa_liquor_sales_spark.operators.text import dup_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "q")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_stats(df, n=2).collect()}
+    # doc1 2-grams: [a b, b a, a b, b a] -> 4 grams, 2 distinct -> 500000
+    assert got[1]["n_ngrams"] == 4 and got[1]["dup_ppm"] == 500_000
+    assert got[2]["n_ngrams"] == 2 and got[2]["dup_ppm"] == 0
+    assert got[3]["n_ngrams"] == 0 and got[3]["dup_ppm"] == 0
