@@ -142,13 +142,13 @@ def main() -> None:
         ("lineitem", n),
         ("orders", n),
         ("events", n),
+        # documents/embeddings stay few-file: the explode-heavy operators
+        # repartition to core count themselves (_ensure_parallelism) and
+        # the matmul path re-shuffles into blocks, so per-core source
+        # files only add scan-task overhead.
         ("customer", 4),
-        # documents/embeddings feed the explode- and matmul-heavy queries
-        # (shingles, minhash, simhash, fingerprint, near-dup): their scan
-        # parallelism is bounded by file count, so lay them out per-core
-        # like the fact tables even though they're row-count small.
-        ("documents", n),
-        ("embeddings", n),
+        ("documents", 4),
+        ("embeddings", 4),
         ("part", 1),
         ("supplier", 1),
         ("nation", 1),

@@ -220,16 +220,34 @@ def _near_dup_pairs_blocked(
         )
         .groupBy("blk")
         .agg(F.collect_list("item").alias("items"))
+        .persist()
     )
+    # Materialize: both join legs below read the packed relation; lazy,
+    # they'd race in one job and run the scan+pack aggregate twice.
+    packed.count()
+    # Pair generation must stay an EQUI-join: the naive `a.blk <= b.blk`
+    # theta-join can only plan as BroadcastNestedLoopJoin, which
+    # broadcasts one side — the packed CORPUS — to every executor (the
+    # exact O(corpus) single-point materialization this design exists to
+    # avoid). Instead each block explodes to its partner ids
+    # (blk..B-1), and the equi-join on the partner id shuffles: B(B+1)/2
+    # pair rows, corpus bytes moved ~B/2 times — the inherent data
+    # motion of exact all-pairs, spread across the cluster.
     joined = (
-        packed.alias("a")
-        .join(packed.alias("b"), F.col("a.blk") <= F.col("b.blk"))
-        .select(
-            F.col("a.blk").alias("blk_a"),
-            F.col("a.items").alias("items_a"),
-            F.col("b.blk").alias("blk_b"),
-            F.col("b.items").alias("items_b"),
+        packed.select(
+            F.col("blk").alias("blk_a"),
+            F.col("items").alias("items_a"),
+            F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias(
+                "blk_b"
+            ),
         )
+        .join(
+            packed.select(
+                F.col("blk").alias("blk_b"), F.col("items").alias("items_b")
+            ),
+            "blk_b",
+        )
+        .select("blk_a", "items_a", "blk_b", "items_b")
     )
 
     out_schema = T.StructType(
