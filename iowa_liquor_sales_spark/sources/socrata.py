@@ -48,6 +48,41 @@ class PagePartition(InputPartition):
         self.path = path
 
 
+def fetch_with_retry(
+    fetch,
+    target: str,
+    retries: int = 3,
+    timeout: float = 60.0,
+    backoff: float = 0.5,
+    sleep=None,
+) -> object:
+    """Retry/timeout envelope for the per-page fetch — the engine analog
+    of the reference extractor's ``requests.get(..., timeout=60)`` inside
+    an orchestrator-retried task (``src/extract.py:18-31``, timeout at
+    ``:25``). Spark already retries whole TASKS; this wraps the single
+    network call so one flaky page costs a sub-second backoff instead of
+    a task re-run (which would refetch every page the task owns).
+
+    ``fetch(target, timeout)`` does the I/O (a real source passes
+    ``lambda u, t: requests.get(u, timeout=t).text``); exponential
+    backoff between attempts; the last failure propagates so Spark's
+    task retry remains the outer safety net. ``sleep`` is injectable for
+    tests.
+    """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            return fetch(target, timeout)
+        except Exception as e:  # noqa: BLE001 - network layer boundary
+            last = e
+            if attempt < retries:
+                do_sleep(backoff * (2**attempt))
+    raise last
+
+
 class SocrataPagedDataSource(DataSource):
     """``format("socrata_paged")`` — one partition per API page."""
 
@@ -96,17 +131,20 @@ class SocrataPagedReader(DataSourceReader):
 
     @staticmethod
     def _fetch_page(path: str):
-        """Stub for the network fetch: reads one staged page body. A live
-        source replaces this with requests.get(...).text — nothing else
-        in the DataSource changes."""
-        with open(path, newline="") as f:
-            reader = csv.reader(f)
-            header_skipped = False
-            for row in reader:
-                if not header_skipped:
-                    header_skipped = True
-                    continue
-                yield row
+        """Stub for the network fetch: reads one staged page body through
+        the same :func:`fetch_with_retry` envelope a live source would use
+        (there: ``fetch=lambda u, t: requests.get(u, timeout=t).text`` —
+        nothing else in the DataSource changes)."""
+        body = fetch_with_retry(
+            lambda target, _timeout: open(target, newline="").read(), path
+        )
+        reader = csv.reader(body.splitlines())
+        header_skipped = False
+        for row in reader:
+            if not header_skipped:
+                header_skipped = True
+                continue
+            yield row
 
 
 class SocrataPagedStreamReader(DataSourceStreamReader):

@@ -263,3 +263,36 @@ def test_atomic_load_swaps_in_single_transaction():
         "ALTER TABLE sales__staging RENAME TO sales",
         "DROP TABLE sales__old",
     ]
+
+
+def test_fetch_with_retry_backoff_then_success():
+    from iowa_liquor_sales_spark.sources.socrata import fetch_with_retry
+
+    calls, sleeps = [], []
+
+    def flaky(target, timeout):
+        calls.append((target, timeout))
+        if len(calls) < 3:
+            raise OSError("connection reset")
+        return "body"
+
+    out = fetch_with_retry(
+        flaky, "page_7", retries=3, timeout=60.0, backoff=0.5,
+        sleep=sleeps.append,
+    )
+    assert out == "body"
+    assert calls == [("page_7", 60.0)] * 3      # timeout passed through
+    assert sleeps == [0.5, 1.0]                 # exponential backoff
+
+
+def test_fetch_with_retry_exhausts_and_raises():
+    from iowa_liquor_sales_spark.sources.socrata import fetch_with_retry
+
+    sleeps = []
+
+    def dead(target, timeout):
+        raise TimeoutError("60s elapsed")
+
+    with pytest.raises(TimeoutError):
+        fetch_with_retry(dead, "p", retries=2, sleep=sleeps.append)
+    assert sleeps == [0.5, 1.0]                 # retried exactly `retries`
