@@ -115,6 +115,31 @@ jac AS (
 )
 
 
+# Winnowing fingerprint relation (k=4, w=5) — shared by the per-doc
+# fingerprint oracle and the cross-doc shared-fingerprint pairs oracle.
+_WINNOW_CTE = """wd AS (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM documents),
+            g AS (SELECT doc_id,
+                         list_transform(
+                             generate_series(1, len(ws) - 3),
+                             i -> array_to_string(list_slice(ws, i, i + 3), ' '))
+                           AS grams
+                  FROM wd WHERE len(ws) >= 4),
+            h AS (SELECT doc_id,
+                         list_transform(grams,
+                             s -> CAST(('0x' || substr(md5(s), 1, 15))
+                                       AS BIGINT)) AS hs
+                  FROM g),
+            m AS (SELECT doc_id,
+                         CASE WHEN len(hs) >= 5 THEN
+                                list_transform(
+                                    generate_series(1, len(hs) - 4),
+                                    i -> list_min(list_slice(hs, i, i + 4)))
+                              ELSE [list_min(hs)] END AS mins
+                  FROM h),
+            wfp AS (SELECT DISTINCT doc_id, fp
+                    FROM (SELECT doc_id, unnest(mins) AS fp FROM m))"""
+
 from iowa_liquor_sales_spark.functions.hashing import affine_params as _affine_params
 from iowa_liquor_sales_spark.functions.hashing import md5_hex
 
@@ -587,7 +612,7 @@ def q_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+def q_rollup_year(spark: SparkSession, sf: str) -> DataFrame:
     # Hierarchical subtotals (year -> year,status -> grand total): one
     # Expand + single-shuffle hash aggregate, like CUBE.
     o = read_table(spark, sf, "orders")
@@ -1180,7 +1205,7 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+def q_vector_stats(spark: SparkSession, sf: str) -> DataFrame:
     # Array-function surface over array<float>: size / min / max /
     # element access / slicing — all exact (order-independent or
     # positional), so floats compare bit-for-bit cross-engine.
@@ -2927,6 +2952,124 @@ def q_dup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     return dup_ngram_stats(read_table(spark, sf, "documents"), n=2)
 
 
+def q_dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    # Normalization-robust exact dedup (operators/dedup.dedup_normalized):
+    # case/punct/whitespace variants collapse to one md5 bucket. Same
+    # single hash-groupBy plan as q_dedup_exact.
+    from iowa_liquor_sales_spark.operators.dedup import dedup_normalized
+
+    return dedup_normalized(read_table(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_cross_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental-ingest near-dup: even doc_ids are the incoming batch,
+    # odd the existing corpus; MinHash+LSH candidates across sides only,
+    # exact-Jaccard verified (operators/dedup.minhash_lsh_cross).
+    from iowa_liquor_sales_spark.operators.dedup import minhash_lsh_cross
+
+    docs = read_table(spark, sf, "documents")
+    return minhash_lsh_cross(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        n=3,
+        num_hashes=32,
+        rows_per_band=4,
+        min_jaccard=0.8,
+    ).select("left_id", "right_id", F.round("jaccard", 9).alias("jaccard"))
+
+
+def q_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    # Unigram Shannon entropy per document (operators/text.word_entropy):
+    # perplexity proxy, pure array higher-order exprs, zero shuffle.
+    from iowa_liquor_sales_spark.operators.text import word_entropy
+
+    return word_entropy(read_table(spark, sf, "documents"))
+
+
+def q_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus length histogram on power-of-two word-count buckets
+    # (operators/text.length_histogram): one map-side-combinable agg.
+    from iowa_liquor_sales_spark.operators.text import length_histogram
+
+    return length_histogram(read_table(spark, sf, "documents"))
+
+
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    # Overlapping 10-min/5-min hopping windows (streaming/events.
+    # sliding_counts, batch twin of the streaming plan). Window start/end
+    # exported as epoch micros (timezone-independent instants).
+    from iowa_liquor_sales_spark.streaming.events import sliding_counts
+
+    return sliding_counts(read_table(spark, sf, "events")).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "n_events",
+        "n_users",
+    )
+
+
+def q_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    # Temperature-scaled (alpha=0.5) domain-mixing weights per source
+    # (operators/curation.temperature_weights).
+    from iowa_liquor_sales_spark.operators.curation import temperature_weights
+
+    return temperature_weights(read_table(spark, sf, "documents"), alpha=0.5)
+
+
+def q_corr_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # Bivariate statistical aggregates per group: Pearson correlation,
+    # sample/population covariance, and the SQL-standard linear-regression
+    # family (slope/intercept/r2/count) of extendedprice on quantity.
+    # One map-side-combinable moment aggregate — O(groups) shuffle rows.
+    # Rounded: both engines accumulate float moments in partition order.
+    li = read_table(spark, sf, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(x, y), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(x, y), 3).alias("covar_s"),
+        F.round(F.covar_pop(x, y), 3).alias("covar_p"),
+        F.round(F.regr_slope(y, x), 5).alias("slope"),
+        F.round(F.regr_intercept(y, x), 3).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n_pairs"),
+    )
+
+
+def q_global_rank(spark: SparkSession, sf: str) -> DataFrame:
+    # Distributed global row_number (operators/ranking.global_row_number):
+    # range shuffle + narrow sort + O(#partitions) offsets instead of the
+    # single-partition global window — THE scale fix for total ordering.
+    from iowa_liquor_sales_spark.operators.ranking import global_row_number
+
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return global_row_number(o, ["o_orderkey"], out_col="rn")
+
+
+def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-document boilerplate detection: pairs of docs sharing >= 3
+    # winnowing fingerprints (text.winnow_fingerprints self-joined on the
+    # fingerprint — an inverted index over robust substring sketches, the
+    # plagiarism-detection shape). Fingerprint df is bounded by the
+    # winnowing guarantee (~2/(w+1) of positions), so the self-join is on
+    # a sparse relation, not raw shingles.
+    from iowa_liquor_sales_spark.operators.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(read_table(spark, sf, "documents"), k=4, w=5)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -2992,6 +3135,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_cap": q_source_cap,
         "q_cluster_sizes": q_cluster_sizes,
         "q_dup_ngram": q_dup_ngram,
+        "q_dedup_normalized": q_dedup_normalized,
+        "q_cross_corpus": q_cross_corpus,
+        "q_word_entropy": q_word_entropy,
+        "q_length_histogram": q_length_histogram,
+        "q_sliding_window": q_sliding_window,
+        "q_mix_temperature": q_mix_temperature,
+        "q_corr_stats": q_corr_stats,
+        "q_global_rank": q_global_rank,
+        "q_winnow_pairs": q_winnow_pairs,
         # --- remaining round-1-ungated queries, in original order.
         "q_scalar_subquery": q_scalar_subquery,
         "q_kmeans": q_kmeans,
@@ -3078,6 +3230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": q_window_running,
         "q_cube": q_cube,
         "q_rollup": q_rollup,
+        "q_rollup_year": q_rollup_year,
+        "q_vector_stats": q_vector_stats,
         "q_null_semantics": q_null_semantics,
         "q_exists_agg": q_exists_agg,
         "q_outer_count_dist": q_outer_count_dist,
@@ -3355,7 +3509,7 @@ def oracle_sql() -> dict[str, str]:
                                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_masked
             FROM orders
             GROUP BY nullif(o_orderstatus, 'O')""",
-        "q_rollup": """
+        "q_rollup_year": """
             SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
                    o_orderstatus,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -3744,29 +3898,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_users
             FROM wk JOIN first USING (user_id)
             GROUP BY cohort_week, week_offset""",
-        "q_winnow_fingerprint": """
-            WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws
-                        FROM documents),
-            g AS (SELECT doc_id,
-                         list_transform(
-                             generate_series(1, len(ws) - 3),
-                             i -> array_to_string(list_slice(ws, i, i + 3), ' '))
-                           AS grams
-                  FROM wd WHERE len(ws) >= 4),
-            h AS (SELECT doc_id,
-                         list_transform(grams,
-                             s -> CAST(('0x' || substr(md5(s), 1, 15))
-                                       AS BIGINT)) AS hs
-                  FROM g),
-            m AS (SELECT doc_id,
-                         CASE WHEN len(hs) >= 5 THEN
-                                list_transform(
-                                    generate_series(1, len(hs) - 4),
-                                    i -> list_min(list_slice(hs, i, i + 4)))
-                              ELSE [list_min(hs)] END AS mins
-                  FROM h)
-            SELECT DISTINCT doc_id, fp
-            FROM (SELECT doc_id, unnest(mins) AS fp FROM m)""",
+        "q_winnow_fingerprint": f"""
+            WITH {_WINNOW_CTE}
+            SELECT doc_id, fp FROM wfp""",
+        "q_winnow_pairs": f"""
+            WITH {_WINNOW_CTE}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS shared_fps
+            FROM wfp a JOIN wfp b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3""",
+        "q_global_rank": """
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn
+            FROM orders""",
         "q_embed_centroid": """
             SELECT label, pos, CAST(SUM(x_e6) AS BIGINT) AS sum_e6,
                    COUNT(*) AS n
@@ -3833,7 +3978,7 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(MIN(ts)) AS session_start_us,
                    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
             FROM sess GROUP BY user_id, session_id""",
-        "q_array_funcs": """
+        "q_vector_stats": """
             SELECT vec_id,
                    CAST(len(embedding) AS INTEGER) AS dim,
                    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
@@ -4851,4 +4996,94 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000) // len(grams)
                         ELSE 0 END AS BIGINT) AS dup_ppm
             FROM g""",
+        "q_dedup_normalized": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+                       AS norm_hash,
+                   MIN(doc_id) AS keeper_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "q_cross_corpus": f"""
+            WITH {_JACCARD_CTE}
+            SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END
+                       AS left_id,
+                   CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END
+                       AS right_id,
+                   round(jaccard, 9) AS jaccard
+            FROM jac
+            WHERE jaccard >= 0.8 AND (doc_a % 2) <> (doc_b % 2)""",
+        "q_word_entropy": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(ws) AS INTEGER) AS n_words,
+                   round(coalesce(list_sum(list_transform(list_distinct(ws),
+                       t -> -1.0
+                            * (CAST(len(list_filter(ws, x -> x = t)) AS DOUBLE)
+                               / len(ws))
+                            * log2(CAST(len(list_filter(ws, x -> x = t))
+                                        AS DOUBLE) / len(ws)))), 0.0), 6)
+                       AS entropy_bits
+            FROM w""",
+        "q_length_histogram": """
+            WITH n AS (SELECT len(string_split(text, ' ')) AS n_words
+                       FROM documents),
+            b AS (SELECT CAST(floor(log2(CAST(n_words AS DOUBLE)))
+                              AS INTEGER) AS bucket_exp,
+                         n_words
+                  FROM n)
+            SELECT bucket_exp,
+                   CAST(pow(2.0, bucket_exp) AS BIGINT) AS bucket_lo,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS total_words,
+                   CAST(MIN(n_words) AS INTEGER) AS min_words,
+                   CAST(MAX(n_words) AS INTEGER) AS max_words
+            FROM b GROUP BY 1, 2""",
+        "q_sliding_window": """
+            WITH e AS (
+              SELECT to_timestamp(CAST(floor(epoch(ts) / 300) * 300
+                                       AS BIGINT)) AS b,
+                     user_id
+              FROM events),
+            x AS (SELECT unnest([b - INTERVAL 5 MINUTE, b]) AS ws, user_id
+                  FROM e)
+            SELECT epoch_us(ws) AS window_start_us,
+                   epoch_us(ws + INTERVAL 10 MINUTE) AS window_end_us,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM x GROUP BY 1, 2""",
+        "q_mix_temperature": """
+            WITH per AS (
+              SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                         AS n_tokens
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens,
+                     SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS tot_pow
+              FROM per)
+            SELECT source, n_docs, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE) / tot_tokens, 9) AS p_raw,
+                   round(pow(CAST(n_tokens AS DOUBLE), 0.5) / tot_pow, 9)
+                       AS p_temp,
+                   round((pow(CAST(n_tokens AS DOUBLE), 0.5) / tot_pow)
+                         / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6)
+                       AS epochs
+            FROM per, tot""",
+        "q_corr_stats": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 3)
+                       AS covar_s,
+                   round(covar_pop(l_quantity, l_extendedprice), 3)
+                       AS covar_p,
+                   round(regr_slope(l_extendedprice, l_quantity), 5)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 3)
+                       AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+                       AS n_pairs
+            FROM lineitem GROUP BY l_returnflag""",
     }

@@ -466,3 +466,44 @@ def cap_per_source(
         F.col(source_col),
         F.row_number().over(w).cast("int").alias("cap_rank"),
     ).withColumn("kept", F.col("cap_rank") <= max_per_source)
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain-mixing weights (multilingual-LM style,
+    p_i ∝ n_i^alpha): per-source token mass, the natural sampling
+    probability, the temperature-flattened probability, and the implied
+    per-source epoch multiplier (p_temp / p_raw) to feed
+    :func:`mix_epochs`. alpha < 1 up-weights small sources.
+
+    One map-side-combinable aggregate to O(sources) rows, then the two
+    corpus totals join back via a broadcast of that tiny relation —
+    nothing beyond the first aggregate scales with corpus size."""
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
+            "tot_pow"
+        ),
+    )
+    p_raw = F.col("n_tokens").cast("double") / F.col("tot_tokens")
+    p_temp = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col(
+        "tot_pow"
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, 9).alias("p_raw"),
+        F.round(p_temp, 9).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("epochs"),
+    )

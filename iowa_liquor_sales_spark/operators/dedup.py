@@ -17,7 +17,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from iowa_liquor_sales_spark.functions.hashing import (
@@ -431,5 +431,95 @@ def minhash_jaccard_est(
             "doc_b",
             agree.cast("long").alias("agree_k"),
             F.expr(f"CAST({'+'.join(f'(CASE WHEN a_{i} = b_{i} THEN 1 ELSE 0 END)' for i in range(num_hashes))} AS BIGINT) * 1000000 div {num_hashes}").alias("est_ppm"),
+        )
+    )
+
+
+def normalize_text(c) -> Column:
+    """Canonical text form for normalization-robust exact dedup: lowercase,
+    non-alphanumerics to spaces, runs of spaces collapsed, trimmed. Two
+    documents differing only in case / punctuation / whitespace normalize
+    to the same string. Pure Catalyst regexp — scan-speed, no shuffle."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def dedup_normalized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup over the NORMALIZED content hash (see
+    :func:`normalize_text`) — the standard first pass before any fuzzy
+    method: catches case/punctuation/whitespace variants at exact-dedup
+    cost. Same plan shape as :func:`exact_dedup`: one hash-groupBy, only
+    (hash, keeper, count) rows shuffle — O(docs) at any corpus size."""
+    return (
+        df.groupBy(
+            F.md5(normalize_text(text_col).cast("binary")).alias("norm_hash")
+        )
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_lsh_cross(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus near-dup: find documents in ``left`` (the incoming
+    batch) that near-duplicate a document in ``right`` (the existing
+    corpus) — the incremental-ingest shape of :func:`minhash_lsh_pairs`.
+    IDs must be distinct across the two inputs.
+
+    One union-with-side-tag shares the shingle pass and signature
+    aggregate across both corpora (one scan, one shuffle), then the
+    band-bucket join keeps only left×right candidates and exact Jaccard
+    verifies those. At 100 TB the existing-corpus side's signatures would
+    be a precomputed table; this operator is the build-and-join path.
+
+    Returns (left_id, right_id, jaccard) with jaccard >= min_jaccard.
+    """
+    tagged = left.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias("side")
+    ).unionByName(
+        right.select(F.col(id_col), F.col(text_col), F.lit(1).alias("side"))
+    )
+    pairs = minhash_lsh_pairs(
+        tagged,
+        text_col,
+        id_col,
+        n=n,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        min_jaccard=min_jaccard,
+    )
+    sides = tagged.select(F.col(id_col), "side")
+    return (
+        pairs.join(
+            sides.withColumnsRenamed({id_col: "doc_a", "side": "side_a"}),
+            "doc_a",
+        )
+        .join(
+            sides.withColumnsRenamed({id_col: "doc_b", "side": "side_b"}),
+            "doc_b",
+        )
+        .filter(F.col("side_a") != F.col("side_b"))
+        .select(
+            F.when(F.col("side_a") == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("left_id"),
+            F.when(F.col("side_a") == 0, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("right_id"),
+            "jaccard",
         )
     )

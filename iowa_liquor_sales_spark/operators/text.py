@@ -271,3 +271,57 @@ def dup_ngram_stats(
             "ELSE CAST(0 AS BIGINT) END"
         ).alias("dup_ppm"),
     )
+
+
+def word_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits) — a cheap
+    perplexity proxy: low-entropy documents are repetitive/templated,
+    suspiciously high entropy is often garbled encoding. Computed entirely
+    with array higher-order functions (distinct -> per-term count via
+    filter -> aggregate of -p*log2 p), so it is O(distinct × words) per
+    ROW with zero shuffle — scan-speed over any corpus size. Rounded to
+    6 dp because log2 may differ in the last ulp across engines."""
+    w = words(text_col)
+    n = F.size(w)
+    counts = F.transform(
+        F.array_distinct(w),
+        lambda t: F.size(F.filter(w, lambda x: x == t)).cast("double"),
+    )
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (c / n.cast("double")) * F.log2(c / n.cast("double")),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_words"),
+        F.round(ent, 6).alias("entropy_bits"),
+    )
+
+
+def length_histogram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide document-length histogram on power-of-two word-count
+    buckets — the standard first look at a training corpus (and the
+    input to length-based filtering policy). One map-side-combinable
+    aggregate; only (bucket, stats) rows shuffle."""
+    n = F.size(words(text_col))
+    exp = F.floor(F.log2(n.cast("double"))).cast("int")
+    return (
+        df.select(
+            exp.alias("bucket_exp"),
+            F.pow(F.lit(2.0), exp).cast("long").alias("bucket_lo"),
+            n.alias("n_words"),
+        )
+        .groupBy("bucket_exp", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.min("n_words").cast("int").alias("min_words"),
+            F.max("n_words").cast("int").alias("max_words"),
+        )
+    )

@@ -200,3 +200,38 @@ def attribute_purchases(
         "click_id",
         "click_ts",
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    duration/slide overlapping windows. Spark's ``window()`` expands the
+    row once per overlapping window BEFORE the shuffle, so partial
+    aggregation still collapses each partition to one row per
+    (window, ...) group — shuffle volume is O(open windows), not O(events
+    × overlap). Works on streaming (bounded state via the watermark) and
+    batch DataFrames alike."""
+    with_wm = (
+        events.withWatermark("ts", watermark)
+        if events.isStreaming and watermark
+        else events
+    )
+    return (
+        with_wm.groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # Exact distinct is a batch-only luxury; on a stream swap in
+            # approx_count_distinct (distinct aggs are unsupported there).
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+    )

@@ -292,3 +292,21 @@ def test_cap_per_source_deterministic(spark):
     assert {(r["doc_id"], r["cap_rank"]) for r in again} == {
         (r["doc_id"], r["cap_rank"]) for r in got
     }
+
+
+def test_temperature_weights_flattens_mix(spark):
+    from iowa_liquor_sales_spark.operators.curation import temperature_weights
+
+    # 16:1 token imbalance; alpha=0.5 flattens it to 4:1.
+    docs = spark.createDataFrame(
+        [("big", " ".join(["w"] * 16)), ("small", "w")],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in temperature_weights(docs, alpha=0.5).collect()}
+    assert out["big"]["n_tokens"] == 16 and out["small"]["n_tokens"] == 1
+    assert abs(out["big"]["p_temp"] / out["small"]["p_temp"] - 4.0) < 1e-6
+    # epochs re-weight the raw mix toward small: small up, big down.
+    assert out["small"]["epochs"] > 1.0 > out["big"]["epochs"]
+    # probabilities each sum to 1.
+    assert abs(out["big"]["p_raw"] + out["small"]["p_raw"] - 1.0) < 1e-8
+    assert abs(out["big"]["p_temp"] + out["small"]["p_temp"] - 1.0) < 1e-8

@@ -157,3 +157,70 @@ def test_minhash_est_tracks_true_jaccard(spark):
     for pair, ppm in est.items():
         if pair in exact:
             assert abs(ppm / 1e6 - exact[pair]) < 0.25
+
+
+def test_dedup_normalized_collapses_variants(spark):
+    from iowa_liquor_sales_spark.operators.dedup import dedup_normalized
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO  WORLD."),
+            (4, "goodbye world"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup_normalized(docs, "text", "doc_id").collect()
+    by_keeper = {r["keeper_id"]: r["n_dups"] for r in out}
+    assert by_keeper == {1: 3, 4: 1}
+
+
+def test_minhash_lsh_cross_sides_only(spark):
+    from iowa_liquor_sales_spark.operators.dedup import minhash_lsh_cross
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    left = spark.createDataFrame(
+        [(0, base), (2, "completely unrelated words in this one document")],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        # 1 = near-identical to 0 (one word changed); 3 = exact copy of 2's
+        # LEFT-side sibling is absent, so no intra-side pair may leak.
+        [(1, base.replace("dog", "cat")), (3, base)],
+        ["doc_id", "text"],
+    )
+    rows = minhash_lsh_cross(
+        left, right, "text", "doc_id", min_jaccard=0.5
+    ).collect()
+    pairs = {(r["left_id"], r["right_id"]) for r in rows}
+    # 0 matches both 1 and 3; all results are (even-left, odd-right).
+    assert (0, 1) in pairs and (0, 3) in pairs
+    assert all(left % 2 == 0 and right % 2 == 1 for left, right in pairs)
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+
+
+def test_global_row_number_matches_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.ranking import global_row_number
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 7919 % 997).alias("k"), F.col("id").alias("payload")
+    )
+    out = global_row_number(df, ["k"], out_col="rn", num_partitions=8)
+    expected = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k"))
+    )
+    assert out.count() == 997
+    diff = out.join(expected, ["k", "payload"]).filter(
+        out["rn"] != expected["rn"]
+    )
+    assert diff.count() == 0
+    # ranks are a permutation of 1..n (no gaps/dups across partitions)
+    assert out.agg(F.min("rn"), F.max("rn"), F.countDistinct("rn")).first() == (
+        1,
+        997,
+        997,
+    )

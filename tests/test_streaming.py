@@ -178,3 +178,28 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     assert got.count() == batch.count() > 0
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_sliding_counts_batch_overlap(spark):
+    import datetime as dt
+
+    from iowa_liquor_sales_spark.streaming.events import sliding_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=1), 10),
+            (2, t0 + dt.timedelta(minutes=6), 10),
+            (3, t0 + dt.timedelta(minutes=6), 11),
+        ],
+        ["event_id", "ts", "user_id"],
+    )
+    out = sliding_counts(events, "10 minutes", "5 minutes").collect()
+    by_start = {r["window_start"]: r for r in out}
+    # Each event appears in exactly two windows.
+    assert sum(r["n_events"] for r in out) == 6
+    w0 = by_start[t0]
+    assert w0["n_events"] == 3 and w0["n_users"] == 2
+    assert w0["window_end"] == t0 + dt.timedelta(minutes=10)
+    w5 = by_start[t0 + dt.timedelta(minutes=5)]
+    assert w5["n_events"] == 2 and w5["n_users"] == 2

@@ -63,3 +63,47 @@ def test_dup_ngram_stats_exact(spark):
     assert got[1]["n_ngrams"] == 4 and got[1]["dup_ppm"] == 500_000
     assert got[2]["n_ngrams"] == 2 and got[2]["dup_ppm"] == 0
     assert got[3]["n_ngrams"] == 0 and got[3]["dup_ppm"] == 0
+
+
+def test_word_entropy_exact_values(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.text import word_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # single symbol: entropy 0
+            (2, "a b a b"),          # uniform over 2: entropy 1 bit
+            (3, "a b c d"),          # uniform over 4: entropy 2 bits
+            (4, "a a a b"),          # 3/4,1/4
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+    assert out[1]["entropy_bits"] == 0.0
+    assert out[2]["entropy_bits"] == 1.0
+    assert out[3]["entropy_bits"] == 2.0
+    expected = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(out[4]["entropy_bits"] - round(expected, 6)) < 1e-9
+    assert out[4]["n_words"] == 4
+
+
+def test_length_histogram_buckets(spark):
+    from iowa_liquor_sales_spark.operators.text import length_histogram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w"),                      # 1 word  -> exp 0
+            (2, "w w w"),                  # 3 words -> exp 1
+            (3, "w w"),                    # 2 words -> exp 1
+            (4, " ".join(["w"] * 8)),      # 8 words -> exp 3
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["bucket_exp"]: r for r in length_histogram(docs).collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[1]["n_docs"] == 2
+    assert out[1]["bucket_lo"] == 2
+    assert out[1]["total_words"] == 5
+    assert (out[1]["min_words"], out[1]["max_words"]) == (2, 3)
+    assert out[3]["bucket_lo"] == 8
