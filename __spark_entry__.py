@@ -3070,6 +3070,155 @@ def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    # INT8 scalar-quantized ANN (operators/similarity.ann_sq8_topk): rank
+    # by exact integer dot of 0..255 codes — 4x fewer bytes than float32,
+    # engine-portable scores (the FAISS SQ8 ladder rung).
+    from iowa_liquor_sales_spark.operators.similarity import ann_sq8_topk
+
+    emb = read_table(spark, sf, "embeddings")
+    return ann_sq8_topk(emb, query_id=0, k=10).select("vec_id", "rnk", "qdot")
+
+
+def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus collocations by pointwise mutual information
+    # (operators/text.pmi_bigrams): three combinable aggregates + two
+    # vocabulary joins; min_count drops the unstable rare tail.
+    from iowa_liquor_sales_spark.operators.text import pmi_bigrams
+
+    return pmi_bigrams(read_table(spark, sf, "documents"), min_count=5)
+
+
+def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-brand Pareto frontier of (p_size, p_retailprice), maximize both
+    # (operators/aggregates.skyline_2d): two window passes over one sort,
+    # not the O(n²) EXISTS self-join the oracle uses.
+    from iowa_liquor_sales_spark.operators.aggregates import skyline_2d
+
+    p = read_table(spark, sf, "part").select(
+        "p_brand", "p_size", "p_retailprice"
+    )
+    return skyline_2d(p, "p_brand", "p_size", "p_retailprice")
+
+
+_BUCKETED_TABLES_READY: set = set()
+
+
+def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Shuffle-free fact join via bucketing (sources/warehouse.bucketize):
+    # orders and customer are written bucketed on the join key ONCE per
+    # (session, sf); the join then plans SortMergeJoin over existing
+    # buckets with zero Exchange (asserted in tests/test_plan_shapes.py).
+    # The oracle sees only the result — identical to the plain join.
+    from iowa_liquor_sales_spark.sources.warehouse import bucketize
+
+    tag = abs(hash(sf)) % (1 << 30)
+    t_orders, t_cust = f"b_orders_{tag}", f"b_customer_{tag}"
+    key = (id(spark), sf)
+    if key not in _BUCKETED_TABLES_READY:
+        bucketize(
+            read_table(spark, sf, "orders").select(
+                "o_custkey", "o_totalprice"
+            ),
+            t_orders,
+            ["o_custkey"],
+            8,
+            sort_cols=["o_custkey"],
+        )
+        bucketize(
+            read_table(spark, sf, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            t_cust,
+            ["c_custkey"],
+            8,
+            sort_cols=["c_custkey"],
+        )
+        _BUCKETED_TABLES_READY.add(key)
+    o, c = spark.table(t_orders), spark.table(t_cust)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2, "total_price"),
+        )
+    )
+
+
+def q_percentile_cont(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact interpolated percentiles (SQL percentile_cont semantics) per
+    # group — the exact twin of the grid-quantile sketch. One sort-based
+    # aggregate; values rounded (both engines interpolate in double).
+    li = read_table(spark, sf, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]))
+    per = li.groupBy("l_returnflag").agg(pct.alias("pcts"))
+    return per.select(
+        "l_returnflag",
+        F.posexplode("pcts").alias("pos", "val"),
+    ).select(
+        "l_returnflag",
+        F.col("pos").cast("int").alias("pos"),
+        F.round("val", 3).alias("val"),
+    )
+
+
+def q_session_native(spark: SparkSession, sf: str) -> DataFrame:
+    # Spark-native session_window aggregation (gap-merged event-time
+    # sessions, the streaming-capable form of q_sessionize's lag/cumsum
+    # plan). Start/end exported as epoch micros; end = last ts + gap.
+    ev = read_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2, "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    # Triangle count (operators/graph.triangle_count) over a deterministic
+    # derived graph: edges between (custkey mod 500) and (orderkey mod 500
+    # + 500) — a bipartite-with-folds projection dense enough to close
+    # triangles once canonicalized to undirected (lo, hi) pairs.
+    from iowa_liquor_sales_spark.operators.graph import triangle_count
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        ((F.col("o_orderkey") % 700)).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+def q_regexp_extract_all(spark: SparkSession, sf: str) -> DataFrame:
+    # regexp_extract_all surface: all digit runs per customer name —
+    # count, first, last, and their integer sum (exact, engine-portable).
+    c = read_table(spark, sf, "customer")
+    nums = F.regexp_extract_all(F.col("c_name"), F.lit("([0-9]+)"), 1)
+    return c.select(
+        "c_custkey",
+        F.size(nums).cast("int").alias("n_runs"),
+        F.element_at(nums, 1).alias("first_run"),
+        F.element_at(nums, -1).alias("last_run"),
+        F.aggregate(
+            F.transform(nums, lambda s: s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("digit_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3081,13 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_embed_neardup": q_embed_neardup,
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_sessionize": q_sessionize,
-        "q_embed_centroid": q_embed_centroid,
-        "q_ratio_to_report": q_ratio_to_report,
-        "q_yoy_growth": q_yoy_growth,
-        "q_shipmode_priority": q_shipmode_priority,
         "q_higher_order": q_higher_order,
-        "q_dup_rate_by_source": q_dup_rate_by_source,
         "q_corpus_yield": q_corpus_yield,
         "q_profile_table": q_profile_table,
         "q_dedup_clusters": q_dedup_clusters,
@@ -3095,40 +3238,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_bloom_prefilter": q_bloom_prefilter,
         "q_text_quality": q_text_quality,
-        "q_token_count": q_token_count,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
-        "q_tfidf": q_tfidf,
         "q_winnow_fingerprint": q_winnow_fingerprint,
-        "q_bigrams": q_bigrams,
         "q_decontaminate": q_decontaminate,
         "q_quantile_filter": q_quantile_filter,
-        "q_repetition_ratio": q_repetition_ratio,
-        "q_pii_scrub": q_pii_scrub,
-        "q_mix_epochs": q_mix_epochs,
-        "q_chunk_documents": q_chunk_documents,
-        "q_line_dedup": q_line_dedup,
         "q_approx_distinct": q_approx_distinct,
-        "q_countmin": q_countmin,
         "q_heavy_hitters": q_heavy_hitters,
         "q_grid_quantiles": q_grid_quantiles,
-        "q_hll": q_hll,
         "q_events_window": q_events_window,
         "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_resample_ffill": q_resample_ffill,
-        "q_time_weighted": q_time_weighted,
-        "q_date_spine": q_date_spine,
         "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
-        "q_weighted_sample": q_weighted_sample,
-        "q_pack_sequences": q_pack_sequences,
         "q_multimodal_features": q_multimodal_features,
-        "q_multimodal_frames": q_multimodal_frames,
         "q_multimodal_resize": q_multimodal_resize,
         "q_scd2_history": q_scd2_history,
         "q_table_checksum": q_table_checksum,
-        # --- round-2 additions (driver-ungated until next reorder).
+        # --- round-2 additions, rotated into the 50-entry gate window
+        # (one demoted same-area twin per slot; all still locally swept).
         "q_semdedup": q_semdedup,
         "q_minhash_est": q_minhash_est,
         "q_quality_weights": q_quality_weights,
@@ -3144,6 +3271,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corr_stats": q_corr_stats,
         "q_global_rank": q_global_rank,
         "q_winnow_pairs": q_winnow_pairs,
+        "q_ann_sq8": q_ann_sq8,
+        "q_pmi_bigrams": q_pmi_bigrams,
+        "q_skyline": q_skyline,
+        "q_bucketed_join": q_bucketed_join,
+        "q_percentile_cont": q_percentile_cont,
+        "q_session_native": q_session_native,
+        "q_triangles": q_triangles,
+        "q_regexp_extract_all": q_regexp_extract_all,
+        # --- demoted same-area twins (driver-green or redundant with an
+        # in-window sibling; the full local sweep still checks them all).
+        "q_dup_rate_by_source": q_dup_rate_by_source,
+        "q_shipmode_priority": q_shipmode_priority,
+        "q_embed_centroid": q_embed_centroid,
+        "q_sessionize": q_sessionize,
+        "q_range_join": q_range_join,
+        "q_token_count": q_token_count,
+        "q_yoy_growth": q_yoy_growth,
+        "q_ratio_to_report": q_ratio_to_report,
+        "q_tfidf": q_tfidf,
+        "q_bigrams": q_bigrams,
+        "q_repetition_ratio": q_repetition_ratio,
+        "q_pii_scrub": q_pii_scrub,
+        "q_mix_epochs": q_mix_epochs,
+        "q_chunk_documents": q_chunk_documents,
+        "q_line_dedup": q_line_dedup,
+        "q_countmin": q_countmin,
+        "q_hll": q_hll,
+        "q_resample_ffill": q_resample_ffill,
+        "q_time_weighted": q_time_weighted,
+        "q_date_spine": q_date_spine,
+        "q_weighted_sample": q_weighted_sample,
+        "q_pack_sequences": q_pack_sequences,
+        "q_multimodal_frames": q_multimodal_frames,
         # --- remaining round-1-ungated queries, in original order.
         "q_scalar_subquery": q_scalar_subquery,
         "q_kmeans": q_kmeans,
@@ -5086,4 +5246,116 @@ def oracle_sql() -> dict[str, str]:
                    CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
                        AS n_pairs
             FROM lineitem GROUP BY l_returnflag""",
+        "q_ann_sq8": """
+            WITH v AS (SELECT vec_id,
+                              CAST(generate_subscripts(embedding, 1) AS INT)
+                                  AS pos,
+                              CAST(unnest(embedding) AS DOUBLE) AS x
+                       FROM embeddings),
+            s AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM v GROUP BY pos),
+            c AS (SELECT vec_id, v.pos,
+                         CASE WHEN mx > mn
+                              THEN CAST(floor((x - mn) * 255.0 / (mx - mn)
+                                              + 0.5) AS BIGINT)
+                              ELSE 0 END AS code
+                  FROM v JOIN s ON v.pos = s.pos),
+            q AS (SELECT pos, code AS qcode FROM c WHERE vec_id = 0),
+            sc AS (SELECT c.vec_id, CAST(SUM(c.code * q.qcode) AS BIGINT)
+                              AS qdot
+                   FROM c JOIN q ON c.pos = q.pos
+                   WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY qdot DESC, vec_id)
+                        AS INTEGER) AS rnk,
+                   qdot
+            FROM sc QUALIFY rnk <= 10""",
+        "q_pmi_bigrams": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            big AS (
+              SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS c12
+              FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> {'w1': ws[i], 'w2': ws[i+1]})) AS g
+                    FROM w WHERE len(ws) >= 2)
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            uni AS (SELECT word, COUNT(*) AS c
+                    FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+            tot AS (SELECT CAST(SUM(len(ws)) AS DOUBLE) AS n_uni,
+                           CAST(SUM(greatest(len(ws) - 1, 0)) AS DOUBLE)
+                               AS n_big
+                    FROM w)
+            SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+                   round(ln((CAST(b.c12 AS DOUBLE) / n_big)
+                            / ((CAST(u1.c AS DOUBLE) / n_uni)
+                               * (CAST(u2.c AS DOUBLE) / n_uni))), 6) AS pmi
+            FROM big b
+            JOIN uni u1 ON b.w1 = u1.word
+            JOIN uni u2 ON b.w2 = u2.word, tot""",
+        "q_skyline": """
+            SELECT p_brand, p_size, p_retailprice
+            FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_brand = a.p_brand
+                AND b.p_size >= a.p_size
+                AND b.p_retailprice >= a.p_retailprice
+                AND (b.p_size > a.p_size
+                     OR b.p_retailprice > a.p_retailprice))""",
+        "q_bucketed_join": f"""
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   {_dsum("o_totalprice")} AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1""",
+        "q_percentile_cont": """
+            WITH per AS (SELECT l_returnflag,
+                                quantile_cont(l_extendedprice,
+                                              [0.25, 0.5, 0.75]) AS pcts
+                         FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, CAST(pos - 1 AS INTEGER) AS pos,
+                   round(val, 3) AS val
+            FROM (SELECT l_returnflag,
+                         generate_subscripts(pcts, 1) AS pos,
+                         unnest(pcts) AS val
+                  FROM per)""",
+        "q_session_native": f"""
+            WITH s AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            g AS (
+              SELECT user_id, ts, value,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s)
+            SELECT user_id,
+                   epoch_us(MIN(ts)) AS session_start_us,
+                   epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+                   COUNT(*) AS n_events,
+                   {_dsum("value")} AS sum_value
+            FROM g GROUP BY user_id, sid""",
+        "q_triangles": """
+            WITH raw AS (SELECT o_custkey % 500 AS src,
+                                o_orderkey % 700 AS dst
+                         FROM orders),
+            e AS (SELECT DISTINCT least(src, dst) AS lo,
+                                  greatest(src, dst) AS hi
+                  FROM raw WHERE least(src, dst) < greatest(src, dst))
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e ab
+            JOIN e bc ON ab.hi = bc.lo
+            JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi""",
+        "q_regexp_extract_all": """
+            SELECT c_custkey,
+                   CAST(len(runs) AS INTEGER) AS n_runs,
+                   runs[1] AS first_run,
+                   runs[-1] AS last_run,
+                   CAST(coalesce(list_sum(list_transform(runs,
+                            s -> CAST(s AS BIGINT))), 0) AS BIGINT)
+                       AS digit_sum
+            FROM (SELECT c_custkey,
+                         regexp_extract_all(c_name, '([0-9]+)', 1) AS runs
+                  FROM customer)""",
     }

@@ -111,3 +111,41 @@ def running_total(
         alias,
         F.sum(F.col(measure).cast(f"decimal(18,{scale})")).over(w).cast("double"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group 2-D skyline (Pareto frontier, maximize both): keep rows
+    no other row in the group weakly dominates (>= in both dims, > in at
+    least one).
+
+    Window form, not the O(n²) EXISTS self-join: within each group,
+    a row survives iff (a) no row with strictly larger x has y >= ours
+    (RANGE frame ending 1 PRECEDING under x DESC gives exactly the
+    strictly-larger-x prefix), and (b) no same-x row has strictly larger
+    y (a per-(group,x) MAX). Two window passes over one sort order —
+    one shuffle by group, O(n log n) per group at any scale.
+    """
+    from pyspark.sql import Window
+
+    w_higher_x = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(x_col).desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same_x = Window.partitionBy(group_col, x_col)
+    best_y_higher_x = F.max(y_col).over(w_higher_x)
+    best_y_same_x = F.max(y_col).over(w_same_x)
+    return (
+        df.withColumn("_by_hx", best_y_higher_x)
+        .withColumn("_by_sx", best_y_same_x)
+        .filter(
+            (F.col("_by_hx").isNull() | (F.col("_by_hx") < F.col(y_col)))
+            & (F.col("_by_sx") <= F.col(y_col))
+        )
+        .drop("_by_hx", "_by_sx")
+    )

@@ -325,3 +325,68 @@ def length_histogram(
             F.max("n_words").cast("int").alias("max_words"),
         )
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-wide pointwise mutual information of adjacent word pairs —
+    the collocation detector ("new york" vs chance co-occurrence).
+    PMI = ln( p(ab) / (p(a)·p(b)) ) with p() from corpus counts.
+
+    Three map-side-combinable aggregates (bigram counts, unigram counts,
+    scalar totals); the unigram relation joins back twice on the word —
+    O(vocabulary) rows, tiny next to the corpus. ``min_count`` drops the
+    noise tail (rare pairs have unstable PMI and dominate the output)."""
+    w = words(text_col)
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        df.select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(w).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = df.agg(
+        F.sum(F.size(w)).cast("double").alias("n_uni"),
+        F.sum(F.greatest(F.size(w) - 1, F.lit(0))).cast("double").alias("n_big"),
+    )
+    return (
+        big.join(uni.withColumnsRenamed({"word": "w1", "c": "c1"}), "w1")
+        .join(uni.withColumnsRenamed({"word": "w2", "c": "c2"}), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.col("c1").alias("c1"),
+            F.col("c2").alias("c2"),
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.col("n_big"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_uni"))
+                        * (F.col("c2").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

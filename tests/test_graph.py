@@ -81,3 +81,15 @@ def test_cluster_size_histogram(spark):
     assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
     assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
     assert got[1]["n_clusters"] == 1 and got[1]["n_docs"] == 1
+
+
+def test_triangle_count_known_graph(spark):
+    from iowa_liquor_sales_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} has 4 triangles; plus a pendant edge (4,5) adds none.
+    # Duplicate and reversed edges must not inflate the count.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 4), (4, 5), (5, 5)],
+        ["src", "dst"],
+    )
+    assert triangle_count(edges).first()["n_triangles"] == 4

@@ -224,3 +224,29 @@ def test_global_row_number_matches_window(spark):
         997,
         997,
     )
+
+
+def test_skyline_2d_semantics(spark):
+    from iowa_liquor_sales_spark.operators.aggregates import skyline_2d
+
+    rows = [
+        # group g: (3,5) dominates (2,4) and (3,4); (1,9) survives on y;
+        # duplicate maxima (3,5)x2 both survive (neither strictly better).
+        ("g", 3, 5.0),
+        ("g", 3, 5.0),
+        ("g", 2, 4.0),
+        ("g", 3, 4.0),
+        ("g", 1, 9.0),
+        # group h: single row always survives.
+        ("h", 0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    out = sorted(
+        (r["grp"], r["x"], r["y"]) for r in skyline_2d(df, "grp", "x", "y").collect()
+    )
+    assert out == [
+        ("g", 1, 9.0),
+        ("g", 3, 5.0),
+        ("g", 3, 5.0),
+        ("h", 0, 0.0),
+    ]

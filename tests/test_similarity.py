@@ -95,3 +95,25 @@ def test_jaccard_max_df_caps_hot_shingles(spark):
     # fractional cap: 0.2 of 6 docs -> cap=1 -> "a","b","c" (df=2) also hot
     frac = jaccard_pairs(df, min_jaccard=0.1, max_df=0.2).collect()
     assert frac == []
+
+
+def test_ann_sq8_prefers_aligned_vector(spark):
+    from iowa_liquor_sales_spark.operators.similarity import ann_sq8_topk
+
+    # 4-dim corpus: vec 1 is (almost) the query direction, vec 3 opposite.
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.2]),
+        (1, [0.9, 0.1, 0.5, 0.2]),
+        (2, [0.0, 1.0, 0.0, 0.9]),
+        (3, [-1.0, 0.0, -0.5, -0.2]),
+        (4, [0.5, 0.5, 0.25, 0.4]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ann_sq8_topk(emb, query_id=0, k=3, dim=4).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rnk"])][0] == 1
+    assert all(r["vec_id"] != 0 for r in out)  # query excluded
+    assert len(out) == 3
+    # integer scores, monotone with rank
+    by_rnk = sorted(out, key=lambda r: r["rnk"])
+    assert all(isinstance(r["qdot"], int) for r in out)
+    assert by_rnk[0]["qdot"] >= by_rnk[-1]["qdot"]

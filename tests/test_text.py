@@ -107,3 +107,28 @@ def test_length_histogram_buckets(spark):
     assert out[1]["total_words"] == 5
     assert (out[1]["min_words"], out[1]["max_words"]) == (2, 3)
     assert out[3]["bucket_lo"] == 8
+
+
+def test_pmi_bigrams_collocation_beats_chance(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.text import pmi_bigrams
+
+    # "new york" always co-occurs; "the cat/dog/car" is dispersed.
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york new york"),
+            (2, "the cat saw the dog near the car"),
+            (3, "new york again and the cat too"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["w1"], r["w2"]): r for r in pmi_bigrams(docs, min_count=2).collect()}
+    assert ("new", "york") in out
+    ny = out[("new", "york")]
+    assert ny["c12"] == 4 and ny["c1"] == 4 and ny["c2"] == 4
+    # every "new" is followed by "york": PMI = ln(p(ab)/(p(a)p(b))) > 0
+    assert ny["pmi"] > 0
+    n_uni, n_big = 21.0, 18.0
+    expected = math.log((4 / n_big) / ((4 / n_uni) * (4 / n_uni)))
+    assert abs(ny["pmi"] - round(expected, 6)) < 1e-9
