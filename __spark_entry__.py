@@ -3219,6 +3219,76 @@ def q_regexp_extract_all(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_COMPACT_CACHE: dict = {}
+
+
+def q_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    # Maintenance round-trip: orders staged as 64 tiny files, compacted
+    # (sources/warehouse.compact: staging dir + swap), then proven intact
+    # with the order-independent XOR checksum. The oracle digests the
+    # SOURCE table — identity through the compaction path.
+    from iowa_liquor_sales_spark.operators.quality import table_checksum
+    from iowa_liquor_sales_spark.sources.warehouse import compact
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    path = _COMPACT_CACHE.get(sf)
+    if path is None or not os.path.isdir(path):
+        base = tempfile.mkdtemp(prefix="iowa_compact_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = base + "/orders"
+        read_table(spark, sf, "orders").select(*cols).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+        before, after = compact(spark, path, target_records_per_file=10**9)
+        assert before >= 64 and after == 1, (before, after)
+        _COMPACT_CACHE[sf] = path
+    return table_checksum(spark.read.parquet(path), cols)
+
+
+_SCHEMA_EVO_CACHE: dict = {}
+
+
+def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    # Two ingest batches with EVOLVED schemas in one dataset dir (batch 2
+    # adds c_mktsegment); mergeSchema unifies the scan, missing columns
+    # read as NULL. Oracle reconstructs the same union from the source.
+    c = read_table(spark, sf, "customer")
+    path = _SCHEMA_EVO_CACHE.get(sf)
+    if path is None or not os.path.isdir(path):
+        base = tempfile.mkdtemp(prefix="iowa_schema_evo_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = base + "/customer"
+        c.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_acctbal"
+        ).write.mode("overwrite").parquet(path)
+        c.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ).write.mode("append").parquet(path)
+        _SCHEMA_EVO_CACHE[sf] = path
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy((F.col("c_custkey") % 2).alias("batch")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("c_mktsegment").alias("n_seg"),
+        dsum("c_acctbal", 2, "sum_bal"),
+    )
+
+
+def q_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
+    # Hashing-trick bag-of-words (operators/text.feature_hash): 16
+    # md5-hash-bucket count columns per doc, vocabulary-free.
+    from iowa_liquor_sales_spark.operators.text import feature_hash
+
+    return feature_hash(read_table(spark, sf, "documents"), n_buckets=16)
+
+
+def q_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    # Bigram LM count tables with Kneser-Ney continuation type counts
+    # (operators/text.ngram_lm_counts).
+    from iowa_liquor_sales_spark.operators.text import ngram_lm_counts
+
+    return ngram_lm_counts(read_table(spark, sf, "documents"), min_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3238,12 +3308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_bloom_prefilter": q_bloom_prefilter,
         "q_text_quality": q_text_quality,
-        "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_winnow_fingerprint": q_winnow_fingerprint,
-        "q_decontaminate": q_decontaminate,
-        "q_quantile_filter": q_quantile_filter,
-        "q_approx_distinct": q_approx_distinct,
         "q_heavy_hitters": q_heavy_hitters,
         "q_grid_quantiles": q_grid_quantiles,
         "q_events_window": q_events_window,
@@ -3279,8 +3345,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_native": q_session_native,
         "q_triangles": q_triangles,
         "q_regexp_extract_all": q_regexp_extract_all,
+        "q_compaction": q_compaction,
+        "q_schema_evolution": q_schema_evolution,
+        "q_feature_hash": q_feature_hash,
+        "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
         # in-window sibling; the full local sweep still checks them all).
+        "q_approx_distinct": q_approx_distinct,
+        "q_quantile_filter": q_quantile_filter,
+        "q_decontaminate": q_decontaminate,
+        "q_lang_id": q_lang_id,
         "q_dup_rate_by_source": q_dup_rate_by_source,
         "q_shipmode_priority": q_shipmode_priority,
         "q_embed_centroid": q_embed_centroid,
@@ -5358,4 +5432,48 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT c_custkey,
                          regexp_extract_all(c_name, '([0-9]+)', 1) AS runs
                   FROM customer)""",
+        "q_compaction": r"""
+            SELECT COUNT(*) AS n_rows,
+                   bit_xor(CAST(('0x' || substr(md5(
+                       concat_ws('|',
+                           COALESCE(CAST(o_orderkey AS VARCHAR), '\N'),
+                           COALESCE(CAST(o_custkey AS VARCHAR), '\N'),
+                           COALESCE(o_orderstatus, '\N'))), 1, 15))
+                       AS BIGINT)) AS checksum
+            FROM orders""",
+        "q_schema_evolution": f"""
+            SELECT c_custkey % 2 AS batch, COUNT(*) AS n,
+                   COUNT(CASE WHEN c_custkey % 2 = 1
+                              THEN c_mktsegment END) AS n_seg,
+                   {_dsum("c_acctbal")} AS sum_bal
+            FROM customer GROUP BY 1""",
+        "q_feature_hash": """
+            WITH b AS (SELECT doc_id,
+                              list_transform(string_split(text, ' '),
+                                  w -> CAST(('0x' || substr(md5(w), 1, 15))
+                                            AS BIGINT) % 16) AS bk
+                       FROM documents)
+            SELECT doc_id,
+                   """
+        + ",\n                   ".join(
+            f"CAST(len(list_filter(bk, x -> x = {i})) AS INTEGER) AS f{i}"
+            for i in range(16)
+        )
+        + """
+            FROM b""",
+        "q_ngram_lm": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            big AS (
+              SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS c12
+              FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> {'w1': ws[i], 'w2': ws[i+1]})) AS g
+                    FROM w WHERE len(ws) >= 2)
+              GROUP BY 1, 2),
+            p AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS prefix_types
+                  FROM big GROUP BY 1),
+            s AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS suffix_types
+                  FROM big GROUP BY 1)
+            SELECT b.w1, b.w2, b.c12, p.prefix_types, s.suffix_types
+            FROM big b JOIN p USING (w2) JOIN s USING (w1)
+            WHERE b.c12 >= 5""",
     }

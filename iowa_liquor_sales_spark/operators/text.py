@@ -390,3 +390,80 @@ def pmi_bigrams(
             ).alias("pmi"),
         )
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick bag-of-words vectorizer: each word hashes to one of
+    ``n_buckets`` dimensions (engine-portable md5-derived hash60 % B);
+    output is one count column per bucket — the fixed-width,
+    vocabulary-free feature rep that feeds linear classifiers at corpus
+    scale. The bucket array materializes in its own projection (one md5
+    per word), then B per-row filter counts — zero shuffle, scan speed."""
+    from ..functions.hashing import hash60
+
+    ws = words(text_col)
+    d1 = df.select(
+        F.col(id_col),
+        F.transform(ws, lambda w: F.pmod(hash60(w), F.lit(n_buckets))).alias(
+            "_bk"
+        ),
+    )
+    return d1.select(
+        F.col(id_col),
+        *[
+            F.size(F.filter("_bk", lambda b: b == F.lit(i)))
+            .cast("int")
+            .alias(f"f{i}")
+            for i in range(n_buckets)
+        ],
+    )
+
+
+def ngram_lm_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram language-model count tables with Kneser-Ney continuation
+    type counts: per surviving bigram (c12 >= min_count), the raw count,
+    the number of DISTINCT left contexts of w2 (prefix types — the KN
+    continuation numerator) and distinct right continuations of w1
+    (suffix types). Type counts come from the FULL bigram relation, not
+    the thresholded one. Three combinable aggregates + two O(vocab)
+    joins."""
+    w = words(text_col)
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big_all = (
+        df.select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    big_all = big_all.persist()
+    kept = big_all.filter(F.col("c12") >= min_count)
+    prefix_types = big_all.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("prefix_types")
+    )
+    suffix_types = big_all.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("suffix_types")
+    )
+    return (
+        kept.join(prefix_types, "w2")
+        .join(suffix_types, "w1")
+        .select("w1", "w2", "c12", "prefix_types", "suffix_types")
+    )

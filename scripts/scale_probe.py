@@ -85,6 +85,26 @@ def bench_one(spark, li_path: str) -> dict[str, float]:
         ),
     )
     t("distinct_agg", li.select("l_orderkey").distinct().agg(F.count(F.lit(1))))
+    # Global total ordering two ways: the naive partitionless window
+    # (collapses to ONE task — the curve to watch) vs
+    # ranking.global_row_number (range shuffle + narrow sort + O(parts)
+    # offsets — the scalable form).
+    from pyspark.sql import Window
+
+    from iowa_liquor_sales_spark.operators.ranking import global_row_number
+
+    keys = li.select("l_orderkey", "l_linenumber")
+    t(
+        "rank_window_1part",
+        keys.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber")),
+        ),
+    )
+    t(
+        "rank_distributed",
+        global_row_number(keys, ["l_orderkey", "l_linenumber"]),
+    )
     return timings
 
 

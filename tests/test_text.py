@@ -132,3 +132,43 @@ def test_pmi_bigrams_collocation_beats_chance(spark):
     n_uni, n_big = 21.0, 18.0
     expected = math.log((4 / n_big) / ((4 / n_uni) * (4 / n_uni)))
     assert abs(ny["pmi"] - round(expected, 6)) < 1e-9
+
+
+def test_feature_hash_buckets_partition_words(spark):
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.text import feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "x")], ["doc_id", "text"]
+    )
+    out = feature_hash(docs, n_buckets=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # bucket counts partition the words exactly
+    assert sum(rows[1][f"f{i}"] for i in range(8)) == 4
+    assert sum(rows[2][f"f{i}"] for i in range(8)) == 1
+    # deterministic: same input, same vector
+    again = {r["doc_id"]: r for r in feature_hash(docs, n_buckets=8).collect()}
+    assert rows[1] == again[1]
+
+
+def test_ngram_lm_continuation_types(spark):
+    from iowa_liquor_sales_spark.operators.text import ngram_lm_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "c b c b"),
+            (3, "a d"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["w1"], r["w2"]): r for r in ngram_lm_counts(docs, min_count=2).collect()}
+    ab = out[("a", "b")]
+    # "a b" occurs 3x; b is preceded by {a, c} -> 2 prefix types;
+    # a is followed by {b, d} -> 2 suffix types.
+    assert ab["c12"] == 3
+    assert ab["prefix_types"] == 2
+    assert ab["suffix_types"] == 2
+    # thresholded pairs only
+    assert ("a", "d") not in out
