@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from iowa_liquor_sales_spark.functions.cleansing import coerce_numeric, coerce_timestamp
-from iowa_liquor_sales_spark.functions.dates import date_parts
+from iowa_liquor_sales_spark.functions.dates import date_parts, epoch_us
 from iowa_liquor_sales_spark.multimodal.binary_ops import attach_payload, extract_features
 from iowa_liquor_sales_spark.operators.aggregates import (
     count_star,
@@ -782,7 +782,7 @@ def q_events_window(spark: SparkSession, sf: str) -> DataFrame:
     # Window start exported as epoch micros: instant-based, so the compared
     # value is independent of the (driver-controlled) session timezone.
     return windowed_counts_batch(read_table(spark, sf, "events")).select(
-        F.unix_micros("window_start").alias("window_start_us"),
+        epoch_us("window_start").alias("window_start_us"),
         "event_type",
         "n_events",
         "sum_value",
@@ -798,7 +798,7 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            | (epoch_us("ts") - epoch_us(F.lag("ts").over(w)) > 1_800_000_000),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -806,8 +806,8 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.unix_micros(F.min("ts")).alias("session_start_us"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        epoch_us(F.min("ts")).alias("session_start_us"),
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias("duration_us"),
     )
 
 
@@ -837,7 +837,7 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "user_id",
         "event_id",
-        F.unix_micros("ts").alias("purchase_ts_us"),
+        epoch_us("ts").alias("purchase_ts_us"),
         F.col("r_event_id").alias("click_event_id"),
         F.col("r_value").alias("click_value"),
     )
@@ -852,7 +852,7 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
 
     WEEK_US = 7 * 86_400 * 1_000_000
     ev = read_table(spark, sf, "events").select(
-        F.unix_micros("ts").alias("us"), "value"
+        epoch_us("ts").alias("us"), "value"
     )
     bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
     windows = bounds.select(
@@ -922,12 +922,12 @@ def q_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    us = epoch_us("ts")
     return ev.select(
         "user_id",
         "event_id",
-        (us - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
-        (F.unix_micros(F.lead("ts").over(w)) - us).alias("next_us"),
+        (us - epoch_us(F.lag("ts").over(w))).alias("gap_us"),
+        (epoch_us(F.lead("ts").over(w)) - us).alias("next_us"),
     )
 
 
@@ -1041,7 +1041,7 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     # width = users, then a 3-row result. Epoch-us integer arithmetic
     # keeps it TZ-independent.
     ev = read_table(spark, sf, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us")
+        "user_id", "event_type", epoch_us("ts").alias("us")
     )
     signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
         F.min("us").alias("signup_us")
@@ -1081,7 +1081,10 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     # integer div, not / + cast: double division can round an exact-boundary
     # quotient up before truncation (engine invariant: never div epochs as double)
     ev = read_table(spark, sf, "events").select(
-        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+        "user_id", F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).alias("day")
     )
     wk = ev.select("user_id", F.expr("day div 7").alias("week")).distinct()
     first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
@@ -1442,8 +1445,10 @@ def q_time_weighted(spark: SparkSession, sf: str) -> DataFrame:
     # across engines; cents x millis stays exact in double at any SF.
     ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
     gap = F.expr(
-        "(unix_micros(lead(ts) over "
-        "(partition by user_id order by ts, event_id)) - unix_micros(ts)) div 1000"
+        "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "lead(ts) over (partition by user_id order by ts, event_id)) - "
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)) "
+        "div 1000"
     ).alias("gap_ms")
     segs = ev.select("user_id", "value", gap).filter(F.col("gap_ms").isNotNull())
     weighted = (
@@ -3003,8 +3008,8 @@ def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     from iowa_liquor_sales_spark.streaming.events import sliding_counts
 
     return sliding_counts(read_table(spark, sf, "events")).select(
-        F.unix_micros("window_start").alias("window_start_us"),
-        F.unix_micros("window_end").alias("window_end_us"),
+        epoch_us("window_start").alias("window_start_us"),
+        epoch_us("window_end").alias("window_end_us"),
         "n_events",
         "n_users",
     )
@@ -3178,8 +3183,8 @@ def q_session_native(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
-            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            epoch_us(F.col("w.start")).alias("session_start_us"),
+            epoch_us(F.col("w.end")).alias("session_end_us"),
             "n_events",
             "sum_value",
         )
@@ -3289,6 +3294,72 @@ def q_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_lm_counts(read_table(spark, sf, "documents"), min_count=5)
 
 
+def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    # MERGE-from-changelog (operators/upsert.apply_cdc): a deterministic
+    # synthetic CDC stream (two ops per touched key, I/U/D by key+seq)
+    # applied to the orders snapshot; highest seq wins, 'D' deletes.
+    from iowa_liquor_sales_spark.operators.upsert import apply_cdc
+
+    snap = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    ch = (
+        snap.filter(k % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("seq"),
+        )
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000 * (F.col("seq") + 1))
+            .cast("double")
+            .alias("o_totalprice"),
+            F.lit("X").alias("o_orderstatus"),
+            F.when((k + F.col("seq")) % 4 == 0, "D")
+            .when((k + F.col("seq")) % 4 == 1, "I")
+            .otherwise("U")
+            .alias("op"),
+            "seq",
+        )
+    )
+    return apply_cdc(snap, ch, ["o_orderkey"], "seq")
+
+
+def q_from_json(spark: SparkSession, sf: str) -> DataFrame:
+    # Schema-full JSON parsing (from_json -> typed struct), the
+    # production-path alternative to per-field get_json_object: one parse
+    # per row, Catalyst sees typed fields (filters/aggregates push
+    # through). Malformed rows would land as NULL struct (PERMISSIVE).
+    ev = read_table(spark, sf, "events")
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return (
+        parsed.select("event_type", F.col("p.k").alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+def q_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
+    # The documented Arrow pandas_udf escape hatch (functions/udfs.
+    # l2_norm_py) on the embedding column, rounded: numpy's BLAS dot and
+    # the oracle's sequential sum legitimately differ in the last ulp.
+    from iowa_liquor_sales_spark.functions.udfs import l2_norm_py
+
+    emb = read_table(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id", F.round(l2_norm_py("embedding"), 6).alias("l2")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3347,6 +3418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regexp_extract_all": q_regexp_extract_all,
         "q_compaction": q_compaction,
         "q_schema_evolution": q_schema_evolution,
+        "q_cdc_apply": q_cdc_apply,
+        "q_from_json": q_from_json,
+        "q_pandas_udf": q_pandas_udf,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
@@ -5461,6 +5535,43 @@ def oracle_sql() -> dict[str, str]:
         )
         + """
             FROM b""",
+        "q_cdc_apply": """
+            WITH snap AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                          FROM orders),
+            ch AS (
+              SELECT o_orderkey, seq,
+                     CASE ((o_orderkey + seq) % 4)
+                          WHEN 0 THEN 'D' WHEN 1 THEN 'I'
+                          ELSE 'U' END AS op,
+                     CAST(o_totalprice + 1000 * (seq + 1) AS DOUBLE)
+                         AS o_totalprice,
+                     'X' AS o_orderstatus
+              FROM orders CROSS JOIN unnest([0, 1]) AS t(seq)
+              WHERE o_orderkey % 7 = 0),
+            head AS (
+              SELECT * FROM (
+                SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC, op DESC) AS rn
+                FROM ch)
+              WHERE rn = 1),
+            surv AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                     FROM head WHERE op <> 'D'),
+            untouched AS (SELECT s.* FROM snap s
+                          ANTI JOIN head USING (o_orderkey))
+            SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_from_json": """
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER))
+                        AS BIGINT) AS sum_k
+            FROM events GROUP BY 1, 2""",
+        "q_pandas_udf": """
+            SELECT vec_id,
+                   round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])), 6)
+                       AS l2
+            FROM embeddings""",
         "q_ngram_lm": """
             WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
             big AS (

@@ -41,3 +41,25 @@ def date_parts(col: Column | str) -> list[Column]:
         pg_dow(d).alias("day_of_week"),
         is_weekend(d).alias("is_weekend"),
     ]
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since 1970-01-01 00:00:00 of a **wall-clock**
+    (TIMESTAMP_NTZ) value, independent of the session timezone.
+
+    ``unix_micros`` on an NTZ input first casts it to an instant *in the
+    session timezone*, so the same stored value exports different numbers
+    under different driver timezones — the cross-engine oracle (DuckDB's
+    naive TIMESTAMP + ``epoch_us``) then only matches when the session
+    happens to be UTC. ``timestampdiff`` against an NTZ epoch literal
+    stays entirely in wall-clock space."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), c
+    )
+
+
+# SQL-string rendering of :func:`epoch_us` for use inside F.expr.
+EPOCH_US_SQL = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+)

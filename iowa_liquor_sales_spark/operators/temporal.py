@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.dates import EPOCH_US_SQL, epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -95,7 +97,7 @@ def asof_join(
     out = unioned.withColumn("__m", matched).filter(F.col("__is_r") == 0)
     if tolerance_us is not None:
         gap = F.abs(
-            F.unix_micros(F.col("__t")) - F.unix_micros(F.col(f"__m.{right_time}"))
+            epoch_us(F.col("__t")) - epoch_us(F.col(f"__m.{right_time}"))
         )
         out = out.withColumn("__m", F.when(gap <= tolerance_us, F.col("__m")))
     return out.select(
@@ -179,8 +181,8 @@ def resample_ffill(
     ``max_by`` so the tie order (ts, tiebreak) is total and the result
     reproducible in any engine.
     """
-    us = F.unix_micros(F.col(ts_col))
-    ev = df.withColumn("bucket", F.expr(f"unix_micros({ts_col}) div {bucket_us}"))
+    us = epoch_us(F.col(ts_col))
+    ev = df.withColumn("bucket", F.expr(f"{EPOCH_US_SQL.format(col=ts_col)} div {bucket_us}"))
     wlast = Window.partitionBy(key_col, "bucket").orderBy(
         us.desc(), F.col(tiebreak).desc()
     )

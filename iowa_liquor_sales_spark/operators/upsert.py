@@ -43,3 +43,42 @@ def merge_upsert(
     )
     kept = target.join(inc.select(*keys), keys, "left_anti")
     return kept.unionByName(inc)
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture stream to a snapshot: ``changes`` rows
+    carry an op ('I'/'U'/'D'), a monotonically ordered ``seq_col``, and
+    the full row payload. Per key, the highest-seq change wins; a final
+    'D' deletes the key, 'I'/'U' replace (or insert) the row. Snapshot
+    rows with no change pass through untouched.
+
+    Plan shape: one window (partition by key, order by seq desc) reduces
+    the change stream to its per-key head — shuffle bounded by the CHANGE
+    volume, not the snapshot; the snapshot joins that compact head with
+    a single anti-join + union. This is the MERGE-from-changelog pattern
+    a lakehouse table format runs on every commit.
+
+    Ties on ``seq_col`` break deterministically by op descending
+    ('U' > 'I' > 'D' lexically — document your CDC source's real
+    tie-break and pass a unique seq when it matters).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    head = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = head.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    untouched = snapshot.join(head.select(*keys), keys, "left_anti")
+    return untouched.unionByName(survivors)

@@ -179,11 +179,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Depending on the
     Spark build that surfaces either as a nanosecond ``bigint`` (when the
     ``nanosAsLong`` legacy flag is honored) or natively as
-    ``timestamp_ntz`` (newer readers truncate ns → us themselves). Handle
-    both by inspecting the landed dtype: long → exact integer ``div 1000``
-    to microseconds (double division would lose precision above 2^53 ns);
-    timestamp_ntz → plain cast to session-zone timestamp so every query
-    sees one canonical ``TimestampType``.
+    ``timestamp_ntz`` (newer readers truncate ns → us themselves). Both
+    paths normalize to **TIMESTAMP_NTZ** — wall-clock, no session-zone
+    reinterpretation — which is exactly how the DuckDB oracle's naive
+    TIMESTAMP sees the same bytes, so every downstream query (and its
+    epoch-us export via ``functions.dates.epoch_us``) is independent of
+    the driver's timezone. The long path uses exact integer ``div 1000``
+    (double division would lose precision above 2^53 ns) and an NTZ
+    ``timestampadd``, never ``timestamp_micros`` (which builds an
+    instant and would re-enter zone-dependent territory).
     """
     if name == "events":
         from pyspark.sql import functions as F
@@ -192,8 +196,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = dict(raw.dtypes)["ts"]
         if ts_type == "bigint":
-            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+            return raw.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -39,3 +39,26 @@ def test_insert_ignore_idempotent(spark):
     once = insert_ignore(target, incoming, ["k"], order_cols=["v"])
     twice = insert_ignore(once, incoming, ["k"], order_cols=["v"])
     assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+def test_apply_cdc_semantics(spark):
+    from iowa_liquor_sales_spark.operators.upsert import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "v"]
+    )
+    # key 1: updated twice, last wins; key 2: deleted; key 3: delete then
+    # resurrect (higher seq wins); key 5: pure insert.
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", "U", 10),
+            (1, "a2", "U", 20),
+            (2, "xx", "D", 10),
+            (3, "c0", "D", 10),
+            (3, "c2", "I", 20),
+            (5, "e", "I", 10),
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    out = {r["k"]: r["v"] for r in apply_cdc(snap, changes, ["k"], "seq").collect()}
+    assert out == {1: "a2", 3: "c2", 4: "d", 5: "e"}
