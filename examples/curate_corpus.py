@@ -27,6 +27,8 @@ from iowa_liquor_sales_spark import get_spark  # noqa: E402
 from iowa_liquor_sales_spark.operators.curation import (  # noqa: E402
     chunk_documents,
     dedup_lines,
+    mix_epochs,
+    temperature_weights,
 )
 from iowa_liquor_sales_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
@@ -133,6 +135,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
     packed = pack_sequences(chunks, "n_words", "chunk_key", budget=256)
     write_parquet(packed, out + "_packed")
 
+    # 8. domain mixing: temperature-flatten per-source token mass
+    #    (p_i ∝ n_i^0.5) and replicate documents via integer epochs so
+    #    under-represented sources are seen more often — the
+    #    multilingual-LM mixing recipe, deterministic end to end.
+    tw = temperature_weights(curated, alpha=0.5)
+    mixed = mix_epochs(
+        curated.join(tw.select("source", "epochs"), "source"),
+        F.ceil(F.col("epochs")).cast("int"),
+    )
+
     stats = {
         "input": n0,
         "after_quality": docs1.count(),
@@ -142,6 +154,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         "after_weighted_sample": docs5.count(),
         "n_chunks": chunks.count(),
         "n_sequences": packed.select("shard", "seq").distinct().count(),
+        "mixed_rows": mixed.count(),
         "outdir": out,
     }
     print(stats)
