@@ -24,7 +24,7 @@ import tempfile
 # q_socrata_scan staging dirs, keyed by sf dir (see that query's comment).
 _SOCRATA_PAGES_CACHE: dict[str, str] = {}
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -3419,6 +3419,85 @@ def q_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    # Exponentially weighted moving average per user series — the
+    # recursive aggregate window functions can't express. Series collect
+    # to an ordered array per key (state bounded by series length — at
+    # longer horizons chunk by day or go stateful-streaming) and a
+    # higher-order aggregate runs the recursion JVM-side; both engines
+    # fold left in the same order, so doubles agree to the last ulp
+    # (rounded anyway).
+    ev = read_table(spark, sf, "events")
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", F.col("value").alias("v")))
+        ),
+        lambda s: s["v"],
+    )
+    per = ev.groupBy("user_id").agg(vals.alias("vals"))
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1).cast("double"),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return per.select(
+        "user_id",
+        F.size("vals").cast("int").alias("n"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+def q_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # Cumulative distinct users by day via the first-seen trick: a
+    # running COUNT(DISTINCT) window is unsupported (and unscalable);
+    # min-date per user + a running SUM over the daily-new counts is the
+    # same number with O(users) + O(days) state.
+    ev = read_table(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    daily = first_seen.groupBy("d0").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.datediff("d0", F.lit("1970-01-01")).cast("int").alias("epoch_day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+def q_haversine(spark: SparkSession, sf: str) -> DataFrame:
+    # Geo surface: great-circle distance (haversine) from deterministic
+    # per-customer coordinates to a fixed point; ranking on an integer
+    # meter grid so a last-ulp trig difference can never flip a rank.
+    c = read_table(spark, sf, "customer")
+    lat = ((F.col("c_custkey") % 120) - 60 + F.lit(0.25)).cast("double")
+    lon = (((F.col("c_custkey") * 7) % 360) - 180 + F.lit(0.25)).cast("double")
+    lat0, lon0 = F.lit(41.6), F.lit(-93.6)
+    dphi = F.radians(lat - lat0)
+    dlmb = F.radians(lon - lon0)
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(F.radians(lat0))
+        * F.cos(F.radians(lat))
+        * F.sin(dlmb / 2)
+        * F.sin(dlmb / 2)
+    )
+    dist_km = F.lit(2.0) * F.lit(6371.0) * F.asin(F.sqrt(a))
+    scored = c.select(
+        "c_custkey",
+        F.round(dist_km, 3).alias("dist_km"),
+        F.floor(dist_km * 1000 + 0.5).cast("long").alias("dist_m"),
+    )
+    w = Window.orderBy(F.col("dist_m").asc(), F.col("c_custkey").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("c_custkey", "dist_km", "rnk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3482,6 +3561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pandas_udf": q_pandas_udf,
         "q_cogroup": q_cogroup,
         "q_nullsafe_join": q_nullsafe_join,
+        "q_ewma": q_ewma,
+        "q_cumulative_distinct": q_cumulative_distinct,
+        "q_haversine": q_haversine,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
@@ -5620,6 +5702,49 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_ewma": """
+            WITH per AS (
+              SELECT user_id,
+                     list_transform(
+                         list_sort(list({'ts': ts, 'e': event_id,
+                                         'v': value})),
+                         s -> s.v) AS vals
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(len(vals) AS INTEGER) AS n,
+                   round(list_reduce(vals,
+                         (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+            FROM per""",
+        "q_cumulative_distinct": """
+            WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+                        FROM events GROUP BY user_id),
+            daily AS (SELECT d0, COUNT(*) AS new_users FROM fs GROUP BY d0)
+            SELECT CAST(d0 - DATE '1970-01-01' AS INTEGER) AS epoch_day,
+                   new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY d0
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM daily""",
+        "q_haversine": """
+            WITH s AS (
+              SELECT c_custkey,
+                     CAST((c_custkey % 120) - 60 + 0.25 AS DOUBLE) AS lat,
+                     CAST(((c_custkey * 7) % 360) - 180 + 0.25 AS DOUBLE)
+                         AS lon
+              FROM customer),
+            d AS (
+              SELECT c_custkey,
+                     2.0 * 6371.0 * asin(sqrt(
+                         sin(radians(lat - 41.6) / 2)
+                           * sin(radians(lat - 41.6) / 2)
+                         + cos(radians(41.6)) * cos(radians(lat))
+                           * sin(radians(lon - (-93.6)) / 2)
+                           * sin(radians(lon - (-93.6)) / 2))) AS dist_km
+              FROM s)
+            SELECT c_custkey, round(dist_km, 3) AS dist_km,
+                   CAST(row_number() OVER (
+                       ORDER BY CAST(floor(dist_km * 1000 + 0.5) AS BIGINT),
+                                c_custkey) AS INTEGER) AS rnk
+            FROM d QUALIFY rnk <= 20""",
         "q_cogroup": """
             WITH o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
                               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)

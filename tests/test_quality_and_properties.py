@@ -226,3 +226,104 @@ def test_running_total_matches_prefix_sums(spark, xs):
         acc += Fraction(round(x * 100)) / 100
         want.append(float(acc))
     assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@_settings
+def test_global_row_number_matches_sorted_position(spark, keys, parts):
+    from iowa_liquor_sales_spark.operators.ranking import global_row_number
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    out = global_row_number(df, ["k"], num_partitions=parts).collect()
+    expected = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert {r["k"]: r["rn"] for r in out} == expected
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_settings
+def test_skyline_matches_brute_force(spark, pts):
+    from iowa_liquor_sales_spark.operators.aggregates import skyline_2d
+
+    df = spark.createDataFrame(
+        [("g", x, float(y)) for x, y in pts], ["grp", "x", "y"]
+    )
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "grp", "x", "y").collect())
+
+    def dominated(p, q):
+        return q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+
+    expected = sorted(
+        (x, float(y))
+        for x, y in pts
+        if not any(dominated((x, y), q) for q in pts)
+    )
+    assert got == expected
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),           # key
+            st.sampled_from(["I", "U", "D"]),                # op
+            st.integers(min_value=0, max_value=20),          # seq
+            st.integers(min_value=0, max_value=99),          # payload
+        ),
+        max_size=30,
+    )
+)
+@_settings
+def test_apply_cdc_matches_python_reference(spark, changes):
+    from pyspark.sql import types as T
+
+    from iowa_liquor_sales_spark.operators.upsert import apply_cdc
+
+    # unique (key, seq) so "last change wins" is well-defined
+    seen = set()
+    uniq = []
+    for k, op, seq, v in changes:
+        if (k, seq) not in seen:
+            seen.add((k, seq))
+            uniq.append((k, op, seq, v))
+    snap_rows = [(k, -1) for k in range(3)]  # keys 0..2 pre-exist
+    snap = spark.createDataFrame(snap_rows, ["k", "v"])
+    ch_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    ch = spark.createDataFrame(
+        [(k, v, op, seq) for k, op, seq, v in uniq], ch_schema
+    )
+    out = {r["k"]: r["v"] for r in apply_cdc(snap, ch, ["k"], "seq").collect()}
+
+    expected = {k: v for k, v in snap_rows}
+    heads: dict = {}
+    for k, op, seq, v in uniq:
+        if k not in heads or seq > heads[k][0]:
+            heads[k] = (seq, op, v)
+    for k, (seq, op, v) in heads.items():
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+    assert out == expected
