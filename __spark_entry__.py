@@ -3498,6 +3498,50 @@ def q_haversine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    # BM25 retrieval scoring (operators/text.bm25_scores): automatic
+    # 3-term query (highest-df words), integer-grid per-term scores so
+    # the doc sum is exactly engine-reproducible.
+    from iowa_liquor_sales_spark.operators.text import bm25_scores
+
+    return bm25_scores(read_table(spark, sf, "documents"))
+
+
+def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    # Hybrid retrieval: reciprocal-rank fusion of the exact-cosine
+    # ranking and the SQ8 integer-dot ranking against query vec 0 —
+    # rrf = 1/(60+r_cos) + 1/(60+r_sq8), top 20. Both input ranks are
+    # integers, so the fused double is bit-identical cross-engine.
+    from iowa_liquor_sales_spark.operators.similarity import (
+        ann_sq8_topk,
+        brute_force_topk,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    n = emb.count()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cos = brute_force_topk(emb, qvec, k=n, exclude_ids=[0]).select(
+        "vec_id", F.col("rnk").alias("r_cos")
+    )
+    sq8 = ann_sq8_topk(emb, query_id=0, k=n).select(
+        "vec_id", F.col("rnk").alias("r_sq8")
+    )
+    fused = cos.join(sq8, "vec_id").select(
+        "vec_id",
+        "r_cos",
+        "r_sq8",
+        (
+            1.0 / (60.0 + F.col("r_cos")) + 1.0 / (60.0 + F.col("r_sq8"))
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("vec_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("vec_id", "r_cos", "r_sq8", F.round("rrf", 9).alias("rrf"), "rnk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3564,6 +3608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewma": q_ewma,
         "q_cumulative_distinct": q_cumulative_distinct,
         "q_haversine": q_haversine,
+        "q_bm25": q_bm25,
+        "q_rrf_fusion": q_rrf_fusion,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
@@ -5702,6 +5748,73 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_bm25": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok
+                   GROUP BY 1, 2),
+            dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+            corpus AS (SELECT COUNT(*) AS n_docs,
+                              CAST(SUM(len(ws)) AS BIGINT) AS total_len
+                       FROM w),
+            dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+            q AS (SELECT word, df FROM (
+                    SELECT word, df,
+                           row_number() OVER (ORDER BY df DESC, word) AS rn
+                    FROM dfreq) WHERE rn <= 3),
+            terms AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * dl.dl
+                              / (CAST(total_len AS DOUBLE) / n_docs)))
+                       * 1e9 + 0.5) AS BIGINT) AS term_e9
+              FROM tf JOIN q USING (word) JOIN dl USING (doc_id), corpus)
+            SELECT doc_id, CAST(SUM(term_e9) AS BIGINT) AS bm25_e9,
+                   CAST(COUNT(*) AS INTEGER) AS n_matched
+            FROM terms GROUP BY doc_id""",
+        "q_rrf_fusion": """
+            WITH cos AS (
+              SELECT vec_id,
+                     CAST(row_number() OVER (
+                         ORDER BY list_cosine_similarity(
+                             embedding::DOUBLE[],
+                             (SELECT embedding::DOUBLE[] FROM embeddings
+                              WHERE vec_id = 0)) DESC, vec_id)
+                          AS INTEGER) AS r_cos
+              FROM embeddings WHERE vec_id <> 0),
+            v AS (SELECT vec_id,
+                         CAST(generate_subscripts(embedding, 1) AS INT)
+                             AS pos,
+                         CAST(unnest(embedding) AS DOUBLE) AS x
+                  FROM embeddings),
+            s AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM v
+                  GROUP BY pos),
+            c AS (SELECT vec_id, v.pos,
+                         CASE WHEN mx > mn
+                              THEN CAST(floor((x - mn) * 255.0 / (mx - mn)
+                                              + 0.5) AS BIGINT)
+                              ELSE 0 END AS code
+                  FROM v JOIN s ON v.pos = s.pos),
+            qc AS (SELECT pos, code AS qcode FROM c WHERE vec_id = 0),
+            sq8 AS (
+              SELECT vec_id,
+                     CAST(row_number() OVER (
+                         ORDER BY SUM(c.code * qc.qcode) DESC, vec_id)
+                          AS INTEGER) AS r_sq8
+              FROM c JOIN qc ON c.pos = qc.pos
+              WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+            f AS (SELECT vec_id, r_cos, r_sq8,
+                         1.0 / (60.0 + r_cos) + 1.0 / (60.0 + r_sq8)
+                             AS rrf
+                  FROM cos JOIN sq8 USING (vec_id))
+            SELECT vec_id, r_cos, r_sq8, round(rrf, 9) AS rrf,
+                   CAST(row_number() OVER (ORDER BY rrf DESC, vec_id)
+                        AS INTEGER) AS rnk
+            FROM f QUALIFY rnk <= 20""",
         "q_ewma": """
             WITH per AS (
               SELECT user_id,

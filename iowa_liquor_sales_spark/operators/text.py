@@ -467,3 +467,68 @@ def ngram_lm_counts(
         .join(suffix_types, "w1")
         .select("w1", "w2", "c12", "prefix_types", "suffix_types")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_query_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against an automatic query (the
+    ``n_query_terms`` highest-df words, ties by word) — the classic
+    retrieval scorer a data pipeline uses for quality/relevance mining.
+
+    Per-term scores are quantized to an integer 1e-9 grid BEFORE the
+    per-doc sum, so the result is exactly engine-reproducible (a raw
+    double sum would be addition-order sensitive). Dataflow: explode →
+    (doc, word) tf → word df (O(vocab)) → top-k query terms (tiny) →
+    broadcast join back → integer sum per doc. Shuffles are bounded by
+    vocabulary and document counts, never corpus bytes.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _ensure_parallelism
+
+    tokens = _ensure_parallelism(df).select(
+        F.col(id_col), F.explode(words(text_col)).alias("word")
+    )
+    tf = tokens.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dl = df.select(
+        F.col(id_col), F.size(words(text_col)).alias("dl")
+    )
+    corpus = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words(text_col))).cast("long").alias("total_len"),
+    )
+    wq = Window.orderBy(F.col("df").desc(), F.col("word"))
+    qterms = (
+        dfreq.withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank") <= n_query_terms)
+        .select("word", "df")
+    )
+    joined = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    per_term = joined.select(
+        F.col(id_col),
+        F.floor(term * 1e9 + 0.5).cast("long").alias("term_e9"),
+    )
+    return per_term.groupBy(id_col).agg(
+        F.sum("term_e9").cast("long").alias("bm25_e9"),
+        F.count(F.lit(1)).cast("int").alias("n_matched"),
+    )

@@ -172,3 +172,23 @@ def test_ngram_lm_continuation_types(spark):
     assert ab["suffix_types"] == 2
     # thresholded pairs only
     assert ("a", "d") not in out
+
+
+def test_bm25_monotone_in_tf(spark):
+    from iowa_liquor_sales_spark.operators.text import bm25_scores
+
+    # Query terms are the highest-df words: 'common' (df=3). Doc 2 has it
+    # twice -> higher BM25 than doc 1 (same length); doc 3 is longer, so
+    # its single hit scores below doc 1's.
+    docs = spark.createDataFrame(
+        [
+            (1, "common a1 a2"),
+            (2, "common common b1"),
+            (3, "common c1 c2 c3 c4 c5 c6"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(docs, n_query_terms=1).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["bm25_e9"] > out[1]["bm25_e9"] > out[3]["bm25_e9"]
+    assert all(r["n_matched"] == 1 for r in out.values())
