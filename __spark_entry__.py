@@ -3542,6 +3542,40 @@ def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_variant(spark: SparkSession, sf: str) -> DataFrame:
+    # Spark 4 VariantType: parse_json once into the binary semi-structured
+    # encoding, then typed variant_get extraction — the modern alternative
+    # to per-field string JSON functions (shredding-friendly at scale).
+    ev = read_table(spark, sf, "events")
+    parsed = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type", F.variant_get("v", "$.k", "int").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
+def q_collation(spark: SparkSession, sf: str) -> DataFrame:
+    # Spark 4 collations: case-insensitive grouping via UNICODE_CI —
+    # deterministic case-mangled input, output key normalized with
+    # lower() (the group's representative string is pick-arbitrary).
+    c = read_table(spark, sf, "customer")
+    mangled = F.when(
+        F.col("c_custkey") % 2 == 0, F.initcap(F.lower("c_mktsegment"))
+    ).otherwise(F.lower("c_mktsegment"))
+    g = c.select(
+        F.collate(mangled, "UNICODE_CI").alias("seg"), "c_acctbal"
+    ).groupBy("seg")
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("c_acctbal", 2, "sum_bal"),
+    ).select(F.lower(F.col("seg")).cast("string").alias("segment"), "n", "sum_bal")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3610,6 +3644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_haversine": q_haversine,
         "q_bm25": q_bm25,
         "q_rrf_fusion": q_rrf_fusion,
+        "q_variant": q_variant,
+        "q_collation": q_collation,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
@@ -5748,6 +5784,21 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_variant": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER))
+                        AS BIGINT) AS sum_k,
+                   CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER))
+                        AS INTEGER) AS max_k
+            FROM events GROUP BY 1""",
+        "q_collation": """
+            SELECT lower(CASE WHEN c_custkey % 2 = 0
+                              THEN c_mktsegment ELSE c_mktsegment END)
+                       AS segment,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_bal
+            FROM customer GROUP BY 1""",
         "q_bm25": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents),

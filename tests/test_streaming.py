@@ -203,3 +203,64 @@ def test_sliding_counts_batch_overlap(spark):
     assert w0["window_end"] == t0 + dt.timedelta(minutes=10)
     w5 = by_start[t0 + dt.timedelta(minutes=5)]
     assert w5["n_events"] == 2 and w5["n_users"] == 2
+
+
+def test_streaming_cdc_upsert_sink(spark, tmp_path):
+    """Streaming changelog -> foreachBatch apply_cdc into a parquet
+    'table': the lakehouse streaming-MERGE pattern. Each micro-batch
+    applies its changes transactionally (staging dir swap by overwrite);
+    the final table equals applying all changes in one batch."""
+    import pandas as pd
+
+    from iowa_liquor_sales_spark.operators.upsert import apply_cdc
+
+    # snapshot table keys 0..9, v = -1
+    table = str(tmp_path / "cdc_table")
+    spark.createDataFrame([(k, -1) for k in range(10)], ["k", "v"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(table)
+
+    # changelog: three parquet files (micro-batches), seq strictly grows
+    chdir = tmp_path / "cdc_changes"
+    chdir.mkdir()
+    batches = [
+        [(0, 100, "U", 1), (1, 0, "D", 2), (10, 10, "I", 3)],
+        [(0, 200, "U", 4), (10, 0, "D", 5), (2, 22, "U", 6)],
+        [(1, 111, "I", 7), (3, 33, "U", 8)],
+    ]
+    for i, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=["k", "v", "op", "seq"]).to_parquet(
+            chdir / f"batch_{i}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema("k long, v long, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chdir))
+    )
+
+    def sink(df, batch_id: int) -> None:
+        snap = spark.read.parquet(table)
+        new = apply_cdc(snap, df, ["k"], "seq")
+        # materialize BEFORE overwrite: lazy write would read the dir
+        # it is replacing
+        rows = new.collect()
+        spark.createDataFrame(rows, new.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(table)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table).collect()}
+    expected = {k: -1 for k in range(10)}
+    expected[0] = 200
+    expected[1] = 111
+    expected[2] = 22
+    expected[3] = 33
+    assert got == expected
