@@ -3587,24 +3587,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_embed_neardup": q_embed_neardup,
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_higher_order": q_higher_order,
-        "q_corpus_yield": q_corpus_yield,
-        "q_profile_table": q_profile_table,
         "q_dedup_clusters": q_dedup_clusters,
         "q_pagerank": q_pagerank,
         "q_salted_join": q_salted_join,
         "q_bloom_prefilter": q_bloom_prefilter,
-        "q_text_quality": q_text_quality,
-        "q_fingerprint": q_fingerprint,
-        "q_winnow_fingerprint": q_winnow_fingerprint,
-        "q_heavy_hitters": q_heavy_hitters,
         "q_grid_quantiles": q_grid_quantiles,
-        "q_events_window": q_events_window,
         "q_asof_join": q_asof_join,
-        "q_split_assign": q_split_assign,
         "q_stratified_sample": q_stratified_sample,
         "q_multimodal_features": q_multimodal_features,
-        "q_multimodal_resize": q_multimodal_resize,
         "q_scd2_history": q_scd2_history,
         "q_table_checksum": q_table_checksum,
         # --- round-2 additions, rotated into the 50-entry gate window
@@ -3613,8 +3603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_est": q_minhash_est,
         "q_quality_weights": q_quality_weights,
         "q_source_cap": q_source_cap,
-        "q_cluster_sizes": q_cluster_sizes,
-        "q_dup_ngram": q_dup_ngram,
         "q_dedup_normalized": q_dedup_normalized,
         "q_cross_corpus": q_cross_corpus,
         "q_word_entropy": q_word_entropy,
@@ -3650,6 +3638,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
         # in-window sibling; the full local sweep still checks them all).
+        "q_dup_ngram": q_dup_ngram,
+        "q_cluster_sizes": q_cluster_sizes,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_split_assign": q_split_assign,
+        "q_events_window": q_events_window,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_winnow_fingerprint": q_winnow_fingerprint,
+        "q_fingerprint": q_fingerprint,
+        "q_text_quality": q_text_quality,
+        "q_profile_table": q_profile_table,
+        "q_corpus_yield": q_corpus_yield,
+        "q_higher_order": q_higher_order,
         "q_approx_distinct": q_approx_distinct,
         "q_quantile_filter": q_quantile_filter,
         "q_decontaminate": q_decontaminate,
