@@ -3576,6 +3576,111 @@ def q_collation(spark: SparkSession, sf: str) -> DataFrame:
     ).select(F.lower(F.col("seg")).cast("string").alias("segment"), "n", "sum_bal")
 
 
+def q_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    # Market-basket association mining: part pairs co-occurring in one
+    # order, with support, confidence and lift. Baskets are tiny (<=7
+    # lines), so the within-order pair explode is bounded per key — the
+    # self-join is on the order, never all-pairs across the catalog.
+    # Integer-grid ppm columns keep the ratios engine-exact.
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    n_orders = read_table(spark, sf, "orders").count()
+    items = li.distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    per_part = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_orders_part")
+    )
+    out = (
+        pairs.join(
+            per_part.withColumnsRenamed(
+                {"l_partkey": "part_a", "n_orders_part": "n_a"}
+            ),
+            "part_a",
+        )
+        .join(
+            per_part.withColumnsRenamed(
+                {"l_partkey": "part_b", "n_orders_part": "n_b"}
+            ),
+            "part_b",
+        )
+    )
+    ppm = lambda num, den: F.floor(  # noqa: E731
+        num.cast("double") * 1_000_000 / den.cast("double") + 0.5
+    ).cast("long")
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        ppm(F.col("n_ab"), F.lit(n_orders)).alias("support_ppm"),
+        ppm(F.col("n_ab"), F.col("n_a")).alias("conf_ab_ppm"),
+        ppm(
+            F.col("n_ab") * F.lit(n_orders), F.col("n_a") * F.col("n_b")
+        ).alias("lift_ppm"),
+    )
+
+
+def q_grouped_linreg(spark: SparkSession, sf: str) -> DataFrame:
+    # Model-per-group training via Arrow grouped map (applyInPandas):
+    # per returnflag, OLS slope/intercept of extendedprice on quantity
+    # fit with numpy — the embarrassingly-parallel fit pattern. Oracle:
+    # the SQL-standard regr_slope/regr_intercept aggregates, which the
+    # closed-form OLS equals; rounded (moment accumulation order).
+    import numpy as np
+    import pandas as pd
+
+    li = read_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_quantity"].to_numpy(dtype="float64")
+        y = pdf["l_extendedprice"].to_numpy(dtype="float64")
+        xm, ym = x.mean(), y.mean()
+        slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "slope": [round(slope, 5)],
+                "intercept": [round(float(ym - slope * xm), 3)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        fit, "l_returnflag string, slope double, intercept double, n long"
+    )
+
+
+def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
+    # Degree distribution of the derived undirected graph (same edges as
+    # q_triangles): histogram of vertex degrees — the first graph-shape
+    # report, one explode + two aggregates.
+    o = read_table(spark, sf, "orders")
+    e = (
+        o.select(
+            F.least(F.col("o_custkey") % 500, F.col("o_orderkey") % 700).alias("lo"),
+            F.greatest(F.col("o_custkey") % 500, F.col("o_orderkey") % 700).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("lo", "hi")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3634,6 +3739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rrf_fusion": q_rrf_fusion,
         "q_variant": q_variant,
         "q_collation": q_collation,
+        "q_copurchase": q_copurchase,
+        "q_grouped_linreg": q_grouped_linreg,
+        "q_degree_dist": q_degree_dist,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
@@ -5784,6 +5892,48 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_copurchase": """
+            WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                           FROM lineitem),
+            pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                             COUNT(*) AS n_ab
+                      FROM items a JOIN items b USING (l_orderkey)
+                      WHERE a.l_partkey < b.l_partkey
+                      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            pp AS (SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY 1),
+            t AS (SELECT COUNT(*) AS n_orders FROM orders)
+            SELECT part_a, part_b, n_ab,
+                   CAST(floor(CAST(n_ab AS DOUBLE) * 1000000
+                              / CAST(n_orders AS DOUBLE) + 0.5) AS BIGINT)
+                       AS support_ppm,
+                   CAST(floor(CAST(n_ab AS DOUBLE) * 1000000
+                              / CAST(pa.n AS DOUBLE) + 0.5) AS BIGINT)
+                       AS conf_ab_ppm,
+                   CAST(floor(CAST(n_ab * n_orders AS DOUBLE) * 1000000
+                              / CAST(pa.n * pb.n AS DOUBLE) + 0.5)
+                        AS BIGINT) AS lift_ppm
+            FROM pairs
+            JOIN pp pa ON pa.l_partkey = part_a
+            JOIN pp pb ON pb.l_partkey = part_b, t""",
+        "q_grouped_linreg": """
+            SELECT l_returnflag,
+                   round(regr_slope(l_extendedprice, l_quantity), 5)
+                       AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 3)
+                       AS intercept,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1""",
+        "q_degree_dist": """
+            WITH e AS (
+              SELECT DISTINCT
+                     least(o_custkey % 500, o_orderkey % 700) AS lo,
+                     greatest(o_custkey % 500, o_orderkey % 700) AS hi
+              FROM orders
+              WHERE least(o_custkey % 500, o_orderkey % 700)
+                    < greatest(o_custkey % 500, o_orderkey % 700)),
+            deg AS (SELECT v, COUNT(*) AS degree
+                    FROM (SELECT unnest([lo, hi]) AS v FROM e) GROUP BY 1)
+            SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY 1""",
         "q_variant": """
             SELECT event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER))
