@@ -3681,6 +3681,53 @@ def q_degree_dist(spark: SparkSession, sf: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
+def q_containment(spark: SparkSession, sf: str) -> DataFrame:
+    # Asymmetric containment dedup (operators/dedup.containment_pairs):
+    # |A∩B| / |inner| catches a document EMBEDDED in a larger one, which
+    # symmetric Jaccard under-scores. Same capped inverted-index plan.
+    from iowa_liquor_sales_spark.operators.dedup import (
+        containment_pairs,
+        shingles,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    cap = max(1, int(0.05 * docs.count()))
+    return containment_pairs(
+        shingles(docs, "text", "doc_id", n=3),
+        min_containment=0.8,
+        max_df=cap,
+    )
+
+
+def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # One BPE-training merge step: corpus-wide adjacent character-pair
+    # counts inside words, top 20 merges. Pure higher-order exprs (one
+    # substr lattice per word), one combinable aggregate — the shape of
+    # each tokenizer-training iteration at corpus scale.
+    d = read_table(spark, sf, "documents")
+    word = F.explode(F.split("text", " ")).alias("w")
+    toks = d.select(word)
+    n = F.length("w")
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        toks.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "cnt", "rnk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3742,6 +3789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_copurchase": q_copurchase,
         "q_grouped_linreg": q_grouped_linreg,
         "q_degree_dist": q_degree_dist,
+        "q_containment": q_containment,
+        "q_bpe_pairs": q_bpe_pairs,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
@@ -5892,6 +5941,35 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_containment": f"""
+            WITH {_SHINGLE_CTE},
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END
+                       AS doc_inner,
+                   CASE WHEN sa.sz <= sb.sz THEN doc_b ELSE doc_a END
+                       AS doc_outer,
+                   round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 9)
+                       AS containment
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8""",
+        "q_bpe_pairs": """
+            WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM documents),
+            pairs AS (
+              SELECT unnest(list_transform(range(1, length(w)),
+                         i -> substr(w, i, 2))) AS pair
+              FROM toks WHERE length(w) >= 2)
+            SELECT pair, COUNT(*) AS cnt,
+                   CAST(row_number() OVER (ORDER BY COUNT(*) DESC, pair)
+                        AS INTEGER) AS rnk
+            FROM pairs GROUP BY pair
+            QUALIFY rnk <= 20""",
         "q_copurchase": """
             WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
                            FROM lineitem),

@@ -523,3 +523,51 @@ def minhash_lsh_cross(
             "jaccard",
         )
     )
+
+
+def containment_pairs(
+    shingle_df: DataFrame,
+    min_containment: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle containment |A∩B| / |A| — catches a
+    document wholly EMBEDDED in a larger one, which symmetric Jaccard
+    misses (union dominated by the big doc). Returns
+    (doc_inner, doc_outer, containment) with containment of the inner
+    (smaller-set) side >= threshold; same inverted-index + candidate
+    plan as :func:`jaccard_pairs`, same ``max_df`` hot-shingle cap."""
+    keyed = shingle_df.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        keyed = (
+            keyed.withColumn("df", F.count(F.lit(1)).over(w))
+            .filter(F.col("df") <= int(max_df))
+            .drop("df")
+        )
+    keyed = keyed.persist()
+    keyed.count()
+    sizes = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    joined = inter.join(
+        sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a"
+    ).join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+    inner_sz = F.least("sz_a", "sz_b")
+    cont = F.col("inter") / inner_sz
+    return (
+        joined.filter(cont >= min_containment)
+        .select(
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_inner"),
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_outer"),
+            F.round(cont, 9).alias("containment"),
+        )
+    )
