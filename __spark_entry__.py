@@ -3728,6 +3728,20 @@ def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_rms(spark: SparkSession, sf: str) -> DataFrame:
+    # Audio-shaped binary processing (multimodal/binary_ops.
+    # audio_frame_rms): payload bytes as LE uint16 PCM -> 256-sample
+    # frames -> integer-grid RMS. The oracle re-derives the samples from
+    # the hex rendering of the same bytes.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        attach_payload,
+        audio_frame_rms,
+    )
+
+    docs = attach_payload(read_table(spark, sf, "documents"))
+    return audio_frame_rms(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3791,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_degree_dist": q_degree_dist,
         "q_containment": q_containment,
         "q_bpe_pairs": q_bpe_pairs,
+        "q_multimodal_rms": q_multimodal_rms,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
@@ -5941,6 +5956,26 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_multimodal_rms": """
+            WITH p AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+                              octet_length(CAST(text AS BLOB)) AS nb
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         list_transform(range(0, nb // 2),
+                             i -> CAST(('0x' || substr(h, 4*i + 3, 2)
+                                             || substr(h, 4*i + 1, 2))
+                                       AS BIGINT)) AS samples
+                  FROM p),
+            fr AS (SELECT doc_id, (i // 256) AS frame_id, v
+                   FROM (SELECT doc_id,
+                                generate_subscripts(samples, 1) - 1 AS i,
+                                unnest(samples) AS v
+                         FROM s))
+            SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id,
+                   CAST(COUNT(*) AS INTEGER) AS n_samples,
+                   CAST(floor(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*))
+                              * 1000 + 0.5) AS BIGINT) AS rms_e3
+            FROM fr GROUP BY doc_id, frame_id""",
         "q_containment": f"""
             WITH {_SHINGLE_CTE},
             sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),

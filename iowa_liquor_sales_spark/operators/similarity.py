@@ -396,27 +396,6 @@ def label_centroids_e6(
     )
 
 
-def sq8_quantize_params(
-    embeddings: DataFrame, dim: int, vec_col: str = "embedding"
-) -> tuple[list[float], list[float]]:
-    """Per-dimension min/max for scalar quantization — ONE aggregate
-    producing 2·dim scalars (O(dim) driver state, never O(corpus))."""
-    row = embeddings.agg(
-        *[
-            F.min(F.element_at(F.col(vec_col), i + 1)).alias(f"mn_{i}")
-            for i in range(dim)
-        ],
-        *[
-            F.max(F.element_at(F.col(vec_col), i + 1)).alias(f"mx_{i}")
-            for i in range(dim)
-        ],
-    ).first()
-    return (
-        [float(row[f"mn_{i}"]) for i in range(dim)],
-        [float(row[f"mx_{i}"]) for i in range(dim)],
-    )
-
-
 def _sq8_code(x, mn: float, mx: float):
     # floor((x - mn) * 255 / (mx - mn) + 0.5): identical literal expression
     # tree in Spark, DuckDB, and Python (see ann_sq8_topk) — IEEE double
@@ -449,9 +428,25 @@ def ann_sq8_topk(
     as a byte-array column and scanned instead of the float vectors —
     this operator is the build-and-score path.
     """
-    mins, maxs = sq8_quantize_params(embeddings, dim, vec_col)
-    qrow = embeddings.filter(F.col(id_col) == query_id).head()
-    qvec = [float(x) for x in qrow[vec_col]]
+    # ONE aggregate job fetches the 2·dim quantization params AND the
+    # query vector (first-with-predicate) — not three separate actions.
+    row = embeddings.agg(
+        *[
+            F.min(F.element_at(F.col(vec_col), i + 1)).alias(f"mn_{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.max(F.element_at(F.col(vec_col), i + 1)).alias(f"mx_{i}")
+            for i in range(dim)
+        ],
+        F.first(
+            F.when(F.col(id_col) == query_id, F.col(vec_col)),
+            ignorenulls=True,
+        ).alias("qvec"),
+    ).first()
+    mins = [float(row[f"mn_{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx_{i}"]) for i in range(dim)]
+    qvec = [float(x) for x in row["qvec"]]
     qcodes = []
     for i in range(dim):
         if maxs[i] <= mins[i]:

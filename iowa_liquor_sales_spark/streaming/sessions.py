@@ -11,6 +11,14 @@ of stream length: the 100 TB/forever-running posture.
 The batch twin in ``__spark_entry__.q_sessionize`` (lag + cumulative-sum
 windows) computes the same sessions; the streaming test checks the two
 agree on every session the stream has closed.
+
+Spark 4's successor API (``transformWithStateInPandas`` — typed value/
+list/map state, timers, TTL) expresses the same operator; its Python
+driver worker imports ``google.protobuf`` for the state-server protocol,
+which this container does not ship, so the engine standardizes on
+``applyInPandasWithState`` (probed: the TWS worker crashes at
+StateMessage_pb2 import here). The migration is mechanical: state tuple →
+``handle.getValueState``, the timeout branch → ``handleExpiredTimer``.
 """
 
 from __future__ import annotations

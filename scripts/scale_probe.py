@@ -195,6 +195,24 @@ def bench_docs(spark, docs_path: str) -> dict[str, float]:
             max_df=max(1, int(0.05 * n_docs)),
         ),
     )
+    from iowa_liquor_sales_spark.operators.dedup import containment_pairs
+    from iowa_liquor_sales_spark.operators.text import (
+        bm25_scores,
+        feature_hash,
+        word_entropy,
+    )
+
+    t("word_entropy", word_entropy(docs))
+    t("feature_hash", feature_hash(docs, n_buckets=16))
+    t("bm25", bm25_scores(docs))
+    t(
+        "containment_capped",
+        containment_pairs(
+            shingles(docs, "text", "doc_id", n=3),
+            min_containment=0.8,
+            max_df=max(1, int(0.05 * n_docs)),
+        ),
+    )
     return timings
 
 

@@ -123,3 +123,20 @@ def test_ppm_decode_is_real(spark):
         decode_image(b"P6\n2 2\n255\n" + b"a" * 5, codec="ppm")  # truncated
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...", codec="real")
+
+
+def test_audio_frame_rms_known_values(spark):
+    import math
+
+    from iowa_liquor_sales_spark.multimodal.binary_ops import audio_frame_rms
+
+    # 4 bytes -> two LE uint16 samples: 0x0201=513, 0x0403=1027; plus a
+    # trailing odd byte that must be dropped.
+    df = spark.createDataFrame(
+        [(1, bytes([1, 2, 3, 4, 9]))], ["doc_id", "payload"]
+    )
+    rows = audio_frame_rms(df, frame_samples=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    expected = math.floor(math.sqrt((513**2 + 1027**2) / 2) * 1000 + 0.5)
+    assert (r["frame_id"], r["n_samples"], r["rms_e3"]) == (0, 2, expected)
