@@ -3742,6 +3742,23 @@ def q_multimodal_rms(spark: SparkSession, sf: str) -> DataFrame:
     return audio_frame_rms(docs)
 
 
+def q_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
+    # Prefix-filtered exact all-pairs Jaccard (operators/dedup.
+    # allpairs_jaccard — the Bayardo/PPJoin algorithm): same answers as
+    # q_ngram_jaccard with NO frequency cap, candidates pruned by
+    # rarest-first prefixes instead. The oracle is the uncapped exact
+    # inverted-index join.
+    from iowa_liquor_sales_spark.operators.dedup import (
+        allpairs_jaccard,
+        shingles,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    return allpairs_jaccard(
+        shingles(docs, "text", "doc_id", n=3), min_jaccard=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3755,13 +3772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
         "q_pagerank": q_pagerank,
-        "q_salted_join": q_salted_join,
         "q_bloom_prefilter": q_bloom_prefilter,
         "q_grid_quantiles": q_grid_quantiles,
         "q_asof_join": q_asof_join,
         "q_stratified_sample": q_stratified_sample,
         "q_multimodal_features": q_multimodal_features,
-        "q_scd2_history": q_scd2_history,
         "q_table_checksum": q_table_checksum,
         # --- round-2 additions, rotated into the 50-entry gate window
         # (one demoted same-area twin per slot; all still locally swept).
@@ -3769,13 +3784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_est": q_minhash_est,
         "q_quality_weights": q_quality_weights,
         "q_source_cap": q_source_cap,
-        "q_dedup_normalized": q_dedup_normalized,
         "q_cross_corpus": q_cross_corpus,
         "q_word_entropy": q_word_entropy,
-        "q_length_histogram": q_length_histogram,
-        "q_sliding_window": q_sliding_window,
-        "q_mix_temperature": q_mix_temperature,
-        "q_corr_stats": q_corr_stats,
         "q_global_rank": q_global_rank,
         "q_winnow_pairs": q_winnow_pairs,
         "q_ann_sq8": q_ann_sq8,
@@ -3806,10 +3816,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": q_containment,
         "q_bpe_pairs": q_bpe_pairs,
         "q_multimodal_rms": q_multimodal_rms,
+        "q_ppjoin": q_ppjoin,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
         # in-window sibling; the full local sweep still checks them all).
+        "q_corr_stats": q_corr_stats,
+        "q_salted_join": q_salted_join,
+        "q_mix_temperature": q_mix_temperature,
+        "q_scd2_history": q_scd2_history,
+        "q_dedup_normalized": q_dedup_normalized,
+        "q_length_histogram": q_length_histogram,
+        "q_sliding_window": q_sliding_window,
         "q_dup_ngram": q_dup_ngram,
         "q_cluster_sizes": q_cluster_sizes,
         "q_multimodal_resize": q_multimodal_resize,
@@ -5956,6 +5974,9 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_ppjoin": f"""
+            WITH {_JACCARD_CTE}
+            SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""",
         "q_multimodal_rms": """
             WITH p AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
                               octet_length(CAST(text AS BLOB)) AS nb

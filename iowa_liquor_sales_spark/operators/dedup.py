@@ -571,3 +571,73 @@ def containment_pairs(
             F.round(cont, 9).alias("containment"),
         )
     )
+
+
+def allpairs_jaccard(
+    shingle_df: DataFrame,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard with PREFIX FILTERING (Bayardo et al.
+    "Scaling Up All Pairs", PPJoin family) — same answers as
+    :func:`jaccard_pairs`, structurally smaller candidate set, no
+    frequency cap needed.
+
+    Order every document's shingles rarest-first by global document
+    frequency and index only each doc's PREFIX of
+    ``|d| - ceil(t·|d|) + 1`` items: any pair with J >= t shares at
+    least ``ceil(t·|larger|)`` items, which cannot all hide in the
+    larger doc's ``ceil(t·|d|) - 1``-item suffix — so probing FULL
+    lists against the PREFIX index finds every qualifying pair. The
+    join touches |full| x |prefix| instead of |full| x |full|, and the
+    rarest-first order makes surviving index entries the least shared
+    ones. Exact verification then scores candidates only.
+
+    Plan: df aggregate (O(vocab)) -> per-doc rank window (one shuffle by
+    doc) -> prefix filter -> full x prefix equi-join -> distinct pairs ->
+    set-intersection verify. Every stage's shuffle is bounded by the
+    index/candidates, never all-pairs.
+    """
+    keyed = shingle_df.select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    keyed = keyed.persist()
+    keyed.count()
+    dfreq = keyed.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    with_df = keyed.join(dfreq, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        with_df.withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    # Safe suffix bound: floor(t·sz) - 1 <= ceil_true(t·sz) - 1 under ANY
+    # float rounding of t·sz (ceil on a float that lands epsilon above an
+    # integer would SHORTEN the prefix and silently miss pairs; floor can
+    # only lengthen it — still exact, marginally more candidates).
+    prefix_len = F.col("sz") - F.floor(F.lit(min_jaccard) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        F.col("doc_id").alias("doc_p"), "shingle"
+    )
+    cand = (
+        keyed.join(prefix, "shingle")
+        .filter(F.col("doc_id") != F.col("doc_p"))
+        .select(
+            F.least("doc_id", "doc_p").alias("doc_a"),
+            F.greatest("doc_id", "doc_p").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = keyed.groupBy("doc_id").agg(F.collect_set("shingle").alias("hs"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    return (
+        cand.join(
+            sets.withColumnsRenamed({"doc_id": "doc_a", "hs": "set_a"}), "doc_a"
+        )
+        .join(
+            sets.withColumnsRenamed({"doc_id": "doc_b", "hs": "set_b"}), "doc_b"
+        )
+        .withColumn(
+            "jaccard", inter / (F.size("set_a") + F.size("set_b") - inter)
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -213,6 +213,16 @@ def bench_docs(spark, docs_path: str) -> dict[str, float]:
             max_df=max(1, int(0.05 * n_docs)),
         ),
     )
+    from iowa_liquor_sales_spark.operators.dedup import allpairs_jaccard
+
+    # Same exact semantics as jaccard_capped's uncapped form — the curve
+    # to compare: prefix filtering vs frequency capping.
+    t(
+        "ppjoin_prefix",
+        allpairs_jaccard(
+            shingles(docs, "text", "doc_id", n=3), min_jaccard=0.5
+        ),
+    )
     return timings
 
 

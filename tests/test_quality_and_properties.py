@@ -327,3 +327,34 @@ def test_apply_cdc_matches_python_reference(spark, changes):
         else:
             expected[k] = v
     assert out == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=12,
+    ),
+    t=st.sampled_from([0.3, 0.5, 0.7, 0.8]),
+)
+@_settings
+def test_allpairs_prefix_filter_equals_uncapped_jaccard(spark, docs, t):
+    from iowa_liquor_sales_spark.operators.dedup import (
+        allpairs_jaccard,
+        jaccard_pairs,
+        shingles,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    sh = shingles(df, "text", "doc_id", n=2)
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in allpairs_jaccard(sh, min_jaccard=t).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(sh, min_jaccard=t, max_df=None).collect()
+    }
+    assert got == want
