@@ -3759,6 +3759,121 @@ def q_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rolling_slope(spark: SparkSession, sf: str) -> DataFrame:
+    # Rolling trend: regr_slope of daily revenue on the day index over a
+    # trailing 30-day RANGE window — aggregate-as-window, one shuffle
+    # (the partitionless window runs over the tiny daily relation, not
+    # fact rows).
+    o = read_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("int")
+        .alias("epoch_day")
+    ).agg(dsum("o_totalprice", 2, "revenue"))
+    w = Window.orderBy("epoch_day").rangeBetween(-29, 0)
+    return daily.select(
+        "epoch_day",
+        "revenue",
+        F.round(
+            F.regr_slope(F.col("revenue"), F.col("epoch_day")).over(w), 4
+        ).alias("slope_30d"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_days_30d"),
+    )
+
+
+def q_woe_binning(spark: SparkSession, sf: str) -> DataFrame:
+    # Weight-of-evidence feature binning (credit-scoring / feature
+    # engineering): quantity deciles vs the "returned" outcome —
+    # WOE = ln((event_share)/(nonevent_share)) per bin, from exact
+    # integer counts (engine-identical), rounded once at the end.
+    li = read_table(spark, sf, "lineitem")
+    binned = li.select(
+        (F.least(F.col("l_quantity").cast("int") - 1, F.lit(49)) / 5)
+        .cast("int")
+        .alias("qty_bin"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_event"),
+    )
+    per = binned.groupBy("qty_bin").agg(
+        F.sum("is_event").cast("long").alias("n_event"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("n_nonevent"),
+    )
+    tot = per.agg(
+        F.sum("n_event").cast("double").alias("tot_e"),
+        F.sum("n_nonevent").cast("double").alias("tot_ne"),
+    )
+    woe = F.log(
+        (F.col("n_event") / F.col("tot_e"))
+        / (F.col("n_nonevent") / F.col("tot_ne"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "qty_bin",
+        "n_event",
+        "n_nonevent",
+        F.round(woe, 6).alias("woe"),
+    )
+
+
+def q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    # Benford first-digit audit of order totals: observed counts per
+    # leading digit + the chi-square statistic against Benford's law.
+    # Leading digit from exact integer cents (no float log10 at
+    # power-of-ten boundaries): the digit of n is n // 10^(len-1) on its
+    # decimal rendering.
+    o = read_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per.agg(F.sum("n").cast("double").alias("tot"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    chi_term = F.pow(
+        F.col("n") - F.col("tot") * expected, F.lit(2.0)
+    ) / (F.col("tot") * expected)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round((F.col("n") / F.col("tot")), 6).alias("obs_share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(chi_term, 6).alias("chi2_term"),
+    )
+
+
+def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    # Two-sample Welch t statistic between returned (R) and accepted (A)
+    # line items' extended prices — the A/B-test primitive from exact
+    # moments (one combinable aggregate per group), rounded for
+    # cross-engine moment accumulation order.
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    per = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("l_extendedprice").alias("m"),
+        F.var_samp("l_extendedprice").alias("v"),
+    )
+    a = per.filter(F.col("l_returnflag") == "R").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    b = per.filter(F.col("l_returnflag") == "A").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    j = a.crossJoin(b)
+    se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    t = (F.col("m1") - F.col("m2")) / se
+    dof_num = F.pow(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"), 2.0)
+    dof_den = F.pow(F.col("v1") / F.col("n1"), 2.0) / (F.col("n1") - 1) + F.pow(
+        F.col("v2") / F.col("n2"), 2.0
+    ) / (F.col("n2") - 1)
+    return j.select(
+        F.col("n1").cast("long").alias("n_ret"),
+        F.col("n2").cast("long").alias("n_acc"),
+        F.round(F.col("m1") - F.col("m2"), 3).alias("mean_diff"),
+        F.round(t, 5).alias("t_stat"),
+        F.round(dof_num / dof_den, 2).alias("welch_dof"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3817,6 +3932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pairs": q_bpe_pairs,
         "q_multimodal_rms": q_multimodal_rms,
         "q_ppjoin": q_ppjoin,
+        "q_rolling_slope": q_rolling_slope,
+        "q_woe_binning": q_woe_binning,
+        "q_benford": q_benford,
+        "q_welch_ttest": q_welch_ttest,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         # --- demoted same-area twins (driver-green or redundant with an
@@ -5974,6 +6093,71 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_rolling_slope": f"""
+            WITH daily AS (
+              SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                          AS INTEGER) AS epoch_day,
+                     {_dsum("o_totalprice")} AS revenue
+              FROM orders GROUP BY 1)
+            SELECT epoch_day, revenue,
+                   round(regr_slope(revenue, epoch_day) OVER w, 4)
+                       AS slope_30d,
+                   CAST(COUNT(*) OVER w AS INTEGER) AS n_days_30d
+            FROM daily
+            WINDOW w AS (ORDER BY epoch_day
+                         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""",
+        "q_woe_binning": """
+            WITH b AS (SELECT CAST(least(CAST(l_quantity AS INTEGER) - 1,
+                                         49) // 5 AS INTEGER) AS qty_bin,
+                              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                                   END AS is_event
+                       FROM lineitem),
+            per AS (SELECT qty_bin,
+                           CAST(SUM(is_event) AS BIGINT) AS n_event,
+                           CAST(SUM(1 - is_event) AS BIGINT) AS n_nonevent
+                    FROM b GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_event) AS DOUBLE) AS tot_e,
+                           CAST(SUM(n_nonevent) AS DOUBLE) AS tot_ne
+                    FROM per)
+            SELECT qty_bin, n_event, n_nonevent,
+                   round(ln((n_event / tot_e) / (n_nonevent / tot_ne)), 6)
+                       AS woe
+            FROM per, tot""",
+        "q_benford": """
+            WITH per AS (
+              SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                           AS BIGINT) AS VARCHAR), 1, 1)
+                          AS INTEGER) AS digit,
+                     COUNT(*) AS n
+              FROM orders GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM per)
+            SELECT digit, n,
+                   round(n / tot, 6) AS obs_share,
+                   round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+                   round(pow(n - tot * log10(1.0 + 1.0 / digit), 2.0)
+                         / (tot * log10(1.0 + 1.0 / digit)), 6)
+                       AS chi2_term
+            FROM per, tot""",
+        "q_welch_ttest": """
+            WITH per AS (
+              SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+                     avg(l_extendedprice) AS m,
+                     var_samp(l_extendedprice) AS v
+              FROM lineitem WHERE l_returnflag IN ('R', 'A')
+              GROUP BY 1),
+            a AS (SELECT n AS n1, m AS m1, v AS v1 FROM per
+                  WHERE l_returnflag = 'R'),
+            b AS (SELECT n AS n2, m AS m2, v AS v2 FROM per
+                  WHERE l_returnflag = 'A')
+            SELECT CAST(n1 AS BIGINT) AS n_ret,
+                   CAST(n2 AS BIGINT) AS n_acc,
+                   round(m1 - m2, 3) AS mean_diff,
+                   round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 5) AS t_stat,
+                   round(pow(v1 / n1 + v2 / n2, 2.0)
+                         / (pow(v1 / n1, 2.0) / (n1 - 1)
+                            + pow(v2 / n2, 2.0) / (n2 - 1)), 2)
+                       AS welch_dof
+            FROM a, b""",
         "q_ppjoin": f"""
             WITH {_JACCARD_CTE}
             SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""",
