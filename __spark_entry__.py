@@ -3874,6 +3874,75 @@ def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Population stability index between two order-date halves — the
+    # standard production drift alarm: PSI = sum (p2-p1)·ln(p2/p1) over
+    # price-magnitude bins, from exact integer counts per period.
+    o = read_table(spark, sf, "orders")
+    binned = o.select(
+        F.floor(F.log10("o_totalprice")).cast("int").alias("mag_bin"),
+        (F.year("o_orderdate") >= 1997).cast("int").alias("period"),
+    )
+    per = binned.groupBy("mag_bin").agg(
+        F.sum(1 - F.col("period")).cast("long").alias("n1"),
+        F.sum("period").cast("long").alias("n2"),
+    )
+    tot = per.agg(
+        F.sum("n1").cast("double").alias("t1"),
+        F.sum("n2").cast("double").alias("t2"),
+    )
+    p1 = F.col("n1") / F.col("t1")
+    p2 = F.col("n2") / F.col("t2")
+    # Explicit NULL when a bin is empty on either side: Spark's ln()
+    # returns NULL at 0 where other engines produce -inf — pin one
+    # convention in both (production PSI smooths these bins anyway).
+    term = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.round((p2 - p1) * F.log(p2 / p1), 6),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "mag_bin",
+        "n1",
+        "n2",
+        term.alias("psi_term"),
+    )
+
+
+def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    # Mutual information between the quantity decile and the return
+    # outcome (feature-relevance screening): MI = sum p(x,y)·ln(p(x,y) /
+    # (p(x)p(y))) — all shares from exact integer counts, identical in
+    # both engines; emitted per cell so the driver checks every term.
+    li = read_table(spark, sf, "lineitem")
+    cells = li.select(
+        (F.least(F.col("l_quantity").cast("int") - 1, F.lit(49)) / 5)
+        .cast("int")
+        .alias("qty_bin"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    joint = cells.groupBy("qty_bin", "y").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    px = cells.groupBy("qty_bin").agg(F.count(F.lit(1)).alias("n_x"))
+    py = cells.groupBy("y").agg(F.count(F.lit(1)).alias("n_y"))
+    tot = cells.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    j = (
+        joint.join(px, "qty_bin")
+        .join(py, "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = (F.col("n_xy") / F.col("n")) * F.log(
+        (F.col("n_xy") / F.col("n"))
+        / ((F.col("n_x") / F.col("n")) * (F.col("n_y") / F.col("n")))
+    )
+    return j.select(
+        "qty_bin",
+        "y",
+        F.col("n_xy").cast("long").alias("n_xy"),
+        F.round(mi_term, 9).alias("mi_term"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -3934,6 +4003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppjoin": q_ppjoin,
         "q_rolling_slope": q_rolling_slope,
         "q_woe_binning": q_woe_binning,
+        "q_psi_drift": q_psi_drift,
+        "q_mutual_info": q_mutual_info,
         "q_benford": q_benford,
         "q_welch_ttest": q_welch_ttest,
         "q_feature_hash": q_feature_hash,
@@ -6093,6 +6164,39 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_psi_drift": """
+            WITH b AS (
+              SELECT CAST(floor(log10(o_totalprice)) AS INTEGER) AS mag_bin,
+                     CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1997
+                          THEN 1 ELSE 0 END AS period
+              FROM orders),
+            per AS (SELECT mag_bin,
+                           CAST(SUM(1 - period) AS BIGINT) AS n1,
+                           CAST(SUM(period) AS BIGINT) AS n2
+                    FROM b GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n1) AS DOUBLE) AS t1,
+                           CAST(SUM(n2) AS DOUBLE) AS t2 FROM per)
+            SELECT mag_bin, n1, n2,
+                   CASE WHEN n1 > 0 AND n2 > 0
+                        THEN round((n2 / t2 - n1 / t1)
+                                   * ln((n2 / t2) / (n1 / t1)), 6)
+                        END AS psi_term
+            FROM per, tot""",
+        "q_mutual_info": """
+            WITH cells AS (
+              SELECT CAST(least(CAST(l_quantity AS INTEGER) - 1, 49) // 5
+                          AS INTEGER) AS qty_bin,
+                     CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+              FROM lineitem),
+            joint AS (SELECT qty_bin, y, COUNT(*) AS n_xy FROM cells
+                      GROUP BY 1, 2),
+            px AS (SELECT qty_bin, COUNT(*) AS n_x FROM cells GROUP BY 1),
+            py AS (SELECT y, COUNT(*) AS n_y FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM cells)
+            SELECT j.qty_bin, j.y, CAST(j.n_xy AS BIGINT) AS n_xy,
+                   round((j.n_xy / n) * ln((j.n_xy / n)
+                         / ((px.n_x / n) * (py.n_y / n))), 9) AS mi_term
+            FROM joint j JOIN px USING (qty_bin) JOIN py USING (y), tot""",
         "q_rolling_slope": f"""
             WITH daily AS (
               SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
