@@ -3943,6 +3943,43 @@ def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    # Kaplan-Meier survival of shipping delay (days from order to ship),
+    # administratively censored at 45 days — time-to-event analysis from
+    # one join + one tiny ordered window: risk sets and the product-form
+    # estimator S(t) = exp(cumsum ln(1 - d/n)) over <=46 time points.
+    # Censoring guarantees every factor is strictly positive.
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    dur = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    obs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.least(dur, F.lit(45)).alias("t"),
+            (dur <= 45).cast("int").alias("e"),
+        )
+    )
+    grp = obs.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(1 - F.col("e")).cast("long").alias("c"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum_removed = F.sum(F.col("d") + F.col("c")).over(w)
+    tot = grp.agg(F.sum(F.col("d") + F.col("c")).alias("N"))
+    staged = grp.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk", F.col("N") - (cum_removed - (F.col("d") + F.col("c")))
+    )
+    term = F.log(1.0 - F.col("d") / F.col("n_at_risk"))
+    surv = F.exp(F.sum(term).over(w))
+    return staged.select(
+        "t",
+        "d",
+        "c",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -4005,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_woe_binning": q_woe_binning,
         "q_psi_drift": q_psi_drift,
         "q_mutual_info": q_mutual_info,
+        "q_kaplan_meier": q_kaplan_meier,
         "q_benford": q_benford,
         "q_welch_ttest": q_welch_ttest,
         "q_feature_hash": q_feature_hash,
@@ -6164,6 +6202,29 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_kaplan_meier": """
+            WITH obs AS (
+              SELECT least(CAST(l_shipdate AS DATE)
+                           - CAST(o_orderdate AS DATE), 45) AS t,
+                     CASE WHEN CAST(l_shipdate AS DATE)
+                               - CAST(o_orderdate AS DATE) <= 45
+                          THEN 1 ELSE 0 END AS e
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            grp AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+                           CAST(SUM(1 - e) AS BIGINT) AS c
+                    FROM obs GROUP BY 1),
+            st AS (SELECT *,
+                          SUM(d + c) OVER (ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS cumrem,
+                          SUM(d + c) OVER () AS N
+                   FROM grp),
+            r AS (SELECT t, d, c, N - (cumrem - (d + c)) AS n_at_risk
+                  FROM st)
+            SELECT t, d, c, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                   round(exp(SUM(ln(1.0 - d / n_at_risk))
+                             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+                         6) AS survival
+            FROM r""",
         "q_psi_drift": """
             WITH b AS (
               SELECT CAST(floor(log10(o_totalprice)) AS INTEGER) AS mag_bin,
