@@ -2831,6 +2831,18 @@ def _hll_oracle() -> str:
     return hll_sql("l_orderkey", "lineitem", p=8)
 
 
+def _hll_overlap_oracle() -> str:
+    from iowa_liquor_sales_spark.operators.sketches import hll_overlap_sql
+
+    return hll_overlap_sql(
+        "o_custkey",
+        "(SELECT o_custkey FROM orders WHERE year(o_orderdate) <= 1996)",
+        "o_custkey",
+        "(SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1997)",
+        p=8,
+    )
+
+
 def _zorder_oracle() -> str:
     from iowa_liquor_sales_spark.operators.layout import zorder_sql
 
@@ -3980,6 +3992,171 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hll_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # Set-overlap WITHOUT a join (operators/sketches.hll_overlap): how
+    # many customers are active in BOTH the 1995-96 and 1997-98 cohorts,
+    # estimated from two O(2^p)-row register tables and their max-merge —
+    # inclusion-exclusion |A∩B| = est(A)+est(B)-est(A∪B). Neither input
+    # ever shuffles against the other; the oracle reproduces every
+    # register bit.
+    from iowa_liquor_sales_spark.operators.sketches import hll_overlap
+
+    o = read_table(spark, sf, "orders")
+    early = o.filter(F.year("o_orderdate") <= 1996)
+    late = o.filter(F.year("o_orderdate") >= 1997)
+    return hll_overlap(early, "o_custkey", late, "o_custkey", p=8)
+
+
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # Banded SimHash near-dup pairing (operators/dedup.simhash_hamming_pairs):
+    # the Manku-et-al candidate step over the q_simhash fingerprints —
+    # 4 blocks of 15 bits, equi-join on (band, block), xor+popcount verify
+    # at Hamming <= 3. Pigeonhole makes recall exact at this radius.
+    from iowa_liquor_sales_spark.operators.dedup import simhash_hamming_pairs
+
+    d = read_table(spark, sf, "documents")
+    return simhash_hamming_pairs(
+        d, "text", "doc_id", bits=60, bands=4, max_hamming=3
+    )
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    # Sorted-neighborhood blocking (operators/dedup.sorted_neighborhood_pairs):
+    # one distributed range-sort by the normalized 24-char key, then each
+    # record meets only its 4 sort-successors — O(N*w) candidates with a
+    # Levenshtein verify, the predictable-cost complement to LSH.
+    from iowa_liquor_sales_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = read_table(spark, sf, "documents")
+    return sorted_neighborhood_pairs(
+        d, "text", "doc_id", window=4, key_chars=24, max_edit=8
+    )
+
+
+def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    # 3-round k-core peel (operators/graph.kcore) of the same derived
+    # graph as q_triangles: drop vertices of degree < k with their edges,
+    # three times; emit surviving vertices + remaining degree. Each round
+    # is a degree aggregate + two semi-joins — O(E), SQL-mirrorable.
+    from iowa_liquor_sales_spark.operators.graph import kcore
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        ((F.col("o_orderkey") % 700)).alias("dst"),
+    )
+    return kcore(edges, k=24, rounds=3)
+
+
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    # RFM segmentation, quantile-threshold form: per-customer recency /
+    # frequency / monetary-cents (all exact integers), quintile boundaries
+    # from ONE global percentile aggregate broadcast back, scores by
+    # threshold comparison — no global NTILE window (single-task sort at
+    # scale); cells aggregated so output is <=125 rows.
+    o = read_table(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.lit("1998-12-31")), F.max(F.to_date("o_orderdate"))
+        ).alias("recency"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("mon_cents"),
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    thr = per.agg(
+        *[
+            F.percentile(m, F.lit(q)).alias(f"{m}_q{int(q * 100)}")
+            for m in ("recency", "freq", "mon_cents")
+            for q in qs
+        ]
+    )
+
+    def score(m):
+        s = F.lit(1)
+        for q in qs:
+            s = s + (F.col(m) > F.col(f"{m}_q{int(q * 100)}")).cast("int")
+        return s
+
+    cells = per.crossJoin(F.broadcast(thr)).select(
+        score("recency").alias("r_quintile"),
+        score("freq").alias("f_quintile"),
+        score("mon_cents").alias("m_quintile"),
+        F.col("mon_cents"),
+    )
+    return cells.groupBy("r_quintile", "f_quintile", "m_quintile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("mon_cents").alias("monetary_cents"),
+    )
+
+
+def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # Last-touch marketing attribution over the event stream: each
+    # purchase credits the user's most recent preceding click/view (else
+    # 'direct'); revenue and conversion counts roll up per channel. One
+    # per-user ordered window — partitioned by user_id, so it scales with
+    # users, never a global sort.
+    ev = read_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    attributed = (
+        ev.withColumn("channel", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("channel", F.lit("direct")).alias("channel"), "value")
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    # Robust outlier screen per return-flag group: exact median +
+    # median-absolute-deviation (two percentile aggregates), then count
+    # rows beyond 3 robust sigmas (1.4826*MAD). Both medians interpolate
+    # identically in Spark and the oracle, and the verdict is a count —
+    # no float in the output hash beyond the rounded centers.
+    li = read_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    dev = li.join(med, "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.first("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    out = dev.join(
+        mad.select("l_returnflag", F.col("mad").alias("mad_thr")),
+        "l_returnflag",
+    )
+    counts = out.groupBy("l_returnflag").agg(
+        F.sum(
+            (F.col("adev") > 3 * 1.4826 * F.col("mad_thr")).cast("int")
+        )
+        .cast("long")
+        .alias("n_outliers")
+    )
+    return mad.join(counts, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        F.round("med", 2).alias("median_price"),
+        F.round("mad", 2).alias("mad"),
+        "n_outliers",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's coverage window.
@@ -4047,6 +4224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_welch_ttest": q_welch_ttest,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_kcore": q_kcore,
+        "q_rfm_segments": q_rfm_segments,
+        "q_attribution": q_attribution,
+        "q_mad_outliers": q_mad_outliers,
+        "q_hll_overlap": q_hll_overlap,
         # --- demoted same-area twins (driver-green or redundant with an
         # in-window sibling; the full local sweep still checks them all).
         "q_corr_stats": q_corr_stats,
@@ -4526,6 +4710,184 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id""",
+        "q_simhash_pairs": """
+            WITH wd AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+              FROM wd
+            ),
+            votes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS s
+              FROM h, range(60) b(bit)
+              GROUP BY doc_id, b.bit
+            ),
+            fp AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, simhash, b.band,
+                     (simhash >> (b.band * 15)) & 32767 AS block
+              FROM fp, range(4) b(band)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS fp_a, b.simhash AS fp_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.block = b.block
+               AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3""",
+        "q_sorted_neighborhood": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     substr(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 24) AS skey
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, skey,
+                     row_number() OVER (ORDER BY skey, doc_id) AS rn
+              FROM keyed
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     levenshtein(a.skey, b.skey) AS ed
+              FROM ranked a JOIN ranked b
+                ON b.rn BETWEEN a.rn + 1 AND a.rn + 4
+            )
+            SELECT least(doc_a, doc_b) AS id_a,
+                   greatest(doc_a, doc_b) AS id_b,
+                   CAST(ed AS INT) AS edit_distance
+            FROM pairs WHERE ed <= 8""",
+        "q_kcore": """
+            WITH e0 AS (
+              SELECT DISTINCT least(o_custkey % 500, o_orderkey % 700) AS lo,
+                     greatest(o_custkey % 500, o_orderkey % 700) AS hi
+              FROM orders
+              WHERE (o_custkey % 500) <> (o_orderkey % 700)
+            ),
+            d0 AS (
+              SELECT v, COUNT(*) AS deg FROM (
+                SELECT lo AS v FROM e0 UNION ALL SELECT hi FROM e0
+              ) GROUP BY v
+            ),
+            e1 AS (
+              SELECT lo, hi FROM e0
+              WHERE lo IN (SELECT v FROM d0 WHERE deg >= 24)
+                AND hi IN (SELECT v FROM d0 WHERE deg >= 24)
+            ),
+            d1 AS (
+              SELECT v, COUNT(*) AS deg FROM (
+                SELECT lo AS v FROM e1 UNION ALL SELECT hi FROM e1
+              ) GROUP BY v
+            ),
+            e2 AS (
+              SELECT lo, hi FROM e1
+              WHERE lo IN (SELECT v FROM d1 WHERE deg >= 24)
+                AND hi IN (SELECT v FROM d1 WHERE deg >= 24)
+            ),
+            d2 AS (
+              SELECT v, COUNT(*) AS deg FROM (
+                SELECT lo AS v FROM e2 UNION ALL SELECT hi FROM e2
+              ) GROUP BY v
+            ),
+            e3 AS (
+              SELECT lo, hi FROM e2
+              WHERE lo IN (SELECT v FROM d2 WHERE deg >= 24)
+                AND hi IN (SELECT v FROM d2 WHERE deg >= 24)
+            )
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+              SELECT lo AS v FROM e3 UNION ALL SELECT hi FROM e3
+            ) GROUP BY v""",
+        "q_rfm_segments": """
+            WITH per AS (
+              SELECT o_custkey,
+                     datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                              DATE '1998-12-31') AS recency,
+                     COUNT(*) AS freq,
+                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS mon_cents
+              FROM orders GROUP BY o_custkey
+            ),
+            thr AS (
+              SELECT quantile_cont(recency, 0.2) AS r20,
+                     quantile_cont(recency, 0.4) AS r40,
+                     quantile_cont(recency, 0.6) AS r60,
+                     quantile_cont(recency, 0.8) AS r80,
+                     quantile_cont(freq, 0.2) AS f20,
+                     quantile_cont(freq, 0.4) AS f40,
+                     quantile_cont(freq, 0.6) AS f60,
+                     quantile_cont(freq, 0.8) AS f80,
+                     quantile_cont(mon_cents, 0.2) AS m20,
+                     quantile_cont(mon_cents, 0.4) AS m40,
+                     quantile_cont(mon_cents, 0.6) AS m60,
+                     quantile_cont(mon_cents, 0.8) AS m80
+              FROM per
+            ),
+            cells AS (
+              SELECT 1 + CAST(recency > r20 AS INT) + CAST(recency > r40 AS INT)
+                       + CAST(recency > r60 AS INT) + CAST(recency > r80 AS INT)
+                       AS r_quintile,
+                     1 + CAST(freq > f20 AS INT) + CAST(freq > f40 AS INT)
+                       + CAST(freq > f60 AS INT) + CAST(freq > f80 AS INT)
+                       AS f_quintile,
+                     1 + CAST(mon_cents > m20 AS INT) + CAST(mon_cents > m40 AS INT)
+                       + CAST(mon_cents > m60 AS INT) + CAST(mon_cents > m80 AS INT)
+                       AS m_quintile,
+                     mon_cents
+              FROM per, thr
+            )
+            SELECT r_quintile, f_quintile, m_quintile,
+                   COUNT(*) AS n_customers,
+                   SUM(mon_cents) AS monetary_cents
+            FROM cells GROUP BY 1, 2, 3""",
+        "q_attribution": """
+            WITH tagged AS (
+              SELECT event_type, value,
+                     last_value(CASE WHEN event_type IN ('click', 'view')
+                                     THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS channel
+              FROM events
+            )
+            SELECT COALESCE(channel, 'direct') AS channel,
+                   COUNT(*) AS n_conversions,
+                   round(SUM(value), 2) AS revenue
+            FROM tagged WHERE event_type = 'purchase'
+            GROUP BY 1""",
+        "q_mad_outliers": """
+            WITH med AS (
+              SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+              FROM lineitem GROUP BY l_returnflag
+            ),
+            dev AS (
+              SELECT l.l_returnflag, m.med,
+                     abs(l.l_extendedprice - m.med) AS adev
+              FROM lineitem l JOIN med m USING (l_returnflag)
+            ),
+            mad AS (
+              SELECT l_returnflag, MIN(med) AS med,
+                     quantile_cont(adev, 0.5) AS mad,
+                     COUNT(*) AS n
+              FROM dev GROUP BY l_returnflag
+            )
+            SELECT d.l_returnflag, MIN(m.n) AS n,
+                   round(MIN(m.med), 2) AS median_price,
+                   round(MIN(m.mad), 2) AS mad,
+                   SUM(CAST(d.adev > 3 * 1.4826 * m.mad AS INT)) AS n_outliers
+            FROM dev d JOIN mad m USING (l_returnflag)
+            GROUP BY d.l_returnflag""",
         "q_embed_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -5597,6 +5959,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment""",
         "q_hll": _hll_oracle(),
+        "q_hll_overlap": _hll_overlap_oracle(),
         "q_csv_malformed": f"""
             SELECT COUNT(*) AS n_rows,
                    COUNT(CASE WHEN l_orderkey % 97 <> 0 THEN 1 END)

@@ -641,3 +641,111 @@ def allpairs_jaccard(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup PAIRS from SimHash fingerprints — the candidate-generation
+    step the bare fingerprint (:func:`simhash`) leaves to the caller,
+    done the way Google's near-dup crawler does it (Manku et al., WWW'07):
+    split the ``bits``-bit fingerprint into ``bands`` contiguous blocks
+    and join documents that agree EXACTLY on at least one block. By
+    pigeonhole, any pair within Hamming distance ``bands - 1`` shares a
+    block, so ``max_hamming <= bands - 1`` gives 100% recall with zero
+    all-pairs work; the final xor+popcount verify touches candidates only.
+
+    Scale: the join is an equi-join on (band, block_value) — O(candidates)
+    like LSH bucketing, never O(n²); block width ``bits/bands`` bounds
+    expected bucket sizes (15 bits ⇒ 32k buckets per band). One shuffle to
+    build fingerprints, one bucket join, map-side verify.
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fp = simhash(df, text_col, id_col, bits)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "block",
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}"),
+    )
+    a = banded.select(
+        "band", "block",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
+    )
+    b = banded.select(
+        "band", "block",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"),
+    )
+    cand = (
+        a.join(b, ["band", "block"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("fp_a ^ fp_b"))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 4,
+    key_chars: int = 24,
+    max_edit: int = 8,
+) -> DataFrame:
+    """Sorted-neighborhood method (Hernández & Stolfo, SIGMOD'95) — the
+    classic record-linkage blocking strategy: sort the corpus once by a
+    normalized blocking key, then compare each record only to its ``window``
+    successors in sort order. Candidate count is O(N·w) by construction —
+    no bucket can blow up the way a hot LSH band or a stop-word shingle
+    can, which makes it the predictable-cost complement to
+    :func:`minhash_lsh_pairs`.
+
+    Scale: the global order comes from
+    :func:`..operators.ranking.global_row_number` (range shuffle + narrow
+    sort — never a single-partition window), and neighbors meet through an
+    equi-join on ``rn + k`` for k in 1..w, so the whole operator is one
+    range shuffle plus one bounded join. Verification is Levenshtein on
+    the normalized key prefix — candidates only.
+
+    Returns (id_a, id_b, edit_distance) for pairs within ``max_edit``.
+    """
+    from iowa_liquor_sales_spark.operators.ranking import global_row_number
+
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(normalize_text(text_col), 1, key_chars).alias("skey"),
+    )
+    ranked = global_row_number(keyed, ["skey", "doc_id"], out_col="rn")
+    probe = ranked.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(window))
+        ).alias("k"),
+        (F.col("rn")).alias("rn_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("skey").alias("key_a"),
+    ).withColumn("rn", F.col("rn_a") + F.col("k"))
+    base = ranked.select(
+        "rn", F.col("doc_id").alias("doc_b"), F.col("skey").alias("key_b")
+    )
+    pairs = probe.join(base, "rn").select(
+        "doc_a", "doc_b", F.levenshtein("key_a", "key_b").alias("edit_distance")
+    )
+    return pairs.filter(F.col("edit_distance") <= max_edit).select(
+        F.least("doc_a", "doc_b").alias("id_a"),
+        F.greatest("doc_a", "doc_b").alias("id_b"),
+        F.col("edit_distance").cast("int").alias("edit_distance"),
+    )

@@ -217,3 +217,50 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return wedges.join(ac, ["a", "c"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling — repeatedly drop vertices
+    with degree < k and the edges touching them. ``rounds`` is fixed (not
+    run-to-convergence) so the plan is a finite chain the optimizer sees
+    whole and a SQL oracle can mirror with chained CTEs; production use
+    loops until the edge count stops changing (same body + localCheckpoint
+    per round, as in :func:`connected_components`).
+
+    Scale: each round is one degree aggregate (map-side combinable) plus
+    two semi-joins of the edge list against the surviving-vertex set —
+    all equi-joins on vertex id, O(E) per round, no all-pairs anywhere.
+    Returns the vertices of the ``rounds``-peeled edge set with their
+    remaining degree.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        degs = (
+            e.select(F.col("lo").alias("v"))
+            .unionAll(e.select(F.col("hi").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = degs.filter(F.col("deg") >= k).select("v")
+        e = e.join(
+            keep.withColumnRenamed("v", "lo"), "lo", "left_semi"
+        ).join(keep.withColumnRenamed("v", "hi"), "hi", "left_semi")
+    return (
+        e.select(F.col("lo").alias("v"))
+        .unionAll(e.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )

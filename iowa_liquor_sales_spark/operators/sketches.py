@@ -434,3 +434,106 @@ def hll_sql(expr: str, table: str, p: int = 8) -> str:
                AS est_distinct,
                CAST(nb AS BIGINT) AS n_buckets_used
         FROM s"""
+
+
+def _hll_estimate_expr(regs: DataFrame, name: str, p: int) -> DataFrame:
+    """1-row raw-HLL estimate from a register table (same expression tree
+    as :func:`hll_estimate`, kept bit-identical for the SQL oracle)."""
+    m = 1 << p
+    maxrho = 61 - p
+    s = regs.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr(f"shiftleft(1L, {maxrho} - rho)")).alias("hp"),
+    )
+    hsum = (F.col("hp") + (F.lit(m) - F.col("nb")) * F.lit(1 << maxrho)).cast(
+        "double"
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    return s.select(
+        (alpha * F.lit(float(m * m)) * F.lit(float(1 << maxrho)) / hsum).alias(
+            name
+        )
+    )
+
+
+def hll_overlap(
+    df_a: DataFrame,
+    expr_a: Column | str,
+    df_b: DataFrame,
+    expr_b: Column | str,
+    p: int = 8,
+) -> DataFrame:
+    """Set-overlap estimation between two keyed relations WITHOUT joining
+    them: |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion-exclusion,
+    where est(A∪B) comes from MERGING the two register tables
+    (``GROUP BY bucket -> MAX(rho)``) — the defining property of HLL.
+
+    This is the 100 TB way to ask "how much do these two corpora/key
+    spaces overlap": each side is one scan producing O(2^p) rows of
+    state; the merge and all three estimates are arithmetic over <= 2·2^p
+    rows. No shuffle of either input against the other, ever — compare a
+    distinct-join which shuffles both sides end to end.
+
+    Returns 1 row ``(est_a, est_b, est_union, est_intersect)``; every
+    register bit and constant reproduces in the DuckDB oracle
+    (:func:`hll_overlap_sql`). Raw-HLL stderr ~1.04/sqrt(2^p) per term.
+    """
+    ra = hll_registers(df_a, expr_a, p)
+    rb = hll_registers(df_b, expr_b, p)
+    ru = ra.unionAll(rb).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    ea = _hll_estimate_expr(ra, "est_a", p)
+    eb = _hll_estimate_expr(rb, "est_b", p)
+    eu = _hll_estimate_expr(ru, "est_union", p)
+    out = ea.crossJoin(eb).crossJoin(eu).select(
+        F.round("est_a", 6).alias("est_a"),
+        F.round("est_b", 6).alias("est_b"),
+        F.round("est_union", 6).alias("est_union"),
+    )
+    return out.withColumn(
+        "est_intersect",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+    )
+
+
+def hll_overlap_sql(
+    expr_a: str, table_a: str, expr_b: str, table_b: str, p: int = 8
+) -> str:
+    """DuckDB rendering of :func:`hll_overlap` — same registers, same
+    harmonic sums, same constant expression tree, rounded identically."""
+    m = 1 << p
+    maxrho = 61 - p
+    big = 1 << maxrho
+
+    def regs(expr: str, table: str) -> str:
+        return f"""
+          SELECT h % {m} AS bucket,
+                 MAX(CASE WHEN h // {m} = 0 THEN {maxrho}
+                          ELSE {maxrho} - length(bin(h // {m})) END) AS rho
+          FROM (SELECT CAST(('0x' || substr(md5(CAST(({expr}) AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS h FROM {table})
+          GROUP BY bucket"""
+
+    def est(src: str, name: str) -> str:
+        return f"""
+          SELECT (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m * m)}
+                     * {float(big)}
+                     / CAST(hp + ({m} - nb) * {big} AS DOUBLE) AS {name}
+          FROM (SELECT COUNT(*) AS nb,
+                       CAST(SUM(CAST(1 AS BIGINT) << ({maxrho} - rho)) AS BIGINT)
+                         AS hp FROM {src})"""
+
+    return f"""
+        WITH ra AS ({regs(expr_a, table_a)}),
+        rb AS ({regs(expr_b, table_b)}),
+        ru AS (
+          SELECT bucket, MAX(rho) AS rho FROM (
+            SELECT * FROM ra UNION ALL SELECT * FROM rb
+          ) GROUP BY bucket),
+        r3 AS (
+          SELECT round(ea.est_a, 6) AS est_a, round(eb.est_b, 6) AS est_b,
+                 round(eu.est_union, 6) AS est_union
+          FROM ({est('ra', 'est_a')}) ea, ({est('rb', 'est_b')}) eb,
+               ({est('ru', 'est_union')}) eu)
+        SELECT est_a, est_b, est_union,
+               round(est_a + est_b - est_union, 6) AS est_intersect
+        FROM r3"""

@@ -93,3 +93,19 @@ def test_triangle_count_known_graph(spark):
         ["src", "dst"],
     )
     assert triangle_count(edges).first()["n_triangles"] == 4
+
+
+def test_kcore_peels_pendants_and_keeps_clique(spark):
+    from iowa_liquor_sales_spark.operators.graph import kcore
+
+    # K4 on {1,2,3,4} (every vertex degree 3) with pendant chains hanging
+    # off: 4-5, 5-6. At k=2 the chain peels over two rounds (6 first,
+    # then 5), the clique survives with its internal degrees intact.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        ["src", "dst"],
+    )
+    got = {r["v"]: r["deg"] for r in kcore(edges, k=2, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above the max degree empties the graph.
+    assert kcore(edges, k=5, rounds=2).count() == 0

@@ -250,3 +250,49 @@ def test_skyline_2d_semantics(spark):
         ("g", 3, 5.0),
         ("h", 0, 0.0),
     ]
+
+
+def test_simhash_pairs_find_planted_neardup(spark):
+    from iowa_liquor_sales_spark.operators.dedup import simhash_hamming_pairs
+
+    # ~40 distinct words so a one-word edit moves few of the 60 bits
+    # (each flip needs a zero vote margin); unrelated text sits near the
+    # random-fingerprint expectation of ~30 bits away.
+    base = " ".join(f"word{i:02d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, " ".join(f"other{i:02d}" for i in range(40))),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(
+            docs, "text", "doc_id", max_hamming=20
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 20
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_sorted_neighborhood_bounded_candidates(spark):
+    from iowa_liquor_sales_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # 30 docs sharing one hot prefix would be 435 all-pairs candidates;
+    # sorted-neighborhood with w=2 emits at most N*w pairs by construction
+    # — the no-hot-bucket guarantee LSH bands can't make.
+    docs = spark.createDataFrame(
+        [(i, f"shared common prefix text {i:02d}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    pairs = sorted_neighborhood_pairs(
+        docs, "text", "doc_id", window=2, max_edit=64
+    )
+    n = pairs.count()
+    assert 0 < n <= 30 * 2
+    # Adjacent ids differ by one digit pair -> tiny edit distance survives
+    # a tight cap; the planted near-identical neighbours are found.
+    tight = sorted_neighborhood_pairs(docs, "text", "doc_id", window=2, max_edit=2)
+    assert tight.count() > 0

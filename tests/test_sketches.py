@@ -151,3 +151,35 @@ def test_hll_estimate_within_error_and_mergeable(spark):
     )
     merged = {r["bucket"]: r["rho"] for r in merged_df.collect()}
     assert merged == whole
+
+
+def test_hll_overlap_tracks_true_intersection(spark):
+    from iowa_liquor_sales_spark.operators.sketches import hll_overlap
+
+    # |A|=2000, |B|=2000, |A∩B|=1000 (keys 1000..1999 shared).
+    a = spark.range(0, 2000).selectExpr("id AS k")
+    b = spark.range(1000, 3000).selectExpr("id AS k")
+    row = hll_overlap(a, "k", b, "k", p=8).first()
+    # raw-HLL stderr ~6.5% at p=8 per term; give the composed estimate 3x.
+    assert abs(row["est_a"] - 2000) / 2000 < 0.2
+    assert abs(row["est_union"] - 3000) / 3000 < 0.2
+    assert abs(row["est_intersect"] - 1000) / 1000 < 0.55
+    assert row["est_intersect"] == round(
+        row["est_a"] + row["est_b"] - row["est_union"], 6
+    )
+
+
+def test_hll_overlap_disjoint_and_identical(spark):
+    from iowa_liquor_sales_spark.operators.sketches import hll_overlap
+
+    a = spark.range(0, 1500).selectExpr("id AS k")
+    b = spark.range(5000, 6500).selectExpr("id AS k")
+    row = hll_overlap(a, "k", b, "k", p=8).first()
+    # Disjoint sets: intersection estimate must sit near zero relative
+    # to the set sizes (inclusion-exclusion noise only).
+    assert abs(row["est_intersect"]) < 0.25 * 1500
+    same = hll_overlap(a, "k", a, "k", p=8).first()
+    # Identical sets: union register table == each side's, so the
+    # estimate identity est_intersect == est_a holds EXACTLY.
+    assert same["est_union"] == same["est_a"]
+    assert same["est_intersect"] == same["est_a"]
