@@ -4007,6 +4007,168 @@ def q_hll_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return hll_overlap(early, "o_custkey", late, "o_custkey", p=8)
 
 
+def q_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    # Golden-record survivorship (record-linkage "data fusion"): cluster
+    # by normalized content hash, elect the survivor per cluster by
+    # (longest text, then highest doc_id) — a deterministic window rank
+    # partitioned by cluster, never global — and fuse cluster stats.
+    d = read_table(spark, sf, "documents")
+    from iowa_liquor_sales_spark.operators.dedup import normalize_text
+
+    base = d.select(
+        F.md5(normalize_text("text").cast("binary")).alias("norm_hash"),
+        "doc_id",
+        "n_chars",
+        "source",
+    )
+    w = Window.partitionBy("norm_hash").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").desc()
+    )
+    surv = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "norm_hash",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_chars").alias("survivor_len"),
+        )
+    )
+    stats = base.groupBy("norm_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return surv.join(stats, "norm_hash")
+
+
+def q_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
+    # GROUPING()/grouping-id surface over a CUBE: which aggregation level
+    # produced each row, encoded portably as grouping(seg)*2 +
+    # grouping(region) (engines disagree on native grouping_id bit
+    # order, so the id is built from per-column grouping() bits).
+    c = read_table(spark, sf, "customer")
+    g = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("ngrp"),
+        "c_acctbal",
+    )
+    return (
+        g.cube("seg", "ngrp")
+        .agg(
+            (F.grouping("seg") * 2 + F.grouping("ngrp"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(dsum("c_acctbal"), 2).alias("bal"),
+        )
+        .select("seg", "ngrp", "gid", "n", "bal")
+    )
+
+
+def q_centroid_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    # Pairwise cosine between label centroids — the confusion-structure
+    # readout after clustering/labeling. Cosine is scale-invariant, so
+    # centroids enter as their per-dim e6-integer SUMS (the mean's n
+    # cancels): every dot/norm is an exact BIGINT and the only float op
+    # is one final division — bit-identical on any partitioning. The
+    # k²·dim join is over centroid rows (k·dim), independent of corpus
+    # size.
+    e = read_table(spark, sf, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("x_e6"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.sum("x_e6").alias("s")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na2"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb2"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return pairs.select(
+        "label_a", "label_b", F.round(cos, 6).alias("cosine")
+    )
+
+
+def q_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    # Max-concurrent-intervals per day — the classic sweep-line: each
+    # event opens a 5-minute interval; +1/-1 boundary rows, a per-day
+    # ordered running sum, and the day's max is the peak concurrency.
+    # Partitioned by day so no global sort exists at any scale; ties on
+    # boundary timestamps resolve ends-before-starts (delta ASC) in both
+    # engines.
+    ev = read_table(spark, sf, "events")
+    bounds = ev.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    day = F.to_date("t").alias("day")
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = bounds.select(day, "t", "delta").withColumn(
+        "load", F.sum("delta").over(w)
+    )
+    return running.groupBy("day").agg(
+        F.max("load").cast("long").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_started"),
+    )
+
+
+def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    # Next-event Markov transition counts per user stream: lead() over the
+    # (ts, event_id)-ordered per-user window pairs each event with its
+    # successor; global counts + per-source transition share. The window
+    # partitions by user — scales with users, never a global sort; shares
+    # are exact-integer ratios rounded identically in both engines.
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_event"),
+            F.col("nxt").alias("dst_event"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("src_event")
+    return pairs.select(
+        "src_event",
+        "dst_event",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(w_src), 6).alias("p_transition"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # Banded SimHash near-dup pairing (operators/dedup.simhash_hamming_pairs):
     # the Manku-et-al candidate step over the q_simhash fingerprints —
@@ -4231,6 +4393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution": q_attribution,
         "q_mad_outliers": q_mad_outliers,
         "q_hll_overlap": q_hll_overlap,
+        "q_concurrency": q_concurrency,
+        "q_markov_transitions": q_markov_transitions,
+        "q_survivorship": q_survivorship,
+        "q_grouping_id": q_grouping_id,
+        "q_centroid_matrix": q_centroid_matrix,
         # --- demoted same-area twins (driver-green or redundant with an
         # in-window sibling; the full local sweep still checks them all).
         "q_corr_stats": q_corr_stats,
@@ -5960,6 +6127,96 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_mktsegment""",
         "q_hll": _hll_oracle(),
         "q_hll_overlap": _hll_overlap_oracle(),
+        "q_concurrency": """
+            WITH bounds AS (
+              SELECT ts AS t, 1 AS delta FROM events
+              UNION ALL
+              SELECT ts + INTERVAL 5 MINUTE, -1 FROM events
+            ),
+            running AS (
+              SELECT CAST(t AS DATE) AS day, delta,
+                     SUM(delta) OVER (PARTITION BY CAST(t AS DATE)
+                                      ORDER BY t, delta
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS load
+              FROM bounds
+            )
+            SELECT day, CAST(MAX(load) AS BIGINT) AS peak_concurrency,
+                   CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_started
+            FROM running GROUP BY day""",
+        "q_survivorship": """
+            WITH base AS (
+              SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+                       AS norm_hash,
+                     doc_id, n_chars, source
+              FROM documents
+            ),
+            surv AS (
+              SELECT norm_hash, doc_id AS survivor_id,
+                     n_chars AS survivor_len,
+                     row_number() OVER (PARTITION BY norm_hash
+                                        ORDER BY n_chars DESC, doc_id DESC)
+                       AS rn
+              FROM base
+            )
+            SELECT s.norm_hash, s.survivor_id, s.survivor_len,
+                   g.n_members, g.n_sources
+            FROM (SELECT * FROM surv WHERE rn = 1) s
+            JOIN (SELECT norm_hash, COUNT(*) AS n_members,
+                         COUNT(DISTINCT source) AS n_sources
+                  FROM base GROUP BY norm_hash) g USING (norm_hash)""",
+        "q_grouping_id": """
+            SELECT c_mktsegment AS seg, c_nationkey % 5 AS ngrp,
+                   CAST(GROUPING(c_mktsegment) * 2
+                        + GROUPING(c_nationkey % 5) AS INT) AS gid,
+                   COUNT(*) AS n,
+                   round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS bal
+            FROM customer
+            GROUP BY CUBE(c_mktsegment, c_nationkey % 5)""",
+        "q_centroid_matrix": """
+            WITH comp AS (
+              SELECT label,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6
+                                + 0.5) AS BIGINT) AS x_e6
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT label, pos, CAST(SUM(x_e6) AS BIGINT) AS s
+              FROM comp GROUP BY label, pos
+            ),
+            pairs AS (
+              SELECT a.label AS label_a, b.label AS label_b,
+                     CAST(SUM(a.s * b.s) AS BIGINT) AS dot,
+                     CAST(SUM(a.s * a.s) AS BIGINT) AS na2,
+                     CAST(SUM(b.s * b.s) AS BIGINT) AS nb2
+              FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+              GROUP BY a.label, b.label
+            )
+            SELECT label_a, label_b,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(na2 AS DOUBLE))
+                            * sqrt(CAST(nb2 AS DOUBLE))), 6) AS cosine
+            FROM pairs""",
+        "q_markov_transitions": """
+            WITH pairs AS (
+              SELECT event_type AS src_event,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS dst_event
+              FROM events
+            ),
+            counts AS (
+              SELECT src_event, dst_event, COUNT(*) AS n
+              FROM pairs WHERE dst_event IS NOT NULL
+              GROUP BY src_event, dst_event
+            )
+            SELECT src_event, dst_event, n,
+                   round(n / SUM(n) OVER (PARTITION BY src_event), 6)
+                     AS p_transition
+            FROM counts""",
         "q_csv_malformed": f"""
             SELECT COUNT(*) AS n_rows,
                    COUNT(CASE WHEN l_orderkey % 97 <> 0 THEN 1 END)

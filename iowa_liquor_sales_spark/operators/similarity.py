@@ -429,24 +429,31 @@ def ann_sq8_topk(
     this operator is the build-and-score path.
     """
     # ONE aggregate job fetches the 2·dim quantization params AND the
-    # query vector (first-with-predicate) — not three separate actions.
-    row = embeddings.agg(
-        *[
-            F.min(F.element_at(F.col(vec_col), i + 1)).alias(f"mn_{i}")
-            for i in range(dim)
-        ],
-        *[
-            F.max(F.element_at(F.col(vec_col), i + 1)).alias(f"mx_{i}")
-            for i in range(dim)
-        ],
-        F.first(
-            F.when(F.col(id_col) == query_id, F.col(vec_col)),
-            ignorenulls=True,
-        ).alias("qvec"),
-    ).first()
-    mins = [float(row[f"mn_{i}"]) for i in range(dim)]
-    maxs = [float(row[f"mx_{i}"]) for i in range(dim)]
-    qvec = [float(x) for x in row["qvec"]]
+    # query vector — via posexplode into (pos, x) rows and a 64-group
+    # aggregate. The previous single-row form (129 min/max expressions
+    # over element_at) was one job too, but its whole-stage codegen alone
+    # cost ~3s — far more than scanning the data; this plan's expression
+    # tree is 3 aggregates wide and compiles in milliseconds. Shuffle is
+    # O(dim) rows per partition (map-side partials), any corpus size.
+    ex = embeddings.select(
+        F.col(id_col).alias("_id"), F.posexplode(F.col(vec_col))
+    )
+    stats = (
+        ex.groupBy("pos")
+        .agg(
+            F.min("col").alias("mn"),
+            F.max("col").alias("mx"),
+            F.first(
+                F.when(F.col("_id") == query_id, F.col("col")),
+                ignorenulls=True,
+            ).alias("qx"),
+        )
+        .collect()
+    )
+    by_pos = {r["pos"]: r for r in stats}
+    mins = [float(by_pos[i]["mn"]) for i in range(dim)]
+    maxs = [float(by_pos[i]["mx"]) for i in range(dim)]
+    qvec = [float(by_pos[i]["qx"]) for i in range(dim)]
     qcodes = []
     for i in range(dim):
         if maxs[i] <= mins[i]:
@@ -462,12 +469,35 @@ def ann_sq8_topk(
                     )
                 )
             )
-    score = None
-    for i in range(dim):
-        term = _sq8_code(
-            F.element_at(F.col(vec_col), i + 1), mins[i], maxs[i]
-        ) * F.lit(qcodes[i]).cast("long")
-        score = term if score is None else score + term
+    # Score as ONE higher-order aggregate over array literals rather than
+    # a dim-term expression chain: identical arithmetic per element
+    # (floor((x-mn)*255/(mx-mn)+0.5) * qcode, exact integer sum — order-
+    # free), but the expression tree is O(1) in dim, so codegen compiles
+    # in milliseconds where the unrolled 64-term chain cost ~1s — pure
+    # fixed overhead at bench scale and pointless at any scale.
+    mn_arr = F.array(*[F.lit(v) for v in mins])
+    mx_arr = F.array(*[F.lit(v) for v in maxs])
+    qc_arr = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(mx_arr, i) <= F.element_at(mn_arr, i),
+            F.lit(0).cast("long"),
+        ).otherwise(
+            F.floor(
+                (
+                    F.element_at(F.col(vec_col), i).cast("double")
+                    - F.element_at(mn_arr, i)
+                )
+                * F.lit(255.0)
+                / (F.element_at(mx_arr, i) - F.element_at(mn_arr, i))
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        * F.element_at(qc_arr, i),
+    )
     scored = embeddings.filter(F.col(id_col) != query_id).select(
         F.col(id_col), score.alias("qdot")
     )

@@ -223,6 +223,21 @@ def bench_docs(spark, docs_path: str) -> dict[str, float]:
             shingles(docs, "text", "doc_id", n=3), min_jaccard=0.5
         ),
     )
+    from iowa_liquor_sales_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    # Banded-fingerprint pairing: cost is O(docs×bits) fingerprinting +
+    # an equi-join on (band, block); salting makes replicas far apart in
+    # Hamming space so candidates stay linear.
+    t("simhash_pairs", simhash_hamming_pairs(docs, "text", "doc_id"))
+    # Sorted-neighborhood: candidate count is O(N·w) BY CONSTRUCTION —
+    # the flattest curve any pairing op can have.
+    t(
+        "sorted_neighborhood",
+        sorted_neighborhood_pairs(docs, "text", "doc_id", window=4),
+    )
     return timings
 
 
