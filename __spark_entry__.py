@@ -2831,6 +2831,80 @@ def _hll_oracle() -> str:
     return hll_sql("l_orderkey", "lineitem", p=8)
 
 
+def _join_cardinality_oracle() -> str:
+    from iowa_liquor_sales_spark.operators.sketches import (
+        countmin_join_size_sql,
+    )
+
+    return countmin_join_size_sql(
+        "o_orderkey", "orders", "l_orderkey", "lineitem", depth=4, width=65536
+    )
+
+
+def _linkage_oracle() -> str:
+    # The log(m/u) weights are computed ONCE in Python and injected into
+    # both engines as double literals — ln() itself can differ by 1 ulp
+    # between libm implementations.
+    import math
+
+    def w(m, u):
+        return math.log(m / u), math.log((1 - m) / (1 - u))
+
+    w_lang, w_lang_d = w(0.95, 0.30)
+    w_src, w_src_d = w(0.80, 0.25)
+    w_len, w_len_d = w(0.90, 0.20)
+    w_key, w_key_d = w(0.85, 0.10)
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id,
+                 substr(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 24) AS skey
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, skey,
+                 row_number() OVER (ORDER BY skey, doc_id) AS rn
+          FROM keyed
+        ),
+        cand AS (
+          SELECT least(a.doc_id, b.doc_id) AS id_a,
+                 greatest(a.doc_id, b.doc_id) AS id_b,
+                 levenshtein(a.skey, b.skey) AS edit_distance
+          FROM ranked a JOIN ranked b
+            ON b.rn BETWEEN a.rn + 1 AND a.rn + 4
+          WHERE levenshtein(a.skey, b.skey) <= 24
+        ),
+        j AS (
+          SELECT c.id_a, c.id_b, c.edit_distance,
+                 da.lang AS lang_a, db.lang AS lang_b,
+                 da.source AS src_a, db.source AS src_b,
+                 da.n_chars AS len_a, db.n_chars AS len_b
+          FROM cand c
+          JOIN documents da ON c.id_a = da.doc_id
+          JOIN documents db ON c.id_b = db.doc_id
+        ),
+        scored AS (
+          SELECT id_a, id_b,
+                 CAST(lang_a = lang_b AS INT) AS m_lang,
+                 CAST(src_a = src_b AS INT) AS m_src,
+                 CAST(abs(len_a - len_b) * 10 <= least(len_a, len_b) AS INT)
+                   AS m_len,
+                 CAST(edit_distance <= 4 AS INT) AS m_key,
+                 round(
+                   CASE WHEN lang_a = lang_b THEN {w_lang!r}
+                        ELSE {w_lang_d!r} END
+                   + CASE WHEN src_a = src_b THEN {w_src!r}
+                          ELSE {w_src_d!r} END
+                   + CASE WHEN abs(len_a - len_b) * 10
+                               <= least(len_a, len_b) THEN {w_len!r}
+                          ELSE {w_len_d!r} END
+                   + CASE WHEN edit_distance <= 4 THEN {w_key!r}
+                          ELSE {w_key_d!r} END, 5) AS fs_score
+          FROM j
+        )
+        SELECT * FROM scored WHERE fs_score > 0"""
+
+
 def _hll_overlap_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import hll_overlap_sql
 
@@ -4007,6 +4081,766 @@ def q_hll_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return hll_overlap(early, "o_custkey", late, "o_custkey", p=8)
 
 
+def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    # Holt's linear-trend double exponential smoothing — the recursion
+    # window functions can't express (each level depends on the smoothed
+    # PREVIOUS level). Spark-first answer: collapse the fact table to the
+    # bounded monthly series, then run the recursion as ONE sequential
+    # higher-order fold (F.aggregate) over the ordered array — the fold
+    # order is defined, so results are bit-identical on any partitioning
+    # and in the oracle's list_reduce. alpha=0.5, beta=0.3; init l=x1,
+    # b=0; forecast h = level + h*trend.
+    o = read_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    series = monthly.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("month", "cents"))),
+            lambda s: s["cents"].cast("double"),
+        ).alias("xs")
+    )
+    # Accumulator is a 2-element [level, trend] array, not a struct:
+    # DuckDB 1.0's list_reduce mis-evaluates struct accumulators whose
+    # fields share subexpressions (verified: [100,120,140,160] folds to
+    # the wrong trend) — the array encoding folds correctly and the
+    # arithmetic is identical.
+    zero = F.array(F.element_at("xs", 1), F.lit(0.0))
+    al = lambda acc: F.element_at(acc, 1)
+    ab = lambda acc: F.element_at(acc, 2)
+    l_new = lambda acc, e: 0.5 * e + 0.5 * (al(acc) + ab(acc))
+    folded = series.select(
+        F.size("xs").alias("n"),
+        F.aggregate(
+            F.slice("xs", 2, F.size("xs") - 1),
+            zero,
+            lambda acc, e: F.array(
+                l_new(acc, e),
+                0.3 * (l_new(acc, e) - al(acc)) + 0.7 * ab(acc),
+            ),
+        ).alias("hw"),
+    )
+    lvl = F.element_at("hw", 1)
+    trd = F.element_at("hw", 2)
+    return folded.select(
+        F.col("n").cast("int").alias("n_months"),
+        F.round(lvl, 2).alias("level"),
+        F.round(trd, 2).alias("trend"),
+        F.round(lvl + 1 * trd, 2).alias("f1"),
+        F.round(lvl + 2 * trd, 2).alias("f2"),
+        F.round(lvl + 3 * trd, 2).alias("f3"),
+    )
+
+
+def q_grid_density(spark: SparkSession, sf: str) -> DataFrame:
+    # Grid-density clustering (the scalable DBSCAN skeleton): bucket the
+    # first two embedding dims into integer grid cells, keep cells with
+    # >= min_pts points, connect dense cells through their 3x3
+    # neighborhood via an EXPLODE-9-OFFSETS equi-join (never a theta
+    # join), and run distributed connected components over the
+    # cell graph (operators/graph). Points in sparse cells are noise.
+    # Cell count is bounded by the grid, not the corpus — the component
+    # step runs on O(dense cells) rows at any scale.
+    from iowa_liquor_sales_spark.operators.graph import connected_components
+
+    e = read_table(spark, sf, "embeddings")
+    xe = lambda i: F.floor(
+        F.element_at("embedding", i).cast("double") * 1e6 + 0.5
+    ).cast("long")
+    pts = e.select(
+        "vec_id",
+        F.floor(xe(1) / 50000.0).cast("long").alias("gx"),
+        F.floor(xe(2) / 50000.0).cast("long").alias("gy"),
+    )
+    cells = pts.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+    dense = cells.filter(F.col("n") >= 4).withColumn(
+        "cell_id", F.col("gx") * 100000 + F.col("gy")
+    )
+    probe = (
+        dense.select("cell_id", "gx", "gy")
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .filter((F.col("dx") != 0) | (F.col("dy") != 0))
+        .select(
+            F.col("cell_id").alias("id_a"),
+            (F.col("gx") + F.col("dx")).alias("gx"),
+            (F.col("gy") + F.col("dy")).alias("gy"),
+        )
+    )
+    edges = (
+        probe.join(dense.select("gx", "gy", F.col("cell_id").alias("id_b")),
+                   ["gx", "gy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    cc = connected_components(edges).select(
+        F.col("node").alias("cell_id"), "component"
+    )
+    labeled = (
+        pts.withColumn("cell_id", F.col("gx") * 100000 + F.col("gy"))
+        .join(dense.select("cell_id"), "cell_id", "left_semi")
+        .join(cc, "cell_id", "left")
+        .withColumn("cluster_id", F.coalesce("component", "cell_id"))
+    )
+    clusters = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.countDistinct("cell_id").cast("long").alias("n_cells"),
+    )
+    noise = (
+        pts.withColumn("cell_id", F.col("gx") * 100000 + F.col("gy"))
+        .join(dense.select("cell_id"), "cell_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .select(
+            F.lit(-1).cast("long").alias("cluster_id"),
+            "n_points",
+            F.lit(0).cast("long").alias("n_cells"),
+        )
+    )
+    return clusters.unionByName(noise)
+
+
+def q_linkage_score(spark: SparkSession, sf: str) -> DataFrame:
+    # Fellegi-Sunter record-linkage scoring over the sorted-neighborhood
+    # candidates: each field comparison (language, source, length-within-
+    # 10%, key edit distance <= 4) contributes its log(m/u) agreement or
+    # log((1-m)/(1-u)) disagreement weight; the pair score is the sum.
+    # Candidates come from blocking (O(N·w)), never all-pairs; weights
+    # are literal constants so scores are bit-portable.
+    from iowa_liquor_sales_spark.operators.dedup import (
+        normalize_text,
+        sorted_neighborhood_pairs,
+    )
+
+    d = read_table(spark, sf, "documents")
+    pairs = sorted_neighborhood_pairs(
+        d, "text", "doc_id", window=4, key_chars=24, max_edit=24
+    )
+    attrs = d.select(
+        F.col("doc_id"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    j = (
+        pairs.join(
+            attrs.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("lang").alias("lang_a"),
+                F.col("source").alias("src_a"),
+                F.col("n_chars").alias("len_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            attrs.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("source").alias("src_b"),
+                F.col("n_chars").alias("len_b"),
+            ),
+            "id_b",
+        )
+    )
+    import math
+
+    def w(m, u):
+        return math.log(m / u), math.log((1 - m) / (1 - u))
+
+    w_lang, w_lang_d = w(0.95, 0.30)
+    w_src, w_src_d = w(0.80, 0.25)
+    w_len, w_len_d = w(0.90, 0.20)
+    w_key, w_key_d = w(0.85, 0.10)
+    agree_lang = (F.col("lang_a") == F.col("lang_b")).cast("int")
+    agree_src = (F.col("src_a") == F.col("src_b")).cast("int")
+    agree_len = (
+        F.abs(F.col("len_a") - F.col("len_b")) * 10
+        <= F.least("len_a", "len_b")
+    ).cast("int")
+    agree_key = (F.col("edit_distance") <= 4).cast("int")
+    score = (
+        F.when(agree_lang == 1, F.lit(w_lang)).otherwise(F.lit(w_lang_d))
+        + F.when(agree_src == 1, F.lit(w_src)).otherwise(F.lit(w_src_d))
+        + F.when(agree_len == 1, F.lit(w_len)).otherwise(F.lit(w_len_d))
+        + F.when(agree_key == 1, F.lit(w_key)).otherwise(F.lit(w_key_d))
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        agree_lang.alias("m_lang"),
+        agree_src.alias("m_src"),
+        agree_len.alias("m_len"),
+        agree_key.alias("m_key"),
+        F.round(score, 5).alias("fs_score"),
+    ).filter(F.col("fs_score") > 0)
+
+
+def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    # Classical decomposition of monthly revenue: centered 12-month
+    # moving-average trend (full windows only) + month-of-year seasonal
+    # index from the detrended residuals. The raw fact table collapses to
+    # O(months) rows FIRST (map-combinable exact-cents aggregate), so the
+    # ordered windows run over a bounded series — months don't grow with
+    # corpus size, only history length.
+    o = read_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    # All aggregation stays in exact integers: the 12-month sum s12 is a
+    # BIGINT, trend = s12/12 is ONE division of an exact int, and the
+    # seasonal index averages the SCALED residual 12·cents − s12 (exact
+    # BIGINT) with a single final division — no order-dependent float
+    # accumulation anywhere (1/12 is not binary-representable).
+    w = Window.orderBy("month")
+    wma = w.rowsBetween(-6, 5)
+    staged = monthly.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_tot", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    trended = staged.withColumn(
+        "s12",
+        F.when(
+            (F.col("rn") >= 7) & (F.col("rn") <= F.col("n_tot") - 5),
+            F.sum("cents").over(wma),
+        ),
+    )
+    seasonal = (
+        trended.filter(F.col("s12").isNotNull())
+        .groupBy(F.month("month").alias("moy"))
+        .agg(
+            F.sum(12 * F.col("cents") - F.col("s12")).alias("ds"),
+            F.count(F.lit(1)).alias("nm"),
+        )
+    )
+    return (
+        trended.join(seasonal, F.month("month") == seasonal["moy"], "left")
+        .select(
+            "month",
+            "cents",
+            F.round(F.col("s12").cast("double") / 12.0, 2).alias("trend"),
+            F.round(
+                F.col("ds").cast("double") / (12.0 * F.col("nm")), 2
+            ).alias("seasonal_idx"),
+        )
+    )
+
+
+def q_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    # Single change-point detection on the monthly revenue series — the
+    # CUSUM argmax scaled to stay ALL-INTEGER: argmax_k |n·S_k − k·S_n|
+    # (equivalent to the max mean-shift split, no floats until the two
+    # segment means at the end). Ties break to the earliest month.
+    o = read_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("month")
+    cum = monthly.select(
+        "month",
+        "cents",
+        F.row_number().over(w).alias("k"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "s_k"
+        ),
+    )
+    tot = cum.agg(
+        F.max("k").alias("n"), F.max("s_k").alias("s_n")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "stat",
+        F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n")),
+    ).filter(F.col("k") < F.col("n"))
+    best = scored.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("stat").desc(), F.col("k"))),
+    ).filter(F.col("r") == 1)
+    return best.select(
+        F.col("month").alias("split_month"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("s_k").cast("double") / F.col("k"), 2).alias(
+            "mean_before"
+        ),
+        F.round(
+            (F.col("s_n") - F.col("s_k")).cast("double")
+            / (F.col("n") - F.col("k")),
+            2,
+        ).alias("mean_after"),
+    )
+
+
+def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    # Sequence mining: top-10 opening 3-event paths per (user, day)
+    # session — the funnel-shape readout. Per-session windows partition
+    # by (user, day) so ordering never globalizes; paths aggregate to
+    # O(distinct paths) counted rows, ranked with a deterministic tie
+    # break.
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    first3 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    counts = first3.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return (
+        counts.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+            ).cast("int"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select("path", "n_sessions", "rnk")
+    )
+
+
+def q_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # EXACT distinct counting via Spark's bitmap aggregates — the
+    # warehouse-native alternative to COUNT(DISTINCT)'s expand-and-
+    # reshuffle: keys map to (bucket, bit) positions, each group packs a
+    # fixed 4KB bitmap per bucket (map-side combinable), distinct count =
+    # sum of popcounts. State per task is O(buckets-touched), the
+    # pre-aggregated bitmaps union across days/partitions for free, and
+    # the answer is exact — the oracle is plain COUNT(DISTINCT).
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("k")
+    )
+    per_bucket = (
+        j.selectExpr(
+            "seg", "bitmap_bucket_number(k) AS b", "bitmap_bit_position(k) AS p"
+        )
+        .groupBy("seg", "b")
+        .agg(F.expr("bitmap_construct_agg(p)").alias("bm"))
+    )
+    return per_bucket.groupBy("seg").agg(
+        F.expr("sum(bitmap_count(bm))").cast("long").alias("n_distinct")
+    )
+
+
+def q_revenue_spread(spark: SparkSession, sf: str) -> DataFrame:
+    # Calendarized revenue recognition: each order's total spreads evenly
+    # across the months from order to ship (first lineitem ship month),
+    # integer cents with the remainder assigned to the first month — so
+    # every monthly figure is an exact integer that reconciles to the
+    # order total. One sequence-explode per order (bounded by months
+    # spanned), then a month roll-up: O(order-months), map-combinable.
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_trunc("month", "o_orderdate").alias("m0"),
+    )
+    li = read_table(spark, sf, "lineitem").groupBy("l_orderkey").agg(
+        F.date_trunc("month", F.min("l_shipdate")).alias("m1")
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        # the synthetic data has ship months before order months — spread
+        # from the EARLIER of the two, like a restated recognition period
+        F.least("m0", "m1").alias("lo"),
+        F.greatest("m0", "m1").alias("hi"),
+    )
+    n_months = (
+        F.months_between(F.col("hi"), F.col("lo")).cast("long") + 1
+    )
+    spread = j.select(
+        "o_orderkey",
+        "cents",
+        F.col("lo").alias("m0"),
+        n_months.alias("nm"),
+        F.explode(F.sequence(F.lit(0), n_months - 1)).alias("i"),
+    )
+    share = F.col("cents") / F.col("nm")  # exact integer div via floor below
+    alloc = F.when(
+        F.col("i") == 0,
+        F.col("cents") - (F.col("nm") - 1) * F.floor(share).cast("long"),
+    ).otherwise(F.floor(share).cast("long"))
+    monthly = spread.select(
+        F.add_months(F.to_date("m0"), F.col("i").cast("int")).alias("month"),
+        alloc.alias("alloc_cents"),
+    )
+    return monthly.groupBy("month").agg(
+        F.sum("alloc_cents").alias("recognized_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_order_months"),
+    )
+
+
+def q_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    # BPE ENCODE step to pair with q_bpe_pairs' training step: learn the
+    # top-3 initial merges (same count+rank, an O(1) driver fetch — the
+    # merge table IS tokenizer state, like a broadcast vocab), then apply
+    # them greedily left-to-right to the top-50 words. Tokens separated
+    # by double spaces so a merge never consumes a neighbor's separator;
+    # plain replace() is left-to-right non-overlapping in both engines.
+    d = read_table(spark, sf, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    n = F.length("w")
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        toks.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wm = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    merges = [
+        r["pair"]
+        for r in counts.withColumn("rnk", F.row_number().over(wm))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("rnk")
+        .collect()
+    ]
+    words = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("w"))
+            ),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+        "  ",
+    )
+    for m in merges:
+        seq = F.replace(seq, F.lit(m[0] + "  " + m[1]), F.lit(m))
+    enc = words.withColumn("bpe", seq)
+    n_tok = (
+        (F.length("bpe") - F.length(F.replace("bpe", F.lit("  "), F.lit(""))))
+        / 2
+        + 1
+    )
+    return enc.select(
+        "w",
+        F.col("cnt").cast("long").alias("cnt"),
+        "bpe",
+        n_tok.cast("int").alias("n_tokens"),
+    )
+
+
+def q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    # Maximal-marginal-relevance re-rank of a retrieval shortlist
+    # (Carbonell & Goldstein '98), equal-weight form: 3 greedy steps of
+    # argmax(rel − max sim-to-selected) over the top-8 candidates for
+    # query vector 0. Every relevance/similarity is an exact BIGINT dot
+    # of e6-integer codes, so the greedy argmax (ties: lowest vec_id) is
+    # bit-portable. The shortlist is O(k); each step is a k-row argmax —
+    # re-ranking cost never touches the corpus.
+    e = read_table(spark, sf, "embeddings")
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("xe"),
+    )
+    q = comp.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("xe").alias("qe")
+    )
+    rel = (
+        comp.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xe") * F.col("qe")).alias("rel"))
+    )
+    cand = (
+        rel.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
+            ),
+        )
+        .filter(F.col("rnk") <= 8)
+        .select("vec_id", "rel")
+    )
+    ccomp = comp.join(
+        F.broadcast(cand.select("vec_id")), "vec_id"
+    )
+    a = ccomp.select(F.col("vec_id").alias("va"), "pos", F.col("xe").alias("ea"))
+    b = ccomp.select(F.col("vec_id").alias("vb"), "pos", F.col("xe").alias("eb"))
+    sims = (
+        a.join(b, "pos")
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("ea") * F.col("eb")).alias("sim"))
+    )
+
+    def argmax(df, score_col):
+        w = Window.orderBy(F.col(score_col).desc(), F.col("vec_id"))
+        return (
+            df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(F.col("vec_id").alias("sel"))
+        )
+
+    s1 = argmax(cand, "rel")
+    rest1 = cand.join(s1, cand["vec_id"] == s1["sel"], "left_anti")
+    sc2 = (
+        rest1.crossJoin(F.broadcast(s1))
+        .join(
+            sims,
+            (sims["va"] == F.col("vec_id")) & (sims["vb"] == F.col("sel")),
+        )
+        .select("vec_id", "rel", (F.col("rel") - F.col("sim")).alias("mmr"))
+    )
+    s2 = argmax(sc2, "mmr")
+    sel2 = s1.unionAll(s2)
+    rest2 = cand.join(sel2, cand["vec_id"] == sel2["sel"], "left_anti")
+    sc3 = (
+        rest2.crossJoin(F.broadcast(sel2))
+        .join(
+            sims,
+            (sims["va"] == F.col("vec_id")) & (sims["vb"] == F.col("sel")),
+        )
+        .groupBy("vec_id", "rel")
+        .agg(F.max("sim").alias("max_sim"))
+        .select("vec_id", "rel", (F.col("rel") - F.col("max_sim")).alias("mmr"))
+    )
+    s3 = argmax(sc3, "mmr")
+    out = (
+        s1.withColumn("step", F.lit(1))
+        .unionAll(s2.withColumn("step", F.lit(2)))
+        .unionAll(s3.withColumn("step", F.lit(3)))
+    )
+    return out.select(
+        F.col("sel").alias("vec_id"), F.col("step").cast("int").alias("step")
+    )
+
+
+def q_wilson_ctr(spark: SparkSession, sf: str) -> DataFrame:
+    # Wilson lower-bound ranking of conversion rates — the standard fix
+    # for "sort by raw rate" small-sample lies (Agresti-Coull family).
+    # Trials/successes per props.k bucket are exact integers; the bound
+    # is one closed-form double expression from those ints (z=1.96
+    # literal), identical in both engines.
+    ev = read_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int").alias("k_bucket")
+    g = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select(k, (F.col("event_type") == "purchase").cast("long").alias("s"))
+        .groupBy("k_bucket")
+        .agg(
+            F.sum("s").alias("successes"),
+            F.count(F.lit(1)).alias("trials"),
+        )
+    )
+    n = F.col("trials").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2 = F.lit(1.96 * 1.96)
+    lb = (
+        p
+        + z2 / (2 * n)
+        - F.lit(1.96) * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
+    ) / (1 + z2 / n)
+    return g.select(
+        "k_bucket",
+        F.col("successes").cast("long").alias("successes"),
+        F.col("trials").cast("long").alias("trials"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )
+
+
+def q_gini(spark: SparkSession, sf: str) -> DataFrame:
+    # Gini coefficient of customer revenue concentration: rank customers
+    # by exact revenue cents with the DISTRIBUTED global row_number
+    # (operators/ranking — range shuffle + narrow sort, never a
+    # one-partition window), then G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n from
+    # three exact integer sums and two final divisions.
+    from iowa_liquor_sales_spark.operators.ranking import global_row_number
+
+    o = read_table(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    ranked = global_row_number(per, ["rev_cents", "o_custkey"], out_col="i")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_cents").alias("sx"),
+        F.sum(F.col("i") * F.col("rev_cents")).alias("six"),
+    )
+    gini = (2 * F.col("six")).cast("double") / (
+        F.col("n") * F.col("sx")
+    ).cast("double") - (F.col("n") + 1).cast("double") / F.col("n").cast(
+        "double"
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def q_chisq_independence(spark: SparkSession, sf: str) -> DataFrame:
+    # Chi-square independence test, market segment × order priority:
+    # observed cells, margins, and N are exact integer counts; each
+    # cell's (obs-exp)^2/exp term is emitted so the driver verifies
+    # every term, not just the rolled-up statistic. Margins join back as
+    # broadcasts — the contingency table is O(cells), never O(rows).
+    o = read_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = read_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio"))
+    cells = j.groupBy("seg", "prio").agg(F.count(F.lit(1)).alias("obs"))
+    rows = j.groupBy("seg").agg(F.count(F.lit(1)).alias("row_tot"))
+    cols = j.groupBy("prio").agg(F.count(F.lit(1)).alias("col_tot"))
+    tot = j.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    full = (
+        cells.join(rows, "seg")
+        .join(cols, "prio")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("nn")
+    term = F.pow(F.col("obs") - exp, F.lit(2.0)) / exp
+    return full.select(
+        "seg",
+        "prio",
+        F.col("obs").cast("long").alias("obs"),
+        F.round(exp, 6).alias("expected"),
+        F.round(term, 6).alias("chi2_term"),
+    )
+
+
+def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
+    # Mann-Whitney U (rank-sum) between returned (R) and accepted (A)
+    # line items — the nonparametric A/B primitive. Tie-averaged ranks
+    # from RANK() + (ties-1)/2 over exact integer cents; U and the
+    # normal approximation z are closed forms over integer sums. (The
+    # global rank window is the oracle-parity form; the distributed
+    # rank op q_gini uses is the 100 TB form.)
+    li = (
+        read_table(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    w_rank = Window.orderBy("cents")
+    w_tie = Window.partitionBy("cents")
+    ranked = li.select(
+        "l_returnflag",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_tie) - 1).cast("double") / 2
+        ).alias("avg_rank"),
+    )
+    agg = ranked.groupBy().agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", F.col("avg_rank"))).alias(
+            "r_a"
+        ),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("na"),
+        F.sum((F.col("l_returnflag") == "A").cast("long")).alias("nb"),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    u = F.col("r_a") - na_d * (na_d + 1) / 2
+    z = (u - na_d * nb_d / 2) / F.sqrt(
+        na_d * nb_d * (na_d + nb_d + 1) / 12
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_ret"),
+        F.col("nb").cast("long").alias("n_acc"),
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, 5).alias("z_approx"),
+    )
+
+
+def q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    # Join-size estimation WITHOUT the join (operators/sketches.
+    # countmin_join_size): CM inner product min_d Σ_b cntR·cntS over two
+    # O(depth·width) sketches — the cost-based-optimizer primitive; true
+    # |orders ⋈ lineitem| is bounded above by the estimate.
+    from iowa_liquor_sales_spark.operators.sketches import countmin_join_size
+
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    return countmin_join_size(
+        o, "o_orderkey", li, "l_orderkey", depth=4, width=65536
+    )
+
+
+def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    # Quantity-weighted median price per return flag: cumulative-weight
+    # window ordered by (price, unique key), pick the least price whose
+    # doubled cumulative weight reaches the group total. All weights are
+    # exact integers, so the 2·cum >= tot cut is engine-portable. At
+    # 100 TB the same cut runs as a two-pass quantile-of-cum-weights
+    # instead of a per-group sort; the cut predicate is unchanged.
+    li = read_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wspec = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    staged = li.withColumn("cum", F.sum("w").over(wspec)).withColumn(
+        "tot", F.sum("w").over(tot)
+    )
+    return (
+        staged.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            F.first("tot").cast("long").alias("total_weight"),
+        )
+    )
+
+
 def q_survivorship(spark: SparkSession, sf: str) -> DataFrame:
     # Golden-record survivorship (record-linkage "data fusion"): cluster
     # by normalized content hash, elect the survivor per cluster by
@@ -4285,14 +5119,21 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     # rows beyond 3 robust sigmas (1.4826*MAD). Both medians interpolate
     # identically in Spark and the oracle, and the verdict is a count —
     # no float in the output hash beyond the rounded centers.
+    # Work in exact integer CENTS: median interpolation over integers is
+    # an exact binary rational (lo + (hi-lo)/2 with |v| << 2^52), so both
+    # engines produce the identical double — raw double inputs differ by
+    # 1 ulp between interpolation formulas (seen at sf0.001).
     li = read_table(spark, sf, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
     )
     med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+        F.percentile("cents", F.lit(0.5)).alias("med")
     )
     dev = li.join(med, "l_returnflag").withColumn(
-        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+        "adev", F.abs(F.col("cents") - F.col("med"))
     )
     mad = dev.groupBy("l_returnflag").agg(
         F.first("med").alias("med"),
@@ -4313,8 +5154,8 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return mad.join(counts, "l_returnflag").select(
         "l_returnflag",
         "n",
-        F.round("med", 2).alias("median_price"),
-        F.round("mad", 2).alias("mad"),
+        F.round("med", 1).alias("median_cents"),
+        F.round("mad", 1).alias("mad_cents"),
         "n_outliers",
     )
 
@@ -4398,6 +5239,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_survivorship": q_survivorship,
         "q_grouping_id": q_grouping_id,
         "q_centroid_matrix": q_centroid_matrix,
+        "q_join_cardinality": q_join_cardinality,
+        "q_weighted_median": q_weighted_median,
+        "q_wilson_ctr": q_wilson_ctr,
+        "q_bpe_apply": q_bpe_apply,
+        "q_mmr_rerank": q_mmr_rerank,
+        "q_bitmap_distinct": q_bitmap_distinct,
+        "q_revenue_spread": q_revenue_spread,
+        "q_seasonal_decompose": q_seasonal_decompose,
+        "q_changepoint": q_changepoint,
+        "q_session_paths": q_session_paths,
+        "q_grid_density": q_grid_density,
+        "q_linkage_score": q_linkage_score,
+        "q_holt_forecast": q_holt_forecast,
+        "q_gini": q_gini,
+        "q_chisq_independence": q_chisq_independence,
+        "q_mannwhitney": q_mannwhitney,
         # --- demoted same-area twins (driver-green or redundant with an
         # in-window sibling; the full local sweep still checks them all).
         "q_corr_stats": q_corr_stats,
@@ -5034,14 +5891,20 @@ def oracle_sql() -> dict[str, str]:
             FROM tagged WHERE event_type = 'purchase'
             GROUP BY 1""",
         "q_mad_outliers": """
-            WITH med AS (
-              SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
-              FROM lineitem GROUP BY l_returnflag
+            WITH li AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM lineitem
+            ),
+            med AS (
+              SELECT l_returnflag,
+                     quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+              FROM li GROUP BY l_returnflag
             ),
             dev AS (
-              SELECT l.l_returnflag, m.med,
-                     abs(l.l_extendedprice - m.med) AS adev
-              FROM lineitem l JOIN med m USING (l_returnflag)
+              SELECT l.l_returnflag, m.med, abs(l.cents - m.med) AS adev
+              FROM li l JOIN med m USING (l_returnflag)
             ),
             mad AS (
               SELECT l_returnflag, MIN(med) AS med,
@@ -5050,8 +5913,8 @@ def oracle_sql() -> dict[str, str]:
               FROM dev GROUP BY l_returnflag
             )
             SELECT d.l_returnflag, MIN(m.n) AS n,
-                   round(MIN(m.med), 2) AS median_price,
-                   round(MIN(m.mad), 2) AS mad,
+                   round(MIN(m.med), 1) AS median_cents,
+                   round(MIN(m.mad), 1) AS mad_cents,
                    SUM(CAST(d.adev > 3 * 1.4826 * m.mad AS INT)) AS n_outliers
             FROM dev d JOIN mad m USING (l_returnflag)
             GROUP BY d.l_returnflag""",
@@ -6145,6 +7008,411 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_started
             FROM running GROUP BY day""",
+        "q_join_cardinality": _join_cardinality_oracle(),
+        "q_holt_forecast": """
+            WITH monthly AS (
+              SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders GROUP BY 1
+            ),
+            arr AS (
+              SELECT list(CAST(cents AS DOUBLE) ORDER BY month) AS xs
+              FROM monthly
+            ),
+            folded AS (
+              -- [level, trend] array accumulator: DuckDB 1.0 list_reduce
+              -- mis-evaluates struct accumulators with shared
+              -- subexpressions across fields; the array form folds right.
+              SELECT len(xs) AS n,
+                     list_reduce(
+                       list_prepend(
+                         [xs[1], CAST(0.0 AS DOUBLE)],
+                         list_transform(xs[2:],
+                                        v -> [v, CAST(0.0 AS DOUBLE)])),
+                       (acc, e) -> [
+                         0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                         0.3 * (0.5 * e[1] + 0.5 * (acc[1] + acc[2])
+                                - acc[1]) + 0.7 * acc[2]]
+                     ) AS hw
+              FROM arr
+            )
+            SELECT CAST(n AS INTEGER) AS n_months,
+                   round(hw[1], 2) AS level,
+                   round(hw[2], 2) AS trend,
+                   round(hw[1] + 1 * hw[2], 2) AS f1,
+                   round(hw[1] + 2 * hw[2], 2) AS f2,
+                   round(hw[1] + 3 * hw[2], 2) AS f3
+            FROM folded""",
+        "q_grid_density": """
+            WITH RECURSIVE pts AS (
+              SELECT vec_id,
+                     CAST(floor(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6
+                                           + 0.5) AS BIGINT) / 50000.0)
+                          AS BIGINT) AS gx,
+                     CAST(floor(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1e6
+                                           + 0.5) AS BIGINT) / 50000.0)
+                          AS BIGINT) AS gy
+              FROM embeddings
+            ),
+            cells AS (SELECT gx, gy, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+            dense AS (SELECT gx, gy, gx * 100000 + gy AS cell_id
+                      FROM cells WHERE n >= 4),
+            probe AS (
+              SELECT d.cell_id AS id_a, d.gx + o.dx AS gx, d.gy + o.dy AS gy
+              FROM dense d CROSS JOIN (VALUES (-1, -1), (-1, 0), (-1, 1),
+                                              (0, -1), (0, 1),
+                                              (1, -1), (1, 0), (1, 1))
+                                       o(dx, dy)
+            ),
+            edges0 AS (
+              SELECT p.id_a AS a, b.cell_id AS b
+              FROM probe p JOIN dense b USING (gx, gy)
+              WHERE p.id_a < b.cell_id
+            ),
+            edges AS (SELECT a, b FROM edges0
+                      UNION SELECT b AS a, a AS b FROM edges0),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            cc AS (SELECT a AS cell_id, least(a, MIN(b)) AS component
+                   FROM reach GROUP BY a),
+            labeled AS (
+              SELECT p.vec_id, d.cell_id,
+                     COALESCE(c.component, d.cell_id) AS cluster_id
+              FROM pts p
+              JOIN dense d ON p.gx = d.gx AND p.gy = d.gy
+              LEFT JOIN cc c ON d.cell_id = c.cell_id
+            ),
+            clusters AS (
+              SELECT cluster_id, COUNT(*) AS n_points,
+                     COUNT(DISTINCT cell_id) AS n_cells
+              FROM labeled GROUP BY 1
+            ),
+            noise AS (
+              SELECT CAST(-1 AS BIGINT) AS cluster_id,
+                     COUNT(*) AS n_points, CAST(0 AS BIGINT) AS n_cells
+              FROM pts p LEFT JOIN dense d ON p.gx = d.gx AND p.gy = d.gy
+              WHERE d.cell_id IS NULL
+            )
+            SELECT * FROM clusters UNION ALL SELECT * FROM noise""",
+        "q_linkage_score": _linkage_oracle(),
+        "q_seasonal_decompose": """
+            WITH monthly AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders GROUP BY 1
+            ),
+            staged AS (
+              SELECT month, cents,
+                     row_number() OVER (ORDER BY month) AS rn,
+                     COUNT(*) OVER () AS n_tot,
+                     SUM(cents) OVER (ORDER BY month
+                                      ROWS BETWEEN 6 PRECEDING
+                                      AND 5 FOLLOWING) AS s12_raw
+              FROM monthly
+            ),
+            trended AS (
+              SELECT month, cents,
+                     CASE WHEN rn >= 7 AND rn <= n_tot - 5
+                          THEN CAST(s12_raw AS BIGINT) END AS s12
+              FROM staged
+            ),
+            seasonal AS (
+              SELECT month(month) AS moy,
+                     CAST(SUM(12 * cents - s12) AS BIGINT) AS ds,
+                     COUNT(*) AS nm
+              FROM trended WHERE s12 IS NOT NULL GROUP BY 1
+            )
+            SELECT t.month, t.cents,
+                   round(CAST(t.s12 AS DOUBLE) / 12.0, 2) AS trend,
+                   round(CAST(s.ds AS DOUBLE) / (12.0 * s.nm), 2)
+                     AS seasonal_idx
+            FROM trended t LEFT JOIN seasonal s ON month(t.month) = s.moy""",
+        "q_changepoint": """
+            WITH monthly AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders GROUP BY 1
+            ),
+            cum AS (
+              SELECT month, cents,
+                     row_number() OVER (ORDER BY month) AS k,
+                     CAST(SUM(cents) OVER (ORDER BY month
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT) AS s_k
+              FROM monthly
+            ),
+            tot AS (SELECT MAX(k) AS n, MAX(s_k) AS s_n FROM cum),
+            scored AS (
+              SELECT month, k, s_k, n, s_n,
+                     abs(n * s_k - k * s_n) AS stat
+              FROM cum, tot WHERE k < n
+            ),
+            best AS (
+              SELECT *, row_number() OVER (ORDER BY stat DESC, k) AS r
+              FROM scored QUALIFY r = 1
+            )
+            SELECT month AS split_month, CAST(k AS BIGINT) AS k,
+                   round(CAST(s_k AS DOUBLE) / k, 2) AS mean_before,
+                   round(CAST(s_n - s_k AS DOUBLE) / (n - k), 2)
+                     AS mean_after
+            FROM best""",
+        "q_session_paths": """
+            WITH rn_ev AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                     row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ),
+            paths AS (
+              SELECT user_id, day,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM rn_ev WHERE rn <= 3 GROUP BY user_id, day
+            ),
+            counts AS (
+              SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+            )
+            SELECT path, n_sessions,
+                   CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+                        AS INTEGER) AS rnk
+            FROM counts QUALIFY rnk <= 10""",
+        "q_bitmap_distinct": """
+            SELECT c.c_mktsegment AS seg,
+                   COUNT(DISTINCT o.o_custkey) AS n_distinct
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1""",
+        "q_revenue_spread": """
+            WITH li AS (
+              SELECT l_orderkey, date_trunc('month', MIN(l_shipdate)) AS m1
+              FROM lineitem GROUP BY 1
+            ),
+            j AS (
+              SELECT o.o_orderkey,
+                     CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                     least(date_trunc('month', o.o_orderdate), li.m1) AS m0,
+                     greatest(date_trunc('month', o.o_orderdate), li.m1) AS hi
+              FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+            ),
+            sp AS (
+              SELECT cents, m0,
+                     date_diff('month', m0, hi) + 1 AS nm,
+                     unnest(range(date_diff('month', m0, hi) + 1)) AS i
+              FROM j
+            ),
+            monthly AS (
+              SELECT CAST(m0 + to_months(CAST(i AS INT)) AS DATE) AS month,
+                     CASE WHEN i = 0
+                          THEN cents - (nm - 1)
+                               * CAST(floor(cents / nm) AS BIGINT)
+                          ELSE CAST(floor(cents / nm) AS BIGINT)
+                     END AS alloc_cents
+              FROM sp
+            )
+            SELECT month,
+                   CAST(SUM(alloc_cents) AS BIGINT) AS recognized_cents,
+                   COUNT(*) AS n_order_months
+            FROM monthly GROUP BY month""",
+        "q_bpe_apply": """
+            WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM documents),
+            toks1 AS (SELECT w FROM toks WHERE length(w) >= 1),
+            pairs AS (
+              SELECT unnest(list_transform(range(1, length(w)),
+                         i -> substr(w, i, 2))) AS pair
+              FROM toks1 WHERE length(w) >= 2),
+            pc AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair),
+            m AS (SELECT pair,
+                         row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+                  FROM pc),
+            topw AS (
+              SELECT w, COUNT(*) AS cnt,
+                     row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+              FROM toks1 GROUP BY w QUALIFY rnk <= 50),
+            enc AS (
+              SELECT w, cnt,
+                replace(
+                  replace(
+                    replace(
+                      array_to_string(list_transform(
+                        range(1, length(w) + 1),
+                        i -> substr(w, i, 1)), '  '),
+                      (SELECT substr(pair,1,1) || '  ' || substr(pair,2,1)
+                       FROM m WHERE rn = 1),
+                      (SELECT pair FROM m WHERE rn = 1)),
+                    (SELECT substr(pair,1,1) || '  ' || substr(pair,2,1)
+                     FROM m WHERE rn = 2),
+                    (SELECT pair FROM m WHERE rn = 2)),
+                  (SELECT substr(pair,1,1) || '  ' || substr(pair,2,1)
+                   FROM m WHERE rn = 3),
+                  (SELECT pair FROM m WHERE rn = 3)) AS bpe
+              FROM topw)
+            SELECT w, cnt, bpe,
+                   CAST((length(bpe) - length(replace(bpe, '  ', ''))) / 2
+                        + 1 AS INTEGER) AS n_tokens
+            FROM enc""",
+        "q_mmr_rerank": """
+            WITH comp AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS INT)
+                       AS pos,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6
+                                + 0.5) AS BIGINT) AS xe
+              FROM embeddings),
+            q AS (SELECT pos, xe AS qe FROM comp WHERE vec_id = 0),
+            rel AS (
+              SELECT c.vec_id, CAST(SUM(c.xe * q.qe) AS BIGINT) AS rel
+              FROM comp c JOIN q USING (pos)
+              WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+            cand AS (
+              SELECT vec_id, rel,
+                     row_number() OVER (ORDER BY rel DESC, vec_id) AS rnk
+              FROM rel QUALIFY rnk <= 8),
+            sims AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb,
+                     CAST(SUM(a.xe * b.xe) AS BIGINT) AS sim
+              FROM comp a JOIN comp b USING (pos)
+              WHERE a.vec_id IN (SELECT vec_id FROM cand)
+                AND b.vec_id IN (SELECT vec_id FROM cand)
+                AND a.vec_id <> b.vec_id
+              GROUP BY a.vec_id, b.vec_id),
+            s1 AS (SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+            sc2 AS (
+              SELECT c.vec_id, c.rel - s.sim AS mmr
+              FROM cand c JOIN sims s ON s.va = c.vec_id
+                                     AND s.vb = (SELECT vec_id FROM s1)
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
+            s2 AS (SELECT vec_id FROM sc2 ORDER BY mmr DESC, vec_id LIMIT 1),
+            sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+            sc3 AS (
+              SELECT c.vec_id, c.rel - MAX(s.sim) AS mmr
+              FROM cand c JOIN sims s ON s.va = c.vec_id
+                                     AND s.vb IN (SELECT vec_id FROM sel2)
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+              GROUP BY c.vec_id, c.rel),
+            s3 AS (SELECT vec_id FROM sc3 ORDER BY mmr DESC, vec_id LIMIT 1)
+            SELECT vec_id, CAST(1 AS INTEGER) AS step FROM s1
+            UNION ALL SELECT vec_id, CAST(2 AS INTEGER) FROM s2
+            UNION ALL SELECT vec_id, CAST(3 AS INTEGER) FROM s3""",
+        "q_wilson_ctr": """
+            WITH g AS (
+              SELECT CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       AS k_bucket,
+                     SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS successes,
+                     COUNT(*) AS trials
+              FROM events WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1
+            )
+            SELECT k_bucket, successes, trials,
+                   round((CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE)
+                          + (1.96 * 1.96) / (2 * CAST(trials AS DOUBLE))
+                          - 1.96 * sqrt((CAST(successes AS DOUBLE)
+                                           / CAST(trials AS DOUBLE)
+                                         * (1 - CAST(successes AS DOUBLE)
+                                                / CAST(trials AS DOUBLE))
+                                         + (1.96 * 1.96)
+                                           / (4 * CAST(trials AS DOUBLE)))
+                                        / CAST(trials AS DOUBLE)))
+                         / (1 + (1.96 * 1.96) / CAST(trials AS DOUBLE)), 6)
+                     AS wilson_lb
+            FROM g""",
+        "q_gini": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS rev_cents
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT rev_cents,
+                     row_number() OVER (ORDER BY rev_cents, o_custkey) AS i
+              FROM per
+            ),
+            agg AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(rev_cents) AS BIGINT) AS sx,
+                     CAST(SUM(i * rev_cents) AS BIGINT) AS six
+              FROM ranked
+            )
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   sx AS total_cents,
+                   round(CAST(2 * six AS DOUBLE) / CAST(n * sx AS DOUBLE)
+                         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS gini
+            FROM agg""",
+        "q_chisq_independence": """
+            WITH j AS (
+              SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ),
+            cells AS (SELECT seg, prio, COUNT(*) AS obs FROM j GROUP BY 1, 2),
+            rows_m AS (SELECT seg, COUNT(*) AS row_tot FROM j GROUP BY 1),
+            cols_m AS (SELECT prio, COUNT(*) AS col_tot FROM j GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM j)
+            SELECT cells.seg, cells.prio, cells.obs,
+                   round(row_tot * col_tot / nn, 6) AS expected,
+                   round(pow(cells.obs - row_tot * col_tot / nn, 2)
+                         / (row_tot * col_tot / nn), 6) AS chi2_term
+            FROM cells
+            JOIN rows_m ON cells.seg = rows_m.seg
+            JOIN cols_m ON cells.prio = cols_m.prio
+            CROSS JOIN tot""",
+        "q_mannwhitney": """
+            WITH li AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM lineitem WHERE l_returnflag IN ('R', 'A')
+            ),
+            ranked AS (
+              SELECT l_returnflag,
+                     CAST(rank() OVER (ORDER BY cents) AS DOUBLE)
+                     + CAST(COUNT(*) OVER (PARTITION BY cents) - 1 AS DOUBLE)
+                       / 2 AS avg_rank
+              FROM li
+            ),
+            agg AS (
+              SELECT SUM(CASE WHEN l_returnflag = 'R' THEN avg_rank END)
+                       AS r_a,
+                     SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS na,
+                     SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                       AS nb
+              FROM ranked
+            )
+            SELECT CAST(na AS BIGINT) AS n_ret, CAST(nb AS BIGINT) AS n_acc,
+                   round(r_a - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1)
+                               / 2, 1) AS u_stat,
+                   round((r_a - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1)
+                                / 2
+                          - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
+                         / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                                * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                                   + 1) / 12), 5) AS z_approx
+            FROM agg""",
+        "q_weighted_median": """
+            WITH staged AS (
+              SELECT l_returnflag, l_extendedprice,
+                     SUM(CAST(l_quantity AS BIGINT))
+                       OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     SUM(CAST(l_quantity AS BIGINT))
+                       OVER (PARTITION BY l_returnflag) AS tot
+              FROM lineitem
+            )
+            SELECT l_returnflag,
+                   round(MIN(l_extendedprice), 2) AS weighted_median,
+                   CAST(MIN(tot) AS BIGINT) AS total_weight
+            FROM staged WHERE 2 * cum >= tot
+            GROUP BY l_returnflag""",
         "q_survivorship": """
             WITH base AS (
               SELECT md5(trim(regexp_replace(regexp_replace(lower(text),

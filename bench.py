@@ -67,6 +67,11 @@ HEADLINE = [
     "q_cdc_apply",
     "q_session_native",
     "q_word_entropy",
+    "q_bitmap_distinct",
+    "q_join_cardinality",
+    "q_hll_overlap",
+    "q_weighted_median",
+    "q_simhash_pairs",
 ]
 
 

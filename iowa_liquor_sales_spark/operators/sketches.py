@@ -537,3 +537,68 @@ def hll_overlap_sql(
         SELECT est_a, est_b, est_union,
                round(est_a + est_b - est_union, 6) AS est_intersect
         FROM r3"""
+
+
+def countmin_join_size(
+    df_a: DataFrame,
+    expr_a: Column | str,
+    df_b: DataFrame,
+    expr_b: Column | str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Equi-join cardinality estimate WITHOUT executing the join — the
+    Count-Min inner product (Cormode & Muthukrishnan '05):
+    ``|R ⋈ S| ≈ min_d Σ_b cntR[d][b]·cntS[d][b]``. Never underestimates;
+    the overestimate decays as ``|R|·|S|/width`` per collision cell.
+
+    This is the planner-style primitive the optimizer itself wants at
+    100 TB: each side reduces to an O(depth·width) counter table (one
+    scan, map-side combinable — see :func:`countmin_counters`), and the
+    estimate is an equi-join of two ~1k-row sketches. Neither input is
+    ever shuffled against the other; sketches from prior days/tables can
+    be :func:`countmin_merge`-d and re-estimated for free.
+
+    Returns 1 row ``(est_join_size long)``; bit-exact in the oracle
+    (:func:`countmin_join_size_sql`).
+    """
+    ca = countmin_counters(df_a, expr_a, depth, width)
+    cb = countmin_counters(df_b, expr_b, depth, width)
+    ip = (
+        ca.select("depth", "bucket", F.col("cnt").alias("cnt_a"))
+        .join(
+            cb.select("depth", "bucket", F.col("cnt").alias("cnt_b")),
+            ["depth", "bucket"],
+        )
+        .groupBy("depth")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return ip.agg(F.min("ip").cast("long").alias("est_join_size"))
+
+
+def countmin_join_size_sql(
+    expr_a: str, table_a: str, expr_b: str, table_b: str,
+    depth: int = 4, width: int = 256,
+) -> str:
+    """DuckDB rendering of :func:`countmin_join_size` (bit-identical)."""
+
+    def counters(expr: str, table: str) -> str:
+        return f"""
+          SELECT depth, bucket, COUNT(*) AS cnt FROM (
+            SELECT CAST(d.depth AS INTEGER) AS depth,
+                   CAST(CAST(('0x' || substr(md5(
+                          CAST(d.depth AS VARCHAR) || ':'
+                          || CAST(({expr}) AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % {width} AS INTEGER) AS bucket
+            FROM {table}
+            CROSS JOIN (SELECT unnest(range({depth})) AS depth) d)
+          GROUP BY depth, bucket"""
+
+    return f"""
+        WITH ca AS ({counters(expr_a, table_a)}),
+        cb AS ({counters(expr_b, table_b)}),
+        ip AS (
+          SELECT ca.depth, SUM(ca.cnt * cb.cnt) AS ip
+          FROM ca JOIN cb ON ca.depth = cb.depth AND ca.bucket = cb.bucket
+          GROUP BY ca.depth)
+        SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip"""

@@ -183,3 +183,21 @@ def test_hll_overlap_disjoint_and_identical(spark):
     # estimate identity est_intersect == est_a holds EXACTLY.
     assert same["est_union"] == same["est_a"]
     assert same["est_intersect"] == same["est_a"]
+
+
+def test_countmin_join_size_upper_bounds_true_size(spark):
+    from iowa_liquor_sales_spark.operators.sketches import countmin_join_size
+
+    # A: keys 0..99 once each; B: key 0 x50, keys 1..9 x5 each, 10..99 once.
+    a = spark.range(0, 100).selectExpr("id AS k")
+    b = (
+        spark.range(0, 50).selectExpr("0 AS k")
+        .union(spark.range(0, 45).selectExpr("1 + CAST(id / 5 AS LONG) AS k"))
+        .union(spark.range(10, 100).selectExpr("id AS k"))
+    )
+    true_size = a.join(b, "k").count()
+    est = countmin_join_size(a, "k", b, "k", depth=4, width=1024).first()[
+        "est_join_size"
+    ]
+    assert est >= true_size            # CM inner product never undershoots
+    assert est <= true_size + 100 * b.count() // 1024 + 20  # collision slack

@@ -264,3 +264,32 @@ def test_streaming_cdc_upsert_sink(spark, tmp_path):
     expected[2] = 22
     expected[3] = 33
     assert got == expected
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: state for a key is dropped once the
+    watermark passes it (bounded state — the 100 TB contract), while
+    duplicates arriving inside the watermark window still collapse. With
+    an availableNow drain over one staged batch every duplicate falls
+    inside the window, so the output equals batch dropDuplicates on
+    event_id; the watermark bounds the state store instead of letting it
+    grow with the stream."""
+    src = read_table(spark, SF_EVENTS, "events")
+    staged = str(tmp_path / "wdd_staged")
+    src.union(src).repartition(4).write.mode("overwrite").parquet(staged)
+
+    stream = read_events_stream(spark, staged)
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName("wdd_out")
+        .option("checkpointLocation", str(tmp_path / "wdd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("wdd_out")
+    assert out.count() == src.count()
+    assert out.groupBy("event_id").count().filter("count > 1").count() == 0
