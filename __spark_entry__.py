@@ -4081,6 +4081,73 @@ def q_hll_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return hll_overlap(early, "o_custkey", late, "o_custkey", p=8)
 
 
+def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    # 3-round BFS hop distances from vertex 0 (operators/graph.bfs_hops)
+    # over the q_triangles-derived graph: per round one frontier⋈edges
+    # equi-join + a min-aggregate; distances only shrink, so the result
+    # is partitioning-independent and SQL-mirrorable as chained CTEs.
+    from iowa_liquor_sales_spark.operators.graph import bfs_hops
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        ((F.col("o_orderkey") % 700)).alias("dst"),
+    )
+    return bfs_hops(edges, source=0, rounds=3)
+
+
+def q_udtf_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    # Python UDTF surface (Spark 3.5+): a table function exploding each
+    # document into trimmed sentences with positions and word counts,
+    # invoked through SQL LATERAL. Row-path Python is the API DEMO here —
+    # the engine's hot text paths stay in Catalyst (q_chunk_documents,
+    # q_token_count); a UDTF is the escape hatch for logic that truly
+    # needs per-row Python with table-valued output.
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string, n_words int")
+    class SplitSentences:
+        def eval(self, text):
+            if text is None:
+                return
+            import re
+
+            parts = [
+                p.strip() for p in re.split(r"[.!?]", text) if p.strip()
+            ]
+            for i, p in enumerate(parts):
+                yield i, p, len([w for w in p.split(" ") if w])
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    read_table(spark, sf, "documents").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT doc_id, s.pos, s.sentence, s.n_words "
+        "FROM udtf_docs_v, LATERAL split_sentences(text) s"
+    )
+
+
+def q_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Correlated LATERAL subquery surface: top-2 customers by balance per
+    # nation, written the way an analyst writes it. Catalyst rewrites the
+    # correlated limit into the same win­dow/top-k shape as q_topk_pergroup
+    # — the declarative form costs nothing extra.
+    read_table(spark, sf, "nation").createOrReplaceTempView("lat_nation_v")
+    read_table(spark, sf, "customer").createOrReplaceTempView(
+        "lat_customer_v"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+        FROM lat_nation_v n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM lat_customer_v
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        """
+    )
+
+
 def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     # Holt's linear-trend double exponential smoothing — the recursion
     # window functions can't express (each level depends on the smoothed
@@ -5252,6 +5319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_density": q_grid_density,
         "q_linkage_score": q_linkage_score,
         "q_holt_forecast": q_holt_forecast,
+        "q_udtf_sentences": q_udtf_sentences,
+        "q_lateral_topk": q_lateral_topk,
+        "q_bfs_hops": q_bfs_hops,
         "q_gini": q_gini,
         "q_chisq_independence": q_chisq_independence,
         "q_mannwhitney": q_mannwhitney,
@@ -7009,6 +7079,58 @@ def oracle_sql() -> dict[str, str]:
                      AS n_started
             FROM running GROUP BY day""",
         "q_join_cardinality": _join_cardinality_oracle(),
+        "q_bfs_hops": """
+            WITH e AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT o_custkey % 500 AS a, o_orderkey % 700 AS b
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey % 700 AS a, o_custkey % 500 AS b
+                FROM orders)
+            ),
+            d0 AS (SELECT CAST(0 AS BIGINT) AS v, 0 AS d),
+            d1 AS (
+              SELECT v, MIN(d) AS d FROM (
+                SELECT v, d FROM d0
+                UNION ALL
+                SELECT e.b AS v, d0.d + 1 FROM d0 JOIN e ON e.a = d0.v
+              ) GROUP BY v),
+            d2 AS (
+              SELECT v, MIN(d) AS d FROM (
+                SELECT v, d FROM d1
+                UNION ALL
+                SELECT e.b AS v, d1.d + 1 FROM d1 JOIN e ON e.a = d1.v
+              ) GROUP BY v),
+            d3 AS (
+              SELECT v, MIN(d) AS d FROM (
+                SELECT v, d FROM d2
+                UNION ALL
+                SELECT e.b AS v, d2.d + 1 FROM d2 JOIN e ON e.a = d2.v
+              ) GROUP BY v)
+            SELECT v, CAST(d AS INTEGER) AS hops FROM d3""",
+        "q_udtf_sentences": """
+            WITH parts AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split_regex(text, '[.!?]'),
+                                      p -> trim(p)),
+                       p -> p <> '') AS ps
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(ps, 1) - 1 AS INT) AS pos,
+                   unnest(ps) AS sentence,
+                   CAST(len(list_filter(string_split(unnest(ps), ' '),
+                                        w -> w <> '')) AS INT) AS n_words
+            FROM parts""",
+        "q_lateral_topk": """
+            SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+            FROM nation n,
+            LATERAL (
+              SELECT c_name, c_acctbal FROM customer
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+            ) c""",
         "q_holt_forecast": """
             WITH monthly AS (
               SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

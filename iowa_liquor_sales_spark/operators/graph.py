@@ -264,3 +264,39 @@ def kcore(
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Breadth-first hop distances from ``source`` over an undirected
+    edge list, ``rounds`` relaxation rounds (distances > ``rounds`` are
+    absent — fixed rounds keep the plan a finite chain the SQL oracle
+    mirrors with chained CTEs; production loops until the frontier
+    empties, with localCheckpoint per round like
+    :func:`connected_components`).
+
+    Each round is one equi-join of the current distance set against the
+    edge list plus a min-aggregate — O(E) per round, distances only ever
+    shrink, so the result is partitioning-independent.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "v long, d int")
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(und, dist["v"] == und["a"])
+            .select(F.col("b").alias("v"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist.select("v", F.col("d").cast("int").alias("hops"))

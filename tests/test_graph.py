@@ -109,3 +109,18 @@ def test_kcore_peels_pendants_and_keeps_clique(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     # k above the max degree empties the graph.
     assert kcore(edges, k=5, rounds=2).count() == 0
+
+
+def test_bfs_hops_chain(spark):
+    from iowa_liquor_sales_spark.operators.graph import bfs_hops
+
+    # Path 0-1-2-3-4-5 plus a disconnected pair (10, 11): 3 rounds reach
+    # hop 3; vertices 4, 5 and the island stay unreached (absent).
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["src", "dst"]
+    )
+    got = {r["v"]: r["hops"] for r in bfs_hops(edges, source=0, rounds=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # More rounds reach further; reversed edges don't change distances.
+    got5 = {r["v"]: r["hops"] for r in bfs_hops(edges, source=0, rounds=5).collect()}
+    assert got5 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}

@@ -51,3 +51,52 @@ def test_zorder_has_no_join_and_partial_aggregates(spark):
     plan = _plan(spark, "q_zorder")
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_simhash_pairs_candidates_join_is_equi(spark):
+    # The banded pairing must be a hash equi-join on (band, block) —
+    # a CartesianProduct or theta-join is the all-pairs regression.
+    plan = _plan(spark, "q_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_cardinality_never_joins_the_inputs(spark):
+    # The estimator joins two O(depth·width) sketches; any join keyed on
+    # the raw orderkeys means the inputs were joined — the thing the
+    # operator exists to avoid.
+    plan = _plan(spark, "q_join_cardinality")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # counter tables aggregate map-side before their equi-join
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_bitmap_distinct_is_two_level_aggregate(spark):
+    # bitmap_construct_agg per (seg, bucket) then popcount-sum per seg —
+    # no expand-based COUNT(DISTINCT) rewrite, no extra joins beyond the
+    # broadcast dim.
+    plan = _plan(spark, "q_bitmap_distinct")
+    assert "Expand" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grid_density_neighbor_join_is_equi(spark):
+    plan = _plan(spark, "q_grid_density")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_has_range_partitioning(spark):
+    # The global order must come from a range exchange (distributed
+    # sort), never a single-partition window.
+    plan = _plan(spark, "q_sorted_neighborhood")
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_lateral_topk_rewrites_to_hash_join(spark):
+    # Catalyst must de-correlate the LATERAL limit into a join + window,
+    # not a per-row nested loop over the full customer table.
+    plan = _plan(spark, "q_lateral_topk")
+    assert "CartesianProduct" not in plan
