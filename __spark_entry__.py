@@ -4081,6 +4081,131 @@ def q_hll_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return hll_overlap(early, "o_custkey", late, "o_custkey", p=8)
 
 
+def q_abtest_srm(spark: SparkSession, sf: str) -> DataFrame:
+    # Sample-ratio-mismatch check for the hash splitter (q_split_assign's
+    # 80/10/10 contract): observed split counts vs expected shares,
+    # chi-square terms from exact integer counts — the experimentation
+    # health check that catches a broken bucketing hash before any
+    # downstream metric does.
+    from iowa_liquor_sales_spark.functions.hashing import hash60
+
+    d = read_table(spark, sf, "documents")
+    bucket = (
+        hash60(F.concat(F.lit("split"), F.col("doc_id").cast("string")))
+        % 10000
+    )
+    split = (
+        F.when(bucket < 8000, "train")
+        .when(bucket < 9000, "val")
+        .otherwise("test")
+    )
+    counts = d.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("nn"))
+    share = (
+        F.when(F.col("split") == "train", 0.8)
+        .when(F.col("split") == "val", 0.1)
+        .otherwise(0.1)
+    )
+    exp = F.col("nn") * share
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "split",
+        F.col("n").cast("long").alias("n"),
+        F.round(exp, 2).alias("expected"),
+        F.round(F.pow(F.col("n") - exp, F.lit(2.0)) / exp, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+def q_source_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus-level source-similarity matrix: exact vocabulary Jaccard
+    # between every source pair via the inverted (word -> source) index —
+    # one distinct-pass plus an equi-self-join on word, O(shared-vocab)
+    # candidates, never document-level all-pairs.
+    d = read_table(spark, sf, "documents")
+    vocab = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 1).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = vocab.select(F.col("source").alias("src_a"), "w")
+    b = vocab.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("na")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nb")),
+            "src_b",
+        )
+    )
+    return j.select(
+        "src_a",
+        "src_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.round(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+        ).alias("vocab_jaccard"),
+    )
+
+
+def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    # Two-sample Kolmogorov-Smirnov D between returned (R) and accepted
+    # (A) price distributions: per distinct cents value the two empirical
+    # CDFs from cumulative integer counts, D = max gap (argmax ties break
+    # to the lowest value). Everything until the two final divisions is
+    # exact integers.
+    li = (
+        read_table(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            (F.col("l_returnflag") == "R").cast("long").alias("is_r"),
+        )
+    )
+    per = li.groupBy("cents").agg(
+        F.sum("is_r").alias("c1"),
+        F.sum(1 - F.col("is_r")).alias("c2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+    )
+    cum = per.select(
+        "cents",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    ).crossJoin(F.broadcast(tot))
+    gap = F.abs(F.col("f1") / F.col("n1") - F.col("f2") / F.col("n2"))
+    best = (
+        cum.withColumn("gap", gap)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("gap").desc(), F.col("cents"))
+            ),
+        )
+        .filter(F.col("r") == 1)
+    )
+    return best.select(
+        F.col("n1").cast("long").alias("n_ret"),
+        F.col("n2").cast("long").alias("n_acc"),
+        F.col("cents").alias("argmax_cents"),
+        F.round("gap", 6).alias("ks_d"),
+    )
+
+
 def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     # 3-round BFS hop distances from vertex 0 (operators/graph.bfs_hops)
     # over the q_triangles-derived graph: per round one frontier⋈edges
@@ -5322,6 +5447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udtf_sentences": q_udtf_sentences,
         "q_lateral_topk": q_lateral_topk,
         "q_bfs_hops": q_bfs_hops,
+        "q_abtest_srm": q_abtest_srm,
+        "q_source_similarity": q_source_similarity,
+        "q_ks_test": q_ks_test,
         "q_gini": q_gini,
         "q_chisq_independence": q_chisq_independence,
         "q_mannwhitney": q_mannwhitney,
@@ -7079,6 +7207,82 @@ def oracle_sql() -> dict[str, str]:
                      AS n_started
             FROM running GROUP BY day""",
         "q_join_cardinality": _join_cardinality_oracle(),
+        "q_abtest_srm": """
+            WITH counts AS (
+              SELECT CASE WHEN b < 8000 THEN 'train'
+                          WHEN b < 9000 THEN 'val'
+                          ELSE 'test' END AS split,
+                     COUNT(*) AS n
+              FROM (SELECT CAST(('0x' || substr(md5('split' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          % 10000 AS b
+                    FROM documents)
+              GROUP BY 1
+            ),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM counts)
+            SELECT split, n,
+                   round(nn * CASE WHEN split = 'train' THEN 0.8
+                                   WHEN split = 'val' THEN 0.1
+                                   ELSE 0.1 END, 2) AS expected,
+                   round(pow(n - nn * CASE WHEN split = 'train' THEN 0.8
+                                           WHEN split = 'val' THEN 0.1
+                                           ELSE 0.1 END, 2)
+                         / (nn * CASE WHEN split = 'train' THEN 0.8
+                                      WHEN split = 'val' THEN 0.1
+                                      ELSE 0.1 END), 6) AS chi2_term
+            FROM counts, tot""",
+        "q_source_similarity": """
+            WITH vocab AS (
+              SELECT DISTINCT source, w FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+              WHERE length(w) >= 1
+            ),
+            sizes AS (SELECT source, COUNT(*) AS nv FROM vocab GROUP BY 1),
+            inter AS (
+              SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+              FROM vocab a JOIN vocab b
+                ON a.w = b.w AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT i.src_a, i.src_b, i.inter,
+                   round(i.inter / (sa.nv + sb.nv - i.inter), 6)
+                     AS vocab_jaccard
+            FROM inter i
+            JOIN sizes sa ON i.src_a = sa.source
+            JOIN sizes sb ON i.src_b = sb.source""",
+        "q_ks_test": """
+            WITH li AS (
+              SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                     CAST(l_returnflag = 'R' AS BIGINT) AS is_r
+              FROM lineitem WHERE l_returnflag IN ('R', 'A')
+            ),
+            per AS (
+              SELECT cents, SUM(is_r) AS c1, SUM(1 - is_r) AS c2
+              FROM li GROUP BY cents
+            ),
+            tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1,
+                           CAST(SUM(c2) AS DOUBLE) AS n2 FROM per),
+            cum AS (
+              SELECT cents,
+                     SUM(c1) OVER (ORDER BY cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS f1,
+                     SUM(c2) OVER (ORDER BY cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS f2
+              FROM per
+            ),
+            best AS (
+              SELECT cents, abs(f1 / n1 - f2 / n2) AS gap, n1, n2,
+                     row_number() OVER (ORDER BY abs(f1 / n1 - f2 / n2) DESC,
+                                        cents) AS r
+              FROM cum, tot QUALIFY r = 1
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_ret, CAST(n2 AS BIGINT) AS n_acc,
+                   cents AS argmax_cents, round(gap, 6) AS ks_d
+            FROM best""",
         "q_bfs_hops": """
             WITH e AS (
               SELECT DISTINCT a, b FROM (

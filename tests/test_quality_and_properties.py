@@ -358,3 +358,80 @@ def test_allpairs_prefix_filter_equals_uncapped_jaccard(spark, docs, t):
         for r in jaccard_pairs(sh, min_jaccard=t, max_df=None).collect()
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 500), st.integers(1, 9)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_matches_python_reference(spark, vw):
+    # Reference: least value whose doubled cumulative weight (in value
+    # order) reaches the total — the exact cut q_weighted_median uses.
+    from pyspark.sql import Window
+
+    rows = [(i, float(v), w) for i, (v, w) in enumerate(vw)]
+    df = spark.createDataFrame(rows, "id long, v double, w long")
+    wspec = (
+        Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = df.withColumn("cum", F.sum("w").over(wspec)).withColumn(
+        "tot", F.sum("w").over(Window.partitionBy())
+    )
+    got = (
+        staged.filter(2 * F.col("cum") >= F.col("tot"))
+        .agg(F.min("v"))
+        .first()[0]
+    )
+    pairs = sorted(((float(v), w) for v, w in vw))
+    tot = sum(w for _, w in pairs)
+    cum = 0
+    for v, w in pairs:
+        cum += w
+        if 2 * cum >= tot:
+            expect = v
+            break
+    assert got == expect
+
+
+def test_gini_known_distributions(spark):
+    # Equal incomes -> G = 0; a single earner among n -> G = (n-1)/n.
+    from iowa_liquor_sales_spark.operators.ranking import global_row_number
+
+    def gini_of(values):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "id long, x long"
+        )
+        ranked = global_row_number(df, ["x", "id"], out_col="i")
+        r = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i") * F.col("x")).alias("six"),
+        ).first()
+        return (2 * r["six"]) / (r["n"] * r["sx"]) - (r["n"] + 1) / r["n"]
+
+    assert abs(gini_of([7] * 10)) < 1e-12
+    assert abs(gini_of([0] * 9 + [100]) - 0.9) < 1e-12
+
+
+def test_countmin_point_estimates_never_undercount(spark):
+    from iowa_liquor_sales_spark.operators.sketches import (
+        countmin_counters,
+        countmin_lookup,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(700)] + [(99,)], ["k"]
+    )
+    counters = countmin_counters(df, "k", depth=4, width=64)
+    est = {
+        r["k"]: r["est"]
+        for r in countmin_lookup(counters, df, "k", depth=4, width=64).collect()
+    }
+    # true counts: keys 0..6 -> 100 each, 99 -> 1
+    for k in range(7):
+        assert est[str(k)] >= 100
+    assert est["99"] >= 1
