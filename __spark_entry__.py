@@ -4081,6 +4081,123 @@ def q_hll_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return hll_overlap(early, "o_custkey", late, "o_custkey", p=8)
 
 
+def q_poisson_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    # Ops-monitoring anomaly screen: daily event counts vs the global
+    # Poisson rate — flag days beyond 3*sqrt(mean). Counts and the N·30
+    # cross-multiplied comparison stay integer-exact; only the reported
+    # z-score divides. One aggregate + one broadcast join of a 1-row
+    # total: O(days) state at any scale.
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = daily.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    mean = F.col("total").cast("double") / F.col("n_days").cast("double")
+    z = (F.col("n") - mean) / F.sqrt(mean)
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.round(mean, 4).alias("mean_rate"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 3).alias("is_anomaly"),
+        )
+    )
+
+
+def q_pareto_point(spark: SparkSession, sf: str) -> DataFrame:
+    # The 80/20 readout: how many top customers cover 80% of revenue.
+    # Customers rank by exact revenue cents DESC via the distributed
+    # global row_number; the cut 5·cum >= 4·total is all-integer, so the
+    # answer is bit-portable. Output: the cut rank, its share of
+    # customers, and the exact cumulative cents at the cut.
+    from iowa_liquor_sales_spark.operators.ranking import global_row_number
+
+    o = read_table(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("rev_cents")
+    ).select(
+        (-F.col("rev_cents")).alias("neg_rev"), "o_custkey", "rev_cents"
+    )
+    ranked = global_row_number(per, ["neg_rev", "o_custkey"], out_col="i")
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "i", "rev_cents", F.sum("rev_cents").over(w).alias("cum")
+    )
+    tot = cum.agg(
+        F.max("cum").alias("total"), F.max("i").alias("n_cust")
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(5 * F.col("cum") >= 4 * F.col("total"))
+        .agg(
+            F.min("i").alias("k"),
+            F.max("n_cust").alias("n_cust"),
+            F.max("total").alias("total"),
+        )
+    )
+    return hit.select(
+        F.col("k").cast("long").alias("customers_for_80pct"),
+        F.col("n_cust").cast("long").alias("n_customers"),
+        F.round(
+            F.col("k").cast("double") / F.col("n_cust").cast("double"), 6
+        ).alias("customer_share"),
+        F.col("total").cast("long").alias("total_cents"),
+    )
+
+
+def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    # Wald-Wolfowitz runs test for randomness of the monthly-revenue
+    # sign sequence around its exact median: run count from a lag window
+    # over the bounded month series, z from the closed form — the
+    # nonparametric "is this trend or noise" screen. All counts integer;
+    # two final divisions.
+    o = read_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    med = monthly.agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+    signed = (
+        monthly.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("med"))
+        .select(
+            "month", (F.col("cents") > F.col("med")).cast("int").alias("s")
+        )
+    )
+    w = Window.orderBy("month")
+    runs = signed.withColumn("prev", F.lag("s").over(w)).agg(
+        F.sum(
+            (F.col("prev").isNull() | (F.col("s") != F.col("prev"))).cast(
+                "int"
+            )
+        ).alias("r"),
+        F.sum("s").alias("n1"),
+        F.sum(1 - F.col("s")).alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    mu = 2 * n1d * n2d / nd + 1
+    var = (mu - 1) * (mu - 2) / (nd - 1)
+    return runs.select(
+        F.col("r").cast("long").alias("n_runs"),
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        F.round(mu, 4).alias("expected_runs"),
+        F.round((F.col("r") - mu) / F.sqrt(var), 4).alias("z"),
+    )
+
+
 def q_abtest_srm(spark: SparkSession, sf: str) -> DataFrame:
     # Sample-ratio-mismatch check for the hash splitter (q_split_assign's
     # 80/10/10 contract): observed split counts vs expected shares,
@@ -5450,6 +5567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_abtest_srm": q_abtest_srm,
         "q_source_similarity": q_source_similarity,
         "q_ks_test": q_ks_test,
+        "q_poisson_anomaly": q_poisson_anomaly,
+        "q_pareto_point": q_pareto_point,
+        "q_runs_test": q_runs_test,
         "q_gini": q_gini,
         "q_chisq_independence": q_chisq_independence,
         "q_mannwhitney": q_mannwhitney,
@@ -7207,6 +7327,96 @@ def oracle_sql() -> dict[str, str]:
                      AS n_started
             FROM running GROUP BY day""",
         "q_join_cardinality": _join_cardinality_oracle(),
+        "q_poisson_anomaly": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+              FROM events GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_days
+              FROM daily
+            )
+            SELECT day, n,
+                   round(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE), 4)
+                     AS mean_rate,
+                   round((n - CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
+                         / sqrt(CAST(total AS DOUBLE)
+                                / CAST(n_days AS DOUBLE)), 4) AS z,
+                   abs((n - CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
+                       / sqrt(CAST(total AS DOUBLE)
+                              / CAST(n_days AS DOUBLE))) > 3 AS is_anomaly
+            FROM daily, tot""",
+        "q_pareto_point": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS rev_cents
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT rev_cents,
+                     row_number() OVER (ORDER BY -rev_cents, o_custkey) AS i
+              FROM per
+            ),
+            cum AS (
+              SELECT i, CAST(SUM(rev_cents) OVER (ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum
+              FROM ranked
+            ),
+            tot AS (SELECT MAX(cum) AS total, MAX(i) AS n_cust FROM cum),
+            hit AS (
+              SELECT MIN(i) AS k, MAX(n_cust) AS n_cust, MAX(total) AS total
+              FROM cum, tot WHERE 5 * cum >= 4 * total
+            )
+            SELECT CAST(k AS BIGINT) AS customers_for_80pct,
+                   CAST(n_cust AS BIGINT) AS n_customers,
+                   round(CAST(k AS DOUBLE) / CAST(n_cust AS DOUBLE), 6)
+                     AS customer_share,
+                   CAST(total AS BIGINT) AS total_cents
+            FROM hit""",
+        "q_runs_test": """
+            WITH monthly AS (
+              SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders GROUP BY 1
+            ),
+            med AS (
+              SELECT quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+              FROM monthly
+            ),
+            signed AS (
+              SELECT month, CAST(cents > med AS INT) AS s
+              FROM monthly, med WHERE cents <> med
+            ),
+            lagged AS (
+              SELECT s, lag(s) OVER (ORDER BY month) AS prev FROM signed
+            ),
+            runs AS (
+              SELECT SUM(CAST(prev IS NULL OR s <> prev AS INT)) AS r,
+                     SUM(s) AS n1, SUM(1 - s) AS n2
+              FROM lagged
+            )
+            SELECT CAST(r AS BIGINT) AS n_runs,
+                   CAST(n1 AS BIGINT) AS n_above,
+                   CAST(n2 AS BIGINT) AS n_below,
+                   round(2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1, 4)
+                     AS expected_runs,
+                   round((r - (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                               + 1))
+                         / sqrt((2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                 / (CAST(n1 AS DOUBLE)
+                                    + CAST(n2 AS DOUBLE)) + 1 - 1)
+                                * (2 * CAST(n1 AS DOUBLE)
+                                   * CAST(n2 AS DOUBLE)
+                                   / (CAST(n1 AS DOUBLE)
+                                      + CAST(n2 AS DOUBLE)) + 1 - 2)
+                                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                                   - 1)), 4) AS z
+            FROM runs""",
         "q_abtest_srm": """
             WITH counts AS (
               SELECT CASE WHEN b < 8000 THEN 'train'
