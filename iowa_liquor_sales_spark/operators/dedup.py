@@ -576,6 +576,7 @@ def containment_pairs(
 def allpairs_jaccard(
     shingle_df: DataFrame,
     min_jaccard: float = 0.5,
+    observations: dict | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard with PREFIX FILTERING (Bayardo et al.
     "Scaling Up All Pairs", PPJoin family) — same answers as
@@ -596,6 +597,16 @@ def allpairs_jaccard(
     doc) -> prefix filter -> full x prefix equi-join -> distinct pairs ->
     set-intersection verify. Every stage's shuffle is bounded by the
     index/candidates, never all-pairs.
+
+    Observability: PPJoin's exact verify is inherently superlinear in
+    corpus self-similarity (SCALE.md measures 3.4s -> 10.4s at 16x), so
+    at 100 TB an operator needs its own gauge for "fall back to LSH".
+    Pass ``observations={}`` and the dict is populated with
+    ``pyspark.sql.Observation`` objects under ``"candidates"`` (count of
+    distinct candidate pairs entering the verify) and ``"survivors"``
+    (count passing the threshold) — zero-cost accumulator-style metrics
+    piggybacked on the action, no extra job. candidates/doc >> survivors
+    means the prefix filter is saturating and LSH should take over.
     """
     keyed = shingle_df.select(
         "doc_id", F.xxhash64("shingle").alias("shingle")
@@ -626,9 +637,15 @@ def allpairs_jaccard(
         )
         .distinct()
     )
+    if observations is not None:
+        from pyspark.sql import Observation
+
+        cand_obs = Observation("ppjoin_candidates")
+        cand = cand.observe(cand_obs, F.count(F.lit(1)).alias("n_candidates"))
+        observations["candidates"] = cand_obs
     sets = keyed.groupBy("doc_id").agg(F.collect_set("shingle").alias("hs"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    return (
+    out = (
         cand.join(
             sets.withColumnsRenamed({"doc_id": "doc_a", "hs": "set_a"}), "doc_a"
         )
@@ -641,6 +658,11 @@ def allpairs_jaccard(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
     )
+    if observations is not None:
+        surv_obs = Observation("ppjoin_survivors")
+        out = out.observe(surv_obs, F.count(F.lit(1)).alias("n_survivors"))
+        observations["survivors"] = surv_obs
+    return out
 
 
 def simhash_hamming_pairs(
@@ -727,7 +749,13 @@ def sorted_neighborhood_pairs(
 
     keyed = df.select(
         F.col(id_col).alias("doc_id"),
-        F.substring(normalize_text(text_col), 1, key_chars).alias("skey"),
+        # Coalesce to '' so NULL texts get a concrete (empty) blocking key:
+        # otherwise Spark's range sort puts NULLs FIRST while an ANSI
+        # ORDER BY defaults NULLS LAST (rank divergence), and
+        # levenshtein(NULL, ...) would silently drop those pairs.
+        F.substring(
+            F.coalesce(normalize_text(text_col), F.lit("")), 1, key_chars
+        ).alias("skey"),
     )
     ranked = global_row_number(keyed, ["skey", "doc_id"], out_col="rn")
     probe = ranked.select(

@@ -300,3 +300,101 @@ def bfs_hops(
             .agg(F.min("d").alias("d"))
         )
     return dist.select("v", F.col("d").cast("int").alias("hops"))
+
+
+def kcore_converged(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Run-to-convergence k-core: the production form of :func:`kcore`.
+    Peels until the edge count stops changing, ``localCheckpoint``-ing
+    each round's survivor edges so the logical plan does not grow per
+    iteration (the iterative-Spark lineage trap — see
+    :func:`connected_components`). One tiny ``count()`` action per round
+    is the convergence probe; ``max_iter`` is the safety bound.
+
+    The true k-core is a fixpoint, so for any graph there is a finite
+    round count where :func:`kcore` with ``rounds >= that`` equals this —
+    proven on a small graph in ``tests/test_graph_convergence.py``.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        degs = (
+            e.select(F.col("lo").alias("v"))
+            .unionAll(e.select(F.col("hi").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = degs.filter(F.col("deg") >= k).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("v", "hi"), "hi", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = e.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        e.select(F.col("lo").alias("v"))
+        .unionAll(e.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+
+
+def bfs_hops_converged(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Run-to-convergence BFS: the production form of :func:`bfs_hops`.
+    Relaxes only the current FRONTIER (vertices whose distance was set
+    last round) against the edge list each round and stops when the
+    frontier empties — each round is O(frontier-adjacent edges), and the
+    per-round ``localCheckpoint`` keeps lineage flat. Unreachable
+    vertices are absent, exactly like the fixed-round form once rounds
+    >= eccentricity of ``source``.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "v long, d int").localCheckpoint(
+        eager=True
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        # Expand only the frontier; drop vertices already settled (their
+        # recorded d is minimal — distances only ever shrink).
+        relaxed = (
+            frontier.join(und, frontier["v"] == und["a"])
+            .select(F.col("b").alias("v"), (F.col("d") + 1).alias("d"))
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .join(dist.select(F.col("v").alias("seen")),
+                  F.col("v") == F.col("seen"), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if relaxed.isEmpty():
+            break
+        dist = dist.unionAll(relaxed).localCheckpoint(eager=True)
+        frontier = relaxed
+    return dist.select("v", F.col("d").cast("int").alias("hops"))

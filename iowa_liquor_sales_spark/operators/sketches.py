@@ -96,6 +96,91 @@ def kmv_union_estimate(
     return _estimate(merged, k)
 
 
+def theta_anotb_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 1024
+) -> DataFrame:
+    """Theta-sketch A-NOT-B: distinct-count estimate of A \\ B from the two
+    KMV sketches alone (Dasgupta et al., "Theta Sketch Framework") — the
+    set-difference companion to :func:`kmv_union_estimate` and
+    :func:`hll_overlap`. θ = min(θ_A, θ_B) where a sketch that saw its
+    whole domain (fewer than k mins) has θ = 2^60; A's retained hashes
+    below θ that are absent from B each witness 2^60/θ distinct values,
+    so the estimate is ``|{h ∈ A : h < θ, h ∉ B}| · 2^60 / θ`` — exact
+    whenever both domains fit in k.
+
+    Scale shape: two 1-row θ aggregates broadcast-crossed onto A's O(k)
+    min-set, one O(k) vs O(k) anti-join — never rescans either input.
+    hash60 is md5-derived, so the whole computation is engine-portable
+    and the DuckDB oracle (:func:`theta_anotb_sql`) checks identical bits.
+    """
+    two60 = 1 << 60
+    theta_a = sketch_a.agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(two60).cast("long"))
+        .otherwise(F.max("h"))
+        .alias("theta_a")
+    )
+    theta_b = sketch_b.agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(two60).cast("long"))
+        .otherwise(F.max("h"))
+        .alias("theta_b")
+    )
+    survivors = (
+        sketch_a.join(sketch_b, "h", "left_anti")
+        .crossJoin(F.broadcast(theta_a))
+        .crossJoin(F.broadcast(theta_b))
+        .withColumn("theta", F.least("theta_a", "theta_b"))
+        .filter(F.col("h") < F.col("theta"))
+    )
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_surv"),
+        F.first("theta").alias("theta"),
+    ).select(
+        F.when(F.col("n_surv") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_surv").cast("double")
+            * F.lit(float(two60))
+            / F.col("theta").cast("double")
+        )
+        .alias("est_anotb")
+    )
+
+
+def theta_anotb_sql(
+    expr_a: str, table_a: str, expr_b: str, table_b: str, k: int
+) -> str:
+    """DuckDB rendering of :func:`theta_anotb_estimate` (exact sorts; the
+    oracle needs identical bits, not the bounded-state plan)."""
+
+    def mins(expr: str, table: str) -> str:
+        return (
+            "SELECT DISTINCT CAST(('0x' || substr(md5(CAST(("
+            f"{expr}) AS VARCHAR)), 1, 15)) AS BIGINT) AS h "
+            f"FROM {table} ORDER BY h LIMIT {k}"
+        )
+
+    two60 = 1 << 60
+    return f"""
+        WITH mins_a AS ({mins(expr_a, table_a)}),
+        mins_b AS ({mins(expr_b, table_b)}),
+        thetas AS (
+          SELECT
+            (SELECT CASE WHEN COUNT(*) < {k} THEN CAST({two60} AS BIGINT)
+                         ELSE MAX(h) END FROM mins_a) AS theta_a,
+            (SELECT CASE WHEN COUNT(*) < {k} THEN CAST({two60} AS BIGINT)
+                         ELSE MAX(h) END FROM mins_b) AS theta_b),
+        surv AS (
+          SELECT a.h, least(t.theta_a, t.theta_b) AS theta
+          FROM mins_a a CROSS JOIN thetas t
+          WHERE a.h < least(t.theta_a, t.theta_b)
+            AND a.h NOT IN (SELECT h FROM mins_b))
+        SELECT CASE WHEN COUNT(*) = 0 THEN 0.0
+                    ELSE CAST(COUNT(*) AS DOUBLE)
+                         * CAST({float(two60)!r} AS DOUBLE)
+                         / CAST(MIN(theta) AS DOUBLE)
+               END AS est_anotb
+        FROM surv"""
+
+
 def _cm_cells(key: Column, depth: int, width: int) -> Column:
     """array<struct<depth,bucket>> of the sketch cells a key maps to."""
     return F.array(

@@ -208,3 +208,59 @@ def resample_ffill(
         "bucket",
         F.last("v", ignorenulls=True).over(wfill).alias("value_ffill"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key — the coverage
+    primitive behind uptime calculations, ad-exposure windows, and
+    sessionized dwell time. Classic gaps-and-islands: within each key,
+    order by start and open a new island whenever a start exceeds the
+    running max of all previous ends; the island id is the running count
+    of such breaks, then one aggregate collapses each island to its
+    envelope.
+
+    Scale shape: two window passes + one aggregate, all partitioned by
+    ``key_col`` — scales with keys, never a global sort. All timestamp
+    arithmetic stays integral (epoch seconds), so results are
+    bit-portable across engines.
+
+    Returns (key, island, merge_start, merge_end, n_merged, covered_secs).
+    """
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max(end_col).over(w_prev)
+    marked = df.withColumn(
+        "is_break",
+        # Explicit 1/0 (first row opens an island): a bare comparison is
+        # NULL on the first row and must not be conflated with "no break".
+        F.when(
+            prev_max.isNull() | (F.col(start_col) > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("is_break").over(w_run))
+    return (
+        marked.groupBy(F.col(key_col).alias("key"), "island")
+        .agg(
+            F.min(start_col).alias("merge_start"),
+            F.max(end_col).alias("merge_end"),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .withColumn(
+            "covered_secs",
+            (F.col("merge_end") - F.col("merge_start")).cast("long"),
+        )
+    )

@@ -392,6 +392,64 @@ def pmi_bigrams(
     )
 
 
+def naive_bayes_token_stats(
+    df: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 10,
+) -> DataFrame:
+    """Multinomial naive-Bayes training statistics — the classic fast
+    text classifier a curation pipeline trains per-source/per-label
+    (quality-classifier bootstrap, domain tagging). Emits, per class,
+    the Laplace-smoothed token likelihoods of the ``top_n`` most frequent
+    tokens plus the class prior.
+
+    All probabilities are exact integer PPM (``(cnt+1)·1e6 div
+    (class_total + |V|)``) — no float division, so any engine computes
+    identical bits; a consumer exponentiates/logs at scoring time.
+
+    Scale shape: one explode + map-side-combinable (class, word)
+    aggregate; vocabulary size and document totals are 1-row aggregates
+    broadcast-crossed on; top-n is a window partitioned BY CLASS (never
+    global). O(vocab) intermediate rows, no all-pairs anywhere.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(class_col).alias("cls"), F.explode(words(text_col)).alias("word")
+    )
+    counts = tok.groupBy("cls", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    class_totals = counts.groupBy("cls").agg(F.sum("cnt").alias("cls_total"))
+    vocab = counts.agg(
+        F.count_distinct("word").cast("long").alias("vocab_size")
+    )
+    doc_counts = df.groupBy(F.col(class_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_total = df.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    w = Window.partitionBy("cls").orderBy(F.desc("cnt"), F.col("word"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .join(class_totals, "cls")
+        .join(doc_counts, "cls")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("cls").alias(class_col),
+            F.col("rnk").cast("int").alias("rnk"),
+            "word",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("(cnt + 1) * 1000000 div (cls_total + vocab_size)")
+            .cast("long")
+            .alias("likelihood_ppm"),
+            F.expr("n_docs * 1000000 div n_docs_total")
+            .cast("long")
+            .alias("prior_ppm"),
+        )
+    )
+
+
 def feature_hash(
     df: DataFrame,
     n_buckets: int = 16,

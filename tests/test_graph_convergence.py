@@ -1,0 +1,65 @@
+"""Fixed-round vs run-to-convergence graph operators.
+
+The declared queries use the fixed-round forms (``kcore(rounds=3)``,
+``bfs_hops(rounds=3)``) so a SQL oracle can mirror them with chained
+CTEs; the production forms loop until stable with per-round
+``localCheckpoint`` (lineage stays flat). These tests prove the two
+forms agree once the fixed round count reaches the fixpoint.
+"""
+
+from iowa_liquor_sales_spark.operators.graph import (
+    bfs_hops,
+    bfs_hops_converged,
+    kcore,
+    kcore_converged,
+)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_kcore_fixed_rounds_match_converged(spark):
+    # A 4-clique (its own 3-core) with a pendant path hanging off it:
+    # peeling the path takes TWO rounds (5 exposes 4 only after 5 goes),
+    # so convergence is genuinely iterative, not one-shot.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)],
+        ["src", "dst"],
+    )
+    conv = _sorted_rows(kcore_converged(edges, k=2))
+    fixed = _sorted_rows(kcore(edges, k=2, rounds=4))
+    assert conv == fixed
+    # The 4-clique survives a k=2 peel; the pendant path does not.
+    assert [v for v, _ in conv] == [0, 1, 2, 3]
+    # Under-iterated fixed-round differs — convergence genuinely needed
+    # more than one peel on this graph.
+    assert _sorted_rows(kcore(edges, k=2, rounds=1)) != conv
+
+
+def test_kcore_converged_empty_result(spark):
+    # A bare path has no 3-core: converged peeling must reach the empty
+    # edge set and stop (not loop to max_iter).
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assert kcore_converged(edges, k=3).count() == 0
+
+
+def test_bfs_fixed_rounds_match_converged(spark):
+    # Path 0-1-2-3-4 plus a chord 1-3: eccentricity of 0 is 3, so
+    # rounds=3 reaches the fixpoint; rounds=1 must not.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (1, 3)], ["src", "dst"]
+    )
+    conv = _sorted_rows(bfs_hops_converged(edges, source=0))
+    fixed = _sorted_rows(bfs_hops(edges, source=0, rounds=3))
+    assert conv == fixed
+    assert conv == [(0, 0), (1, 1), (2, 2), (3, 2), (4, 3)]
+    under = _sorted_rows(bfs_hops(edges, source=0, rounds=1))
+    assert under != conv
+
+
+def test_bfs_converged_disconnected(spark):
+    # Vertices unreachable from the source are absent in both forms.
+    edges = spark.createDataFrame([(0, 1), (5, 6)], ["src", "dst"])
+    conv = _sorted_rows(bfs_hops_converged(edges, source=0))
+    assert conv == [(0, 0), (1, 1)]

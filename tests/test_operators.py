@@ -283,8 +283,11 @@ def test_sorted_neighborhood_bounded_candidates(spark):
     # 30 docs sharing one hot prefix would be 435 all-pairs candidates;
     # sorted-neighborhood with w=2 emits at most N*w pairs by construction
     # — the no-hot-bucket guarantee LSH bands can't make.
+    # Prefix kept short so the distinguishing digits land INSIDE the
+    # 24-char blocking key ("shared prefix 07" = 16 chars) — the tight
+    # max_edit cap below then exercises a real nonzero edit distance.
     docs = spark.createDataFrame(
-        [(i, f"shared common prefix text {i:02d}") for i in range(30)],
+        [(i, f"shared prefix {i:02d}") for i in range(30)],
         ["doc_id", "text"],
     )
     pairs = sorted_neighborhood_pairs(
@@ -295,4 +298,143 @@ def test_sorted_neighborhood_bounded_candidates(spark):
     # Adjacent ids differ by one digit pair -> tiny edit distance survives
     # a tight cap; the planted near-identical neighbours are found.
     tight = sorted_neighborhood_pairs(docs, "text", "doc_id", window=2, max_edit=2)
-    assert tight.count() > 0
+    rows = tight.collect()
+    assert len(rows) > 0
+    # The cap is exercised by real nonzero distances, not identical keys.
+    assert max(r.edit_distance for r in rows) > 0
+
+
+def test_ppjoin_observation_counters(spark):
+    # The 100-TB fallback gauge: allpairs_jaccard populates Observation
+    # metrics for candidate and survivor counts, piggybacked on the
+    # action (no extra job). Candidates >= survivors always; here two
+    # near-identical docs plus one disjoint doc give survivors < candidates.
+    from iowa_liquor_sales_spark.operators.dedup import (
+        allpairs_jaccard,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "entirely different words share quick nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = shingles(docs, "text", "doc_id", n=2)
+    obs: dict = {}
+    pairs = allpairs_jaccard(sh, min_jaccard=0.5, observations=obs)
+    n_out = pairs.count()
+    cand = obs["candidates"].get["n_candidates"]
+    surv = obs["survivors"].get["n_survivors"]
+    assert surv == n_out == 1
+    assert cand >= surv
+    assert cand >= 1
+
+
+def test_theta_anotb_exact_small_domains(spark):
+    # Domains smaller than k: every hash is retained (theta = 2^60), so
+    # the "estimate" is the exact set-difference cardinality.
+    from iowa_liquor_sales_spark.operators.sketches import (
+        kmv_kmins,
+        theta_anotb_estimate,
+    )
+
+    a = spark.range(0, 100).select(F.col("id"))
+    b = spark.range(60, 200).select(F.col("id"))
+    est = theta_anotb_estimate(
+        kmv_kmins(a, "id", k=512), kmv_kmins(b, "id", k=512), k=512
+    ).collect()[0]["est_anotb"]
+    assert est == 60.0  # |{0..59}|
+
+
+def test_theta_anotb_disjoint_and_subset(spark):
+    from iowa_liquor_sales_spark.operators.sketches import (
+        kmv_kmins,
+        theta_anotb_estimate,
+    )
+
+    a = spark.range(0, 50)
+    assert (
+        theta_anotb_estimate(
+            kmv_kmins(a, "id", 64), kmv_kmins(a, "id", 64), k=64
+        ).collect()[0]["est_anotb"]
+        == 0.0
+    )  # A \ A = empty
+    b = spark.range(1000, 1050)
+    assert (
+        theta_anotb_estimate(
+            kmv_kmins(a, "id", 64), kmv_kmins(b, "id", 64), k=64
+        ).collect()[0]["est_anotb"]
+        == 50.0
+    )  # disjoint: everything survives
+
+
+def test_theta_anotb_sampled_estimate_in_band(spark):
+    # Domains exceed k: theta < 2^60 and the scaled estimate should land
+    # within the standard KMV error band (~1/sqrt(k)) of the truth.
+    from iowa_liquor_sales_spark.operators.sketches import (
+        kmv_kmins,
+        theta_anotb_estimate,
+    )
+
+    k = 256
+    a = spark.range(0, 4000)
+    b = spark.range(2000, 6000)
+    est = theta_anotb_estimate(
+        kmv_kmins(a, "id", k), kmv_kmins(b, "id", k), k=k
+    ).collect()[0]["est_anotb"]
+    assert abs(est - 2000) / 2000 < 4 / (k ** 0.5)
+
+
+def test_merge_intervals_chains_and_gaps(spark):
+    from iowa_liquor_sales_spark.operators.temporal import merge_intervals
+
+    rows = [
+        # key 1: [0,10] overlaps [5,15]; [14,20] touches-within; gap; [30,40]
+        (1, 0, 10), (1, 5, 15), (1, 14, 20), (1, 30, 40),
+        # key 2: chain where a LATER start sits inside an EARLIER long
+        # interval ([0,100] swallows [10,20] and [50,60])
+        (2, 0, 100), (2, 10, 20), (2, 50, 60),
+    ]
+    df = spark.createDataFrame(rows, "key_id long, s long, e long")
+    got = {
+        (r["key"], r["merge_start"], r["merge_end"]): (
+            r["n_merged"],
+            r["covered_secs"],
+        )
+        for r in merge_intervals(df, "key_id", "s", "e").collect()
+    }
+    assert got == {
+        (1, 0, 20): (3, 20),
+        (1, 30, 40): (1, 10),
+        (2, 0, 100): (3, 100),
+    }
+
+
+def test_naive_bayes_ppm_exact(spark):
+    from iowa_liquor_sales_spark.operators.text import naive_bayes_token_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam ham", "a"),
+            (1, "spam eggs", "a"),
+            (2, "ham ham ham", "b"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = naive_bayes_token_stats(
+        docs, class_col="source", text_col="text", top_n=2
+    ).collect()
+    by = {(r["source"], r["word"]): r for r in rows}
+    # class a: tokens spam=3 eggs=1 ham=1 (top2: spam, eggs—wait ham ties eggs,
+    # tie breaks alphabetically: eggs before ham). totals: a=5, vocab=3.
+    r = by[("a", "spam")]
+    assert r["cnt"] == 3 and r["rnk"] == 1
+    assert r["likelihood_ppm"] == (3 + 1) * 1_000_000 // (5 + 3)
+    assert r["prior_ppm"] == 2 * 1_000_000 // 3
+    assert by[("a", "eggs")]["rnk"] == 2
+    r = by[("b", "ham")]
+    assert r["likelihood_ppm"] == (3 + 1) * 1_000_000 // (3 + 3)
+    assert r["prior_ppm"] == 1 * 1_000_000 // 3
