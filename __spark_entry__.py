@@ -5617,6 +5617,116 @@ def q_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Interval-overlap join (operators/temporal.interval_join): click
+    # exposure windows vs purchase windows per user, met through
+    # fixed-width time-bucket equi-join — never the per-key Cartesian
+    # theta join the naive SQL form executes. Overlap in exact epoch
+    # seconds.
+    from iowa_liquor_sales_spark.operators.temporal import interval_join
+
+    ev = (
+        read_table(spark, sf, "events")
+        .select(
+            "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("us div 1000000").alias("start_s"),
+            F.expr("us div 1000000 + 1800").alias("end_s"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    buys = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    return interval_join(
+        clicks, buys, key="user_id", bucket_secs=1800
+    ).select("user_id", "event_id_a", "event_id_b", "overlap_secs")
+
+
+def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic synchronous label propagation (operators/graph.
+    # label_propagation): most-frequent-neighbor-label voting with
+    # smallest-label tie-break over the q_kcore-derived graph, 2 fixed
+    # rounds so the oracle mirrors each round as a CTE chain.
+    from iowa_liquor_sales_spark.operators.graph import label_propagation
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        (F.col("o_orderkey") % 700).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return label_propagation(edges, rounds=2)
+
+
+def q_sparse_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    # Sparse bag-of-words cosine similarity join (operators/text.
+    # sparse_cosine_pairs): inverted-index equi-join on the shared term,
+    # df-capped posting lists, and an all-integer cos²-ppm score — the
+    # TF-vector complement to shingle Jaccard, no sqrt/float anywhere.
+    from iowa_liquor_sales_spark.operators.text import sparse_cosine_pairs
+
+    docs = read_table(spark, sf, "documents")
+    return sparse_cosine_pairs(
+        docs, min_cos2_ppm=250_000, max_df_frac=0.05
+    )
+
+
+def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    # Winsorized robust aggregate per return flag: clamp price cents to
+    # median ± 3·MAD, then report the clamp rate and the winsorized sum.
+    # Exactness: med/mad interpolate on INTEGER cents (exact .0/.5
+    # rationals in any engine — see q_mad_outliers), so the clamp bounds
+    # sit on the half-cent grid; doubling the clamped values yields exact
+    # integers whose long sum is partition-order independent.
+    li = read_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = li.join(med, "l_returnflag").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.first("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    )
+    bounded = li.join(
+        mad.select(
+            "l_returnflag",
+            (F.col("med") - 3 * F.col("mad")).alias("lo"),
+            (F.col("med") + 3 * F.col("mad")).alias("hi"),
+        ),
+        "l_returnflag",
+    ).withColumn(
+        "clamped2x",
+        (
+            F.lit(2)
+            * F.greatest(
+                F.least(F.col("cents").cast("double"), F.col("hi")),
+                F.col("lo"),
+            )
+        ).cast("long"),
+    )
+    return bounded.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            ((F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")))
+            .cast("int")
+        )
+        .cast("long")
+        .alias("n_clamped"),
+        F.round(F.first("lo"), 1).alias("lo_cents"),
+        F.round(F.first("hi"), 1).alias("hi_cents"),
+        (F.sum("clamped2x") / F.lit(2.0)).alias("winsorized_sum_cents"),
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Exactly-once-per-key delivery dedup (streaming/events.dedup_stream,
     # batch twin of dropDuplicatesWithinWatermark — the streaming leg
@@ -5705,6 +5815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_naive_bayes": q_naive_bayes,
         "q_interval_merge": q_interval_merge,
         "q_stream_dedup": q_stream_dedup,
+        "q_interval_join": q_interval_join,
+        "q_label_propagation": q_label_propagation,
+        "q_sparse_cosine": q_sparse_cosine,
+        "q_winsorize": q_winsorize,
         # --- driver-green in r1/r2 or same-area twins of an in-window
         # sibling; the full local sweep still checks them all.
         "q_simhash": q_simhash,
@@ -7580,6 +7694,115 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST((value) AS DECIMAL(18,2))) AS DOUBLE)
                      AS sum_value
             FROM events GROUP BY event_type""",
+        "q_interval_join": """
+            WITH iv AS (
+              SELECT user_id, event_id, event_type,
+                     epoch_us(ts) // 1000000 AS s,
+                     epoch_us(ts) // 1000000 + 1800 AS e
+              FROM events)
+            SELECT a.user_id,
+                   a.event_id AS event_id_a,
+                   b.event_id AS event_id_b,
+                   CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)
+                     AS overlap_secs
+            FROM (SELECT * FROM iv WHERE event_type = 'click') a
+            JOIN (SELECT * FROM iv WHERE event_type = 'purchase') b
+              ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e""",
+        "q_label_propagation": """
+            WITH e0 AS (
+              SELECT DISTINCT o_custkey % 500 AS src, o_orderkey % 700 AS dst
+              FROM orders WHERE (o_custkey % 500) <> (o_orderkey % 700)),
+            sym AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM e0
+                UNION ALL SELECT dst, src FROM e0)),
+            l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+            v1 AS (
+              SELECT s.b AS node, l.label, COUNT(*) AS cnt
+              FROM sym s JOIN l0 l ON s.a = l.node
+              GROUP BY s.b, l.label),
+            l1 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label) AS rn
+                FROM v1) WHERE rn = 1),
+            v2 AS (
+              SELECT s.b AS node, l.label, COUNT(*) AS cnt
+              FROM sym s JOIN l1 l ON s.a = l.node
+              GROUP BY s.b, l.label),
+            l2 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label) AS rn
+                FROM v2) WHERE rn = 1)
+            SELECT node, CAST(label AS BIGINT) AS label FROM l2""",
+        "q_sparse_cosine": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            tf AS (
+              SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, word),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            dfreq AS (
+              SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+            keep AS (
+              SELECT word FROM dfreq CROSS JOIN nd
+              WHERE df <= greatest(1,
+                            CAST(floor(0.05 * n_docs) AS BIGINT))),
+            kt AS (SELECT tf.* FROM tf JOIN keep USING (word)),
+            norms AS (
+              SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2
+              FROM kt GROUP BY doc_id),
+            dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+              FROM kt a JOIN kt b USING (word)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, dot,
+                   CAST(dot * dot * 1000000
+                        // (na.norm2 * nb.norm2) AS BIGINT) AS cos2_ppm
+            FROM dots
+            JOIN norms na ON dots.doc_a = na.doc_id
+            JOIN norms nb ON dots.doc_b = nb.doc_id
+            WHERE dot * dot * 1000000 // (na.norm2 * nb.norm2)
+                  >= 250000""",
+        "q_winsorize": """
+            WITH li AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM lineitem),
+            med AS (
+              SELECT l_returnflag,
+                     quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+              FROM li GROUP BY l_returnflag),
+            dev AS (
+              SELECT l.l_returnflag, l.cents, m.med,
+                     abs(l.cents - m.med) AS adev
+              FROM li l JOIN med m USING (l_returnflag)),
+            mad AS (
+              SELECT l_returnflag, MIN(med) AS med,
+                     quantile_cont(adev, 0.5) AS mad
+              FROM dev GROUP BY l_returnflag),
+            bounded AS (
+              SELECT l.l_returnflag, l.cents,
+                     m.med - 3 * m.mad AS lo,
+                     m.med + 3 * m.mad AS hi
+              FROM li l JOIN mad m USING (l_returnflag))
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN cents < lo OR cents > hi
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+                   round(MIN(lo), 1) AS lo_cents,
+                   round(MIN(hi), 1) AS hi_cents,
+                   CAST(SUM(CAST(2 * greatest(least(CAST(cents AS DOUBLE),
+                                                    hi), lo) AS BIGINT))
+                        AS DOUBLE) / 2.0 AS winsorized_sum_cents
+            FROM bounded GROUP BY l_returnflag""",
         "q_concurrency": """
             WITH bounds AS (
               SELECT ts AS t, 1 AS delta FROM events

@@ -398,3 +398,191 @@ def bfs_hops_converged(
         dist = dist.unionAll(relaxed).localCheckpoint(eager=True)
         frontier = relaxed
     return dist.select("v", F.col("d").cast("int").alias("hops"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007): every node starts labeled with its own id; each round it
+    adopts the MOST FREQUENT label among its neighbors, ties broken by
+    the smallest label — the deterministic variant (classic LPA breaks
+    ties randomly, which no distributed rerun or SQL oracle could
+    reproduce). Distinct from :func:`connected_components`: frequency
+    voting splits a connected graph into dense communities instead of
+    flooding one min-label everywhere.
+
+    ``rounds`` is fixed so the plan is a finite chain a SQL oracle
+    mirrors with chained CTEs (the same contract as :func:`kcore` /
+    :func:`bfs_hops`); production loops with per-round
+    ``localCheckpoint`` like :func:`connected_components`.
+
+    Scale: per round one edges⋈labels equi-join, one (node, label)
+    count aggregate (map-side combinable), one per-node argmax window —
+    all partitioned by node id, O(E) per round.
+
+    Returns (node, label).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        heard = sym.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "label")
+        votes = heard.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("cnt"), F.col("label")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select("node", F.col("label").cast("long").alias("label"))
+
+
+def boruvka_mst_rounds(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Borůvka minimum-spanning-forest rounds — the distributed-native MST
+    algorithm (each round EVERY component picks its lightest outgoing
+    edge, so components at least halve per round; O(log V) rounds total).
+    Edge selection orders by (weight, lo, hi), a total order, so the
+    chosen forest is unique even with duplicate weights — every chosen
+    edge is MST-safe by the cut property.
+
+    ``rounds`` is fixed (SQL-oracle contract, like :func:`kcore`);
+    component merging after each round applies two min-label hops over
+    the chosen-edge graph — enough to collapse the chosen stars of two
+    rounds deterministically; production iterates with
+    ``localCheckpoint`` until no outgoing edges remain.
+
+    Scale: per round one edges⋈labels join (O(E)), a per-component
+    argmin window over candidate edges (partitioned by component —
+    never global), and label hops over the O(V) chosen set.
+
+    Returns the distinct chosen MST edges (lo, hi, w).
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.col(weight).alias("w"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    labels = (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    chosen_all = None
+    for _ in range(rounds):
+        cand = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("lo"), F.col("label").alias("la")
+                ),
+                "lo",
+            )
+            .join(
+                labels.select(
+                    F.col("node").alias("hi"), F.col("label").alias("lb")
+                ),
+                "hi",
+            )
+            .filter(F.col("la") != F.col("lb"))
+        )
+        per_comp = cand.select(
+            F.col("la").alias("comp"), "w", "lo", "hi", "la", "lb"
+        ).unionAll(
+            cand.select(
+                F.col("lb").alias("comp"), "w", "lo", "hi", "la", "lb"
+            )
+        )
+        wmin = Window.partitionBy("comp").orderBy("w", "lo", "hi")
+        chosen = (
+            per_comp.withColumn("rn", F.row_number().over(wmin))
+            .filter(F.col("rn") == 1)
+            .select("lo", "hi", "w", "la", "lb")
+            .distinct()
+        )
+        chosen_all = (
+            chosen.select("lo", "hi", "w")
+            if chosen_all is None
+            else chosen_all.unionAll(chosen.select("lo", "hi", "w")).distinct()
+        )
+        # Merge: min-label propagation over the chosen LABEL graph,
+        # two hops (chosen edges form stars around each component's
+        # pick; two hops collapse star-of-star chains).
+        ledges = (
+            chosen.select(F.col("la").alias("x"), F.col("lb").alias("y"))
+            .unionAll(
+                chosen.select(F.col("lb").alias("x"), F.col("la").alias("y"))
+            )
+            .distinct()
+        )
+        lab_map = labels.select(F.col("label").alias("x")).distinct()
+        for _hop in range(2):
+            hop = (
+                lab_map.alias("m")
+                .join(ledges, "x", "left")
+                .groupBy("x")
+                .agg(F.least(F.min("y"), F.first("x")).alias("newx"))
+            )
+            # remap both the node labels and the label-edge endpoints
+            labels = (
+                labels.join(
+                    hop.select(
+                        F.col("x").alias("label"), F.col("newx")
+                    ),
+                    "label",
+                )
+                .select("node", F.col("newx").alias("label"))
+            )
+            ledges = (
+                ledges.join(
+                    hop.select(F.col("x"), F.col("newx").alias("nx")), "x"
+                )
+                .join(
+                    hop.select(
+                        F.col("x").alias("y"), F.col("newx").alias("ny")
+                    ),
+                    "y",
+                )
+                .select(F.col("nx").alias("x"), F.col("ny").alias("y"))
+                .filter(F.col("x") != F.col("y"))
+                .distinct()
+            )
+            lab_map = labels.select(F.col("label").alias("x")).distinct()
+        labels = labels.localCheckpoint(eager=True)
+    return chosen_all.select(
+        "lo", "hi", F.col("w").cast("long").alias("w")
+    ).distinct()

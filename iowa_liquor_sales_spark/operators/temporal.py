@@ -264,3 +264,61 @@ def merge_intervals(
             (F.col("merge_end") - F.col("merge_start")).cast("long"),
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+    bucket_secs: int = 1800,
+) -> DataFrame:
+    """Interval-overlap join: all (left, right) pairs sharing ``key``
+    whose [start, end] ranges intersect. The naive form is a theta join
+    (``a.start <= b.end AND b.start <= a.end``) — a Cartesian product per
+    key that no engine executes at scale. The Spark-first plan: explode
+    each interval into the fixed-width time BUCKETS it covers, equi-join
+    on (key, bucket) — hash-partitionable, AQE-skew-splittable — then
+    dedupe the pair (an interval pair can meet in several buckets) and
+    verify true overlap on candidates only. Cost is O(intervals x
+    buckets-per-interval + true pairs), never per-key quadratic; pick
+    ``bucket_secs`` near the typical interval length so most intervals
+    hit 1-2 buckets.
+
+    Left columns are suffixed ``_a``, right ``_b``; adds integer
+    ``overlap_secs`` (closed-interval intersection length).
+    """
+    def bucketed(df: DataFrame, suffix: str) -> DataFrame:
+        renamed = df.select(
+            F.col(key).alias(key),
+            *[
+                F.col(c).alias(f"{c}{suffix}")
+                for c in df.columns
+                if c != key
+            ],
+        )
+        # Integer `div` like range_join: epoch values must bucket exactly
+        # (a double divide can round across the truncation edge).
+        return renamed.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"`{start_col}{suffix}` div {bucket_secs}"),
+                    F.expr(f"`{end_col}{suffix}` div {bucket_secs}"),
+                )
+            ),
+        )
+
+    cand = (
+        bucketed(left, "_a")
+        .join(bucketed(right, "_b"), [key, "bucket"])
+        .drop("bucket")
+        .distinct()
+    )
+    sa, ea = F.col(f"{start_col}_a"), F.col(f"{end_col}_a")
+    sb, eb = F.col(f"{start_col}_b"), F.col(f"{end_col}_b")
+    return cand.filter((sa <= eb) & (sb <= ea)).withColumn(
+        "overlap_secs",
+        (F.least(ea, eb) - F.greatest(sa, sb)).cast("long"),
+    )

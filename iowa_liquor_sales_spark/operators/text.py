@@ -590,3 +590,84 @@ def bm25_scores(
         F.sum("term_e9").cast("long").alias("bm25_e9"),
         F.count(F.lit(1)).cast("int").alias("n_matched"),
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_cos2_ppm: int = 250_000,
+    max_df_frac: float = 0.05,
+) -> DataFrame:
+    """Document-pair cosine similarity over sparse term-frequency vectors
+    via an INVERTED-INDEX join — the bag-of-words complement to the
+    shingle-Jaccard family: candidate pairs only ever meet through a
+    shared term's posting list, so cost is sum of squared posting-list
+    lengths, never all-pairs. Terms appearing in more than
+    ``max_df_frac`` of documents are dropped first (a stop-word's
+    posting list is quadratic poison; same cap discipline as
+    ``dedup.jaccard_pairs``).
+
+    Everything stays in EXACT integer space: dot products and squared
+    norms are integer sums, and the emitted score is squared cosine in
+    ppm — ``dot² · 1e6 div (‖a‖²·‖b‖²)`` — so no sqrt/float ever enters
+    and any engine computes identical bits. ``min_cos2_ppm=250_000``
+    equals cosine ≥ 0.5.
+
+    Returns (doc_a, doc_b, dot, cos2_ppm).
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words(text_col)).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # The df cap stays in-plan (1-row corpus count broadcast onto the
+    # O(vocab) docfreq relation) — no driver action, one job end-to-end.
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    docfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    keep_words = (
+        docfreq.crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(1), F.floor(F.lit(max_df_frac) * F.col("n_docs"))
+            )
+        )
+        .select("word")
+    )
+    kept = tf.join(F.broadcast(keep_words), "word")
+    kept = kept.persist()
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm2")
+    )
+    a = kept.select(
+        "word", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        "word", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.withColumnsRenamed({"doc_id": "doc_a", "norm2": "na"}),
+            "doc_a",
+        )
+        .join(
+            norms.withColumnsRenamed({"doc_id": "doc_b", "norm2": "nb"}),
+            "doc_b",
+        )
+        .withColumn(
+            "cos2_ppm",
+            F.expr("dot * dot * 1000000 div (na * nb)").cast("long"),
+        )
+        .filter(F.col("cos2_ppm") >= min_cos2_ppm)
+        .select("doc_a", "doc_b", F.col("dot").cast("long").alias("dot"), "cos2_ppm")
+    )

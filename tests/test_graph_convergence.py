@@ -63,3 +63,38 @@ def test_bfs_converged_disconnected(spark):
     edges = spark.createDataFrame([(0, 1), (5, 6)], ["src", "dst"])
     conv = _sorted_rows(bfs_hops_converged(edges, source=0))
     assert conv == [(0, 0), (1, 1)]
+
+
+def test_boruvka_finds_exact_mst(spark):
+    from iowa_liquor_sales_spark.operators.graph import boruvka_mst_rounds
+
+    # Path 0-1-2-3 with a heavy shortcut: MST excludes the shortcut.
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 2), (2, 3, 3), (0, 3, 10)], ["src", "dst", "w"]
+    )
+    got = _sorted_rows(boruvka_mst_rounds(edges, rounds=2))
+    assert got == [(0, 1, 1), (1, 2, 2), (2, 3, 3)]
+
+    # Two triangles + bridge + heavy long edge: unique MST, weight 21.
+    edges2 = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 4), (0, 2, 9), (3, 4, 2), (4, 5, 3),
+         (3, 5, 8), (2, 3, 7), (0, 5, 20)],
+        ["src", "dst", "w"],
+    )
+    mst = _sorted_rows(boruvka_mst_rounds(edges2, rounds=2))
+    assert mst == [(0, 1, 5), (1, 2, 4), (2, 3, 7), (3, 4, 2), (4, 5, 3)]
+    assert sum(w for _, _, w in mst) == 21
+
+
+def test_boruvka_duplicate_weights_deterministic(spark):
+    from iowa_liquor_sales_spark.operators.graph import boruvka_mst_rounds
+
+    # All weights equal: the (w, lo, hi) total order still picks a unique
+    # spanning forest, identically on every run.
+    edges = spark.createDataFrame(
+        [(0, 1, 7), (1, 2, 7), (0, 2, 7), (2, 3, 7)], ["src", "dst", "w"]
+    )
+    a = _sorted_rows(boruvka_mst_rounds(edges, rounds=2))
+    b = _sorted_rows(boruvka_mst_rounds(edges, rounds=2))
+    assert a == b
+    assert len(a) == 3  # spanning tree of 4 nodes

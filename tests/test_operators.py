@@ -438,3 +438,85 @@ def test_naive_bayes_ppm_exact(spark):
     r = by[("b", "ham")]
     assert r["likelihood_ppm"] == (3 + 1) * 1_000_000 // (3 + 3)
     assert r["prior_ppm"] == 1 * 1_000_000 // 3
+
+
+def test_interval_join_matches_theta_join(spark):
+    from iowa_liquor_sales_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, 0, 100),     # overlaps r20 [50,150] and r21 [100,110]
+            (1, 11, 200, 300),   # overlaps nothing for key 1
+            (2, 12, 0, 50),      # key isolation: must not meet key 1 rows
+        ],
+        "k long, event_id_x long, start_s long, end_s long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 20, 50, 150),
+            (1, 21, 100, 110),   # touches left 10 exactly at 100
+            (1, 22, 301, 400),   # gap of 1 after left 11 — no match
+            (2, 23, 40, 60),
+        ],
+        "k long, event_id_x long, start_s long, end_s long",
+    )
+    got = {
+        (r["k"], r["event_id_x_a"], r["event_id_x_b"]): r["overlap_secs"]
+        for r in interval_join(left, right, key="k", bucket_secs=30).collect()
+    }
+    # Bucketed plan result == naive theta-join truth, incl. boundary touch.
+    assert got == {(1, 10, 20): 50, (1, 10, 21): 0, (2, 12, 23): 10}
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    from iowa_liquor_sales_spark.operators.temporal import interval_join
+
+    # One long interval spans MANY buckets of the other — the pair meets
+    # in every shared bucket and must still come out exactly once.
+    left = spark.createDataFrame(
+        [(1, 1, 0, 10_000)], "k long, iid long, start_s long, end_s long"
+    )
+    right = spark.createDataFrame(
+        [(1, 2, 5_000, 9_000)], "k long, iid long, start_s long, end_s long"
+    )
+    rows = interval_join(left, right, key="k", bucket_secs=100).collect()
+    assert len(rows) == 1 and rows[0]["overlap_secs"] == 4_000
+
+
+def test_label_propagation_two_communities(spark):
+    from iowa_liquor_sales_spark.operators.graph import label_propagation
+
+    # Two 4-cliques joined by ONE bridge edge: frequency voting keeps the
+    # cliques in separate communities (connected_components would merge
+    # them — the operators genuinely differ on this graph).
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + [(3, 10)], ["src", "dst"]
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert len({labels[n] for n in range(4)}) == 1
+    assert len({labels[n] for n in range(10, 14)}) == 1
+    assert labels[0] != labels[13]
+
+
+def test_sparse_cosine_exact_scores(spark):
+    from iowa_liquor_sales_spark.operators.text import sparse_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),   # tf: apple 2, banana 1 -> norm2 5
+            (1, "apple banana banana"),  # tf: apple 1, banana 2 -> norm2 5
+            (2, "cherry date elderberry fig"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sparse_cosine_pairs(
+        docs, min_cos2_ppm=0, max_df_frac=1.0
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): (r["dot"], r["cos2_ppm"]) for r in rows}
+    # dot(0,1) = 2*1 + 1*2 = 4; cos² = 16/25 -> 640000 ppm exactly.
+    assert got == {(0, 1): (4, 640_000)}
