@@ -2934,6 +2934,73 @@ def _linkage_oracle() -> str:
         SELECT * FROM scored WHERE fs_score > 0"""
 
 
+def _mst_oracle() -> str:
+    """Mechanical replay of boruvka_mst_rounds(rounds=2) as chained CTEs.
+    The per-round blocks and the two min-label merge hops are GENERATED
+    by loops so the oracle cannot drift from the operator's dataflow
+    (candidate join -> per-component argmin -> chosen-star label hops)."""
+    blocks = ["""
+        e AS (
+          SELECT lo, hi, MIN(w) AS w FROM (
+            SELECT least(o_custkey % 500, o_orderkey % 700) AS lo,
+                   greatest(o_custkey % 500, o_orderkey % 700) AS hi,
+                   o_orderkey AS w
+            FROM orders
+            WHERE (o_custkey % 500) <> (o_orderkey % 700))
+          WHERE lo < hi GROUP BY lo, hi),
+        l0 AS (
+          SELECT node, node AS label FROM (
+            SELECT DISTINCT node FROM (
+              SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)))"""]
+    lbl = "l0"
+    for r in (1, 2):
+        blocks.append(f"""
+        c{r} AS (
+          SELECT e.lo, e.hi, e.w, la.label AS la, lb.label AS lb
+          FROM e
+          JOIN {lbl} la ON e.lo = la.node
+          JOIN {lbl} lb ON e.hi = lb.node
+          WHERE la.label <> lb.label),
+        p{r} AS (
+          SELECT lo, hi, w, la, lb FROM (
+            SELECT *, row_number() OVER (PARTITION BY comp
+                                         ORDER BY w, lo, hi) AS rn
+            FROM (SELECT la AS comp, w, lo, hi, la, lb FROM c{r}
+                  UNION ALL
+                  SELECT lb AS comp, w, lo, hi, la, lb FROM c{r}))
+          WHERE rn = 1),
+        ch{r} AS (SELECT DISTINCT lo, hi, w, la, lb FROM p{r}),
+        le{r}_0 AS (
+          SELECT DISTINCT x, y FROM (
+            SELECT la AS x, lb AS y FROM ch{r}
+            UNION ALL SELECT lb, la FROM ch{r}))""")
+        led = f"le{r}_0"
+        for hop in (1, 2):
+            h, lbl_out, led_out = f"h{r}_{hop}", f"l{r}_{hop}", f"le{r}_{hop}"
+            blocks.append(f"""
+        {h} AS (
+          SELECT x, least(COALESCE(MIN(y), x), x) AS newx
+          FROM (SELECT DISTINCT label AS x FROM {lbl}) m
+          LEFT JOIN {led} USING (x)
+          GROUP BY x),
+        {lbl_out} AS (
+          SELECT l.node, h.newx AS label
+          FROM {lbl} l JOIN {h} h ON l.label = h.x),
+        {led_out} AS (
+          SELECT DISTINCT hx.newx AS x, hy.newx AS y
+          FROM {led} le
+          JOIN {h} hx ON le.x = hx.x
+          JOIN {h} hy ON le.y = hy.x
+          WHERE hx.newx <> hy.newx)""")
+            lbl, led = lbl_out, led_out
+    return (
+        "WITH " + ",".join(blocks) + """
+        SELECT DISTINCT lo, hi, CAST(w AS BIGINT) AS w FROM (
+          SELECT lo, hi, w FROM ch1
+          UNION ALL SELECT lo, hi, w FROM ch2)"""
+    )
+
+
 def _theta_diff_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import theta_anotb_sql
 
@@ -5727,6 +5794,108 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mst_boruvka(spark: SparkSession, sf: str) -> DataFrame:
+    # Boruvka minimum-spanning-forest rounds (operators/graph.
+    # boruvka_mst_rounds) over the derived order graph, edge weight =
+    # smallest orderkey seen on the pair. Every chosen edge is MST-safe
+    # (cut property) and the (w, lo, hi) total order makes the forest
+    # unique; the oracle replays the two rounds + label hops as
+    # generated CTEs (_mst_oracle).
+    from iowa_liquor_sales_spark.operators.graph import boruvka_mst_rounds
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        (F.col("o_orderkey") % 700).alias("dst"),
+        F.col("o_orderkey").alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    return boruvka_mst_rounds(edges, rounds=2)
+
+
+def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    # zlib compression-ratio quality signal (operators/curation.
+    # compression_ratio) — the one declared query with NO SQL oracle:
+    # compression is genuinely non-SQL-expressible, so the driver records
+    # its weaker rows-only check here (byte counts pinned by pytest).
+    from iowa_liquor_sales_spark.operators.curation import compression_ratio
+
+    return compression_ratio(read_table(spark, sf, "documents"))
+
+
+def q_pipe_syntax(spark: SparkSession, sf: str) -> DataFrame:
+    # SQL pipe syntax surface (Spark 4.0 SQL): the same logical plan as a
+    # classic GROUP BY, written as a |> pipeline. Catalyst compiles both
+    # identically; the oracle is the classic form. Sum goes through the
+    # exact-decimal convention like every money aggregate.
+    read_table(spark, sf, "lineitem").createOrReplaceTempView("pipe_li_v")
+    return spark.sql(
+        """
+        FROM pipe_li_v
+        |> WHERE l_quantity >= 10
+        |> AGGREGATE COUNT(*) AS n_rows,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS sum_price
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    # WITH RECURSIVE surface (Spark 4 SQL): bounded-depth reachability
+    # from node 0 over the q_bfs_hops-derived graph, aggregated to
+    # min-hop distances — the declarative twin of the iterative
+    # DataFrame BFS (same derived graph, same answer for d <= 3, so the
+    # two implementations cross-validate). The depth guard (d < 3)
+    # bounds path blowup through cycles; the oracle runs the identical
+    # recursion in DuckDB.
+    read_table(spark, sf, "orders").createOrReplaceTempView("rec_orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE und AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT o_custkey % 500 AS a, o_orderkey % 700 AS b
+            FROM rec_orders_v
+            UNION ALL
+            SELECT o_orderkey % 700, o_custkey % 500 FROM rec_orders_v)
+          WHERE a <> b
+        ),
+        reach(v, d) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT und.b, r.d + 1
+          FROM reach r JOIN und ON und.a = r.v
+          WHERE r.d < 3
+        )
+        SELECT v, CAST(MIN(d) AS INT) AS hops FROM reach GROUP BY v
+        """
+    )
+
+
+def q_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    # OHLC candle downsampling — the time-series bar aggregation every
+    # market/metrics store ships: per (day, event_type), open/close via
+    # deterministic first/last over (ts, event_id) windows, high/low as
+    # plain max/min. No sums of doubles anywhere (picks and extrema are
+    # order-independent), so floats compare bit-exactly cross-engine.
+    ev = read_table(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "ts", "event_id", "value"
+    )
+    w_asc = Window.partitionBy("day", "event_type").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("day", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    first_last = ev.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    return first_last.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Exactly-once-per-key delivery dedup (streaming/events.dedup_stream,
     # batch twin of dropDuplicatesWithinWatermark — the streaming leg
@@ -5819,6 +5988,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_propagation": q_label_propagation,
         "q_sparse_cosine": q_sparse_cosine,
         "q_winsorize": q_winsorize,
+        "q_mst_boruvka": q_mst_boruvka,
+        "q_compression_ratio": q_compression_ratio,
+        "q_pipe_syntax": q_pipe_syntax,
+        "q_recursive_cte": q_recursive_cte,
+        "q_ohlc_bars": q_ohlc_bars,
         # --- driver-green in r1/r2 or same-area twins of an in-window
         # sibling; the full local sweep still checks them all.
         "q_simhash": q_simhash,
@@ -6028,6 +6202,15 @@ def _countmin_oracle() -> str:
     from iowa_liquor_sales_spark.operators.sketches import countmin_sql
 
     return countmin_sql("l_suppkey", "lineitem", depth=4, width=256)
+
+
+# Declared queries whose semantics are genuinely non-SQL-expressible:
+# the driver contract allows omitting their oracle_sql() entry and
+# records a weaker rows-only check. Keep this set MINIMAL and justified
+# per entry; everything else must carry a bit-exact oracle.
+NON_SQL_QUERIES = frozenset({
+    "q_compression_ratio",  # zlib byte counts — no SQL engine computes them
+})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7625,6 +7808,54 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY c_custkey)
             GROUP BY c_count""",
         "q_theta_diff": _theta_diff_oracle(),
+        "q_mst_boruvka": _mst_oracle(),
+        # q_compression_ratio: deliberately ABSENT — zlib compression is
+        # non-SQL-expressible; the driver records a rows-only check and
+        # tests/test_multimodal-style pytest pins the exact byte counts.
+        "q_pipe_syntax": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM lineitem
+            WHERE l_quantity >= 10
+            GROUP BY l_returnflag, l_linestatus""",
+        "q_recursive_cte": """
+            WITH RECURSIVE und AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT o_custkey % 500 AS a, o_orderkey % 700 AS b
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey % 700, o_custkey % 500 FROM orders)
+              WHERE a <> b
+            ),
+            reach(v, d) AS (
+              SELECT CAST(0 AS BIGINT), 0
+              UNION ALL
+              SELECT und.b, r.d + 1
+              FROM reach r JOIN und ON und.a = r.v
+              WHERE r.d < 3
+            )
+            SELECT v, CAST(MIN(d) AS INT) AS hops FROM reach GROUP BY v""",
+        "q_ohlc_bars": """
+            WITH ev AS (
+              SELECT CAST(ts AS DATE) AS day, event_type, ts, event_id,
+                     value,
+                     row_number() OVER (PARTITION BY CAST(ts AS DATE),
+                                          event_type
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY CAST(ts AS DATE),
+                                          event_type
+                                        ORDER BY ts DESC, event_id DESC)
+                       AS rn_d
+              FROM events)
+            SELECT day, event_type,
+                   COUNT(*) AS n_events,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+            FROM ev GROUP BY day, event_type""",
         "q_naive_bayes": """
             WITH tok AS (
               SELECT source AS cls, unnest(string_split(text, ' ')) AS word

@@ -507,3 +507,58 @@ def temperature_weights(
         F.round(p_temp, 9).alias("p_temp"),
         F.round(p_temp / p_raw, 6).alias("epochs"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap quality /
+    repetition signal (highly compressible text is boilerplate or spam;
+    incompressible text is noise or binary junk; natural prose sits in
+    the middle band). Used as a filter feature in large-scale corpus
+    curation pipelines alongside :func:`repetition_ratio`.
+
+    Compression is genuinely non-SQL-expressible, so this is the one
+    declared query with NO DuckDB oracle (rows-only driver check); the
+    exact byte counts are still deterministic — zlib with a fixed
+    ``level`` is a stable, versioned format — and are pinned by unit
+    test. Runs as Arrow-batched ``mapInPandas`` (one Python hop per
+    batch, never per row); the emitted ``ratio_ppm`` is integer
+    (``comp_len·1e6 div raw_len``), so downstream thresholds are
+    engine-portable.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_len", T.IntegerType()),
+            T.StructField("comp_len", T.IntegerType()),
+            T.StructField("ratio_ppm", T.LongType()),
+        ]
+    )
+
+    def _cr(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            raw_len = raw.map(len)
+            comp_len = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "raw_len": raw_len.astype("int32"),
+                    "comp_len": comp_len.astype("int32"),
+                    "ratio_ppm": (
+                        comp_len * 1_000_000 // raw_len.clip(lower=1)
+                    ).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_cr, schema)

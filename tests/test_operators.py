@@ -520,3 +520,27 @@ def test_sparse_cosine_exact_scores(spark):
     got = {(r["doc_a"], r["doc_b"]): (r["dot"], r["cos2_ppm"]) for r in rows}
     # dot(0,1) = 2*1 + 1*2 = 4; cos² = 16/25 -> 640000 ppm exactly.
     assert got == {(0, 1): (4, 640_000)}
+
+
+def test_compression_ratio_pins_zlib_bytes(spark):
+    # The rows-only declared query (q_compression_ratio) leans on this
+    # pin: zlib level-6 output for a fixed input is a stable, versioned
+    # format, so the exact byte counts are asserted here.
+    import zlib
+
+    from iowa_liquor_sales_spark.operators.curation import compression_ratio
+
+    texts = [
+        (0, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),       # highly compressible
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),                                        # raw_len 0 guard
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    for doc_id, text in texts:
+        raw = text.encode("utf-8")
+        assert got[doc_id]["raw_len"] == len(raw)
+        assert got[doc_id]["comp_len"] == len(zlib.compress(raw, 6))
+        assert got[doc_id]["ratio_ppm"] == len(zlib.compress(raw, 6)) * 1_000_000 // max(len(raw), 1)
+    # The compressible doc compresses far better than the prose doc.
+    assert got[0]["ratio_ppm"] < got[1]["ratio_ppm"]
