@@ -5896,6 +5896,34 @@ def q_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_patches(spark: SparkSession, sf: str) -> DataFrame:
+    # ViT-style patch extraction over REAL decoded PPM pixels
+    # (multimodal/binary_ops.patch_features): the same synthetic P6
+    # asset as q_multimodal_ppm, decoded in Arrow mapInPandas and
+    # fanned out 1->8 patches with per-patch byte sums — actual pixel
+    # arithmetic, bit-exact oracle via ord() over the same buffer.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import patch_features
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    assets = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("P6\n# synthetic asset\n8 4\n255\n").cast("binary"),
+            F.rpad(F.col("text"), 96, "x").cast("binary"),
+        ).alias("payload"),
+    )
+    return patch_features(assets, patch_bytes=12)
+
+
+def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus-LM fluency scoring (operators/text.lm_score_docs): each
+    # document's mean bigram-probability in exact integer ppm — the
+    # perplexity-proxy filter after ngram-LM training, no log/float.
+    from iowa_liquor_sales_spark.operators.text import lm_score_docs
+
+    return lm_score_docs(read_table(spark, sf, "documents"))
+
+
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # Exactly-once-per-key delivery dedup (streaming/events.dedup_stream,
     # batch twin of dropDuplicatesWithinWatermark — the streaming leg
@@ -5993,6 +6021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipe_syntax": q_pipe_syntax,
         "q_recursive_cte": q_recursive_cte,
         "q_ohlc_bars": q_ohlc_bars,
+        "q_multimodal_patches": q_multimodal_patches,
+        "q_lm_score": q_lm_score,
         # --- driver-green in r1/r2 or same-area twins of an in-window
         # sibling; the full local sweep still checks them all.
         "q_simhash": q_simhash,
@@ -7820,6 +7850,38 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_quantity >= 10
             GROUP BY l_returnflag, l_linestatus""",
+        "q_multimodal_patches": """
+            WITH px AS (
+              SELECT doc_id, rpad(text, 96, 'x') AS buf,
+                     unnest(range(0, 96)) AS pos
+              FROM documents)
+            SELECT doc_id,
+                   CAST(pos // 12 AS INT) AS patch_idx,
+                   CAST(SUM(ord(substr(buf, CAST(pos + 1 AS INT), 1)))
+                        AS BIGINT) AS byte_sum
+            FROM px GROUP BY doc_id, pos // 12""",
+        "q_lm_score": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            occ AS (
+              SELECT doc_id,
+                     ws[CAST(i AS INT)] AS w1,
+                     ws[CAST(i + 1 AS INT)] AS w2
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                    FROM toks)),
+            big AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY w1, w2),
+            uni AS (
+              SELECT w1, COUNT(*) AS c1 FROM (
+                SELECT unnest(ws) AS w1 FROM toks) GROUP BY w1),
+            scored AS (
+              SELECT o.doc_id, b.c12 * 1000000 // u.c1 AS ppm
+              FROM occ o
+              JOIN big b USING (w1, w2)
+              JOIN uni u USING (w1))
+            SELECT doc_id,
+                   COUNT(*) AS n_bigrams,
+                   CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_prob_ppm
+            FROM scored GROUP BY doc_id""",
         "q_recursive_cte": """
             WITH RECURSIVE und AS (
               SELECT DISTINCT a, b FROM (

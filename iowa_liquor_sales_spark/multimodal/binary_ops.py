@@ -68,11 +68,10 @@ def decode_image(payload: bytes, codec: str = "real"):
     )
 
 
-def _decode_ppm(payload: bytes) -> dict:
-    """Binary PPM (P6) decoder: ``P6 <w> <h> <maxval>`` header (whitespace
-    and ``#`` comments per the netpbm spec), then w*h*3 raw RGB bytes.
-    Emits the same feature dict shape as the other codecs, computed from
-    the actual pixel buffer."""
+def _ppm_pixels(payload: bytes) -> bytes:
+    """Parse a binary PPM (P6) payload — ``P6 <w> <h> <maxval>`` header
+    with whitespace and ``#`` comments per the netpbm spec — and return
+    the raw w*h*3 RGB pixel buffer."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     pos, fields = 2, []
@@ -94,7 +93,58 @@ def _decode_ppm(payload: bytes) -> dict:
     pixels = payload[pos : pos + w * h * 3]
     if len(pixels) != w * h * 3:
         raise ValueError(f"truncated PPM: want {w * h * 3} bytes, got {len(pixels)}")
+    return pixels
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """PPM decode to the same feature dict shape as the other codecs,
+    computed from the actual pixel buffer (header parse in
+    :func:`_ppm_pixels`)."""
+    pixels = _ppm_pixels(payload)
     return {"byte_len": len(pixels), "n_a_bytes": pixels.count(b"a")}
+
+
+def patch_features(
+    df: DataFrame,
+    patch_bytes: int = 12,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ViT-style patch extraction over REAL decoded PPM images: decode
+    the payload with :func:`_ppm_pixels`, split the pixel buffer into
+    fixed ``patch_bytes`` patches, and emit one row per patch with the
+    sum of its byte values — the 1→N batch-side fan-out shape every
+    vision-preprocessing pipeline needs (patchify → per-patch embed),
+    run as Arrow ``mapInPandas`` with a declared schema so downstream
+    stays typed. Partition-parallel, no explode, no driver hop.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("patch_idx", T.IntegerType()),
+            T.StructField("byte_sum", T.LongType()),
+        ]
+    )
+
+    def _patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                pixels = _ppm_pixels(bytes(payload))
+                for p in range(0, len(pixels), patch_bytes):
+                    chunk = pixels[p : p + patch_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(p // patch_bytes)
+                    sums.append(sum(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "patch_idx": pd.Series(idxs, dtype="int32"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_patches, schema)
 
 
 def extract_features(

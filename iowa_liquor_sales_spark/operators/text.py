@@ -671,3 +671,53 @@ def sparse_cosine_pairs(
         .filter(F.col("cos2_ppm") >= min_cos2_ppm)
         .select("doc_a", "doc_b", F.col("dot").cast("long").alias("dot"), "cos2_ppm")
     )
+
+
+def lm_score_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score each document against the corpus bigram language model — the
+    perplexity-proxy fluency filter a curation pipeline runs after
+    training counts (:func:`ngram_lm_counts`): text whose word pairs are
+    rare under the corpus model is likely noise. The per-occurrence
+    conditional probability p(w2|w1) = c(w1,w2)/c(w1) stays in exact
+    integer PPM (``c12·1e6 div c1``), and the doc score is the integer
+    mean of its occurrences' ppm values — no log/float anywhere, so any
+    engine computes identical bits (a consumer exponentiates at
+    threshold time; ordering by mean-ppm equals ordering by geometric
+    intuition closely enough for a filter).
+
+    Scale: one explode for per-doc bigram occurrences, the corpus count
+    relations are O(vocab)/O(bigram-vocab) aggregates joined back by
+    word keys (AQE handles stop-word skew), one final per-doc aggregate.
+    Docs with fewer than 2 words emit nothing.
+    """
+    w = words(text_col)
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")).select(
+        "doc_id", "g.w1", "g.w2"
+    )
+    big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = df.select(F.explode(w).alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    scored = (
+        occ.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .withColumn("ppm", F.expr("c12 * 1000000 div c1"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(ppm) div count(1)").cast("long").alias("mean_prob_ppm"),
+    )

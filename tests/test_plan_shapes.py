@@ -100,3 +100,56 @@ def test_lateral_topk_rewrites_to_hash_join(spark):
     # not a per-row nested loop over the full customer table.
     plan = _plan(spark, "q_lateral_topk")
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_bucketed_equi_join(spark):
+    # The overlap join must meet pairs through the (key, bucket) hash
+    # equi-join — a CartesianProduct / nested-loop theta join is the
+    # per-key quadratic regression the operator exists to avoid.
+    plan = _plan(spark, "q_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sparse_cosine_has_no_allpairs_join(spark):
+    # Pairs may only meet through a shared term's posting list (word
+    # equi-join); norms join back by doc id. No cross/theta joins, and
+    # the df-cap's corpus count is a broadcast, not a shuffle of tf.
+    plan = _plan(spark, "q_sparse_cosine")
+    assert "CartesianProduct" not in plan
+    # The only nested-loop join allowed is the 1-row n_docs broadcast
+    # feeding the df cap (the printed tree repeats the reused subtree).
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "n_docs" in line, line
+    assert "BroadcastExchange" in plan
+
+
+def test_mst_boruvka_no_cartesian_anywhere(spark):
+    # Two Boruvka rounds = a chain of equi-joins and windows; any
+    # CartesianProduct means a label join degenerated.
+    plan = _plan(spark, "q_mst_boruvka")
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_diff_never_rescans_inputs(spark):
+    # The A-NOT-B estimate runs on two O(k) sketches: the orders scans
+    # feed ONLY the kmv passes (2 scans), and the join is sketch-vs-
+    # sketch — any SortMergeJoin on o_custkey means an input rescan.
+    plan = _plan(spark, "q_theta_diff")
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_strategy_hints_respected(spark):
+    # Hint surface: the optimizer must honor explicit per-join strategy
+    # hints — the escape hatch when stats mislead AQE at 100 TB.
+    from iowa_liquor_sales_spark.schemas import read_table
+
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders")
+    bhj = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in bhj._jdf.queryExecution().executedPlan().toString()
+    smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+    shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
