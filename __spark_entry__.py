@@ -8043,8 +8043,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
             keep AS (
               SELECT word FROM dfreq CROSS JOIN nd
-              WHERE df <= greatest(1,
-                            CAST(floor(0.05 * n_docs) AS BIGINT))),
+              WHERE df <= least(greatest(1,
+                            CAST(floor(0.05 * n_docs) AS BIGINT)),
+                            CAST(256 AS BIGINT))),
             kt AS (SELECT tf.* FROM tf JOIN keep USING (word)),
             norms AS (
               SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2

@@ -598,15 +598,22 @@ def sparse_cosine_pairs(
     id_col: str = "doc_id",
     min_cos2_ppm: int = 250_000,
     max_df_frac: float = 0.05,
+    max_df_abs: int = 256,
 ) -> DataFrame:
     """Document-pair cosine similarity over sparse term-frequency vectors
     via an INVERTED-INDEX join — the bag-of-words complement to the
     shingle-Jaccard family: candidate pairs only ever meet through a
-    shared term's posting list, so cost is sum of squared posting-list
-    lengths, never all-pairs. Terms appearing in more than
-    ``max_df_frac`` of documents are dropped first (a stop-word's
-    posting list is quadratic poison; same cap discipline as
-    ``dedup.jaccard_pairs``).
+    shared term's posting list, so cost is sum of SQUARED posting-list
+    lengths — which is why the cap must be two-sided: ``max_df_frac``
+    drops corpus-relative stop words, and ``max_df_abs`` bounds the
+    absolute posting length. A fractional cap alone grows with the
+    corpus, so per-word pair work grows QUADRATICALLY with corpus size
+    (measured: the 16x salted probe ran minutes-long with cap
+    0.05·80k=4000 where the absolute 256 bound keeps df² ≤ 65k per word
+    and total work linear). The effective cap is
+    ``least(floor(max_df_frac·N), max_df_abs)``; at the test scales the
+    fractional cap is the binding one, so small-corpus results are
+    unchanged.
 
     Everything stays in EXACT integer space: dot products and squared
     norms are integer sums, and the emitted score is squared cosine in
@@ -626,19 +633,26 @@ def sparse_cosine_pairs(
     )
     # The df cap stays in-plan (1-row corpus count broadcast onto the
     # O(vocab) docfreq relation) — no driver action, one job end-to-end.
+    # The keep-list join is NOT force-broadcast: vocabulary grows with
+    # the corpus (the 16x salted probe blew a forced broadcast up to
+    # 464s of executor GC), so Catalyst/AQE picks — broadcast while the
+    # vocab is small, hash-shuffle on the word key once it isn't.
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     docfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     keep_words = (
         docfreq.crossJoin(F.broadcast(n_docs))
         .filter(
             F.col("df")
-            <= F.greatest(
-                F.lit(1), F.floor(F.lit(max_df_frac) * F.col("n_docs"))
+            <= F.least(
+                F.greatest(
+                    F.lit(1), F.floor(F.lit(max_df_frac) * F.col("n_docs"))
+                ),
+                F.lit(max_df_abs).cast("long"),
             )
         )
         .select("word")
     )
-    kept = tf.join(F.broadcast(keep_words), "word")
+    kept = tf.join(keep_words, "word")
     kept = kept.persist()
     norms = kept.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("norm2")
@@ -712,11 +726,13 @@ def lm_score_docs(
     uni = df.select(F.explode(w).alias("w1")).groupBy("w1").agg(
         F.count(F.lit(1)).alias("c1")
     )
-    scored = (
-        occ.join(big, ["w1", "w2"])
-        .join(uni, "w1")
-        .withColumn("ppm", F.expr("c12 * 1000000 div c1"))
+    # Score DISTINCT bigrams first (an O(bigram-vocab) join), then join
+    # the occurrence fact ONCE against the scored relation — the fact
+    # side shuffles a single time instead of through a two-join chain.
+    bigram_ppm = big.join(uni, "w1").select(
+        "w1", "w2", F.expr("c12 * 1000000 div c1").alias("ppm")
     )
+    scored = occ.join(bigram_ppm, ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.expr("sum(ppm) div count(1)").cast("long").alias("mean_prob_ppm"),
