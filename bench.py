@@ -77,6 +77,10 @@ HEADLINE = [
     "q_interval_merge",
     "q_naive_bayes",
     "q_order_priority",
+    "q_sparse_cosine",
+    "q_lm_score",
+    "q_mst_boruvka",
+    "q_interval_join",
 ]
 
 
