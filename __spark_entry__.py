@@ -5809,7 +5809,10 @@ def q_mst_boruvka(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("o_orderkey") % 700).alias("dst"),
         F.col("o_orderkey").alias("w"),
     ).filter(F.col("src") != F.col("dst"))
-    return boruvka_mst_rounds(edges, rounds=2)
+    # small_v: the derived graph has <= 1200 vertices (moduli 500/700)
+    # against an O(|orders|) edge list — V << E, the documented condition
+    # for the driver-side label merge (candidate argmin stays distributed).
+    return boruvka_mst_rounds(edges, rounds=2, small_v=True)
 
 
 def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:

@@ -464,6 +464,7 @@ def boruvka_mst_rounds(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    small_v: bool = False,
 ) -> DataFrame:
     """Borůvka minimum-spanning-forest rounds — the distributed-native MST
     algorithm (each round EVERY component picks its lightest outgoing
@@ -482,6 +483,18 @@ def boruvka_mst_rounds(
     argmin window over candidate edges (partitioned by component —
     never global), and label hops over the O(V) chosen set.
 
+    ``small_v=True`` asserts the VERTEX set fits on the driver (labels,
+    chosen edges and the merge hops are all O(V)); the O(E) candidate
+    join + per-component argmin stay fully distributed (labels join
+    map-side via broadcast), but the chosen set is collected — bounded
+    O(components) rows, like the Bloom-bitmap / k-centroid collects —
+    and the 2-hop min-label merge replays driver-side in plain Python
+    (bit-identical dataflow). One Spark job per round instead of ~7
+    tiny shuffle jobs; the right plan for quotient / dimension-derived
+    graphs where V << E. Leave False when V itself is data-scale: every
+    relation then stays distributed (hash-shuffle joins, pointer hops
+    with ``localCheckpoint`` to keep lineage flat).
+
     Returns the distinct chosen MST edges (lo, hi, w).
     """
     from pyspark.sql import Window
@@ -497,6 +510,8 @@ def boruvka_mst_rounds(
         .agg(F.min("w").alias("w"))
         .persist()
     )
+    if small_v:
+        return _boruvka_small_v(e, rounds)
     labels = (
         e.select(F.col("lo").alias("node"))
         .unionAll(e.select(F.col("hi").alias("node")))
@@ -528,11 +543,16 @@ def boruvka_mst_rounds(
             )
         )
         wmin = Window.partitionBy("comp").orderBy("w", "lo", "hi")
+        # chosen is O(components) and fans out to three consumers
+        # (accumulator, label edges, both hop remaps): checkpoint it so
+        # the e⋈labels candidate join + argmin window run ONCE per
+        # round, not once per consumer.
         chosen = (
             per_comp.withColumn("rn", F.row_number().over(wmin))
             .filter(F.col("rn") == 1)
             .select("lo", "hi", "w", "la", "lb")
             .distinct()
+            .localCheckpoint(eager=True)
         )
         chosen_all = (
             chosen.select("lo", "hi", "w")
@@ -560,9 +580,7 @@ def boruvka_mst_rounds(
             # remap both the node labels and the label-edge endpoints
             labels = (
                 labels.join(
-                    hop.select(
-                        F.col("x").alias("label"), F.col("newx")
-                    ),
+                    hop.select(F.col("x").alias("label"), F.col("newx")),
                     "label",
                 )
                 .select("node", F.col("newx").alias("label"))
@@ -582,7 +600,86 @@ def boruvka_mst_rounds(
                 .distinct()
             )
             lab_map = labels.select(F.col("label").alias("x")).distinct()
+        # one lineage cut per ROUND keeps the plan flat without paying
+        # an eager job per hop relation.
         labels = labels.localCheckpoint(eager=True)
     return chosen_all.select(
         "lo", "hi", F.col("w").cast("long").alias("w")
+    ).distinct()
+
+
+def _boruvka_small_v(e: DataFrame, rounds: int) -> DataFrame:
+    """Small-V Borůvka finish: distributed candidate argmin, driver-side
+    2-hop min-label merge (exact replay of the distributed hop dataflow:
+    hop(x) = least(min(neighbor labels), x), applied twice per round to
+    both node labels and the chosen label-edge set)."""
+    from pyspark.sql import Window
+
+    spark = e.sparkSession
+    nodes = [
+        r["node"]
+        for r in e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .distinct()
+        .collect()
+    ]
+    labels = {n: n for n in nodes}
+    chosen_all = set()
+    for _ in range(rounds):
+        lab_df = spark.createDataFrame(
+            [(int(n), int(l)) for n, l in labels.items()],
+            "node bigint, label bigint",
+        )
+        cand = (
+            e.join(
+                F.broadcast(
+                    lab_df.select(
+                        F.col("node").alias("lo"), F.col("label").alias("la")
+                    )
+                ),
+                "lo",
+            )
+            .join(
+                F.broadcast(
+                    lab_df.select(
+                        F.col("node").alias("hi"), F.col("label").alias("lb")
+                    )
+                ),
+                "hi",
+            )
+            .filter(F.col("la") != F.col("lb"))
+        )
+        per_comp = cand.select(
+            F.col("la").alias("comp"), "w", "lo", "hi", "la", "lb"
+        ).unionAll(
+            cand.select(
+                F.col("lb").alias("comp"), "w", "lo", "hi", "la", "lb"
+            )
+        )
+        wmin = Window.partitionBy("comp").orderBy("w", "lo", "hi")
+        chosen = {
+            (r["lo"], r["hi"], r["w"], r["la"], r["lb"])
+            for r in per_comp.withColumn("rn", F.row_number().over(wmin))
+            .filter(F.col("rn") == 1)
+            .select("lo", "hi", "w", "la", "lb")
+            .collect()
+        }
+        chosen_all |= {(lo, hi, w) for lo, hi, w, _, _ in chosen}
+        ledges = {(la, lb) for _, _, _, la, lb in chosen} | {
+            (lb, la) for _, _, _, la, lb in chosen
+        }
+        for _hop in range(2):
+            adj = {}
+            for x, y in ledges:
+                adj.setdefault(x, []).append(y)
+            hop = {
+                x: min(min(adj[x]) if x in adj else x, x)
+                for x in set(labels.values())
+            }
+            labels = {n: hop[l] for n, l in labels.items()}
+            ledges = {
+                (hop[x], hop[y]) for x, y in ledges if hop[x] != hop[y]
+            }
+    return spark.createDataFrame(
+        sorted(chosen_all), "lo bigint, hi bigint, w bigint"
     ).distinct()

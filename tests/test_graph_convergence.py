@@ -98,3 +98,21 @@ def test_boruvka_duplicate_weights_deterministic(spark):
     b = _sorted_rows(boruvka_mst_rounds(edges, rounds=2))
     assert a == b
     assert len(a) == 3  # spanning tree of 4 nodes
+
+
+def test_boruvka_small_v_matches_distributed(spark):
+    # The driver-merge path (small_v=True) replays the distributed 2-hop
+    # min-label dataflow exactly — the chosen forest must be identical,
+    # including under duplicate weights and multi-round merging.
+    from iowa_liquor_sales_spark.operators.graph import boruvka_mst_rounds
+
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 4), (0, 2, 9), (3, 4, 2), (4, 5, 3),
+         (3, 5, 8), (2, 3, 7), (0, 5, 20), (6, 7, 7), (7, 8, 7),
+         (6, 8, 7)],
+        ["src", "dst", "w"],
+    )
+    dist = _sorted_rows(boruvka_mst_rounds(edges, rounds=2))
+    small = _sorted_rows(boruvka_mst_rounds(edges, rounds=2, small_v=True))
+    assert dist == small
+    assert len(small) == 7  # spanning forest: 9 nodes, 2 components

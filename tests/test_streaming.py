@@ -293,3 +293,46 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     out = spark.table("wdd_out")
     assert out.count() == src.count()
     assert out.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    # Stream-static join: every micro-batch of the event stream joins the
+    # static customer dim (re-read per batch, broadcast by size) — the
+    # standard streaming-enrichment pattern; results must equal the batch
+    # join on the same bounded input.
+    staged = _stage_events(spark, tmp_path)
+    stream = read_events_stream(spark, staged, max_files_per_trigger=2)
+    dim = (
+        read_table(spark, SF, "customer")
+        .select(
+            (F.col("c_custkey") % 50).alias("user_id"),
+            "c_mktsegment",
+        )
+        .dropDuplicates(["user_id"])
+    )
+    enriched = (
+        stream.withColumn("user_id", F.col("user_id") % 50)
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static_join")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {(r["c_mktsegment"], r["n"]) for r in spark.table("stream_static_join").collect()}
+    want = {
+        (r["c_mktsegment"], r["n"])
+        for r in read_table(spark, SF, "events")
+        .withColumn("user_id", F.col("user_id") % 50)
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
