@@ -5945,6 +5945,160 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-document exact-substring dedup (operators/dedup.duplicated_spans
+    # — the Lee-et-al. span-level pass): word 5-grams shared by >= 2
+    # distinct docs mark spans, merged per doc by a higher-order fold.
+    # Two map-combinable shuffles + one hash join; nothing broadcast —
+    # the flagged-gram set is O(corpus).
+    from iowa_liquor_sales_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        read_table(spark, sf, "documents"), "text", "doc_id", k=5
+    )
+
+
+
+def _geohash_oracle() -> str:
+    from iowa_liquor_sales_spark.operators.layout import (
+        geohash_bits_sql,
+        geohash_chars_sql,
+    )
+
+    return f"""
+        WITH c AS (
+          SELECT c_custkey,
+                 CAST((c_custkey % 120) - 60 + 0.25 AS DOUBLE) AS lat,
+                 CAST(((c_custkey * 7) % 360) - 180 + 0.25 AS DOUBLE) AS lon
+          FROM customer),
+        z AS (SELECT c_custkey,
+                     {geohash_bits_sql("lat", "lon", 6)} AS z FROM c),
+        g AS (SELECT c_custkey,
+                     {geohash_chars_sql("z", 6)} AS gh FROM z)
+        SELECT substr(gh, 1, 4) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               MIN(gh) AS min_hash,
+               MIN(c_custkey) AS min_cust,
+               MAX(c_custkey) AS max_cust
+        FROM g GROUP BY cell"""
+
+
+def _substring_dedup_oracle(k: int = 5) -> str:
+    # Islands via windowed max-end (ends ascend with starts, so the
+    # running max over preceding rows == the fold's cur_end). Explicit
+    # ELSE 0 + COALESCE(first row) per the gaps-and-islands flag trap.
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), ' +') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, CAST(i AS INT) AS start,
+                 array_to_string(ws[i:i + {k - 1}], ' ') AS gram
+          FROM (
+            SELECT doc_id, ws,
+                   unnest(range(1, len(ws) - {k} + 2)) AS i
+            FROM w WHERE len(ws) >= {k})),
+        dup AS (
+          SELECT gram FROM g GROUP BY gram
+          HAVING MIN(doc_id) <> MAX(doc_id)),
+        h AS (SELECT g.doc_id, g.start FROM g JOIN dup USING (gram)),
+        o AS (
+          SELECT doc_id, start,
+                 CASE WHEN start >= COALESCE(MAX(start + {k}) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)
+                      THEN 1 ELSE 0 END AS brk
+          FROM h),
+        i AS (
+          SELECT doc_id, start,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY start) AS gid
+          FROM o),
+        isl AS (
+          SELECT doc_id, gid, MIN(start) AS s0, MAX(start) + {k} AS e0,
+                 COUNT(*) AS ng
+          FROM i GROUP BY doc_id, gid)
+        SELECT doc_id,
+               CAST(SUM(ng) AS BIGINT) AS n_dup_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e0 - s0) AS BIGINT) AS dup_tokens
+        FROM isl GROUP BY doc_id"""
+
+
+def q_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    # Link prediction (operators/graph.adamic_adar) over the bipartite
+    # customer-node/order-node projection: non-adjacent pairs scored by
+    # Σ 1/ln(deg) of common neighbors, integer-scaled for exact sums.
+    # max_deg=300 is inert at gate SF but prunes hub middles at scale.
+    from iowa_liquor_sales_spark.operators.graph import adamic_adar
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 400).alias("src"),
+        ((F.col("o_orderkey") % 600) + 400).alias("dst"),
+    )
+    return adamic_adar(edges, max_deg=300)
+
+
+def q_acf(spark: SparkSession, sf: str) -> DataFrame:
+    # Autocorrelation function per event type at lags 1-3
+    # (operators/temporal.autocorrelation): one hash-partitioned per-key
+    # window pass -> one combinable moment aggregate; the
+    # pick-your-forecast-model diagnostic.
+    from iowa_liquor_sales_spark.operators.temporal import autocorrelation
+
+    return autocorrelation(
+        read_table(spark, sf, "events"),
+        key_col="event_type",
+        order_col="event_id",
+        value_col="value",
+    )
+
+
+def q_geohash(spark: SparkSession, sf: str) -> DataFrame:
+    # Geohash spatial binning (operators/layout.geohash_bits_sql /
+    # geohash_chars_sql — ONE engine-neutral renderer feeds both Spark
+    # and the oracle, the zorder_sql discipline): quantize + interleave
+    # + base32, then aggregate per 4-char cell. Pure integer bit
+    # expressions inside whole-stage codegen; zero Python.
+    from iowa_liquor_sales_spark.operators.layout import (
+        geohash_bits_sql,
+        geohash_chars_sql,
+    )
+
+    c = read_table(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 120) - 60 + F.lit(0.25))
+        .cast("double")
+        .alias("lat"),
+        (((F.col("c_custkey") * 7) % 360) - 180 + F.lit(0.25))
+        .cast("double")
+        .alias("lon"),
+    )
+    z = c.withColumn("z", F.expr(geohash_bits_sql("lat", "lon", 6)))
+    gh = z.withColumn("gh", F.expr(geohash_chars_sql("z", 6)))
+    return gh.groupBy(F.substring("gh", 1, 4).alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("gh").alias("min_hash"),
+        F.min("c_custkey").alias("min_cust"),
+        F.max("c_custkey").alias("max_cust"),
+    )
+
+
+def q_interp_linear(spark: SparkSession, sf: str) -> DataFrame:
+    # Gap-fill with LINEAR interpolation
+    # (operators/temporal.resample_interpolate): hourly grid per user,
+    # backward+forward observed-neighbor frames off ONE sort, closed-form
+    # per-row interpolation (no float accumulation). The continuous-signal
+    # twin of q_resample_ffill.
+    from iowa_liquor_sales_spark.operators.temporal import (
+        resample_interpolate,
+    )
+
+    return resample_interpolate(read_table(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's 50-entry coverage
@@ -6225,6 +6379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
+        "q_substring_dedup": q_substring_dedup,
+        "q_adamic_adar": q_adamic_adar,
+        "q_acf": q_acf,
+        "q_geohash": q_geohash,
+        "q_interp_linear": q_interp_linear,
     }
 
 
@@ -6802,6 +6961,95 @@ def oracle_sql() -> dict[str, str]:
             FROM assigned, q
             WHERE cell = q_cell AND vec_id <> 0
             QUALIFY rnk <= 10""",
+        "q_substring_dedup": _substring_dedup_oracle(k=5),
+        "q_interp_linear": """
+            WITH ev AS (SELECT user_id, event_id, value,
+                               epoch_us(ts) AS us,
+                               epoch_us(ts) // 3600000000 AS bucket
+                        FROM events),
+            pbk AS (SELECT user_id, bucket, v FROM (
+                     SELECT user_id, bucket, value AS v,
+                            row_number() OVER (
+                                PARTITION BY user_id, bucket
+                                ORDER BY us DESC, event_id DESC) AS rn
+                     FROM ev)
+                   WHERE rn = 1),
+            span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+                     FROM ev GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+                     FROM span),
+            j AS (SELECT g.user_id, g.bucket, pbk.v
+                  FROM grid g LEFT JOIN pbk
+                    ON g.user_id = pbk.user_id AND g.bucket = pbk.bucket),
+            m AS (SELECT user_id, bucket, v,
+                   last_value(CASE WHEN v IS NOT NULL THEN bucket END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pb,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pv,
+                   first_value(CASE WHEN v IS NOT NULL THEN bucket END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nb,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nv
+                  FROM j)
+            SELECT user_id, bucket,
+                   CASE WHEN v IS NOT NULL THEN v
+                        ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb)
+                   END AS value_interp,
+                   CAST(v IS NOT NULL AS INT) AS is_observed
+            FROM m""",
+        "q_geohash": _geohash_oracle(),
+        "q_acf": """
+            WITH l AS (
+              SELECT event_type, value AS v,
+                     lag(value, 1) OVER w AS v1,
+                     lag(value, 2) OVER w AS v2,
+                     lag(value, 3) OVER w AS v3
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
+            SELECT event_type,
+                   CAST(COUNT(v) AS BIGINT) AS n_obs,
+                   ROUND(corr(v, v1), 6) AS acf_1,
+                   ROUND(corr(v, v2), 6) AS acf_2,
+                   ROUND(corr(v, v3), 6) AS acf_3
+            FROM l GROUP BY event_type""",
+        "q_adamic_adar": """
+            WITH e AS (
+              SELECT DISTINCT
+                     least(o_custkey % 400, (o_orderkey % 600) + 400) AS lo,
+                     greatest(o_custkey % 400, (o_orderkey % 600) + 400) AS hi
+              FROM orders
+              WHERE least(o_custkey % 400, (o_orderkey % 600) + 400)
+                    < greatest(o_custkey % 400, (o_orderkey % 600) + 400)),
+            adj AS (
+              SELECT lo AS w, hi AS u FROM e
+              UNION ALL SELECT hi, lo FROM e),
+            deg AS (
+              SELECT w, COUNT(*) AS deg FROM adj GROUP BY w
+              HAVING COUNT(*) <= 300),
+            mid AS (
+              SELECT a.w, a.u,
+                     CAST(ROUND(1e9 / ln(CAST(d.deg AS DOUBLE)), 0)
+                          AS BIGINT) AS term
+              FROM adj a JOIN deg d USING (w)),
+            p AS (
+              SELECT a.u AS u, b.u AS v,
+                     CAST(COUNT(*) AS BIGINT) AS common,
+                     CAST(SUM(a.term) AS BIGINT) AS aa_scaled
+              FROM mid a JOIN mid b ON a.w = b.w AND a.u < b.u
+              GROUP BY a.u, b.u)
+            SELECT u, v, common, aa_scaled FROM p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e WHERE e.lo = p.u AND e.hi = p.v)""",
         "q_text_quality": """
             SELECT doc_id,
                    CAST(length(text) AS INTEGER) AS n_chars,

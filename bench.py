@@ -81,6 +81,9 @@ HEADLINE = [
     "q_lm_score",
     "q_mst_boruvka",
     "q_interval_join",
+    "q_substring_dedup",
+    "q_adamic_adar",
+    "q_interp_linear",
 ]
 
 

@@ -777,3 +777,89 @@ def sorted_neighborhood_pairs(
         F.greatest("doc_a", "doc_b").alias("id_b"),
         F.col("edit_distance").cast("int").alias("edit_distance"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Cross-document exact-substring duplication (the span-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every word ``k``-gram occurring in two or more DISTINCT
+    documents marks a duplicated span ``[start, start+k)``; overlapping
+    spans merge per document.
+
+    Spark-first plan: one pass emits positioned k-grams via a
+    ``transform(sequence(...))`` + ``posexplode`` (pure Catalyst array
+    exprs, no Python); cross-doc grams are found with a single hash
+    aggregate on ``xxhash64(gram)`` using the ``min(id) <> max(id)``
+    trick (no count-distinct); the hash join back is shuffle-on-hash on
+    both sides (the scalable choice — the flagged-gram set is O(corpus)
+    and must not be broadcast); span merging is a per-doc
+    ``sort_array(collect_list)`` + higher-order ``aggregate`` fold —
+    gaps-and-islands without a window. Total: 2 wide shuffles (gram agg,
+    doc agg) + 1 hash join, all map-side combinable.
+
+    Returns one row per document that contains at least one cross-doc
+    duplicated k-gram: ``(doc_id, n_dup_grams, n_spans, dup_tokens)``
+    where ``dup_tokens`` counts word positions covered by merged spans.
+    """
+    words = F.split(F.trim(F.col(text_col)), " +")
+    n = F.size(words)
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            # guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not
+            # empty — docs shorter than k words must yield no grams.
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(
+                            " ", F.slice(words, i, F.lit(k))
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<start:int,gram:string>>"))
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.start").alias("start"),
+        F.xxhash64("g.gram").alias("gh"),
+    )
+    cross_doc = (
+        grams.groupBy("gh")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("gh")
+    )
+    hits = grams.join(cross_doc, "gh").select("doc_id", "start")
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_grams"),
+        F.sort_array(F.collect_list("start")).alias("starts"),
+    )
+    # fold state [n_spans, cur_end, covered]; starts are sorted and
+    # unique, intervals share length k, so each start either opens a new
+    # island (s >= cur_end) or extends the current one.
+    merged = F.aggregate(
+        F.col("starts"),
+        F.array(F.lit(0).cast("long"), F.lit(0).cast("long"),
+                F.lit(0).cast("long")),
+        lambda acc, s: F.when(
+            s >= acc[1],
+            F.array(acc[0] + 1, s.cast("long") + k, acc[2] + k),
+        ).otherwise(
+            F.array(acc[0], s.cast("long") + k,
+                    acc[2] + (s.cast("long") + k - acc[1]))
+        ),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_dup_grams",
+        merged[0].alias("n_spans"),
+        merged[2].alias("dup_tokens"),
+    )

@@ -54,3 +54,45 @@ def zorder_sql(x: str, y: str, bits: int = 16) -> str:
         terms.append(f"(((CAST({x} AS BIGINT) >> {b}) & 1) << {2 * b + 1})")
         terms.append(f"(((CAST({y} AS BIGINT) >> {b}) & 1) << {2 * b})")
     return " | ".join(terms)
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_bits_sql(lat: str, lon: str, precision: int = 6) -> str:
+    """Engine-neutral SQL (Spark ``F.expr`` AND DuckDB — both accept the
+    ``>>``/``&``/``<<`` operators) for the geohash bit string: quantize
+    lat/lon by binary subdivision, then interleave starting with
+    longitude (the geohash standard). Like :func:`zorder_sql`, a single
+    renderer guarantees the two engines compute bit-identical values.
+    """
+    bits = 5 * precision
+    nb_lon = (bits + 1) // 2
+    nb_lat = bits // 2
+    lon_q = (
+        f"LEAST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {1 << nb_lon}) "
+        f"AS BIGINT), {(1 << nb_lon) - 1})"
+    )
+    lat_q = (
+        f"LEAST(CAST(FLOOR((({lat}) + 90.0) / 180.0 * {1 << nb_lat}) "
+        f"AS BIGINT), {(1 << nb_lat) - 1})"
+    )
+    terms = []
+    for i in range(bits):
+        outpos = bits - 1 - i
+        if i % 2 == 0:
+            src, srcbit = lon_q, nb_lon - 1 - (i // 2)
+        else:
+            src, srcbit = lat_q, nb_lat - 1 - (i // 2)
+        terms.append(f"((({src} >> {srcbit}) & 1) << {outpos})")
+    return " | ".join(terms)
+
+
+def geohash_chars_sql(z: str, precision: int = 6) -> str:
+    """Base32 rendering of a geohash bit string column (engine-neutral)."""
+    parts = [
+        f"substr('{GEOHASH_BASE32}', "
+        f"CAST((({z}) >> {5 * (precision - 1 - i)}) & 31 AS INT) + 1, 1)"
+        for i in range(precision)
+    ]
+    return "concat(" + ", ".join(parts) + ")"

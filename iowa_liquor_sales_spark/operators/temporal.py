@@ -322,3 +322,118 @@ def interval_join(
         "overlap_secs",
         (F.least(ea, eb) - F.greatest(sa, sb)).cast("long"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key autocorrelation function (ACF): Pearson correlation of the
+    series with itself shifted by each lag — the seasonality /
+    persistence diagnostic that precedes any forecasting model choice.
+
+    Spark-first: one per-key window (hash-partitioned by key — never a
+    global sort) produces all lagged columns in a single pass, then one
+    map-side-combinable moment aggregate per key emits every lag's
+    ``corr``. Rounded: both engines accumulate float moments in
+    partition order (same convention as the corr/regr family).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    lagged = df.select(
+        key_col,
+        order_col,
+        F.col(value_col).alias("_v"),
+        *[
+            F.lag(value_col, lag).over(w).alias(f"_v_lag{lag}")
+            for lag in lags
+        ],
+    )
+    return lagged.groupBy(key_col).agg(
+        F.count("_v").cast("long").alias("n_obs"),
+        *[
+            F.round(F.corr("_v", f"_v_lag{lag}"), decimals).alias(
+                f"acf_{lag}"
+            )
+            for lag in lags
+        ],
+    )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    bucket_us: int = 3_600_000_000,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation — the gap-fill
+    variant for continuous signals (sensor series, prices) where
+    forward-fill (:func:`resample_ffill`) would flat-line through gaps.
+
+    Same shuffle discipline as the ffill twin: one key shuffle for the
+    per-bucket "last" reduction + span, a narrow ``sequence`` explode
+    for the grid, one key-partitioned sort feeding BOTH the backward
+    (prev observed bucket/value) and forward (next observed) window
+    frames — the two frames share one exchange+sort. Interpolation is a
+    per-row closed form ``pv + (nv-pv)*(bucket-pb)/(nb-pb)``, identical
+    expression tree in any engine (no accumulation, so no float-order
+    hazard); observed buckets pass their value through untouched.
+
+    Returns (key, bucket, value_interp, is_observed).
+    """
+    us = epoch_us(F.col(ts_col))
+    ev = df.withColumn(
+        "bucket",
+        F.expr(f"{EPOCH_US_SQL.format(col=ts_col)} div {bucket_us}"),
+    )
+    wlast = Window.partitionBy(key_col, "bucket").orderBy(
+        us.desc(), F.col(tiebreak).desc()
+    )
+    per_bucket = (
+        ev.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(key_col, "bucket", F.col(value_col).alias("v"))
+    )
+    span = ev.groupBy(key_col).agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        key_col, F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    joined = grid.join(per_bucket, [key_col, "bucket"], "left")
+    wback = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfwd = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    marked = joined.select(
+        key_col,
+        "bucket",
+        "v",
+        F.last(obs_bucket, ignorenulls=True).over(wback).alias("pb"),
+        F.last("v", ignorenulls=True).over(wback).alias("pv"),
+        F.first(obs_bucket, ignorenulls=True).over(wfwd).alias("nb"),
+        F.first("v", ignorenulls=True).over(wfwd).alias("nv"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("bucket") - F.col("pb")
+    ) / (F.col("nb") - F.col("pb"))
+    return marked.select(
+        key_col,
+        "bucket",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp)
+        .alias("value_interp"),
+        F.col("v").isNotNull().cast("int").alias("is_observed"),
+    )

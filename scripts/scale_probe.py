@@ -265,6 +265,12 @@ def bench_docs(
     # LM scoring: explode + two count aggregates + word-keyed joins —
     # the stop-word skew case AQE must split.
     t("lm_score", lm_score_docs(docs))
+    from iowa_liquor_sales_spark.operators.dedup import duplicated_spans
+
+    # Span-level substring dedup: positioned-gram explode + one gram
+    # aggregate + hash join back. Salted replicas share no grams, so
+    # the flagged set (and the join) grows linearly with the corpus.
+    t("substring_spans", duplicated_spans(docs, "text", "doc_id", k=5))
     return timings
 
 

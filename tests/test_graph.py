@@ -124,3 +124,38 @@ def test_bfs_hops_chain(spark):
     # More rounds reach further; reversed edges don't change distances.
     got5 = {r["v"]: r["hops"] for r in bfs_hops(edges, source=0, rounds=5).collect()}
     assert got5 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_adamic_adar_scores_and_exclusions(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.graph import adamic_adar
+
+    # Square 1-2-3-4-1: diagonals (1,3) and (2,4) each share two
+    # degree-2 common neighbors; adjacent pairs are excluded.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    out = {(r["u"], r["v"]): r for r in adamic_adar(edges).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    term = int(round(1e9 / math.log(2.0)))
+    for pair in ((1, 3), (2, 4)):
+        assert out[pair]["common"] == 2
+        assert out[pair]["aa_scaled"] == 2 * term
+
+
+def test_adamic_adar_max_deg_drops_hub_middles(spark):
+    from iowa_liquor_sales_spark.operators.graph import adamic_adar
+
+    # Star around hub 0 (degree 4) plus a path 1-9-2. Pair (3, 4)'s ONLY
+    # common neighbor is the hub, so max_deg=3 erases it; pair (1, 2)
+    # survives through middle 9 (degree 2) but loses the hub wedge.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 9), (9, 2)], ["src", "dst"]
+    )
+    uncapped = {(r["u"], r["v"]): r for r in adamic_adar(edges).collect()}
+    capped = {(r["u"], r["v"]): r for r in
+              adamic_adar(edges, max_deg=3).collect()}
+    assert (3, 4) in uncapped and (3, 4) not in capped
+    assert uncapped[(1, 2)]["common"] == 2
+    assert capped[(1, 2)]["common"] == 1

@@ -544,3 +544,28 @@ def test_compression_ratio_pins_zlib_bytes(spark):
         assert got[doc_id]["ratio_ppm"] == len(zlib.compress(raw, 6)) * 1_000_000 // max(len(raw), 1)
     # The compressible doc compresses far better than the prose doc.
     assert got[0]["ratio_ppm"] < got[1]["ratio_ppm"]
+
+
+def test_geohash_matches_reference_encoding(spark):
+    # Independent ground truth: the canonical geohash example
+    # (57.64911, 10.40744) -> "u4pruy" at precision 6, plus a southern-
+    # hemisphere point; verifies quantization, interleave order (lon
+    # first) and base32 alphabet in one shot.
+    from iowa_liquor_sales_spark.operators.layout import (
+        geohash_bits_sql,
+        geohash_chars_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (-33.86, 151.21)], ["lat", "lon"]
+    )
+    out = (
+        df.withColumn("z", __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+            geohash_bits_sql("lat", "lon", 6)))
+        .withColumn("gh", __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+            geohash_chars_sql("z", 6)))
+        .collect()
+    )
+    got = {(r["lat"], r["lon"]): r["gh"] for r in out}
+    assert got[(57.64911, 10.40744)] == "u4pruy"
+    assert got[(-33.86, 151.21)] == "r3gx2g"

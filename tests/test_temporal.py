@@ -123,3 +123,70 @@ def test_resample_ffill_gaps_and_last_per_bucket(spark):
         ("A", 4): 9.0,
         ("B", 3): 7.0,
     }
+
+
+def test_autocorrelation_linear_series(spark):
+    from iowa_liquor_sales_spark.operators.temporal import autocorrelation
+
+    # A strictly linear series is perfectly autocorrelated at every lag.
+    rows = [("a", i, float(3 * i + 7)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {
+        r["k"]: r
+        for r in autocorrelation(
+            df, key_col="k", order_col="t", value_col="v"
+        ).collect()
+    }
+    assert out["a"]["n_obs"] == 20
+    assert out["a"]["acf_1"] == 1.0
+    assert out["a"]["acf_2"] == 1.0
+    assert out["a"]["acf_3"] == 1.0
+
+
+def test_resample_interpolate_fills_gap_linearly(spark):
+    from datetime import datetime
+
+    from iowa_liquor_sales_spark.operators.temporal import (
+        resample_interpolate,
+    )
+
+    # Observations at hours 0 and 3 (values 10 -> 40): hours 1 and 2
+    # interpolate to 20 and 30; observed buckets pass through untouched.
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 7, 10.0),
+        (2, datetime(2024, 1, 1, 3, 15), 7, 40.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = sorted(
+        (r["bucket"], r["value_interp"], r["is_observed"])
+        for r in resample_interpolate(df).collect()
+    )
+    b0 = out[0][0]
+    assert [(b - b0, v, o) for b, v, o in out] == [
+        (0, 10.0, 1),
+        (1, 20.0, 0),
+        (2, 30.0, 0),
+        (3, 40.0, 1),
+    ]
+
+
+def test_resample_interpolate_last_obs_per_bucket_wins(spark):
+    from datetime import datetime
+
+    from iowa_liquor_sales_spark.operators.temporal import (
+        resample_interpolate,
+    )
+
+    # Two observations in bucket 0: the later one (ts, then event_id
+    # tiebreak) is the bucket's value, matching resample_ffill.
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 7, 99.0),
+        (2, datetime(2024, 1, 1, 0, 50), 7, 10.0),
+        (3, datetime(2024, 1, 1, 1, 0), 7, 20.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = sorted(
+        (r["bucket"], r["value_interp"]) for r in
+        resample_interpolate(df).collect()
+    )
+    assert [v for _, v in out] == [10.0, 20.0]

@@ -192,3 +192,46 @@ def test_bm25_monotone_in_tf(spark):
     assert set(out) == {1, 2, 3}
     assert out[2]["bm25_e9"] > out[1]["bm25_e9"] > out[3]["bm25_e9"]
     assert all(r["n_matched"] == 1 for r in out.values())
+
+
+def test_duplicated_spans_merges_overlaps(spark):
+    from iowa_liquor_sales_spark.operators.dedup import duplicated_spans
+
+    # Docs 1 and 2 share a 6-word run -> two overlapping 5-gram spans
+    # that must merge into ONE island covering 6 tokens in each doc.
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"{shared} tail one"),
+        (2, f"head {shared}"),
+        (3, "completely different words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in duplicated_spans(df, k=5).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_dup_grams"] == 2
+        assert out[d]["n_spans"] == 1
+        assert out[d]["dup_tokens"] == 6
+
+
+def test_duplicated_spans_ignores_intra_doc_repeats(spark):
+    from iowa_liquor_sales_spark.operators.dedup import duplicated_spans
+
+    # A 5-gram repeated WITHIN one doc only is not cross-document.
+    rep = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, f"{rep} x {rep}"), (2, "nothing in common with that doc")],
+        ["doc_id", "text"],
+    )
+    assert duplicated_spans(df, k=5).count() == 0
+
+
+def test_duplicated_spans_short_docs_yield_nothing(spark):
+    from iowa_liquor_sales_spark.operators.dedup import duplicated_spans
+
+    # Docs shorter than k words must produce no grams (sequence(1,0)
+    # descending-guard regression test).
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], ["doc_id", "text"]
+    )
+    assert duplicated_spans(df, k=5).count() == 0
