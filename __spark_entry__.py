@@ -5983,6 +5983,16 @@ def _geohash_oracle() -> str:
         FROM g GROUP BY cell"""
 
 
+
+def _hll_sliding_oracle() -> str:
+    from iowa_liquor_sales_spark.operators.sketches import hll_sliding_sql
+
+    return hll_sliding_sql(
+        "epoch_us(ts) // 86400000000", "user_id", "events",
+        window_days=7, p=6,
+    )
+
+
 def _substring_dedup_oracle(k: int = 5) -> str:
     # Islands via windowed max-end (ends ascend with starts, so the
     # running max over preceding rows == the fold's cur_end). Explicit
@@ -6097,6 +6107,184 @@ def q_interp_linear(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return resample_interpolate(read_table(spark, sf, "events"))
+
+
+def q_apply_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    # applyInArrow API surface (functions/udfs.grouped_stats_arrow):
+    # whole-group pyarrow.compute kernel, zero-copy RecordBatches, no
+    # pandas conversion. Cents-exact integer math keeps the Python
+    # kernel bit-identical to the SQL twin.
+    from iowa_liquor_sales_spark.functions.udfs import grouped_stats_arrow
+
+    c = read_table(spark, sf, "customer")
+    return grouped_stats_arrow(
+        c.groupBy("c_nationkey"), "c_acctbal", "c_nationkey"
+    )
+
+
+def q_theilsen(spark: SparkSession, sf: str) -> DataFrame:
+    # Robust trend per order priority (operators/aggregates.
+    # theil_sen_slope): median pairwise slope of MONTHLY revenue cents
+    # on month index — the calendar bounds each series, so the O(n²)
+    # pair set is ~276 rows per group regardless of data volume.
+    from iowa_liquor_sales_spark.operators.aggregates import (
+        theil_sen_slope,
+    )
+
+    o = read_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - 1995) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("mx"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("rev_cents")
+    )
+    return theil_sen_slope(monthly, "o_orderpriority", "mx", "rev_cents")
+
+
+def q_zonemap_prune(spark: SparkSession, sf: str) -> DataFrame:
+    # Zone-map skipping diagnostic (operators/layout.zonemap_skip_report):
+    # 64k-key orderkey buckets as simulated row groups, shipdate
+    # envelopes vs a one-quarter BETWEEN — how much I/O min/max stats
+    # save. One combinable aggregate, O(buckets) rows.
+    from iowa_liquor_sales_spark.operators.layout import (
+        zonemap_skip_report,
+    )
+
+    li = read_table(spark, sf, "lineitem")
+    return zonemap_skip_report(
+        li,
+        F.expr("l_orderkey div 65536"),
+        "l_shipdate",
+        "1996-01-01",
+        "1996-03-31",
+    )
+
+
+def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    # Poisson bootstrap CI for mean order value
+    # (operators/sampling.bootstrap_mean_ci): per-(row, replicate)
+    # hash-drawn Poisson(1) multiplicities — no rand(), no global count,
+    # the 40x fan-out dies in the map-side combiner. CI bounds
+    # integer-millicent exact.
+    from iowa_liquor_sales_spark.operators.sampling import (
+        bootstrap_mean_ci,
+    )
+
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return bootstrap_mean_ci(o, "o_orderkey", "cents", n_boot=40)
+
+
+def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental rollup maintenance (operators/upsert.
+    # merge_aggregate_delta): the <=1996 base aggregate plus the 1997+
+    # delta aggregate merged WITHOUT re-reading base facts must equal the
+    # full recompute (the oracle). Cost scales with delta + group count.
+    from iowa_liquor_sales_spark.operators.upsert import (
+        merge_aggregate_delta,
+    )
+
+    o = read_table(spark, sf, "orders")
+
+    def rollup(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+
+    base = rollup(o.filter(F.year("o_orderdate") <= 1996))
+    delta = rollup(o.filter(F.year("o_orderdate") >= 1997))
+    return merge_aggregate_delta(
+        base, delta, ["o_orderpriority"], ["rev_cents"]
+    )
+
+
+def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    # Trailing-7-day distinct users per day from MERGED daily HLL
+    # sketches (operators/sketches.hll_sliding_distinct): raw facts are
+    # folded once per day into 2^6 registers; the window merges
+    # O(days x 64) sketch rows, never re-scanning facts — the sketch-
+    # mergeability pattern exact COUNT(DISTINCT) can't match at scale.
+    from iowa_liquor_sales_spark.functions.dates import EPOCH_US_SQL
+    from iowa_liquor_sales_spark.operators.sketches import (
+        hll_sliding_distinct,
+    )
+
+    ev = read_table(spark, sf, "events").withColumn(
+        "day", F.expr(f"{EPOCH_US_SQL.format(col='ts')} div 86400000000")
+    )
+    return hll_sliding_distinct(ev, "day", "user_id", window_days=7, p=6)
+
+
+def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-source score alignment (operators/curation.quantile_normalize):
+    # each source's n_chars distribution remapped onto the global one via
+    # integer target ranks — per-group windows + the distributed global
+    # ranker, one equi-join on rank. The pre-mixing normalizer for
+    # corpora whose raw quality scales differ.
+    from iowa_liquor_sales_spark.operators.curation import (
+        quantile_normalize,
+    )
+
+    return quantile_normalize(
+        read_table(spark, sf, "documents"), "source", "n_chars", "doc_id"
+    )
+
+
+def q_embed_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    # Distributed covariance matrix of the embedding column
+    # (operators/similarity.embedding_covariance): the O(N·d²) PCA/
+    # whitening precursor — upper-triangle pair terms generated within
+    # each row by chained posexplodes (no join, no shuffle before the
+    # final d²-group reduce); exact int64 sums.
+    from iowa_liquor_sales_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(read_table(spark, sf, "embeddings"))
+
+
+def q_kfold_loo(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-validation statistics from ONE scan (operators/sampling.
+    # kfold_loo_aggregates): per-fold partial sums, training-side means
+    # by total-minus-fold — never k passes. Hash-assigned folds, exact
+    # integer sums, millicent-rounded divisions.
+    from iowa_liquor_sales_spark.operators.sampling import (
+        kfold_loo_aggregates,
+    )
+
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return kfold_loo_aggregates(o, "o_orderkey", "cents", k=5)
+
+
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    # Release-gate k-anonymity audit (operators/quality.k_anonymity_audit)
+    # over the (nation, segment, acctbal-sign) quasi-identifier: groups
+    # under k=5 re-identify members. One combinable aggregate + O(groups)
+    # rollup.
+    from iowa_liquor_sales_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    c = read_table(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") < 0).cast("int").alias("bal_neg"),
+    )
+    return k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment", "bal_neg"], k=5
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6384,6 +6572,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_acf": q_acf,
         "q_geohash": q_geohash,
         "q_interp_linear": q_interp_linear,
+        "q_apply_in_arrow": q_apply_in_arrow,
+        "q_theilsen": q_theilsen,
+        "q_zonemap_prune": q_zonemap_prune,
+        "q_bootstrap_ci": q_bootstrap_ci,
+        "q_incremental_agg": q_incremental_agg,
+        "q_hll_sliding": q_hll_sliding,
+        "q_quantile_normalize": q_quantile_normalize,
+        "q_embed_covariance": q_embed_covariance,
+        "q_kfold_loo": q_kfold_loo,
+        "q_k_anonymity": q_k_anonymity,
     }
 
 
@@ -6962,6 +7160,164 @@ def oracle_sql() -> dict[str, str]:
             WHERE cell = q_cell AND vec_id <> 0
             QUALIFY rnk <= 10""",
         "q_substring_dedup": _substring_dedup_oracle(k=5),
+        "q_kfold_loo": """
+            WITH o AS (
+              SELECT CAST(('0x' || substr(md5('fold'
+                         || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 5 AS fold,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            per AS (
+              SELECT fold, CAST(SUM(cents) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM o GROUP BY fold),
+            tot AS (
+              SELECT CAST(SUM(s) AS BIGINT) AS ts,
+                     CAST(SUM(n) AS BIGINT) AS tn FROM per)
+            SELECT CAST(fold AS INT) AS fold, n AS n_holdout,
+                   CAST(ROUND(10.0 * s / n, 0) AS BIGINT)
+                     AS holdout_mean_mc,
+                   CAST(ROUND(10.0 * (ts - s) / (tn - n), 0) AS BIGINT)
+                     AS train_mean_mc
+            FROM per, tot""",
+        "q_k_anonymity": """
+            WITH g AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(c_acctbal < 0 AS INT) AS bal_neg,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM customer
+              GROUP BY c_nationkey, c_mktsegment, bal_neg)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating_groups,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                     AS n_rows_at_risk,
+                   CAST((1000000 * SUM(CASE WHEN n < 5 THEN n ELSE 0 END))
+                        // SUM(n) AS BIGINT) AS risk_ppm
+            FROM g""",
+        "q_quantile_normalize": """
+            WITH s AS (SELECT doc_id AS id, source AS grp,
+                              n_chars AS score FROM documents),
+            tot AS (SELECT COUNT(*) AS n FROM s),
+            r AS (SELECT id, grp, score,
+                    row_number() OVER (PARTITION BY grp
+                                       ORDER BY score, id) AS rn,
+                    COUNT(*) OVER (PARTITION BY grp) AS cnt
+                  FROM s),
+            g AS (SELECT score AS norm_score,
+                    row_number() OVER (ORDER BY score, id) AS trank
+                  FROM s),
+            t AS (SELECT id, grp, score,
+                    CASE WHEN cnt = 1 THEN (n - 1) // 2 + 1
+                         ELSE CAST(ROUND((rn - 1) / (cnt - 1) * (n - 1),
+                                         0) AS BIGINT) + 1
+                    END AS trank
+                  FROM r, tot)
+            SELECT t.id AS doc_id, t.grp AS source, t.score,
+                   g.norm_score
+            FROM t JOIN g USING (trank)""",
+        "q_embed_covariance": """
+            WITH q AS (
+              SELECT list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                   AS BIGINT)) AS arr
+              FROM embeddings),
+            a AS (SELECT arr, unnest(range(0, len(arr))) AS i FROM q),
+            a2 AS (SELECT arr, CAST(i AS INT) AS i, arr[i + 1] AS xi
+                   FROM a),
+            b AS (SELECT i, xi, arr,
+                         unnest(range(i, len(arr))) AS j FROM a2),
+            b2 AS (SELECT i, CAST(j AS INT) AS j, xi, arr[j + 1] AS xj
+                   FROM b),
+            agg AS (
+              SELECT i, j,
+                     CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                     CAST(SUM(xi * xj) AS BIGINT) AS sum_xy,
+                     CAST(SUM(xi) AS BIGINT) AS sum_x,
+                     CAST(SUM(xj) AS BIGINT) AS sum_y
+              FROM b2 GROUP BY i, j)
+            SELECT i, j, n_vecs, sum_xy, sum_x, sum_y,
+                   ROUND(sum_xy / n_vecs
+                         - (sum_x / n_vecs) * (sum_y / n_vecs), 3)
+                     AS cov_scaled
+            FROM agg""",
+        "q_hll_sliding": _hll_sliding_oracle(),
+        "q_incremental_agg": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY o_orderpriority""",
+        "q_bootstrap_ci": """
+            WITH o AS (
+              SELECT o_orderkey AS id,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            r AS (
+              SELECT id, cents, unnest(range(0, 40)) AS b FROM o),
+            u AS (
+              SELECT b, cents,
+                     CAST(('0x' || substr(md5('bs' || CAST(b AS VARCHAR)
+                          || '_' || CAST(id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 1000 AS u
+              FROM r),
+            wts AS (
+              SELECT b, cents, CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2 WHEN u < 981 THEN 3 WHEN u < 996 THEN 4 ELSE 5 END AS w FROM u),
+            reps AS (
+              SELECT b,
+                     CAST(ROUND(10.0 * SUM(w * cents) / SUM(w), 0)
+                          AS BIGINT) AS mean_mc
+              FROM wts GROUP BY b),
+            pt AS (
+              SELECT ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 1)
+                     AS mean_cents
+              FROM o)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_boot,
+                   pt.mean_cents,
+                   quantile_cont(mean_mc, 0.025) AS ci_lo_mc,
+                   quantile_cont(mean_mc, 0.975) AS ci_hi_mc
+            FROM reps, pt GROUP BY pt.mean_cents""",
+        "q_zonemap_prune": """
+            SELECT l_orderkey // 65536 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(l_shipdate) AS stat_min,
+                   MAX(l_shipdate) AS stat_max,
+                   CASE WHEN MAX(l_shipdate) < DATE '1996-01-01'
+                             OR MIN(l_shipdate) > DATE '1996-03-31'
+                        THEN 'skip'
+                        WHEN MIN(l_shipdate) >= DATE '1996-01-01'
+                             AND MAX(l_shipdate) <= DATE '1996-03-31'
+                        THEN 'full'
+                        ELSE 'partial' END AS verdict
+            FROM lineitem GROUP BY bucket""",
+        "q_theilsen": """
+            WITH m AS (
+              SELECT o_orderpriority AS g,
+                     (year(o_orderdate) - 1995) * 12
+                       + month(o_orderdate) - 1 AS mx,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS rev
+              FROM orders GROUP BY g, mx),
+            p AS (
+              SELECT a.g,
+                     CAST(ROUND((b.rev - a.rev)
+                                / (b.mx - a.mx), 0) AS BIGINT) AS slope
+              FROM m a JOIN m b ON a.g = b.g AND a.mx < b.mx),
+            np AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_points
+                   FROM m GROUP BY g)
+            SELECT p.g AS o_orderpriority, np.n_points,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   quantile_cont(p.slope, 0.5) AS slope_median
+            FROM p JOIN np USING (g)
+            GROUP BY p.g, np.n_points""",
+        "q_apply_in_arrow": """
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS max_cents
+            FROM customer GROUP BY c_nationkey""",
         "q_interp_linear": """
             WITH ev AS (SELECT user_id, event_id, value,
                                epoch_us(ts) AS us,

@@ -84,6 +84,9 @@ HEADLINE = [
     "q_substring_dedup",
     "q_adamic_adar",
     "q_interp_linear",
+    "q_hll_sliding",
+    "q_quantile_normalize",
+    "q_embed_covariance",
 ]
 
 

@@ -59,3 +59,41 @@ def register_udfs(spark) -> None:
 
 
 __all__ = ["l2_norm_py", "SplitSentences", "register_udfs", "F"]
+
+
+def grouped_stats_arrow(grouped, value_col: str, key_col: str):
+    """``applyInArrow`` group kernel (Spark 4): per-group aggregation
+    computed with ``pyarrow.compute`` on whole-group RecordBatches — the
+    zero-copy, no-pandas escape hatch for columnar Python logic. The
+    cents-exact integer sum keeps the Python kernel's output identical
+    to the JVM twin (``SUM(CAST(round(v*100) AS BIGINT))``), which is
+    how any Arrow kernel here gets validated.
+
+    Takes a ``GroupedData`` (grouped by ``key_col``); returns a
+    DataFrame (key, n_rows, sum_cents, max_cents).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(table: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(table.column(value_col), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                key_col: [table.column(key_col)[0].as_py()],
+                "n_rows": pa.array([table.num_rows], pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "max_cents": pa.array(
+                    [pc.max(cents).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return grouped.applyInArrow(
+        kernel,
+        schema=(
+            f"{key_col} long, n_rows long, sum_cents long, max_cents long"
+        ),
+    )

@@ -149,3 +149,53 @@ def skyline_2d(
         )
         .drop("_by_hx", "_by_sx")
     )
+
+
+def theil_sen_slope(
+    series: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend estimator per group: the MEDIAN of all
+    pairwise slopes (y_j - y_i)/(x_j - x_i), i < j — up to ~29% outlier
+    contamination leaves the estimate unmoved, unlike OLS
+    (``regr_slope``) which a single bad month drags arbitrarily.
+
+    Pairwise enumeration is O(n²) PER SERIES by definition, so the
+    operator expects pre-aggregated series (e.g. monthly rollups —
+    bounded by the calendar, not the data volume); the self-join is
+    keyed on the group column, never cross-group. Slopes are rounded to
+    exact integers (``y`` should arrive integer-scaled, e.g. cents) so
+    the median interpolates two ints — exact in any engine.
+
+    Returns (group, n_points, n_pairs, slope_median).
+    """
+    a = series.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).alias("x1"),
+        F.col(y_col).alias("y1"),
+    )
+    b = series.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).alias("x2"),
+        F.col(y_col).alias("y2"),
+    )
+    pairs = a.join(b, "g").filter(F.col("x1") < F.col("x2"))
+    slope = F.round(
+        (F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1")), 0
+    ).cast("long")
+    n_points = series.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    med = (
+        pairs.withColumn("slope", slope)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.percentile("slope", F.lit(0.5)).alias("slope_median"),
+        )
+    )
+    return med.join(n_points, "g").select(
+        F.col("g").alias(group_col), "n_points", "n_pairs", "slope_median"
+    )

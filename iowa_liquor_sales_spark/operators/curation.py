@@ -562,3 +562,66 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(_cr, schema)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile normalization across sources: remap every group's score
+    distribution onto the GLOBAL score distribution, so a "0.9-quantile
+    doc" means the same thing in every source — the cross-source score
+    alignment step before mixing/filtering corpora whose raw quality
+    scales differ (one crawler's length distribution is another's tail).
+
+    Dataflow: a per-group rank window (hash-partitioned by group), the
+    global total order via :func:`~.ranking.global_row_number` (range
+    shuffle — NEVER a 1-partition window), and one equi-join on the
+    integer target rank. The within-group quantile ``(rn-1)/(cnt-1)``
+    maps to target rank ``round(q·(N-1)) + 1``; singleton groups pin to
+    the median. All rank math is integer-exact.
+
+    Returns (id, group, score, norm_score).
+    """
+    from pyspark.sql import Window
+
+    from iowa_liquor_sales_spark.operators.ranking import global_row_number
+
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(score_col).alias("score"),
+    )
+    n_total = scored.count()
+    wg = Window.partitionBy("grp").orderBy("score", "id")
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(wg)
+    ).withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    target = F.when(
+        F.col("cnt") == 1, F.lit((n_total - 1) // 2 + 1)
+    ).otherwise(
+        F.round(
+            (F.col("rn") - 1)
+            / (F.col("cnt") - 1)
+            * F.lit(n_total - 1),
+            0,
+        ).cast("long")
+        + 1
+    )
+    glob = global_row_number(
+        scored.select("score", F.col("id").alias("gid")),
+        ["score", "gid"],
+        out_col="grn",
+    ).select(F.col("grn").alias("trank"), F.col("score").alias("norm_score"))
+    return (
+        ranked.withColumn("trank", target)
+        .join(glob, "trank")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "score",
+            "norm_score",
+        )
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -96,3 +96,44 @@ def geohash_chars_sql(z: str, precision: int = 6) -> str:
         for i in range(precision)
     ]
     return "concat(" + ", ".join(parts) + ")"
+
+
+def zonemap_skip_report(
+    df: DataFrame,
+    bucket: Column,
+    stat_col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Zone-map (row-group min/max stats) skipping diagnostic: group rows
+    into storage buckets, compute each bucket's [min, max] envelope of
+    ``stat_col``, and classify what a ``BETWEEN lo AND hi`` scan could
+    do with that bucket — ``skip`` (disjoint envelope: never read),
+    ``full`` (envelope inside the predicate: read without evaluating
+    the filter), or ``partial``. The sum of skipped rows over total is
+    exactly the I/O a zone-map-aware reader (parquet row-group stats,
+    Delta/Iceberg file stats, the engine's Z-ORDER layout) saves —
+    the observability half of the q_zorder/q_compaction layout story.
+
+    One map-side-combinable aggregate; O(buckets) output.
+    """
+    per = df.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(stat_col).alias("stat_min"),
+        F.max(stat_col).alias("stat_max"),
+    )
+    verdict = (
+        F.when(
+            (F.col("stat_max") < F.lit(lo))
+            | (F.col("stat_min") > F.lit(hi)),
+            F.lit("skip"),
+        )
+        .when(
+            (F.col("stat_min") >= F.lit(lo))
+            & (F.col("stat_max") <= F.lit(hi)),
+            F.lit("full"),
+        )
+        .otherwise(F.lit("partial"))
+    )
+    return per.select("bucket", "n_rows", "stat_min", "stat_max",
+                      verdict.alias("verdict"))

@@ -80,3 +80,39 @@ def table_checksum(df: DataFrame, cols: list[str], null_token: str = "\\N") -> D
         F.expr("count(*)").alias("n_rows"),
         F.bit_xor(hash60(canon)).alias("checksum"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: any QI
+    group with fewer than ``k`` rows re-identifies its members (the
+    linkage-attack precondition), so a release gate needs the violating
+    share BEFORE export — the structural complement of value-level
+    scrubbing (:mod:`~.curation` PII scrub).
+
+    One map-side-combinable aggregate into QI groups, then an O(groups)
+    rollup. Returns a single row: (n_groups, n_violating_groups,
+    n_rows_at_risk, risk_ppm) — rows at risk per million, integer-exact.
+    """
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rolled = groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("n") < k).cast("long")).alias("n_violating_groups"),
+        F.sum(
+            F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0))
+        ).alias("n_rows_at_risk"),
+        F.sum("n").alias("_total"),
+    )
+    # integer div, never float-cast: CAST(double AS BIGINT) truncates in
+    # Spark but rounds in ANSI engines — ppm must be engine-exact.
+    return rolled.select(
+        "n_groups",
+        "n_violating_groups",
+        "n_rows_at_risk",
+        F.expr("(1000000 * n_rows_at_risk) div _total").alias("risk_ppm"),
+    )

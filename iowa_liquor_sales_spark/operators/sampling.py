@@ -170,3 +170,119 @@ def pack_sequences(
             (F.col("_cum") - F.col(token_col)).alias("start_tok"),
         )
     )
+
+
+# Cumulative per-mille thresholds of Poisson(1): P(X<=k) for k=0..4.
+# The classic Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+# for Massive Data Streams") replaces multinomial resampling — which
+# needs the global row count — with independent per-row Poisson(1)
+# multiplicities, which need NOTHING global: the embarrassingly-parallel
+# bootstrap.
+POISSON1_CUM_PER_MILLE = (368, 736, 920, 981, 996)
+
+
+def poisson1_weight(key: Column, replicate: Column) -> Column:
+    """Deterministic Poisson(1) multiplicity for (row, replicate) from
+    ``hash60`` — reproducible in any engine, no ``rand()``."""
+    u = hash60(
+        F.concat(F.lit("bs"), replicate.cast("string"), F.lit("_"),
+                 key.cast("string"))
+    ) % 1000
+    w = F.lit(len(POISSON1_CUM_PER_MILLE))
+    for k in range(len(POISSON1_CUM_PER_MILLE) - 1, -1, -1):
+        w = F.when(u < POISSON1_CUM_PER_MILLE[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    cents_col: str,
+    n_boot: int = 40,
+) -> DataFrame:
+    """Bootstrap confidence interval for a mean, computed distributed and
+    deterministically: each row joins every replicate with a hash-drawn
+    Poisson(1) multiplicity, each replicate reduces to ONE weighted-mean
+    row via a map-side-combinable sum pair, and the CI is a percentile
+    over the ``n_boot`` replicate means. The n_boot-times row fan-out
+    never survives a partition — the combiner collapses it to
+    O(n_boot) rows per task, which is why this scales where
+    collect-and-resample cannot.
+
+    Replicate means are rounded to integer tenths of a cent before the
+    percentile, so the 2.5/97.5 interpolation is exact-int in any
+    engine (the float-median ulp trap).
+
+    Returns one row: (n_boot, mean_cents, ci_lo_mc, ci_hi_mc) where the
+    CI bounds are in millicents (cents × 10).
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    w = poisson1_weight(F.col(id_col), F.col("b"))
+    per_rep = (
+        df.select(F.col(id_col), F.col(cents_col).alias("cents"), b)
+        .select("b", (w * F.col("cents")).alias("wc"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.lit(10.0) * F.sum("wc") / F.sum("w"), 0
+            ).cast("long").alias("mean_mc")
+        )
+    )
+    # exact integer SUM then one double division — avg(long) would
+    # accumulate doubles in partition order.
+    point = df.agg(
+        F.round(
+            F.sum(F.col(cents_col)) / F.count(F.lit(1)), 1
+        ).alias("mean_cents"),
+    )
+    ci = per_rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+        F.percentile("mean_mc", F.lit(0.025)).alias("ci_lo_mc"),
+        F.percentile("mean_mc", F.lit(0.975)).alias("ci_hi_mc"),
+    )
+    return ci.crossJoin(point).select(
+        "n_boot", "mean_cents", "ci_lo_mc", "ci_hi_mc"
+    )
+
+
+def kfold_loo_aggregates(
+    df: DataFrame,
+    key: str,
+    cents_col: str,
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """Leave-one-fold-out aggregates from ONE scan: assign each row a
+    deterministic fold (``hash60 % k``), reduce to per-fold partial sums
+    (O(k) rows), then produce each fold's TRAINING-side mean as
+    total-minus-fold — the cross-validation statistic without k passes
+    over the data. The pattern generalizes to any distributive
+    aggregate: partials once, complements by subtraction.
+
+    Returns (fold, n_holdout, holdout_mean_mc, train_mean_mc) per fold,
+    means in integer millicents (exact: int sums, one rounded division).
+    """
+    fold = (
+        hash60(F.concat(F.lit(salt), F.col(key).cast("string"))) % k
+    ).cast("int")
+    per = (
+        df.select(fold.alias("fold"), F.col(cents_col).alias("cents"))
+        .groupBy("fold")
+        .agg(
+            F.sum("cents").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    tot = per.agg(
+        F.sum("s").alias("ts"), F.sum("n").cast("long").alias("tn")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    mc = lambda s, n: F.round(F.lit(10.0) * s / n, 0).cast("long")  # noqa: E731
+    return j.select(
+        "fold",
+        F.col("n").alias("n_holdout"),
+        mc(F.col("s"), F.col("n")).alias("holdout_mean_mc"),
+        mc(F.col("ts") - F.col("s"), F.col("tn") - F.col("n")).alias(
+            "train_mean_mc"
+        ),
+    )

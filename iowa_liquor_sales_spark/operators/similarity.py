@@ -507,3 +507,132 @@ def ann_sq8_topk(
         .filter(F.col("rnk") <= k)
         .select(id_col, "rnk", "qdot")
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed covariance (Gram) matrix of an embedding column — the
+    O(N·d²) aggregation that PCA / whitening / Mahalanobis all start
+    from; the O(d³) eigendecomposition that follows is driver-trivial
+    (d×d), so THIS is the part that must scale.
+
+    Components are quantized to exact integers (``round(x·scale)``) so
+    the d² sums are partition-order exact int64 (|x|≤1, scale 1e6, so a
+    product is ≤1e12 — millions of rows of headroom per sum before
+    overflow; at larger N, lower ``scale``). The upper-triangle pair
+    terms are generated WITHIN each row by two chained ``posexplode``
+    passes (the second over a ``slice`` from the first's position) —
+    zero joins, zero shuffles until the final map-side-combinable
+    reduce into d(d+1)/2 groups.
+
+    Returns (i, j, n_vecs, sum_xy, sum_x, sum_y, cov_scaled) for i ≤ j;
+    cov = E[xy] − E[x]E[y] over the scaled ints, double division only
+    at the end.
+    """
+    qarr = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    a = df.select(F.posexplode(qarr).alias("i", "xi"), qarr.alias("arr"))
+    b = a.select(
+        "i",
+        "xi",
+        F.posexplode(
+            F.slice(
+                F.col("arr"), F.col("i") + 1, F.size("arr") - F.col("i")
+            )
+        ).alias("jj", "xj"),
+    )
+    agg = b.groupBy(
+        F.col("i"), (F.col("i") + F.col("jj")).alias("j")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sum_xy"),
+        F.sum("xi").alias("sum_x"),
+        F.sum("xj").alias("sum_y"),
+    )
+    cov = (
+        F.col("sum_xy") / F.col("n_vecs")
+        - (F.col("sum_x") / F.col("n_vecs"))
+        * (F.col("sum_y") / F.col("n_vecs"))
+    )
+    return agg.select(
+        "i", "j", "n_vecs", "sum_xy", "sum_x", "sum_y",
+        F.round(cov, 3).alias("cov_scaled"),
+    )
+
+
+def power_iteration_pc1(
+    cov: DataFrame,
+    dim: int,
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top principal component by power iteration over a covariance
+    relation ``(i, j, cov_scaled)`` (upper triangle, i <= j — e.g. from
+    :func:`embedding_covariance`): v ← C·v, renormalized to an
+    integer-scaled unit vector each round. The O(N·d²) covariance build
+    is the distributed stage; the iteration itself touches only the
+    O(d²) matrix relation — same cost model as the label phase of the
+    graph algorithms.
+
+    Exactness discipline: matrix entries are pre-quantized
+    (``round(cov_scaled/1000)``, ≤1e9) and vector components are
+    ≤``scale``, so every multiply-accumulate is exact int64 for
+    d ≤ 64; before the norm, the raw product vector is re-quantized by
+    an integer ``div 2^30`` so its square-sum also stays exact. The
+    only floats are one correctly-rounded ``sqrt`` and one rounded
+    division per component per round — deterministic on any
+    partitioning and rendered bit-identically by a generated
+    CTE-replay oracle (the Borůvka oracle discipline).
+
+    Returns (i, v_scaled) — the unit eigenvector × ``scale``, sign
+    fixed so the largest-|component| entry (ties: lowest i) is
+    positive.
+    """
+    c_q = F.round(F.col("cov_scaled") / 1000, 0).cast("long").alias("c")
+    upper = cov.select("i", "j", c_q)
+    sym = upper.unionAll(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("c")
+        )
+    )
+    spark = cov.sparkSession
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(int(scale)).alias("v"),
+    )
+    for _ in range(iters):
+        w = (
+            sym.join(v, "j")
+            .groupBy("i")
+            .agg(
+                F.expr("CAST(SUM(c * v) AS BIGINT) div 1073741824")
+                .alias("wq")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(F.sum(F.col("wq") * F.col("wq")).cast("double"))
+            .alias("n")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"),
+            F.round(F.lit(float(scale)) * F.col("wq") / F.col("n"), 0)
+            .cast("long")
+            .alias("v"),
+        )
+    pick = v.orderBy(F.abs(F.col("v")).desc(), F.col("j").asc()).limit(1)
+    sgn = pick.select(
+        F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("s")
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .select(
+            F.col("j").alias("i"),
+            (F.col("v") * F.col("s")).alias("v_scaled"),
+        )
+        .orderBy("i")
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from iowa_liquor_sales_spark.functions.hashing import hash60
@@ -687,3 +687,129 @@ def countmin_join_size_sql(
           FROM ca JOIN cb ON ca.depth = cb.depth AND ca.bucket = cb.bucket
           GROUP BY ca.depth)
         SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip"""
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    day_col: str,
+    expr: Column | str,
+    window_days: int = 7,
+    p: int = 6,
+) -> DataFrame:
+    """Trailing-window distinct count from MERGED daily HLL sketches —
+    the "7-day active users per day" query that exact COUNT(DISTINCT)
+    cannot serve at scale (it would re-scan 7 days of raw facts per
+    output day). Here each day folds to a <= 2^p register table ONCE;
+    the trailing window is a per-bucket MAX over an integer RANGE frame
+    on O(days × 2^p) rows — sketch mergeability doing the heavy lifting,
+    with raw-fact cost paid exactly once per day.
+
+    Dataflow: daily registers (map-side MAX into day×2^p groups) →
+    dense day×bucket grid (a narrow explode off the distinct-day list;
+    needed so buckets silent on day d still window over [d-w+1, d]) →
+    one per-bucket RANGE window → per-day harmonic sum in exact int64
+    (the :func:`hll_estimate` expression tree, bit-identical in the
+    oracle).
+
+    Returns (day, est_distinct, n_buckets_used) per day present.
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    m = 1 << p
+    wbits = 60 - p
+    maxrho = 61 - p
+    h = hash60(c.cast("string"))
+    w0 = F.shiftright(h, p)
+    rho = (
+        F.when(w0 == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w0)))
+        .cast("int")
+    )
+    regs = (
+        df.select(
+            F.col(day_col).alias("day"),
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    grid = (
+        regs.select("day")
+        .distinct()
+        .select(
+            "day",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"),
+        )
+    )
+    j = grid.join(regs, ["day", "bucket"], "left")
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    merged = j.select(
+        "day", "bucket", F.max("rho").over(win).alias("wrho")
+    )
+    s = merged.groupBy("day").agg(
+        F.count("wrho").alias("nb"),
+        F.sum(F.expr(f"shiftleft(1L, {maxrho} - wrho)")).alias("hp"),
+    )
+    hsum = (F.col("hp") + (F.lit(m) - F.col("nb")) * F.lit(1 << maxrho)).cast(
+        "double"
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    return s.select(
+        "day",
+        (alpha * F.lit(float(m * m)) * F.lit(float(1 << maxrho)) / hsum)
+        .alias("est_distinct"),
+        F.col("nb").cast("long").alias("n_buckets_used"),
+    )
+
+
+def hll_sliding_sql(
+    day_expr: str,
+    expr: str,
+    table: str,
+    window_days: int = 7,
+    p: int = 6,
+) -> str:
+    """DuckDB rendering of :func:`hll_sliding_distinct` (bit-identical)."""
+    m = 1 << p
+    maxrho = 61 - p
+    big = 1 << maxrho
+    return f"""
+        WITH e AS (
+          SELECT {day_expr} AS day,
+                 CAST(('0x' || substr(md5(CAST(({expr}) AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM {table}),
+        regs AS (
+          SELECT day, h % {m} AS bucket,
+                 MAX(CASE WHEN h // {m} = 0 THEN {maxrho}
+                          ELSE {maxrho} - length(bin(h // {m})) END) AS rho
+          FROM e GROUP BY day, bucket),
+        grid AS (
+          SELECT day, unnest(range(0, {m})) AS bucket
+          FROM (SELECT DISTINCT day FROM regs)),
+        j AS (
+          SELECT g.day, g.bucket, r.rho
+          FROM grid g LEFT JOIN regs r
+            ON g.day = r.day AND g.bucket = r.bucket),
+        w AS (
+          SELECT day,
+                 MAX(rho) OVER (PARTITION BY bucket ORDER BY day
+                                RANGE BETWEEN {window_days - 1} PRECEDING
+                                AND CURRENT ROW) AS wrho
+          FROM j),
+        s AS (
+          SELECT day, COUNT(wrho) AS nb,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({maxrho} - wrho))
+                      AS BIGINT) AS hp
+          FROM w GROUP BY day)
+        SELECT day,
+               (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m * m)}
+                   * {float(big)}
+                   / CAST(hp + ({m} - nb) * {big} AS DOUBLE)
+                 AS est_distinct,
+               CAST(nb AS BIGINT) AS n_buckets_used
+        FROM s"""

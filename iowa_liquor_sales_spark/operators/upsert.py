@@ -13,6 +13,7 @@ affected partitions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from iowa_liquor_sales_spark.operators.dedup import dedup_rank
 
@@ -82,3 +83,31 @@ def apply_cdc(
     survivors = head.filter(F.col(op_col) != "D").drop(op_col, seq_col)
     untouched = snapshot.join(head.select(*keys), keys, "left_anti")
     return untouched.unionByName(survivors)
+
+
+def merge_aggregate_delta(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for distributive
+    aggregates (SUM/COUNT): fold a pre-aggregated DELTA batch into the
+    existing BASE aggregate without touching base facts — the
+    refresh-a-rollup-from-CDC pattern. Works because SUM/COUNT are
+    commutative monoids: ``agg(base facts ∪ delta facts) =
+    merge(agg(base), agg(delta))``.
+
+    One union + one map-side-combinable re-aggregate over O(groups)
+    rows — the whole point: cost scales with the DELTA and the group
+    count, never with base-table volume. (MIN/MAX merge the same way;
+    AVG must be carried as SUM+COUNT pairs, which is why the contract
+    takes integer-scaled sums, not means.)
+    """
+    cols = keys + sum_cols + [count_col]
+    merged = base.select(*cols).unionAll(delta.select(*cols))
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.sum(count_col).cast("long").alias(count_col),
+    )

@@ -310,3 +310,28 @@ def test_temperature_weights_flattens_mix(spark):
     # probabilities each sum to 1.
     assert abs(out["big"]["p_raw"] + out["small"]["p_raw"] - 1.0) < 1e-8
     assert abs(out["big"]["p_temp"] + out["small"]["p_temp"] - 1.0) < 1e-8
+
+
+def test_quantile_normalize_aligns_source_scales(spark):
+    from iowa_liquor_sales_spark.operators.curation import (
+        quantile_normalize,
+    )
+
+    # Source A scores 0..9, source B scores 1000..1009 (same shape,
+    # shifted scale): after normalization the k-th ranked doc of A and
+    # of B land on the SAME global value.
+    rows = [(i, "a", i) for i in range(10)] + [
+        (100 + i, "b", 1000 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = quantile_normalize(df, "source", "n_chars", "doc_id")
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["source"], []).append(
+            (r["score"], r["norm_score"])
+        )
+    a = [ns for _, ns in sorted(by_src["a"])]
+    b = [ns for _, ns in sorted(by_src["b"])]
+    assert a == b
+    # endpoints hit the global extremes
+    assert a[0] == 0 and a[-1] == 1009

@@ -569,3 +569,74 @@ def test_geohash_matches_reference_encoding(spark):
     got = {(r["lat"], r["lon"]): r["gh"] for r in out}
     assert got[(57.64911, 10.40744)] == "u4pruy"
     assert got[(-33.86, 151.21)] == "r3gx2g"
+
+
+def test_theil_sen_ignores_outlier(spark):
+    from iowa_liquor_sales_spark.operators.aggregates import theil_sen_slope
+
+    # y = 2x + noise-free, except one wild outlier month: OLS would be
+    # dragged, the pairwise-slope median stays exactly 2.
+    rows = [("g", x, 2 * x) for x in range(10)] + [("g", 10, 1000)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    out = theil_sen_slope(df, "k", "x", "y").collect()[0]
+    assert out["n_points"] == 11
+    assert out["n_pairs"] == 55
+    assert out["slope_median"] == 2.0
+
+
+def test_zonemap_skip_report_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.layout import zonemap_skip_report
+
+    # Bucket 0 entirely below the range (skip), bucket 1 inside (full),
+    # bucket 2 straddling (partial).
+    rows = [(0, 1), (0, 4), (1, 11), (1, 14), (2, 14), (2, 30)]
+    df = spark.createDataFrame(rows, ["b", "v"])
+    out = {
+        r["bucket"]: r["verdict"]
+        for r in zonemap_skip_report(df, F.col("b"), "v", 10, 20).collect()
+    }
+    assert out == {0: "skip", 1: "full", 2: "partial"}
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from iowa_liquor_sales_spark.operators.sampling import bootstrap_mean_ci
+
+    rows = [(i, 1000 + (i % 7) * 10) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "cents"])
+    a = bootstrap_mean_ci(df, "id", "cents", n_boot=40).collect()[0]
+    b = bootstrap_mean_ci(df, "id", "cents", n_boot=40).collect()[0]
+    assert a == b  # hash-drawn weights: no rand() anywhere
+    assert a["n_boot"] == 40
+    # CI in millicents brackets the true mean (10300 mc)
+    assert a["ci_lo_mc"] <= 10300 <= a["ci_hi_mc"]
+    # and is a nondegenerate interval
+    assert a["ci_lo_mc"] < a["ci_hi_mc"]
+
+
+def test_apply_in_arrow_matches_jvm_twin(spark):
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.functions.udfs import grouped_stats_arrow
+    from iowa_liquor_sales_spark.schemas import read_table
+
+    c = read_table(spark, "/root/testdata/sf0.001", "customer")
+    got = {
+        r["c_nationkey"]: (r["n_rows"], r["sum_cents"], r["max_cents"])
+        for r in grouped_stats_arrow(
+            c.groupBy("c_nationkey"), "c_acctbal", "c_nationkey"
+        ).collect()
+    }
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    want = {
+        r["c_nationkey"]: (r["n"], r["s"], r["m"])
+        for r in c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s"),
+            F.max(cents).alias("m"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -435,3 +435,16 @@ def test_countmin_point_estimates_never_undercount(spark):
     for k in range(7):
         assert est[str(k)] >= 100
     assert est["99"] >= 1
+
+
+def test_k_anonymity_audit_counts(spark):
+    from iowa_liquor_sales_spark.operators.quality import k_anonymity_audit
+
+    # Group (a,1): 5 rows (safe at k=5); (a,2): 2 rows; (b,1): 1 row.
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)]
+    df = spark.createDataFrame(rows, ["qa", "qb"])
+    out = k_anonymity_audit(df, ["qa", "qb"], k=5).collect()[0]
+    assert out["n_groups"] == 3
+    assert out["n_violating_groups"] == 2
+    assert out["n_rows_at_risk"] == 3
+    assert out["risk_ppm"] == 1_000_000 * 3 // 8

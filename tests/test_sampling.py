@@ -98,3 +98,27 @@ def test_pack_sequences_budget_and_determinism(spark):
     # layout survives repartitioning
     again = pack_sequences(df.repartition(13), "toks", "doc_id", budget=100, shards=4)
     assert out.exceptAll(again).isEmpty()
+
+
+def test_kfold_loo_complement_identity(spark):
+    from iowa_liquor_sales_spark.operators.sampling import (
+        kfold_loo_aggregates,
+    )
+
+    rows = [(i, 100 * (i % 9 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "cents"])
+    out = kfold_loo_aggregates(df, "id", "cents", k=4).collect()
+    assert len(out) == 4
+    assert sum(r["n_holdout"] for r in out) == 200
+    # train side of each fold == exact mean of the complement rows
+    by_fold = {}
+    import hashlib
+
+    for i, cents in rows:
+        h = int(hashlib.md5(f"fold{i}".encode()).hexdigest()[:15], 16) % 4
+        by_fold.setdefault(h, []).append(cents)
+    for r in out:
+        rest = [c for f, cs in by_fold.items() if f != r["fold"]
+                for c in cs]
+        want = round(10.0 * sum(rest) / len(rest))
+        assert r["train_mean_mc"] == want

@@ -117,3 +117,27 @@ def test_ann_sq8_prefers_aligned_vector(spark):
     by_rnk = sorted(out, key=lambda r: r["rnk"])
     assert all(isinstance(r["qdot"], int) for r in out)
     assert by_rnk[0]["qdot"] >= by_rnk[-1]["qdot"]
+
+
+def test_embedding_covariance_exact_small_case(spark):
+    from iowa_liquor_sales_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    # Three 2-d vectors with hand-computable covariance:
+    # x = (0.1, 0.2, 0.3), y = (0.4, 0.0, 0.2); scaled by 1e6.
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.4]), (1, [0.2, 0.0]), (2, [0.3, 0.2])],
+        ["vec_id", "embedding"],
+    )
+    out = {(r["i"], r["j"]): r for r in embedding_covariance(df).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 1)}
+    s = 1_000_000
+    xs, ys = [0.1 * s, 0.2 * s, 0.3 * s], [0.4 * s, 0.0, 0.2 * s]
+    n = 3
+    exy = sum(x * y for x, y in zip(xs, ys)) / n
+    cov = round(exy - (sum(xs) / n) * (sum(ys) / n), 3)
+    assert out[(0, 1)]["n_vecs"] == 3
+    assert out[(0, 1)]["cov_scaled"] == cov
+    # variance on the diagonal is positive
+    assert out[(0, 0)]["cov_scaled"] > 0

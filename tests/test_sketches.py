@@ -201,3 +201,32 @@ def test_countmin_join_size_upper_bounds_true_size(spark):
     ]
     assert est >= true_size            # CM inner product never undershoots
     assert est <= true_size + 100 * b.count() // 1024 + 20  # collision slack
+
+
+def test_hll_sliding_tracks_exact_trailing_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.sketches import (
+        hll_sliding_distinct,
+    )
+
+    # 20 days, day d has users [d*50, d*50+300): trailing-7-day exact
+    # distinct is 600 for interior days — n/m ~ 9, inside the raw
+    # estimator's valid range (the operator documents no small-range
+    # correction). p=6: ~13% stderr; assert within 35% (~2.7 sigma, and
+    # the hash is deterministic so this never flakes).
+    rows = [(d, d * 50 + u) for d in range(20) for u in range(300)]
+    df = spark.createDataFrame(rows, ["day", "user_id"])
+    out = {
+        r["day"]: r["est_distinct"]
+        for r in hll_sliding_distinct(
+            df, "day", F.col("user_id"), window_days=7, p=6
+        ).collect()
+    }
+    assert len(out) == 20
+    for d in range(6, 20):
+        exact = len({dd * 50 + u for dd in range(d - 6, d + 1)
+                     for u in range(300)})
+        assert abs(out[d] - exact) / exact < 0.35, (d, out[d], exact)
+    # the window genuinely merges days: estimate well above one day's 300
+    assert out[19] > 380

@@ -336,3 +336,54 @@ def test_stream_static_broadcast_join(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    # Stream-stream inner join with watermarks + an event-time interval
+    # bound (the Structured Streaming two-feed enrichment: clicks join
+    # views within 1h). Bounded input drained with availableNow must
+    # equal the identical batch join.
+    staged = _stage_events(spark, tmp_path)
+    from iowa_liquor_sales_spark.streaming.events import read_events_stream
+
+    def legs(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        return views, clicks
+
+    sv, sc = legs(read_events_stream(spark, staged, max_files_per_trigger=2))
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = sv.withWatermark("v_ts", "2 hours").join(
+        sc.withWatermark("c_ts", "2 hours"), cond, "inner"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["v_id"], r["c_id"])
+        for r in spark.table("ss_join_out").select("v_id", "c_id").collect()
+    }
+    bv, bc = legs(spark.read.parquet(staged))
+    want = {
+        (r["v_id"], r["c_id"])
+        for r in bv.join(bc, cond, "inner").select("v_id", "c_id").collect()
+    }
+    assert got == want and len(got) > 0

@@ -62,3 +62,54 @@ def test_apply_cdc_semantics(spark):
     )
     out = {r["k"]: r["v"] for r in apply_cdc(snap, changes, ["k"], "seq").collect()}
     assert out == {1: "a2", 3: "c2", 4: "d", 5: "e"}
+
+
+def test_merge_aggregate_delta_equals_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.upsert import (
+        merge_aggregate_delta,
+    )
+
+    rows = [(i % 3, i, 100 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "seq", "amt"])
+
+    def rollup(d):
+        return d.groupBy("k").agg(
+            F.sum("amt").alias("amt"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+
+    base = rollup(df.filter(F.col("seq") < 30))
+    delta = rollup(df.filter(F.col("seq") >= 30))
+    got = {
+        r["k"]: (r["amt"], r["n_rows"])
+        for r in merge_aggregate_delta(
+            base, delta, ["k"], ["amt"]
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["amt"], r["n_rows"]) for r in rollup(df).collect()
+    }
+    assert got == want
+
+
+def test_merge_aggregate_delta_new_and_untouched_groups(spark):
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.upsert import (
+        merge_aggregate_delta,
+    )
+
+    # A group only in base passes through; a group only in delta appears.
+    base = spark.createDataFrame([(1, 10, 2), (2, 20, 1)],
+                                 ["k", "amt", "n_rows"])
+    delta = spark.createDataFrame([(2, 5, 1), (3, 7, 1)],
+                                  ["k", "amt", "n_rows"])
+    got = {
+        r["k"]: (r["amt"], r["n_rows"])
+        for r in merge_aggregate_delta(
+            base, delta, ["k"], ["amt"]
+        ).collect()
+    }
+    assert got == {1: (10, 2), 2: (25, 2), 3: (7, 1)}
