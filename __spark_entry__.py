@@ -6287,6 +6287,177 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pca_pc1(spark: SparkSession, sf: str) -> DataFrame:
+    # Top principal component by power iteration (operators/similarity.
+    # power_iteration_pc1) over the distributed covariance of the
+    # label-spiked embeddings (the spike plants a ~100x spectral gap, so
+    # the 3-round fixed-iteration contract is converged). Exact int64
+    # multiply-accumulates; generated CTE-replay oracle.
+    from iowa_liquor_sales_spark.operators.similarity import (
+        embedding_covariance,
+        power_iteration_pc1,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    spiked = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.when(i < 8, F.lit(0.2) * F.col("label")).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("embedding"),
+    )
+    return power_iteration_pc1(embedding_covariance(spiked), dim=64)
+
+
+def _pca_pc1_oracle(dim: int = 64, iters: int = 3) -> str:
+    """Mechanical replay of embedding_covariance + power_iteration_pc1
+    (generated like _mst_oracle so the iteration dataflow cannot
+    drift): spiked quantized arrays -> upper-triangle covariance ->
+    symmetrized matrix -> ``iters`` rounds of exact-int multiply,
+    sign-symmetric div-2^30 quantize, sqrt norm, rounded rescale ->
+    deterministic sign fix."""
+    blocks = [f"""
+        q AS (
+          SELECT [CAST(round((CAST(embedding[i + 1] AS DOUBLE)
+                              + CASE WHEN i < 8 THEN 0.2 * label
+                                     ELSE 0.0 END) * 1000000) AS BIGINT)
+                  FOR i IN range(0, len(embedding))] AS arr
+          FROM embeddings),
+        a AS (SELECT arr, unnest(range(0, len(arr))) AS i FROM q),
+        a2 AS (SELECT arr, CAST(i AS INT) AS i, arr[i + 1] AS xi FROM a),
+        b AS (SELECT i, xi, arr, unnest(range(i, len(arr))) AS j FROM a2),
+        b2 AS (SELECT i, CAST(j AS INT) AS j, xi, arr[j + 1] AS xj FROM b),
+        agg AS (
+          SELECT i, j,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(xi * xj) AS BIGINT) AS sum_xy,
+                 CAST(SUM(xi) AS BIGINT) AS sum_x,
+                 CAST(SUM(xj) AS BIGINT) AS sum_y
+          FROM b2 GROUP BY i, j),
+        cov AS (
+          SELECT i, j,
+                 ROUND(sum_xy / n_vecs
+                       - (sum_x / n_vecs) * (sum_y / n_vecs), 3)
+                   AS cov_scaled
+          FROM agg),
+        up AS (SELECT i, j,
+                      CAST(ROUND(cov_scaled / 1000, 0) AS BIGINT) AS c
+               FROM cov),
+        sym AS (
+          SELECT i, j, c FROM up
+          UNION ALL
+          SELECT j AS i, i AS j, c FROM up WHERE i <> j),
+        v0 AS (SELECT CAST(i AS INT) AS j, CAST(1000000 AS BIGINT) AS v
+               FROM range(0, {dim}) t(i))"""]
+    vp = "v0"
+    for t in range(1, iters + 1):
+        blocks.append(f"""
+        w{t} AS (
+          SELECT s.i,
+                 CASE WHEN SUM(s.c * v.v) < 0
+                      THEN -(CAST(-SUM(s.c * v.v) AS BIGINT) // 1073741824)
+                      ELSE CAST(SUM(s.c * v.v) AS BIGINT) // 1073741824
+                 END AS wq
+          FROM sym s JOIN {vp} v ON s.j = v.j GROUP BY s.i),
+        n{t} AS (SELECT sqrt(CAST(SUM(wq * wq) AS DOUBLE)) AS n FROM w{t}),
+        v{t} AS (
+          SELECT i AS j,
+                 CAST(ROUND(1000000.0 * wq / n, 0) AS BIGINT) AS v
+          FROM w{t}, n{t})""")
+        vp = f"v{t}"
+    return (
+        "WITH " + ",".join(blocks) + f"""
+        , pick AS (SELECT v FROM {vp}
+                   ORDER BY abs(v) DESC, j ASC LIMIT 1),
+        sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s FROM pick)
+        SELECT j AS i, v * s AS v_scaled FROM {vp}, sgn ORDER BY i"""
+    )
+
+
+def q_markov_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # Removal-effect attribution over the event-type Markov chain
+    # (operators/graph.markov_removal_attribution): distributed
+    # transition estimate (per-user window + O(types²) ppm aggregate),
+    # exact-integer value iteration per removal scenario on the bounded
+    # collected chain — generated CTE-replay oracle.
+    from iowa_liquor_sales_spark.operators.graph import (
+        markov_removal_attribution,
+    )
+
+    return markov_removal_attribution(read_table(spark, sf, "events"))
+
+
+def _markov_attribution_oracle(horizon: int = 8) -> str:
+    """Mechanical replay of markov_removal_attribution (the _mst_oracle
+    pattern): windowed transition counts -> integer ppm probabilities ->
+    per-scenario exact-int value iteration -> removal effects."""
+    blocks = ["""
+        seq AS MATERIALIZED (
+          SELECT event_type AS t,
+                 lead(event_type) OVER wu AS nxt,
+                 row_number() OVER wu AS rn
+          FROM events
+          WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        core AS MATERIALIZED (SELECT t AS src, COALESCE(nxt, 'END') AS dst
+                 FROM seq WHERE t <> 'purchase'),
+        firsts AS MATERIALIZED (SELECT 'START' AS src, t AS dst FROM seq WHERE rn = 1),
+        trans AS MATERIALIZED (
+          SELECT src, dst, COUNT(*) AS n FROM (
+            SELECT * FROM core UNION ALL SELECT * FROM firsts)
+          GROUP BY src, dst),
+        ppm AS MATERIALIZED (
+          SELECT src, dst,
+                 (1000000 * n) // SUM(n) OVER (PARTITION BY src) AS p_ppm
+          FROM trans),
+        states AS MATERIALIZED (
+          SELECT DISTINCT s FROM (
+            SELECT src AS s FROM ppm UNION SELECT dst FROM ppm
+            UNION SELECT 'purchase' UNION SELECT 'END')),
+        chan AS MATERIALIZED (SELECT s AS c FROM states
+                 WHERE s NOT IN ('START', 'END', 'purchase')),
+        scen AS MATERIALIZED (SELECT c AS removed FROM chan
+                 UNION ALL SELECT CAST(NULL AS VARCHAR)),
+        sp AS MATERIALIZED (
+          SELECT sc.removed, p.src, p.dst, p.p_ppm
+          FROM scen sc JOIN ppm p
+            ON sc.removed IS NULL
+               OR (p.src <> sc.removed AND p.dst <> sc.removed)),
+        r0 AS MATERIALIZED (
+          SELECT sc.removed, st.s AS state,
+                 CAST(CASE WHEN st.s = 'purchase' THEN 1000000 ELSE 0 END
+                      AS BIGINT) AS r
+          FROM scen sc, states st)"""]
+    rp = "r0"
+    for t in range(1, horizon + 1):
+        blocks.append(f"""
+        w{t} AS MATERIALIZED (
+          SELECT sp.removed, sp.src AS state,
+                 CAST(SUM(sp.p_ppm * r.r) AS BIGINT) // 1000000 AS rr
+          FROM sp JOIN {rp} r
+            ON sp.dst = r.state
+               AND sp.removed IS NOT DISTINCT FROM r.removed
+          GROUP BY sp.removed, sp.src),
+        r{t} AS MATERIALIZED (
+          SELECT p.removed, p.state, COALESCE(w.rr, p.r) AS r
+          FROM {rp} p LEFT JOIN w{t} w
+            ON p.state = w.state
+               AND p.removed IS NOT DISTINCT FROM w.removed)""")
+        rp = f"r{t}"
+    return (
+        "WITH " + ",".join(blocks) + f"""
+        , res AS (SELECT removed, r FROM {rp} WHERE state = 'START'),
+        fullr AS (SELECT r AS fr FROM res WHERE removed IS NULL)
+        SELECT c.c AS channel,
+               CAST(f.fr AS BIGINT) AS reach_full_ppm,
+               CAST(res.r AS BIGINT) AS reach_removed_ppm,
+               CAST(f.fr - res.r AS BIGINT) AS effect_ppm
+        FROM chan c JOIN res ON res.removed = c.c, fullr f"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's 50-entry coverage
@@ -6582,6 +6753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_covariance": q_embed_covariance,
         "q_kfold_loo": q_kfold_loo,
         "q_k_anonymity": q_k_anonymity,
+        "q_pca_pc1": q_pca_pc1,
+        "q_markov_attribution": q_markov_attribution,
     }
 
 
@@ -7160,6 +7333,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE cell = q_cell AND vec_id <> 0
             QUALIFY rnk <= 10""",
         "q_substring_dedup": _substring_dedup_oracle(k=5),
+        "q_markov_attribution": _markov_attribution_oracle(),
+        "q_pca_pc1": _pca_pc1_oracle(),
         "q_kfold_loo": """
             WITH o AS (
               SELECT CAST(('0x' || substr(md5('fold'

@@ -745,3 +745,100 @@ def adamic_adar(
         ["u", "v"],
         "left_anti",
     )
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    conv: str = "purchase",
+    horizon: int = 8,
+) -> DataFrame:
+    """Markov-chain removal-effect attribution: model user journeys as a
+    first-order chain over event types (virtual START, absorbing
+    conversion, absorbing END-of-stream), estimate transition
+    probabilities from the event log, then for each channel ask "what
+    fraction of conversions die if this channel vanishes?" — the
+    data-driven alternative to last-touch attribution.
+
+    The DISTRIBUTED stage is the transition estimate: one per-user
+    window pass + a hash aggregate into O(types²) cells (integer ppm
+    probabilities — exact ``div``). The chain solve (fixed ``horizon``
+    value-iteration per removal scenario) touches only that O(types²)
+    relation, so it replays driver-side in exact integer arithmetic —
+    the same bounded-collect contract as the Borůvka small-V merge; the
+    SQL oracle replays the identical integer recurrence as generated
+    CTEs.
+
+    Reach recurrence (all ints): r_0(state) = 1e6 if state==conv else
+    0; r_{t+1}(s) = (Σ_d p_ppm(s,d)·r_t(d)) div 1e6 for transient s;
+    absorbing states keep r. Removing channel c deletes every
+    transition touching c (the lost mass converts nowhere).
+
+    Returns one row per channel:
+    (channel, reach_full_ppm, reach_removed_ppm, effect_ppm).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = events.select(
+        F.col(type_col).alias("t"),
+        F.lead(type_col).over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    core = seq.filter(F.col("t") != conv).select(
+        F.col("t").alias("src"),
+        F.coalesce(F.col("nxt"), F.lit("END")).alias("dst"),
+    )
+    firsts = seq.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("t").alias("dst")
+    )
+    trans = (
+        core.unionAll(firsts)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    ppm = trans.select(
+        "src",
+        "dst",
+        F.expr(
+            "(1000000 * n) div SUM(n) OVER (PARTITION BY src)"
+        ).alias("p_ppm"),
+    )
+    rows = ppm.collect()  # O(types²) bounded state
+    p = {(r["src"], r["dst"]): int(r["p_ppm"]) for r in rows}
+    states = sorted({s for s, _ in p} | {d for _, d in p} | {conv, "END"})
+    channels = sorted(
+        s for s in states if s not in ("START", "END", conv)
+    )
+
+    def reach(removed: str | None) -> int:
+        pp = {
+            (s, d): v
+            for (s, d), v in p.items()
+            if removed is None or (s != removed and d != removed)
+        }
+        r = {s: (1_000_000 if s == conv else 0) for s in states}
+        transient = {s for s, _ in pp}
+        for _ in range(horizon):
+            nxt = dict(r)
+            for s in transient:
+                acc = sum(
+                    v * r[d] for (ss, d), v in pp.items() if ss == s
+                )
+                nxt[s] = acc // 1_000_000
+            r = nxt
+        return r.get("START", 0)
+
+    full = reach(None)
+    out = [
+        (c, full, reach(c), full - reach(c)) for c in channels
+    ]
+    return events.sparkSession.createDataFrame(
+        out,
+        "channel string, reach_full_ppm bigint, "
+        "reach_removed_ppm bigint, effect_ppm bigint",
+    )

@@ -610,8 +610,14 @@ def power_iteration_pc1(
             sym.join(v, "j")
             .groupBy("i")
             .agg(
-                F.expr("CAST(SUM(c * v) AS BIGINT) div 1073741824")
-                .alias("wq")
+                # sign-symmetric quantization: Spark's `div` truncates
+                # while ANSI `//` floors — they differ on negatives, so
+                # divide magnitudes only.
+                F.expr(
+                    "CASE WHEN SUM(c * v) < 0"
+                    " THEN -(CAST(-SUM(c * v) AS BIGINT) div 1073741824)"
+                    " ELSE CAST(SUM(c * v) AS BIGINT) div 1073741824 END"
+                ).alias("wq")
             )
         )
         nrm = w.agg(

@@ -159,3 +159,39 @@ def test_adamic_adar_max_deg_drops_hub_middles(spark):
     assert (3, 4) in uncapped and (3, 4) not in capped
     assert uncapped[(1, 2)]["common"] == 2
     assert capped[(1, 2)]["common"] == 1
+
+
+def test_markov_attribution_gateway_channel(spark):
+    from datetime import datetime
+
+    from iowa_liquor_sales_spark.operators.graph import (
+        markov_removal_attribution,
+    )
+
+    # Every conversion flows through 'click' (view->click->purchase);
+    # removing it must zero the reach; removing 'view' also kills all
+    # journeys here (every journey starts with view). Effects ordered
+    # and nonnegative, full reach > 0.
+    rows = []
+    eid = 0
+    for u in range(6):
+        t0 = datetime(2024, 1, 1, u)
+        for i, et in enumerate(["view", "click", "purchase"]):
+            rows.append((eid, datetime(2024, 1, 1, u, i), u, et))
+            eid += 1
+    # one non-converting user: view only
+    rows.append((eid, datetime(2024, 1, 2), 99, "view"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    out = {r["channel"]: r for r in
+           markov_removal_attribution(df).collect()}
+    assert set(out) == {"view", "click"}
+    full = out["click"]["reach_full_ppm"]
+    assert full > 0
+    for c in out.values():
+        assert c["reach_full_ppm"] == full
+        assert 0 <= c["reach_removed_ppm"] <= full
+        assert c["effect_ppm"] == full - c["reach_removed_ppm"]
+    assert out["click"]["reach_removed_ppm"] == 0
+    assert out["view"]["reach_removed_ppm"] == 0

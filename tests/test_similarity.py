@@ -141,3 +141,40 @@ def test_embedding_covariance_exact_small_case(spark):
     assert out[(0, 1)]["cov_scaled"] == cov
     # variance on the diagonal is positive
     assert out[(0, 0)]["cov_scaled"] > 0
+
+
+def test_power_iteration_pc1_recovers_planted_component(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.similarity import (
+        embedding_covariance,
+        power_iteration_pc1,
+    )
+
+    # Plant a dominant direction (ones over the first 8 dims scaled by
+    # label): 3 power-iteration rounds must align with it.
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spiked = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.when(i < 8, F.lit(0.5) * F.col("label")).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("embedding"),
+    )
+    out = power_iteration_pc1(
+        embedding_covariance(spiked), dim=64, iters=3
+    ).collect()
+    v = [r["v_scaled"] / 1e6 for r in sorted(out, key=lambda r: r["i"])]
+    # unit vector
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-3
+    # planted direction = uniform mass on dims 0..7: cosine > 0.99
+    planted = [1.0 / math.sqrt(8)] * 8 + [0.0] * 56
+    cos = sum(a * b for a, b in zip(v, planted))
+    assert abs(cos) > 0.99, cos
+    # sign contract: the largest-|component| entry is positive
+    assert max(v, key=abs) > 0
