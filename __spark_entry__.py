@@ -6458,6 +6458,37 @@ def _markov_attribution_oracle(horizon: int = 8) -> str:
     )
 
 
+def q_term_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Vocabulary drift monitor (operators/text.term_kl_divergence):
+    # add-1-smoothed unigram KL between even- and odd-doc_id halves,
+    # both directions; per-term contributions integer-scaled at 1e9 so
+    # the corpus-wide sum is partition-order exact.
+    from iowa_liquor_sales_spark.operators.text import term_kl_divergence
+
+    d = read_table(spark, sf, "documents").withColumn(
+        "side", (F.col("doc_id") % 2).cast("int")
+    )
+    return term_kl_divergence(d, "side")
+
+
+def q_lttb_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    # Visual-fidelity series downsampling (operators/temporal.
+    # lttb_downsample — parallel LTTB with neighbor-bucket-average
+    # anchors): 32 buckets per event type, exact-integer triangle
+    # areas, bit-stable argmax. One window pass + two bucket joins.
+    from iowa_liquor_sales_spark.operators.temporal import lttb_downsample
+
+    ev = read_table(spark, sf, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return lttb_downsample(
+        ev, "event_type", ["ts", "event_id"], "cents", n_buckets=32
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's 50-entry coverage
@@ -6755,6 +6786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k_anonymity": q_k_anonymity,
         "q_pca_pc1": q_pca_pc1,
         "q_markov_attribution": q_markov_attribution,
+        "q_term_kl_drift": q_term_kl_drift,
+        "q_lttb_downsample": q_lttb_downsample,
     }
 
 
@@ -7334,6 +7367,78 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rnk <= 10""",
         "q_substring_dedup": _substring_dedup_oracle(k=5),
         "q_markov_attribution": _markov_attribution_oracle(),
+        "q_lttb_downsample": """
+            WITH pts0 AS (
+              SELECT event_type AS k,
+                     CAST(round(value * 100) AS BIGINT) AS y,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS x,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            pts AS (SELECT k, x, y, n, ((x - 1) * 32) // n AS b FROM pts0),
+            aggs AS (SELECT k, b, COUNT(*) AS m,
+                            SUM(x) AS sx, SUM(y) AS sy
+                     FROM pts GROUP BY k, b),
+            j AS (
+              SELECT p.k, p.x, p.y, p.n, p.b,
+                     pr.m AS np, pr.sx AS sxp, pr.sy AS syp,
+                     nx.m AS nn, nx.sx AS sxn, nx.sy AS syn
+              FROM pts p
+              LEFT JOIN aggs pr ON p.k = pr.k AND pr.b = p.b - 1
+              LEFT JOIN aggs nx ON p.k = nx.k AND nx.b = p.b + 1),
+            r AS (
+              SELECT *, CASE WHEN np IS NOT NULL AND nn IS NOT NULL THEN
+                     abs((sxp * nn - sxn * np) * (y * np - syp)
+                         - (sxp - x * np) * (syn * np - syp * nn))
+                   ELSE 0 END AS area
+              FROM j),
+            rr AS (SELECT *, row_number() OVER (
+                       PARTITION BY k, b ORDER BY area DESC, x ASC) AS rn
+                   FROM r)
+            SELECT k AS event_type, x AS pos, CAST(b AS INT) AS bucket,
+                   y AS cents
+            FROM rr
+            WHERE x = 1 OR x = n
+               OR (np IS NOT NULL AND nn IS NOT NULL AND rn = 1)""",
+        "q_term_kl_drift": """
+            WITH t AS (
+              SELECT CAST(doc_id % 2 AS INT) AS side,
+                     unnest(string_split_regex(trim(text), ' +')) AS term
+              FROM documents),
+            tf AS (SELECT side, term FROM t WHERE term <> ''),
+            c AS (
+              SELECT term,
+                     SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+                     SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb
+              FROM tf GROUP BY term),
+            tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                     CAST(SUM(na) AS BIGINT) AS ta,
+                     CAST(SUM(nb) AS BIGINT) AS tb
+              FROM c),
+            terms AS (
+              SELECT CAST(ROUND(1e9 * (CAST(na + 1 AS DOUBLE)
+                                       / CAST(ta + v AS DOUBLE))
+                         * ln((CAST(na + 1 AS DOUBLE)
+                               / CAST(ta + v AS DOUBLE))
+                              / (CAST(nb + 1 AS DOUBLE)
+                                 / CAST(tb + v AS DOUBLE))), 0)
+                         AS BIGINT) AS t_ab,
+                     CAST(ROUND(1e9 * (CAST(nb + 1 AS DOUBLE)
+                                       / CAST(tb + v AS DOUBLE))
+                         * ln((CAST(nb + 1 AS DOUBLE)
+                               / CAST(tb + v AS DOUBLE))
+                              / (CAST(na + 1 AS DOUBLE)
+                                 / CAST(ta + v AS DOUBLE))), 0)
+                         AS BIGINT) AS t_ba,
+                     ta, tb
+              FROM c, tot)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(MIN(ta) AS BIGINT) AS tot_a,
+                   CAST(MIN(tb) AS BIGINT) AS tot_b,
+                   CAST(SUM(t_ab) AS BIGINT) AS kl_ab_e9,
+                   CAST(SUM(t_ba) AS BIGINT) AS kl_ba_e9
+            FROM terms""",
         "q_pca_pc1": _pca_pc1_oracle(),
         "q_kfold_loo": """
             WITH o AS (

@@ -737,3 +737,55 @@ def lm_score_docs(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.expr("sum(ppm) div count(1)").cast("long").alias("mean_prob_ppm"),
     )
+
+
+def term_kl_divergence(
+    df: DataFrame,
+    side_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary drift between two corpus sides: add-1-smoothed KL
+    divergence of the unigram term distributions, both directions — the
+    "did this month's crawl shift under me" monitor (the term-level
+    sibling of the score-level PSI drift op). ``side_col`` must be a
+    boolean-ish int column (0/1).
+
+    One explode + one (term, side) count aggregate; totals and joint
+    vocabulary size ride 1-row broadcast joins. Each term's
+    contribution ``p·ln(p/q)`` is rounded to an exact integer at 1e9
+    scale before summing, so the Σ over millions of terms is
+    partition-order deterministic (float Σ of logs is not); a last-ulp
+    ``ln`` difference moves a term by ~1e-11 — far below the rounding
+    grain.
+
+    Returns one row: (n_terms, tot_a, tot_b, kl_ab_e9, kl_ba_e9).
+    """
+    terms = df.select(
+        F.col(side_col).alias("side"),
+        F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("na") + 1).cast("double") / (F.col("ta") + F.col("v")).cast(
+        "double"
+    )
+    q = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("v")).cast(
+        "double"
+    )
+    t_ab = F.round(F.lit(1.0e9) * p * F.log(p / q), 0).cast("long")
+    t_ba = F.round(F.lit(1.0e9) * q * F.log(q / p), 0).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.first(F.col("ta")).cast("long").alias("tot_a"),
+        F.first(F.col("tb")).cast("long").alias("tot_b"),
+        F.sum(t_ab).alias("kl_ab_e9"),
+        F.sum(t_ba).alias("kl_ba_e9"),
+    )

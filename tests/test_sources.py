@@ -296,3 +296,30 @@ def test_fetch_with_retry_exhausts_and_raises():
     with pytest.raises(TimeoutError):
         fetch_with_retry(dead, "p", retries=2, sleep=sleeps.append)
     assert sleeps == [0.5, 1.0]                 # retried exactly `retries`
+
+
+def test_binaryfile_source_matches_raw_bytes(spark):
+    # Spark's binaryFile source (the raw-asset ingest path for the
+    # multimodal pipeline: image/audio dirs -> (path, length, content))
+    # must agree byte-for-byte with an independent read of the files.
+    import glob
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r["fname"]: (r["n_bytes"], r["digest"])
+        for r in spark.read.format("binaryFile")
+        .load("/root/testdata/sf0.001/*.parquet")
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("digest"),
+        )
+        .collect()
+    }
+    want = {}
+    for f in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        b = open(f, "rb").read()
+        want[f.rsplit("/", 1)[1]] = (len(b), hashlib.md5(b).hexdigest())
+    assert got == want and len(got) == 10

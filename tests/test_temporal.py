@@ -190,3 +190,26 @@ def test_resample_interpolate_last_obs_per_bucket_wins(spark):
         resample_interpolate(df).collect()
     )
     assert [v for _, v in out] == [10.0, 20.0]
+
+
+def test_lttb_keeps_spikes_and_endpoints(spark):
+    from datetime import datetime, timedelta
+
+    from iowa_liquor_sales_spark.operators.temporal import lttb_downsample
+
+    # Flat series with one huge spike: the downsample must keep the
+    # first point, the last point, and the spike (largest triangle in
+    # its bucket); one point per interior bucket.
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + timedelta(minutes=i), i, 100 if i != 57 else 99999)
+        for i in range(128)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+    out = lttb_downsample(df, "k", ["ts", "eid"], "v", n_buckets=16)
+    kept = {(r["pos"], r["v"]) for r in out.collect()}
+    poss = sorted(p for p, _ in kept)
+    assert poss[0] == 1 and poss[-1] == 128
+    assert (58, 99999) in kept  # pos is 1-based; i=57 -> pos 58
+    # one point per interior bucket + the two endpoints
+    assert len(kept) == 16

@@ -235,3 +235,33 @@ def test_duplicated_spans_short_docs_yield_nothing(spark):
         [(1, "too short"), (2, "too short")], ["doc_id", "text"]
     )
     assert duplicated_spans(df, k=5).count() == 0
+
+
+def test_term_kl_divergence_zero_for_identical_sides(spark):
+    from iowa_liquor_sales_spark.operators.text import term_kl_divergence
+
+    # Identical term distributions on both sides -> KL exactly 0 in both
+    # directions (smoothing keeps p == q per term).
+    rows = [(0, "alpha beta gamma"), (1, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, ["side", "text"])
+    out = term_kl_divergence(df, "side").collect()[0]
+    assert out["n_terms"] == 3
+    assert out["kl_ab_e9"] == 0 and out["kl_ba_e9"] == 0
+
+
+def test_term_kl_divergence_detects_drift(spark):
+    from iowa_liquor_sales_spark.operators.text import term_kl_divergence
+
+    # Side 1 replaces half its vocabulary: KL must be clearly positive
+    # both ways, and grow with the drift.
+    a = [(0, "common words shared across both sides here")] * 5
+    mild = a + [(1, "common words shared across both sides here")] * 4 + [
+        (1, "novel tokens appear now")
+    ]
+    wild = a + [(1, "entirely new vocabulary everywhere now present")] * 5
+    df_m = spark.createDataFrame(mild, ["side", "text"])
+    df_w = spark.createDataFrame(wild, ["side", "text"])
+    m = term_kl_divergence(df_m, "side").collect()[0]
+    w = term_kl_divergence(df_w, "side").collect()[0]
+    assert m["kl_ab_e9"] > 0 and m["kl_ba_e9"] > 0
+    assert w["kl_ab_e9"] > m["kl_ab_e9"]
