@@ -6044,9 +6044,12 @@ def q_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
     from iowa_liquor_sales_spark.operators.graph import adamic_adar
 
     o = read_table(spark, sf, "orders")
+    # 4000/6000 moduli keep expected degrees ~25-40 at bench SF: wedge
+    # count is Σ deg(w)², so the modulus IS the scale knob; the
+    # max_deg cap then only fires on genuine hub skew.
     edges = o.select(
-        (F.col("o_custkey") % 400).alias("src"),
-        ((F.col("o_orderkey") % 600) + 400).alias("dst"),
+        (F.col("o_custkey") % 4000).alias("src"),
+        ((F.col("o_orderkey") % 6000) + 4000).alias("dst"),
     )
     return adamic_adar(edges, max_deg=300)
 
@@ -7661,17 +7664,17 @@ def oracle_sql() -> dict[str, str]:
         "q_adamic_adar": """
             WITH e AS (
               SELECT DISTINCT
-                     least(o_custkey % 400, (o_orderkey % 600) + 400) AS lo,
-                     greatest(o_custkey % 400, (o_orderkey % 600) + 400) AS hi
+                     least(o_custkey % 4000, (o_orderkey % 6000) + 4000) AS lo,
+                     greatest(o_custkey % 4000, (o_orderkey % 6000) + 4000) AS hi
               FROM orders
-              WHERE least(o_custkey % 400, (o_orderkey % 600) + 400)
-                    < greatest(o_custkey % 400, (o_orderkey % 600) + 400)),
+              WHERE least(o_custkey % 4000, (o_orderkey % 6000) + 4000)
+                    < greatest(o_custkey % 4000, (o_orderkey % 6000) + 4000)),
             adj AS (
               SELECT lo AS w, hi AS u FROM e
               UNION ALL SELECT hi, lo FROM e),
             deg AS (
               SELECT w, COUNT(*) AS deg FROM adj GROUP BY w
-              HAVING COUNT(*) <= 300),
+              HAVING COUNT(*) >= 2 AND COUNT(*) <= 300),
             mid AS (
               SELECT a.w, a.u,
                      CAST(ROUND(1e9 / ln(CAST(d.deg AS DOUBLE)), 0)

@@ -718,18 +718,25 @@ def adamic_adar(
         )
         .filter(F.col("lo") < F.col("hi"))
         .distinct()
+        .persist()
     )
     adj = und.select(
         F.col("lo").alias("w"), F.col("hi").alias("u")
     ).unionAll(und.select(F.col("hi").alias("w"), F.col("lo").alias("u")))
-    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    # deg-1 middles can't form a wedge AND would divide by ln(1)=0 once
+    # the term column materializes (ANSI sessions) — prune them here.
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg")).filter(
+        F.col("deg") >= 2
+    )
     if max_deg is not None:
         deg = deg.filter(F.col("deg") <= max_deg)
+    # persisted: consumed TWICE by the wedge self-join — without the
+    # cut, the whole edges→distinct→adj→deg lineage runs once per side.
     mid = adj.join(deg, "w").withColumn(
         "term",
         F.round(F.lit(1.0e9) / F.log(F.col("deg").cast("double")), 0)
         .cast("long"),
-    )
+    ).persist()
     pairs = (
         mid.alias("a")
         .join(mid.alias("b"), "w")
