@@ -6492,6 +6492,39 @@ def q_lttb_downsample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    # Homogeneity-attack gate (operators/quality.l_diversity_audit):
+    # QI = (nation, segment), sensitive = mktsegment-independent account
+    # balance sign+magnitude bucket; groups with < 3 distinct sensitive
+    # values expose members even when k-anonymous.
+    from iowa_liquor_sales_spark.operators.quality import (
+        l_diversity_audit,
+    )
+
+    c = read_table(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.round(F.col("c_acctbal")).cast("long") % 10).alias("bal_bucket"),
+    )
+    return l_diversity_audit(
+        c, ["c_nationkey", "c_mktsegment"], "bal_bucket", l=3
+    )
+
+
+def q_event_motif(spark: SparkSession, sf: str) -> DataFrame:
+    # Behavioral motif mining (operators/temporal.sequence_motif_counts):
+    # per-user non-overlapping view->click->purchase ("vcp") counts via
+    # engine-exact string arithmetic — the lightweight MATCH_RECOGNIZE.
+    from iowa_liquor_sales_spark.operators.temporal import (
+        sequence_motif_counts,
+    )
+
+    return sequence_motif_counts(
+        read_table(spark, sf, "events"),
+        "user_id", "ts", "event_id", "event_type", "vcp",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's 50-entry coverage
@@ -6791,6 +6824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov_attribution": q_markov_attribution,
         "q_term_kl_drift": q_term_kl_drift,
         "q_lttb_downsample": q_lttb_downsample,
+        "q_l_diversity": q_l_diversity,
+        "q_event_motif": q_event_motif,
     }
 
 
@@ -7370,7 +7405,35 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rnk <= 10""",
         "q_substring_dedup": _substring_dedup_oracle(k=5),
         "q_markov_attribution": _markov_attribution_oracle(),
-        "q_lttb_downsample": """
+        "q_event_motif": """
+            WITH s AS (
+              SELECT user_id,
+                     string_agg(substr(event_type, 1, 1), ''
+                                ORDER BY ts, event_id) AS seq
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(length(seq) AS BIGINT) AS seq_len,
+                   CAST((length(seq) - length(replace(seq, 'vcp', '')))
+                        // 3 AS BIGINT) AS n_motifs
+            FROM s""",
+        "q_l_diversity": """
+            WITH g AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT
+                          CAST(round(c_acctbal) AS BIGINT) % 10)
+                          AS BIGINT) AS ndist
+              FROM customer GROUP BY c_nationkey, c_mktsegment)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN ndist < 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_low_diversity,
+                   CAST(SUM(CASE WHEN ndist < 3 THEN n ELSE 0 END)
+                        AS BIGINT) AS n_rows_exposed,
+                   CAST((1000000 * SUM(CASE WHEN ndist < 3 THEN n
+                                            ELSE 0 END)) // SUM(n)
+                        AS BIGINT) AS exposed_ppm
+            FROM g""",
+                "q_lttb_downsample": """
             WITH pts0 AS (
               SELECT event_type AS k,
                      CAST(round(value * 100) AS BIGINT) AS y,

@@ -116,3 +116,43 @@ def k_anonymity_audit(
         "n_rows_at_risk",
         F.expr("(1000000 * n_rows_at_risk) div _total").alias("risk_ppm"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the companion gate to
+    :func:`k_anonymity_audit`: a QI group can be large (k-safe) yet
+    expose its members anyway if the SENSITIVE attribute barely varies
+    inside it (homogeneity attack: "everyone in this group has the same
+    diagnosis"). A group is l-diverse iff it contains >= ``l`` distinct
+    sensitive values.
+
+    One aggregate with an exact count-distinct per QI group (shuffle is
+    O(groups × distinct-values), the same cost class as the group-by
+    itself), then an O(groups) rollup. Returns one row: (n_groups,
+    n_low_diversity, n_rows_exposed, exposed_ppm).
+    """
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct(F.col(sensitive_col)).alias("ndist"),
+    )
+    rolled = groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("ndist") < l).cast("long")).alias("n_low_diversity"),
+        F.sum(
+            F.when(F.col("ndist") < l, F.col("n")).otherwise(F.lit(0))
+        ).alias("n_rows_exposed"),
+        F.sum("n").alias("_total"),
+    )
+    return rolled.select(
+        "n_groups",
+        "n_low_diversity",
+        "n_rows_exposed",
+        F.expr("(1000000 * n_rows_exposed) div _total").alias(
+            "exposed_ppm"
+        ),
+    )

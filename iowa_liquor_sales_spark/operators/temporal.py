@@ -86,13 +86,18 @@ def asof_join(
         )
         matched = F.last("__r", ignorenulls=True).over(w)
     else:
-        # Left rows sort BEFORE right rows at equal time -> inclusive >=.
+        # Forward = smallest right_time >= left_time. Expressed as a
+        # RUNNING frame over the DESC sort (right rows first at equal
+        # time -> inclusive >=): Spark executes [current,
+        # unboundedFollowing) frames by re-scanning the partition tail
+        # per row — O(n²) per key — while the reversed running
+        # last-ignorenulls is the same answer in O(n).
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("__t").asc(), F.col("__is_r").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("__t").desc(), F.col("__is_r").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        matched = F.first("__r", ignorenulls=True).over(w)
+        matched = F.last("__r", ignorenulls=True).over(w)
 
     out = unioned.withColumn("__m", matched).filter(F.col("__is_r") == 0)
     if tolerance_us is not None:
@@ -531,4 +536,52 @@ def lttb_downsample(
         F.col("x").alias("pos"),
         F.col("b").cast("int").alias("bucket"),
         F.col("y").alias(value_col),
+    )
+
+
+def sequence_motif_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    motif: str,
+) -> DataFrame:
+    """Behavioral motif counting — the lightweight MATCH_RECOGNIZE: each
+    key's event stream becomes an initial-character string in (ts, id)
+    order, and the motif (an exact initial-sequence, e.g. ``"vcp"`` for
+    view→click→purchase with nothing between) is counted
+    non-overlapping via pure string arithmetic
+    ``(len(s) − len(replace(s, m, ''))) / len(m)`` — identical in any
+    engine, where regex quantifier semantics are not.
+
+    One hash aggregate per key (``sort_array(collect_list(struct))``
+    gives the total (ts, id) order without a window pass); per-key
+    state is the event sequence itself, so this is for bounded streams
+    per key (sessions, journeys) — the same contract as any
+    sessionization.
+
+    Returns (key, seq_len, n_motifs) per key.
+    """
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(id_col).alias("i"),
+                F.substring(F.col(type_col), 1, 1).alias("c"),
+            )
+        )
+    )
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.array_join(
+            F.transform(ordered, lambda x: x.getField("c")), ""
+        ).alias("seq")
+    )
+    return per.select(
+        F.col("k").alias(key_col),
+        F.length("seq").cast("long").alias("seq_len"),
+        F.expr(
+            f"CAST((length(seq) - length(replace(seq, '{motif}', '')))"
+            f" div {len(motif)} AS BIGINT)"
+        ).alias("n_motifs"),
     )

@@ -448,3 +448,17 @@ def test_k_anonymity_audit_counts(spark):
     assert out["n_violating_groups"] == 2
     assert out["n_rows_at_risk"] == 3
     assert out["risk_ppm"] == 1_000_000 * 3 // 8
+
+
+def test_l_diversity_audit_homogeneous_group(spark):
+    from iowa_liquor_sales_spark.operators.quality import l_diversity_audit
+
+    # Group (a): 4 rows but only ONE sensitive value -> exposed even
+    # though it is k-anonymous at k=4; group (b): 3 distinct -> safe.
+    rows = [("a", 1)] * 4 + [("b", 1), ("b", 2), ("b", 3)]
+    df = spark.createDataFrame(rows, ["qa", "s"])
+    out = l_diversity_audit(df, ["qa"], "s", l=3).collect()[0]
+    assert out["n_groups"] == 2
+    assert out["n_low_diversity"] == 1
+    assert out["n_rows_exposed"] == 4
+    assert out["exposed_ppm"] == 1_000_000 * 4 // 7

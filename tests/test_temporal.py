@@ -213,3 +213,29 @@ def test_lttb_keeps_spikes_and_endpoints(spark):
     assert (58, 99999) in kept  # pos is 1-based; i=57 -> pos 58
     # one point per interior bucket + the two endpoints
     assert len(kept) == 16
+
+
+def test_sequence_motif_counts_nonoverlapping(spark):
+    from datetime import datetime, timedelta
+
+    from iowa_liquor_sales_spark.operators.temporal import (
+        sequence_motif_counts,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    # user 1: v c p v c p  -> 2 motifs; user 2: v x c p -> 0 (exact
+    # adjacency required); user 3: p c v -> 0 (order matters).
+    seqs = {1: "vcpvcp", 2: "vxcp", 3: "pcv"}
+    rows = [
+        (u, t0 + timedelta(minutes=i), u * 100 + i, ch)
+        for u, s in seqs.items()
+        for i, ch in enumerate(s)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "et"])
+    out = {
+        r["user_id"]: (r["seq_len"], r["n_motifs"])
+        for r in sequence_motif_counts(
+            df, "user_id", "ts", "event_id", "et", "vcp"
+        ).collect()
+    }
+    assert out == {1: (6, 2), 2: (4, 0), 3: (3, 0)}
