@@ -6525,6 +6525,61 @@ def q_event_motif(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    # Local clustering coefficient (operators/graph.
+    # clustering_coefficient) over the triangles-family derived graph:
+    # wedge enumeration through the middle vertex + one semi-join close;
+    # integer-exact ppm ratios.
+    from iowa_liquor_sales_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        (F.col("o_orderkey") % 700).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return clustering_coefficient(edges)
+
+
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    # Nearest-in-time as-of join (operators/temporal.asof_join
+    # direction="nearest"): each purchase picks the click with the
+    # smallest |Δt| (backward wins ties); both directions ride one
+    # shuffle. Right side deduped per (user, ts) so tie winners are
+    # engine-independent.
+    from iowa_liquor_sales_spark.operators.dedup import dedup_rank
+    from iowa_liquor_sales_spark.operators.temporal import asof_join
+    from iowa_liquor_sales_spark.functions.dates import epoch_us
+
+    ev = read_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = dedup_rank(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        direction="nearest",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        epoch_us(F.col("ts")).alias("purchase_ts_us"),
+        F.col("r_event_id").alias("click_event_id"),
+        epoch_us(F.col("r_ts")).alias("click_ts_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's 50-entry coverage
@@ -6826,6 +6881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lttb_downsample": q_lttb_downsample,
         "q_l_diversity": q_l_diversity,
         "q_event_motif": q_event_motif,
+        "q_clustering_coeff": q_clustering_coeff,
+        "q_asof_nearest": q_asof_nearest,
     }
 
 
@@ -7405,6 +7462,76 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rnk <= 10""",
         "q_substring_dedup": _substring_dedup_oracle(k=5),
         "q_markov_attribution": _markov_attribution_oracle(),
+        "q_asof_nearest": """
+            WITH clicks AS (
+              SELECT user_id, event_id, ts
+              FROM (SELECT user_id, event_id, ts,
+                           row_number() OVER (PARTITION BY user_id, ts
+                                              ORDER BY event_id) AS rn
+                    FROM events WHERE event_type = 'click')
+              WHERE rn = 1),
+            purchases AS (
+              SELECT user_id, event_id, ts
+              FROM events WHERE event_type = 'purchase'),
+            b AS (
+              SELECT p.user_id, p.event_id, p.ts,
+                     c.event_id AS b_id, c.ts AS b_ts
+              FROM purchases p
+              ASOF LEFT JOIN clicks c
+                ON p.user_id = c.user_id AND p.ts >= c.ts),
+            f AS (
+              SELECT p.user_id, p.event_id,
+                     c.event_id AS f_id, c.ts AS f_ts
+              FROM purchases p
+              ASOF LEFT JOIN clicks c
+                ON p.user_id = c.user_id AND p.ts <= c.ts)
+            SELECT b.user_id, b.event_id,
+                   epoch_us(b.ts) AS purchase_ts_us,
+                   CASE WHEN b.b_id IS NULL THEN f.f_id
+                        WHEN f.f_id IS NULL THEN b.b_id
+                        WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                             <= epoch_us(f.f_ts) - epoch_us(b.ts)
+                        THEN b.b_id ELSE f.f_id END AS click_event_id,
+                   CASE WHEN b.b_id IS NULL THEN epoch_us(f.f_ts)
+                        WHEN f.f_id IS NULL THEN epoch_us(b.b_ts)
+                        WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                             <= epoch_us(f.f_ts) - epoch_us(b.ts)
+                        THEN epoch_us(b.b_ts)
+                        ELSE epoch_us(f.f_ts) END AS click_ts_us
+            FROM b JOIN f
+              ON b.user_id = f.user_id AND b.event_id = f.event_id""",
+        "q_clustering_coeff": """
+            WITH e AS (
+              SELECT DISTINCT
+                     least(o_custkey % 500, o_orderkey % 700) AS lo,
+                     greatest(o_custkey % 500, o_orderkey % 700) AS hi
+              FROM orders
+              WHERE (o_custkey % 500) <> (o_orderkey % 700)
+                AND least(o_custkey % 500, o_orderkey % 700)
+                    < greatest(o_custkey % 500, o_orderkey % 700)),
+            adj AS (
+              SELECT lo AS w, hi AS u FROM e
+              UNION ALL SELECT hi, lo FROM e),
+            deg AS (
+              SELECT w, COUNT(*) AS deg FROM adj GROUP BY w
+              HAVING COUNT(*) >= 2),
+            mid AS (SELECT a.w, a.u, d.deg FROM adj a JOIN deg d USING (w)),
+            wedges AS (
+              SELECT a.w, a.deg, a.u AS lo, b.u AS hi
+              FROM mid a JOIN mid b ON a.w = b.w AND a.u < b.u),
+            closed AS (
+              SELECT wg.w, wg.deg FROM wedges wg
+              WHERE EXISTS (SELECT 1 FROM e
+                            WHERE e.lo = wg.lo AND e.hi = wg.hi)),
+            tri AS (
+              SELECT w, deg, CAST(COUNT(*) AS BIGINT) AS n_triangles
+              FROM closed GROUP BY w, deg)
+            SELECT d.w AS v, CAST(d.deg AS BIGINT) AS deg,
+                   CAST(COALESCE(t.n_triangles, 0) AS BIGINT)
+                     AS n_triangles,
+                   CAST((2000000 * COALESCE(t.n_triangles, 0))
+                        // (d.deg * (d.deg - 1)) AS BIGINT) AS coeff_ppm
+            FROM deg d LEFT JOIN tri t ON d.w = t.w""",
         "q_event_motif": """
             WITH s AS (
               SELECT user_id,

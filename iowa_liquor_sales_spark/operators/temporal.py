@@ -56,8 +56,10 @@ def asof_join(
     resolved arbitrarily — pre-dedup the right side (e.g.
     :func:`..dedup.dedup_rank` on the key+time) for full determinism.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
     l_payload = [c for c in left.columns if c not in on]
     r_payload = [c for c in right.columns if c not in on]
 
@@ -77,13 +79,59 @@ def asof_join(
     # null __l — the nulls are exactly what ignorenulls skips below.
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
 
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").desc(), F.col("__is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if direction == "nearest":
+        # Nearest = smaller |Δt| of the backward and forward matches
+        # (backward wins exact ties). Both directions ride the SAME
+        # exchange — two sorts of one shuffle — and the pick is a
+        # per-row closed form on epoch-us gaps; requires timestamp
+        # time columns (like tolerance_us).
+        mb, mf = (
+            F.last("__r", ignorenulls=True).over(wb),
+            F.last("__r", ignorenulls=True).over(wf),
+        )
+        both = unioned.withColumn("__mb", mb).withColumn("__mf", mf)
+        gapb = epoch_us(F.col("__t")) - epoch_us(
+            F.col(f"__mb.{right_time}")
+        )
+        gapf = epoch_us(F.col(f"__mf.{right_time}")) - epoch_us(
+            F.col("__t")
+        )
+        chosen = (
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(gapb <= gapf, F.col("__mb"))
+            .otherwise(F.col("__mf"))
+        )
+        out = both.withColumn("__m", chosen).filter(F.col("__is_r") == 0)
+        if tolerance_us is not None:
+            gap = F.abs(
+                epoch_us(F.col("__t"))
+                - epoch_us(F.col(f"__m.{right_time}"))
+            )
+            out = out.withColumn(
+                "__m", F.when(gap <= tolerance_us, F.col("__m"))
+            )
+        return out.select(
+            *on,
+            *[F.col(f"__l.{c}").alias(c) for c in l_payload],
+            *[
+                F.col(f"__m.{c}").alias(f"{right_prefix}{c}")
+                for c in r_payload
+            ],
+        )
     if direction == "backward":
         # Right rows sort BEFORE left rows at equal time -> inclusive <=.
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        w = wb
         matched = F.last("__r", ignorenulls=True).over(w)
     else:
         # Forward = smallest right_time >= left_time. Expressed as a
@@ -92,11 +140,7 @@ def asof_join(
         # unboundedFollowing) frames by re-scanning the partition tail
         # per row — O(n²) per key — while the reversed running
         # last-ignorenulls is the same answer in O(n).
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("__t").desc(), F.col("__is_r").desc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        w = wf
         matched = F.last("__r", ignorenulls=True).over(w)
 
     out = unioned.withColumn("__m", matched).filter(F.col("__is_r") == 0)

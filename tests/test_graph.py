@@ -195,3 +195,26 @@ def test_markov_attribution_gateway_channel(spark):
         assert c["effect_ppm"] == full - c["reach_removed_ppm"]
     assert out["click"]["reach_removed_ppm"] == 0
     assert out["view"]["reach_removed_ppm"] == 0
+
+
+def test_clustering_coefficient_clique_and_path(spark):
+    from iowa_liquor_sales_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # K4 {1,2,3,4}: every vertex has coeff 1 (all neighbor pairs
+    # connected); path vertex 5 hanging off 4: 4's coeff drops, 5 has
+    # deg 1 and is absent.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        ["src", "dst"],
+    )
+    out = {r["v"]: r for r in clustering_coefficient(edges).collect()}
+    assert 5 not in out
+    for v in (1, 2, 3):
+        assert out[v]["deg"] == 3
+        assert out[v]["n_triangles"] == 3
+        assert out[v]["coeff_ppm"] == 1_000_000
+    # vertex 4: deg 4, neighbor pairs = 6, closed = 3 -> 0.5
+    assert out[4]["deg"] == 4 and out[4]["n_triangles"] == 3
+    assert out[4]["coeff_ppm"] == 500_000

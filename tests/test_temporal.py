@@ -239,3 +239,29 @@ def test_sequence_motif_counts_nonoverlapping(spark):
         ).collect()
     }
     assert out == {1: (6, 2), 2: (4, 0), 3: (3, 0)}
+
+
+def test_asof_nearest_picks_smaller_gap(spark):
+    from datetime import datetime
+
+    from iowa_liquor_sales_spark.operators.temporal import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(30), "b"), (2, t(5), "c")],
+        ["k", "lts", "lbl"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), 100), (1, t(29), 200), (1, t(31), 300), (2, t(50), 400)],
+        ["k", "rts", "rv"],
+    )
+    out = {
+        r["lbl"]: r["r_rv"]
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", direction="nearest"
+        ).collect()
+    }
+    # a(10): backward 8 (gap 2) vs forward 29 (gap 19) -> 100
+    # b(30): backward 29 (gap 1) vs forward 31 (gap 1) -> tie -> backward 200
+    # c(5): no backward; forward 50 -> 400
+    assert out == {"a": 100, "b": 200, "c": 400}
