@@ -31,6 +31,7 @@ from iowa_liquor_sales_spark.operators.curation import (  # noqa: E402
     temperature_weights,
 )
 from iowa_liquor_sales_spark.operators.dedup import (  # noqa: E402
+    duplicated_spans,
     exact_dedup,
     minhash_lsh_pairs,
 )
@@ -46,6 +47,7 @@ from iowa_liquor_sales_spark.operators.text import (  # noqa: E402
     fingerprints,
     lang_id,
     quality_metrics,
+    term_kl_divergence,
     token_counts,
 )
 from iowa_liquor_sales_spark.schemas import read_table  # noqa: E402
@@ -75,6 +77,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         F.col("keeper_id").alias("doc_id")
     )
     docs2 = docs1.join(keepers, "doc_id", "left_semi")
+
+    # 2b. span-level dedup gate (Lee et al.): documents whose text is
+    #     mostly cross-document duplicated k-gram spans are boilerplate
+    #     templates — drop when >50% of word positions sit in shared
+    #     spans. (On a real corpus the spans themselves get CUT; here
+    #     the gate keeps the example's row lineage simple.)
+    spans = duplicated_spans(docs2, "text", "doc_id", k=5)
+    templated = (
+        spans.join(q.select("doc_id", "n_words"), "doc_id")
+        .filter(F.col("dup_tokens") * 2 > F.col("n_words"))
+        .select("doc_id")
+    )
+    docs2 = docs2.join(templated, "doc_id", "left_anti")
 
     # 3. near-dup removal, cluster policy: union text (MinHash+LSH,
     #    verified Jaccard >= 0.8) and embedding (cosine >= 0.45) pair
@@ -145,6 +160,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         F.ceil(F.col("epochs")).cast("int"),
     )
 
+    # 9. drift QA: term-distribution KL between corpus halves — the
+    #    "did curation skew the vocabulary" monitor (integer-scaled,
+    #    deterministic); near-zero here because the halves are exchangeable.
+    drift = term_kl_divergence(
+        curated.withColumn("side", (F.col("doc_id") % 2).cast("int")), "side"
+    ).first()
+
     stats = {
         "input": n0,
         "after_quality": docs1.count(),
@@ -155,6 +177,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         "n_chunks": chunks.count(),
         "n_sequences": packed.select("shard", "seq").distinct().count(),
         "mixed_rows": mixed.count(),
+        "kl_drift_e9": drift["kl_ab_e9"],
         "outdir": out,
     }
     print(stats)
