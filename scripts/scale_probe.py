@@ -419,6 +419,10 @@ def main() -> None:
         "shingle scan + banded self-join on (band, bucket); exact dedup,",
         "token and quality passes are single-scan map-side aggregates.",
         "",
+        "(x1 cells are measured FIRST in a fresh JVM: a handful of ops pay",
+        "first-use codegen/JIT there — e.g. substring_spans' HOF fold — so an",
+        "x1 reading above x4 is warm-up, not shape; judge the x4 -> x16 slope.)",
+        "",
         "| op | "
         + " | ".join(f"x{f} ({doc_rows[f]:,} docs)" for f in (1, 4, 16))
         + " |",
