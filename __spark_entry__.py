@@ -5075,6 +5075,15 @@ def q_wilson_ctr(spark: SparkSession, sf: str) -> DataFrame:
     # Trials/successes per props.k bucket are exact integers; the bound
     # is one closed-form double expression from those ints (z=1.96
     # literal), identical in both engines.
+    # Output is EXACT INTEGER ppm (r3 driver hash-fail was the rounded
+    # double). With z = 1.96 = 49/25 exactly, scaling the closed form by
+    # 2500 makes every coefficient an integer:
+    #   lb = [n*(2500*s + 4802) - sqrt(R)] / (n*(2500*n + 9604))
+    #   R  = 24010000*s*(n-s)*n + 4802^2*n^2        (4802^2 = 23059204)
+    # floor(sqrt(R)) is computed as an exact INTEGER square root (double
+    # sqrt + one-step integer correction — double sqrt of an int64 is off
+    # by at most 1 after floor), so wilson_lb_ppm is a pure-integer
+    # function of (s, n): bit-identical in any engine, no libm anywhere.
     ev = read_table(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("int").alias("k_bucket")
     g = (
@@ -5083,22 +5092,32 @@ def q_wilson_ctr(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(
             F.sum("s").alias("successes"),
-            F.count(F.lit(1)).alias("trials"),
+            F.count(F.lit(1)).cast("long").alias("trials"),
         )
     )
-    n = F.col("trials").cast("double")
-    p = F.col("successes").cast("double") / n
-    z2 = F.lit(1.96 * 1.96)
-    lb = (
-        p
-        + z2 / (2 * n)
-        - F.lit(1.96) * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n)
-    ) / (1 + z2 / n)
-    return g.select(
+    n = F.col("trials")
+    s = F.col("successes")
+    r = g.withColumn(
+        "rad",
+        F.lit(24010000) * s * (n - s) * n + F.lit(23059204) * n * n,
+    ).withColumn(
+        "t0", F.floor(F.sqrt(F.col("rad").cast("double"))).cast("long")
+    )
+    t0 = F.col("t0")
+    rad = F.col("rad")
+    isq = t0 + (
+        F.when((t0 + 1) * (t0 + 1) <= rad, F.lit(1))
+        .when(t0 * t0 > rad, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return r.withColumn("isq", isq).select(
         "k_bucket",
-        F.col("successes").cast("long").alias("successes"),
-        F.col("trials").cast("long").alias("trials"),
-        F.round(lb, 6).alias("wilson_lb"),
+        "successes",
+        "trials",
+        F.expr(
+            "(1000000 * (trials * (2500 * successes + 4802) - isq))"
+            " div (trials * (2500 * trials + 9604))"
+        ).alias("wilson_lb_ppm"),
     )
 
 
@@ -5538,37 +5557,42 @@ def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
 def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     # Robust outlier screen per return-flag group: exact median +
     # median-absolute-deviation (two percentile aggregates), then count
-    # rows beyond 3 robust sigmas (1.4826*MAD). Both medians interpolate
-    # identically in Spark and the oracle, and the verdict is a count —
-    # no float in the output hash beyond the rounded centers.
-    # Work in exact integer CENTS: median interpolation over integers is
-    # an exact binary rational (lo + (hi-lo)/2 with |v| << 2^52), so both
-    # engines produce the identical double — raw double inputs differ by
-    # 1 ulp between interpolation formulas (seen at sf0.001).
+    # rows beyond 3 robust sigmas (1.4826*MAD). ALL outputs are exact
+    # integers — the r3 driver hash-fail was the rounded-double columns.
+    # Trick: work in HALF-CENT units (cents2 = 2*cents, always even), so
+    # the 0.5-percentile midpoint (lo+hi)/2 of even ints is an exact
+    # INTEGER in both engines (doubles < 2^52 → exact binary rationals);
+    # the MAD percentile over integer adev2 is k or k+0.5, so 2*MAD
+    # (quarter-cent units) is again an exact integer. The 3*1.4826
+    # threshold becomes the all-integer compare
+    # 20000*adev2 > 44478*mad4  (adev > 4.4478*mad, both sides scaled).
     li = read_table(spark, sf, "lineitem").select(
         "l_returnflag",
-        F.floor(F.col("l_extendedprice") * 100 + 0.5)
-        .cast("long")
-        .alias("cents"),
+        (
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * 2
+        ).alias("cents2"),
     )
     med = li.groupBy("l_returnflag").agg(
-        F.percentile("cents", F.lit(0.5)).alias("med")
+        F.percentile("cents2", F.lit(0.5)).cast("long").alias("med2")
     )
     dev = li.join(med, "l_returnflag").withColumn(
-        "adev", F.abs(F.col("cents") - F.col("med"))
+        "adev2", F.abs(F.col("cents2") - F.col("med2"))
     )
     mad = dev.groupBy("l_returnflag").agg(
-        F.first("med").alias("med"),
-        F.percentile("adev", F.lit(0.5)).alias("mad"),
+        F.first("med2").alias("med2"),
+        (F.percentile("adev2", F.lit(0.5)) * 2).cast("long").alias("mad4"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     out = dev.join(
-        mad.select("l_returnflag", F.col("mad").alias("mad_thr")),
+        mad.select("l_returnflag", F.col("mad4").alias("mad4_thr")),
         "l_returnflag",
     )
     counts = out.groupBy("l_returnflag").agg(
         F.sum(
-            (F.col("adev") > 3 * 1.4826 * F.col("mad_thr")).cast("int")
+            (
+                F.lit(20000) * F.col("adev2")
+                > F.lit(44478) * F.col("mad4_thr")
+            ).cast("int")
         )
         .cast("long")
         .alias("n_outliers")
@@ -5576,8 +5600,8 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return mad.join(counts, "l_returnflag").select(
         "l_returnflag",
         "n",
-        F.round("med", 1).alias("median_cents"),
-        F.round("mad", 1).alias("mad_cents"),
+        F.col("med2").alias("median_halfcents"),
+        F.col("mad4").alias("mad_quartercents"),
         "n_outliers",
     )
 
@@ -5813,6 +5837,25 @@ def q_mst_boruvka(spark: SparkSession, sf: str) -> DataFrame:
     # against an O(|orders|) edge list — V << E, the documented condition
     # for the driver-side label merge (candidate argmin stays distributed).
     return boruvka_mst_rounds(edges, rounds=2, small_v=True)
+
+
+def q_mst_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    # The FULLY DISTRIBUTED Boruvka path (small_v=False — labels, chosen
+    # edges and the 2-hop min-label merge all stay DataFrame relations
+    # with localCheckpoint per round): the plan that runs when V itself
+    # is data-scale, oracle-checked against the same generated CTE
+    # replay as q_mst_boruvka. The two variants cross-validate — pytest
+    # proves path equivalence (tests/test_graph_convergence.py), and the
+    # gate proves each against DuckDB independently.
+    from iowa_liquor_sales_spark.operators.graph import boruvka_mst_rounds
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        (F.col("o_orderkey") % 700).alias("dst"),
+        F.col("o_orderkey").alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    return boruvka_mst_rounds(edges, rounds=2, small_v=False)
 
 
 def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
@@ -6583,16 +6626,67 @@ def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's 50-entry coverage
-        # window. Round-3 rotation: all 50 below are queries NEVER driver-
-        # checked in rounds 1-2 (zero overlap with CORRECTNESS_r01+r02),
-        # prioritizing the comparator-trap-prone families the round-2
-        # verdict called out — the full stats family, sketches with
-        # big-int oracles, graph, all major TPC-H analogs, the multimodal
-        # set (incl. the NEW real-PPM decode query), and every query whose
-        # operator/oracle was touched by a round-3 fix (attribution dsum,
-        # sorted-neighborhood NULL keys, bpe_apply degenerate-corpus
-        # guard, Arrow UDTF). scripts/oracle_sweep.py still checks all
-        # entries locally.
+        # window. Round-4 rotation: positions 1-2 RE-GATE the two r3
+        # hash-fails (now exact-integer outputs), position 3 gates the
+        # NEW fully distributed Boruvka path; the remaining 47 are
+        # queries NEVER driver-checked in rounds 1-3 (zero overlap with
+        # CORRECTNESS_r01+r02+r03), prioritizing the round-3 second half
+        # (graph/temporal/privacy/stats), the never-gated text/curation
+        # block, the round-3 additions, and the two never-gated former
+        # rounded-double emitters (q_centroid_matrix, q_holt_forecast).
+        # scripts/oracle_sweep.py still checks every entry locally.
+        "q_mad_outliers": q_mad_outliers,
+        "q_wilson_ctr": q_wilson_ctr,
+        "q_mst_distributed": q_mst_distributed,
+        "q_substring_dedup": q_substring_dedup,
+        "q_adamic_adar": q_adamic_adar,
+        "q_interp_linear": q_interp_linear,
+        "q_acf": q_acf,
+        "q_asof_nearest": q_asof_nearest,
+        "q_clustering_coeff": q_clustering_coeff,
+        "q_l_diversity": q_l_diversity,
+        "q_event_motif": q_event_motif,
+        "q_pca_pc1": q_pca_pc1,
+        "q_markov_attribution": q_markov_attribution,
+        "q_hll_sliding": q_hll_sliding,
+        "q_embed_covariance": q_embed_covariance,
+        "q_text_quality": q_text_quality,
+        "q_token_count": q_token_count,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_tfidf": q_tfidf,
+        "q_decontaminate": q_decontaminate,
+        "q_line_dedup": q_line_dedup,
+        "q_lm_score": q_lm_score,
+        "q_order_priority": q_order_priority,
+        "q_customer_distribution": q_customer_distribution,
+        "q_theta_diff": q_theta_diff,
+        "q_naive_bayes": q_naive_bayes,
+        "q_interval_merge": q_interval_merge,
+        "q_stream_dedup": q_stream_dedup,
+        "q_interval_join": q_interval_join,
+        "q_label_propagation": q_label_propagation,
+        "q_sparse_cosine": q_sparse_cosine,
+        "q_winsorize": q_winsorize,
+        "q_mst_boruvka": q_mst_boruvka,
+        "q_pipe_syntax": q_pipe_syntax,
+        "q_recursive_cte": q_recursive_cte,
+        "q_ohlc_bars": q_ohlc_bars,
+        "q_multimodal_patches": q_multimodal_patches,
+        "q_centroid_matrix": q_centroid_matrix,
+        "q_holt_forecast": q_holt_forecast,
+        "q_geohash": q_geohash,
+        "q_theilsen": q_theilsen,
+        "q_zonemap_prune": q_zonemap_prune,
+        "q_bootstrap_ci": q_bootstrap_ci,
+        "q_incremental_agg": q_incremental_agg,
+        "q_quantile_normalize": q_quantile_normalize,
+        "q_kfold_loo": q_kfold_loo,
+        "q_k_anonymity": q_k_anonymity,
+        "q_term_kl_drift": q_term_kl_drift,
+        "q_lttb_downsample": q_lttb_downsample,
+        # --- driver-green in r1-r3 or sweep-checked; the full local
+        # sweep covers all of them every round.
         "q_benford": q_benford,
         "q_welch_ttest": q_welch_ttest,
         "q_mannwhitney": q_mannwhitney,
@@ -6606,9 +6700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_drift": q_psi_drift,
         "q_mutual_info": q_mutual_info,
         "q_kaplan_meier": q_kaplan_meier,
-        "q_mad_outliers": q_mad_outliers,
         "q_weighted_median": q_weighted_median,
-        "q_wilson_ctr": q_wilson_ctr,
         "q_corr_stats": q_corr_stats,
         "q_kcore": q_kcore,
         "q_bfs_hops": q_bfs_hops,
@@ -6643,26 +6735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_linkage_score": q_linkage_score,
         "q_bpe_apply": q_bpe_apply,
         "q_kmeans": q_kmeans,
-        # --- NEW in round 3 (sweep-checked now, gate candidates for r4):
-        "q_order_priority": q_order_priority,
-        "q_customer_distribution": q_customer_distribution,
-        "q_theta_diff": q_theta_diff,
-        "q_naive_bayes": q_naive_bayes,
-        "q_interval_merge": q_interval_merge,
-        "q_stream_dedup": q_stream_dedup,
-        "q_interval_join": q_interval_join,
-        "q_label_propagation": q_label_propagation,
-        "q_sparse_cosine": q_sparse_cosine,
-        "q_winsorize": q_winsorize,
-        "q_mst_boruvka": q_mst_boruvka,
         "q_compression_ratio": q_compression_ratio,
-        "q_pipe_syntax": q_pipe_syntax,
-        "q_recursive_cte": q_recursive_cte,
-        "q_ohlc_bars": q_ohlc_bars,
-        "q_multimodal_patches": q_multimodal_patches,
-        "q_lm_score": q_lm_score,
-        # --- driver-green in r1/r2 or same-area twins of an in-window
-        # sibling; the full local sweep still checks them all.
         "q_simhash": q_simhash,
         "q_embed_neardup": q_embed_neardup,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -6721,14 +6794,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markov_transitions": q_markov_transitions,
         "q_survivorship": q_survivorship,
         "q_grouping_id": q_grouping_id,
-        "q_centroid_matrix": q_centroid_matrix,
         "q_mmr_rerank": q_mmr_rerank,
         "q_revenue_spread": q_revenue_spread,
         "q_seasonal_decompose": q_seasonal_decompose,
         "q_changepoint": q_changepoint,
         "q_session_paths": q_session_paths,
         "q_grid_density": q_grid_density,
-        "q_holt_forecast": q_holt_forecast,
         "q_lateral_topk": q_lateral_topk,
         "q_source_similarity": q_source_similarity,
         "q_salted_join": q_salted_join,
@@ -6742,28 +6813,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_events_window": q_events_window,
         "q_winnow_fingerprint": q_winnow_fingerprint,
-        "q_fingerprint": q_fingerprint,
-        "q_text_quality": q_text_quality,
         "q_profile_table": q_profile_table,
         "q_corpus_yield": q_corpus_yield,
         "q_higher_order": q_higher_order,
         "q_quantile_filter": q_quantile_filter,
-        "q_decontaminate": q_decontaminate,
-        "q_lang_id": q_lang_id,
         "q_dup_rate_by_source": q_dup_rate_by_source,
         "q_embed_centroid": q_embed_centroid,
         "q_sessionize": q_sessionize,
         "q_range_join": q_range_join,
-        "q_token_count": q_token_count,
         "q_yoy_growth": q_yoy_growth,
         "q_ratio_to_report": q_ratio_to_report,
-        "q_tfidf": q_tfidf,
         "q_bigrams": q_bigrams,
         "q_repetition_ratio": q_repetition_ratio,
         "q_pii_scrub": q_pii_scrub,
         "q_mix_epochs": q_mix_epochs,
         "q_chunk_documents": q_chunk_documents,
-        "q_line_dedup": q_line_dedup,
         "q_resample_ffill": q_resample_ffill,
         "q_time_weighted": q_time_weighted,
         "q_date_spine": q_date_spine,
@@ -6860,29 +6924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
-        "q_substring_dedup": q_substring_dedup,
-        "q_adamic_adar": q_adamic_adar,
-        "q_acf": q_acf,
-        "q_geohash": q_geohash,
-        "q_interp_linear": q_interp_linear,
         "q_apply_in_arrow": q_apply_in_arrow,
-        "q_theilsen": q_theilsen,
-        "q_zonemap_prune": q_zonemap_prune,
-        "q_bootstrap_ci": q_bootstrap_ci,
-        "q_incremental_agg": q_incremental_agg,
-        "q_hll_sliding": q_hll_sliding,
-        "q_quantile_normalize": q_quantile_normalize,
-        "q_embed_covariance": q_embed_covariance,
-        "q_kfold_loo": q_kfold_loo,
-        "q_k_anonymity": q_k_anonymity,
-        "q_pca_pc1": q_pca_pc1,
-        "q_markov_attribution": q_markov_attribution,
-        "q_term_kl_drift": q_term_kl_drift,
-        "q_lttb_downsample": q_lttb_downsample,
-        "q_l_diversity": q_l_diversity,
-        "q_event_motif": q_event_motif,
-        "q_clustering_coeff": q_clustering_coeff,
-        "q_asof_nearest": q_asof_nearest,
     }
 
 
@@ -7377,29 +7419,33 @@ def oracle_sql() -> dict[str, str]:
         "q_mad_outliers": """
             WITH li AS (
               SELECT l_returnflag,
-                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-                       AS cents
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 2
+                       AS cents2
               FROM lineitem
             ),
             med AS (
               SELECT l_returnflag,
-                     quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+                     CAST(quantile_cont(CAST(cents2 AS DOUBLE), 0.5)
+                          AS BIGINT) AS med2
               FROM li GROUP BY l_returnflag
             ),
             dev AS (
-              SELECT l.l_returnflag, m.med, abs(l.cents - m.med) AS adev
+              SELECT l.l_returnflag, m.med2,
+                     abs(l.cents2 - m.med2) AS adev2
               FROM li l JOIN med m USING (l_returnflag)
             ),
             mad AS (
-              SELECT l_returnflag, MIN(med) AS med,
-                     quantile_cont(adev, 0.5) AS mad,
+              SELECT l_returnflag, MIN(med2) AS med2,
+                     CAST(quantile_cont(CAST(adev2 AS DOUBLE), 0.5) * 2
+                          AS BIGINT) AS mad4,
                      COUNT(*) AS n
               FROM dev GROUP BY l_returnflag
             )
             SELECT d.l_returnflag, MIN(m.n) AS n,
-                   round(MIN(m.med), 1) AS median_cents,
-                   round(MIN(m.mad), 1) AS mad_cents,
-                   SUM(CAST(d.adev > 3 * 1.4826 * m.mad AS INT)) AS n_outliers
+                   MIN(m.med2) AS median_halfcents,
+                   MIN(m.mad4) AS mad_quartercents,
+                   CAST(SUM(CAST(20000 * d.adev2 > 44478 * m.mad4 AS INT))
+                        AS BIGINT) AS n_outliers
             FROM dev d JOIN mad m USING (l_returnflag)
             GROUP BY d.l_returnflag""",
         "q_embed_neardup": """
@@ -8919,6 +8965,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_count""",
         "q_theta_diff": _theta_diff_oracle(),
         "q_mst_boruvka": _mst_oracle(),
+        "q_mst_distributed": _mst_oracle(),
         # q_compression_ratio: deliberately ABSENT — zlib compression is
         # non-SQL-expressible; the driver records a rows-only check and
         # tests/test_multimodal-style pytest pins the exact byte counts.
@@ -9722,20 +9769,32 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) AS trials
               FROM events WHERE event_type IN ('view', 'purchase')
               GROUP BY 1
+            ),
+            r AS (
+              SELECT k_bucket,
+                     CAST(successes AS BIGINT) AS successes,
+                     CAST(trials AS BIGINT) AS trials,
+                     CAST(24010000 * successes * (trials - successes) * trials
+                          + 23059204 * trials * trials AS BIGINT) AS rad
+              FROM g
+            ),
+            t AS (
+              SELECT *,
+                     CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) AS t0
+              FROM r
+            ),
+            i AS (
+              SELECT *,
+                     t0 + CASE WHEN (t0 + 1) * (t0 + 1) <= rad THEN 1
+                               WHEN t0 * t0 > rad THEN -1
+                               ELSE 0 END AS isq
+              FROM t
             )
             SELECT k_bucket, successes, trials,
-                   round((CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE)
-                          + (1.96 * 1.96) / (2 * CAST(trials AS DOUBLE))
-                          - 1.96 * sqrt((CAST(successes AS DOUBLE)
-                                           / CAST(trials AS DOUBLE)
-                                         * (1 - CAST(successes AS DOUBLE)
-                                                / CAST(trials AS DOUBLE))
-                                         + (1.96 * 1.96)
-                                           / (4 * CAST(trials AS DOUBLE)))
-                                        / CAST(trials AS DOUBLE)))
-                         / (1 + (1.96 * 1.96) / CAST(trials AS DOUBLE)), 6)
-                     AS wilson_lb
-            FROM g""",
+                   CAST((1000000 * (trials * (2500 * successes + 4802) - isq))
+                        // (trials * (2500 * trials + 9604)) AS BIGINT)
+                     AS wilson_lb_ppm
+            FROM i""",
         "q_gini": """
             WITH per AS (
               SELECT o_custkey,

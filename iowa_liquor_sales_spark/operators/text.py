@@ -703,27 +703,32 @@ def lm_score_docs(
     threshold time; ordering by mean-ppm equals ordering by geometric
     intuition closely enough for a filter).
 
-    Scale: one explode for per-doc bigram occurrences, the corpus count
-    relations are O(vocab)/O(bigram-vocab) aggregates joined back by
-    word keys (AQE handles stop-word skew), one final per-doc aggregate.
-    Docs with fewer than 2 words emit nothing.
+    Scale: the regex tokenize runs ONCE — the token-array relation is
+    persisted and both the bigram-occurrence explode and the unigram
+    count derive from it (r3 plan audit flagged the double tokenize).
+    The corpus count relations are O(vocab)/O(bigram-vocab) aggregates
+    joined back by word keys (AQE handles stop-word skew), one final
+    per-doc aggregate. Docs with fewer than 2 words emit nothing.
     """
-    w = words(text_col)
+    wdf = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("ws")
+    ).persist()
+    ws = F.col("ws")
     grams = F.when(
-        F.size(w) >= 2,
+        F.size(ws) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
+            F.sequence(F.lit(1), F.size(ws) - 1),
             lambda i: F.struct(
-                F.element_at(w, i).alias("w1"),
-                F.element_at(w, i + 1).alias("w2"),
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    occ = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")).select(
+    occ = wdf.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", "g.w1", "g.w2"
     )
     big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uni = df.select(F.explode(w).alias("w1")).groupBy("w1").agg(
+    uni = wdf.select(F.explode(ws).alias("w1")).groupBy("w1").agg(
         F.count(F.lit(1)).alias("c1")
     )
     # Score DISTINCT bigrams first (an O(bigram-vocab) join), then join

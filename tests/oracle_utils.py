@@ -5,6 +5,7 @@ rows, NaN-safe)."""
 from __future__ import annotations
 
 import math
+import struct
 from datetime import date, datetime
 from decimal import Decimal
 
@@ -33,17 +34,22 @@ def _norm(v):
         # round-1 q_simhash driver failure mode).
         if v == v.to_integral_value() and abs(v) > 2**53:
             return ("i", int(v))
-        return ("f", float(v))
+        return ("f", struct.pack("<d", float(v)))
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
-        return ("f", round(v, 9))
+        # BITWISE: the driver hashes raw values, so the local gate must
+        # be at least as strict — a 1-ulp engine divergence that
+        # round(v, 9) would forgive is exactly what the driver catches
+        # (r3 verdict item 2). Signed zero is NOT folded: -0.0 vs +0.0
+        # counts as a mismatch, same as a bitwise hash would.
+        return ("f", struct.pack("<d", v))
     if isinstance(v, int):
         # Small ints keep the float encoding (lenient across int/float/
         # Decimal column types); big ints compare exactly.
         if abs(v) > 2**53:
             return ("i", v)
-        return ("f", float(v))
+        return ("f", struct.pack("<d", float(v)))
     if isinstance(v, datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, date):
