@@ -69,7 +69,14 @@ from iowa_liquor_sales_spark.operators.text import (
     quality_metrics,
     token_counts,
 )
-from iowa_liquor_sales_spark.functions.sums import dsum
+from iowa_liquor_sales_spark.functions.sums import (
+    det_double,
+    det_double_sql,
+    dsum,
+    floor_scaled,
+    floor_scaled_sql,
+    xsum,
+)
 from iowa_liquor_sales_spark.schemas import read_table
 from iowa_liquor_sales_spark.sources.readers import read_csv
 from iowa_liquor_sales_spark.sources.writers import write_csv
@@ -145,6 +152,22 @@ from iowa_liquor_sales_spark.functions.hashing import md5_hex
 
 _MH_A, _MH_B = (
     "[" + ", ".join(str(x) for x in lst) + "]" for lst in _affine_params(32)
+)
+
+
+# Benford expected shares: log10(1 + 1/d) precomputed in Python and
+# injected as the SAME double literal into Spark and DuckDB — libm log10
+# is not correctly-rounded-guaranteed, so in-engine evaluation may differ
+# per build; a parsed literal is bit-identical everywhere.
+import math
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(
+        f"WHEN {d} THEN CAST({math.log10(1 + 1 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    + " END"
 )
 
 
@@ -661,14 +684,50 @@ def q_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
-    # Moment aggregates. Welford-style merges are FP-order sensitive at
-    # the last bits, so outputs are rounded (6 places — far above the
-    # ~1e-11 cross-engine drift, far below data resolution).
+    # Moment aggregates (stddev / mean / Pearson corr) from EXACT
+    # integer-cent sums — order-independent in any engine, unlike native
+    # Welford accumulators — finished by a fixed-shape double formula
+    # using only + - * / sqrt (each IEEE-deterministic) and emitted as
+    # floor-scaled BIGINTs. Bitwise-stable under the driver's value hash
+    # on any engine build; still one map-side-combinable aggregate.
     c = read_table(spark, sf, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_acctbal"),
-        F.round(F.avg("c_acctbal"), 6).alias("mean_acctbal"),
-        F.round(F.corr("c_acctbal", "c_nationkey"), 6).alias("corr_bal_nation"),
+    cb = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = (
+        c.select(
+            "c_mktsegment",
+            cb.alias("cb"),
+            F.col("c_nationkey").cast("long").alias("nk"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            xsum("cb", "s_"),
+            xsum(F.col("cb") * F.col("cb"), "ss_"),
+            xsum("nk", "sy_"),
+            xsum(F.col("nk") * F.col("nk"), "syy_"),
+            xsum(F.col("cb") * F.col("nk"), "sxy_"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            det_double("s_").alias("s"),
+            det_double("ss_").alias("ss"),
+            det_double("sy_").alias("sy"),
+            det_double("syy_").alias("syy"),
+            det_double("sxy_").alias("sxy"),
+        )
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    sd = F.sqrt((ss - s * s / n) / (n - 1))
+    corr = (n * sxy - s * sy) / (
+        F.sqrt(n * ss - s * s) * F.sqrt(n * syy - sy * sy)
+    )
+    return g.select(
+        "c_mktsegment",
+        floor_scaled(sd, 4, "sd_acctbal_micro"),
+        floor_scaled(s / n, 4, "mean_acctbal_micro"),
+        floor_scaled(corr, 9, "corr_bal_nation_ppb"),
     )
 
 
@@ -2868,6 +2927,52 @@ def _join_cardinality_oracle() -> str:
     )
 
 
+def _acf_oracle(lags: tuple[int, ...] = (1, 2, 3)) -> str:
+    """Replay of operators/temporal.autocorrelation: exact integer-cent
+    moments per lag, deterministic +-*/sqrt corr finish, floor-ppb
+    outputs (generated per lag so the two engines cannot drift)."""
+    lag_cols = ",\n                     ".join(
+        f"lag(CAST(round(value * 100) AS BIGINT), {g}) OVER w AS l{g}"
+        for g in lags
+    )
+    mom = []
+    for g in lags:
+        mom.append(
+            f"CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN 1 ELSE 0 END)"
+            f" AS DOUBLE) AS n{g},\n"
+            f"  CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN v END) AS DOUBLE)"
+            f" AS sx{g},\n"
+            f"  CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN v * v END)"
+            f" AS DOUBLE) AS sxx{g},\n"
+            f"  CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN l{g} END)"
+            f" AS DOUBLE) AS sy{g},\n"
+            f"  CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN l{g} * l{g} END)"
+            f" AS DOUBLE) AS syy{g},\n"
+            f"  CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN v * l{g} END)"
+            f" AS DOUBLE) AS sxy{g}"
+        )
+    outs = ",\n  ".join(
+        f"CAST(floor((n{g} * sxy{g} - sx{g} * sy{g})"
+        f" / (sqrt(n{g} * sxx{g} - sx{g} * sx{g})"
+        f" * sqrt(n{g} * syy{g} - sy{g} * sy{g}))"
+        f" * 1000000000.0) AS BIGINT) AS acf_{g}_ppb"
+        for g in lags
+    )
+    return f"""
+        WITH l AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v,
+                     {lag_cols}
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+        g AS (SELECT event_type, CAST(COUNT(v) AS BIGINT) AS n_obs,
+  {",  ".join(mom)}
+              FROM l GROUP BY event_type)
+        SELECT event_type, n_obs,
+  {outs}
+        FROM g"""
+
+
 def _linkage_oracle() -> str:
     # The log(m/u) weights are computed ONCE in Python and injected into
     # both engines as double literals — ln() itself can differ by 1 ulp
@@ -2919,19 +3024,24 @@ def _linkage_oracle() -> str:
                  CAST(abs(len_a - len_b) * 10 <= least(len_a, len_b) AS INT)
                    AS m_len,
                  CAST(edit_distance <= 4 AS INT) AS m_key,
-                 round(
-                   CASE WHEN lang_a = lang_b THEN {w_lang!r}
-                        ELSE {w_lang_d!r} END
-                   + CASE WHEN src_a = src_b THEN {w_src!r}
-                          ELSE {w_src_d!r} END
+                 CAST(floor((
+                   CASE WHEN lang_a = lang_b
+                        THEN CAST({w_lang!r} AS DOUBLE)
+                        ELSE CAST({w_lang_d!r} AS DOUBLE) END
+                   + CASE WHEN src_a = src_b
+                          THEN CAST({w_src!r} AS DOUBLE)
+                          ELSE CAST({w_src_d!r} AS DOUBLE) END
                    + CASE WHEN abs(len_a - len_b) * 10
-                               <= least(len_a, len_b) THEN {w_len!r}
-                          ELSE {w_len_d!r} END
-                   + CASE WHEN edit_distance <= 4 THEN {w_key!r}
-                          ELSE {w_key_d!r} END, 5) AS fs_score
+                               <= least(len_a, len_b)
+                          THEN CAST({w_len!r} AS DOUBLE)
+                          ELSE CAST({w_len_d!r} AS DOUBLE) END
+                   + CASE WHEN edit_distance <= 4
+                          THEN CAST({w_key!r} AS DOUBLE)
+                          ELSE CAST({w_key_d!r} AS DOUBLE) END)
+                   * 1000000.0) AS BIGINT) AS fs_score_micro
           FROM j
         )
-        SELECT * FROM scored WHERE fs_score > 0"""
+        SELECT * FROM scored WHERE fs_score_micro > 0"""
 
 
 def _mst_oracle() -> str:
@@ -3176,7 +3286,7 @@ def q_cross_corpus(spark: SparkSession, sf: str) -> DataFrame:
         num_hashes=32,
         rows_per_band=4,
         min_jaccard=0.8,
-    ).select("left_id", "right_id", F.round("jaccard", 9).alias("jaccard"))
+    ).select("left_id", "right_id", floor_scaled(F.col("jaccard"), 9, "jaccard_ppb"))
 
 
 def q_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
@@ -3222,17 +3332,49 @@ def q_corr_stats(spark: SparkSession, sf: str) -> DataFrame:
     # sample/population covariance, and the SQL-standard linear-regression
     # family (slope/intercept/r2/count) of extendedprice on quantity.
     # One map-side-combinable moment aggregate — O(groups) shuffle rows.
-    # Rounded: both engines accumulate float moments in partition order.
+    # Exact integer moments (qty units × price cents), deterministic
+    # double finish, floor-scaled BIGINT outputs (bitwise-stable — native
+    # covar/regr accumulators are partition-order sensitive).
     li = read_table(spark, sf, "lineitem")
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr(x, y), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp(x, y), 3).alias("covar_s"),
-        F.round(F.covar_pop(x, y), 3).alias("covar_p"),
-        F.round(F.regr_slope(y, x), 5).alias("slope"),
-        F.round(F.regr_intercept(y, x), 3).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
-        F.regr_count(y, x).alias("n_pairs"),
+    q = F.round("l_quantity").cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = (
+        li.select("l_returnflag", q.alias("q"), pc.alias("pc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            xsum("q", "sx_"),
+            xsum(F.col("q") * F.col("q"), "sxx_"),
+            xsum("pc", "sy_"),
+            xsum(F.col("pc") * F.col("pc"), "syy_"),
+            xsum(F.col("q") * F.col("pc"), "sxy_"),
+        )
+        .select(
+            "l_returnflag",
+            "n_pairs",
+            F.col("n_pairs").cast("double").alias("n"),
+            det_double("sx_").alias("sx"),
+            det_double("sxx_").alias("sxx"),
+            det_double("sy_").alias("sy"),
+            det_double("syy_").alias("syy"),
+            det_double("sxy_").alias("sxy"),
+        )
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    cs = sxy - sx * sy / n
+    denq = sxx - sx * sx / n
+    denp = syy - sy * sy / n
+    corr = cs / (F.sqrt(denq) * F.sqrt(denp))
+    return g.select(
+        "l_returnflag",
+        floor_scaled(corr, 9, "corr_qty_price_ppb"),
+        floor_scaled(cs / (n - 1) / 100, 3, "covar_s_milli"),
+        floor_scaled(cs / n / 100, 3, "covar_p_milli"),
+        floor_scaled(cs / denq / 100, 6, "slope_micro"),
+        floor_scaled((sy / n - cs / denq * (sx / n)) / 100, 3, "intercept_milli"),
+        floor_scaled(corr * corr, 9, "r2_ppb"),
+        "n_pairs",
     )
 
 
@@ -3348,17 +3490,23 @@ def q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
 def q_percentile_cont(spark: SparkSession, sf: str) -> DataFrame:
     # Exact interpolated percentiles (SQL percentile_cont semantics) per
     # group — the exact twin of the grid-quantile sketch. One sort-based
-    # aggregate; values rounded (both engines interpolate in double).
+    # aggregate. Interpolating INTEGER CENTS at quartile fractions yields
+    # exact quarter-cent values (lo + (hi-lo)*f with f in {0,.25,.5,.75}
+    # is exact in double for cents < 2^51), so 4*val is a bit-exact
+    # BIGINT in any engine — no float interpolation formula dependence.
     li = read_table(spark, sf, "lineitem")
-    pct = F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]))
-    per = li.groupBy("l_returnflag").agg(pct.alias("pcts"))
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pct = F.percentile("pc", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]))
+    per = li.select("l_returnflag", pc.alias("pc")).groupBy("l_returnflag").agg(
+        pct.alias("pcts")
+    )
     return per.select(
         "l_returnflag",
         F.posexplode("pcts").alias("pos", "val"),
     ).select(
         "l_returnflag",
         F.col("pos").cast("int").alias("pos"),
-        F.round("val", 3).alias("val"),
+        (F.col("val") * 4).cast("long").alias("val_qcents"),
     )
 
 
@@ -3544,14 +3692,13 @@ def q_from_json(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
     # The documented Arrow pandas_udf escape hatch (functions/udfs.
-    # l2_norm_py) on the embedding column, rounded: numpy's BLAS dot and
-    # the oracle's sequential sum legitimately differ in the last ulp.
-    from iowa_liquor_sales_spark.functions.udfs import l2_norm_py
+    # ssq_q20_py): fixed-point sum-of-squares of the embedding — integer
+    # output, bit-identical on any BLAS build (a float L2 reduction is
+    # order-sensitive in the last ulp; see udfs.l2_norm_py's docstring).
+    from iowa_liquor_sales_spark.functions.udfs import ssq_q20_py
 
     emb = read_table(spark, sf, "embeddings")
-    return emb.select(
-        "vec_id", F.round(l2_norm_py("embedding"), 6).alias("l2")
-    )
+    return emb.select("vec_id", ssq_q20_py("embedding").alias("ssq_q20"))
 
 
 def q_cogroup(spark: SparkSession, sf: str) -> DataFrame:
@@ -3637,7 +3784,7 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     return per.select(
         "user_id",
         F.size("vals").cast("int").alias("n"),
-        F.round(ewma, 6).alias("ewma"),
+        floor_scaled(ewma, 6, "ewma_micro"),
     )
 
 
@@ -3681,14 +3828,13 @@ def q_haversine(spark: SparkSession, sf: str) -> DataFrame:
     dist_km = F.lit(2.0) * F.lit(6371.0) * F.asin(F.sqrt(a))
     scored = c.select(
         "c_custkey",
-        F.round(dist_km, 3).alias("dist_km"),
         F.floor(dist_km * 1000 + 0.5).cast("long").alias("dist_m"),
     )
     w = Window.orderBy(F.col("dist_m").asc(), F.col("c_custkey").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 20)
-        .select("c_custkey", "dist_km", "rnk")
+        .select("c_custkey", "dist_m", "rnk")
     )
 
 
@@ -3732,7 +3878,9 @@ def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     return (
         fused.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 20)
-        .select("vec_id", "r_cos", "r_sq8", F.round("rrf", 9).alias("rrf"), "rnk")
+        .select(
+            "vec_id", "r_cos", "r_sq8", floor_scaled(F.col("rrf"), 9, "rrf_ppb"), "rnk"
+        )
     )
 
 
@@ -3954,24 +4102,42 @@ def q_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_rolling_slope(spark: SparkSession, sf: str) -> DataFrame:
-    # Rolling trend: regr_slope of daily revenue on the day index over a
-    # trailing 30-day RANGE window — aggregate-as-window, one shuffle
-    # (the partitionless window runs over the tiny daily relation, not
-    # fact rows).
+    # Rolling trend: least-squares slope of daily revenue on the day
+    # index over a trailing 30-day RANGE window — aggregate-as-window,
+    # one shuffle (the partitionless window runs over the tiny daily
+    # relation, not fact rows). Slope from EXACT integer window sums
+    # (native regr_slope window accumulators are engine-specific),
+    # deterministic double finish, floor-scaled output.
     o = read_table(spark, sf, "orders")
+    oc = F.round(F.col("o_totalprice") * 100).cast("long")
     daily = o.groupBy(
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
         .cast("int")
         .alias("epoch_day")
-    ).agg(dsum("o_totalprice", 2, "revenue"))
+    ).agg(F.sum(oc).alias("cents"))
     w = Window.orderBy("epoch_day").rangeBetween(-29, 0)
-    return daily.select(
+    d = daily.select(
         "epoch_day",
-        "revenue",
-        F.round(
-            F.regr_slope(F.col("revenue"), F.col("epoch_day")).over(w), 4
-        ).alias("slope_30d"),
+        "cents",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("epoch_day").over(w).cast("double").alias("sx"),
+        F.sum(F.col("epoch_day").cast("long") * F.col("epoch_day"))
+        .over(w)
+        .cast("double")
+        .alias("sxx"),
+        F.sum("cents").over(w).cast("double").alias("sy"),
+        F.sum(F.col("epoch_day") * F.col("cents")).over(w).cast("double").alias("sxy"),
         F.count(F.lit(1)).over(w).cast("int").alias("n_days_30d"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return d.select(
+        "epoch_day",
+        F.col("cents").alias("revenue_cents"),
+        F.when(den != 0.0, F.floor(num / den * F.lit(10000.0)).cast("long")).alias(
+            "slope_30d_micro"
+        ),
+        "n_days_30d",
     )
 
 
@@ -3979,7 +4145,7 @@ def q_woe_binning(spark: SparkSession, sf: str) -> DataFrame:
     # Weight-of-evidence feature binning (credit-scoring / feature
     # engineering): quantity deciles vs the "returned" outcome —
     # WOE = ln((event_share)/(nonevent_share)) per bin, from exact
-    # integer counts (engine-identical), rounded once at the end.
+    # integer counts (engine-identical), floor-scaled once at the end.
     li = read_table(spark, sf, "lineitem")
     binned = li.select(
         (F.least(F.col("l_quantity").cast("int") - 1, F.lit(49)) / 5)
@@ -4003,7 +4169,7 @@ def q_woe_binning(spark: SparkSession, sf: str) -> DataFrame:
         "qty_bin",
         "n_event",
         "n_nonevent",
-        F.round(woe, 6).alias("woe"),
+        floor_scaled(woe, 6, "woe_micro"),
     )
 
 
@@ -4013,6 +4179,10 @@ def q_benford(spark: SparkSession, sf: str) -> DataFrame:
     # Leading digit from exact integer cents (no float log10 at
     # power-of-ten boundaries): the digit of n is n // 10^(len-1) on its
     # decimal rendering.
+    # Transcendental-free determinism: log10(1 + 1/d) over the 9-digit
+    # domain is precomputed in Python and injected as IDENTICAL double
+    # literals into both engines (libm log10 is not guaranteed correctly
+    # rounded and may differ per build); outputs floor-scaled BIGINTs.
     o = read_table(spark, sf, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
@@ -4020,31 +4190,44 @@ def q_benford(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     tot = per.agg(F.sum("n").cast("double").alias("tot"))
-    expected = F.log10(1.0 + 1.0 / F.col("digit"))
-    chi_term = F.pow(
-        F.col("n") - F.col("tot") * expected, F.lit(2.0)
-    ) / (F.col("tot") * expected)
+    expected = F.expr(_BENFORD_CASE)
+    dev = F.col("n") - F.col("tot") * expected
+    chi_term = dev * dev / (F.col("tot") * expected)
     return per.crossJoin(F.broadcast(tot)).select(
         "digit",
         "n",
-        F.round((F.col("n") / F.col("tot")), 6).alias("obs_share"),
-        F.round(expected, 6).alias("benford_share"),
-        F.round(chi_term, 6).alias("chi2_term"),
+        floor_scaled(F.col("n") / F.col("tot"), 6, "obs_share_ppm"),
+        floor_scaled(expected, 6, "benford_share_ppm"),
+        floor_scaled(chi_term, 6, "chi2_term_micro"),
     )
 
 
 def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     # Two-sample Welch t statistic between returned (R) and accepted (A)
     # line items' extended prices — the A/B-test primitive from exact
-    # moments (one combinable aggregate per group), rounded for
-    # cross-engine moment accumulation order.
+    # integer-cent moments (one combinable aggregate per group), finished
+    # by a deterministic +-*/sqrt formula and floor-scaled BIGINT outputs.
     li = read_table(spark, sf, "lineitem").filter(
         F.col("l_returnflag").isin("R", "A")
     )
-    per = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg("l_extendedprice").alias("m"),
-        F.var_samp("l_extendedprice").alias("v"),
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = (
+        li.select("l_returnflag", pc.alias("pc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            xsum("pc", "s_"),
+            xsum(F.col("pc") * F.col("pc"), "ss_"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (det_double("s_") / F.col("n")).alias("m"),
+            (
+                (det_double("ss_") - det_double("s_") * det_double("s_") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("v"),
+        )
     )
     a = per.filter(F.col("l_returnflag") == "R").select(
         F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
@@ -4053,18 +4236,18 @@ def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
     )
     j = a.crossJoin(b)
-    se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
-    t = (F.col("m1") - F.col("m2")) / se
-    dof_num = F.pow(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"), 2.0)
-    dof_den = F.pow(F.col("v1") / F.col("n1"), 2.0) / (F.col("n1") - 1) + F.pow(
-        F.col("v2") / F.col("n2"), 2.0
-    ) / (F.col("n2") - 1)
+    r1 = F.col("v1") / F.col("n1")
+    r2 = F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(r1 + r2)
+    dof = ((r1 + r2) * (r1 + r2)) / (
+        r1 * r1 / (F.col("n1") - 1) + r2 * r2 / (F.col("n2") - 1)
+    )
     return j.select(
         F.col("n1").cast("long").alias("n_ret"),
         F.col("n2").cast("long").alias("n_acc"),
-        F.round(F.col("m1") - F.col("m2"), 3).alias("mean_diff"),
-        F.round(t, 5).alias("t_stat"),
-        F.round(dof_num / dof_den, 2).alias("welch_dof"),
+        floor_scaled((F.col("m1") - F.col("m2")) / 100, 3, "mean_diff_milli"),
+        floor_scaled(t, 6, "t_stat_micro"),
+        floor_scaled(dof, 3, "welch_dof_milli"),
     )
 
 
@@ -4092,13 +4275,13 @@ def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     # convention in both (production PSI smooths these bins anyway).
     term = F.when(
         (F.col("n1") > 0) & (F.col("n2") > 0),
-        F.round((p2 - p1) * F.log(p2 / p1), 6),
+        F.floor(((p2 - p1) * F.log(p2 / p1)) * F.lit(1000000.0)).cast("long"),
     )
     return per.crossJoin(F.broadcast(tot)).select(
         "mag_bin",
         "n1",
         "n2",
-        term.alias("psi_term"),
+        term.alias("psi_term_micro"),
     )
 
 
@@ -4133,7 +4316,7 @@ def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
         "qty_bin",
         "y",
         F.col("n_xy").cast("long").alias("n_xy"),
-        F.round(mi_term, 9).alias("mi_term"),
+        floor_scaled(mi_term, 9, "mi_term_ppb"),
     )
 
 
@@ -4141,8 +4324,12 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     # Kaplan-Meier survival of shipping delay (days from order to ship),
     # administratively censored at 45 days — time-to-event analysis from
     # one join + one tiny ordered window: risk sets and the product-form
-    # estimator S(t) = exp(cumsum ln(1 - d/n)) over <=46 time points.
-    # Censoring guarantees every factor is strictly positive.
+    # estimator reported as log-survival. Censoring guarantees every
+    # factor is strictly positive. Each per-row log factor floor-scales
+    # to an integer (pico) BEFORE the cumulative window sum, so the
+    # running total is an exact integer sum — engines are free to
+    # associate window accumulation differently (segment tree vs
+    # sequential) without changing a single output bit.
     li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
     o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     dur = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
@@ -4163,14 +4350,15 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     staged = grp.crossJoin(F.broadcast(tot)).withColumn(
         "n_at_risk", F.col("N") - (cum_removed - (F.col("d") + F.col("c")))
     )
-    term = F.log(1.0 - F.col("d") / F.col("n_at_risk"))
-    surv = F.exp(F.sum(term).over(w))
-    return staged.select(
+    term_pico = F.floor(
+        F.log(1.0 - F.col("d") / F.col("n_at_risk")) * F.lit(1e12)
+    ).cast("long")
+    return staged.withColumn("tp", term_pico).select(
         "t",
         "d",
         "c",
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
-        F.round(surv, 6).alias("survival"),
+        F.sum("tp").over(w).cast("long").alias("logsurv_pico"),
     )
 
 
@@ -4210,8 +4398,8 @@ def q_poisson_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "day",
             F.col("n").cast("long").alias("n"),
-            F.round(mean, 4).alias("mean_rate"),
-            F.round(z, 4).alias("z"),
+            floor_scaled(mean, 4, "mean_rate_cmilli"),
+            floor_scaled(z, 4, "z_cmilli"),
             (F.abs(z) > 3).alias("is_anomaly"),
         )
     )
@@ -4227,8 +4415,7 @@ def q_pareto_point(spark: SparkSession, sf: str) -> DataFrame:
 
     o = read_table(spark, sf, "orders")
     per = o.groupBy("o_custkey").agg(
-        F.floor(F.sum("o_totalprice") * 100 + 0.5)
-        .cast("long")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .alias("rev_cents")
     ).select(
         (-F.col("rev_cents")).alias("neg_rev"), "o_custkey", "rev_cents"
@@ -4253,9 +4440,11 @@ def q_pareto_point(spark: SparkSession, sf: str) -> DataFrame:
     return hit.select(
         F.col("k").cast("long").alias("customers_for_80pct"),
         F.col("n_cust").cast("long").alias("n_customers"),
-        F.round(
-            F.col("k").cast("double") / F.col("n_cust").cast("double"), 6
-        ).alias("customer_share"),
+        floor_scaled(
+            F.col("k").cast("double") / F.col("n_cust").cast("double"),
+            6,
+            "customer_share_ppm",
+        ),
         F.col("total").cast("long").alias("total_cents"),
     )
 
@@ -4270,8 +4459,7 @@ def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
     monthly = o.groupBy(
         F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
     ).agg(
-        F.floor(F.sum("o_totalprice") * 100 + 0.5)
-        .cast("long")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .alias("cents")
     )
     med = monthly.agg(F.percentile("cents", F.lit(0.5)).alias("med"))
@@ -4301,8 +4489,8 @@ def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
         F.col("r").cast("long").alias("n_runs"),
         F.col("n1").cast("long").alias("n_above"),
         F.col("n2").cast("long").alias("n_below"),
-        F.round(mu, 4).alias("expected_runs"),
-        F.round((F.col("r") - mu) / F.sqrt(var), 4).alias("z"),
+        floor_scaled(mu, 6, "expected_runs_micro"),
+        floor_scaled((F.col("r") - mu) / F.sqrt(var), 6, "z_micro"),
     )
 
 
@@ -4334,13 +4522,12 @@ def q_abtest_srm(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(0.1)
     )
     exp = F.col("nn") * share
+    dev = F.col("n") - exp
     return counts.crossJoin(F.broadcast(tot)).select(
         "split",
         F.col("n").cast("long").alias("n"),
-        F.round(exp, 2).alias("expected"),
-        F.round(F.pow(F.col("n") - exp, F.lit(2.0)) / exp, 6).alias(
-            "chi2_term"
-        ),
+        floor_scaled(exp, 2, "expected_centi"),
+        floor_scaled(dev * dev / exp, 6, "chi2_term_micro"),
     )
 
 
@@ -4376,9 +4563,11 @@ def q_source_similarity(spark: SparkSession, sf: str) -> DataFrame:
         "src_a",
         "src_b",
         F.col("inter").cast("long").alias("inter"),
-        F.round(
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-        ).alias("vocab_jaccard"),
+        floor_scaled(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+            6,
+            "vocab_jaccard_ppm",
+        ),
     )
 
 
@@ -4427,7 +4616,7 @@ def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n1").cast("long").alias("n_ret"),
         F.col("n2").cast("long").alias("n_acc"),
         F.col("cents").alias("argmax_cents"),
-        F.round("gap", 6).alias("ks_d"),
+        floor_scaled(F.col("gap"), 6, "ks_d_ppm"),
     )
 
 
@@ -4514,8 +4703,7 @@ def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     monthly = o.groupBy(
         F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
     ).agg(
-        F.floor(F.sum("o_totalprice") * 100 + 0.5)
-        .cast("long")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .alias("cents")
     )
     series = monthly.agg(
@@ -4548,11 +4736,11 @@ def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     trd = F.element_at("hw", 2)
     return folded.select(
         F.col("n").cast("int").alias("n_months"),
-        F.round(lvl, 2).alias("level"),
-        F.round(trd, 2).alias("trend"),
-        F.round(lvl + 1 * trd, 2).alias("f1"),
-        F.round(lvl + 2 * trd, 2).alias("f2"),
-        F.round(lvl + 3 * trd, 2).alias("f3"),
+        floor_scaled(lvl, 2, "level_ccents"),
+        floor_scaled(trd, 2, "trend_ccents"),
+        floor_scaled(lvl + 1 * trd, 2, "f1_ccents"),
+        floor_scaled(lvl + 2 * trd, 2, "f2_ccents"),
+        floor_scaled(lvl + 3 * trd, 2, "f3_ccents"),
     )
 
 
@@ -4694,8 +4882,8 @@ def q_linkage_score(spark: SparkSession, sf: str) -> DataFrame:
         agree_src.alias("m_src"),
         agree_len.alias("m_len"),
         agree_key.alias("m_key"),
-        F.round(score, 5).alias("fs_score"),
-    ).filter(F.col("fs_score") > 0)
+        floor_scaled(score, 6, "fs_score_micro"),
+    ).filter(F.col("fs_score_micro") > 0)
 
 
 def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
@@ -4709,8 +4897,7 @@ def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
     monthly = o.groupBy(
         F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
     ).agg(
-        F.floor(F.sum("o_totalprice") * 100 + 0.5)
-        .cast("long")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .alias("cents")
     )
     # All aggregation stays in exact integers: the 12-month sum s12 is a
@@ -4743,10 +4930,12 @@ def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "month",
             "cents",
-            F.round(F.col("s12").cast("double") / 12.0, 2).alias("trend"),
-            F.round(
-                F.col("ds").cast("double") / (12.0 * F.col("nm")), 2
-            ).alias("seasonal_idx"),
+            floor_scaled(F.col("s12").cast("double") / 12.0, 2, "trend_ccents"),
+            floor_scaled(
+                F.col("ds").cast("double") / (12.0 * F.col("nm")),
+                2,
+                "seasonal_idx_ccents",
+            ),
         )
     )
 
@@ -4760,8 +4949,7 @@ def q_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     monthly = o.groupBy(
         F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
     ).agg(
-        F.floor(F.sum("o_totalprice") * 100 + 0.5)
-        .cast("long")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .alias("cents")
     )
     w = Window.orderBy("month")
@@ -4787,14 +4975,15 @@ def q_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     return best.select(
         F.col("month").alias("split_month"),
         F.col("k").cast("long").alias("k"),
-        F.round(F.col("s_k").cast("double") / F.col("k"), 2).alias(
-            "mean_before"
+        floor_scaled(
+            F.col("s_k").cast("double") / F.col("k"), 2, "mean_before_ccents"
         ),
-        F.round(
+        floor_scaled(
             (F.col("s_n") - F.col("s_k")).cast("double")
             / (F.col("n") - F.col("k")),
             2,
-        ).alias("mean_after"),
+            "mean_after_ccents",
+        ),
     )
 
 
@@ -5131,8 +5320,7 @@ def q_gini(spark: SparkSession, sf: str) -> DataFrame:
 
     o = read_table(spark, sf, "orders")
     per = o.groupBy("o_custkey").agg(
-        F.floor(F.sum("o_totalprice") * 100 + 0.5)
-        .cast("long")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .alias("rev_cents")
     )
     ranked = global_row_number(per, ["rev_cents", "o_custkey"], out_col="i")
@@ -5149,7 +5337,7 @@ def q_gini(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
         F.col("sx").cast("long").alias("total_cents"),
-        F.round(gini, 6).alias("gini"),
+        floor_scaled(gini, 9, "gini_ppb"),
     )
 
 
@@ -5176,13 +5364,13 @@ def q_chisq_independence(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
     )
     exp = F.col("row_tot") * F.col("col_tot") / F.col("nn")
-    term = F.pow(F.col("obs") - exp, F.lit(2.0)) / exp
+    dev = F.col("obs") - exp
     return full.select(
         "seg",
         "prio",
         F.col("obs").cast("long").alias("obs"),
-        F.round(exp, 6).alias("expected"),
-        F.round(term, 6).alias("chi2_term"),
+        floor_scaled(exp, 6, "expected_micro"),
+        floor_scaled(dev * dev / exp, 6, "chi2_term_micro"),
     )
 
 
@@ -5205,31 +5393,35 @@ def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
     )
     w_rank = Window.orderBy("cents")
     w_tie = Window.partitionBy("cents")
+    # Doubled tie-averaged rank (2*rank + ties-1) is an exact INTEGER, so
+    # the rank-sum accumulates as a long — order-independent at any scale
+    # (a double half-integer sum passes 2^53 around sf100).
     ranked = li.select(
         "l_returnflag",
         (
-            F.rank().over(w_rank).cast("double")
-            + (F.count(F.lit(1)).over(w_tie) - 1).cast("double") / 2
-        ).alias("avg_rank"),
+            2 * F.rank().over(w_rank).cast("long")
+            + (F.count(F.lit(1)).over(w_tie) - 1)
+        ).alias("twice_rank"),
     )
     agg = ranked.groupBy().agg(
-        F.sum(F.when(F.col("l_returnflag") == "R", F.col("avg_rank"))).alias(
-            "r_a"
+        F.sum(F.when(F.col("l_returnflag") == "R", F.col("twice_rank"))).alias(
+            "r2a"
         ),
         F.sum((F.col("l_returnflag") == "R").cast("long")).alias("na"),
         F.sum((F.col("l_returnflag") == "A").cast("long")).alias("nb"),
     )
     na_d = F.col("na").cast("double")
     nb_d = F.col("nb").cast("double")
-    u = F.col("r_a") - na_d * (na_d + 1) / 2
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    u = u2.cast("double") / 2
     z = (u - na_d * nb_d / 2) / F.sqrt(
         na_d * nb_d * (na_d + nb_d + 1) / 12
     )
     return agg.select(
         F.col("na").cast("long").alias("n_ret"),
         F.col("nb").cast("long").alias("n_acc"),
-        F.round(u, 1).alias("u_stat"),
-        F.round(z, 5).alias("z_approx"),
+        u2.cast("long").alias("u_stat_x2"),
+        floor_scaled(z, 6, "z_micro"),
     )
 
 
@@ -5274,7 +5466,9 @@ def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
         staged.filter(2 * F.col("cum") >= F.col("tot"))
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            F.round(F.min("l_extendedprice") * 100)
+            .cast("long")
+            .alias("weighted_median_cents"),
             F.first("tot").cast("long").alias("total_weight"),
         )
     )
@@ -5331,9 +5525,11 @@ def q_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int")
             .alias("gid"),
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(dsum("c_acctbal"), 2).alias("bal"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "bal_cents"
+            ),
         )
-        .select("seg", "ngrp", "gid", "n", "bal")
+        .select("seg", "ngrp", "gid", "n", "bal_cents")
     )
 
 
@@ -5379,7 +5575,7 @@ def q_centroid_matrix(spark: SparkSession, sf: str) -> DataFrame:
         F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
     )
     return pairs.select(
-        "label_a", "label_b", F.round(cos, 6).alias("cosine")
+        "label_a", "label_b", floor_scaled(cos, 6, "cosine_ppm")
     )
 
 
@@ -5438,7 +5634,9 @@ def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
         "src_event",
         "dst_event",
         F.col("n").cast("long").alias("n"),
-        F.round(F.col("n") / F.sum("n").over(w_src), 6).alias("p_transition"),
+        floor_scaled(
+            F.col("n") / F.sum("n").over(w_src), 6, "p_transition_ppm"
+        ),
     )
 
 
@@ -5495,8 +5693,7 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.to_date(F.lit("1998-12-31")), F.max(F.to_date("o_orderdate"))
         ).alias("recency"),
         F.count(F.lit(1)).cast("long").alias("freq"),
-        F.floor(F.sum("o_totalprice") * 100 + 0.5)
-        .cast("long")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .alias("mon_cents"),
     )
     qs = [0.2, 0.4, 0.6, 0.8]
@@ -5548,9 +5745,10 @@ def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
     return attributed.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_conversions"),
-        # dsum: exact decimal sum so the double is partition-order
-        # independent and bit-identical to the oracle's sum.
-        F.round(dsum("value"), 2).alias("revenue"),
+        # Exact integer cents: partition-order independent and hashable.
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
     )
 
 
@@ -5812,9 +6010,9 @@ def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_clamped"),
-        F.round(F.first("lo"), 1).alias("lo_cents"),
-        F.round(F.first("hi"), 1).alias("hi_cents"),
-        (F.sum("clamped2x") / F.lit(2.0)).alias("winsorized_sum_cents"),
+        (F.first("lo") * 2).cast("long").alias("lo_halfcents"),
+        (F.first("hi") * 2).cast("long").alias("hi_halfcents"),
+        F.sum("clamped2x").alias("winsorized_sum_halfcents"),
     )
 
 
@@ -6385,12 +6583,14 @@ def _pca_pc1_oracle(dim: int = 64, iters: int = 3) -> str:
           FROM b2 GROUP BY i, j),
         cov AS (
           SELECT i, j,
-                 ROUND(sum_xy / n_vecs
-                       - (sum_x / n_vecs) * (sum_y / n_vecs), 3)
-                   AS cov_scaled
+                 CAST(floor((sum_xy / n_vecs
+                             - (sum_x / n_vecs) * (sum_y / n_vecs))
+                            * 1000.0) AS BIGINT) AS cov_milli
           FROM agg),
         up AS (SELECT i, j,
-                      CAST(ROUND(cov_scaled / 1000, 0) AS BIGINT) AS c
+                      CASE WHEN cov_milli < 0
+                           THEN -((-cov_milli) // 1000000)
+                           ELSE cov_milli // 1000000 END AS c
                FROM cov),
         sym AS (
           SELECT i, j, c FROM up
@@ -7098,12 +7298,33 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT o_custkey) AS n_customers,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderstatus""",
-        "q_stats_agg": """
+        "q_stats_agg": f"""
+            WITH r AS (SELECT c_mktsegment,
+                              CAST(round(c_acctbal * 100) AS BIGINT) AS cb,
+                              CAST(c_nationkey AS BIGINT) AS nk
+                       FROM customer),
+            a AS (SELECT c_mktsegment,
+                         CAST(COUNT(*) AS DOUBLE) AS n,
+                         SUM(cb) AS s_, SUM(cb * cb) AS ss_,
+                         SUM(nk) AS sy_, SUM(nk * nk) AS syy_,
+                         SUM(cb * nk) AS sxy_
+                  FROM r GROUP BY c_mktsegment),
+            g AS (SELECT c_mktsegment, n,
+                         {det_double_sql("s_")} AS s,
+                         {det_double_sql("ss_")} AS ss,
+                         {det_double_sql("sy_")} AS sy,
+                         {det_double_sql("syy_")} AS syy,
+                         {det_double_sql("sxy_")} AS sxy
+                  FROM a)
             SELECT c_mktsegment,
-                   round(stddev_samp(c_acctbal), 6) AS sd_acctbal,
-                   round(avg(c_acctbal), 6) AS mean_acctbal,
-                   round(corr(c_acctbal, c_nationkey), 6) AS corr_bal_nation
-            FROM customer GROUP BY c_mktsegment""",
+                   {floor_scaled_sql("sqrt((ss - s * s / n) / (n - 1))", 4,
+                                     "sd_acctbal_micro")},
+                   {floor_scaled_sql("s / n", 4, "mean_acctbal_micro")},
+                   {floor_scaled_sql(
+                       "(n * sxy - s * sy) / (sqrt(n * ss - s * s)"
+                       " * sqrt(n * syy - sy * sy))", 9,
+                       "corr_bal_nation_ppb")}
+            FROM g""",
         "q_wordcount": """
             SELECT word, COUNT(*) AS n FROM (
               SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -7364,7 +7585,7 @@ def oracle_sql() -> dict[str, str]:
                      datediff('day', MAX(CAST(o_orderdate AS DATE)),
                               DATE '1998-12-31') AS recency,
                      COUNT(*) AS freq,
-                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                        AS mon_cents
               FROM orders GROUP BY o_custkey
             ),
@@ -7412,8 +7633,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT COALESCE(channel, 'direct') AS channel,
                    COUNT(*) AS n_conversions,
-                   round(CAST(SUM(CAST((value) AS DECIMAL(18,2))) AS DOUBLE),
-                         2) AS revenue
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
             FROM tagged WHERE event_type = 'purchase'
             GROUP BY 1""",
         "q_mad_outliers": """
@@ -7756,9 +7977,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(xj) AS BIGINT) AS sum_y
               FROM b2 GROUP BY i, j)
             SELECT i, j, n_vecs, sum_xy, sum_x, sum_y,
-                   ROUND(sum_xy / n_vecs
-                         - (sum_x / n_vecs) * (sum_y / n_vecs), 3)
-                     AS cov_scaled
+                   CAST(floor((sum_xy / n_vecs
+                               - (sum_x / n_vecs) * (sum_y / n_vecs))
+                              * 1000.0) AS BIGINT) AS cov_milli
             FROM agg""",
         "q_hll_sliding": _hll_sliding_oracle(),
         "q_incremental_agg": """
@@ -7788,14 +8009,15 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS mean_mc
               FROM wts GROUP BY b),
             pt AS (
-              SELECT ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 1)
-                     AS mean_cents
-              FROM o)
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_boot,
-                   pt.mean_cents,
-                   quantile_cont(mean_mc, 0.025) AS ci_lo_mc,
-                   quantile_cont(mean_mc, 0.975) AS ci_hi_mc
-            FROM reps, pt GROUP BY pt.mean_cents""",
+              SELECT CAST(floor(CAST(SUM(cents) AS DOUBLE) / COUNT(*)
+                                * 10.0) AS BIGINT) AS mean_mc_point
+              FROM o),
+            arr AS (SELECT list(mean_mc ORDER BY mean_mc) AS a FROM reps)
+            SELECT CAST(len(a) AS BIGINT) AS n_boot,
+                   pt.mean_mc_point,
+                   a[2] AS ci_lo_mc,
+                   a[40] AS ci_hi_mc
+            FROM arr, pt""",
         "q_zonemap_prune": """
             SELECT l_orderkey // 65536 AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -7883,20 +8105,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(v IS NOT NULL AS INT) AS is_observed
             FROM m""",
         "q_geohash": _geohash_oracle(),
-        "q_acf": """
-            WITH l AS (
-              SELECT event_type, value AS v,
-                     lag(value, 1) OVER w AS v1,
-                     lag(value, 2) OVER w AS v2,
-                     lag(value, 3) OVER w AS v3
-              FROM events
-              WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
-            SELECT event_type,
-                   CAST(COUNT(v) AS BIGINT) AS n_obs,
-                   ROUND(corr(v, v1), 6) AS acf_1,
-                   ROUND(corr(v, v2), 6) AS acf_2,
-                   ROUND(corr(v, v3), 6) AS acf_3
-            FROM l GROUP BY event_type""",
+        "q_acf": _acf_oracle(),
         "q_adamic_adar": """
             WITH e AS (
               SELECT DISTINCT
@@ -9218,11 +9427,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(SUM(CASE WHEN cents < lo OR cents > hi
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
-                   round(MIN(lo), 1) AS lo_cents,
-                   round(MIN(hi), 1) AS hi_cents,
+                   CAST(MIN(lo) * 2 AS BIGINT) AS lo_halfcents,
+                   CAST(MIN(hi) * 2 AS BIGINT) AS hi_halfcents,
                    CAST(SUM(CAST(2 * greatest(least(CAST(cents AS DOUBLE),
                                                     hi), lo) AS BIGINT))
-                        AS DOUBLE) / 2.0 AS winsorized_sum_cents
+                        AS BIGINT) AS winsorized_sum_halfcents
             FROM bounded GROUP BY l_returnflag""",
         "q_concurrency": """
             WITH bounds AS (
@@ -9252,20 +9461,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_days
               FROM daily
             )
+            , m AS (SELECT day, n,
+                           CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)
+                               AS mean
+                    FROM daily, tot)
             SELECT day, n,
-                   round(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE), 4)
-                     AS mean_rate,
-                   round((n - CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
-                         / sqrt(CAST(total AS DOUBLE)
-                                / CAST(n_days AS DOUBLE)), 4) AS z,
-                   abs((n - CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE))
-                       / sqrt(CAST(total AS DOUBLE)
-                              / CAST(n_days AS DOUBLE))) > 3 AS is_anomaly
-            FROM daily, tot""",
+                   CAST(floor(mean * 10000.0) AS BIGINT) AS mean_rate_cmilli,
+                   CAST(floor((n - mean) / sqrt(mean) * 10000.0) AS BIGINT)
+                       AS z_cmilli,
+                   abs((n - mean) / sqrt(mean)) > 3 AS is_anomaly
+            FROM m""",
         "q_pareto_point": """
             WITH per AS (
               SELECT o_custkey,
-                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                        AS rev_cents
               FROM orders GROUP BY o_custkey
             ),
@@ -9287,15 +9496,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(k AS BIGINT) AS customers_for_80pct,
                    CAST(n_cust AS BIGINT) AS n_customers,
-                   round(CAST(k AS DOUBLE) / CAST(n_cust AS DOUBLE), 6)
-                     AS customer_share,
+                   CAST(floor(CAST(k AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                              * 1000000.0) AS BIGINT)
+                       AS customer_share_ppm,
                    CAST(total AS BIGINT) AS total_cents
             FROM hit""",
         "q_runs_test": """
             WITH monthly AS (
               SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
-                       AS cents
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
               FROM orders GROUP BY 1
             ),
             med AS (
@@ -9314,25 +9524,21 @@ def oracle_sql() -> dict[str, str]:
                      SUM(s) AS n1, SUM(1 - s) AS n2
               FROM lagged
             )
+            , m AS (SELECT r, n1, n2,
+                           CAST(n1 AS DOUBLE) AS n1d,
+                           CAST(n2 AS DOUBLE) AS n2d,
+                           CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd
+                    FROM runs),
+            mm AS (SELECT *, 2 * n1d * n2d / nd + 1 AS mu FROM m)
             SELECT CAST(r AS BIGINT) AS n_runs,
                    CAST(n1 AS BIGINT) AS n_above,
                    CAST(n2 AS BIGINT) AS n_below,
-                   round(2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-                         / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1, 4)
-                     AS expected_runs,
-                   round((r - (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-                               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
-                               + 1))
-                         / sqrt((2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-                                 / (CAST(n1 AS DOUBLE)
-                                    + CAST(n2 AS DOUBLE)) + 1 - 1)
-                                * (2 * CAST(n1 AS DOUBLE)
-                                   * CAST(n2 AS DOUBLE)
-                                   / (CAST(n1 AS DOUBLE)
-                                      + CAST(n2 AS DOUBLE)) + 1 - 2)
-                                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
-                                   - 1)), 4) AS z
-            FROM runs""",
+                   CAST(floor(mu * 1000000.0) AS BIGINT)
+                       AS expected_runs_micro,
+                   CAST(floor((r - mu)
+                              / sqrt((mu - 1) * (mu - 2) / (nd - 1))
+                              * 1000000.0) AS BIGINT) AS z_micro
+            FROM mm""",
         "q_abtest_srm": """
             WITH counts AS (
               SELECT CASE WHEN b < 8000 THEN 'train'
@@ -9345,18 +9551,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
               GROUP BY 1
             ),
-            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM counts)
-            SELECT split, n,
-                   round(nn * CASE WHEN split = 'train' THEN 0.8
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM counts),
+            e AS (SELECT split, n,
+                         nn * CASE WHEN split = 'train' THEN 0.8
                                    WHEN split = 'val' THEN 0.1
-                                   ELSE 0.1 END, 2) AS expected,
-                   round(pow(n - nn * CASE WHEN split = 'train' THEN 0.8
-                                           WHEN split = 'val' THEN 0.1
-                                           ELSE 0.1 END, 2)
-                         / (nn * CASE WHEN split = 'train' THEN 0.8
-                                      WHEN split = 'val' THEN 0.1
-                                      ELSE 0.1 END), 6) AS chi2_term
-            FROM counts, tot""",
+                                   ELSE 0.1 END AS expd
+                  FROM counts, tot)
+            SELECT split, n,
+                   CAST(floor(expd * 100.0) AS BIGINT) AS expected_centi,
+                   CAST(floor((n - expd) * (n - expd) / expd * 1000000.0)
+                        AS BIGINT) AS chi2_term_micro
+            FROM e""",
         "q_source_similarity": """
             WITH vocab AS (
               SELECT DISTINCT source, w FROM (
@@ -9372,8 +9577,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT i.src_a, i.src_b, i.inter,
-                   round(i.inter / (sa.nv + sb.nv - i.inter), 6)
-                     AS vocab_jaccard
+                   CAST(floor((i.inter / (sa.nv + sb.nv - i.inter))
+                              * 1000000.0) AS BIGINT) AS vocab_jaccard_ppm
             FROM inter i
             JOIN sizes sa ON i.src_a = sa.source
             JOIN sizes sb ON i.src_b = sb.source""",
@@ -9407,7 +9612,8 @@ def oracle_sql() -> dict[str, str]:
               FROM cum, tot QUALIFY r = 1
             )
             SELECT CAST(n1 AS BIGINT) AS n_ret, CAST(n2 AS BIGINT) AS n_acc,
-                   cents AS argmax_cents, round(gap, 6) AS ks_d
+                   cents AS argmax_cents,
+                   CAST(floor(gap * 1000000.0) AS BIGINT) AS ks_d_ppm
             FROM best""",
         "q_bfs_hops": """
             WITH e AS (
@@ -9464,7 +9670,7 @@ def oracle_sql() -> dict[str, str]:
         "q_holt_forecast": """
             WITH monthly AS (
               SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                        AS cents
               FROM orders GROUP BY 1
             ),
@@ -9490,11 +9696,14 @@ def oracle_sql() -> dict[str, str]:
               FROM arr
             )
             SELECT CAST(n AS INTEGER) AS n_months,
-                   round(hw[1], 2) AS level,
-                   round(hw[2], 2) AS trend,
-                   round(hw[1] + 1 * hw[2], 2) AS f1,
-                   round(hw[1] + 2 * hw[2], 2) AS f2,
-                   round(hw[1] + 3 * hw[2], 2) AS f3
+                   CAST(floor(hw[1] * 100.0) AS BIGINT) AS level_ccents,
+                   CAST(floor(hw[2] * 100.0) AS BIGINT) AS trend_ccents,
+                   CAST(floor((hw[1] + 1 * hw[2]) * 100.0) AS BIGINT)
+                       AS f1_ccents,
+                   CAST(floor((hw[1] + 2 * hw[2]) * 100.0) AS BIGINT)
+                       AS f2_ccents,
+                   CAST(floor((hw[1] + 3 * hw[2]) * 100.0) AS BIGINT)
+                       AS f3_ccents
             FROM folded""",
         "q_grid_density": """
             WITH RECURSIVE pts AS (
@@ -9554,7 +9763,7 @@ def oracle_sql() -> dict[str, str]:
         "q_seasonal_decompose": """
             WITH monthly AS (
               SELECT date_trunc('month', o_orderdate) AS month,
-                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                        AS cents
               FROM orders GROUP BY 1
             ),
@@ -9580,14 +9789,15 @@ def oracle_sql() -> dict[str, str]:
               FROM trended WHERE s12 IS NOT NULL GROUP BY 1
             )
             SELECT t.month, t.cents,
-                   round(CAST(t.s12 AS DOUBLE) / 12.0, 2) AS trend,
-                   round(CAST(s.ds AS DOUBLE) / (12.0 * s.nm), 2)
-                     AS seasonal_idx
+                   CAST(floor((CAST(t.s12 AS DOUBLE) / 12.0) * 100.0)
+                        AS BIGINT) AS trend_ccents,
+                   CAST(floor((CAST(s.ds AS DOUBLE) / (12.0 * s.nm)) * 100.0)
+                        AS BIGINT) AS seasonal_idx_ccents
             FROM trended t LEFT JOIN seasonal s ON month(t.month) = s.moy""",
         "q_changepoint": """
             WITH monthly AS (
               SELECT date_trunc('month', o_orderdate) AS month,
-                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                        AS cents
               FROM orders GROUP BY 1
             ),
@@ -9610,9 +9820,10 @@ def oracle_sql() -> dict[str, str]:
               FROM scored QUALIFY r = 1
             )
             SELECT month AS split_month, CAST(k AS BIGINT) AS k,
-                   round(CAST(s_k AS DOUBLE) / k, 2) AS mean_before,
-                   round(CAST(s_n - s_k AS DOUBLE) / (n - k), 2)
-                     AS mean_after
+                   CAST(floor((CAST(s_k AS DOUBLE) / k) * 100.0) AS BIGINT)
+                       AS mean_before_ccents,
+                   CAST(floor((CAST(s_n - s_k AS DOUBLE) / (n - k)) * 100.0)
+                        AS BIGINT) AS mean_after_ccents
             FROM best""",
         "q_session_paths": """
             WITH rn_ev AS (
@@ -9798,7 +10009,7 @@ def oracle_sql() -> dict[str, str]:
         "q_gini": """
             WITH per AS (
               SELECT o_custkey,
-                     CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT)
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                        AS rev_cents
               FROM orders GROUP BY o_custkey
             ),
@@ -9815,9 +10026,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(n AS BIGINT) AS n_customers,
                    sx AS total_cents,
-                   round(CAST(2 * six AS DOUBLE) / CAST(n * sx AS DOUBLE)
-                         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
-                     AS gini
+                   CAST(floor((CAST(2 * six AS DOUBLE)
+                               / CAST(n * sx AS DOUBLE)
+                               - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS gini_ppb
             FROM agg""",
         "q_chisq_independence": """
             WITH j AS (
@@ -9828,14 +10040,17 @@ def oracle_sql() -> dict[str, str]:
             rows_m AS (SELECT seg, COUNT(*) AS row_tot FROM j GROUP BY 1),
             cols_m AS (SELECT prio, COUNT(*) AS col_tot FROM j GROUP BY 1),
             tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM j)
-            SELECT cells.seg, cells.prio, cells.obs,
-                   round(row_tot * col_tot / nn, 6) AS expected,
-                   round(pow(cells.obs - row_tot * col_tot / nn, 2)
-                         / (row_tot * col_tot / nn), 6) AS chi2_term
-            FROM cells
-            JOIN rows_m ON cells.seg = rows_m.seg
-            JOIN cols_m ON cells.prio = cols_m.prio
-            CROSS JOIN tot""",
+            , e AS (SELECT cells.seg, cells.prio, cells.obs,
+                           row_tot * col_tot / nn AS expd
+                    FROM cells
+                    JOIN rows_m ON cells.seg = rows_m.seg
+                    JOIN cols_m ON cells.prio = cols_m.prio
+                    CROSS JOIN tot)
+            SELECT seg, prio, obs,
+                   CAST(floor(expd * 1000000.0) AS BIGINT) AS expected_micro,
+                   CAST(floor((obs - expd) * (obs - expd) / expd
+                              * 1000000.0) AS BIGINT) AS chi2_term_micro
+            FROM e""",
         "q_mannwhitney": """
             WITH li AS (
               SELECT l_returnflag,
@@ -9845,30 +10060,31 @@ def oracle_sql() -> dict[str, str]:
             ),
             ranked AS (
               SELECT l_returnflag,
-                     CAST(rank() OVER (ORDER BY cents) AS DOUBLE)
-                     + CAST(COUNT(*) OVER (PARTITION BY cents) - 1 AS DOUBLE)
-                       / 2 AS avg_rank
+                     2 * CAST(rank() OVER (ORDER BY cents) AS BIGINT)
+                     + (COUNT(*) OVER (PARTITION BY cents) - 1)
+                       AS twice_rank
               FROM li
             ),
             agg AS (
-              SELECT SUM(CASE WHEN l_returnflag = 'R' THEN avg_rank END)
-                       AS r_a,
+              SELECT SUM(CASE WHEN l_returnflag = 'R' THEN twice_rank END)
+                       AS r2a,
                      SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
                        AS na,
                      SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
                        AS nb
               FROM ranked
-            )
+            ),
+            u AS (SELECT na, nb, r2a - na * (na + 1) AS u2,
+                         CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS ud,
+                         CAST(na AS DOUBLE) AS nad,
+                         CAST(nb AS DOUBLE) AS nbd
+                  FROM agg)
             SELECT CAST(na AS BIGINT) AS n_ret, CAST(nb AS BIGINT) AS n_acc,
-                   round(r_a - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1)
-                               / 2, 1) AS u_stat,
-                   round((r_a - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1)
-                                / 2
-                          - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2)
-                         / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
-                                * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
-                                   + 1) / 12), 5) AS z_approx
-            FROM agg""",
+                   CAST(u2 AS BIGINT) AS u_stat_x2,
+                   CAST(floor((ud - nad * nbd / 2)
+                              / sqrt(nad * nbd * (nad + nbd + 1) / 12)
+                              * 1000000.0) AS BIGINT) AS z_micro
+            FROM u""",
         "q_weighted_median": """
             WITH staged AS (
               SELECT l_returnflag, l_extendedprice,
@@ -9882,7 +10098,8 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             )
             SELECT l_returnflag,
-                   round(MIN(l_extendedprice), 2) AS weighted_median,
+                   CAST(round(MIN(l_extendedprice) * 100) AS BIGINT)
+                       AS weighted_median_cents,
                    CAST(MIN(tot) AS BIGINT) AS total_weight
             FROM staged WHERE 2 * cum >= tot
             GROUP BY l_returnflag""",
@@ -9913,8 +10130,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(c_mktsegment) * 2
                         + GROUPING(c_nationkey % 5) AS INT) AS gid,
                    COUNT(*) AS n,
-                   round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
-                              AS DOUBLE), 2) AS bal
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS bal_cents
             FROM customer
             GROUP BY CUBE(c_mktsegment, c_nationkey % 5)""",
         "q_centroid_matrix": """
@@ -9938,9 +10155,10 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.label, b.label
             )
             SELECT label_a, label_b,
-                   round(CAST(dot AS DOUBLE)
-                         / (sqrt(CAST(na2 AS DOUBLE))
-                            * sqrt(CAST(nb2 AS DOUBLE))), 6) AS cosine
+                   CAST(floor((CAST(dot AS DOUBLE)
+                               / (sqrt(CAST(na2 AS DOUBLE))
+                                  * sqrt(CAST(nb2 AS DOUBLE))))
+                              * 1000000.0) AS BIGINT) AS cosine_ppm
             FROM pairs""",
         "q_markov_transitions": """
             WITH pairs AS (
@@ -9955,8 +10173,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY src_event, dst_event
             )
             SELECT src_event, dst_event, n,
-                   round(n / SUM(n) OVER (PARTITION BY src_event), 6)
-                     AS p_transition
+                   CAST(floor((n / SUM(n) OVER (PARTITION BY src_event))
+                              * 1000000.0) AS BIGINT) AS p_transition_ppm
             FROM counts""",
         "q_csv_malformed": f"""
             SELECT COUNT(*) AS n_rows,
@@ -10321,7 +10539,7 @@ def oracle_sql() -> dict[str, str]:
                        AS left_id,
                    CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END
                        AS right_id,
-                   round(jaccard, 9) AS jaccard
+                   {floor_scaled_sql("jaccard", 9, "jaccard_ppb")}
             FROM jac
             WHERE jaccard >= 0.8 AND (doc_a % 2) <> (doc_b % 2)""",
         "q_word_entropy": """
@@ -10329,13 +10547,14 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT doc_id,
                    CAST(len(ws) AS INTEGER) AS n_words,
-                   round(coalesce(list_sum(list_transform(list_distinct(ws),
-                       t -> -1.0
-                            * (CAST(len(list_filter(ws, x -> x = t)) AS DOUBLE)
+                   CAST(coalesce(list_sum(list_transform(list_distinct(ws),
+                       t -> -CAST(floor(
+                            (CAST(len(list_filter(ws, x -> x = t)) AS DOUBLE)
                                / len(ws))
                             * log2(CAST(len(list_filter(ws, x -> x = t))
-                                        AS DOUBLE) / len(ws)))), 0.0), 6)
-                       AS entropy_bits
+                                        AS DOUBLE) / len(ws))
+                            * 1000000000.0) AS BIGINT))), 0) AS BIGINT)
+                       AS entropy_nanobits
             FROM w""",
         "q_length_histogram": """
             WITH n AS (SELECT len(string_split(text, ' ')) AS n_words
@@ -10370,34 +10589,62 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
                          AS n_tokens
               FROM documents GROUP BY source),
+            per2 AS (
+              SELECT source, n_docs, n_tokens,
+                     CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0)
+                          AS BIGINT) AS pw_q20
+              FROM per),
             tot AS (
               SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens,
-                     SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS tot_pow
-              FROM per)
+                     CAST(SUM(pw_q20) AS DOUBLE) AS tot_pow
+              FROM per2)
             SELECT source, n_docs, n_tokens,
-                   round(CAST(n_tokens AS DOUBLE) / tot_tokens, 9) AS p_raw,
-                   round(pow(CAST(n_tokens AS DOUBLE), 0.5) / tot_pow, 9)
-                       AS p_temp,
-                   round((pow(CAST(n_tokens AS DOUBLE), 0.5) / tot_pow)
-                         / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6)
-                       AS epochs
-            FROM per, tot""",
-        "q_corr_stats": """
+                   CAST(floor((CAST(n_tokens AS DOUBLE) / tot_tokens)
+                              * 1000000000.0) AS BIGINT) AS p_raw_ppb,
+                   CAST(floor((CAST(pw_q20 AS DOUBLE) / tot_pow)
+                              * 1000000000.0) AS BIGINT) AS p_temp_ppb,
+                   CAST(floor((CAST(pw_q20 AS DOUBLE) / tot_pow)
+                              / (CAST(n_tokens AS DOUBLE) / tot_tokens)
+                              * 1000000.0) AS BIGINT) AS epochs_micro
+            FROM per2, tot""",
+        "q_corr_stats": f"""
+            WITH r AS (SELECT l_returnflag,
+                              CAST(round(l_quantity) AS BIGINT) AS q,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS pc
+                       FROM lineitem),
+            a AS (SELECT l_returnflag, COUNT(*) AS n_pairs,
+                         SUM(q) AS sx_, SUM(q * q) AS sxx_,
+                         SUM(pc) AS sy_, SUM(pc * pc) AS syy_,
+                         SUM(q * pc) AS sxy_
+                  FROM r GROUP BY l_returnflag),
+            g AS (SELECT l_returnflag, n_pairs,
+                         CAST(n_pairs AS DOUBLE) AS n,
+                         {det_double_sql("sx_")} AS sx,
+                         {det_double_sql("sxx_")} AS sxx,
+                         {det_double_sql("sy_")} AS sy,
+                         {det_double_sql("syy_")} AS syy,
+                         {det_double_sql("sxy_")} AS sxy
+                  FROM a),
+            d AS (SELECT l_returnflag, n_pairs, n, sx, sy,
+                         sxy - sx * sy / n AS cs,
+                         sxx - sx * sx / n AS denq,
+                         syy - sy * sy / n AS denp
+                  FROM g),
+            e AS (SELECT *, cs / (sqrt(denq) * sqrt(denp)) AS corr_v
+                  FROM d)
             SELECT l_returnflag,
-                   round(corr(l_quantity, l_extendedprice), 6)
-                       AS corr_qty_price,
-                   round(covar_samp(l_quantity, l_extendedprice), 3)
-                       AS covar_s,
-                   round(covar_pop(l_quantity, l_extendedprice), 3)
-                       AS covar_p,
-                   round(regr_slope(l_extendedprice, l_quantity), 5)
-                       AS slope,
-                   round(regr_intercept(l_extendedprice, l_quantity), 3)
-                       AS intercept,
-                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-                   CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
-                       AS n_pairs
-            FROM lineitem GROUP BY l_returnflag""",
+                   {floor_scaled_sql("corr_v", 9, "corr_qty_price_ppb")},
+                   {floor_scaled_sql("cs / (n - 1) / 100", 3,
+                                     "covar_s_milli")},
+                   {floor_scaled_sql("cs / n / 100", 3, "covar_p_milli")},
+                   {floor_scaled_sql("cs / denq / 100", 6, "slope_micro")},
+                   {floor_scaled_sql(
+                       "(sy / n - cs / denq * (sx / n)) / 100", 3,
+                       "intercept_milli")},
+                   {floor_scaled_sql("corr_v * corr_v", 9, "r2_ppb")},
+                   CAST(n_pairs AS BIGINT) AS n_pairs
+            FROM e""",
         "q_ann_sq8": """
             WITH v AS (SELECT vec_id,
                               CAST(generate_subscripts(embedding, 1) AS INT)
@@ -10459,11 +10706,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "q_percentile_cont": """
             WITH per AS (SELECT l_returnflag,
-                                quantile_cont(l_extendedprice,
-                                              [0.25, 0.5, 0.75]) AS pcts
+                                quantile_cont(
+                                    CAST(round(l_extendedprice * 100)
+                                         AS BIGINT),
+                                    [0.25, 0.5, 0.75]) AS pcts
                          FROM lineitem GROUP BY 1)
             SELECT l_returnflag, CAST(pos - 1 AS INTEGER) AS pos,
-                   round(val, 3) AS val
+                   CAST(val * 4 AS BIGINT) AS val_qcents
             FROM (SELECT l_returnflag,
                          generate_subscripts(pcts, 1) AS pos,
                          unnest(pcts) AS val
@@ -10582,9 +10831,10 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT t, d, c, N - (cumrem - (d + c)) AS n_at_risk
                   FROM st)
             SELECT t, d, c, CAST(n_at_risk AS BIGINT) AS n_at_risk,
-                   round(exp(SUM(ln(1.0 - d / n_at_risk))
-                             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)),
-                         6) AS survival
+                   CAST(SUM(CAST(floor(ln(1.0 - d / n_at_risk) * 1e12)
+                                 AS BIGINT))
+                        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS logsurv_pico
             FROM r""",
         "q_psi_drift": """
             WITH b AS (
@@ -10600,9 +10850,10 @@ def oracle_sql() -> dict[str, str]:
                            CAST(SUM(n2) AS DOUBLE) AS t2 FROM per)
             SELECT mag_bin, n1, n2,
                    CASE WHEN n1 > 0 AND n2 > 0
-                        THEN round((n2 / t2 - n1 / t1)
-                                   * ln((n2 / t2) / (n1 / t1)), 6)
-                        END AS psi_term
+                        THEN CAST(floor(((n2 / t2 - n1 / t1)
+                                         * ln((n2 / t2) / (n1 / t1)))
+                                        * 1000000.0) AS BIGINT)
+                        END AS psi_term_micro
             FROM per, tot""",
         "q_mutual_info": """
             WITH cells AS (
@@ -10616,22 +10867,36 @@ def oracle_sql() -> dict[str, str]:
             py AS (SELECT y, COUNT(*) AS n_y FROM cells GROUP BY 1),
             tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM cells)
             SELECT j.qty_bin, j.y, CAST(j.n_xy AS BIGINT) AS n_xy,
-                   round((j.n_xy / n) * ln((j.n_xy / n)
-                         / ((px.n_x / n) * (py.n_y / n))), 9) AS mi_term
+                   CAST(floor((j.n_xy / n) * ln((j.n_xy / n)
+                            / ((px.n_x / n) * (py.n_y / n)))
+                        * 1000000000.0) AS BIGINT) AS mi_term_ppb
             FROM joint j JOIN px USING (qty_bin) JOIN py USING (y), tot""",
-        "q_rolling_slope": f"""
+        "q_rolling_slope": """
             WITH daily AS (
               SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
                           AS INTEGER) AS epoch_day,
-                     {_dsum("o_totalprice")} AS revenue
-              FROM orders GROUP BY 1)
-            SELECT epoch_day, revenue,
-                   round(regr_slope(revenue, epoch_day) OVER w, 4)
-                       AS slope_30d,
-                   CAST(COUNT(*) OVER w AS INTEGER) AS n_days_30d
-            FROM daily
-            WINDOW w AS (ORDER BY epoch_day
-                         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""",
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS cents
+              FROM orders GROUP BY 1),
+            win AS (
+              SELECT epoch_day, cents,
+                     CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                     CAST(SUM(epoch_day) OVER w AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(epoch_day AS BIGINT) * epoch_day)
+                          OVER w AS DOUBLE) AS sxx,
+                     CAST(SUM(cents) OVER w AS DOUBLE) AS sy,
+                     CAST(SUM(epoch_day * cents) OVER w AS DOUBLE) AS sxy,
+                     CAST(COUNT(*) OVER w AS INTEGER) AS n_days_30d
+              FROM daily
+              WINDOW w AS (ORDER BY epoch_day
+                           RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+            SELECT epoch_day, CAST(cents AS BIGINT) AS revenue_cents,
+                   CASE WHEN n * sxx - sx * sx <> 0.0 THEN
+                        CAST(floor((n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx) * 10000.0)
+                             AS BIGINT) END AS slope_30d_micro,
+                   n_days_30d
+            FROM win""",
         "q_woe_binning": """
             WITH b AS (SELECT CAST(least(CAST(l_quantity AS INTEGER) - 1,
                                          49) // 5 AS INTEGER) AS qty_bin,
@@ -10646,44 +10911,57 @@ def oracle_sql() -> dict[str, str]:
                            CAST(SUM(n_nonevent) AS DOUBLE) AS tot_ne
                     FROM per)
             SELECT qty_bin, n_event, n_nonevent,
-                   round(ln((n_event / tot_e) / (n_nonevent / tot_ne)), 6)
-                       AS woe
+                   CAST(floor(ln((n_event / tot_e) / (n_nonevent / tot_ne))
+                              * 1000000.0) AS BIGINT) AS woe_micro
             FROM per, tot""",
-        "q_benford": """
+        "q_benford": f"""
             WITH per AS (
               SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
                                            AS BIGINT) AS VARCHAR), 1, 1)
                           AS INTEGER) AS digit,
                      COUNT(*) AS n
               FROM orders GROUP BY 1),
-            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM per)
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM per),
+            e AS (SELECT digit, n, tot, {_BENFORD_CASE} AS expd
+                  FROM per, tot)
             SELECT digit, n,
-                   round(n / tot, 6) AS obs_share,
-                   round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
-                   round(pow(n - tot * log10(1.0 + 1.0 / digit), 2.0)
-                         / (tot * log10(1.0 + 1.0 / digit)), 6)
-                       AS chi2_term
-            FROM per, tot""",
-        "q_welch_ttest": """
-            WITH per AS (
-              SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-                     avg(l_extendedprice) AS m,
-                     var_samp(l_extendedprice) AS v
-              FROM lineitem WHERE l_returnflag IN ('R', 'A')
-              GROUP BY 1),
+                   {floor_scaled_sql("n / tot", 6, "obs_share_ppm")},
+                   {floor_scaled_sql("expd", 6, "benford_share_ppm")},
+                   {floor_scaled_sql(
+                       "(n - tot * expd) * (n - tot * expd)"
+                       " / (tot * expd)", 6, "chi2_term_micro")}
+            FROM e""",
+        "q_welch_ttest": f"""
+            WITH rw AS (SELECT l_returnflag,
+                               CAST(round(l_extendedprice * 100) AS BIGINT)
+                                   AS pc
+                        FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+            agg AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+                           SUM(pc) AS s_, SUM(pc * pc) AS ss_
+                    FROM rw GROUP BY 1),
+            per AS (SELECT l_returnflag, n,
+                           {det_double_sql("s_")} / n AS m,
+                           ({det_double_sql("ss_")}
+                            - {det_double_sql("s_")} * {det_double_sql("s_")}
+                              / n) / (n - 1) AS v
+                    FROM agg),
             a AS (SELECT n AS n1, m AS m1, v AS v1 FROM per
                   WHERE l_returnflag = 'R'),
             b AS (SELECT n AS n2, m AS m2, v AS v2 FROM per
-                  WHERE l_returnflag = 'A')
+                  WHERE l_returnflag = 'A'),
+            c AS (SELECT n1, n2, m1, m2,
+                         v1 / n1 AS r1, v2 / n2 AS r2
+                  FROM a, b)
             SELECT CAST(n1 AS BIGINT) AS n_ret,
                    CAST(n2 AS BIGINT) AS n_acc,
-                   round(m1 - m2, 3) AS mean_diff,
-                   round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 5) AS t_stat,
-                   round(pow(v1 / n1 + v2 / n2, 2.0)
-                         / (pow(v1 / n1, 2.0) / (n1 - 1)
-                            + pow(v2 / n2, 2.0) / (n2 - 1)), 2)
-                       AS welch_dof
-            FROM a, b""",
+                   {floor_scaled_sql("(m1 - m2) / 100", 3, "mean_diff_milli")},
+                   {floor_scaled_sql("(m1 - m2) / sqrt(r1 + r2)", 6,
+                                     "t_stat_micro")},
+                   {floor_scaled_sql(
+                       "((r1 + r2) * (r1 + r2))"
+                       " / (r1 * r1 / (n1 - 1) + r2 * r2 / (n2 - 1))", 3,
+                       "welch_dof_milli")}
+            FROM c""",
         "q_ppjoin": f"""
             WITH {_JACCARD_CTE}
             SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""",
@@ -10718,8 +10996,8 @@ def oracle_sql() -> dict[str, str]:
                        AS doc_inner,
                    CASE WHEN sa.sz <= sb.sz THEN doc_b ELSE doc_a END
                        AS doc_outer,
-                   round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 9)
-                       AS containment
+                   CAST(floor((CAST(inter AS DOUBLE) / least(sa.sz, sb.sz))
+                              * 1000000000.0) AS BIGINT) AS containment_ppb
             FROM inter
             JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
@@ -10856,7 +11134,8 @@ def oracle_sql() -> dict[str, str]:
                          1.0 / (60.0 + r_cos) + 1.0 / (60.0 + r_sq8)
                              AS rrf
                   FROM cos JOIN sq8 USING (vec_id))
-            SELECT vec_id, r_cos, r_sq8, round(rrf, 9) AS rrf,
+            SELECT vec_id, r_cos, r_sq8,
+                   CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_ppb,
                    CAST(row_number() OVER (ORDER BY rrf DESC, vec_id)
                         AS INTEGER) AS rnk
             FROM f QUALIFY rnk <= 20""",
@@ -10870,8 +11149,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id)
             SELECT user_id,
                    CAST(len(vals) AS INTEGER) AS n,
-                   round(list_reduce(vals,
-                         (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+                   CAST(floor(list_reduce(vals,
+                            (acc, x) -> 0.3 * x + 0.7 * acc)
+                        * 1000000.0) AS BIGINT) AS ewma_micro
             FROM per""",
         "q_cumulative_distinct": """
             WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
@@ -10898,7 +11178,8 @@ def oracle_sql() -> dict[str, str]:
                            * sin(radians(lon - (-93.6)) / 2)
                            * sin(radians(lon - (-93.6)) / 2))) AS dist_km
               FROM s)
-            SELECT c_custkey, round(dist_km, 3) AS dist_km,
+            SELECT c_custkey,
+                   CAST(floor(dist_km * 1000 + 0.5) AS BIGINT) AS dist_m,
                    CAST(row_number() OVER (
                        ORDER BY CAST(floor(dist_km * 1000 + 0.5) AS BIGINT),
                                 c_custkey) AS INTEGER) AS rnk
@@ -10936,9 +11217,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2""",
         "q_pandas_udf": """
             SELECT vec_id,
-                   round(sqrt(list_dot_product(embedding::DOUBLE[],
-                                               embedding::DOUBLE[])), 6)
-                       AS l2
+                   CAST(list_sum(list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)
+                                 * CAST(floor(x * 1048576.0 + 0.5)
+                                        AS BIGINT)))
+                        AS BIGINT) AS ssq_q20
             FROM embeddings""",
         "q_ngram_lm": """
             WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

@@ -156,8 +156,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
     #    multilingual-LM mixing recipe, deterministic end to end.
     tw = temperature_weights(curated, alpha=0.5)
     mixed = mix_epochs(
-        curated.join(tw.select("source", "epochs"), "source"),
-        F.ceil(F.col("epochs")).cast("int"),
+        curated.join(tw.select("source", "epochs_micro"), "source"),
+        F.ceil(F.col("epochs_micro") / F.lit(1000000.0)).cast("int"),
     )
 
     # 9. drift QA: term-distribution KL between corpus halves — the

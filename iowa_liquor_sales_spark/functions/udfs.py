@@ -22,7 +22,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 
 @pandas_udf(DoubleType())
@@ -35,6 +35,28 @@ def l2_norm_py(vectors: pd.Series) -> pd.Series:
         lambda v: float(np.sqrt(np.dot(np.asarray(v, dtype="float64"),
                                        np.asarray(v, dtype="float64"))))
     )
+
+
+@pandas_udf(LongType())
+def ssq_q20_py(vectors: pd.Series) -> pd.Series:
+    """Fixed-point sum-of-squares of an array<float> column: each
+    component scaled by 2^20 (a power of two — the float64 multiply is
+    EXACT) and rounded to int64, then squared and summed in integer
+    space. Unlike an L2-norm float reduction (BLAS order-dependent in
+    the last ulp), this is bit-identical on any engine or BLAS build —
+    the driver-hashable form of the same kernel."""
+    import numpy as np
+
+    def ssq(v) -> int:
+        # floor(x + 0.5), NOT np.round: numpy rounds half-to-even while
+        # SQL round() is half-away — floor(+0.5) is one convention
+        # expressible identically in every engine.
+        q = np.floor(np.asarray(v, dtype="float64") * 1048576.0 + 0.5).astype(
+            "int64"
+        )
+        return int((q * q).sum())
+
+    return vectors.map(ssq)
 
 
 @udtf(returnType="sent_id int, sentence string, n_words int")
@@ -55,10 +77,11 @@ class SplitSentences:
 def register_udfs(spark) -> None:
     """Register the Python functions for SQL use."""
     spark.udf.register("l2_norm_py", l2_norm_py)
+    spark.udf.register("ssq_q20_py", ssq_q20_py)
     spark.udtf.register("split_sentences", SplitSentences)
 
 
-__all__ = ["l2_norm_py", "SplitSentences", "register_udfs", "F"]
+__all__ = ["l2_norm_py", "ssq_q20_py", "SplitSentences", "register_udfs", "F"]
 
 
 def grouped_stats_arrow(grouped, value_col: str, key_col: str):

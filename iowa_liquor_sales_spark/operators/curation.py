@@ -489,23 +489,33 @@ def temperature_weights(
         .cast("long")
         .alias("n_tokens"),
     )
+    # Fixed-point tempered mass: n^alpha quantized to an integer (x2^20)
+    # per source BEFORE the total, so the normalizing sum is an exact
+    # integer (a float sum of pow() terms is partition-order dependent).
+    # alpha=0.5 routes through sqrt - IEEE-correctly-rounded everywhere,
+    # unlike libm pow.
+    powv = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    )
+    q = F.floor(powv * F.lit(1048576.0)).cast("long")
+    per = per.withColumn("pw_q20", q)
     tot = per.agg(
         F.sum("n_tokens").cast("double").alias("tot_tokens"),
-        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
-            "tot_pow"
-        ),
+        F.sum("pw_q20").cast("double").alias("tot_pow"),
     )
     p_raw = F.col("n_tokens").cast("double") / F.col("tot_tokens")
-    p_temp = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col(
-        "tot_pow"
-    )
+    p_temp = F.col("pw_q20").cast("double") / F.col("tot_pow")
     return per.crossJoin(F.broadcast(tot)).select(
         source_col,
         "n_docs",
         "n_tokens",
-        F.round(p_raw, 9).alias("p_raw"),
-        F.round(p_temp, 9).alias("p_temp"),
-        F.round(p_temp / p_raw, 6).alias("epochs"),
+        F.floor(p_raw * F.lit(1e9)).cast("long").alias("p_raw_ppb"),
+        F.floor(p_temp * F.lit(1e9)).cast("long").alias("p_temp_ppb"),
+        F.floor(p_temp / p_raw * F.lit(1e6)).cast("long").alias(
+            "epochs_micro"
+        ),
     )
 
 

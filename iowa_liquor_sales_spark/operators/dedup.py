@@ -568,7 +568,7 @@ def containment_pairs(
             F.when(F.col("sz_a") <= F.col("sz_b"), F.col("doc_b"))
             .otherwise(F.col("doc_a"))
             .alias("doc_outer"),
-            F.round(cont, 9).alias("containment"),
+            F.floor(cont * F.lit(1e9)).cast("long").alias("containment_ppb"),
         )
     )
 

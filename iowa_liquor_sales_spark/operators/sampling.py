@@ -209,12 +209,13 @@ def bootstrap_mean_ci(
     O(n_boot) rows per task, which is why this scales where
     collect-and-resample cannot.
 
-    Replicate means are rounded to integer tenths of a cent before the
-    percentile, so the 2.5/97.5 interpolation is exact-int in any
-    engine (the float-median ulp trap).
+    Replicate means are rounded to integer tenths of a cent, and the
+    2.5/97.5 bounds are ORDER STATISTICS of those integers (type-1
+    quantiles) — no float interpolation anywhere, so every output is an
+    exact integer in any engine.
 
-    Returns one row: (n_boot, mean_cents, ci_lo_mc, ci_hi_mc) where the
-    CI bounds are in millicents (cents × 10).
+    Returns one row: (n_boot, mean_mc_point, ci_lo_mc, ci_hi_mc), all in
+    millicents (cents × 10).
     """
     b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
     w = poisson1_weight(F.col(id_col), F.col("b"))
@@ -231,17 +232,31 @@ def bootstrap_mean_ci(
     # exact integer SUM then one double division — avg(long) would
     # accumulate doubles in partition order.
     point = df.agg(
-        F.round(
-            F.sum(F.col(cents_col)) / F.count(F.lit(1)), 1
-        ).alias("mean_cents"),
+        F.floor(
+            F.sum(F.col(cents_col)).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(10.0)
+        )
+        .cast("long")
+        .alias("mean_mc_point"),
     )
+    # Order-statistic CI (type-1 quantile): the 2.5%/97.5% bounds are
+    # EXACT replicate means (integers), not interpolated — percentile
+    # interpolation at 0.025 is a cross-engine float formula. n_boot is
+    # bounded, so the sorted-array pick is O(n_boot) driver-free state.
+    lo_pos = max(1, int(0.025 * n_boot) + 1)
+    hi_pos = min(n_boot, int(0.975 * n_boot) + 1)
     ci = per_rep.agg(
         F.count(F.lit(1)).cast("long").alias("n_boot"),
-        F.percentile("mean_mc", F.lit(0.025)).alias("ci_lo_mc"),
-        F.percentile("mean_mc", F.lit(0.975)).alias("ci_hi_mc"),
+        F.element_at(F.sort_array(F.collect_list("mean_mc")), lo_pos).alias(
+            "ci_lo_mc"
+        ),
+        F.element_at(F.sort_array(F.collect_list("mean_mc")), hi_pos).alias(
+            "ci_hi_mc"
+        ),
     )
     return ci.crossJoin(point).select(
-        "n_boot", "mean_cents", "ci_lo_mc", "ci_hi_mc"
+        "n_boot", "mean_mc_point", "ci_lo_mc", "ci_hi_mc"
     )
 
 

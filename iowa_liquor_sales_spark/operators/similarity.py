@@ -528,9 +528,9 @@ def embedding_covariance(
     zero joins, zero shuffles until the final map-side-combinable
     reduce into d(d+1)/2 groups.
 
-    Returns (i, j, n_vecs, sum_xy, sum_x, sum_y, cov_scaled) for i ≤ j;
+    Returns (i, j, n_vecs, sum_xy, sum_x, sum_y, cov_milli) for i ≤ j;
     cov = E[xy] − E[x]E[y] over the scaled ints, double division only
-    at the end.
+    at the end, emitted as floor(cov × 1000) BIGINT (hash-stable).
     """
     qarr = F.transform(
         F.col(vec_col),
@@ -561,7 +561,7 @@ def embedding_covariance(
     )
     return agg.select(
         "i", "j", "n_vecs", "sum_xy", "sum_x", "sum_y",
-        F.round(cov, 3).alias("cov_scaled"),
+        F.floor(cov * F.lit(1000.0)).cast("long").alias("cov_milli"),
     )
 
 
@@ -580,7 +580,8 @@ def power_iteration_pc1(
     graph algorithms.
 
     Exactness discipline: matrix entries are pre-quantized
-    (``round(cov_scaled/1000)``, ≤1e9) and vector components are
+    (sign-symmetric ``cov_milli div 10^6``, ≤1e9, all-integer) and
+    vector components are
     ≤``scale``, so every multiply-accumulate is exact int64 for
     d ≤ 64; before the norm, the raw product vector is re-quantized by
     an integer ``div 2^30`` so its square-sum also stays exact. The
@@ -593,7 +594,10 @@ def power_iteration_pc1(
     fixed so the largest-|component| entry (ties: lowest i) is
     positive.
     """
-    c_q = F.round(F.col("cov_scaled") / 1000, 0).cast("long").alias("c")
+    c_q = F.expr(
+        "CASE WHEN cov_milli < 0 THEN -((-cov_milli) div 1000000)"
+        " ELSE cov_milli div 1000000 END"
+    ).alias("c")
     upper = cov.select("i", "j", c_q)
     sym = upper.unionAll(
         upper.filter(F.col("i") != F.col("j")).select(

@@ -433,6 +433,16 @@ def kmv_sql(expr: str, table: str, k: int) -> str:
         FROM mins"""
 
 
+def _alpha_eff(p: int) -> float:
+    """The full HLL constant alpha_m * m^2 * 2^maxrho folded to ONE double
+    in Python and injected into BOTH engines as the same literal — an
+    in-engine constant ladder risks decimal-vs-double literal typing
+    differences (DuckDB parses 0.7213 as DECIMAL(5,4))."""
+    m = 1 << p
+    maxrho = 61 - p
+    return 0.7213 / (1.0 + 1.079 / float(m)) * float(m * m) * float(1 << maxrho)
+
+
 def hll_registers(df: DataFrame, expr: Column | str, p: int = 8) -> DataFrame:
     """HyperLogLog register table over the portable md5 hash: bucket =
     low ``p`` bits of hash60, rho = leading-zero count of the remaining
@@ -486,11 +496,8 @@ def hll_estimate(df: DataFrame, expr: Column | str, p: int = 8) -> DataFrame:
     hsum = (F.col("hp") + (F.lit(m) - F.col("nb")) * F.lit(1 << maxrho)).cast(
         "double"
     )
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
     return s.select(
-        (alpha * F.lit(float(m * m)) * F.lit(float(1 << maxrho)) / hsum).alias(
-            "est_distinct"
-        ),
+        (F.lit(_alpha_eff(p)) / hsum).alias("est_distinct"),
         F.col("nb").cast("long").alias("n_buckets_used"),
     )
 
@@ -514,8 +521,8 @@ def hll_sql(expr: str, table: str, p: int = 8) -> str:
           SELECT COUNT(*) AS nb,
                  CAST(SUM(CAST(1 AS BIGINT) << ({maxrho} - rho)) AS BIGINT) AS hp
           FROM regs)
-        SELECT (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m * m)}
-                   * {float(big)} / CAST(hp + ({m} - nb) * {big} AS DOUBLE)
+        SELECT {_alpha_eff(p)!r}
+                   / CAST(hp + ({m} - nb) * {big} AS DOUBLE)
                AS est_distinct,
                CAST(nb AS BIGINT) AS n_buckets_used
         FROM s"""
@@ -533,12 +540,7 @@ def _hll_estimate_expr(regs: DataFrame, name: str, p: int) -> DataFrame:
     hsum = (F.col("hp") + (F.lit(m) - F.col("nb")) * F.lit(1 << maxrho)).cast(
         "double"
     )
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
-    return s.select(
-        (alpha * F.lit(float(m * m)) * F.lit(float(1 << maxrho)) / hsum).alias(
-            name
-        )
-    )
+    return s.select((F.lit(_alpha_eff(p)) / hsum).alias(name))
 
 
 def hll_overlap(
@@ -569,14 +571,18 @@ def hll_overlap(
     ea = _hll_estimate_expr(ra, "est_a", p)
     eb = _hll_estimate_expr(rb, "est_b", p)
     eu = _hll_estimate_expr(ru, "est_union", p)
-    out = ea.crossJoin(eb).crossJoin(eu).select(
-        F.round("est_a", 6).alias("est_a"),
-        F.round("est_b", 6).alias("est_b"),
-        F.round("est_union", 6).alias("est_union"),
-    )
-    return out.withColumn(
-        "est_intersect",
-        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+    out = ea.crossJoin(eb).crossJoin(eu)
+    return out.select(
+        F.floor(F.col("est_a") * F.lit(1e6)).cast("long").alias("est_a_micro"),
+        F.floor(F.col("est_b") * F.lit(1e6)).cast("long").alias("est_b_micro"),
+        F.floor(F.col("est_union") * F.lit(1e6))
+        .cast("long")
+        .alias("est_union_micro"),
+        F.floor(
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")) * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("est_intersect_micro"),
     )
 
 
@@ -600,8 +606,7 @@ def hll_overlap_sql(
 
     def est(src: str, name: str) -> str:
         return f"""
-          SELECT (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m * m)}
-                     * {float(big)}
+          SELECT {_alpha_eff(p)!r}
                      / CAST(hp + ({m} - nb) * {big} AS DOUBLE) AS {name}
           FROM (SELECT COUNT(*) AS nb,
                        CAST(SUM(CAST(1 AS BIGINT) << ({maxrho} - rho)) AS BIGINT)
@@ -615,12 +620,15 @@ def hll_overlap_sql(
             SELECT * FROM ra UNION ALL SELECT * FROM rb
           ) GROUP BY bucket),
         r3 AS (
-          SELECT round(ea.est_a, 6) AS est_a, round(eb.est_b, 6) AS est_b,
-                 round(eu.est_union, 6) AS est_union
+          SELECT ea.est_a, eb.est_b, eu.est_union
           FROM ({est('ra', 'est_a')}) ea, ({est('rb', 'est_b')}) eb,
                ({est('ru', 'est_union')}) eu)
-        SELECT est_a, est_b, est_union,
-               round(est_a + est_b - est_union, 6) AS est_intersect
+        SELECT CAST(floor(est_a * 1000000.0) AS BIGINT) AS est_a_micro,
+               CAST(floor(est_b * 1000000.0) AS BIGINT) AS est_b_micro,
+               CAST(floor(est_union * 1000000.0) AS BIGINT)
+                   AS est_union_micro,
+               CAST(floor((est_a + est_b - est_union) * 1000000.0) AS BIGINT)
+                   AS est_intersect_micro
         FROM r3"""
 
 
@@ -757,11 +765,9 @@ def hll_sliding_distinct(
     hsum = (F.col("hp") + (F.lit(m) - F.col("nb")) * F.lit(1 << maxrho)).cast(
         "double"
     )
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
     return s.select(
         "day",
-        (alpha * F.lit(float(m * m)) * F.lit(float(1 << maxrho)) / hsum)
-        .alias("est_distinct"),
+        (F.lit(_alpha_eff(p)) / hsum).alias("est_distinct"),
         F.col("nb").cast("long").alias("n_buckets_used"),
     )
 
@@ -807,8 +813,7 @@ def hll_sliding_sql(
                       AS BIGINT) AS hp
           FROM w GROUP BY day)
         SELECT day,
-               (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m * m)}
-                   * {float(big)}
+               {_alpha_eff(p)!r}
                    / CAST(hp + ({m} - nb) * {big} AS DOUBLE)
                  AS est_distinct,
                CAST(nb AS BIGINT) AS n_buckets_used

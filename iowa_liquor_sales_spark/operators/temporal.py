@@ -379,7 +379,7 @@ def autocorrelation(
     order_col: str,
     value_col: str,
     lags: tuple[int, ...] = (1, 2, 3),
-    decimals: int = 6,
+    scale: int = 100,
 ) -> DataFrame:
     """Per-key autocorrelation function (ACF): Pearson correlation of the
     series with itself shifted by each lag — the seasonality /
@@ -388,28 +388,53 @@ def autocorrelation(
     Spark-first: one per-key window (hash-partitioned by key — never a
     global sort) produces all lagged columns in a single pass, then one
     map-side-combinable moment aggregate per key emits every lag's
-    ``corr``. Rounded: both engines accumulate float moments in
-    partition order (same convention as the corr/regr family).
+    correlation. Values quantize to exact integers (``round(v*scale)``),
+    the per-lag moments are exact integer sums (order-independent), and
+    each corr finishes in one fixed +-*/sqrt double formula, emitted as
+    ``floor(corr * 1e9)`` BIGINT — bitwise-stable in any engine (native
+    corr accumulators are partition-order sensitive).
     """
     w = Window.partitionBy(key_col).orderBy(order_col)
+    qv = F.round(F.col(value_col) * scale).cast("long")
     lagged = df.select(
         key_col,
         order_col,
-        F.col(value_col).alias("_v"),
-        *[
-            F.lag(value_col, lag).over(w).alias(f"_v_lag{lag}")
-            for lag in lags
-        ],
+        qv.alias("_v"),
+        *[F.lag(qv, lag).over(w).alias(f"_l{lag}") for lag in lags],
     )
-    return lagged.groupBy(key_col).agg(
-        F.count("_v").cast("long").alias("n_obs"),
-        *[
-            F.round(F.corr("_v", f"_v_lag{lag}"), decimals).alias(
-                f"acf_{lag}"
-            )
-            for lag in lags
-        ],
-    )
+    aggs = [F.count("_v").cast("long").alias("n_obs")]
+    for lag in lags:
+        ok = F.col(f"_l{lag}").isNotNull()
+        aggs += [
+            F.sum(ok.cast("long")).cast("double").alias(f"n{lag}"),
+            F.sum(F.when(ok, F.col("_v"))).cast("double").alias(f"sx{lag}"),
+            F.sum(F.when(ok, F.col("_v") * F.col("_v")))
+            .cast("double")
+            .alias(f"sxx{lag}"),
+            F.sum(F.when(ok, F.col(f"_l{lag}")))
+            .cast("double")
+            .alias(f"sy{lag}"),
+            F.sum(F.when(ok, F.col(f"_l{lag}") * F.col(f"_l{lag}")))
+            .cast("double")
+            .alias(f"syy{lag}"),
+            F.sum(F.when(ok, F.col("_v") * F.col(f"_l{lag}")))
+            .cast("double")
+            .alias(f"sxy{lag}"),
+        ]
+    g = lagged.groupBy(key_col).agg(*aggs)
+    outs = [F.col(key_col), F.col("n_obs")]
+    for lag in lags:
+        n = F.col(f"n{lag}")
+        sx, sxx = F.col(f"sx{lag}"), F.col(f"sxx{lag}")
+        sy, syy = F.col(f"sy{lag}"), F.col(f"syy{lag}")
+        sxy = F.col(f"sxy{lag}")
+        corr = (n * sxy - sx * sy) / (
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        )
+        outs.append(
+            F.floor(corr * F.lit(1e9)).cast("long").alias(f"acf_{lag}_ppb")
+        )
+    return g.select(*outs)
 
 
 def resample_interpolate(

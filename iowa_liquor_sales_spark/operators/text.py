@@ -289,16 +289,23 @@ def word_entropy(
         F.array_distinct(w),
         lambda t: F.size(F.filter(w, lambda x: x == t)).cast("double"),
     )
-    ent = F.aggregate(
+    # Each -p*log2(p) term floor-scales to an integer (nano-bits) BEFORE
+    # the fold, so the accumulation is an exact integer sum — engines may
+    # associate list reductions differently without changing any bit.
+    ent_nano = F.aggregate(
         counts,
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, c: acc
-        - (c / n.cast("double")) * F.log2(c / n.cast("double")),
+        - F.floor(
+            (c / n.cast("double"))
+            * F.log2(c / n.cast("double"))
+            * F.lit(1e9)
+        ).cast("long"),
     )
     return df.select(
         F.col(id_col),
         n.cast("int").alias("n_words"),
-        F.round(ent, 6).alias("entropy_bits"),
+        ent_nano.alias("entropy_nanobits"),
     )
 
 

@@ -304,12 +304,15 @@ def test_temperature_weights_flattens_mix(spark):
     )
     out = {r["source"]: r for r in temperature_weights(docs, alpha=0.5).collect()}
     assert out["big"]["n_tokens"] == 16 and out["small"]["n_tokens"] == 1
-    assert abs(out["big"]["p_temp"] / out["small"]["p_temp"] - 4.0) < 1e-6
+    assert (
+        abs(out["big"]["p_temp_ppb"] / out["small"]["p_temp_ppb"] - 4.0)
+        < 1e-4
+    )
     # epochs re-weight the raw mix toward small: small up, big down.
-    assert out["small"]["epochs"] > 1.0 > out["big"]["epochs"]
-    # probabilities each sum to 1.
-    assert abs(out["big"]["p_raw"] + out["small"]["p_raw"] - 1.0) < 1e-8
-    assert abs(out["big"]["p_temp"] + out["small"]["p_temp"] - 1.0) < 1e-8
+    assert out["small"]["epochs_micro"] > 1_000_000 > out["big"]["epochs_micro"]
+    # probabilities each sum to 1 (up to the two output floors).
+    assert abs(out["big"]["p_raw_ppb"] + out["small"]["p_raw_ppb"] - 1e9) <= 2
+    assert abs(out["big"]["p_temp_ppb"] + out["small"]["p_temp_ppb"] - 1e9) <= 2
 
 
 def test_quantile_normalize_aligns_source_scales(spark):

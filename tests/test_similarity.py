@@ -135,12 +135,14 @@ def test_embedding_covariance_exact_small_case(spark):
     s = 1_000_000
     xs, ys = [0.1 * s, 0.2 * s, 0.3 * s], [0.4 * s, 0.0, 0.2 * s]
     n = 3
+    import math
+
     exy = sum(x * y for x, y in zip(xs, ys)) / n
-    cov = round(exy - (sum(xs) / n) * (sum(ys) / n), 3)
+    cov_milli = math.floor((exy - (sum(xs) / n) * (sum(ys) / n)) * 1000.0)
     assert out[(0, 1)]["n_vecs"] == 3
-    assert out[(0, 1)]["cov_scaled"] == cov
+    assert out[(0, 1)]["cov_milli"] == cov_milli
     # variance on the diagonal is positive
-    assert out[(0, 0)]["cov_scaled"] > 0
+    assert out[(0, 0)]["cov_milli"] > 0
 
 
 def test_power_iteration_pc1_recovers_planted_component(spark):

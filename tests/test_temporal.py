@@ -138,9 +138,10 @@ def test_autocorrelation_linear_series(spark):
         ).collect()
     }
     assert out["a"]["n_obs"] == 20
-    assert out["a"]["acf_1"] == 1.0
-    assert out["a"]["acf_2"] == 1.0
-    assert out["a"]["acf_3"] == 1.0
+    # floor(corr * 1e9): a bit-perfect 1.0 is not guaranteed by the
+    # closed-form moment finish, but it must sit within a few ulp-floors.
+    for lag in (1, 2, 3):
+        assert 999_999_990 <= out["a"][f"acf_{lag}_ppb"] <= 1_000_000_000
 
 
 def test_resample_interpolate_fills_gap_linearly(spark):

@@ -80,11 +80,12 @@ def test_word_entropy_exact_values(spark):
         ["doc_id", "text"],
     )
     out = {r["doc_id"]: r for r in word_entropy(docs).collect()}
-    assert out[1]["entropy_bits"] == 0.0
-    assert out[2]["entropy_bits"] == 1.0
-    assert out[3]["entropy_bits"] == 2.0
+    assert out[1]["entropy_nanobits"] == 0
+    assert out[2]["entropy_nanobits"] == 1_000_000_000
+    assert out[3]["entropy_nanobits"] == 2_000_000_000
     expected = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
-    assert abs(out[4]["entropy_bits"] - round(expected, 6)) < 1e-9
+    # sum of two per-term floors: within 2 nano-bits of the float value
+    assert abs(out[4]["entropy_nanobits"] - expected * 1e9) <= 2
     assert out[4]["n_words"] == 4
 
 
