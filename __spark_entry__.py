@@ -665,13 +665,70 @@ def q_offset(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    # Exact interpolated percentiles per group (median / p90) — Spark's
-    # percentile == SQL-standard PERCENTILE_CONT interpolation.
+    # Exact interpolated percentiles per group (median / p90), computed
+    # as EXPLICIT integer order statistics: index k*(n-1)/q is carried as
+    # the integer pair (k*(n-1) div q, k*(n-1) mod q) and the
+    # PERCENTILE_CONT interpolation (q-r)*lo + r*hi is evaluated in
+    # exact integer arithmetic, scaled by q. Native percentile() over
+    # doubles interpolates with an engine-specific float formula — at
+    # p90 the fraction (tenths) is not binary-representable, so rounded
+    # outputs could diverge per build. One window pass per measure.
     li = read_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+
+    def ostat(value_col, q_den, out):
+        # value_col: exact integer measure; q_den: fraction denominator
+        # (2 for median, 10 for p90 with k=9). Emits value*q_den BIGINT.
+        k_num = 1 if q_den == 2 else 9
+        staged = li.select(
+            "l_returnflag",
+            value_col.alias("v"),
+            "l_orderkey",
+            "l_linenumber",
+        ).select(
+            "l_returnflag",
+            "v",
+            F.row_number()
+            .over(
+                Window.partitionBy("l_returnflag").orderBy(
+                    "v", "l_orderkey", "l_linenumber"
+                )
+            )
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("l_returnflag"))
+            .alias("n"),
+        )
+        idx = k_num * (F.col("n") - 1)
+        lo_rank = F.expr(f"{k_num} * (n - 1) div {q_den}") + 1
+        r = idx % q_den
+        return (
+            staged.filter(
+                (F.col("rn") == lo_rank) | (F.col("rn") == lo_rank + 1)
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.max(F.when(F.col("rn") == lo_rank, F.col("v"))).alias("lo"),
+                F.max(F.when(F.col("rn") == lo_rank + 1, F.col("v"))).alias(
+                    "hi"
+                ),
+                F.first(r).alias("r"),
+            )
+            .select(
+                "l_returnflag",
+                (
+                    (q_den - F.col("r")) * F.col("lo")
+                    + F.col("r") * F.coalesce(F.col("hi"), F.lit(0))
+                ).alias(out),
+            )
+        )
+
+    med = ostat(F.round("l_quantity").cast("long"), 2, "median_qty_x2")
+    p90 = ostat(
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        10,
+        "p90_price_x10c",
     )
+    return med.join(p90, "l_returnflag")
 
 
 def q_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
@@ -824,6 +881,86 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     return token_counts(read_table(spark, sf, "documents"))
+
+
+def q_geo_radius_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Geo radius join: customer/supplier pairs within 300 km, via a
+    # LATITUDE-BAND prefilter (3-degree integer bands; 1 deg latitude is
+    # a uniform ~111.2 km, so a +-1-band neighborhood provably covers the
+    # radius at every latitude — unlike fixed lon cells, which shrink
+    # toward the poles) and an exact haversine verify on the candidates.
+    # Bands are an equi-join key: candidates are O(N*M/#bands), never the
+    # cross product; the verify emits an integer meter grid.
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    clat = ((F.col("c_custkey") % 120) - 60 + F.lit(0.25)).cast("double")
+    clon = (((F.col("c_custkey") * 7) % 360) - 180 + F.lit(0.25)).cast("double")
+    slat = ((F.col("s_suppkey") % 100) - 50 + F.lit(0.5)).cast("double")
+    slon = (((F.col("s_suppkey") * 11) % 360) - 180 + F.lit(0.5)).cast("double")
+    cc = c.select(
+        "c_custkey",
+        clat.alias("clat"),
+        clon.alias("clon"),
+        F.floor(clat / 3).cast("int").alias("band"),
+    )
+    ss = s.select(
+        "s_suppkey",
+        slat.alias("slat"),
+        slon.alias("slon"),
+        F.explode(
+            F.array(
+                F.floor(slat / 3).cast("int") - 1,
+                F.floor(slat / 3).cast("int"),
+                F.floor(slat / 3).cast("int") + 1,
+            )
+        ).alias("band"),
+    )
+    j = cc.join(F.broadcast(ss), "band")
+    dphi = F.radians(F.col("clat") - F.col("slat"))
+    dlmb = F.radians(F.col("clon") - F.col("slon"))
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(F.radians(F.col("slat")))
+        * F.cos(F.radians(F.col("clat")))
+        * F.sin(dlmb / 2)
+        * F.sin(dlmb / 2)
+    )
+    dist_m = F.floor(
+        F.lit(2.0) * F.lit(6371000.0) * F.asin(F.sqrt(a)) + 0.5
+    ).cast("long")
+    return (
+        j.withColumn("dist_m", dist_m)
+        .filter(F.col("dist_m") < 300000)
+        .select("c_custkey", "s_suppkey", "dist_m")
+    )
+
+
+def q_embed_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Embedding-similarity decontamination (operators/curation.
+    # embedding_decontaminate): every 20th vector plays the eval set;
+    # corpus vectors with cosine >= 0.9 to any eval vector are flagged.
+    # All-integer cosine threshold (DECIMAL(38,0) cross-multiplication),
+    # broadcast eval side — the semantic twin of q_decontaminate.
+    from iowa_liquor_sales_spark.operators.curation import (
+        embedding_decontaminate,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    return embedding_decontaminate(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        tau_centi=90,
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher-rule heuristic quality filter (operators/text.gopher_quality):
+    # word-count / mean-word-length / alpha-fraction / stopword rules,
+    # every threshold an integer cross-multiplication — the standard
+    # pre-training filter pass, zero-shuffle expression layer.
+    from iowa_liquor_sales_spark.operators.text import gopher_quality
+
+    return gopher_quality(read_table(spark, sf, "documents"))
 
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
@@ -3973,9 +4110,11 @@ def q_copurchase(spark: SparkSession, sf: str) -> DataFrame:
 def q_grouped_linreg(spark: SparkSession, sf: str) -> DataFrame:
     # Model-per-group training via Arrow grouped map (applyInPandas):
     # per returnflag, OLS slope/intercept of extendedprice on quantity
-    # fit with numpy — the embarrassingly-parallel fit pattern. Oracle:
-    # the SQL-standard regr_slope/regr_intercept aggregates, which the
-    # closed-form OLS equals; rounded (moment accumulation order).
+    # fit with numpy — the embarrassingly-parallel fit pattern. The fit
+    # uses EXACT integer moments (qty units x price cents, int64 sums —
+    # order-independent, unlike float mean/BLAS reductions) and a
+    # deterministic +-*/ closed form; outputs are floor-scaled BIGINTs.
+    # Oracle: the same moment formula in SQL.
     import numpy as np
     import pandas as pd
 
@@ -3984,21 +4123,33 @@ def q_grouped_linreg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["l_quantity"].to_numpy(dtype="float64")
-        y = pdf["l_extendedprice"].to_numpy(dtype="float64")
-        xm, ym = x.mean(), y.mean()
-        slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+        q = np.round(pdf["l_quantity"].to_numpy(dtype="float64")).astype(
+            "int64"
+        )
+        pc = np.round(
+            pdf["l_extendedprice"].to_numpy(dtype="float64") * 100
+        ).astype("int64")
+        n = len(q)
+        sx, sxx = float(int(q.sum())), float(int((q * q).sum()))
+        sy, sxy = float(int(pc.sum())), float(int((q * pc).sum()))
+        cs = sxy - sx * sy / n
+        denq = sxx - sx * sx / n
+        slope_c = cs / denq
+        import math
+
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "slope": [round(slope, 5)],
-                "intercept": [round(float(ym - slope * xm), 3)],
-                "n": [len(pdf)],
+                "slope_micro": [int(math.floor(slope_c * 10000.0))],
+                "intercept_milli": [
+                    int(math.floor((sy / n - slope_c * (sx / n)) * 10.0))
+                ],
+                "n": [n],
             }
         )
 
     return li.groupBy("l_returnflag").applyInPandas(
-        fit, "l_returnflag string, slope double, intercept double, n long"
+        fit, "l_returnflag string, slope_micro long, intercept_milli long, n long"
     )
 
 
@@ -5439,6 +5590,73 @@ def q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_decile_grid(spark: SparkSession, sf: str) -> DataFrame:
+    # Full decile grid (d1..d9) of price cents per return flag via
+    # operators/aggregates.exact_group_quantiles: ONE ranking window pass
+    # serves all nine PERCENTILE_CONT fractions with all-integer
+    # interpolation (outputs are cents x10 BIGINTs — deciles' tenths
+    # fractions are not binary-representable, so native float percentile
+    # outputs would be engine-build-dependent).
+    from iowa_liquor_sales_spark.operators.aggregates import (
+        exact_group_quantiles,
+    )
+
+    li = read_table(spark, sf, "lineitem")
+    return exact_group_quantiles(
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("pc"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        "l_returnflag",
+        "pc",
+        fracs=[(k, 10) for k in range(1, 10)],
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
+def _decile_oracle() -> str:
+    """Replay of exact_group_quantiles over the price-cents deciles —
+    generated per fraction so the interpolation arithmetic cannot drift
+    from the operator's."""
+    los = ",\n                 ".join(
+        f"MAX(CASE WHEN rn = {k} * (n - 1) // 10 + 1 THEN v END)"
+        f" AS lo{k},\n                 "
+        f"MAX(CASE WHEN rn = {k} * (n - 1) // 10 + 2 THEN v END)"
+        f" AS hi{k}"
+        for k in range(1, 10)
+    )
+    conds = " OR ".join(
+        f"rn = {k} * (n - 1) // 10 + 1 OR rn = {k} * (n - 1) // 10 + 2"
+        for k in range(1, 10)
+    )
+    outs = ",\n               ".join(
+        f"CAST((10 - {k} * (n - 1) % 10) * lo{k}"
+        f" + ({k} * (n - 1) % 10) * COALESCE(hi{k}, 0) AS BIGINT)"
+        f" AS q{k}_10_x10"
+        for k in range(1, 10)
+    )
+    return f"""
+        WITH s AS (
+          SELECT l_returnflag AS g,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                 row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                              l_orderkey, l_linenumber) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem),
+        m AS (SELECT g, MIN(n) AS n,
+                 {los}
+              FROM s WHERE {conds}
+              GROUP BY g)
+        SELECT g AS l_returnflag,
+               {outs}
+        FROM m"""
+
+
 def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     # Quantity-weighted median price per return flag: cumulative-weight
     # window ordered by (price, unique key), pick the least price whose
@@ -6851,6 +7069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_sliding": q_hll_sliding,
         "q_embed_covariance": q_embed_covariance,
         "q_text_quality": q_text_quality,
+        "q_gopher_quality": q_gopher_quality,
+        "q_embed_decontaminate": q_embed_decontaminate,
+        "q_geo_radius_join": q_geo_radius_join,
         "q_token_count": q_token_count,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -6901,6 +7122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mutual_info": q_mutual_info,
         "q_kaplan_meier": q_kaplan_meier,
         "q_weighted_median": q_weighted_median,
+        "q_decile_grid": q_decile_grid,
         "q_corr_stats": q_corr_stats,
         "q_kcore": q_kcore,
         "q_bfs_hops": q_bfs_hops,
@@ -7289,10 +7511,51 @@ def oracle_sql() -> dict[str, str]:
                    AS DOUBLE) AS running_sum
             FROM orders""",
         "q_percentiles": """
-            SELECT l_returnflag,
-                   quantile_cont(l_quantity, 0.5) AS median_qty,
-                   quantile_cont(l_extendedprice, 0.9) AS p90_price
-            FROM lineitem GROUP BY l_returnflag""",
+            WITH s1 AS (
+              SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY CAST(round(l_quantity) AS BIGINT),
+                                  l_orderkey, l_linenumber) AS rn,
+                     COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem),
+            m AS (SELECT l_returnflag,
+                         MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END)
+                             AS lo,
+                         MAX(CASE WHEN rn = (n - 1) // 2 + 2 THEN v END)
+                             AS hi,
+                         MIN((n - 1) % 2) AS r
+                  FROM s1
+                  WHERE rn = (n - 1) // 2 + 1 OR rn = (n - 1) // 2 + 2
+                  GROUP BY l_returnflag),
+            medv AS (SELECT l_returnflag,
+                            CAST((2 - r) * lo + r * COALESCE(hi, 0)
+                                 AS BIGINT) AS median_qty_x2
+                     FROM m),
+            s2 AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY CAST(round(l_extendedprice * 100)
+                                       AS BIGINT),
+                                  l_orderkey, l_linenumber) AS rn,
+                     COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem),
+            m2 AS (SELECT l_returnflag,
+                          MAX(CASE WHEN rn = 9 * (n - 1) // 10 + 1 THEN v
+                              END) AS lo,
+                          MAX(CASE WHEN rn = 9 * (n - 1) // 10 + 2 THEN v
+                              END) AS hi,
+                          MIN(9 * (n - 1) % 10) AS r
+                   FROM s2
+                   WHERE rn = 9 * (n - 1) // 10 + 1
+                      OR rn = 9 * (n - 1) // 10 + 2
+                   GROUP BY l_returnflag),
+            p90v AS (SELECT l_returnflag,
+                            CAST((10 - r) * lo + r * COALESCE(hi, 0)
+                                 AS BIGINT) AS p90_price_x10c
+                     FROM m2)
+            SELECT l_returnflag, median_qty_x2, p90_price_x10c
+            FROM medv JOIN p90v USING (l_returnflag)""",
         "q_count_distinct": """
             SELECT o_orderstatus,
                    COUNT(DISTINCT o_custkey) AS n_customers,
@@ -8134,6 +8397,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT u, v, common, aa_scaled FROM p
             WHERE NOT EXISTS (
               SELECT 1 FROM e WHERE e.lo = p.u AND e.hi = p.v)""",
+        "q_geo_radius_join": """
+            WITH cc AS (
+              SELECT c_custkey,
+                     CAST((c_custkey % 120) - 60 + 0.25 AS DOUBLE) AS clat,
+                     CAST(((c_custkey * 7) % 360) - 180 + 0.25 AS DOUBLE)
+                         AS clon
+              FROM customer),
+            ss AS (
+              SELECT s_suppkey,
+                     CAST((s_suppkey % 100) - 50 + 0.5 AS DOUBLE) AS slat,
+                     CAST(((s_suppkey * 11) % 360) - 180 + 0.5 AS DOUBLE)
+                         AS slon
+              FROM supplier),
+            d AS (
+              SELECT c_custkey, s_suppkey,
+                     CAST(floor(2.0 * 6371000.0 * asin(sqrt(
+                         sin(radians(clat - slat) / 2)
+                           * sin(radians(clat - slat) / 2)
+                         + cos(radians(slat)) * cos(radians(clat))
+                           * sin(radians(clon - slon) / 2)
+                           * sin(radians(clon - slon) / 2))) + 0.5)
+                          AS BIGINT) AS dist_m
+              FROM cc, ss)
+            SELECT c_custkey, s_suppkey, dist_m
+            FROM d WHERE dist_m < 300000""",
+        "q_embed_decontaminate": """
+            WITH cc AS (
+              SELECT vec_id AS cid,
+                     CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6
+                                + 0.5) AS BIGINT) AS qc
+              FROM embeddings WHERE vec_id % 20 <> 0),
+            ec AS (
+              SELECT vec_id AS eid,
+                     CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6
+                                + 0.5) AS BIGINT) AS qe
+              FROM embeddings WHERE vec_id % 20 = 0),
+            cn AS (SELECT cid, SUM(qc * qc) AS na2 FROM cc GROUP BY cid),
+            en AS (SELECT eid, SUM(qe * qe) AS nb2 FROM ec GROUP BY eid),
+            dots AS (SELECT cid, eid, SUM(qc * qe) AS dot
+                     FROM cc JOIN ec USING (pos) GROUP BY cid, eid),
+            hits AS (
+              SELECT cid, COUNT(*) AS n_eval_hits
+              FROM dots JOIN cn USING (cid) JOIN en USING (eid)
+              WHERE dot > 0
+                AND CAST(dot AS HUGEINT) * dot * 10000
+                    >= 8100 * CAST(na2 AS HUGEINT) * nb2
+              GROUP BY cid)
+            SELECT e.vec_id,
+                   CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT)
+                       AS n_eval_hits,
+                   COALESCE(h.n_eval_hits, 0) > 0 AS is_contaminated
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id % 20 <> 0) e
+            LEFT JOIN hits h ON e.vec_id = h.cid""",
+        "q_gopher_quality": """
+            WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         CAST(len(ws) AS INTEGER) AS n_words,
+                         length(text) - len(ws) + 1 AS sum_wl,
+                         CAST(len(list_filter(ws,
+                                  x -> regexp_matches(x, '[a-z]')))
+                              AS INTEGER) AS alpha_words,
+                         CAST(len(list_intersect(list_distinct(ws),
+                                  ['the', 'a', 'and', 'of', 'to']))
+                              AS INTEGER) AS stop_hits
+                  FROM w)
+            SELECT doc_id, n_words, alpha_words, stop_hits,
+                   (n_words >= 5 AND n_words <= 100000) AS ok_nwords,
+                   (sum_wl >= 2 * n_words AND sum_wl <= 12 * n_words)
+                       AS ok_mwl,
+                   (5 * alpha_words >= 4 * n_words) AS ok_alpha,
+                   (stop_hits >= 1) AS ok_stop,
+                   ((n_words >= 5 AND n_words <= 100000)
+                    AND (sum_wl >= 2 * n_words AND sum_wl <= 12 * n_words)
+                    AND (5 * alpha_words >= 4 * n_words)
+                    AND (stop_hits >= 1)) AS passes
+            FROM c""",
         "q_text_quality": """
             SELECT doc_id,
                    CAST(length(text) AS INTEGER) AS n_chars,
@@ -8488,13 +8830,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(embedding[1:8]) AS INTEGER) AS head_len
             FROM embeddings""",
         "q_group_normalize": """
-            SELECT c_mktsegment, c_custkey,
-                   round(CASE WHEN stddev_samp(c_acctbal) OVER w > 0
-                              THEN (c_acctbal - avg(c_acctbal) OVER w)
-                                   / (stddev_samp(c_acctbal) OVER w)
-                              ELSE 0.0 END, 6) AS z_acctbal
-            FROM customer
-            WINDOW w AS (PARTITION BY c_mktsegment)""",
+            WITH r AS (SELECT c_mktsegment, c_custkey,
+                              CAST(round(c_acctbal * 100) AS BIGINT) AS cb
+                       FROM customer),
+            g AS (SELECT c_mktsegment,
+                         CAST(COUNT(*) AS DOUBLE) AS n,
+                         CAST(SUM(cb) AS DOUBLE) AS s,
+                         CAST(SUM(cb * cb) AS DOUBLE) AS ss
+                  FROM r GROUP BY c_mktsegment),
+            sd AS (SELECT c_mktsegment, n, s,
+                          CASE WHEN n > 1
+                               THEN sqrt((ss - s * s / n) / (n - 1))
+                               ELSE 0.0 END AS sd
+                   FROM g)
+            SELECT r.c_mktsegment, r.c_custkey,
+                   CASE WHEN sd.sd > 0
+                        THEN CAST(floor((r.cb - sd.s / sd.n) / sd.sd
+                                        * 1000000.0) AS BIGINT)
+                        ELSE 0 END AS z_micro
+            FROM r JOIN sd USING (c_mktsegment)""",
         "q_quality_report": """
             SELECT COUNT(*) AS n_rows,
                    COUNT(CASE WHEN NOT COALESCE(l_shipdate IS NOT NULL, FALSE)
@@ -10085,6 +10439,7 @@ def oracle_sql() -> dict[str, str]:
                               / sqrt(nad * nbd * (nad + nbd + 1) / 12)
                               * 1000000.0) AS BIGINT) AS z_micro
             FROM u""",
+        "q_decile_grid": _decile_oracle(),
         "q_weighted_median": """
             WITH staged AS (
               SELECT l_returnflag, l_extendedprice,
@@ -10683,9 +11038,10 @@ def oracle_sql() -> dict[str, str]:
                                AS n_big
                     FROM w)
             SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
-                   round(ln((CAST(b.c12 AS DOUBLE) / n_big)
-                            / ((CAST(u1.c AS DOUBLE) / n_uni)
-                               * (CAST(u2.c AS DOUBLE) / n_uni))), 6) AS pmi
+                   CAST(floor(ln((CAST(b.c12 AS DOUBLE) / n_big)
+                               / ((CAST(u1.c AS DOUBLE) / n_uni)
+                                  * (CAST(u2.c AS DOUBLE) / n_uni)))
+                              * 1000000.0) AS BIGINT) AS pmi_micro
             FROM big b
             JOIN uni u1 ON b.w1 = u1.word
             JOIN uni u2 ON b.w2 = u2.word, tot""",
@@ -11038,13 +11394,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN pp pa ON pa.l_partkey = part_a
             JOIN pp pb ON pb.l_partkey = part_b, t""",
         "q_grouped_linreg": """
+            WITH r AS (SELECT l_returnflag,
+                              CAST(round(l_quantity) AS BIGINT) AS q,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS pc
+                       FROM lineitem),
+            g AS (SELECT l_returnflag, COUNT(*) AS n,
+                         CAST(SUM(q) AS DOUBLE) AS sx,
+                         CAST(SUM(q * q) AS DOUBLE) AS sxx,
+                         CAST(SUM(pc) AS DOUBLE) AS sy,
+                         CAST(SUM(q * pc) AS DOUBLE) AS sxy
+                  FROM r GROUP BY 1),
+            d AS (SELECT l_returnflag, n, sx, sy,
+                         (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                             AS slope_c
+                  FROM g)
             SELECT l_returnflag,
-                   round(regr_slope(l_extendedprice, l_quantity), 5)
-                       AS slope,
-                   round(regr_intercept(l_extendedprice, l_quantity), 3)
-                       AS intercept,
-                   COUNT(*) AS n
-            FROM lineitem GROUP BY 1""",
+                   CAST(floor(slope_c * 10000.0) AS BIGINT) AS slope_micro,
+                   CAST(floor((sy / n - slope_c * (sx / n)) * 10.0)
+                        AS BIGINT) AS intercept_milli,
+                   CAST(n AS BIGINT) AS n
+            FROM d""",
         "q_degree_dist": """
             WITH e AS (
               SELECT DISTINCT

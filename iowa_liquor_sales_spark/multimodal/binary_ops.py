@@ -178,7 +178,7 @@ GROUP_NORM_SCHEMA = T.StructType(
     [
         T.StructField("c_mktsegment", T.StringType()),
         T.StructField("c_custkey", T.LongType()),
-        T.StructField("z_acctbal", T.DoubleType()),
+        T.StructField("z_micro", T.LongType()),
     ]
 )
 
@@ -189,20 +189,38 @@ def group_normalize(df: DataFrame, group_col: str = "c_mktsegment") -> DataFrame
     are shipped to Python as ONE Arrow batch (so groups must fit in
     memory; for unbounded groups use window functions, which compute the
     same thing JVM-side — that expression twin is this operator's oracle).
-    Values are rounded to 6dp: cross-engine reduction-order drift is
-    ~1e-14, so a 5e-7 rounding boundary is effectively never straddled.
+
+    Exactness: mean/variance come from EXACT integer-cent sums (numpy
+    int64 — order-independent, unlike float reductions), the z formula is
+    per-element + - / sqrt, and the output is floor(z * 1e6) BIGINT — the
+    Python kernel is bit-identical to the SQL window twin.
     """
+    import math
+
     import numpy as np
 
     def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["c_acctbal"].to_numpy(dtype="float64")
-        sd = np.std(v, ddof=1) if len(v) > 1 else 0.0
-        z = (v - v.mean()) / sd if sd > 0 else np.zeros(len(v))
+        cents = np.round(
+            pdf["c_acctbal"].to_numpy(dtype="float64") * 100
+        ).astype("int64")
+        n = len(cents)
+        s, ss = int(cents.sum()), int((cents * cents).sum())
+        sd = (
+            math.sqrt((float(ss) - float(s) * float(s) / n) / (n - 1))
+            if n > 1
+            else 0.0
+        )
+        if sd > 0:
+            z_micro = np.floor(
+                (cents - float(s) / n) / sd * 1e6
+            ).astype("int64")
+        else:
+            z_micro = np.zeros(n, dtype="int64")
         return pd.DataFrame(
             {
                 "c_mktsegment": pdf[group_col],
                 "c_custkey": pdf["c_custkey"],
-                "z_acctbal": np.round(z, 6),
+                "z_micro": z_micro,
             }
         )
 

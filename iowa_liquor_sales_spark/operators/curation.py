@@ -635,3 +635,78 @@ def quantile_normalize(
             "norm_score",
         )
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau_centi: int = 90,
+) -> DataFrame:
+    """Embedding-similarity test-set decontamination: flag every corpus
+    vector whose cosine to ANY eval vector reaches ``tau_centi/100`` —
+    the semantic companion to n-gram decontamination (paraphrased eval
+    leakage that shingle overlap misses).
+
+    Exactness: components quantize to an e6 integer grid, dots and norms
+    are exact integer sums, and the cosine threshold is the all-integer
+    cross-multiplication ``10000*dot^2 >= tau^2*na2*nb2`` (with dot > 0)
+    evaluated in DECIMAL(38,0) — no float anywhere, so the verdict is
+    bit-portable across engines.
+
+    Scale shape: the eval side is tiny (thousands of rows) and joins
+    BROADCAST on the component position; the corpus never shuffles on
+    anything but its own id. Work is O(corpus * eval * dim) multiplies
+    spread across executors — for large eval sets swap the inner join
+    for the IVF-bucketed candidate path (same verdict expression).
+    """
+    qz = lambda c: F.floor(c.cast("double") * 1e6 + 0.5).cast("long")
+    ccomp = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).select("cid", "pos", qz(F.col("x")).alias("qc"))
+    ecomp = eval_df.select(
+        F.col(id_col).alias("eid"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).select("eid", "pos", qz(F.col("x")).alias("qe"))
+    cnorm = ccomp.groupBy("cid").agg(
+        F.sum(F.col("qc") * F.col("qc")).alias("na2")
+    )
+    enorm = ecomp.groupBy("eid").agg(
+        F.sum(F.col("qe") * F.col("qe")).alias("nb2")
+    )
+    dots = (
+        ccomp.join(F.broadcast(ecomp), "pos")
+        .groupBy("cid", "eid")
+        .agg(F.sum(F.col("qc") * F.col("qe")).alias("dot"))
+    )
+    d = F.col("dot").cast("decimal(38,0)")
+    hit = (
+        dots.join(cnorm, "cid")
+        .join(F.broadcast(enorm), "eid")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                d * d * 10000
+                >= F.lit(tau_centi * tau_centi)
+                * F.col("na2").cast("decimal(38,0)")
+                * F.col("nb2")
+            )
+        )
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("cid"))
+        .join(hit, "cid", "left")
+        .select(
+            F.col("cid").alias(id_col),
+            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias(
+                "n_eval_hits"
+            ),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )

@@ -385,16 +385,18 @@ def pmi_bigrams(
             "c12",
             F.col("c1").alias("c1"),
             F.col("c2").alias("c2"),
-            F.round(
+            F.floor(
                 F.log(
                     (F.col("c12").cast("double") / F.col("n_big"))
                     / (
                         (F.col("c1").cast("double") / F.col("n_uni"))
                         * (F.col("c2").cast("double") / F.col("n_uni"))
                     )
-                ),
-                6,
-            ).alias("pmi"),
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("pmi_micro"),
         )
     )
 
@@ -800,4 +802,48 @@ def term_kl_divergence(
         F.first(F.col("tb")).cast("long").alias("tot_b"),
         F.sum(t_ab).alias("kl_ab_e9"),
         F.sum(t_ba).alias("kl_ba_e9"),
+    )
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, Table A1
+    adapted to the word-token domain): word-count bounds, mean-word-length
+    bounds, minimum alphabetic-word fraction, and a stopword-presence
+    check. The standard pre-training heuristic filter pass.
+
+    Every rule is an INTEGER comparison (the alpha-fraction threshold
+    4/5 is cross-multiplied: ``5*alpha_words >= 4*n_words``), so the
+    verdict column is bit-portable to any engine. Pure Catalyst
+    string/array expressions — scan-speed over a sharded corpus, no
+    shuffle at all.
+    """
+    w = words(text_col)
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    # mean word length bounds 2..12, cross-multiplied to integers:
+    # 2 <= (n_chars - n_words + 1) / n_words <= 12
+    sum_wl = n_chars - n_words + 1
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(w),
+            F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to")]),
+        )
+    )
+    ok_nwords = (n_words >= 5) & (n_words <= 100000)
+    ok_mwl = (sum_wl >= 2 * n_words) & (sum_wl <= 12 * n_words)
+    ok_alpha = 5 * alpha_words >= 4 * n_words
+    ok_stop = stop_hits >= 1
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        alpha_words.cast("int").alias("alpha_words"),
+        stop_hits.cast("int").alias("stop_hits"),
+        ok_nwords.alias("ok_nwords"),
+        ok_mwl.alias("ok_mwl"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_nwords & ok_mwl & ok_alpha & ok_stop).alias("passes"),
     )

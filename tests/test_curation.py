@@ -338,3 +338,28 @@ def test_quantile_normalize_aligns_source_scales(spark):
     assert a == b
     # endpoints hit the global extremes
     assert a[0] == 0 and a[-1] == 1009
+
+
+def test_embedding_decontaminate_flags_near_duplicates(spark):
+    from iowa_liquor_sales_spark.operators.curation import (
+        embedding_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0, 0.0]),   # ~cos 0.9999 -> contaminated
+            (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal -> clean
+            (3, [-1.0, 0.0, 0.0, 0.0]),    # anti-parallel -> clean
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_decontaminate(corpus, ev, tau_centi=90).collect()
+    }
+    assert out[1]["is_contaminated"] and out[1]["n_eval_hits"] == 1
+    assert not out[2]["is_contaminated"]
+    assert not out[3]["is_contaminated"]

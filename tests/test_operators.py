@@ -640,3 +640,72 @@ def test_apply_in_arrow_matches_jvm_twin(spark):
         .collect()
     }
     assert got == want
+
+
+def test_exact_group_quantiles_matches_closed_form(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.aggregates import (
+        exact_group_quantiles,
+    )
+
+    # group "a": values 10..19 (n=10). percentile_cont(0.5) = 14.5 ->
+    # x2 = 29; percentile_cont(0.9) over k=9: idx = 8.1 -> 10*(0.9*lo+...)
+    rows = [("a", 10 + i, i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "v", "tb"])
+    out = {
+        r["g"]: r
+        for r in exact_group_quantiles(
+            df, "g", "v", fracs=[(1, 2), (9, 10)], tiebreak=["tb"]
+        ).collect()
+    }
+    a = out["a"]
+    assert a["q1_2_x2"] == 29  # 14.5 * 2
+    # idx = 9*(10-1)/10 = 8.1 -> lo=v[9]=18, hi=v[10]=19, r=1:
+    # (10-1)*18 + 1*19 = 181 == 18.1 * 10
+    assert a["q9_10_x10"] == 181
+
+
+def test_geo_radius_band_prefilter_is_complete(spark):
+    # The +-1 latitude-band neighborhood must lose no pair within the
+    # radius: compare the banded join against the brute-force filter.
+    import __spark_entry__ as em
+
+    # sf0.01: the sparser sf0.001 customer/supplier grids have no pair
+    # within 300 km, which would make the completeness check vacuous.
+    sf = "/root/testdata/sf0.01"
+    banded = {
+        (r["c_custkey"], r["s_suppkey"])
+        for r in em.q_geo_radius_join(spark, sf).collect()
+    }
+    from iowa_liquor_sales_spark.schemas import read_table
+    from pyspark.sql import functions as F
+
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    clat = ((F.col("c_custkey") % 120) - 60 + F.lit(0.25)).cast("double")
+    clon = (((F.col("c_custkey") * 7) % 360) - 180 + F.lit(0.25)).cast("double")
+    slat = ((F.col("s_suppkey") % 100) - 50 + F.lit(0.5)).cast("double")
+    slon = (((F.col("s_suppkey") * 11) % 360) - 180 + F.lit(0.5)).cast("double")
+    j = c.select("c_custkey", clat.alias("clat"), clon.alias("clon")).crossJoin(
+        s.select("s_suppkey", slat.alias("slat"), slon.alias("slon"))
+    )
+    dphi = F.radians(F.col("clat") - F.col("slat"))
+    dlmb = F.radians(F.col("clon") - F.col("slon"))
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(F.radians(F.col("slat")))
+        * F.cos(F.radians(F.col("clat")))
+        * F.sin(dlmb / 2)
+        * F.sin(dlmb / 2)
+    )
+    dist_m = F.floor(
+        F.lit(2.0) * F.lit(6371000.0) * F.asin(F.sqrt(a)) + 0.5
+    ).cast("long")
+    brute = {
+        (r["c_custkey"], r["s_suppkey"])
+        for r in j.withColumn("d", dist_m)
+        .filter(F.col("d") < 300000)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0

@@ -129,10 +129,10 @@ def test_pmi_bigrams_collocation_beats_chance(spark):
     ny = out[("new", "york")]
     assert ny["c12"] == 4 and ny["c1"] == 4 and ny["c2"] == 4
     # every "new" is followed by "york": PMI = ln(p(ab)/(p(a)p(b))) > 0
-    assert ny["pmi"] > 0
+    assert ny["pmi_micro"] > 0
     n_uni, n_big = 21.0, 18.0
     expected = math.log((4 / n_big) / ((4 / n_uni) * (4 / n_uni)))
-    assert abs(ny["pmi"] - round(expected, 6)) < 1e-9
+    assert ny["pmi_micro"] == math.floor(expected * 1e6)
 
 
 def test_feature_hash_buckets_partition_words(spark):
@@ -266,3 +266,22 @@ def test_term_kl_divergence_detects_drift(spark):
     w = term_kl_divergence(df_w, "side").collect()[0]
     assert m["kl_ab_e9"] > 0 and m["kl_ba_e9"] > 0
     assert w["kl_ab_e9"] > m["kl_ab_e9"]
+
+
+def test_gopher_quality_rules(spark):
+    from iowa_liquor_sales_spark.operators.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over lazy dogs today"),  # passes
+            (2, "a b"),                                   # too few words
+            (3, "the 1 2 3 4 5 6 7 8 9"),                 # alpha frac low
+            (4, "zz yy xx ww vv uu tt"),                  # no stopword
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["ok_nwords"]
+    assert not out[3]["ok_alpha"]
+    assert not out[4]["ok_stop"] and not out[4]["passes"]
