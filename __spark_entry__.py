@@ -953,6 +953,112 @@ def q_embed_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_conversion_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    # Ordered conversion funnel view -> click -> purchase: each stage's
+    # timestamp must STRICTLY follow the previous stage's first hit (the
+    # product-analytics sequence-funnel, not independent event counts).
+    # ONE user-partitioned shuffle total: the three stage times are
+    # nested full-partition window mins (t2 = min click ts > t1, each
+    # referencing the previous materialized column), and the per-user
+    # rollup reuses the same hash partitioning — no joins, no rescans.
+    ev = read_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    wu = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    agg = per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+    )
+    return agg.select(
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.floor(
+            F.col("n_click_after_view") / F.col("n_view") * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("view_to_click_ppm"),
+        F.floor(
+            F.col("n_purchase_after_click")
+            / F.col("n_click_after_view")
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("click_to_purchase_ppm"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    # Weekly retention cohorts: users grouped by first-active week, then
+    # per (cohort, weeks-since) the share still active — the standard
+    # growth-analytics triangle. Distinct (user, week) first (bounds the
+    # state at users x weeks), min-week cohorts join back on user_id,
+    # shares are exact-integer ppm floors. k=0 row is the cohort itself.
+    ev = read_table(spark, sf, "events")
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")) / 7
+    ).cast("int")
+    active = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = (
+        active.join(cohort, "user_id")
+        .groupBy("cw", (F.col("wk") - F.col("cw")).alias("week_k"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cw")
+    )
+    return joined.select(
+        F.col("cw").alias("cohort_week"),
+        F.col("week_k").cast("int").alias("week_k"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.floor(F.col("n_active") / F.col("cohort_size") * F.lit(1e6))
+        .cast("long")
+        .alias("retention_ppm"),
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    # DSIR importance weights toward the lang='en' slice
+    # (operators/curation.dsir_logweights): per-word smoothed log-ratio
+    # floor-scaled to integers before the exact per-doc int64 sum — the
+    # data-selection resampling signal, one explode + one vocab join.
+    from iowa_liquor_sales_spark.operators.curation import dsir_logweights
+
+    d = read_table(spark, sf, "documents")
+    return dsir_logweights(d, d.filter(F.col("lang") == "en"))
+
+
 def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     # Gopher-rule heuristic quality filter (operators/text.gopher_quality):
     # word-count / mean-word-length / alpha-fraction / stopword rules,
@@ -7072,6 +7178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_quality": q_gopher_quality,
         "q_embed_decontaminate": q_embed_decontaminate,
         "q_geo_radius_join": q_geo_radius_join,
+        "q_dsir_weights": q_dsir_weights,
+        "q_conversion_funnel": q_conversion_funnel,
+        "q_retention_cohorts": q_retention_cohorts,
         "q_token_count": q_token_count,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -7882,7 +7991,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r_quintile, f_quintile, m_quintile,
                    COUNT(*) AS n_customers,
-                   SUM(mon_cents) AS monetary_cents
+                   CAST(SUM(mon_cents) AS BIGINT) AS monetary_cents
             FROM cells GROUP BY 1, 2, 3""",
         "q_attribution": """
             WITH tagged AS (
@@ -8397,6 +8506,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT u, v, common, aa_scaled FROM p
             WHERE NOT EXISTS (
               SELECT 1 FROM e WHERE e.lo = p.u AND e.hi = p.v)""",
+        "q_conversion_funnel": """
+            WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t2
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS t3
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id),
+            a AS (SELECT COUNT(*) AS n_view,
+                         COUNT(t2) AS n_click_after_view,
+                         COUNT(t3) AS n_purchase_after_click
+                  FROM v LEFT JOIN c USING (user_id)
+                         LEFT JOIN p USING (user_id))
+            SELECT CAST(n_view AS BIGINT) AS n_view,
+                   CAST(n_click_after_view AS BIGINT) AS n_click_after_view,
+                   CAST(n_purchase_after_click AS BIGINT)
+                       AS n_purchase_after_click,
+                   CAST(floor(n_click_after_view / n_view * 1000000.0)
+                        AS BIGINT) AS view_to_click_ppm,
+                   CAST(floor(n_purchase_after_click / n_click_after_view
+                              * 1000000.0) AS BIGINT)
+                       AS click_to_purchase_ppm
+            FROM a""",
+        "q_retention_cohorts": """
+            WITH active AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor((CAST(ts AS DATE) - DATE '1970-01-05') / 7)
+                          AS INTEGER) AS wk
+              FROM events),
+            cohort AS (SELECT user_id, MIN(wk) AS cw FROM active
+                       GROUP BY user_id),
+            sizes AS (SELECT cw, COUNT(*) AS cohort_size FROM cohort
+                      GROUP BY cw),
+            j AS (SELECT c.cw, a.wk - c.cw AS week_k, COUNT(*) AS n_active
+                  FROM active a JOIN cohort c USING (user_id)
+                  GROUP BY c.cw, a.wk - c.cw)
+            SELECT cw AS cohort_week,
+                   CAST(week_k AS INTEGER) AS week_k,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(cohort_size AS BIGINT) AS cohort_size,
+                   CAST(floor(n_active / cohort_size * 1000000.0) AS BIGINT)
+                       AS retention_ppm
+            FROM j JOIN sizes USING (cw)""",
+        "q_dsir_weights": """
+            WITH wc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                        FROM documents),
+            wt AS (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents WHERE lang = 'en'),
+            cr AS (SELECT w, COUNT(*) AS cr FROM wc GROUP BY w),
+            ct AS (SELECT w, COUNT(*) AS ct FROM wt GROUP BY w),
+            stats AS (SELECT cr.w, cr.cr, COALESCE(ct.ct, 0) AS ct
+                      FROM cr LEFT JOIN ct USING (w)),
+            tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS nr,
+                           CAST(SUM(ct) AS DOUBLE) AS nt,
+                           CAST(COUNT(*) AS DOUBLE) AS v
+                    FROM stats),
+            scored AS (SELECT w,
+                              CAST(floor((ln((ct + 1) / (nt + v))
+                                          - ln((cr + 1) / (nr + v)))
+                                         * 1000000000.0) AS BIGINT)
+                                  AS term_nano
+                       FROM stats, tot),
+            dc AS (SELECT doc_id, w, COUNT(*) AS cw FROM wc
+                   GROUP BY doc_id, w)
+            SELECT doc_id, CAST(SUM(cw) AS BIGINT) AS n_tokens,
+                   CAST(SUM(cw * term_nano) AS BIGINT) AS logw_nano
+            FROM dc JOIN scored USING (w) GROUP BY doc_id""",
         "q_geo_radius_join": """
             WITH cc AS (
               SELECT c_custkey,

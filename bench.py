@@ -87,6 +87,10 @@ HEADLINE = [
     "q_hll_sliding",
     "q_quantile_normalize",
     "q_embed_covariance",
+    # round-4 additions: the two new heavier dataflows (vocab-join DSIR
+    # weights; banded geo join + trig verify)
+    "q_dsir_weights",
+    "q_geo_radius_join",
 ]
 
 

@@ -710,3 +710,66 @@ def embedding_decontaminate(
             ),
         )
     )
+
+
+def dsir_logweights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", reduced to unigram
+    bag models): per-document log importance weight
+
+        log w(x) = sum_w c_w(x) * [ ln p_target(w) - ln p_corpus(w) ]
+
+    with add-1-smoothed unigram probabilities over the SHARED vocabulary.
+    Documents that look more like the target domain get higher weight;
+    resampling by w(x) shifts the corpus mixture toward the target.
+
+    Exactness: each per-word log-ratio floor-scales to an integer
+    (nano) BEFORE the per-document sum, so the reduction is an exact
+    ``c_w * term_nano`` int64 sum — engine-portable like every other
+    floor-scaled statistic here.
+
+    Scale shape: one corpus explode (scan-bound) -> per-(doc, word)
+    counts -> a word-keyed join against the O(vocabulary) stats relation
+    (AQE handles stopword skew) -> one map-side-combinable per-doc sum.
+    The target-side pass is the same shape over the (small) target set.
+    """
+    w_corpus = corpus.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    w_target = target.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    # One corpus explode total: per-(doc, word) counts roll up to the
+    # corpus word counts (sum of cw) instead of a second explode+scan.
+    doc_counts = w_corpus.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    cr = doc_counts.groupBy("w").agg(F.sum("cw").alias("cr"))
+    ct = w_target.groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    stats = cr.join(ct, "w", "left").select(
+        "w", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    tot = stats.agg(
+        F.sum("cr").cast("double").alias("nr"),
+        F.sum("ct").cast("double").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    term = F.log(
+        (F.col("ct") + 1) / (F.col("nt") + F.col("v"))
+    ) - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
+    scored = stats.crossJoin(F.broadcast(tot)).select(
+        "w", F.floor(term * F.lit(1e9)).cast("long").alias("term_nano")
+    )
+    return (
+        doc_counts.join(scored, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cw").cast("long").alias("n_tokens"),
+            F.sum(F.col("cw") * F.col("term_nano")).alias("logw_nano"),
+        )
+    )

@@ -363,3 +363,23 @@ def test_embedding_decontaminate_flags_near_duplicates(spark):
     assert out[1]["is_contaminated"] and out[1]["n_eval_hits"] == 1
     assert not out[2]["is_contaminated"]
     assert not out[3]["is_contaminated"]
+
+
+def test_dsir_logweights_favor_target_vocabulary(spark):
+    from iowa_liquor_sales_spark.operators.curation import dsir_logweights
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "hello hello hello world"),
+            (2, "foo bar baz qux"),
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(10, "hello world hello")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dsir_logweights(corpus, target).collect()}
+    # doc 1 shares the target vocabulary -> higher importance weight than
+    # doc 2, whose words never occur in the target.
+    assert out[1]["logw_nano"] > out[2]["logw_nano"]
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4

@@ -709,3 +709,64 @@ def test_geo_radius_band_prefilter_is_complete(spark):
         .collect()
     }
     assert banded == brute and len(brute) > 0
+
+
+def test_conversion_funnel_strict_ordering(spark):
+    import datetime
+
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    # Validate the window-funnel against a hand-built truth: user 1
+    # completes view->click->purchase in order; user 2 clicks BEFORE the
+    # view (must not count); user 3 views only.
+    t0 = datetime.datetime(2020, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, "view", ts(0)), (1, "click", ts(1)), (1, "purchase", ts(2)),
+        (2, "click", ts(0)), (2, "view", ts(1)), (2, "purchase", ts(2)),
+        (3, "view", ts(0)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    wu = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    )
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+    )
+    per_user = {
+        r["user_id"]: r
+        for r in staged.groupBy("user_id")
+        .agg(F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+        .collect()
+    }
+    assert per_user[1]["t2"] is not None and per_user[1]["t3"] is not None
+    assert per_user[2]["t2"] is None  # click preceded the first view
+    assert per_user[2]["t3"] is None  # purchase needs a qualifying click
+    assert per_user[3]["t2"] is None
