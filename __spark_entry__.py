@@ -1059,6 +1059,127 @@ def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     return dsir_logweights(d, d.filter(F.col("lang") == "en"))
 
 
+def q_hits(spark: SparkSession, sf: str) -> DataFrame:
+    # HITS hubs/authorities (graph.hits_e6) on the directed
+    # customer->supplier purchase graph, 2 unrolled iterations.
+    # Max-renormalized integer grid (floor-div by each half-round's
+    # maximum) replaces the L2 norm: ranking-equivalent, bit-identical
+    # in every engine, no sqrt/float sums. Top-20 authorities.
+    from iowa_liquor_sales_spark.operators.graph import hits_e6
+
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        hits_e6(e, iters=2)
+        .orderBy(F.col("auth_e6").desc(), F.col("hub_e6").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    # Heaps'-law vocabulary growth curve (text.vocab_growth): cumulative
+    # distinct-word count at 10 doc-id-threshold grid points, computed
+    # from each word's FIRST-occurrence doc id — two aggregates + a
+    # 10-row broadcast grid, never a global sort or running window.
+    from iowa_liquor_sales_spark.operators.text import vocab_growth
+
+    return vocab_growth(read_table(spark, sf, "documents"))
+
+
+def q_dwell_time(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-event-type dwell time: microseconds until the SAME user's next
+    # event (lead over one user-partitioned window, deterministic
+    # (ts, event_id) order), rolled up to exact integer totals and a
+    # floor-div mean. The time-in-state building block for session UX
+    # analytics; one shuffle on user_id, one on event_type.
+    ev = read_table(spark, sf, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.withColumn(
+        "dwell_us", epoch_us(F.lead("ts").over(w)) - epoch_us("ts")
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("dwell_us").alias("n_followed"),
+            F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+        )
+        .withColumn(
+            "mean_dwell_us",
+            F.expr("total_dwell_us div greatest(n_followed, 1)"),
+        )
+    )
+
+
+def q_supplier_hindex(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-supplier h-index over line quantities: the largest h such that
+    # the supplier has h lines with quantity >= h (the citation h-index
+    # transplanted to order-size concentration). One supplier-partitioned
+    # ranking window; the argmax is an integer MAX over rank<=qty rows —
+    # no iteration, no driver state. Suppliers with h >= 30 only, so the
+    # output stays small at any scale factor.
+    li = read_table(spark, sf, "lineitem").select("l_suppkey", "l_quantity")
+    qty = li.select(
+        "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    # qty DESC alone is a sufficient order: row numbers among ties are
+    # arbitrary, but the h-index depends only on the sorted multiset of
+    # quantities, so MAX(rnk | rnk <= qty) is tie-order invariant.
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("qty").desc())
+    ranked = qty.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rnk") <= F.col("qty"))
+        .groupBy("l_suppkey")
+        .agg(F.max("rnk").cast("long").alias("h_index"))
+        .filter(F.col("h_index") >= 30)
+    )
+
+
+def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    # Content-defined chunking (operators/dedup.cdc_chunks) + per-source
+    # chunk-level dedup stats: boundaries at content-hash==0 (mod 64)
+    # 16-grams, per-chunk hashes computed inside per-row HOFs (text never
+    # replicated across chunk rows), then the only shuffles are the
+    # chunk-hash dedup aggregate and a doc->source attach.
+    from iowa_liquor_sales_spark.operators.dedup import cdc_chunks
+
+    d = read_table(spark, sf, "documents")
+    ch = cdc_chunks(d).join(d.select("doc_id", "source"), "doc_id")
+    per_hash = ch.groupBy("source", "chunk_hash").agg(
+        F.count(F.lit(1)).alias("n"), F.min("chunk_len").alias("clen")
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+            F.sum(F.col("n") * F.col("clen")).cast("long").alias("total_bytes"),
+            F.sum("clen").cast("long").alias("unique_bytes"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("(n_chunks - n_unique_chunks) * 1000000 div n_chunks"),
+        )
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # Intra-document repetition signals (operators/text.repetition_stats):
+    # the Gopher repetition-filter family — top-bigram coverage and
+    # duplicated-5-gram token coverage as an exact interval union off one
+    # LAG window (monotone fixed-length intervals need no fold).
+    from iowa_liquor_sales_spark.operators.text import repetition_stats
+
+    return repetition_stats(read_table(spark, sf, "documents"))
+
+
 def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     # Gopher-rule heuristic quality filter (operators/text.gopher_quality):
     # word-count / mean-word-length / alpha-fraction / stopword rules,
@@ -3424,6 +3545,46 @@ def _pagerank_oracle(iters: int = 3) -> str:
         + f"""
         SELECT node, r AS rank_e12 FROM r{iters}
         ORDER BY rank_e12 DESC, node LIMIT 20"""
+    )
+
+
+def _hits_oracle(iters: int = 2) -> str:
+    # Chained-CTE rendering of graph.hits_e6: per half-round, sum the
+    # opposite score over the directed edge set, then floor-div rescale
+    # by the round's max (scalar subquery) — bit-identical to Spark's
+    # broadcast-max crossJoin.
+    parts = [
+        """WITH e AS (
+          SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        n AS (SELECT s AS node FROM e UNION SELECT d AS node FROM e),
+        h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ar{i} AS (
+          SELECT e.d AS node, SUM(h{i-1}.h) AS raw
+          FROM e JOIN h{i-1} ON h{i-1}.node = e.s GROUP BY e.d),
+        a{i} AS (
+          SELECT n.node,
+                 COALESCE(raw, 0) * 1000000
+                   // GREATEST((SELECT MAX(raw) FROM ar{i}), 1) AS a
+          FROM n LEFT JOIN ar{i} USING (node)),
+        hr{i} AS (
+          SELECT e.s AS node, SUM(a{i}.a) AS raw
+          FROM e JOIN a{i} ON a{i}.node = e.d GROUP BY e.s),
+        h{i} AS (
+          SELECT n.node,
+                 COALESCE(raw, 0) * 1000000
+                   // GREATEST((SELECT MAX(raw) FROM hr{i}), 1) AS h
+          FROM n LEFT JOIN hr{i} USING (node))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT node, CAST(h AS BIGINT) AS hub_e6, CAST(a AS BIGINT) AS auth_e6
+        FROM h{iters} JOIN a{iters} USING (node)
+        ORDER BY auth_e6 DESC, hub_e6 DESC, node LIMIT 20"""
     )
 
 
@@ -7215,6 +7376,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_k_anonymity": q_k_anonymity,
         "q_term_kl_drift": q_term_kl_drift,
         "q_lttb_downsample": q_lttb_downsample,
+        # --- added late in round 4 (never gated): round-5 rotation
+        # candidates, sweep-checked locally like everything else.
+        "q_hits": q_hits,
+        "q_vocab_growth": q_vocab_growth,
+        "q_dwell_time": q_dwell_time,
+        "q_supplier_hindex": q_supplier_hindex,
+        "q_cdc_chunks": q_cdc_chunks,
+        "q_repetition_stats": q_repetition_stats,
         # --- driver-green in r1-r3 or sweep-checked; the full local
         # sweep covers all of them every round.
         "q_benford": q_benford,
@@ -8576,6 +8745,128 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(SUM(cw) AS BIGINT) AS n_tokens,
                    CAST(SUM(cw * term_nano) AS BIGINT) AS logw_nano
             FROM dc JOIN scored USING (w) GROUP BY doc_id""",
+        "q_hits": _hits_oracle(2),
+        "q_repetition_stats": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS arr,
+                                 len(string_split(text, ' ')) AS n
+                          FROM documents),
+            big AS (SELECT doc_id,
+                           arr[CAST(i AS INTEGER)] || ' '
+                             || arr[CAST(i AS INTEGER) + 1] AS g
+                    FROM base,
+                         UNNEST(generate_series(1, n - 1)) AS u(i)
+                    WHERE n >= 2),
+            tb AS (SELECT doc_id, MAX(c) AS top_bigram_cnt
+                   FROM (SELECT doc_id, g, COUNT(*) AS c FROM big
+                         GROUP BY doc_id, g) GROUP BY doc_id),
+            g5 AS (SELECT doc_id, CAST(p AS INTEGER) AS p,
+                          array_to_string(
+                              arr[CAST(p AS INTEGER):CAST(p AS INTEGER) + 4],
+                              ' ') AS g
+                   FROM base,
+                        UNNEST(generate_series(1, n - 4)) AS u(p)
+                   WHERE n >= 5),
+            dup AS (SELECT doc_id, p,
+                           COUNT(*) OVER (PARTITION BY doc_id, g) AS cnt
+                    FROM g5),
+            dp AS (SELECT doc_id, p,
+                          LAG(p) OVER (
+                              PARTITION BY doc_id ORDER BY p) AS prev_p
+                   FROM dup WHERE cnt >= 2),
+            cov AS (SELECT doc_id,
+                           SUM(CASE WHEN prev_p IS NULL THEN 5
+                                    ELSE LEAST(p - prev_p, 5) END)
+                               AS dup5_tokens
+                    FROM dp GROUP BY doc_id)
+            SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(top_bigram_cnt, 0) AS BIGINT)
+                       AS top_bigram_cnt,
+                   CAST(COALESCE(top_bigram_cnt, 0) * 2000000
+                        // GREATEST(n, 1) AS BIGINT) AS top_bigram_ppm,
+                   CAST(COALESCE(dup5_tokens, 0) AS BIGINT) AS dup5_tokens,
+                   CAST(COALESCE(dup5_tokens, 0) * 1000000
+                        // GREATEST(n, 1) AS BIGINT) AS dup5_ppm
+            FROM base b LEFT JOIN tb USING (doc_id)
+                 LEFT JOIN cov USING (doc_id)""",
+        "q_vocab_growth": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS w
+                          FROM documents),
+            first AS (SELECT w, MIN(doc_id) AS first_id FROM toks
+                      GROUP BY w),
+            per_doc AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks
+                        GROUP BY doc_id),
+            grid AS (SELECT CAST(k AS INTEGER) AS k,
+                            (SELECT MAX(doc_id) FROM documents) * k // 10
+                                AS threshold_id
+                     FROM generate_series(1, 10) AS t(k)),
+            vocab AS (SELECT k, threshold_id, COUNT(*) AS vocab_size
+                      FROM first JOIN grid ON first_id <= threshold_id
+                      GROUP BY k, threshold_id),
+            docs AS (SELECT k, threshold_id, COUNT(*) AS n_docs,
+                            SUM(n_tok) AS n_tokens
+                     FROM per_doc JOIN grid ON doc_id <= threshold_id
+                     GROUP BY k, threshold_id)
+            SELECT k, CAST(threshold_id AS BIGINT) AS threshold_id,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(vocab_size AS BIGINT) AS vocab_size
+            FROM docs JOIN vocab USING (k, threshold_id)""",
+        "q_dwell_time": """
+            WITH d AS (
+              SELECT event_type,
+                     epoch_us(LEAD(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))
+                       - epoch_us(ts) AS dwell_us
+              FROM events)
+            SELECT event_type,
+                   CAST(COUNT(dwell_us) AS BIGINT) AS n_followed,
+                   CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+                   CAST(SUM(dwell_us) // GREATEST(COUNT(dwell_us), 1)
+                        AS BIGINT) AS mean_dwell_us
+            FROM d GROUP BY event_type""",
+        "q_supplier_hindex": """
+            WITH r AS (
+              SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS qty,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY l_suppkey
+                         ORDER BY CAST(l_quantity AS BIGINT) DESC) AS rnk
+              FROM lineitem)
+            SELECT l_suppkey, CAST(MAX(rnk) AS BIGINT) AS h_index
+            FROM r WHERE rnk <= qty GROUP BY l_suppkey
+            HAVING MAX(rnk) >= 30""",
+        "q_cdc_chunks": """
+            WITH d AS (SELECT doc_id, source, text,
+                              length(text) AS len FROM documents),
+            b AS (SELECT doc_id, p + 15 AS cut
+                  FROM d, UNNEST(generate_series(
+                            1, greatest(len - 15, 1))) AS u(p)
+                  WHERE CAST(('0x' || substr(md5(substr(
+                            text, CAST(p AS INTEGER), 16)), 1, 15))
+                          AS BIGINT) % 64 = 0),
+            ends AS (SELECT doc_id, cut FROM b
+                     UNION ALL SELECT doc_id, len FROM d),
+            o AS (SELECT doc_id, cut,
+                         COALESCE(LAG(cut) OVER (
+                             PARTITION BY doc_id ORDER BY cut), 0) AS prev
+                  FROM ends),
+            chunks AS (
+              SELECT o.doc_id, d.source, cut - prev AS chunk_len,
+                     CAST(('0x' || substr(md5(substr(d.text,
+                              CAST(prev + 1 AS INTEGER),
+                              CAST(cut - prev AS INTEGER))), 1, 15))
+                          AS BIGINT) AS chunk_hash
+              FROM o JOIN d USING (doc_id) WHERE cut - prev > 0),
+            per_hash AS (SELECT source, chunk_hash, COUNT(*) AS n,
+                                MIN(chunk_len) AS clen
+                         FROM chunks GROUP BY source, chunk_hash)
+            SELECT source, CAST(SUM(n) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+                   CAST(SUM(n * clen) AS BIGINT) AS total_bytes,
+                   CAST(SUM(clen) AS BIGINT) AS unique_bytes,
+                   CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n)
+                        AS BIGINT) AS dup_ppm
+            FROM per_hash GROUP BY source""",
         "q_geo_radius_join": """
             WITH cc AS (
               SELECT c_custkey,

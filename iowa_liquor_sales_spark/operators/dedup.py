@@ -863,3 +863,59 @@ def duplicated_spans(
         merged[0].alias("n_spans"),
         merged[2].alias("dup_tokens"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    modulus: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS idea, deterministic
+    variant): a chunk boundary falls after every character ``k``-gram
+    whose portable 60-bit hash (:func:`~..functions.hashing.hash60`) is
+    0 mod ``modulus``, so boundaries track CONTENT, not offsets —
+    inserting a byte shifts at most one chunk instead of re-aligning the
+    whole document, which is what makes chunk-level dedup robust to
+    small edits (expected chunk length ~= ``modulus`` chars).
+
+    Returns one row per chunk: (id, chunk_idx, chunk_len, chunk_hash).
+
+    Scale shape: everything happens INSIDE per-row array expressions —
+    boundary positions via a filtered ``transform(sequence(..))`` HOF,
+    then per-chunk hashes computed in a second indexed ``transform``
+    BEFORE the explode, so the (large) text column is never replicated
+    across chunk rows and the operator stays a zero-shuffle map. The
+    downstream dedup (group by chunk_hash) is the only exchange.
+    """
+    g = f"substring({text_col}, p, {k})"
+    gh = f"conv(substring(md5(cast({g} as binary)), 1, 15), 16, 10)"
+    ends = (
+        f"filter(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"p -> IF({gh} % {modulus} = 0, p + {k - 1}, -1)), e -> e > 0)"
+    )
+    prev = "IF(i = 0, 0, element_at(ends_all, i))"
+    chunk_txt = f"substring({text_col}, {prev} + 1, e - {prev})"
+    chunks = (
+        f"filter(transform(ends_all, (e, i) -> named_struct("
+        f"'chunk_idx', i, "
+        f"'chunk_len', e - {prev}, "
+        f"'chunk_hash', conv(substring(md5(cast({chunk_txt} as binary)), 1, 15), 16, 10)"
+        f")), s -> s.chunk_len > 0)"
+    )
+    return (
+        df.withColumn(
+            "ends_all",
+            F.expr(
+                f"concat({ends}, array(length({text_col})))"
+            ).cast("array<bigint>"),
+        )
+        .select(F.col(id_col), F.inline(F.expr(chunks)))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("chunk_len").cast("long").alias("chunk_len"),
+            F.col("chunk_hash").cast("long").alias("chunk_hash"),
+        )
+    )

@@ -918,3 +918,85 @@ def clustering_coefficient(
         "coeff_ppm",
         F.expr("(2000000 * n_triangles) div (deg * (deg - 1))"),
     )
+
+
+def hits_e6(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic HITS (Kleinberg 1999) hub/authority scores on an
+    exact integer grid: scores live as int64 scaled by 1e6, and each
+    half-round renormalizes by the round's MAXIMUM via floor division
+    (``score * 1000000 div max``) instead of the classical L2 norm — a
+    monotone transform that preserves the HITS ranking while keeping
+    every engine bit-identical (no sqrt, no float sums; same convention
+    as :func:`pagerank_e12`).
+
+    Per round: authority(i) = sum of hub(j) over in-edges (j -> i),
+    rescaled to max 1e6; hub(j) = sum of authority(i) over out-edges
+    (j -> i), rescaled to max 1e6.
+
+    Scale shape per half-round: one edges-to-scores join keyed on the
+    node id, one map-side-combinable SUM aggregate, one broadcast of the
+    1-row max, one left join back to the node set. The (large) edge
+    relation is pre-partitioned on ``s`` and checkpointed once, so the
+    per-round joins reuse its partitioning; only the O(V) score relation
+    shuffles per iteration. Fixed ``iters`` keeps the plan unrollable
+    and the DuckDB oracle expressible as chained CTEs.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .repartition(F.col("s"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("h", F.lit(10**6).cast("long"))
+    auth = None
+    for i in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        a_max = a_raw.agg(F.max("raw").alias("mx"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.expr(
+                    "coalesce(raw, 0) * 1000000 div greatest(mx, 1)"
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        h_max = h_raw.agg(F.max("raw").alias("mx"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.expr(
+                    "coalesce(raw, 0) * 1000000 div greatest(mx, 1)"
+                ).alias("h"),
+            )
+        )
+        if i < iters - 1:
+            hub = hub.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select(
+        "node",
+        F.col("h").cast("long").alias("hub_e6"),
+        F.col("a").cast("long").alias("auth_e6"),
+    )

@@ -9,7 +9,7 @@ operators (same shingling/hash primitives).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny stopword marker profiles for the language-ID heuristic. On corpora
@@ -846,4 +846,154 @@ def gopher_quality(
         ok_alpha.alias("ok_alpha"),
         ok_stop.alias("ok_stop"),
         (ok_nwords & ok_mwl & ok_alpha & ok_stop).alias("passes"),
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_points: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: for ``n_points`` doc-id
+    thresholds (an even grid over [1, max id]), the number of documents,
+    total tokens, and DISTINCT words among documents at or below the
+    threshold — the sublinear vocab-vs-corpus curve used to sanity-check
+    tokenizer vocab sizing against corpus growth.
+
+    No global sort or running window: each word reduces to its
+    first-occurrence doc id (one aggregate), each doc to its token count
+    (one aggregate), and both tiny relations join a broadcast
+    ``n_points``-row grid with a ``<=`` predicate — cumulative counts by
+    conditional fan-out over O(vocab * n_points) rows, all exact ints.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    first = toks.groupBy("w").agg(F.min(id_col).alias("first_id"))
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    grid = (
+        df.agg(F.max(id_col).cast("long").alias("mx"))
+        .select(
+            F.posexplode(
+                F.expr(f"transform(sequence(1, {n_points}), k -> k)")
+            ).alias("i", "k"),
+            "mx",
+        )
+        .select("k", F.expr(f"mx * k div {n_points}").alias("threshold_id"))
+    )
+    vocab = (
+        first.join(F.broadcast(grid), F.col("first_id") <= F.col("threshold_id"))
+        .groupBy("k", "threshold_id")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    docs = (
+        per_doc.join(
+            F.broadcast(grid), F.col(id_col) <= F.col("threshold_id")
+        )
+        .groupBy("k", "threshold_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    return docs.join(vocab, ["k", "threshold_id"]).select(
+        F.col("k").cast("int").alias("k"),
+        F.col("threshold_id").cast("long").alias("threshold_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher repetition-filter
+    family, Rae et al. 2021 Table A1, word-token variant): per document,
+
+    - ``top_bigram_cnt`` / ``top_bigram_ppm`` — occurrences of the most
+      frequent word bigram and ``2 * cnt / n_tokens`` in ppm (may exceed
+      1e6 for pathological ``a a a`` runs — overlapping occurrences are
+      counted raw, which is exactly the degenerate case the filter is
+      meant to catch);
+    - ``dup5_tokens`` / ``dup5_ppm`` — tokens covered by 5-grams that
+      repeat within the document, as the exact UNION of the (sorted,
+      fixed-length) occurrence intervals.
+
+    The interval union needs no per-doc fold: 5-gram intervals sorted by
+    start have monotone ends, so each occurrence contributes
+    ``min(5, p - prev_p)`` tokens off one LAG window — a single
+    doc-partitioned shuffle, exact integers throughout.
+    """
+    arr = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col), arr.alias("arr"), F.size(arr).alias("n_tokens")
+    )
+    big = base.select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(arr) - 1, 1)),"
+                " i -> concat(element_at(arr, i), ' ',"
+                " element_at(arr, i + 1)))"
+            )
+        ).alias("g"),
+    ).filter(F.col("n_tokens") >= 2)
+    top_big = (
+        big.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    g5 = base.filter(F.col("n_tokens") >= 5).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 4),"
+                " p -> concat_ws(' ', slice(arr, p, 5)))"
+            )
+        ).alias("i", "g"),
+    )
+    dup_pos = (
+        g5.withColumn("p", F.col("i") + 1)
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy(id_col, "g")))
+        .filter(F.col("cnt") >= 2)
+    )
+    wlag = Window.partitionBy(id_col).orderBy("p")
+    covered = (
+        dup_pos.withColumn("prev_p", F.lag("p").over(wlag))
+        .select(
+            id_col,
+            F.when(
+                F.col("prev_p").isNull(), F.lit(5)
+            ).otherwise(F.least(F.col("p") - F.col("prev_p"), F.lit(5)))
+            .alias("contrib"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("dup5_tokens"))
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(top_big, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("top_bigram_cnt", F.lit(0))
+            .cast("long")
+            .alias("top_bigram_cnt"),
+            F.expr(
+                "coalesce(top_bigram_cnt, 0) * 2000000"
+                " div greatest(n_tokens, 1)"
+            ).alias("top_bigram_ppm"),
+            F.coalesce("dup5_tokens", F.lit(0)).cast("long").alias("dup5_tokens"),
+            F.expr(
+                "coalesce(dup5_tokens, 0) * 1000000"
+                " div greatest(n_tokens, 1)"
+            ).alias("dup5_ppm"),
+        )
     )

@@ -182,3 +182,26 @@ def write_postgres_atomic(
             f"DROP TABLE {old}",
         ]
     )
+
+
+def write_parquet_dynamic_overwrite(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Incremental-refresh sink: overwrite ONLY the hive partitions
+    present in ``df``, leaving every other partition untouched
+    (``partitionOverwriteMode=dynamic``). The standard nightly-batch
+    pattern — reprocess yesterday's date partition in place without
+    rewriting (or even listing) the other 3000 days of a 100 TB table;
+    with the default STATIC mode the same call would silently delete
+    every existing partition first.
+
+    Scoped per-write via ``DataFrameWriter.option`` rather than mutating
+    the session conf, so concurrent writers with different semantics
+    don't race on a global setting.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -770,3 +770,87 @@ def test_conversion_funnel_strict_ordering(spark):
     assert per_user[2]["t2"] is None  # click preceded the first view
     assert per_user[2]["t3"] is None  # purchase needs a qualifying click
     assert per_user[3]["t2"] is None
+
+
+def test_hits_hub_authority_separation(spark):
+    from iowa_liquor_sales_spark.operators.graph import hits_e6
+
+    # Hand-built bipartite truth: hubs {1, 4} point at authorities
+    # {2, 3}. Node 1 links both authorities, node 4 only the popular
+    # one, so hub(1) > hub(4); node 2 has two in-links vs node 3's one,
+    # so auth(2) > auth(3). Pure hubs have zero authority and vice versa.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 2)], ["src", "dst"]
+    )
+    out = {r["node"]: r for r in hits_e6(edges, iters=2).collect()}
+    assert out[2]["auth_e6"] > out[3]["auth_e6"] > 0
+    assert out[1]["hub_e6"] > out[4]["hub_e6"] > 0
+    assert out[2]["hub_e6"] == 0 and out[1]["auth_e6"] == 0
+    # max-renormalization pins the round winners at exactly 1e6
+    assert out[1]["hub_e6"] == 10**6 and out[2]["auth_e6"] == 10**6
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    from iowa_liquor_sales_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"), (2, "a c"), (3, "d d"), (4, "a b"),
+            (5, "e f"), (6, "a"), (7, "g"), (8, "a b c"),
+            (9, "h"), (10, "a"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        vocab_growth(docs, n_points=5).collect(), key=lambda r: r["k"]
+    )
+    assert [r["threshold_id"] for r in rows] == [2, 4, 6, 8, 10]
+    assert [r["n_docs"] for r in rows] == [2, 4, 6, 8, 10]
+    # vocab after docs 1-2: {a,b,c}; 1-4: +d; 1-6: +e,f; 1-8: +g; 1-10: +h
+    assert [r["vocab_size"] for r in rows] == [3, 4, 6, 7, 8]
+    assert [r["n_tokens"] for r in rows] == [4, 8, 11, 15, 17]
+
+
+def test_cdc_chunks_cover_document_and_align_on_shared_suffix(spark):
+    from iowa_liquor_sales_spark.operators.dedup import cdc_chunks
+
+    base = "the quick brown fox jumps over the lazy dog " * 40
+    docs = spark.createDataFrame(
+        [(1, base), (2, "PREFIX-INSERTED-EDIT " + base)],
+        ["doc_id", "text"],
+    )
+    ch = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # chunks tile each document exactly
+    for doc_id, text in [(1, base), (2, "PREFIX-INSERTED-EDIT " + base)]:
+        assert sum(r["chunk_len"] for r in by_doc[doc_id]) == len(text)
+    # content-defined boundaries: the edit perturbs only the first
+    # chunk(s); the shared tail re-synchronizes to identical chunk hashes
+    h1 = {r["chunk_hash"] for r in by_doc[1]}
+    h2 = {r["chunk_hash"] for r in by_doc[2]}
+    shared = h1 & h2
+    assert len(shared) >= max(1, len(h1) - 2)
+
+
+def test_supplier_hindex_definition(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # supplier 1: quantities [5,4,4,1] -> h=3 (three lines >= 3);
+    # supplier 2: [2,2] -> h=2; supplier 3: [1] -> h=1.
+    li = spark.createDataFrame(
+        [(1, 5), (1, 4), (1, 4), (1, 1), (2, 2), (2, 2), (3, 1)],
+        ["l_suppkey", "qty"],
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("qty").desc())
+    out = {
+        r["l_suppkey"]: r["h"]
+        for r in li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.col("qty"))
+        .groupBy("l_suppkey")
+        .agg(F.max("rnk").alias("h"))
+        .collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1}

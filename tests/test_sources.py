@@ -323,3 +323,25 @@ def test_binaryfile_source_matches_raw_bytes(spark):
         b = open(f, "rb").read()
         want[f.rsplit("/", 1)[1]] = (len(b), hashlib.md5(b).hexdigest())
     assert got == want and len(got) == 10
+
+
+def test_dynamic_partition_overwrite_preserves_other_partitions(spark, tmp_path):
+    from iowa_liquor_sales_spark.sources.writers import (
+        write_parquet,
+        write_parquet_dynamic_overwrite,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "pk", "v"]
+    )
+    write_parquet(base, path, partition_by=["pk"])
+    # refresh ONLY partition b; a and c must survive untouched
+    delta = spark.createDataFrame([(9, "b", 99)], ["id", "pk", "v"])
+    write_parquet_dynamic_overwrite(delta, path, ["pk"])
+    got = {
+        (r["pk"], r["id"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("a", 1, 10), ("b", 9, 99), ("c", 3, 30)}
+    # a STATIC overwrite of the same delta would have left only b

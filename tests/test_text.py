@@ -285,3 +285,32 @@ def test_gopher_quality_rules(spark):
     assert not out[2]["ok_nwords"]
     assert not out[3]["ok_alpha"]
     assert not out[4]["ok_stop"] and not out[4]["passes"]
+
+
+def test_repetition_stats_interval_union(spark):
+    from iowa_liquor_sales_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c d e" repeated twice + tail: the repeated 5-gram
+            # family covers the full 12 tokens (overlapping duplicated
+            # grams union into one span); top bigram "a b" occurs 3x
+            # (positions 1, 6, and the trailing "a b").
+            (1, "a b c d e a b c d e a b"),
+            # no repetition at all
+            (2, "one two three four five six"),
+            # degenerate run: bigram "x x" occurs 5x over 6 tokens ->
+            # raw overlapping coverage exceeds 1e6 ppm by design
+            (3, "x x x x x x"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 12
+    assert out[1]["top_bigram_cnt"] == 3
+    assert out[1]["dup5_tokens"] == 12
+    assert out[1]["dup5_ppm"] == 1_000_000
+    assert out[2]["top_bigram_cnt"] == 1 and out[2]["dup5_tokens"] == 0
+    assert out[3]["top_bigram_cnt"] == 5
+    assert out[3]["top_bigram_ppm"] > 1_000_000
+    assert out[3]["dup5_tokens"] == 6
