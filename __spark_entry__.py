@@ -1170,6 +1170,113 @@ def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_burst_detect(spark: SparkSession, sf: str) -> DataFrame:
+    # Kleinberg-style burst segmentation (operators/temporal.
+    # burst_segments): per event type, hot days (count > 2x mean, exact
+    # integer cross-multiply) feed a 2-state min-cost automaton solved as
+    # ONE tropical-semiring matrix fold per key — sequential Viterbi
+    # semantics, associative execution, list_reduce replay in the oracle.
+    from iowa_liquor_sales_spark.operators.temporal import burst_segments
+
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("nd")
+    )
+    hot = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("nd") > 2 * F.col("total"))
+        .cast("int")
+        .alias("hot"),
+    )
+    return burst_segments(hot, "event_type", "day", "hot")
+
+
+def q_scene_changes(spark: SparkSession, sf: str) -> DataFrame:
+    # Shot-boundary detection (multimodal/binary_ops.scene_changes):
+    # consecutive-frame L1 byte deltas inside Arrow mapInPandas, only
+    # O(frames) rows leave the executors. ASCII payloads make the numpy
+    # path bit-checkable against a pure-SQL ord() oracle.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import scene_changes
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    return scene_changes(attach_payload(docs))
+
+
+def q_twap(spark: SparkSession, sf: str) -> DataFrame:
+    # Time-weighted average value per event type (the TWAP primitive):
+    # each event's value holds until the SAME user's next event; exact
+    # integer value-cents x dwell-micros products, floor-div mean. One
+    # user-window pass + one small aggregate — same shuffle shape as
+    # q_dwell_time but value-weighted.
+    ev = read_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+        (epoch_us(F.lead("ts").over(w)) - epoch_us("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.sum(F.col("v_cents") * F.col("dt_us")).alias("vt_sum"),
+            F.sum("dt_us").cast("long").alias("t_sum"),
+        )
+        .select(
+            "event_type",
+            "vt_sum",
+            "t_sum",
+            F.expr("vt_sum div greatest(t_sum, 1)").alias("twap_cents"),
+        )
+    )
+
+
+def q_bucket_diff(spark: SparkSession, sf: str) -> DataFrame:
+    # Anti-entropy bucket diff (operators/quality.bucket_checksum_diff):
+    # locate replication drift between two table versions with
+    # O(n_buckets) comparison rows — the drifted side drops every
+    # o_orderkey % 997 == 3 row, and only the touched buckets surface.
+    from iowa_liquor_sales_spark.operators.quality import bucket_checksum_diff
+
+    o = read_table(spark, sf, "orders")
+    drifted = o.filter(F.col("o_orderkey") % 997 != 3)
+    return bucket_checksum_diff(
+        o, drifted, "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus"], n_buckets=64,
+    ).orderBy("bucket")
+
+
+def q_fuzzy_names(spark: SparkSession, sf: str) -> DataFrame:
+    # Banded fuzzy self-match (operators/joins.fuzzy_pairs) over the
+    # distinct part-name dictionary: levenshtein <= 3 pairs found via a
+    # provably complete length-band equi-join (|len diff| <= edit dist);
+    # the oracle runs the prefilter-FREE all-pairs version to prove the
+    # band drops nothing.
+    from iowa_liquor_sales_spark.operators.joins import fuzzy_pairs
+
+    return fuzzy_pairs(read_table(spark, sf, "part"), "p_name", max_dist=3)
+
+
+def q_dp_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    # Laplace-mechanism DP count release (operators/quality.dp_noisy_counts)
+    # over the event_type x day-of-week histogram: sensitivity-1 counts +
+    # inverse-CDF noise from an exact dyadic uniform (only libm ln can
+    # wobble, absorbed by the e6 floor grid). Deterministic noise stream
+    # by design — see the operator docstring's privacy caveat.
+    from iowa_liquor_sales_spark.functions.dates import pg_dow
+    from iowa_liquor_sales_spark.operators.quality import dp_noisy_counts
+
+    ev = read_table(spark, sf, "events").select(
+        "event_type", pg_dow("ts").alias("dow")
+    )
+    return dp_noisy_counts(ev, ["event_type", "dow"], epsilon=1.0)
+
+
 def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     # Intra-document repetition signals (operators/text.repetition_stats):
     # the Gopher repetition-filter family — top-bigram coverage and
@@ -3546,6 +3653,49 @@ def _pagerank_oracle(iters: int = 3) -> str:
         SELECT node, r AS rank_e12 FROM r{iters}
         ORDER BY rank_e12 DESC, node LIMIT 20"""
     )
+
+
+def _burst_oracle() -> str:
+    # list_reduce replay of temporal.burst_segments: identical tropical
+    # combine (generated from the same _burst_combine_sql), identity
+    # matrix prepended because DuckDB's list_reduce seeds with the first
+    # element.
+    from iowa_liquor_sales_spark.operators.temporal import _burst_combine_sql
+
+    inf = 10**15
+    combine = _burst_combine_sql("acc", "m", lambda arr, i: f"{arr}[{i}]")
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT event_type, SUM(n) AS total, COUNT(*) AS nd
+                FROM daily GROUP BY 1),
+        hot AS (SELECT d.event_type, day,
+                       CASE WHEN n * nd > 2 * total THEN 1 ELSE 0 END AS x
+                FROM daily d JOIN tot USING (event_type)),
+        per AS (SELECT event_type, list(x ORDER BY day) AS xs,
+                       SUM(x) AS n_hot, COUNT(*) AS n_days
+                FROM hot GROUP BY 1),
+        mm AS (SELECT event_type, n_hot, n_days,
+                      list_transform(xs, x -> [
+                          CAST(x AS BIGINT), 0,
+                          CAST(2 + 2 * (1 - x) AS BIGINT), 1,
+                          CAST(x AS BIGINT), 0,
+                          CAST(2 * (1 - x) AS BIGINT), 1]) AS mats
+               FROM per),
+        ff AS (SELECT event_type, n_hot, n_days,
+                      list_reduce(
+                          list_prepend(
+                              [0, 0, {inf}, 0, {inf}, 0, 0, 0]::BIGINT[],
+                              mats),
+                          (acc, m) -> [{combine}]) AS f
+               FROM mm)
+        SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+               CAST(n_hot AS BIGINT) AS n_hot,
+               CAST(CASE WHEN f[1] <= f[3] THEN f[2] ELSE f[4] END
+                    AS BIGINT) AS burst_days,
+               CAST(LEAST(f[1], f[3]) AS BIGINT) AS path_cost
+        FROM ff"""
 
 
 def _hits_oracle(iters: int = 2) -> str:
@@ -7384,6 +7534,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_supplier_hindex": q_supplier_hindex,
         "q_cdc_chunks": q_cdc_chunks,
         "q_repetition_stats": q_repetition_stats,
+        "q_dp_histogram": q_dp_histogram,
+        "q_bucket_diff": q_bucket_diff,
+        "q_fuzzy_names": q_fuzzy_names,
+        "q_scene_changes": q_scene_changes,
+        "q_twap": q_twap,
+        "q_burst_detect": q_burst_detect,
         # --- driver-green in r1-r3 or sweep-checked; the full local
         # sweep covers all of them every round.
         "q_benford": q_benford,
@@ -8746,6 +8902,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cw * term_nano) AS BIGINT) AS logw_nano
             FROM dc JOIN scored USING (w) GROUP BY doc_id""",
         "q_hits": _hits_oracle(2),
+        "q_burst_detect": _burst_oracle(),
+        "q_scene_changes": """
+            WITH f AS (
+              SELECT doc_id, CAST(fi AS INTEGER) AS fi,
+                     substr(text, CAST(fi * 64 + 1 AS INTEGER), 64) AS fr
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, length(text) // 64)) AS fi
+                    FROM documents)),
+            pairs AS (
+              SELECT a.doc_id, b.fi, a.fr AS fa, b.fr AS fb
+              FROM f a JOIN f b
+                ON a.doc_id = b.doc_id AND b.fi = a.fi + 1),
+            d AS (
+              SELECT doc_id, fi,
+                     SUM(abs(ord(substr(fa, CAST(i AS INTEGER), 1))
+                             - ord(substr(fb, CAST(i AS INTEGER), 1))))
+                         AS delta_l1
+              FROM pairs, UNNEST(generate_series(1, 64)) AS u(i)
+              GROUP BY doc_id, fi)
+            SELECT doc_id, fi AS frame_idx,
+                   CAST(delta_l1 AS BIGINT) AS delta_l1,
+                   delta_l1 >= 1500 AS is_scene_change
+            FROM d""",
+        "q_twap": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS v_cents,
+                     epoch_us(LEAD(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))
+                       - epoch_us(ts) AS dt_us
+              FROM events)
+            SELECT event_type,
+                   CAST(SUM(v_cents * dt_us) AS BIGINT) AS vt_sum,
+                   CAST(SUM(dt_us) AS BIGINT) AS t_sum,
+                   CAST(SUM(v_cents * dt_us)
+                        // GREATEST(SUM(dt_us), 1) AS BIGINT) AS twap_cents
+            FROM d WHERE dt_us IS NOT NULL GROUP BY event_type""",
+        "q_bucket_diff": """
+            WITH canon AS (
+              SELECT o_orderkey,
+                     CAST(('0x' || substr(md5(
+                         CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 64 AS bucket,
+                     CAST(('0x' || substr(md5(
+                         CAST(o_orderkey AS VARCHAR) || '|'
+                         || CAST(o_custkey AS VARCHAR) || '|'
+                         || o_orderstatus), 1, 15)) AS BIGINT) AS h
+              FROM orders),
+            a AS (SELECT bucket, COUNT(*) AS n_rows_a,
+                         bit_xor(h) AS checksum_a
+                  FROM canon GROUP BY bucket),
+            b AS (SELECT bucket, COUNT(*) AS n_rows_b,
+                         bit_xor(h) AS checksum_b
+                  FROM canon WHERE o_orderkey % 997 != 3 GROUP BY bucket)
+            SELECT CAST(bucket AS INTEGER) AS bucket,
+                   CAST(COALESCE(n_rows_a, 0) AS BIGINT) AS n_rows_a,
+                   CAST(COALESCE(n_rows_b, 0) AS BIGINT) AS n_rows_b,
+                   CAST(COALESCE(checksum_a, 0) AS BIGINT) AS checksum_a,
+                   CAST(COALESCE(checksum_b, 0) AS BIGINT) AS checksum_b
+            FROM a FULL OUTER JOIN b USING (bucket)
+            WHERE NOT (checksum_a IS NOT DISTINCT FROM checksum_b
+                       AND n_rows_a IS NOT DISTINCT FROM n_rows_b)
+            ORDER BY bucket""",
+        "q_fuzzy_names": """
+            WITH names AS (SELECT p_name AS name, COUNT(*) AS n_rows,
+                                  length(p_name) AS len
+                           FROM part GROUP BY p_name)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+                   CAST(a.n_rows AS BIGINT) AS n_rows_a,
+                   CAST(b.n_rows AS BIGINT) AS n_rows_b
+            FROM names a JOIN names b
+              ON (a.len < b.len OR (a.len = b.len AND a.name < b.name))
+            WHERE levenshtein(a.name, b.name) <= 3""",
+        "q_dp_histogram": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(dayofweek(ts) AS INTEGER) AS dow,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            k AS (
+              SELECT event_type, dow, n,
+                     (CAST(('0x' || substr(md5(
+                          event_type || '|' || CAST(dow AS VARCHAR)),
+                          1, 15)) AS BIGINT) % 1048576) * 2 + 1
+                       - 1048576 AS num
+              FROM c)
+            SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+                   CAST(n * 1000000
+                        + CAST(floor(sign(num)
+                            * -ln((1048576 - abs(num)) / 1048576.0)
+                            / 1.0 * 1000000.0) AS BIGINT)
+                        AS BIGINT) AS noisy_count_e6
+            FROM k""",
         "q_repetition_stats": """
             WITH base AS (SELECT doc_id, string_split(text, ' ') AS arr,
                                  len(string_split(text, ' ')) AS n

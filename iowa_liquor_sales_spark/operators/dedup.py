@@ -890,7 +890,13 @@ def cdc_chunks(
     downstream dedup (group by chunk_hash) is the only exchange.
     """
     g = f"substring({text_col}, p, {k})"
-    gh = f"conv(substring(md5(cast({g} as binary)), 1, 15), 16, 10)"
+    # conv() returns STRING: without the explicit bigint cast, non-ANSI
+    # sessions coerce `string % int` through DOUBLE and shear the low
+    # bits of the 60-bit hash — boundaries then differ by ANSI mode.
+    gh = (
+        f"cast(conv(substring(md5(cast({g} as binary)), 1, 15), 16, 10)"
+        f" as bigint)"
+    )
     ends = (
         f"filter(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
         f"p -> IF({gh} % {modulus} = 0, p + {k - 1}, -1)), e -> e > 0)"
@@ -901,7 +907,7 @@ def cdc_chunks(
         f"filter(transform(ends_all, (e, i) -> named_struct("
         f"'chunk_idx', i, "
         f"'chunk_len', e - {prev}, "
-        f"'chunk_hash', conv(substring(md5(cast({chunk_txt} as binary)), 1, 15), 16, 10)"
+        f"'chunk_hash', cast(conv(substring(md5(cast({chunk_txt} as binary)), 1, 15), 16, 10) as bigint)"
         f")), s -> s.chunk_len > 0)"
     )
     return (

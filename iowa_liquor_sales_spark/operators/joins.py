@@ -176,3 +176,61 @@ def bloom_prefilter(
     return probed.filter(hit).drop(
         "__bf", *[f"__p{i}" for i in range(num_hashes)]
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Fuzzy self-match over a string dictionary: pairs of DISTINCT
+    values within ``max_dist`` Levenshtein edits, each weighted by its
+    row count — the entity-resolution canonicalization flow (match the
+    name DICTIONARY, not the row set; the dictionary is orders of
+    magnitude smaller than the table).
+
+    Never all-pairs: each left name expands to the ``max_dist + 1``
+    lengths it can match upward, and the join is an EQUI-join on that
+    length key (the same banded-prefilter discipline as the geo radius
+    join — |len(a)-len(b)| > max_dist implies edit distance > max_dist,
+    so the length band is a provably complete blocking key; the oracle
+    runs prefilter-free to prove it). The orientation predicate
+    (shorter-first, lexicographic on ties) emits each unordered pair
+    exactly once with no distinct pass. Edit distance runs only on
+    band-surviving candidates.
+    """
+    names = (
+        df.groupBy(F.col(col).alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn("len", F.length("name"))
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("len").alias("len_a"),
+        F.explode(
+            F.expr(f"sequence(len, len + {max_dist})")
+        ).alias("lk"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("len").alias("len_b"),
+    )
+    orient = (F.col("len_a") < F.col("len_b")) | (
+        (F.col("len_a") == F.col("len_b"))
+        & (F.col("name_a") < F.col("name_b"))
+    )
+    return (
+        a.join(b, F.col("lk") == F.col("len_b"))
+        .filter(orient)
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            "name_a",
+            "name_b",
+            F.col("dist").cast("int").alias("dist"),
+            "n_rows_a",
+            "n_rows_b",
+        )
+    )

@@ -156,3 +156,103 @@ def l_diversity_audit(
             "exposed_ppm"
         ),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+) -> DataFrame:
+    """Differential-privacy count release (Laplace mechanism, Dwork et
+    al. 2006): per group, ``noisy_count_e6 = 1e6 * count + noise`` with
+    Laplace(1/epsilon) noise — sensitivity of a count is 1, so this is
+    the canonical eps-DP histogram release.
+
+    DETERMINISM CAVEAT (by design, stated loudly): the noise stream is
+    derived from a hash of the group key via the inverse-CDF transform,
+    so repeated runs release IDENTICAL noise — that makes the mechanism
+    testable/oracle-checkable but NOT actually private (a fresh random
+    draw per release is required for the eps-DP guarantee; swap the
+    ``u`` expression for a true RNG in production). The mechanics the
+    operator pins down — grouping, sensitivity-1 counts, the Laplace
+    inverse CDF, integer post-processing — are the real ones.
+
+    Exactness: the uniform is the dyadic rational (2h+1)/2^21 (h a
+    20-bit key hash), so ``1 - |2u-1|`` is computed EXACTLY in both
+    engines; the only cross-engine wobble is libm ``ln`` on an identical
+    input, absorbed by the 1e-6 floor grid like every other log here.
+
+    Scale shape: one map-side-combinable count aggregate; the noise is a
+    scalar expression over the O(groups) result.
+    """
+    from ..functions.hashing import hash60
+
+    cnt = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    h = hash60(key) % F.lit(1048576)
+    num = (h * 2 + 1) - F.lit(1048576)  # odd, in [-2^20+1, 2^20-1], never 0
+    arg = (F.lit(1048576) - F.abs(num)) / F.lit(1048576.0)
+    noise_e6 = F.floor(
+        F.signum(num.cast("double")) * -F.log(arg) / F.lit(float(epsilon)) * F.lit(1e6)
+    ).cast("long")
+    return cnt.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") * F.lit(1_000_000) + noise_e6).alias("noisy_count_e6"),
+    )
+
+
+def bucket_checksum_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    cols: list[str],
+    n_buckets: int = 64,
+    null_token: str = "\\N",
+) -> DataFrame:
+    """Anti-entropy bucket diff (the Merkle-tree repair primitive, one
+    level deep): hash-bucket both table versions on the key, XOR-digest
+    each bucket, and return ONLY the buckets whose digest or row count
+    differs — locating replication drift with O(n_buckets) comparison
+    rows instead of an O(rows) full-table diff. Follow up by shipping /
+    re-syncing just the differing buckets.
+
+    Same canonical rendering discipline as :func:`table_checksum`
+    (explicit NULL token; int/string cols only — float renderings are
+    engine-specific). Scale shape: one narrow scan + map-side-combinable
+    XOR aggregate per side (no data-row shuffle), then an O(n_buckets)
+    outer join.
+    """
+    from ..functions.hashing import hash60
+
+    def digests(df: DataFrame, tag: str) -> DataFrame:
+        canon = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(null_token))
+                for c in cols
+            ],
+        )
+        bucket = F.pmod(hash60(F.col(key_col).cast("string")), F.lit(n_buckets))
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_rows_{tag}"),
+            F.bit_xor(hash60(canon)).alias(f"checksum_{tag}"),
+        )
+
+    a, b = digests(df_a, "a"), digests(df_b, "b")
+    return (
+        a.join(b, "bucket", "full_outer")
+        .filter(
+            ~(
+                F.col("checksum_a").eqNullSafe(F.col("checksum_b"))
+                & F.col("n_rows_a").eqNullSafe(F.col("n_rows_b"))
+            )
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.coalesce("n_rows_a", F.lit(0)).cast("long").alias("n_rows_a"),
+            F.coalesce("n_rows_b", F.lit(0)).cast("long").alias("n_rows_b"),
+            F.coalesce("checksum_a", F.lit(0)).cast("long").alias("checksum_a"),
+            F.coalesce("checksum_b", F.lit(0)).cast("long").alias("checksum_b"),
+        )
+    )

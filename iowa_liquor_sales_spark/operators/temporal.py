@@ -654,3 +654,104 @@ def sequence_motif_counts(
             f" div {len(motif)} AS BIGINT)"
         ).alias("n_motifs"),
     )
+
+
+def _burst_combine_sql(acc: str, m: str, elem) -> str:
+    """Render the tropical-semiring 2x2 matrix product for the burst
+    fold: cell (i,j) of ``acc ⊗ m`` is ``min_k(acc_c(i,k) + m_c(k,j))``
+    with burst-day counts carried along the winning path (ties: fewer
+    days, then k=0). ``elem`` renders 1-based element access for the
+    target engine, so the IDENTICAL arithmetic runs in Spark and DuckDB.
+
+    Layout: flat 8-list [c00,d00,c01,d01,c10,d10,c11,d11]; cost of cell
+    (i,j) at 1-based index 4i+2j+1, days at +1.
+    """
+    cells = []
+    for i in (0, 1):
+        for j in (0, 1):
+            c = [
+                f"({elem(acc, 4 * i + 2 * k + 1)} + {elem(m, 4 * k + 2 * j + 1)})"
+                for k in (0, 1)
+            ]
+            d = [
+                f"({elem(acc, 4 * i + 2 * k + 2)} + {elem(m, 4 * k + 2 * j + 2)})"
+                for k in (0, 1)
+            ]
+            pick = (
+                f"CASE WHEN {c[0]} < {c[1]} THEN {{k0}} "
+                f"WHEN {c[1]} < {c[0]} THEN {{k1}} "
+                f"WHEN {d[0]} <= {d[1]} THEN {{k0}} ELSE {{k1}} END"
+            )
+            cells.append(pick.format(k0=c[0], k1=c[1]))
+            cells.append(pick.format(k0=d[0], k1=d[1]))
+    return ", ".join(cells)
+
+
+def burst_segments(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    hot_col: str,
+) -> DataFrame:
+    """Kleinberg-style burst detection (2-state automaton, integerized):
+    given per-(key, day) binary "hot" observations, find the min-cost
+    base/burst state path where entering the burst state costs 2, a hot
+    day in the base state costs 1, and a cold day in the burst state
+    costs 2 — and report how many days the optimal path spends in the
+    burst state (plus the path cost).
+
+    The Viterbi recurrence is sequential, but (min, +) matrix products
+    are ASSOCIATIVE: each day becomes a 2x2 tropical cost matrix
+    (burst-day counters carried per cell, deterministic tie-breaks:
+    fewer burst days, then lower predecessor state) and the whole path
+    reduces with ONE higher-order ``aggregate`` fold per key — no UDF,
+    no iteration, no driver state. The same fold runs in DuckDB via
+    ``list_reduce`` seeded with the identity matrix, so this "custom
+    operator Spark lacks" is still exactly oracle-checkable.
+
+    Scale shape: input is the already-aggregated (key, day) relation
+    (O(keys x days), tiny next to the fact table); one sorted
+    collect_list per key bounded by the calendar, then O(days) 8-cell
+    combines inside the row. Keys parallelize across the cluster.
+    """
+    inf = 10**15
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col(day_col).alias("d"), F.col(hot_col).alias("x")))
+    )
+    per = df.groupBy(F.col(key_col)).agg(
+        ordered.alias("s"),
+        F.sum(hot_col).cast("long").alias("n_hot"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    per = per.withColumn(
+        "mats",
+        F.expr(
+            "transform(s, e -> array(cast(e.x as bigint), 0L,"
+            " cast(2 + 2 * (1 - e.x) as bigint), 1L,"
+            " cast(e.x as bigint), 0L,"
+            " cast(2 * (1 - e.x) as bigint), 1L))"
+        ),
+    )
+
+    def spark_elem(arr: str, idx: int) -> str:
+        return f"element_at({arr}, {idx})"
+
+    combine = _burst_combine_sql("acc", "m", spark_elem)
+    folded = per.withColumn(
+        "f",
+        F.expr(
+            f"aggregate(mats, array(0L, 0L, {inf}L, 0L, {inf}L, 0L, 0L, 0L),"
+            f" (acc, m) -> array({combine}))"
+        ),
+    )
+    c0, d0 = "element_at(f, 1)", "element_at(f, 2)"
+    c1, d1 = "element_at(f, 3)", "element_at(f, 4)"
+    return folded.select(
+        key_col,
+        "n_days",
+        "n_hot",
+        F.expr(
+            f"CASE WHEN {c0} <= {c1} THEN {d0} ELSE {d1} END"
+        ).cast("long").alias("burst_days"),
+        F.expr(f"least({c0}, {c1})").cast("long").alias("path_cost"),
+    )

@@ -271,6 +271,19 @@ def bench_docs(
     # aggregate + hash join back. Salted replicas share no grams, so
     # the flagged set (and the join) grows linearly with the corpus.
     t("substring_spans", duplicated_spans(docs, "text", "doc_id", k=5))
+    from iowa_liquor_sales_spark.operators.dedup import cdc_chunks
+    from iowa_liquor_sales_spark.operators.text import (
+        repetition_stats,
+        vocab_growth,
+    )
+
+    # Content-defined chunking: zero-shuffle HOF map, then one chunk-hash
+    # aggregate — should track the scan cost.
+    t("cdc_chunks", cdc_chunks(docs))
+    # Repetition stats: two gram explodes + doc-partitioned windows.
+    t("repetition_stats", repetition_stats(docs))
+    # Vocab growth: two aggregates + 10-row broadcast grid fan-out.
+    t("vocab_growth", vocab_growth(docs))
     return timings
 
 

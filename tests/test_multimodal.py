@@ -140,3 +140,23 @@ def test_audio_frame_rms_known_values(spark):
     r = rows[0]
     expected = math.floor(math.sqrt((513**2 + 1027**2) / 2) * 1000 + 0.5)
     assert (r["frame_id"], r["n_samples"], r["rms_e3"]) == (0, 2, expected)
+
+
+def test_scene_changes_flags_content_jump(spark):
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        attach_payload,
+        scene_changes,
+    )
+
+    # 3 full 64-byte frames: two identical quiet frames, then a jump of
+    # ~('z'-'a')=25 per byte -> delta 1600 >= threshold 1500.
+    text = "a" * 64 + "a" * 64 + "z" * 64 + "tail"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = {
+        r["frame_idx"]: r
+        for r in scene_changes(attach_payload(docs)).collect()
+    }
+    # ragged tail frame excluded: deltas only at frame 1 and 2
+    assert set(out) == {1, 2}
+    assert out[1]["delta_l1"] == 0 and not out[1]["is_scene_change"]
+    assert out[2]["delta_l1"] == 25 * 64 and out[2]["is_scene_change"]

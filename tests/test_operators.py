@@ -814,7 +814,10 @@ def test_vocab_growth_monotone_and_exact(spark):
 def test_cdc_chunks_cover_document_and_align_on_shared_suffix(spark):
     from iowa_liquor_sales_spark.operators.dedup import cdc_chunks
 
-    base = "the quick brown fox jumps over the lazy dog " * 40
+    # varied words -> many distinct 16-grams, so ~len/64 chunk
+    # boundaries exist (a short repeated phrase can legitimately yield
+    # zero boundaries and a single whole-doc chunk)
+    base = " ".join(f"word{i}x{i * 7 % 113}" for i in range(400))
     docs = spark.createDataFrame(
         [(1, base), (2, "PREFIX-INSERTED-EDIT " + base)],
         ["doc_id", "text"],
@@ -854,3 +857,23 @@ def test_supplier_hindex_definition(spark):
         .collect()
     }
     assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_fuzzy_pairs_band_covers_max_len_diff(spark):
+    from iowa_liquor_sales_spark.operators.joins import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("cat",), ("cat",), ("cart",), ("dog",), ("ab",), ("abxyz",)],
+        ["name"],
+    )
+    out = {
+        (r["name_a"], r["name_b"]): r for r in fuzzy_pairs(df, "name").collect()
+    }
+    assert out[("cat", "cart")]["dist"] == 1
+    assert out[("cat", "cart")]["n_rows_a"] == 2  # weight = row count
+    # len diff == max_dist == 3: the band's outermost edge must survive
+    assert out[("ab", "abxyz")]["dist"] == 3
+    # three substitutions away is still within max_dist=3
+    assert out[("cat", "dog")]["dist"] == 3
+    # beyond the threshold: no pair
+    assert ("cat", "abxyz") not in out and ("abxyz", "cat") not in out

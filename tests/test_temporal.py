@@ -266,3 +266,33 @@ def test_asof_nearest_picks_smaller_gap(spark):
     # b(30): backward 29 (gap 1) vs forward 31 (gap 1) -> tie -> backward 200
     # c(5): no backward; forward 50 -> 400
     assert out == {"a": 100, "b": 200, "c": 400}
+
+
+def test_burst_segments_viterbi_optimum(spark):
+    import datetime
+
+    from iowa_liquor_sales_spark.operators.temporal import burst_segments
+
+    d0 = datetime.date(2020, 1, 1)
+
+    def series(key, xs):
+        return [
+            (key, d0 + datetime.timedelta(days=i), x)
+            for i, x in enumerate(xs)
+        ]
+
+    rows = (
+        # 3-day hot run: entering the burst (cost 2) beats paying 1/day
+        # in base (cost 3) -> burst_days=3, path_cost=2
+        series("run", [0, 0, 1, 1, 1, 0, 0])
+        # lone hot day: enter cost 2 > base penalty 1 -> stays base
+        + series("blip", [0, 1, 0])
+        # all cold: nothing to do
+        + series("quiet", [0, 0, 0, 0])
+    )
+    df = spark.createDataFrame(rows, ["k", "day", "hot"])
+    out = {r["k"]: r for r in burst_segments(df, "k", "day", "hot").collect()}
+    assert out["run"]["burst_days"] == 3 and out["run"]["path_cost"] == 2
+    assert out["run"]["n_days"] == 7 and out["run"]["n_hot"] == 3
+    assert out["blip"]["burst_days"] == 0 and out["blip"]["path_cost"] == 1
+    assert out["quiet"]["burst_days"] == 0 and out["quiet"]["path_cost"] == 0
