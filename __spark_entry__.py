@@ -1170,6 +1170,62 @@ def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    # Greedy k-center diversity selection (similarity.kcenter_greedy):
+    # 4 farthest-point rounds over e3-quantized embeddings, exact int64
+    # squared distances, O(k) driver state; chained-CTE oracle replays
+    # the identical greedy trajectory.
+    from iowa_liquor_sales_spark.operators.similarity import kcenter_greedy
+
+    return kcenter_greedy(read_table(spark, sf, "embeddings"), k=4)
+
+
+def q_sssp(spark: SparkSession, sf: str) -> DataFrame:
+    # Weighted single-source shortest paths (graph.sssp_rounds): 3
+    # unrolled Bellman-Ford rounds over the symmetric customer<->supplier
+    # graph, edge weight = min line price in exact cents. Same
+    # pre-partitioned-edges shape and chained-CTE oracle convention as
+    # q_bfs_hops, generalized to integer weights.
+    from iowa_liquor_sales_spark.operators.graph import sssp_rounds
+
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    e0 = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(
+            F.min(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "w"
+            )
+        )
+    )
+    sym = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return sssp_rounds(sym, source=2, iters=3)
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Efraimidis-Spirakis A-ES weighted sampling without replacement
+    # (operators/sampling.weighted_topk_sample): exact-size-100 sample of
+    # documents with inclusion probability proportional to length —
+    # content-keyed deterministic keys, global top-k via
+    # TakeOrderedAndProject (never a full sort).
+    from iowa_liquor_sales_spark.operators.sampling import weighted_topk_sample
+
+    d = read_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return weighted_topk_sample(
+        d, "doc_id", F.col("n_chars"), k=100
+    ).select("doc_id", "source", "n_chars", "sel_key_e9")
+
+
 def q_burst_detect(spark: SparkSession, sf: str) -> DataFrame:
     # Kleinberg-style burst segmentation (operators/temporal.
     # burst_segments): per event type, hot days (count > 2x mean, exact
@@ -3652,6 +3708,86 @@ def _pagerank_oracle(iters: int = 3) -> str:
         + f"""
         SELECT node, r AS rank_e12 FROM r{iters}
         ORDER BY rank_e12 DESC, node LIMIT 20"""
+    )
+
+
+def _kcenter_oracle(k: int = 4) -> str:
+    # Chained-CTE replay of similarity.kcenter_greedy: one (c_i, d_i)
+    # CTE pair per greedy round; d_i folds the new center's distance in
+    # with LEAST, c_{i+1} is the deterministic argmax.
+    dist = (
+        "CAST(list_sum(list_transform(generate_series(1, 64),"
+        " i -> ({a}.q[i] - {c}.q[i]) * ({a}.q[i] - {c}.q[i]))) AS BIGINT)"
+    )
+    parts = [
+        """WITH v AS (
+          SELECT vec_id AS pid,
+                 list_transform(embedding,
+                                x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+          FROM embeddings),
+        c1 AS (SELECT pid, q FROM v ORDER BY pid LIMIT 1),
+        d1 AS (SELECT v.pid, v.q, """
+        + dist.format(a="v", c="c")
+        + """ AS mind FROM v, c1 c)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""c{i} AS (SELECT pid, q, mind FROM d{i-1}
+               ORDER BY mind DESC, pid LIMIT 1)"""
+        )
+        if i < k:
+            parts.append(
+                f"""d{i} AS (SELECT d.pid, d.q,
+                   LEAST(d.mind, {dist.format(a='d', c='c')}) AS mind
+                 FROM d{i-1} d, c{i} c)"""
+            )
+    rows = [
+        "SELECT CAST(1 AS INTEGER) AS round,"
+        " (SELECT pid FROM c1) AS vec_id, CAST(0 AS BIGINT) AS sel_dist"
+    ]
+    for i in range(2, k + 1):
+        rows.append(
+            f"SELECT CAST({i} AS INTEGER), pid,"
+            f" CAST(mind AS BIGINT) FROM c{i}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(rows)
+
+
+def _sssp_oracle(iters: int = 3) -> str:
+    # Chained-CTE replay of graph.sssp_rounds (Bellman-Ford relax per
+    # round, explicit CASE min so NULL semantics are unambiguous).
+    parts = [
+        """WITH e0 AS (
+          SELECT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d,
+                 MIN(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2),
+        e AS (SELECT s, d, w FROM e0
+              UNION ALL SELECT e0.d AS s, e0.s AS d, e0.w AS w FROM e0),
+        n AS (SELECT DISTINCT s AS node FROM e),
+        d0 AS (SELECT node,
+                      CASE WHEN node = 2 THEN CAST(0 AS BIGINT) END AS dist
+               FROM n)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+          SELECT e.d AS node, MIN(d{i-1}.dist + e.w) AS nd
+          FROM e JOIN d{i-1} ON d{i-1}.node = e.s
+          WHERE d{i-1}.dist IS NOT NULL GROUP BY e.d),
+        d{i} AS (
+          SELECT n.node,
+                 CASE WHEN dist IS NULL THEN nd
+                      WHEN nd IS NULL THEN dist
+                      WHEN nd < dist THEN nd ELSE dist END AS dist
+          FROM n LEFT JOIN d{i-1} USING (node)
+                 LEFT JOIN c{i} USING (node))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT node, CAST(dist AS BIGINT) AS dist FROM d{iters}
+        WHERE dist IS NOT NULL"""
     )
 
 
@@ -7540,6 +7676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scene_changes": q_scene_changes,
         "q_twap": q_twap,
         "q_burst_detect": q_burst_detect,
+        "q_sssp": q_sssp,
+        "q_weighted_sample": q_weighted_sample,
+        "q_kcenter": q_kcenter,
         # --- driver-green in r1-r3 or sweep-checked; the full local
         # sweep covers all of them every round.
         "q_benford": q_benford,
@@ -8903,6 +9042,23 @@ def oracle_sql() -> dict[str, str]:
             FROM dc JOIN scored USING (w) GROUP BY doc_id""",
         "q_hits": _hits_oracle(2),
         "q_burst_detect": _burst_oracle(),
+        "q_sssp": _sssp_oracle(3),
+        "q_kcenter": _kcenter_oracle(4),
+        "q_weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(floor(
+                         ln(((CAST(('0x' || substr(md5(
+                                 'aes|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % 1048576) * 2 + 1)
+                            / 2097152.0)
+                         / CAST(n_chars AS DOUBLE) * 1000000000.0)
+                       AS BIGINT) AS sel_key_e9
+              FROM documents)
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                   sel_key_e9
+            FROM keyed
+            ORDER BY sel_key_e9 DESC, doc_id LIMIT 100""",
         "q_scene_changes": """
             WITH f AS (
               SELECT doc_id, CAST(fi AS INTEGER) AS fi,

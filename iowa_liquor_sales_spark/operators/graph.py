@@ -1000,3 +1000,69 @@ def hits_e6(
         F.col("h").cast("long").alias("hub_e6"),
         F.col("a").cast("long").alias("auth_e6"),
     )
+
+
+def sssp_rounds(
+    edges: DataFrame,
+    source: int,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths, fixed-round distributed Bellman-Ford
+    over integer edge weights: ``iters`` relax rounds, each one
+    edges-to-distances join (keyed on the node id) + a map-side-
+    combinable MIN aggregate + a left join back to the node set — the
+    weighted generalization of :func:`bfs_hops`, same unrollable shape,
+    same chained-CTE oracle convention. Returns only nodes reached
+    within ``iters`` hops (exact distances for paths of <= iters edges).
+
+    Scale: the (large) edge relation is pre-partitioned on its join key
+    and checkpointed once; only the O(V) distance relation shuffles per
+    round. Integer weights keep every comparison exact.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"), F.col(w).alias("w")
+        )
+        .repartition(F.col("s"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == source, F.lit(0).cast("long")).alias("dist"),
+    )
+    for i in range(iters):
+        cand = (
+            e.join(
+                dist.filter(F.col("dist").isNotNull()).withColumnRenamed(
+                    "node", "s"
+                ),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        dist = (
+            nodes.join(cand, "node", "left")
+            .join(dist.withColumnRenamed("dist", "prev"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("prev", F.lit(None)),
+                    F.coalesce("nd", F.lit(None)),
+                ).alias("dist"),
+            )
+        )
+        if i < iters - 1:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.filter(F.col("dist").isNotNull()).select(
+        "node", F.col("dist").cast("long").alias("dist")
+    )

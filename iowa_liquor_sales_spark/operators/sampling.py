@@ -301,3 +301,39 @@ def kfold_loo_aggregates(
             "train_mean_mc"
         ),
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    k: int,
+    salt: str = "aes",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact size k (Efraimidis-
+    Spirakis A-ES, 2006): each row draws ``u = uniform(0,1)`` and keeps
+    key ``u^(1/w)``; the k largest keys are a weight-proportional
+    without-replacement sample. Ranking by ``u^(1/w)`` is equivalent to
+    ranking by ``ln(u)/w``, which is what we materialize — no pow.
+
+    Deterministic twist (same trade as the DP release and hash_split):
+    ``u`` is the exact dyadic rational ``(2h+1)/2^21`` of a salted key
+    hash, so the sample is content-keyed and rerun-stable. The ranking
+    value floor-scales ``ln(u)/w`` to an integer e9 grid with the key as
+    tie-break, so the selected set is total-ordered and engine-exact
+    (libm ln on identical dyadic inputs; the accepted boundary class).
+
+    Scale shape: a narrow projection computes the key, then global top-k
+    — Catalyst executes orderBy+limit as TakeOrderedAndProject (per-
+    partition heaps + driver merge of k rows), never a global sort.
+    Weights must be positive integers (cast upstream).
+    """
+    h = hash60(F.concat_ws("|", F.lit(salt), F.col(key).cast("string")))
+    u_num = (h % F.lit(1048576)) * 2 + 1  # odd: u in (0,1), never 0 or 1
+    lnu = F.log(u_num.cast("double") / F.lit(2097152.0))
+    sel = F.floor(lnu / weight.cast("double") * F.lit(1e9)).cast("long")
+    return (
+        df.withColumn("sel_key_e9", sel)
+        .orderBy(F.col("sel_key_e9").desc(), F.col(key))
+        .limit(k)
+    )

@@ -646,3 +646,63 @@ def power_iteration_pc1(
         )
         .orderBy("i")
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center selection (Gonzalez 1985; the farthest-point
+    coreset used for DIVERSITY subset selection of training data): start
+    from the min-id point, then ``k - 1`` times add the point farthest
+    from the already-chosen set. A 2-approximation of the optimal
+    k-center radius — the standard "cover the embedding space with k
+    exemplars" primitive.
+
+    Determinism: vectors quantize to an integer 1e-3 grid, distances are
+    exact int64 squared euclidean, argmax ties break on the id — every
+    round's pick is total-ordered, so the whole greedy trajectory is
+    engine-replayable (chained-CTE oracle, one round per CTE).
+
+    Scale shape: the chosen set is O(k) driver rows (same bounded-state
+    contract as bloom_build / k-means centroids); each round is one
+    broadcast join of those k rows against the corpus, a min per point,
+    and a TakeOrdered(1) — k scans total, no quadratic term anywhere.
+
+    Returns (round, id, sel_dist): the selection order and each pick's
+    squared distance to the set chosen before it (0 for the seed).
+    """
+    q = df.select(
+        F.col(id_col).alias("pid"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(x * 1000) as bigint))"
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+    dist = (
+        "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+    seed = q.orderBy("pid").limit(1).collect()[0]
+    chosen = [(1, seed["pid"], 0, seed["q"])]
+    for rnd in range(2, k + 1):
+        cdf = F.broadcast(
+            q.sparkSession.createDataFrame(
+                [(c[1], c[3]) for c in chosen], ["cid", "cq"]
+            )
+        )
+        far = (
+            q.crossJoin(cdf)
+            .select("pid", "q", F.expr(dist).alias("d"))
+            .groupBy("pid", "q")
+            .agg(F.min("d").alias("mind"))
+            .orderBy(F.col("mind").desc(), F.col("pid"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((rnd, far["pid"], int(far["mind"]), far["q"]))
+    return q.sparkSession.createDataFrame(
+        [(r, p, d) for r, p, d, _ in chosen],
+        "round int, vec_id long, sel_dist long",
+    )

@@ -42,3 +42,27 @@ def test_ann_recall_floors(spark):
         ann_lsh_topk(emb, query_id=0, k=10, n_planes=6, n_tables=8)
     )
     assert len(exact & lsh8) >= len(exact & lsh)
+
+
+def test_kcenter_greedy_picks_farthest_points(spark):
+    from iowa_liquor_sales_spark.operators.similarity import kcenter_greedy
+
+    # Three tight clusters at (0,0), (10,10), (-10,10) plus the min-id
+    # seed inside cluster A: greedy must visit each OTHER cluster before
+    # refining any covered one.
+    pts = [
+        (1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 0.1]),
+        (10, [10.0, 10.0]), (11, [10.1, 10.0]),
+        (20, [-10.0, 10.0]), (21, [-10.0, 10.1]),
+    ]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    out = sorted(
+        kcenter_greedy(df, k=3).collect(), key=lambda r: r["round"]
+    )
+    assert out[0]["vec_id"] == 1 and out[0]["sel_dist"] == 0
+    picked = {out[1]["vec_id"], out[2]["vec_id"]}
+    # one pick per uncovered cluster, never a second point of cluster A
+    assert len(picked & {10, 11}) == 1 and len(picked & {20, 21}) == 1
+    # round-2 pick is the true farthest cluster from (0,0): both are
+    # ~sqrt(200) away; tie broken deterministically by distance then id
+    assert out[1]["sel_dist"] >= out[2]["sel_dist"]

@@ -116,3 +116,23 @@ def test_boruvka_small_v_matches_distributed(spark):
     small = _sorted_rows(boruvka_mst_rounds(edges, rounds=2, small_v=True))
     assert dist == small
     assert len(small) == 7  # spanning forest: 9 nodes, 2 components
+
+
+def test_sssp_relaxes_through_cheaper_multihop_path(spark):
+    from iowa_liquor_sales_spark.operators.graph import sssp_rounds
+
+    # 1 -> 4 direct costs 10; 1 -> 2 -> 3 -> 4 costs 3. One round only
+    # sees the direct edge; three rounds find the cheap path.
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)], ["src", "dst", "w"]
+    )
+    one = {
+        r["node"]: r["dist"]
+        for r in sssp_rounds(edges, source=1, iters=1).collect()
+    }
+    assert one[4] == 10 and one[2] == 1 and 3 not in one
+    three = {
+        r["node"]: r["dist"]
+        for r in sssp_rounds(edges, source=1, iters=3).collect()
+    }
+    assert three == {1: 0, 2: 1, 3: 2, 4: 3}

@@ -122,3 +122,20 @@ def test_kfold_loo_complement_identity(spark):
                 for c in cs]
         want = round(10.0 * sum(rest) / len(rest))
         assert r["train_mean_mc"] == want
+
+
+def test_weighted_topk_sample_favors_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.sampling import weighted_topk_sample
+
+    rows = [(i, 1_000_000 if i <= 2 else 1) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_topk_sample(df, "doc_id", F.col("w"), k=10)
+    ids = {r["doc_id"] for r in got.collect()}
+    assert len(ids) == 10
+    # weight 1e6 rows: ln(u)/w ~ 0 -> practically guaranteed in the top-k
+    assert {1, 2} <= ids
+    # deterministic: identical sample on re-run
+    ids2 = {r["doc_id"] for r in weighted_topk_sample(df, "doc_id", F.col("w"), k=10).collect()}
+    assert ids == ids2
