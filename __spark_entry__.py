@@ -1212,7 +1212,7 @@ def q_sssp(spark: SparkSession, sf: str) -> DataFrame:
     return sssp_rounds(sym, source=2, iters=3)
 
 
-def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+def q_weighted_topk_sample(spark: SparkSession, sf: str) -> DataFrame:
     # Efraimidis-Spirakis A-ES weighted sampling without replacement
     # (operators/sampling.weighted_topk_sample): exact-size-100 sample of
     # documents with inclusion probability proportional to length —
@@ -7677,7 +7677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_twap": q_twap,
         "q_burst_detect": q_burst_detect,
         "q_sssp": q_sssp,
-        "q_weighted_sample": q_weighted_sample,
+        "q_weighted_topk_sample": q_weighted_topk_sample,
         "q_kcenter": q_kcenter,
         # --- driver-green in r1-r3 or sweep-checked; the full local
         # sweep covers all of them every round.
@@ -9044,7 +9044,7 @@ def oracle_sql() -> dict[str, str]:
         "q_burst_detect": _burst_oracle(),
         "q_sssp": _sssp_oracle(3),
         "q_kcenter": _kcenter_oracle(4),
-        "q_weighted_sample": """
+        "q_weighted_topk_sample": """
             WITH keyed AS (
               SELECT doc_id, source, n_chars,
                      CAST(floor(
