@@ -7594,6 +7594,202 @@ def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    # Spearman rank correlation of quantity vs discount per return flag
+    # — the monotone-association screen Pearson misses. Tie-averaged
+    # ranks carried as EXACT integers (double-rank d = 2*min_rank +
+    # ties - 1, so k+0.5 midranks never touch a float), then the
+    # Pearson finish over exact integer moments (the q_corr_stats
+    # discipline), floor-scaled BIGINT out. At scale: two per-key range
+    # sorts (the rank windows) + one combinable moment aggregate.
+    li = read_table(spark, sf, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    wq = Window.partitionBy("l_returnflag").orderBy("q")
+    wqt = Window.partitionBy("l_returnflag", "q")
+    wd = Window.partitionBy("l_returnflag").orderBy("d")
+    wdt = Window.partitionBy("l_returnflag", "d")
+    ranked = base.select(
+        "l_returnflag",
+        (2 * F.rank().over(wq) + F.count(F.lit(1)).over(wqt) - 1).alias("rx"),
+        (2 * F.rank().over(wd) + F.count(F.lit(1)).over(wdt) - 1).alias("ry"),
+    )
+    g = (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            xsum("rx", "sx_"),
+            xsum(F.col("rx") * F.col("rx"), "sxx_"),
+            xsum("ry", "sy_"),
+            xsum(F.col("ry") * F.col("ry"), "syy_"),
+            xsum(F.col("rx") * F.col("ry"), "sxy_"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.col("n_rows").cast("double").alias("n"),
+            det_double("sx_").alias("sx"),
+            det_double("sxx_").alias("sxx"),
+            det_double("sy_").alias("sy"),
+            det_double("syy_").alias("syy"),
+            det_double("sxy_").alias("sxy"),
+        )
+    )
+    cs = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    dx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    dy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    rho = cs / (F.sqrt(dx) * F.sqrt(dy))
+    return g.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        floor_scaled(rho, 9, "spearman_ppb"),
+    )
+
+
+def q_anova(spark: SparkSession, sf: str) -> DataFrame:
+    # One-way ANOVA F of order totalprice across the 5 order priorities.
+    # Between/within sums of squares assembled ONLY from exact integer
+    # moments; each group's S_g^2/n_g term is floor-quantized to an
+    # integer (kilodollar^2 grid — int64 headroom past sf1e4) BEFORE
+    # the cross-group sum, the kaplan-meier discipline that turns a sum
+    # of per-group doubles into exact integer addition (associativity-
+    # proof on any partitioning, any engine). O(groups) shuffle rows.
+    o = read_table(spark, sf, "orders")
+    pc = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = (
+        o.select("o_orderpriority", pc.alias("pc"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            xsum("pc", "s_"),
+            xsum(F.col("pc") * F.col("pc"), "ss_"),
+        )
+        .select(
+            "ng",
+            "s_",
+            "ss_",
+            # cents^2 -> kd^2 is /1e10; identical op order in the oracle
+            F.floor(
+                det_double("s_")
+                * det_double("s_")
+                / F.col("ng").cast("double")
+                / F.lit(10000000000.0)
+            ).alias("t_kd2"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("ng").cast("long").alias("n_total"),
+        xsum("t_kd2", "a_"),
+        F.sum("s_").alias("gs_"),
+        F.sum("ss_").alias("gss_"),
+    ).select(
+        "k_groups",
+        "n_total",
+        det_double("a_").alias("a"),
+        F.floor(
+            det_double("gs_")
+            * det_double("gs_")
+            / F.col("n_total").cast("double")
+            / F.lit(10000000000.0)
+        )
+        .cast("double")
+        .alias("g"),
+        F.floor(det_double("gss_") / F.lit(10000000000.0))
+        .cast("double")
+        .alias("t"),
+    )
+    ssb = F.col("a") - F.col("g")
+    ssw = F.col("t") - F.col("a")
+    fstat = (ssb / (F.col("k_groups") - 1).cast("double")) / (
+        ssw / (F.col("n_total") - F.col("k_groups")).cast("double")
+    )
+    return tot.select(
+        "k_groups",
+        "n_total",
+        ssb.cast("long").alias("ssb_kd2"),
+        ssw.cast("long").alias("ssw_kd2"),
+        floor_scaled(fstat, 6, "f_micro"),
+        floor_scaled(ssb / (F.col("t") - F.col("g")), 9, "eta2_ppb"),
+    )
+
+
+def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
+    # Lead-lag cross-correlation between daily order count and daily
+    # shipped-line count at lags 0..6 — "does ordering volume predict
+    # shipping volume l days later?" Zero-filled date spine (an inner
+    # join would bias rho toward busy days), truncated pairs
+    # (day + lag <= spine end), exact integer moments per lag. The two
+    # daily relations are O(days) — everything after the first
+    # aggregates is broadcast-sized at any corpus scale.
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    oc = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    lc = li.groupBy(F.to_date("l_shipdate").alias("yday")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    span = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    lags = spark.range(7).select(F.col("id").cast("int").alias("lag"))
+    grid = (
+        span.select(
+            F.explode(F.sequence("d0", "d1")).alias("day"), F.col("d1")
+        )
+        .crossJoin(F.broadcast(lags))
+        .filter(F.date_add(F.col("day"), F.col("lag")) <= F.col("d1"))
+    )
+    j = (
+        grid.join(oc, "day", "left")
+        .join(
+            lc,
+            F.date_add(F.col("day"), F.col("lag")) == F.col("yday"),
+            "left",
+        )
+        .select(
+            "lag",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    g = (
+        j.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            xsum("x", "sx_"),
+            xsum(F.col("x") * F.col("x"), "sxx_"),
+            xsum("y", "sy_"),
+            xsum(F.col("y") * F.col("y"), "syy_"),
+            xsum(F.col("x") * F.col("y"), "sxy_"),
+        )
+        .select(
+            "lag",
+            "n_days",
+            F.col("n_days").cast("double").alias("n"),
+            det_double("sx_").alias("sx"),
+            det_double("sxx_").alias("sxx"),
+            det_double("sy_").alias("sy"),
+            det_double("syy_").alias("syy"),
+            det_double("sxy_").alias("sxy"),
+        )
+    )
+    cs = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    dx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    dy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    rho = cs / (F.sqrt(dx) * F.sqrt(dy))
+    return g.select(
+        "lag",
+        F.col("n_days").cast("long").alias("n_days"),
+        floor_scaled(rho, 9, "ccf_ppb"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- head of the registry = the driver gate's 50-entry coverage
@@ -7920,6 +8116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_apply_in_arrow": q_apply_in_arrow,
+        "q_spearman": q_spearman,
+        "q_anova": q_anova,
+        "q_ccf": q_ccf,
     }
 
 
@@ -12484,4 +12683,122 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.w1, b.w2, b.c12, p.prefix_types, s.suffix_types
             FROM big b JOIN p USING (w2) JOIN s USING (w1)
             WHERE b.c12 >= 5""",
+        "q_spearman": f"""
+            WITH r AS (SELECT l_returnflag,
+                              CAST(round(l_quantity) AS BIGINT) AS q,
+                              CAST(round(l_discount * 100) AS BIGINT) AS d
+                       FROM lineitem),
+            rk AS (SELECT l_returnflag,
+                          2 * rank() OVER (PARTITION BY l_returnflag
+                                           ORDER BY q)
+                            + COUNT(*) OVER (PARTITION BY l_returnflag, q)
+                            - 1 AS rx,
+                          2 * rank() OVER (PARTITION BY l_returnflag
+                                           ORDER BY d)
+                            + COUNT(*) OVER (PARTITION BY l_returnflag, d)
+                            - 1 AS ry
+                   FROM r),
+            a AS (SELECT l_returnflag, COUNT(*) AS n_rows,
+                         SUM(rx) AS sx_, SUM(rx * rx) AS sxx_,
+                         SUM(ry) AS sy_, SUM(ry * ry) AS syy_,
+                         SUM(rx * ry) AS sxy_
+                  FROM rk GROUP BY 1),
+            g AS (SELECT l_returnflag, n_rows,
+                         CAST(n_rows AS DOUBLE) AS n,
+                         {det_double_sql("sx_")} AS sx,
+                         {det_double_sql("sxx_")} AS sxx,
+                         {det_double_sql("sy_")} AS sy,
+                         {det_double_sql("syy_")} AS syy,
+                         {det_double_sql("sxy_")} AS sxy
+                  FROM a),
+            e AS (SELECT l_returnflag, n_rows,
+                         (sxy - sx * sy / n)
+                           / (sqrt(sxx - sx * sx / n)
+                              * sqrt(syy - sy * sy / n)) AS rho
+                  FROM g)
+            SELECT l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+                   {floor_scaled_sql("rho", 9, "spearman_ppb")}
+            FROM e""",
+        "q_anova": f"""
+            WITH r AS (SELECT o_orderpriority,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS pc
+                       FROM orders),
+            per AS (SELECT o_orderpriority, COUNT(*) AS ng,
+                           SUM(pc) AS s_, SUM(pc * pc) AS ss_
+                    FROM r GROUP BY 1),
+            q AS (SELECT ng, s_, ss_,
+                         CAST(floor({det_double_sql("s_")}
+                                    * {det_double_sql("s_")}
+                                    / CAST(ng AS DOUBLE)
+                                    / 10000000000.0) AS BIGINT) AS t_kd2
+                  FROM per),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                           CAST(SUM(ng) AS BIGINT) AS n_total,
+                           SUM(t_kd2) AS a_,
+                           SUM(s_) AS gs_, SUM(ss_) AS gss_
+                    FROM q),
+            fin AS (SELECT k_groups, n_total,
+                           {det_double_sql("a_")} AS a,
+                           CAST(floor({det_double_sql("gs_")}
+                                      * {det_double_sql("gs_")}
+                                      / CAST(n_total AS DOUBLE)
+                                      / 10000000000.0) AS DOUBLE) AS g,
+                           CAST(floor({det_double_sql("gss_")}
+                                      / 10000000000.0) AS DOUBLE) AS t
+                    FROM tot),
+            e AS (SELECT k_groups, n_total,
+                         a - g AS ssb, t - a AS ssw, t - g AS sst
+                  FROM fin)
+            SELECT k_groups, n_total,
+                   CAST(ssb AS BIGINT) AS ssb_kd2,
+                   CAST(ssw AS BIGINT) AS ssw_kd2,
+                   {floor_scaled_sql(
+                       "(ssb / CAST(k_groups - 1 AS DOUBLE))"
+                       " / (ssw / CAST(n_total - k_groups AS DOUBLE))",
+                       6, "f_micro")},
+                   {floor_scaled_sql("ssb / sst", 9, "eta2_ppb")}
+            FROM e""",
+        "q_ccf": f"""
+            WITH span AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                                 MAX(CAST(o_orderdate AS DATE)) AS d1
+                          FROM orders),
+            spine AS (SELECT CAST(unnest(generate_series(
+                          d0, d1, INTERVAL 1 DAY)) AS DATE) AS day, d1
+                      FROM span),
+            oc AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+                   FROM orders GROUP BY 1),
+            lc AS (SELECT CAST(l_shipdate AS DATE) AS yday, COUNT(*) AS y
+                   FROM lineitem GROUP BY 1),
+            lags AS (SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS lag),
+            grid AS (SELECT s.day, l.lag, s.d1
+                     FROM spine s CROSS JOIN lags l
+                     WHERE s.day + l.lag * INTERVAL 1 DAY <= s.d1),
+            j AS (SELECT g.lag,
+                         COALESCE(oc.x, 0) AS x,
+                         COALESCE(lc.y, 0) AS y
+                  FROM grid g
+                  LEFT JOIN oc ON g.day = oc.day
+                  LEFT JOIN lc
+                    ON g.day + g.lag * INTERVAL 1 DAY = lc.yday),
+            a AS (SELECT lag, COUNT(*) AS n_days,
+                         SUM(x) AS sx_, SUM(x * x) AS sxx_,
+                         SUM(y) AS sy_, SUM(y * y) AS syy_,
+                         SUM(x * y) AS sxy_
+                  FROM j GROUP BY 1),
+            g2 AS (SELECT lag, n_days, CAST(n_days AS DOUBLE) AS n,
+                          {det_double_sql("sx_")} AS sx,
+                          {det_double_sql("sxx_")} AS sxx,
+                          {det_double_sql("sy_")} AS sy,
+                          {det_double_sql("syy_")} AS syy,
+                          {det_double_sql("sxy_")} AS sxy
+                   FROM a),
+            e AS (SELECT lag, n_days,
+                         (sxy - sx * sy / n)
+                           / (sqrt(sxx - sx * sx / n)
+                              * sqrt(syy - sy * sy / n)) AS rho
+                  FROM g2)
+            SELECT lag, CAST(n_days AS BIGINT) AS n_days,
+                   {floor_scaled_sql("rho", 9, "ccf_ppb")}
+            FROM e""",
     }
