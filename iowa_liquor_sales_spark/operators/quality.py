@@ -158,6 +158,94 @@ def l_diversity_audit(
     )
 
 
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """t-closeness audit — the third rung after k-anonymity and
+    l-diversity: a QI group leaks information when the DISTRIBUTION of
+    its sensitive attribute diverges from the global one (skewness
+    attack: the group is diverse but overwhelmingly "positive"). For an
+    ORDERED sensitive attribute the distance is the Earth Mover's
+    Distance, which collapses to the mean absolute difference of the
+    two CDFs: EMD = (1/(m-1)) * sum_j |F_class(j) - F_global(j)|.
+
+    Exactness: the CDF difference is cleared of fractions by
+    cross-multiplying — per prefix j the term is
+    |cum_class_j * N - cum_global_j * n_class| (exact integers), summed
+    per class, then one integral division onto a ppm grid. No float
+    touches the pipeline, so the audit is bit-stable on any
+    partitioning and any engine. DECIMAL(38,0) accumulators keep the
+    cross-products overflow-safe past sf1e3.
+
+    Scale shape: one groupBy (class x bin) on the fact, then an
+    O(classes x bins) dense grid (zero-filled via cross join, the
+    cumulative window needs every bin present), window cumsum per
+    class, O(classes) rollup. Nothing after the first aggregate depends
+    on the fact's row count.
+
+    Returns one row per QI class: quasi cols, n_class, emd_ppm.
+    """
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bins = cells.groupBy(sensitive_col).agg(
+        F.sum("c").cast("long").alias("g")
+    )
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.sum("c").cast("long").alias("n_class")
+    )
+    tot = bins.agg(
+        F.sum("g").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("m_bins"),
+    )
+    grid = (
+        classes.crossJoin(broadcast(bins))
+        .join(cells, [*quasi_cols, sensitive_col], "left")
+        .select(
+            *quasi_cols,
+            sensitive_col,
+            "n_class",
+            "g",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        *quasi_cols,
+        "n_class",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("g").over(w).alias("cum_g"),
+    )
+    per = cum.crossJoin(broadcast(tot)).groupBy(*quasi_cols).agg(
+        F.max("n_class").alias("n_class"),
+        F.sum(
+            F.abs(
+                F.col("cum_c").cast("decimal(38,0)") * F.col("n_total")
+                - F.col("cum_g").cast("decimal(38,0)") * F.col("n_class")
+            )
+        ).alias("emd_num_"),
+        F.max("n_total").alias("n_total"),
+        F.max("m_bins").alias("m_bins"),
+    )
+    return per.select(
+        *quasi_cols,
+        "n_class",
+        F.expr(
+            "CAST((emd_num_ * 1000000) div "
+            "(CAST(n_class AS DECIMAL(38,0)) * n_total * (m_bins - 1)) "
+            "AS BIGINT)"
+        ).alias("emd_ppm"),
+    )
+
+
 def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str],

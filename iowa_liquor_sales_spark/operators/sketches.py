@@ -818,3 +818,115 @@ def hll_sliding_sql(
                  AS est_distinct,
                CAST(nb AS BIGINT) AS n_buckets_used
         FROM s"""
+
+
+def ams_f2(
+    df: DataFrame,
+    expr: Column | str,
+    groups: int = 3,
+    per_group: int = 4,
+) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch:
+    F2 = Σ_key count(key)² — the self-join size / skew gauge — estimated
+    WITHOUT shuffling the key domain. Each estimator keeps one running
+    integer Z_i = Σ_rows sign_i(key) (sign_i = ±1 from the portable
+    md5 hash), so the whole sketch is ``groups × per_group`` map-side-
+    combinable SUMs: zero shuffle, O(d) state, mergeable across
+    partitions/days by addition. E[Z²] = F2; variance is tamed
+    median-of-means style (mean of ``per_group`` estimators per group,
+    median across ``groups``).
+
+    Exactness: Z_i, Z_i², the per-group sums, and the median are all
+    integers; the group mean is kept SCALED (the 4-sum, never divided),
+    so every emitted value is exact and engine-portable. The exact F2
+    (one groupBy — the cost the sketch avoids) rides along as the audit
+    column, with the relative error on an integral ppm grid.
+
+    Hot-path cost: d md5 evaluations per row (JVM codegen, no Python).
+
+    Returns one row: (f2_exact, ams_med_sum, err_ppm) where
+    ams_med_sum is the median per-group sum of Z² (estimate × per_group).
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    key = c.cast("string")
+    d = groups * per_group
+    signs = [
+        (
+            F.pmod(hash60(F.concat(F.lit(f"ams{i}:"), key)), F.lit(2)) * 2
+            - 1
+        ).alias(f"s{i}")
+        for i in range(d)
+    ]
+    z = df.select(*signs).agg(
+        *[F.sum(f"s{i}").cast("long").alias(f"z{i}") for i in range(d)]
+    )
+    gsums = [
+        sum(
+            (F.col(f"z{g * per_group + j}") * F.col(f"z{g * per_group + j}")
+             for j in range(per_group)),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias(f"gs{g}")
+        for g in range(groups)
+    ]
+    med = z.select(*gsums).select(
+        F.array_sort(F.array(*[F.col(f"gs{g}") for g in range(groups)]))[
+            groups // 2
+        ].alias("ams_med_sum")
+    )
+    exact = (
+        df.select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)") * F.col("cnt")
+            ).alias("f2_exact")
+        )
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "f2_exact",
+        "ams_med_sum",
+        F.expr(
+            "CAST((abs(ams_med_sum - 4 * f2_exact) * 1000000) div "
+            "(4 * f2_exact) AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+def ams_f2_sql(
+    expr: str, table: str, groups: int = 3, per_group: int = 4
+) -> str:
+    """DuckDB rendering of :func:`ams_f2` (bit-identical replay: the
+    per-row sign sum is re-associated as Σ_key count·sign — exact
+    integer arithmetic, so the regrouping is lossless)."""
+    d = groups * per_group
+    sign = (
+        "((CAST(('0x' || substr(md5('ams{i}:' || CAST(({e}) AS VARCHAR)), "
+        "1, 15)) AS BIGINT) % 2) * 2 - 1)"
+    )
+    zs = ", ".join(
+        f"SUM(cnt * {sign.format(i=i, e='k')}) AS z{i}" for i in range(d)
+    )
+    gsums = ", ".join(
+        "CAST(("
+        + " + ".join(
+            f"z{g * per_group + j} * z{g * per_group + j}"
+            for j in range(per_group)
+        )
+        + ") AS HUGEINT) AS gs" + str(g)
+        for g in range(groups)
+    )
+    arr = ", ".join(f"gs{g}" for g in range(groups))
+    return f"""
+        WITH kc AS (SELECT CAST(({expr}) AS VARCHAR) AS k,
+                           COUNT(*) AS cnt
+                    FROM {table} GROUP BY 1),
+        z AS (SELECT {zs} FROM kc),
+        gs AS (SELECT {gsums} FROM z),
+        med AS (SELECT list_sort([{arr}])[{groups // 2 + 1}]
+                    AS ams_med_sum FROM gs),
+        ex AS (SELECT SUM(CAST(cnt AS HUGEINT) * cnt) AS f2_exact FROM kc)
+        SELECT f2_exact, ams_med_sum,
+               CAST((abs(ams_med_sum - 4 * f2_exact) * 1000000)
+                    // (4 * f2_exact) AS BIGINT) AS err_ppm
+        FROM ex CROSS JOIN med"""
