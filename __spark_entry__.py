@@ -999,19 +999,28 @@ def q_conversion_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.count("t2").alias("n_click_after_view"),
         F.count("t3").alias("n_purchase_after_click"),
     )
+    # Zero-denominator guards: on an empty funnel Spark's 0/0 yields
+    # NULL while DuckDB errors on CAST(floor(nan) AS BIGINT) — both
+    # sides emit NULL explicitly instead (mirrored CASE in the oracle).
     return agg.select(
         "n_view",
         "n_click_after_view",
         "n_purchase_after_click",
-        F.floor(
-            F.col("n_click_after_view") / F.col("n_view") * F.lit(1e6)
+        F.when(
+            F.col("n_view") > 0,
+            F.floor(
+                F.col("n_click_after_view") / F.col("n_view") * F.lit(1e6)
+            ),
         )
         .cast("long")
         .alias("view_to_click_ppm"),
-        F.floor(
-            F.col("n_purchase_after_click")
-            / F.col("n_click_after_view")
-            * F.lit(1e6)
+        F.when(
+            F.col("n_click_after_view") > 0,
+            F.floor(
+                F.col("n_purchase_after_click")
+                / F.col("n_click_after_view")
+                * F.lit(1e6)
+            ),
         )
         .cast("long")
         .alias("click_to_purchase_ppm"),
@@ -1267,7 +1276,11 @@ def q_twap(spark: SparkSession, sf: str) -> DataFrame:
     # each event's value holds until the SAME user's next event; exact
     # integer value-cents x dwell-micros products, floor-div mean. One
     # user-window pass + one small aggregate — same shuffle shape as
-    # q_dwell_time but value-weighted.
+    # q_dwell_time but value-weighted. The cents x micros products are
+    # ~1e13 per ROW, so both the product and its sum run in
+    # DECIMAL(38,0) (an int64 sum wraps within ~1e6 rows per type) and
+    # the raw sums are emitted through the det_double hi/lo split —
+    # exact integers below 2^53, deterministic bits beyond.
     ev = read_table(spark, sf, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
@@ -1280,14 +1293,19 @@ def q_twap(spark: SparkSession, sf: str) -> DataFrame:
     return (
         d.groupBy("event_type")
         .agg(
-            F.sum(F.col("v_cents") * F.col("dt_us")).alias("vt_sum"),
-            F.sum("dt_us").cast("long").alias("t_sum"),
+            xsum(
+                F.col("v_cents").cast("decimal(20,0)") * F.col("dt_us"),
+                "vt_sum_x",
+            ),
+            xsum("dt_us", "t_sum_x"),
         )
         .select(
             "event_type",
-            "vt_sum",
-            "t_sum",
-            F.expr("vt_sum div greatest(t_sum, 1)").alias("twap_cents"),
+            det_double("vt_sum_x").alias("vt_sum"),
+            det_double("t_sum_x").alias("t_sum"),
+            F.expr(
+                "vt_sum_x div greatest(t_sum_x, CAST(1 AS DECIMAL(38,0)))"
+            ).alias("twap_cents"),
         )
     )
 
@@ -3462,21 +3480,31 @@ def _acf_oracle(lags: tuple[int, ...] = (1, 2, 3)) -> str:
         f"lag(CAST(round(value * 100) AS BIGINT), {g}) OVER w AS l{g}"
         for g in lags
     )
+    # Moments stay raw HUGEINT sums, converted with det_double_sql — the
+    # Spark twin sums in DECIMAL(38,0) (xsum) and converts with the
+    # identical hi/lo split, so the engines share bits even once
+    # squared-cents sums pass 2^53 (a direct hugeint/decimal -> double
+    # cast is only correctly rounded per engine implementation).
     mom = []
+    conv = []
     for g in lags:
         mom.append(
             f"CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN 1 ELSE 0 END)"
             f" AS DOUBLE) AS n{g},\n"
-            f"  CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN v END) AS DOUBLE)"
-            f" AS sx{g},\n"
-            f"  CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN v * v END)"
-            f" AS DOUBLE) AS sxx{g},\n"
-            f"  CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN l{g} END)"
-            f" AS DOUBLE) AS sy{g},\n"
-            f"  CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN l{g} * l{g} END)"
-            f" AS DOUBLE) AS syy{g},\n"
-            f"  CAST(SUM(CASE WHEN l{g} IS NOT NULL THEN v * l{g} END)"
-            f" AS DOUBLE) AS sxy{g}"
+            f"  SUM(CASE WHEN l{g} IS NOT NULL THEN v END) AS sx{g}_,\n"
+            f"  SUM(CASE WHEN l{g} IS NOT NULL THEN v * v END) AS sxx{g}_,\n"
+            f"  SUM(CASE WHEN l{g} IS NOT NULL THEN l{g} END) AS sy{g}_,\n"
+            f"  SUM(CASE WHEN l{g} IS NOT NULL THEN l{g} * l{g} END)"
+            f" AS syy{g}_,\n"
+            f"  SUM(CASE WHEN l{g} IS NOT NULL THEN v * l{g} END) AS sxy{g}_"
+        )
+        conv.append(
+            f"n{g},\n"
+            f"  {det_double_sql(f'sx{g}_')} AS sx{g},\n"
+            f"  {det_double_sql(f'sxx{g}_')} AS sxx{g},\n"
+            f"  {det_double_sql(f'sy{g}_')} AS sy{g},\n"
+            f"  {det_double_sql(f'syy{g}_')} AS syy{g},\n"
+            f"  {det_double_sql(f'sxy{g}_')} AS sxy{g}"
         )
     outs = ",\n  ".join(
         f"CAST(floor((n{g} * sxy{g} - sx{g} * sy{g})"
@@ -3494,10 +3522,13 @@ def _acf_oracle(lags: tuple[int, ...] = (1, 2, 3)) -> str:
               WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
         g AS (SELECT event_type, CAST(COUNT(v) AS BIGINT) AS n_obs,
   {",  ".join(mom)}
-              FROM l GROUP BY event_type)
+              FROM l GROUP BY event_type),
+        m AS (SELECT event_type, n_obs,
+  {",  ".join(conv)}
+              FROM g)
         SELECT event_type, n_obs,
   {outs}
-        FROM g"""
+        FROM m"""
 
 
 def _linkage_oracle() -> str:
@@ -9189,11 +9220,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_click_after_view AS BIGINT) AS n_click_after_view,
                    CAST(n_purchase_after_click AS BIGINT)
                        AS n_purchase_after_click,
-                   CAST(floor(n_click_after_view / n_view * 1000000.0)
-                        AS BIGINT) AS view_to_click_ppm,
-                   CAST(floor(n_purchase_after_click / n_click_after_view
-                              * 1000000.0) AS BIGINT)
-                       AS click_to_purchase_ppm
+                   CASE WHEN n_view > 0
+                        THEN CAST(floor(n_click_after_view / n_view
+                                        * 1000000.0) AS BIGINT)
+                        END AS view_to_click_ppm,
+                   CASE WHEN n_click_after_view > 0
+                        THEN CAST(floor(n_purchase_after_click
+                                        / n_click_after_view
+                                        * 1000000.0) AS BIGINT)
+                        END AS click_to_purchase_ppm
             FROM a""",
         "q_retention_cohorts": """
             WITH active AS (
@@ -9280,20 +9315,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(delta_l1 AS BIGINT) AS delta_l1,
                    delta_l1 >= 1500 AS is_scene_change
             FROM d""",
-        "q_twap": """
+        "q_twap": f"""
             WITH d AS (
               SELECT event_type,
                      CAST(floor(value * 100) AS BIGINT) AS v_cents,
                      epoch_us(LEAD(ts) OVER (
                          PARTITION BY user_id ORDER BY ts, event_id))
                        - epoch_us(ts) AS dt_us
-              FROM events)
+              FROM events),
+            g AS (SELECT event_type,
+                         SUM(CAST(v_cents AS HUGEINT) * dt_us) AS vt_sum_x,
+                         SUM(dt_us) AS t_sum_x
+                  FROM d WHERE dt_us IS NOT NULL GROUP BY event_type)
             SELECT event_type,
-                   CAST(SUM(v_cents * dt_us) AS BIGINT) AS vt_sum,
-                   CAST(SUM(dt_us) AS BIGINT) AS t_sum,
-                   CAST(SUM(v_cents * dt_us)
-                        // GREATEST(SUM(dt_us), 1) AS BIGINT) AS twap_cents
-            FROM d WHERE dt_us IS NOT NULL GROUP BY event_type""",
+                   {det_double_sql("vt_sum_x")} AS vt_sum,
+                   {det_double_sql("t_sum_x")} AS t_sum,
+                   CAST(vt_sum_x // GREATEST(t_sum_x, 1) AS BIGINT)
+                       AS twap_cents
+            FROM g""",
         "q_bucket_diff": """
             WITH canon AS (
               SELECT o_orderkey,
@@ -9443,7 +9482,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cdc_chunks": """
             WITH d AS (SELECT doc_id, source, text,
                               length(text) AS len FROM documents),
-            b AS (SELECT doc_id, p + 15 AS cut
+            b AS (SELECT doc_id, least(p + 15, len) AS cut
                   FROM d, UNNEST(generate_series(
                             1, greatest(len - 15, 1))) AS u(p)
                   WHERE CAST(('0x' || substr(md5(substr(
@@ -9904,20 +9943,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(embedding[1] AS DOUBLE) AS first_val,
                    CAST(len(embedding[1:8]) AS INTEGER) AS head_len
             FROM embeddings""",
-        "q_group_normalize": """
+        "q_group_normalize": f"""
             WITH r AS (SELECT c_mktsegment, c_custkey,
                               CAST(round(c_acctbal * 100) AS BIGINT) AS cb
                        FROM customer),
             g AS (SELECT c_mktsegment,
                          CAST(COUNT(*) AS DOUBLE) AS n,
-                         CAST(SUM(cb) AS DOUBLE) AS s,
-                         CAST(SUM(cb * cb) AS DOUBLE) AS ss
+                         SUM(cb) AS s_raw,
+                         SUM(cb * cb) AS ss_raw
                   FROM r GROUP BY c_mktsegment),
+            h AS (SELECT c_mktsegment, n,
+                         {det_double_sql("s_raw")} AS s,
+                         {det_double_sql("ss_raw")} AS ss
+                  FROM g),
             sd AS (SELECT c_mktsegment, n, s,
                           CASE WHEN n > 1
                                THEN sqrt((ss - s * s / n) / (n - 1))
                                ELSE 0.0 END AS sd
-                   FROM g)
+                   FROM h)
             SELECT r.c_mktsegment, r.c_custkey,
                    CASE WHEN sd.sd > 0
                         THEN CAST(floor((r.cb - sd.s / sd.n) / sd.sd

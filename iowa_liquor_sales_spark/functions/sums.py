@@ -86,12 +86,38 @@ def xsum_sql(expr: str) -> str:
 
 
 def det_double_sql(name: str) -> str:
-    """DuckDB twin of :func:`det_double` (``//`` is hugeint floor-div)."""
+    """DuckDB twin of :func:`det_double`.
+
+    Spark's ``div`` truncates toward zero. DuckDB's ``//`` also truncates
+    for INTEGRAL operands (verified: ``(-7000000001)::HUGEINT //
+    1000000000 = -7``) even though its docs describe ``//`` as floor
+    division (true only for FLOAT/DOUBLE operands) — so the two (hi, lo)
+    decompositions already agree on negative sums. The CASE below pins
+    truncation semantics explicitly anyway, so a DuckDB version that
+    changes integral ``//`` to floor cannot silently reintroduce a
+    last-ulp divergence on negative sums past 2^53.
+    """
+    hi = (
+        f"(CASE WHEN ({name}) < 0 THEN -((-({name})) // 1000000000) "
+        f"ELSE ({name}) // 1000000000 END)"
+    )
     return (
-        f"(CAST({name} // 1000000000 AS DOUBLE) * 1000000000.0 + "
-        f"CAST(CAST({name} - ({name} // 1000000000) * 1000000000 "
+        f"(CAST({hi} AS DOUBLE) * 1000000000.0 + "
+        f"CAST(CAST({name} - {hi} * 1000000000 "
         f"AS BIGINT) AS DOUBLE))"
     )
+
+
+def det_double_py(v: int) -> float:
+    """Python twin of :func:`det_double` for Arrow-UDF kernels that must
+    stay bit-identical to the SQL renderings: same truncation-toward-zero
+    hi/lo split, same ``float(hi) * 1e9 + float(lo)`` double finish.
+    (Python ``//`` floors, so negatives are sign-handled explicitly;
+    a direct ``float(v)`` would be correctly rounded — a DIFFERENT result
+    from the two-term reconstruction once ``|v|`` exceeds 2^53.)"""
+    hi = -((-v) // 1_000_000_000) if v < 0 else v // 1_000_000_000
+    lo = v - hi * 1_000_000_000
+    return float(hi) * 1e9 + float(lo)
 
 
 def floor_scaled_sql(expr: str, pow10: int, alias: str) -> str:

@@ -190,29 +190,36 @@ def group_normalize(df: DataFrame, group_col: str = "c_mktsegment") -> DataFrame
     memory; for unbounded groups use window functions, which compute the
     same thing JVM-side — that expression twin is this operator's oracle).
 
-    Exactness: mean/variance come from EXACT integer-cent sums (numpy
-    int64 — order-independent, unlike float reductions), the z formula is
-    per-element + - / sqrt, and the output is floor(z * 1e6) BIGINT — the
-    Python kernel is bit-identical to the SQL window twin.
+    Exactness: mean/variance come from EXACT arbitrary-precision integer
+    sums (numpy object-dtype reduction — an int64 accumulator would wrap
+    silently once per-group squared-cents sums pass 2^63, around sf1),
+    converted to double through the same truncation hi/lo split as
+    det_double / det_double_sql (a direct float(int) is correctly rounded
+    — a DIFFERENT result from the two-term reconstruction past 2^53), the
+    z formula is per-element + - / sqrt, and the output is floor(z * 1e6)
+    BIGINT — the Python kernel is bit-identical to the SQL window twin.
     """
     import math
 
     import numpy as np
+
+    from ..functions.sums import det_double_py
 
     def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
         cents = np.round(
             pdf["c_acctbal"].to_numpy(dtype="float64") * 100
         ).astype("int64")
         n = len(cents)
-        s, ss = int(cents.sum()), int((cents * cents).sum())
+        s = det_double_py(int(cents.sum(dtype=object)))
+        ss = det_double_py(int((cents * cents).sum(dtype=object)))
         sd = (
-            math.sqrt((float(ss) - float(s) * float(s) / n) / (n - 1))
+            math.sqrt((ss - s * s / n) / (n - 1))
             if n > 1
             else 0.0
         )
         if sd > 0:
             z_micro = np.floor(
-                (cents - float(s) / n) / sd * 1e6
+                (cents - s / n) / sd * 1e6
             ).astype("int64")
         else:
             z_micro = np.zeros(n, dtype="int64")

@@ -897,9 +897,15 @@ def cdc_chunks(
         f"cast(conv(substring(md5(cast({g} as binary)), 1, 15), 16, 10)"
         f" as bigint)"
     )
+    # least() clamp: for documents shorter than k the single probe's
+    # k-gram silently shortens to the whole text, so a modulus hit at
+    # p would otherwise emit a boundary p+k-1 > length(text) and a
+    # phantom chunk longer than the document (inflating downstream
+    # byte totals). Mirrored in the DuckDB oracle.
     ends = (
         f"filter(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-        f"p -> IF({gh} % {modulus} = 0, p + {k - 1}, -1)), e -> e > 0)"
+        f"p -> IF({gh} % {modulus} = 0, "
+        f"least(p + {k - 1}, length({text_col})), -1)), e -> e > 0)"
     )
     prev = "IF(i = 0, 0, element_at(ends_all, i))"
     chunk_txt = f"substring({text_col}, {prev} + 1, e - {prev})"

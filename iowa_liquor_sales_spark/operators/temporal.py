@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.dates import EPOCH_US_SQL, epoch_us
+from ..functions.sums import det_double, xsum
 
 
 def asof_join(
@@ -402,32 +403,29 @@ def autocorrelation(
         qv.alias("_v"),
         *[F.lag(qv, lag).over(w).alias(f"_l{lag}") for lag in lags],
     )
+    # Squared/cross-product moments are summed in DECIMAL(38,0) (xsum)
+    # and converted with the hi/lo det_double split — an int64 SUM of
+    # v*v silently wraps in non-ANSI mode once per-key rows reach ~1e11
+    # (squared-cents rows are ~1e10 each), and a direct decimal→double
+    # cast is not guaranteed correctly rounded identically per engine.
     aggs = [F.count("_v").cast("long").alias("n_obs")]
     for lag in lags:
         ok = F.col(f"_l{lag}").isNotNull()
         aggs += [
             F.sum(ok.cast("long")).cast("double").alias(f"n{lag}"),
-            F.sum(F.when(ok, F.col("_v"))).cast("double").alias(f"sx{lag}"),
-            F.sum(F.when(ok, F.col("_v") * F.col("_v")))
-            .cast("double")
-            .alias(f"sxx{lag}"),
-            F.sum(F.when(ok, F.col(f"_l{lag}")))
-            .cast("double")
-            .alias(f"sy{lag}"),
-            F.sum(F.when(ok, F.col(f"_l{lag}") * F.col(f"_l{lag}")))
-            .cast("double")
-            .alias(f"syy{lag}"),
-            F.sum(F.when(ok, F.col("_v") * F.col(f"_l{lag}")))
-            .cast("double")
-            .alias(f"sxy{lag}"),
+            xsum(F.when(ok, F.col("_v")), f"sx{lag}_"),
+            xsum(F.when(ok, F.col("_v") * F.col("_v")), f"sxx{lag}_"),
+            xsum(F.when(ok, F.col(f"_l{lag}")), f"sy{lag}_"),
+            xsum(F.when(ok, F.col(f"_l{lag}") * F.col(f"_l{lag}")), f"syy{lag}_"),
+            xsum(F.when(ok, F.col("_v") * F.col(f"_l{lag}")), f"sxy{lag}_"),
         ]
     g = lagged.groupBy(key_col).agg(*aggs)
     outs = [F.col(key_col), F.col("n_obs")]
     for lag in lags:
         n = F.col(f"n{lag}")
-        sx, sxx = F.col(f"sx{lag}"), F.col(f"sxx{lag}")
-        sy, syy = F.col(f"sy{lag}"), F.col(f"syy{lag}")
-        sxy = F.col(f"sxy{lag}")
+        sx, sxx = det_double(f"sx{lag}_"), det_double(f"sxx{lag}_")
+        sy, syy = det_double(f"sy{lag}_"), det_double(f"syy{lag}_")
+        sxy = det_double(f"sxy{lag}_")
         corr = (n * sxy - sx * sy) / (
             F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
         )
