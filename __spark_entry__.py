@@ -7821,18 +7821,76 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Head of the returned registry = the driver gate's 50-entry coverage
+# window; queries() promotes these names to the front of the (otherwise
+# stable) registry order, so each round's rotation is a one-list edit.
+# Round-5 rotation: positions 1-5 RE-GATE the queries whose code changed
+# this round (the round-4 advice fixes: decimal/hi-lo moment sums in
+# acf + twap, the group_normalize kernel split, the funnel zero guard,
+# the cdc boundary clamp); the rest are queries NEVER driver-checked in
+# rounds 1-4 (zero overlap with CORRECTNESS_r01..r04 beyond those five),
+# prioritizing the round-4 additions (newest code), then backfilling the
+# oldest never-gated r1/r2 block. scripts/oracle_sweep.py still checks
+# every entry locally.
+_GATE_HEAD = [
+    # changed-code re-gates (r5 fixes)
+    "q_acf",
+    "q_twap",
+    "q_group_normalize",
+    "q_conversion_funnel",
+    "q_cdc_chunks",
+    # round-4 additions, never gated
+    "q_spearman",
+    "q_anova",
+    "q_ccf",
+    "q_sssp",
+    "q_hits",
+    "q_kcenter",
+    "q_weighted_topk_sample",
+    "q_burst_detect",
+    "q_dp_histogram",
+    "q_bucket_diff",
+    "q_fuzzy_names",
+    "q_scene_changes",
+    "q_vocab_growth",
+    "q_dwell_time",
+    "q_supplier_hindex",
+    "q_repetition_stats",
+    "q_decile_grid",
+    # oldest never-gated r1/r2 backfill
+    "q_incremental_agg",
+    "q_quantile_normalize",
+    "q_kfold_loo",
+    "q_k_anonymity",
+    "q_term_kl_drift",
+    "q_lttb_downsample",
+    "q_feature_hash",
+    "q_ngram_lm",
+    "q_simhash_pairs",
+    "q_rfm_segments",
+    "q_concurrency",
+    "q_markov_transitions",
+    "q_survivorship",
+    "q_grouping_id",
+    "q_mmr_rerank",
+    "q_revenue_spread",
+    "q_seasonal_decompose",
+    "q_changepoint",
+    "q_session_paths",
+    "q_grid_density",
+    "q_lateral_topk",
+    "q_source_similarity",
+    "q_salted_join",
+    "q_mix_temperature",
+    "q_scd2_history",
+    "q_dedup_normalized",
+    "q_length_histogram",
+    "q_sliding_window",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # --- head of the registry = the driver gate's 50-entry coverage
-        # window. Round-4 rotation: positions 1-2 RE-GATE the two r3
-        # hash-fails (now exact-integer outputs), position 3 gates the
-        # NEW fully distributed Boruvka path; the remaining 47 are
-        # queries NEVER driver-checked in rounds 1-3 (zero overlap with
-        # CORRECTNESS_r01+r02+r03), prioritizing the round-3 second half
-        # (graph/temporal/privacy/stats), the never-gated text/curation
-        # block, the round-3 additions, and the two never-gated former
-        # rounded-double emitters (q_centroid_matrix, q_holt_forecast).
-        # scripts/oracle_sweep.py still checks every entry locally.
+    reg = {
         "q_mad_outliers": q_mad_outliers,
         "q_wilson_ctr": q_wilson_ctr,
         "q_mst_distributed": q_mst_distributed,
@@ -8151,6 +8209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anova": q_anova,
         "q_ccf": q_ccf,
     }
+    head = {k: reg[k] for k in _GATE_HEAD}
+    head.update(reg)
+    return head
 
 
 # ---------------------------------------------------------------- oracles
