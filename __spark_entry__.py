@@ -1326,11 +1326,13 @@ def q_bucket_diff(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_fuzzy_names(spark: SparkSession, sf: str) -> DataFrame:
-    # Banded fuzzy self-match (operators/joins.fuzzy_pairs) over the
-    # distinct part-name dictionary: levenshtein <= 3 pairs found via a
-    # provably complete length-band equi-join (|len diff| <= edit dist);
+    # Fuzzy self-match (operators/joins.fuzzy_pairs) over the distinct
+    # part-name dictionary: levenshtein <= 3 pairs found via PassJoin
+    # pigeonhole segment blocking — d+1 segments of the shorter name,
+    # equi-joined on (partner_len, seg_id, seg_text) with a +-d shift
+    # window, provably complete (d edits cannot touch all d+1 segments);
     # the oracle runs the prefilter-FREE all-pairs version to prove the
-    # band drops nothing.
+    # blocking drops nothing.
     from iowa_liquor_sales_spark.operators.joins import fuzzy_pairs
 
     return fuzzy_pairs(read_table(spark, sf, "part"), "p_name", max_dist=3)

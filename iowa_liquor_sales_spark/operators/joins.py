@@ -182,6 +182,7 @@ def fuzzy_pairs(
     df: DataFrame,
     col: str,
     max_dist: int = 3,
+    observations: dict | None = None,
 ) -> DataFrame:
     """Fuzzy self-match over a string dictionary: pairs of DISTINCT
     values within ``max_dist`` Levenshtein edits, each weighted by its
@@ -189,44 +190,140 @@ def fuzzy_pairs(
     name DICTIONARY, not the row set; the dictionary is orders of
     magnitude smaller than the table).
 
-    Never all-pairs: each left name expands to the ``max_dist + 1``
-    lengths it can match upward, and the join is an EQUI-join on that
-    length key (the same banded-prefilter discipline as the geo radius
-    join — |len(a)-len(b)| > max_dist implies edit distance > max_dist,
-    so the length band is a provably complete blocking key; the oracle
-    runs prefilter-free to prove it). The orientation predicate
-    (shorter-first, lexicographic on ties) emits each unordered pair
-    exactly once with no distinct pass. Edit distance runs only on
-    band-surviving candidates.
+    Never all-pairs: blocking is PassJoin-style pigeonhole SEGMENT
+    matching (Li, Deng, Feng: "PassJoin: a partition-based method for
+    similarity joins", PVLDB 2011) layered on the length band. The
+    shorter name of a candidate pair is partitioned into ``max_dist+1``
+    contiguous segments; at most ``max_dist`` edits cannot touch all of
+    them, so some segment survives VERBATIM in the longer name, and the
+    net indel shift of any prefix is at most ``max_dist`` positions.
+    Hence the equi-join key ``(len_a, seg_id, seg_text)`` — index side
+    emits each name's d+1 segments, probe side emits every substring of
+    the longer name that could be a surviving segment of a partner of
+    length ``la`` (la in the length band, segment scheme of la, start
+    shifted by at most d) — is PROVABLY COMPLETE, and the oracle runs
+    prefilter-free to prove it. Names shorter than d+1 chars get
+    zero-length segments whose empty seg_text degrades to the length
+    band automatically (tiny class, still complete). The length band
+    alone collapses to near-all-pairs within a band when the dictionary
+    concentrates at a few lengths (real name dictionaries do); segment
+    blocking prunes those bands by exact-substring agreement. Edit
+    distance runs only on distinct surviving candidate pairs.
+
+    Pass ``observations={}`` and the dict is populated with
+    ``pyspark.sql.Observation`` objects under ``"candidates"`` (distinct
+    pairs entering the edit-distance verify) and ``"matches"`` — the
+    same counters `dedup.allpairs_jaccard` exposes, so a 100 TB run can
+    distinguish candidate blowup (blocking failing on a pathological
+    dictionary) from verify-stage cost.
     """
+    d = max_dist
+    nseg = d + 1
     names = (
         df.groupBy(F.col(col).alias("name"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         .withColumn("len", F.length("name"))
     )
+    # Segment scheme for a length-l name: the first (d+1-k) segments get
+    # floor(l/(d+1)) chars, the last k = l mod (d+1) get one extra — a
+    # pure function of (l, seg_id) shared by index and probe sides, so
+    # the position constraint rides inside the (len_a, seg_id) join key.
+    seg_start = (
+        f"(1 + i * ({{l}} div {nseg})"
+        f" + greatest(0, i - ({nseg} - {{l}} % {nseg})))"
+    )
+    seg_len = (
+        f"(({{l}} div {nseg})"
+        f" + if(i >= {nseg} - {{l}} % {nseg}, 1, 0))"
+    )
     a = names.select(
         F.col("name").alias("name_a"),
         F.col("n_rows").alias("n_rows_a"),
         F.col("len").alias("len_a"),
-        F.explode(
-            F.expr(f"sequence(len, len + {max_dist})")
-        ).alias("lk"),
+        F.expr(
+            f"inline(transform(sequence(0, {d}), i -> named_struct("
+            f"'seg_id', i, "
+            f"'seg_text', substring(name, {seg_start.format(l='len')}, "
+            f"{seg_len.format(l='len')}))))"
+        ),
     )
-    b = names.select(
-        F.col("name").alias("name_b"),
-        F.col("n_rows").alias("n_rows_b"),
-        F.col("len").alias("len_b"),
+    # Probe side: for each partner length la in the band, each segment
+    # of la's scheme, each prefix shift in [-d, d], the substring of
+    # name_b the surviving segment would occupy. Distinct collapses the
+    # (frequent) shift duplicates before the join.
+    b = (
+        names.select(
+            F.col("name").alias("name_b"),
+            F.col("n_rows").alias("n_rows_b"),
+            F.col("len").alias("len_b"),
+            F.explode(
+                F.expr(f"sequence(greatest(len - {d}, 0), len)")
+            ).alias("la"),
+        )
+        .select(
+            "name_b",
+            "n_rows_b",
+            "len_b",
+            "la",
+            F.explode(F.expr(f"sequence(0, {d})")).alias("i"),
+        )
+        .select(
+            "name_b",
+            "n_rows_b",
+            "len_b",
+            "la",
+            F.col("i").alias("seg_id"),
+            F.expr(seg_start.format(l="la")).alias("p"),
+            F.expr(seg_len.format(l="la")).alias("sl"),
+            F.explode(F.expr(f"sequence(-{d}, {d})")).alias("sh"),
+        )
+        .filter(
+            (F.col("p") + F.col("sh") >= 1)
+            & (F.col("p") + F.col("sh") + F.col("sl") - 1 <= F.col("len_b"))
+        )
+        .select(
+            "name_b",
+            "n_rows_b",
+            "len_b",
+            "la",
+            "seg_id",
+            F.expr("substring(name_b, p + sh, sl)").alias("seg_text"),
+        )
+        .distinct()
     )
     orient = (F.col("len_a") < F.col("len_b")) | (
         (F.col("len_a") == F.col("len_b"))
         & (F.col("name_a") < F.col("name_b"))
     )
-    return (
-        a.join(b, F.col("lk") == F.col("len_b"))
+    cand = (
+        a.join(
+            b,
+            (a["len_a"] == b["la"])
+            & (a["seg_id"] == b["seg_id"])
+            & (a["seg_text"] == b["seg_text"]),
+        )
         .filter(orient)
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .select("name_a", "name_b", "n_rows_a", "n_rows_b")
+        .distinct()
+    )
+    if observations is not None:
+        from pyspark.sql import Observation
+
+        cand_obs = Observation("fuzzy_candidates")
+        cand = cand.observe(cand_obs, F.count(F.lit(1)).alias("n"))
+        observations["candidates"] = cand_obs
+    out = (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
-        .select(
+    )
+    if observations is not None:
+        from pyspark.sql import Observation
+
+        match_obs = Observation("fuzzy_matches")
+        out = out.observe(match_obs, F.count(F.lit(1)).alias("n"))
+        observations["matches"] = match_obs
+    return (
+        out.select(
             "name_a",
             "name_b",
             F.col("dist").cast("int").alias("dist"),

@@ -877,3 +877,44 @@ def test_fuzzy_pairs_band_covers_max_len_diff(spark):
     assert out[("cat", "dog")]["dist"] == 3
     # beyond the threshold: no pair
     assert ("cat", "abxyz") not in out and ("abxyz", "cat") not in out
+
+
+def test_fuzzy_pairs_segment_blocking_matches_brute_force(spark):
+    """PassJoin pigeonhole completeness: the segment-blocked result must
+    equal the prefilter-free all-pairs answer on an adversarial set
+    (edits at segment boundaries, pure indels, strings shorter than the
+    d+1 segment count, the empty string)."""
+    import itertools
+
+    from iowa_liquor_sales_spark.operators.joins import fuzzy_pairs
+
+    rows = [
+        ("alpha",), ("alphb",), ("aalpha",), ("alph",), ("x",), ("xy",),
+        ("",), ("chocolate lace",), ("chocolate lacee",),
+        ("chacolate lace",), ("abcdefghijkl",), ("abcefghijkl",),
+        ("zbcdefghijkz",),
+    ]
+    df = spark.createDataFrame(rows, ["name"])
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_pairs(df, "name", max_dist=3).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for x, y in itertools.combinations(sorted({r[0] for r in rows}), 2):
+        a, b = (x, y) if (len(x), x) < (len(y), y) else (y, x)
+        d = lev(a, b)
+        if d <= 3:
+            want.add((a, b, d))
+    assert got == want
