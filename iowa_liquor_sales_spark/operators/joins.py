@@ -248,9 +248,15 @@ def fuzzy_pairs(
         ),
     )
     # Probe side: for each partner length la in the band, each segment
-    # of la's scheme, each prefix shift in [-d, d], the substring of
-    # name_b the surviving segment would occupy. Distinct collapses the
-    # (frequent) shift duplicates before the join.
+    # of la's scheme, each admissible prefix shift, the substring of
+    # name_b the surviving segment would occupy. The shift window is the
+    # multi-match-aware PassJoin bound: with D = len_b - la, a shift of
+    # s forces >= |s| indels before the surviving segment and >= |D - s|
+    # edits after it (the suffix length difference must be made up), two
+    # DISJOINT edit sets, so |s| + |D - s| <= d — i.e.
+    # s in [-((d - D) div 2), (d + D) div 2], a (d+1)-wide window
+    # instead of the naive 2d+1. Distinct collapses the (frequent) shift
+    # duplicates before the join.
     b = (
         names.select(
             F.col("name").alias("name_b"),
@@ -275,7 +281,12 @@ def fuzzy_pairs(
             F.col("i").alias("seg_id"),
             F.expr(seg_start.format(l="la")).alias("p"),
             F.expr(seg_len.format(l="la")).alias("sl"),
-            F.explode(F.expr(f"sequence(-{d}, {d})")).alias("sh"),
+            F.explode(
+                F.expr(
+                    f"sequence(-(({d} - (len_b - la)) div 2), "
+                    f"({d} + (len_b - la)) div 2)"
+                )
+            ).alias("sh"),
         )
         .filter(
             (F.col("p") + F.col("sh") >= 1)

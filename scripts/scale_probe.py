@@ -303,7 +303,10 @@ def replicate_embeddings(spark, factor: int, out: str) -> None:
 
 def bench_embeddings(spark, emb_path: str) -> dict[str, float]:
     from iowa_liquor_sales_spark.operators.curation import semdedup
-    from iowa_liquor_sales_spark.operators.similarity import brute_force_topk
+    from iowa_liquor_sales_spark.operators.similarity import (
+        brute_force_topk,
+        kcenter_greedy,
+    )
 
     emb = spark.read.parquet(emb_path)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
@@ -320,6 +323,10 @@ def bench_embeddings(spark, emb_path: str) -> dict[str, float]:
 
     t("semdedup", semdedup(emb, n_cells=16, min_cosine=0.45))
     t("ann_bruteforce", brute_force_topk(emb, qv, k=10))
+    # k-center greedy: k-1 rounds, each a broadcast join against the
+    # O(k) chosen set + one TakeOrdered(1) — wall should track the
+    # linear per-round scan, with O(k) driver state regardless of n.
+    t("kcenter_k4", kcenter_greedy(emb, k=4))
     return timings
 
 
@@ -332,7 +339,9 @@ def bench_graph(spark, orders_path: str) -> dict[str, float]:
     from iowa_liquor_sales_spark.operators.graph import (
         adamic_adar,
         boruvka_mst_rounds,
+        hits_e6,
         pagerank_e12,
+        sssp_rounds,
     )
 
     o = spark.read.parquet(orders_path)
@@ -366,7 +375,127 @@ def bench_graph(spark, orders_path: str) -> dict[str, float]:
         "boruvka_small_v",
         lambda: boruvka_mst_rounds(mst_edges, rounds=2, small_v=True),
     )
+    # Round-4 additions, same fixed-moduli/growing-degree direction:
+    # SSSP shuffles only the O(V) distance relation per relax round over
+    # pre-partitioned edges; HITS shuffles O(V) hub/authority rows per
+    # half-round. Both should track the O(E) join cost ~linearly.
+    sssp_edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        ((F.col("o_orderkey") % 700) + 500).alias("dst"),
+        (F.col("o_orderkey") % 997 + 1).alias("w"),
+    )
+    sym = sssp_edges.union(
+        sssp_edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    t("sssp_3rounds", lambda: sssp_rounds(sym, source=0, iters=3))
+    t("hits_2it", lambda: hits_e6(pr_edges, iters=2))
     return timings
+
+
+def bench_round5(spark) -> tuple[dict, dict]:
+    """Round-4/5 operators with plausible super-linear risk, probed in
+    their hostile direction:
+
+    - burst_segments: the tropical-matrix fold length is days-per-key;
+      rows grow 10x with keys FIXED, so every per-key array grows 10x.
+    - autocorrelation: per-key window + decimal moment sums; series
+      length per key grows 10x (also exercises the DECIMAL(38,0) sum
+      path that replaced the int64 moments).
+    - fuzzy_pairs: dictionary concentrated at 10-20 chars (the real
+      name-dictionary shape where the plain length band degenerates);
+      candidates/matches counted via Observation, and the length-band
+      pair count (what the old blocking would have verified) computed
+      exactly from the length histogram for comparison.
+    """
+    from iowa_liquor_sales_spark.operators.joins import fuzzy_pairs
+    from iowa_liquor_sales_spark.operators.temporal import (
+        autocorrelation,
+        burst_segments,
+    )
+
+    timings: dict[str, dict[int, float]] = {}
+    fuzzy_obs: dict[int, dict[str, int]] = {}
+
+    def t(label, factor, mk):
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings.setdefault(label, {})[factor] = round(best, 2)
+
+    for factor in (1, 10):
+        n = 500_000 * factor
+        series = spark.range(n).select(
+            (F.col("id") % 200).alias("k"),
+            (F.col("id") / 200).cast("long").alias("day"),
+            (F.xxhash64("id") % 3 == 0).cast("int").alias("hot"),
+            ((F.xxhash64("id", F.lit(1)) % 10_000) / 100.0).alias("value"),
+        )
+        t(
+            "burst_fold",
+            factor,
+            lambda s=series: burst_segments(s, "k", "day", "hot"),
+        )
+        t(
+            "acf_lags123",
+            factor,
+            lambda s=series: autocorrelation(
+                s, key_col="k", order_col="day", value_col="value"
+            ),
+        )
+
+    for factor in (1, 4, 16):
+        n = 2_000 * factor
+        # names 10-20 chars from hex material: realistic concentration,
+        # planted near-dups every 16th name (suffix tweak keeps len).
+        names = spark.range(n).select(
+            F.concat(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 10),
+                F.substring(
+                    F.md5(F.col("id").cast("string")), 11, (F.col("id") % 11).cast("int")
+                ),
+                F.when(F.col("id") % 16 == 0, F.lit("x")).otherwise(F.lit("")),
+            ).alias("p_name")
+        )
+        obs: dict = {}
+        df = fuzzy_pairs(names, "p_name", max_dist=3, observations=obs)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings.setdefault("fuzzy_passjoin", {})[factor] = round(best, 2)
+        # exact length-band pair count from the length histogram — the
+        # verify set the old length-band blocking would have produced
+        hist = names.groupBy(F.length("p_name").alias("l")).count()
+        a, b = hist.alias("a"), hist.alias("b")
+        band = (
+            a.join(
+                b,
+                (F.col("b.l") >= F.col("a.l"))
+                & (F.col("b.l") <= F.col("a.l") + 3),
+            )
+            .select(
+                F.sum(
+                    F.when(
+                        F.col("a.l") == F.col("b.l"),
+                        F.col("a.count") * (F.col("b.count") - 1) / 2,
+                    ).otherwise(F.col("a.count") * F.col("b.count"))
+                ).alias("pairs")
+            )
+            .head()["pairs"]
+        )
+        fuzzy_obs[n] = {
+            "band_pairs": int(band),
+            "candidates": int(obs["candidates"].get["n"]),
+            "matches": int(obs["matches"].get["n"]),
+        }
+    return timings, fuzzy_obs
 
 
 def main() -> None:
@@ -530,6 +659,45 @@ def main() -> None:
             f"| {q} | "
             + " | ".join(f"{g_results[f][q]:.2f}s" for f in (1, 10))
             + " |"
+        )
+
+    r5_timings, fuzzy_obs = bench_round5(spark)
+    lines += [
+        "",
+        "## Round-4/5 operator probe (synthesized hostile directions)",
+        "",
+        "burst_fold / acf_lags123: 200 keys fixed while rows grow 10x, so",
+        "per-key fold arrays and window series grow 10x — the super-linear",
+        "risk named in the round-4 verdict. fuzzy_passjoin: dictionary",
+        "concentrated at 10-20 chars (where a plain length band",
+        "degenerates to near-all-pairs) growing 4x -> 16x.",
+        "",
+        "| op | wall by growth factor |",
+        "|---|---|",
+    ]
+    for label, per in r5_timings.items():
+        lines.append(
+            f"| {label} | "
+            + ", ".join(f"x{f}: {per[f]:.2f}s" for f in sorted(per))
+            + " |"
+        )
+    lines += [
+        "",
+        "### fuzzy_pairs blocking power (PassJoin segments vs length band)",
+        "",
+        "band_pairs = the exact verify-set size the pre-round-5 length-band",
+        "blocking produces on this dictionary (from the length histogram);",
+        "candidates = distinct pairs the segment blocking actually sends to",
+        "levenshtein (Observation counter); matches = true dist<=3 pairs.",
+        "",
+        "| names | length-band pairs | segment candidates | matches |",
+        "|---|---|---|---|",
+    ]
+    for n_names in sorted(fuzzy_obs):
+        o = fuzzy_obs[n_names]
+        lines.append(
+            f"| {n_names:,} | {o['band_pairs']:,} | {o['candidates']:,} |"
+            f" {o['matches']:,} |"
         )
 
     lines += [
