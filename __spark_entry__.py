@@ -4392,6 +4392,78 @@ def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     return apply_cdc(snap, ch, ["o_orderkey"], "seq")
 
 
+def q_stream_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # Batch twin of the watermarked stream-stream interval join
+    # (streaming/events.attribute_purchases): every purchase matched to
+    # ALL of the same user's clicks in the preceding hour. The operator
+    # runs the identical plan on batch inputs (minus watermarks/state),
+    # so this gates the JOIN SEMANTICS the streaming form relies on; the
+    # state-eviction behavior stays pytest-covered (test_streaming's
+    # stream==batch equivalence). Timestamps exported as epoch micros,
+    # value as exact cents.
+    from iowa_liquor_sales_spark.streaming.events import attribute_purchases
+
+    ev = read_table(spark, sf, "events")
+    out = attribute_purchases(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        epoch_us("purchase_ts").alias("purchase_us"),
+        F.floor(F.col("purchase_value") * 100).cast("long").alias(
+            "purchase_cents"
+        ),
+        "click_id",
+        epoch_us("click_ts").alias("click_us"),
+    )
+
+
+def q_cdc_microbatch(spark: SparkSession, sf: str) -> DataFrame:
+    # Sequential micro-batch CDC fold — the foreachBatch sink semantics
+    # (test_streaming.test_streaming_cdc_upsert_sink): the synthetic
+    # changelog split into 3 seq-ordered micro-batches, apply_cdc run
+    # once per batch against the evolving snapshot. With a globally
+    # unique per-key seq the fold is associative (the last batch that
+    # touches a key decides = the global max-seq change), so the oracle
+    # replays the ONE-SHOT apply — exactly the equivalence the streaming
+    # sink depends on for exactly-once replays.
+    from iowa_liquor_sales_spark.operators.upsert import apply_cdc
+
+    snap = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    ch = (
+        snap.filter(k % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("seq"),
+        )
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000 * (F.col("seq") + 1))
+            .cast("double")
+            .alias("o_totalprice"),
+            F.lit("X").alias("o_orderstatus"),
+            F.when((k + F.col("seq")) % 4 == 0, "D")
+            .when((k + F.col("seq")) % 4 == 1, "I")
+            .otherwise("U")
+            .alias("op"),
+            "seq",
+        )
+    )
+    state = snap
+    for b in range(3):
+        state = apply_cdc(
+            state, ch.filter(F.col("seq") == b), ["o_orderkey"], "seq"
+        )
+    return state
+
+
 def q_from_json(spark: SparkSession, sf: str) -> DataFrame:
     # Schema-full JSON parsing (from_json -> typed struct), the
     # production-path alternative to per-field get_json_object: one parse
@@ -7841,6 +7913,9 @@ _GATE_HEAD = [
     "q_group_normalize",
     "q_conversion_funnel",
     "q_cdc_chunks",
+    # new round-5 queries (streaming batch twins)
+    "q_stream_attribution",
+    "q_cdc_microbatch",
     # round-4 additions, never gated
     "q_spearman",
     "q_anova",
@@ -7886,8 +7961,6 @@ _GATE_HEAD = [
     "q_mix_temperature",
     "q_scd2_history",
     "q_dedup_normalized",
-    "q_length_histogram",
-    "q_sliding_window",
 ]
 
 
@@ -8210,6 +8283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spearman": q_spearman,
         "q_anova": q_anova,
         "q_ccf": q_ccf,
+        "q_stream_attribution": q_stream_attribution,
+        "q_cdc_microbatch": q_cdc_microbatch,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -12349,6 +12424,46 @@ def oracle_sql() -> dict[str, str]:
             untouched AS (SELECT s.* FROM snap s
                           ANTI JOIN head USING (o_orderkey))
             SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_cdc_microbatch": """
+            WITH snap AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                          FROM orders),
+            ch AS (
+              SELECT o_orderkey, seq,
+                     CASE ((o_orderkey + seq) % 4)
+                          WHEN 0 THEN 'D' WHEN 1 THEN 'I'
+                          ELSE 'U' END AS op,
+                     CAST(o_totalprice + 1000 * (seq + 1) AS DOUBLE)
+                         AS o_totalprice,
+                     'X' AS o_orderstatus
+              FROM orders CROSS JOIN unnest([0, 1, 2]) AS t(seq)
+              WHERE o_orderkey % 7 = 0),
+            head AS (
+              SELECT * FROM (
+                SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC, op DESC) AS rn
+                FROM ch)
+              WHERE rn = 1),
+            surv AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                     FROM head WHERE op <> 'D'),
+            untouched AS (SELECT s.* FROM snap s
+                          ANTI JOIN head USING (o_orderkey))
+            SELECT * FROM untouched UNION ALL SELECT * FROM surv""",
+        "q_stream_attribution": """
+            WITH c AS (SELECT user_id, event_id AS click_id,
+                              ts AS click_ts
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, event_id AS purchase_id,
+                         ts AS purchase_ts, value
+                  FROM events WHERE event_type = 'purchase')
+            SELECT p.user_id, purchase_id,
+                   epoch_us(purchase_ts) AS purchase_us,
+                   CAST(floor(value * 100) AS BIGINT) AS purchase_cents,
+                   click_id,
+                   epoch_us(click_ts) AS click_us
+            FROM p JOIN c ON p.user_id = c.user_id
+                          AND p.purchase_ts >= c.click_ts
+                          AND p.purchase_ts <= c.click_ts
+                                                + INTERVAL 1 HOUR""",
         "q_kaplan_meier": """
             WITH obs AS (
               SELECT least(CAST(l_shipdate AS DATE)
