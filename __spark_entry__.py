@@ -2720,6 +2720,33 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    # Personalized weighted PageRank (graph.pagerank_personalized_e12):
+    # teleport restricted to three seed customers, edge mass split by
+    # line-count weights — "which suppliers are closest to THIS customer
+    # cohort's purchase walk". Same unrolled-iteration / exact-grid /
+    # chained-CTE-oracle conventions as q_pagerank; 2 iterations, top-20.
+    from iowa_liquor_sales_spark.operators.graph import (
+        pagerank_personalized_e12,
+    )
+
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    pr = pagerank_personalized_e12(sym, sources=[2, 4, 6], iters=2)
+    return pr.orderBy(F.col("rank_e12").desc(), F.col("node")).limit(20)
+
+
 def q_date_arith(spark: SparkSession, sf: str) -> DataFrame:
     # Date/interval arithmetic family: datediff, date_add, add_months,
     # months_between, last_day, trunc — the scalar layer beyond the
@@ -3734,6 +3761,51 @@ def _pagerank_oracle(iters: int = 3) -> str:
         r{i} AS (
           SELECT n.node,
                  CAST(150000000000 + COALESCE(infl, 0) AS BIGINT) AS r
+          FROM n LEFT JOIN c{i} USING (node))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT node, r AS rank_e12 FROM r{iters}
+        ORDER BY rank_e12 DESC, node LIMIT 20"""
+    )
+
+
+def _ppr_oracle(iters: int = 2, seeds: tuple[int, ...] = (2, 4, 6)) -> str:
+    # Chained-CTE rendering of graph.pagerank_personalized_e12:
+    # hugeint product/floor-div mirrors the Spark DECIMAL(38,0) path
+    # bit-for-bit; teleport lands only on the seed list.
+    n_s = len(seeds)
+    seed_list = ", ".join(str(s) for s in seeds)
+    tele = (15 * 10**12) // (100 * n_s)
+    init = 10**12 // n_s
+    parts = [
+        f"""WITH e0 AS (
+          SELECT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d, COUNT(*) AS w
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2),
+        e AS (SELECT s, d, w FROM e0
+              UNION ALL SELECT e0.d AS s, e0.s AS d, e0.w AS w FROM e0),
+        n AS (SELECT DISTINCT s AS node FROM e),
+        ws AS (SELECT s, SUM(w) AS wsum FROM e GROUP BY s),
+        r0 AS (SELECT node,
+                      CASE WHEN node IN ({seed_list})
+                           THEN CAST({init} AS BIGINT) ELSE 0 END AS r
+               FROM n)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+          SELECT e.d AS node,
+                 SUM((CAST(r{i-1}.r AS HUGEINT) * 85 * e.w)
+                     // (CAST(100 AS HUGEINT) * ws.wsum)) AS infl
+          FROM e JOIN ws ON e.s = ws.s JOIN r{i-1} ON r{i-1}.node = e.s
+          GROUP BY e.d),
+        r{i} AS (
+          SELECT n.node,
+                 CAST(CASE WHEN n.node IN ({seed_list})
+                           THEN {tele} ELSE 0 END
+                      + COALESCE(infl, 0) AS BIGINT) AS r
           FROM n LEFT JOIN c{i} USING (node))"""
         )
     return (
@@ -7913,9 +7985,10 @@ _GATE_HEAD = [
     "q_group_normalize",
     "q_conversion_funnel",
     "q_cdc_chunks",
-    # new round-5 queries (streaming batch twins)
+    # new round-5 queries (streaming batch twins, PPR)
     "q_stream_attribution",
     "q_cdc_microbatch",
+    "q_personalized_pagerank",
     # round-4 additions, never gated
     "q_spearman",
     "q_anova",
@@ -7960,7 +8033,6 @@ _GATE_HEAD = [
     "q_salted_join",
     "q_mix_temperature",
     "q_scd2_history",
-    "q_dedup_normalized",
 ]
 
 
@@ -8285,6 +8357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccf": q_ccf,
         "q_stream_attribution": q_stream_attribution,
         "q_cdc_microbatch": q_cdc_microbatch,
+        "q_personalized_pagerank": q_personalized_pagerank,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -10538,6 +10611,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_linestatus
             ORDER BY l_linestatus""",
         "q_pagerank": _pagerank_oracle(2),
+        "q_personalized_pagerank": _ppr_oracle(2),
         "q_date_arith": """
             SELECT o_orderkey,
                    CAST(datediff('day', CAST(o_orderdate AS DATE),

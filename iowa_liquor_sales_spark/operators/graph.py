@@ -159,6 +159,86 @@ def pagerank_e12(
     return ranks
 
 
+def pagerank_personalized_e12(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    iters: int = 3,
+) -> DataFrame:
+    """Personalized (topic-sensitive) weighted PageRank (Haveliwala,
+    WWW 2002) on the same exact integer grid as :func:`pagerank_e12`:
+    teleport mass returns ONLY to the ``sources`` set, so ranks measure
+    random-walk proximity to those seeds (the "expand a trusted seed
+    set" primitive behind TrustRank-style curation and related-entity
+    retrieval), and each node's outflow splits proportionally to
+    integer edge WEIGHTS instead of uniformly.
+
+    Determinism: ranks are int64 scaled 1e12; the per-edge contribution
+    ``rank * 85 * w div (100 * wsum)`` runs in DECIMAL(38,0) (hugeint in
+    the DuckDB twin) so the product cannot wrap for any int64 weight;
+    floor division keeps every engine bit-identical. Teleport per seed
+    is ``15e12 div (100 * |S|)``; dangling mass is dropped (same
+    documented trade-off as pagerank_e12).
+
+    Scale shape per iteration: identical to pagerank_e12 — the weighted
+    edge relation is pre-partitioned on its join key and checkpointed
+    once; only the O(V) rank relation shuffles per round.
+    """
+    n_s = len(sources)
+    e = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"), F.col(w).alias("w")
+        )
+        .repartition(F.col("s"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    wsum = (
+        e.groupBy("s")
+        .agg(F.sum(F.col("w").cast("decimal(38,0)")).alias("wsum"))
+        .localCheckpoint(eager=True)
+    )
+    seed = F.col("node").isin(*sources)
+    teleport = F.when(
+        seed, F.lit((15 * 10**12) // (100 * n_s)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    ranks = nodes.select(
+        "node",
+        F.when(seed, F.lit(10**12 // n_s).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rank_e12"),
+    )
+    for i in range(iters):
+        contrib = (
+            e.join(wsum, "s")
+            .join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr(
+                    "CAST(rank_e12 AS DECIMAL(38,0)) * 85 * w"
+                    " div (CAST(100 AS DECIMAL(38,0)) * wsum)"
+                ).alias("c"),
+            )
+        )
+        inbound = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = nodes.join(inbound, "node", "left").select(
+            "node",
+            (teleport + F.coalesce(F.col("inflow"), F.lit(0))).alias(
+                "rank_e12"
+            ),
+        )
+        if i < iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def dedup_clusters(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
 ) -> DataFrame:

@@ -218,3 +218,30 @@ def test_clustering_coefficient_clique_and_path(spark):
     # vertex 4: deg 4, neighbor pairs = 6, closed = 3 -> 0.5
     assert out[4]["deg"] == 4 and out[4]["n_triangles"] == 3
     assert out[4]["coeff_ppm"] == 500_000
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    from iowa_liquor_sales_spark.operators.graph import (
+        pagerank_personalized_e12,
+    )
+
+    # Two disconnected components: a weighted triangle {1,2,3} seeded at
+    # node 1, and an unreachable pair {10, 11}. All teleport + walk mass
+    # must stay in the seeded component; the heavier edge 1->2 (w=3)
+    # must out-rank 1->3 (w=1) after one hop.
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 3), (2, 1, 3), (1, 3, 1), (3, 1, 1),
+            (2, 3, 1), (3, 2, 1),
+            (10, 11, 5), (11, 10, 5),
+        ],
+        ["src", "dst", "w"],
+    )
+    out = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank_personalized_e12(edges, [1], iters=3).collect()
+    }
+    assert out[10] == 0 and out[11] == 0  # no teleport, no inflow
+    assert out[2] > out[3] > 0  # the heavy edge carries more seed mass
+    # teleport floor: the seed always keeps at least 0.15e12
+    assert out[1] >= 15 * 10**10
