@@ -12,8 +12,11 @@ and engine (the DuckDB oracle unrolls the same iterations in SQL):
 - assignment = argmin of exact squared L2 on the grid (diffs ≤ ~4e6 per
   dim squared and summed over ≤ a few hundred dims stays well inside
   int64), ties broken by centroid id via struct-min;
-- update = per-dim integer sum // count (floor division — both engines
-  floor), keeping centroids on the grid. Clusters that lose all
+- update = per-dim integer sum div count with TRUNCATION toward zero —
+  the semantics Spark's ``div`` and DuckDB's integral ``//`` share
+  (DuckDB's ``//`` floors only for FLOAT operands; Python's ``//``
+  floors, so the driver-side update sign-handles negative sums
+  explicitly), keeping centroids on the grid. Clusters that lose all
   members are dropped, not respawned.
 
 Scale shape per iteration: one broadcast of k×d centroid literals, one
@@ -90,7 +93,12 @@ def kmeans_e6(
         new_cents: dict[int, list[int]] = {}
         for r in sums:
             vec = new_cents.setdefault(r["cid"], [0] * len(next(iter(cents.values()))))
-            vec[r["pos"]] = r["s"] // r["n"]
+            # truncation toward zero, NOT Python floor: embeddings go
+            # negative, and the DuckDB oracle's integral `//` truncates
+            # (-7 // 2 = -3) while Python's floors (-4) — a latent hash
+            # break on any dataset where a (cid, pos) sum is negative.
+            s, n = r["s"], r["n"]
+            vec[r["pos"]] = -((-s) // n) if s < 0 else s // n
         cents = new_cents  # empty clusters drop out
 
     final = assign(cents).select(F.col("vid").alias(id_col), "cid")

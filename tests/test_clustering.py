@@ -43,3 +43,21 @@ def test_kmeans_drops_empty_clusters(spark):
     assigned, cents = kmeans_e6(df, "embedding", "vec_id", k=4, iters=2)
     assert len(cents) <= 2
     assert assigned.count() == 4
+
+
+def test_kmeans_negative_sum_centroid_truncates_toward_zero(spark):
+    """Cross-engine division semantics: Spark's div and DuckDB's
+    integral // both truncate toward zero; Python's // floors. A
+    centroid update over a negative coordinate sum must truncate, or
+    the chained-CTE oracle diverges (-7 div 2 is -3, not -4)."""
+    from iowa_liquor_sales_spark.operators.clustering import kmeans_e6
+
+    # one obvious cluster around (-3.5e-6 mean): vectors quantize to
+    # [-3, -4] on the e6 grid -> sum -7 over n=2 -> centroid -3 (trunc)
+    df = spark.createDataFrame(
+        [(0, [-3e-6, 10.0]), (1, [-4e-6, 10.0])],
+        ["vec_id", "embedding"],
+    )
+    _, cents = kmeans_e6(df, "embedding", "vec_id", k=1, iters=1)
+    assert cents[0][0] == -3  # floor would give -4
+    assert cents[0][1] == 10_000_000
