@@ -3816,6 +3816,82 @@ def _ppr_oracle(iters: int = 2, seeds: tuple[int, ...] = (2, 4, 6)) -> str:
     )
 
 
+def _pq_oracle(
+    query_id: int = 0,
+    k: int = 10,
+    m_sub: int = 8,
+    ksub: int = 4,
+    dsub: int = 8,
+) -> str:
+    # Chained-CTE replay of similarity.pq_topk with iters=1: e6 grid,
+    # md5 'pq' seeding, per-subspace assign/update (DuckDB's integral
+    # // truncates toward zero — the Python update sign-handles to
+    # match), encode against the updated codebooks, integer ADC top-k.
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {n}),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    return f"""
+        WITH q AS (SELECT vec_id AS vid,
+                          list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 1e6
+                                        + 0.5) AS BIGINT)) AS q
+                   FROM embeddings),
+        sub AS (SELECT vid, m,
+                       list_slice(q, m * {dsub} + 1,
+                                  m * {dsub} + {dsub}) AS sq
+                FROM q CROSS JOIN UNNEST(generate_series(0, {m_sub - 1}))
+                       AS t(m)),
+        hashed AS (SELECT vid, q,
+                          CAST(('0x' || substr(md5('pq' ||
+                               CAST(vid AS VARCHAR)), 1, 15)) AS BIGINT)
+                            AS h
+                   FROM q),
+        seeds AS (SELECT cid, q FROM (
+                    SELECT q, CAST(row_number() OVER (ORDER BY h, vid)
+                                   AS INT) - 1 AS cid
+                    FROM hashed)
+                  WHERE cid < {ksub}),
+        c0 AS (SELECT m, cid,
+                      list_slice(q, m * {dsub} + 1,
+                                 m * {dsub} + {dsub}) AS c
+               FROM seeds CROSS JOIN UNNEST(generate_series(0, {m_sub - 1}))
+                    AS t(m)),
+        a1 AS (SELECT sub.vid, sub.m, sub.sq, c0.cid,
+                      {d2.format(n=dsub, a='sub.sq', b='c0.c')} AS d
+               FROM sub JOIN c0 ON sub.m = c0.m),
+        b1 AS (SELECT vid, m, sq, cid FROM a1
+               QUALIFY row_number() OVER (
+                   PARTITION BY vid, m ORDER BY d, cid) = 1),
+        s1 AS (SELECT m, cid, pos, SUM(x) AS s, COUNT(*) AS n
+               FROM (SELECT m, cid,
+                            CAST(generate_subscripts(sq, 1) AS INT) AS pos,
+                            unnest(sq) AS x
+                     FROM b1)
+               GROUP BY m, cid, pos),
+        c1 AS (SELECT m, cid, list(s // n ORDER BY pos) AS c
+               FROM s1 GROUP BY m, cid),
+        a2 AS (SELECT sub.vid, sub.m, c1.cid,
+                      {d2.format(n=dsub, a='sub.sq', b='c1.c')} AS d
+               FROM sub JOIN c1 ON sub.m = c1.m),
+        codes AS (SELECT vid, m, cid FROM a2
+                  QUALIFY row_number() OVER (
+                      PARTITION BY vid, m ORDER BY d, cid) = 1),
+        qsub AS (SELECT m, sq FROM sub WHERE vid = {query_id}),
+        lut AS (SELECT c1.m, c1.cid,
+                       {d2.format(n=dsub, a='qsub.sq', b='c1.c')} AS qd
+                FROM c1 JOIN qsub ON c1.m = qsub.m),
+        adc AS (SELECT codes.vid, SUM(lut.qd) AS adc
+                FROM codes JOIN lut ON codes.m = lut.m
+                                    AND codes.cid = lut.cid
+                WHERE codes.vid != {query_id}
+                GROUP BY codes.vid)
+        SELECT vid AS vec_id,
+               CAST(row_number() OVER (ORDER BY adc, vid) AS INT) AS rnk,
+               CAST(adc AS BIGINT) AS adc
+        FROM adc ORDER BY adc, vid LIMIT {k}"""
+
+
 def _kcenter_oracle(k: int = 4) -> str:
     # Chained-CTE replay of similarity.kcenter_greedy: one (c_i, d_i)
     # CTE pair per greedy round; d_i folds the new center's distance in
@@ -4214,6 +4290,18 @@ def q_ann_sq8(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = read_table(spark, sf, "embeddings")
     return ann_sq8_topk(emb, query_id=0, k=10).select("vec_id", "rnk", "qdot")
+
+
+def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    # Product-quantization ANN (operators/similarity.pq_topk): 8
+    # subspace codebooks of 4 centroids (1 exact Lloyd iteration each),
+    # vectors encoded to 8 codes, candidates ranked by integer ADC —
+    # 8 bytes/vector, the memory rung below SQ8. Chained-CTE oracle
+    # replays the whole train/encode/score pipeline.
+    from iowa_liquor_sales_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, sf, "embeddings")
+    return pq_topk(emb, query_id=0, k=10)
 
 
 def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
@@ -7985,10 +8073,11 @@ _GATE_HEAD = [
     "q_group_normalize",
     "q_conversion_funnel",
     "q_cdc_chunks",
-    # new round-5 queries (streaming batch twins, PPR)
+    # new round-5 queries (streaming batch twins, PPR, PQ)
     "q_stream_attribution",
     "q_cdc_microbatch",
     "q_personalized_pagerank",
+    "q_ann_pq",
     # round-4 additions, never gated
     "q_spearman",
     "q_anova",
@@ -8032,7 +8121,6 @@ _GATE_HEAD = [
     "q_source_similarity",
     "q_salted_join",
     "q_mix_temperature",
-    "q_scd2_history",
 ]
 
 
@@ -8183,6 +8271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_rank": q_global_rank,
         "q_winnow_pairs": q_winnow_pairs,
         "q_ann_sq8": q_ann_sq8,
+        "q_ann_pq": q_ann_pq,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
         "q_bucketed_join": q_bucketed_join,
@@ -9995,6 +10084,7 @@ def oracle_sql() -> dict[str, str]:
                      AS value_ffill
             FROM grid g LEFT JOIN pb
               ON g.user_id = pb.user_id AND g.bucket = pb.bucket""",
+        "q_ann_pq": _pq_oracle(),
         "q_kmeans": """
             WITH q AS (SELECT vec_id AS vid,
                               list_transform(embedding,

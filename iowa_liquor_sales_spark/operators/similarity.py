@@ -509,6 +509,128 @@ def ann_sq8_topk(
     )
 
 
+def pq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m_sub: int = 8,
+    ksub: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze, Schmid: "Product
+    quantization for nearest neighbor search", TPAMI 2011) — the
+    memory-ladder rung below SQ8: each vector compresses to ``m_sub``
+    small codes (8 bytes/vector at the defaults vs 64 for SQ8 codes and
+    256 for float32), and candidates rank by asymmetric distance
+    computation (ADC) — a sum of ``m_sub`` table lookups, no float math
+    on the corpus side.
+
+    Deterministic end to end, same conventions as
+    :mod:`..operators.clustering`:
+
+    - vectors quantize to the int 1e-6 grid and split into ``m_sub``
+      contiguous subvectors of ``dim // m_sub`` dims;
+    - each subspace trains its own ``ksub``-centroid codebook with
+      ``iters`` exact Lloyd iterations (md5-content-hash seeding, exact
+      int64 squared distances, truncating-div centroid updates — the
+      kmeans_e6 conventions, so the DuckDB oracle unrolls identically);
+    - encoding = per-(vector, subspace) argmin, ties to lower cid;
+    - the query becomes an (m_sub × ksub) LUT of exact integer
+      distances; ADC score = sum of m_sub lookups — integer, engine-
+      portable, tie-stable (ties break on vector id).
+
+    Scale shape: training/encode touch each row ``ksub`` times via a
+    broadcast of the O(m·ksub) codebook (no shuffle on the corpus);
+    the per-iteration update is a hash aggregate of width m·ksub·dsub
+    independent of row count; ADC is one broadcast LUT join + a
+    map-side-combinable per-vector sum + TakeOrderedAndProject.
+    Driver state is the O(m·ksub·dsub) codebook — the same documented
+    contract as kmeans_e6.
+    """
+    from ..functions.hashing import hash60
+    from .clustering import _dist2, quantize_e6
+
+    spark = embeddings.sparkSession
+    dsub = dim // m_sub
+    q = embeddings.select(
+        F.col(id_col).alias("vid"), quantize_e6(vec_col).alias("q")
+    )
+    sub = q.select(
+        "vid",
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        "q",
+    ).select(
+        "vid",
+        "m",
+        F.expr(f"slice(q, m * {dsub} + 1, {dsub})").alias("sq"),
+    )
+    h = hash60(F.concat(F.lit("pq"), F.col("vid").cast("string")))
+    seeds = q.withColumn("h", h).orderBy("h", "vid").limit(ksub).collect()
+    cents: dict[tuple[int, int], list[int]] = {}
+    for cid, r in enumerate(seeds):
+        full = list(r["q"])
+        for m in range(m_sub):
+            cents[(m, cid)] = full[m * dsub : (m + 1) * dsub]
+
+    def encode(cents_map):
+        cdf = spark.createDataFrame(
+            [(m, cid, c) for (m, cid), c in sorted(cents_map.items())],
+            "m int, cid int, c array<bigint>",
+        )
+        a = sub.join(F.broadcast(cdf), "m").withColumn(
+            "d", _dist2(F.col("sq"), F.col("c"))
+        )
+        best = a.groupBy("vid", "m").agg(
+            F.min(F.struct("d", "cid", "sq")).alias("b")
+        )
+        return best.select(
+            "vid", "m", F.col("b.cid").alias("cid"), F.col("b.sq").alias("sq")
+        )
+
+    for _ in range(iters):
+        assigned = encode(cents)
+        sums = (
+            assigned.select("m", "cid", F.posexplode("sq").alias("pos", "x"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents: dict[tuple[int, int], list[int]] = {}
+        for r in sums:
+            vec = new_cents.setdefault((r["m"], r["cid"]), [0] * dsub)
+            s, n = r["s"], r["n"]
+            # truncation toward zero — the Spark div / DuckDB integral //
+            # semantics (see clustering.kmeans_e6)
+            vec[r["pos"]] = -((-s) // n) if s < 0 else s // n
+        cents = new_cents
+
+    codes = encode(cents).select("vid", "m", "cid")
+    qrow = q.filter(F.col("vid") == query_id).head()
+    qfull = list(qrow["q"])
+    lut_rows = []
+    for (m, cid), c in sorted(cents.items()):
+        qs = qfull[m * dsub : (m + 1) * dsub]
+        qd = sum((a - b) * (a - b) for a, b in zip(qs, c))
+        lut_rows.append((m, cid, qd))
+    lut = spark.createDataFrame(lut_rows, "m int, cid int, qd long")
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vid")
+        .agg(F.sum("qd").alias("adc"))
+        .filter(F.col("vid") != query_id)
+    )
+    top = adc.orderBy("adc", "vid").limit(k)
+    w = Window.orderBy("adc", "vid")
+    return top.select(
+        F.col("vid").alias(id_col),
+        F.row_number().over(w).cast("int").alias("rnk"),
+        F.col("adc").cast("long").alias("adc"),
+    )
+
+
 def embedding_covariance(
     df: DataFrame,
     vec_col: str = "embedding",

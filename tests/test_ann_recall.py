@@ -66,3 +66,23 @@ def test_kcenter_greedy_picks_farthest_points(spark):
     # round-2 pick is the true farthest cluster from (0,0): both are
     # ~sqrt(200) away; tie broken deterministically by distance then id
     assert out[1]["sel_dist"] >= out[2]["sel_dist"]
+
+
+def test_pq_recall_floor_and_code_compression(spark):
+    from iowa_liquor_sales_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = _topk_ids(brute_force_topk(emb, qvec, k=10, exclude_ids=[0]))
+
+    pq = pq_topk(emb, query_id=0, k=10)
+    rows = pq.collect()
+    assert len(rows) == 10
+    assert [r["rnk"] for r in rows] == list(range(1, 11))
+    # ADC scores are non-decreasing by rank (integer, tie-stable)
+    adcs = [r["adc"] for r in rows]
+    assert adcs == sorted(adcs)
+    # 8x4 codebooks over 64 dims at cosine ~0.5 is a coarse sketch; a
+    # measured floor still catches an index-structure regression (the
+    # untrained-codebook failure mode recalls ~0).
+    assert len(exact & {r["vec_id"] for r in rows}) / 10 >= 0.2
