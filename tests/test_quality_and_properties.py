@@ -462,3 +462,52 @@ def test_l_diversity_audit_homogeneous_group(spark):
     assert out["n_low_diversity"] == 1
     assert out["n_rows_exposed"] == 4
     assert out["exposed_ppm"] == 1_000_000 * 4 // 7
+
+
+def test_det_double_three_renderings_agree_bitwise(spark):
+    """functions/sums.det_double (Spark), det_double_sql (DuckDB) and
+    det_double_py (driver-side kernels) must produce bit-identical
+    doubles on adversarial integers: negatives (div-vs-floor-div
+    semantics), exact 2^53 boundaries (where correctly-rounded direct
+    conversion diverges from the hi/lo reconstruction), divisor
+    boundaries, and sums past 2^53 * 1e9."""
+    import struct
+
+    import duckdb
+
+    from iowa_liquor_sales_spark.functions.sums import (
+        det_double,
+        det_double_py,
+        det_double_sql,
+    )
+
+    vals = [
+        0, 1, -1, 999_999_999, 1_000_000_000, -1_000_000_001,
+        2**53 - 1, 2**53, 2**53 + 1, -(2**53) - 1,
+        9_007_199_254_740_993_123_456_789,
+        -9_007_199_254_740_993_123_456_789,
+        10**24 + 7, -(10**24) - 7,
+    ]
+
+    def bits(x: float) -> int:
+        return struct.unpack("<q", struct.pack("<d", float(x)))[0]
+
+    sdf = spark.createDataFrame(
+        [(str(v),) for v in vals], ["s"]
+    ).selectExpr("CAST(s AS DECIMAL(38,0)) AS v")
+    got_spark = [r[0] for r in sdf.select(det_double("v")).collect()]
+
+    con = duckdb.connect()
+    got_duck = [
+        con.sql(
+            f"SELECT {det_double_sql('v')} FROM "
+            f"(SELECT CAST('{v}' AS HUGEINT) AS v)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    got_py = [det_double_py(v) for v in vals]
+
+    for v, a, b, c in zip(vals, got_spark, got_duck, got_py):
+        assert bits(a) == bits(b) == bits(c), (
+            f"det_double divergence at {v}: spark={a!r} duck={b!r} py={c!r}"
+        )
