@@ -7125,9 +7125,14 @@ def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
     # from node 0 over the q_bfs_hops-derived graph, aggregated to
     # min-hop distances — the declarative twin of the iterative
     # DataFrame BFS (same derived graph, same answer for d <= 3, so the
-    # two implementations cross-validate). The depth guard (d < 3)
-    # bounds path blowup through cycles; the oracle runs the identical
-    # recursion in DuckDB.
+    # two implementations cross-validate). The recursive term is
+    # DISTINCT — a FRONTIER recursion bounded at <= |V| rows per level.
+    # Without it the recursion enumerates PATHS, which is exponential in
+    # graph density: at sf0.1 the 3-hop path count blows through Spark's
+    # 1M-row recursion limit (RECURSION_ROW_LIMIT_EXCEEDED) and at any
+    # cluster scale it is the difference between O(V*depth) and
+    # O(avg_deg^depth) state. The depth guard (d < 3) bounds the
+    # recursion; the oracle runs the identical frontier recursion.
     read_table(spark, sf, "orders").createOrReplaceTempView("rec_orders_v")
     return spark.sql(
         """
@@ -7142,7 +7147,7 @@ def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
         reach(v, d) AS (
           SELECT CAST(0 AS BIGINT), 0
           UNION ALL
-          SELECT und.b, r.d + 1
+          SELECT DISTINCT und.b, r.d + 1
           FROM reach r JOIN und ON und.a = r.v
           WHERE r.d < 3
         )
@@ -8073,6 +8078,7 @@ _GATE_HEAD = [
     "q_group_normalize",
     "q_conversion_funnel",
     "q_cdc_chunks",
+    "q_recursive_cte",
     # new round-5 queries (streaming batch twins, PPR, PQ)
     "q_stream_attribution",
     "q_cdc_microbatch",
@@ -8120,7 +8126,6 @@ _GATE_HEAD = [
     "q_lateral_topk",
     "q_source_similarity",
     "q_salted_join",
-    "q_mix_temperature",
 ]
 
 
@@ -11004,7 +11009,7 @@ def oracle_sql() -> dict[str, str]:
             reach(v, d) AS (
               SELECT CAST(0 AS BIGINT), 0
               UNION ALL
-              SELECT und.b, r.d + 1
+              SELECT DISTINCT und.b, r.d + 1
               FROM reach r JOIN und ON und.a = r.v
               WHERE r.d < 3
             )
