@@ -18,11 +18,17 @@ from tests.oracle_utils import compare, duckdb_con  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv):
-        if a == "--sf":
-            sf_dir = sys.argv[i + 1]
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf":
+            sf_dir = argv[i + 1]
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.showConsoleProgress", "false")
