@@ -511,3 +511,62 @@ def test_det_double_three_renderings_agree_bitwise(spark):
         assert bits(a) == bits(b) == bits(c), (
             f"det_double divergence at {v}: spark={a!r} duck={b!r} py={c!r}"
         )
+
+
+@given(
+    base=st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=14),
+        min_size=2,
+        max_size=7,
+        unique=True,
+    ),
+    data=st.data(),
+)
+@_settings
+def test_fuzzy_pairs_passjoin_completeness_property(spark, base, data):
+    """Property form of the PassJoin pigeonhole proof: on random small-
+    alphabet dictionaries (maximal segment collision pressure) plus a
+    randomly edited variant of one entry, the segment-blocked result
+    must equal the exact all-pairs answer — no admissible pair may be
+    lost to the blocking."""
+    from iowa_liquor_sales_spark.operators.joins import fuzzy_pairs
+
+    # plant a <=3-edit mutation of one base string so true matches exist
+    src = data.draw(st.sampled_from(base))
+    edited = src
+    for _ in range(data.draw(st.integers(0, 3))):
+        op = data.draw(st.sampled_from(["ins", "del", "sub"]))
+        i = data.draw(st.integers(0, max(len(edited) - 1, 0)))
+        ch = data.draw(st.sampled_from("abcx"))
+        if op == "ins":
+            edited = edited[:i] + ch + edited[i:]
+        elif op == "del" and edited:
+            edited = edited[:i] + edited[i + 1 :]
+        elif edited:
+            edited = edited[:i] + ch + edited[i + 1 :]
+    names = sorted(set(base) | {edited})
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_pairs(df, "name", max_dist=3).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    import itertools
+
+    want = set()
+    for x, y in itertools.combinations(names, 2):
+        a, b = (x, y) if (len(x), x) < (len(y), y) else (y, x)
+        if lev(a, b) <= 3:
+            want.add((a, b))
+    assert got == want
