@@ -729,6 +729,29 @@ def main() -> None:
         "`minhash_lsh_pairs` and keep the verify stage unchanged.",
     ]
 
+    lines += [
+        "",
+        "## Recursive-CTE shape: paths vs frontier (round-5 lesson)",
+        "",
+        "A recursive CTE whose recursive term is a bare JOIN enumerates",
+        "PATHS — O(avg_degree^depth) rows through a cyclic graph — while",
+        "adding DISTINCT makes it a FRONTIER recursion bounded at |V| rows",
+        "per level. Measured on q_recursive_cte's orders-derived graph",
+        "(DuckDB row counts; Spark aborts the path form at sf0.1 with",
+        "RECURSION_ROW_LIMIT_EXCEEDED, its 1M-row recursion guard):",
+        "",
+        "| sf | path-recursion rows | frontier rows |",
+        "|---|---|---|",
+        "| 0.01 | 100,619 | 1,410 |",
+        "| 0.1 | 36,028,248 | 1,740 |",
+        "",
+        "The MIN(d)-per-node answer is identical; only the intermediate",
+        "state differs. At cluster scale the DISTINCT is the difference",
+        "between O(V*depth) shuffle state and an exponential blowup — the",
+        "same frontier-vs-paths discipline the iterative BFS/SSSP",
+        "operators already encode.",
+    ]
+
     # Carry over any appendix sections other probes own (the skew-join
     # probe writes its table once; regenerating this file must not drop
     # it).
