@@ -3822,15 +3822,42 @@ def _pq_oracle(
     m_sub: int = 8,
     ksub: int = 4,
     dsub: int = 8,
+    n_cells: int | None = None,
 ) -> str:
     # Chained-CTE replay of similarity.pq_topk with iters=1: e6 grid,
     # md5 'pq' seeding, per-subspace assign/update (DuckDB's integral
     # // truncates toward zero — the Python update sign-handles to
     # match), encode against the updated codebooks, integer ADC top-k.
+    # With n_cells set, replays similarity.ivf_pq_topk instead: the
+    # q_ann_ivf coarse-assignment CTEs restrict the scored codes to the
+    # query's cell before the ADC sum.
     d2 = (
         "list_sum(list_transform(generate_series(1, {n}),"
         " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
     )
+    ivf_ctes = ""
+    ivf_filter = ""
+    if n_cells is not None:
+        ivf_ctes = f"""
+        cent AS (SELECT vec_id AS ccid, embedding AS cvec
+                 FROM embeddings WHERE vec_id < {n_cells}),
+        cellasg AS (
+          SELECT vec_id AS vid, ccid AS cell FROM (
+            SELECT e.vec_id, c.ccid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    e.embedding::DOUBLE[],
+                                    c.cvec::DOUBLE[]) DESC,
+                                c.ccid) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        qcell AS (SELECT cell AS q_cell FROM cellasg
+                  WHERE vid = {query_id}),"""
+        ivf_filter = (
+            "\n                JOIN cellasg ca ON codes.vid = ca.vid"
+            "\n                JOIN qcell ON ca.cell = qcell.q_cell"
+        )
     return f"""
         WITH q AS (SELECT vec_id AS vid,
                           list_transform(embedding,
@@ -3880,10 +3907,10 @@ def _pq_oracle(
         qsub AS (SELECT m, sq FROM sub WHERE vid = {query_id}),
         lut AS (SELECT c1.m, c1.cid,
                        {d2.format(n=dsub, a='qsub.sq', b='c1.c')} AS qd
-                FROM c1 JOIN qsub ON c1.m = qsub.m),
+                FROM c1 JOIN qsub ON c1.m = qsub.m),{ivf_ctes}
         adc AS (SELECT codes.vid, SUM(lut.qd) AS adc
                 FROM codes JOIN lut ON codes.m = lut.m
-                                    AND codes.cid = lut.cid
+                                    AND codes.cid = lut.cid{ivf_filter}
                 WHERE codes.vid != {query_id}
                 GROUP BY codes.vid)
         SELECT vid AS vec_id,
@@ -4302,6 +4329,18 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = read_table(spark, sf, "embeddings")
     return pq_topk(emb, query_id=0, k=10)
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF-PQ (operators/similarity.ivf_pq_topk): the FAISS IndexIVFPQ
+    # composition — probe-1 coarse cells (the q_ann_ivf quantizer)
+    # restrict candidates, PQ integer ADC ranks only those. The oracle
+    # chains the IVF assignment CTEs into the PQ train/encode/score
+    # replay.
+    from iowa_liquor_sales_spark.operators.similarity import ivf_pq_topk
+
+    emb = read_table(spark, sf, "embeddings")
+    return ivf_pq_topk(emb, query_id=0, k=10)
 
 
 def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
@@ -8084,6 +8123,7 @@ _GATE_HEAD = [
     "q_cdc_microbatch",
     "q_personalized_pagerank",
     "q_ann_pq",
+    "q_ann_ivf_pq",
     # round-4 additions, never gated
     "q_spearman",
     "q_anova",
@@ -8125,7 +8165,6 @@ _GATE_HEAD = [
     "q_grid_density",
     "q_lateral_topk",
     "q_source_similarity",
-    "q_salted_join",
 ]
 
 
@@ -8277,6 +8316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_pairs": q_winnow_pairs,
         "q_ann_sq8": q_ann_sq8,
         "q_ann_pq": q_ann_pq,
+        "q_ann_ivf_pq": q_ann_ivf_pq,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
         "q_bucketed_join": q_bucketed_join,
@@ -10090,6 +10130,7 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g LEFT JOIN pb
               ON g.user_id = pb.user_id AND g.bucket = pb.bucket""",
         "q_ann_pq": _pq_oracle(),
+        "q_ann_ivf_pq": _pq_oracle(n_cells=16),
         "q_kmeans": """
             WITH q AS (SELECT vec_id AS vid,
                               list_transform(embedding,

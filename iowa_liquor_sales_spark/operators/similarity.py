@@ -550,6 +550,24 @@ def pq_topk(
     Driver state is the O(m·ksub·dsub) codebook — the same documented
     contract as kmeans_e6.
     """
+    q, codes, cents = _pq_train_encode(
+        embeddings, m_sub, ksub, iters, dim, id_col, vec_col
+    )
+    return _pq_adc_topk(q, codes, cents, query_id, k, dim // m_sub, id_col)
+
+
+def _pq_train_encode(
+    embeddings: DataFrame,
+    m_sub: int,
+    ksub: int,
+    iters: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared PQ train/encode stage (see :func:`pq_topk` for the
+    conventions): returns (quantized base relation, (vid, m, cid) code
+    relation, {(m, cid): centroid} codebook dict)."""
     from ..functions.hashing import hash60
     from .clustering import _dist2, quantize_e6
 
@@ -607,7 +625,21 @@ def pq_topk(
             vec[r["pos"]] = -((-s) // n) if s < 0 else s // n
         cents = new_cents
 
-    codes = encode(cents).select("vid", "m", "cid")
+    return q, encode(cents).select("vid", "m", "cid"), cents
+
+
+def _pq_adc_topk(
+    q: DataFrame,
+    codes: DataFrame,
+    cents: dict,
+    query_id: int,
+    k: int,
+    dsub: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared PQ ADC scoring stage: build the query LUT from the
+    codebook, sum per-vector lookups, TakeOrdered top-k."""
+    spark = q.sparkSession
     qrow = q.filter(F.col("vid") == query_id).head()
     qfull = list(qrow["q"])
     lut_rows = []
@@ -629,6 +661,50 @@ def pq_topk(
         F.row_number().over(w).cast("int").alias("rnk"),
         F.col("adc").cast("long").alias("adc"),
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    m_sub: int = 8,
+    ksub: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN — the FAISS IndexIVFPQ composition (Jégou et al.,
+    TPAMI 2011 §V): the coarse IVF quantizer (:func:`ivf_assign`,
+    probe-1) restricts candidates to the query's cell, then PQ
+    asymmetric-distance lookups rank ONLY those candidates. Memory per
+    vector is the cell id + m_sub codes (9 bytes at the defaults);
+    query cost is one LUT build + O(cell size) integer sums instead of
+    O(corpus).
+
+    Scale path: persist codes partitioned by cell — a query prunes to
+    its probe cells at the scan, the ADC join is against an O(m·ksub)
+    broadcast LUT, and the per-vector sum is map-side combinable.
+    Recall < 1 by construction (probe-1 coarse stage on top of PQ
+    quantization error); raise nprobe / retrain codebooks offline at
+    production scale, exactly as with the float IVF tier.
+    """
+    assigned = ivf_assign(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    q, codes, cents = _pq_train_encode(
+        embeddings, m_sub, ksub, iters, dim, id_col, vec_col
+    )
+    qc = assigned.filter(F.col(id_col) == query_id).select(
+        F.col("cell").alias("q_cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(qc), F.col("cell") == F.col("q_cell"))
+        .select(F.col(id_col).alias("vid"))
+    )
+    cell_codes = codes.join(cand, "vid")
+    return _pq_adc_topk(q, cell_codes, cents, query_id, k, dim // m_sub, id_col)
 
 
 def embedding_covariance(

@@ -86,3 +86,30 @@ def test_pq_recall_floor_and_code_compression(spark):
     # measured floor still catches an index-structure regression (the
     # untrained-codebook failure mode recalls ~0).
     assert len(exact & {r["vec_id"] for r in rows}) / 10 >= 0.2
+
+
+def test_ivf_pq_restricts_to_cell_and_degenerates_to_flat_pq(spark):
+    from iowa_liquor_sales_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    # results must come from the query's coarse cell (probe-1 contract)
+    assigned = ivf_assign(emb, n_cells=16)
+    qcell = assigned.filter("vec_id = 0").head()["cell"]
+    members = {
+        r["vec_id"]
+        for r in assigned.filter(assigned["cell"] == qcell).collect()
+    }
+    out = ivf_pq_topk(emb, query_id=0, k=10, n_cells=16).collect()
+    assert {r["vec_id"] for r in out} <= members
+    # with ONE coarse cell every vector is a candidate: IVF-PQ must
+    # reduce to the flat PQ ranking exactly (same codebooks, same ADC)
+    flat = [(r["vec_id"], r["adc"]) for r in pq_topk(emb, 0, k=10).collect()]
+    one = [
+        (r["vec_id"], r["adc"])
+        for r in ivf_pq_topk(emb, 0, k=10, n_cells=1).collect()
+    ]
+    assert one == flat
