@@ -564,10 +564,15 @@ def _pq_train_encode(
     dim: int,
     id_col: str,
     vec_col: str,
+    encode_ids: DataFrame | None = None,
 ):
     """Shared PQ train/encode stage (see :func:`pq_topk` for the
     conventions): returns (quantized base relation, (vid, m, cid) code
-    relation, {(m, cid): centroid} codebook dict)."""
+    relation, {(m, cid): centroid} codebook dict). Codebooks always
+    train on the FULL corpus; when ``encode_ids`` (a single-column
+    ``vid`` relation) is given, only those vectors are encoded — the
+    IVF-PQ path encodes just the probe cell, per-vector encoding being
+    independent of every other vector."""
     from ..functions.hashing import hash60
     from .clustering import _dist2, quantize_e6
 
@@ -593,14 +598,14 @@ def _pq_train_encode(
         for m in range(m_sub):
             cents[(m, cid)] = full[m * dsub : (m + 1) * dsub]
 
-    def encode(cents_map):
+    def encode(cents_map, base=None):
         cdf = spark.createDataFrame(
             [(m, cid, c) for (m, cid), c in sorted(cents_map.items())],
             "m int, cid int, c array<bigint>",
         )
-        a = sub.join(F.broadcast(cdf), "m").withColumn(
-            "d", _dist2(F.col("sq"), F.col("c"))
-        )
+        a = (base if base is not None else sub).join(
+            F.broadcast(cdf), "m"
+        ).withColumn("d", _dist2(F.col("sq"), F.col("c")))
         best = a.groupBy("vid", "m").agg(
             F.min(F.struct("d", "cid", "sq")).alias("b")
         )
@@ -625,7 +630,8 @@ def _pq_train_encode(
             vec[r["pos"]] = -((-s) // n) if s < 0 else s // n
         cents = new_cents
 
-    return q, encode(cents).select("vid", "m", "cid"), cents
+    final_base = sub if encode_ids is None else sub.join(encode_ids, "vid")
+    return q, encode(cents, final_base).select("vid", "m", "cid"), cents
 
 
 def _pq_adc_topk(
@@ -693,9 +699,6 @@ def ivf_pq_topk(
     assigned = ivf_assign(
         embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )
-    q, codes, cents = _pq_train_encode(
-        embeddings, m_sub, ksub, iters, dim, id_col, vec_col
-    )
     qc = assigned.filter(F.col(id_col) == query_id).select(
         F.col("cell").alias("q_cell")
     )
@@ -703,8 +706,14 @@ def ivf_pq_topk(
         assigned.join(F.broadcast(qc), F.col("cell") == F.col("q_cell"))
         .select(F.col(id_col).alias("vid"))
     )
-    cell_codes = codes.join(cand, "vid")
-    return _pq_adc_topk(q, cell_codes, cents, query_id, k, dim // m_sub, id_col)
+    # Codebooks train on the full corpus; ONLY the probe cell encodes
+    # (per-vector encoding is independent), so the scored relation is
+    # O(cell) rows with no full-corpus codes join.
+    q, codes, cents = _pq_train_encode(
+        embeddings, m_sub, ksub, iters, dim, id_col, vec_col,
+        encode_ids=cand,
+    )
+    return _pq_adc_topk(q, codes, cents, query_id, k, dim // m_sub, id_col)
 
 
 def embedding_covariance(
