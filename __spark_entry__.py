@@ -4343,6 +4343,16 @@ def q_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_pq_topk(emb, query_id=0, k=10)
 
 
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    # Hard-negative mining (operators/similarity.hard_negatives): per
+    # anchor, the k nearest vectors from a DIFFERENT IVF pseudo-label
+    # cell — contrastive-training data prep. Broadcast anchors, exact
+    # int64 grid distances, per-anchor rank-limited window.
+    from iowa_liquor_sales_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(read_table(spark, sf, "embeddings"))
+
+
 def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     # Corpus collocations by pointwise mutual information
     # (operators/text.pmi_bigrams): three combinable aggregates + two
@@ -8124,6 +8134,7 @@ _GATE_HEAD = [
     "q_personalized_pagerank",
     "q_ann_pq",
     "q_ann_ivf_pq",
+    "q_hard_negatives",
     # round-4 additions, never gated
     "q_spearman",
     "q_anova",
@@ -8164,7 +8175,6 @@ _GATE_HEAD = [
     "q_session_paths",
     "q_grid_density",
     "q_lateral_topk",
-    "q_source_similarity",
 ]
 
 
@@ -8317,6 +8327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_sq8": q_ann_sq8,
         "q_ann_pq": q_ann_pq,
         "q_ann_ivf_pq": q_ann_ivf_pq,
+        "q_hard_negatives": q_hard_negatives,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
         "q_bucketed_join": q_bucketed_join,
@@ -10131,6 +10142,44 @@ def oracle_sql() -> dict[str, str]:
               ON g.user_id = pb.user_id AND g.bucket = pb.bucket""",
         "q_ann_pq": _pq_oracle(),
         "q_ann_ivf_pq": _pq_oracle(n_cells=16),
+        "q_hard_negatives": """
+            WITH q0 AS (SELECT vec_id AS vid,
+                               list_transform(embedding,
+                                   x -> CAST(floor(CAST(x AS DOUBLE) * 1e6
+                                             + 0.5) AS BIGINT)) AS q
+                        FROM embeddings),
+            cent AS (SELECT vec_id AS ccid, embedding AS cvec
+                     FROM embeddings WHERE vec_id < 16),
+            cellasg AS (
+              SELECT vec_id AS vid, ccid AS cell FROM (
+                SELECT e.vec_id, c.ccid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding::DOUBLE[],
+                                        c.cvec::DOUBLE[]) DESC,
+                                    c.ccid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+              WHERE rn = 1),
+            qq AS (SELECT q0.vid, q0.q, cellasg.cell
+                   FROM q0 JOIN cellasg USING (vid)),
+            anchors AS (SELECT vid AS anchor_id, q AS aq, cell AS a_cell
+                        FROM qq WHERE vid < 8),
+            scored AS (
+              SELECT a.anchor_id, c.vid,
+                     list_sum(list_transform(generate_series(1, 64),
+                         i -> (c.q[i] - a.aq[i]) * (c.q[i] - a.aq[i])))
+                       AS dist2
+              FROM qq c CROSS JOIN anchors a
+              WHERE c.cell <> a.a_cell)
+            SELECT anchor_id,
+                   CAST(row_number() OVER (PARTITION BY anchor_id
+                                           ORDER BY dist2, vid)
+                        AS INT) AS rnk,
+                   vid AS vec_id,
+                   CAST(dist2 AS BIGINT) AS dist2
+            FROM scored
+            QUALIFY rnk <= 5""",
         "q_kmeans": """
             WITH q AS (SELECT vec_id AS vid,
                               list_transform(embedding,

@@ -855,6 +855,69 @@ def power_iteration_pc1(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    n_anchors: int = 8,
+    k: int = 5,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor vector, the ``k`` NEAREST vectors that carry a DIFFERENT
+    pseudo-label — the examples a contrastive/triplet objective learns
+    the most from (nearest wrong-label beats random negatives; see e.g.
+    the in-batch/ANCE hard-negative literature). Pseudo-labels are the
+    IVF coarse cells (:func:`ivf_assign`), the same stand-in a
+    production pipeline would swap for real labels or cluster ids.
+
+    Determinism: anchors are the ``n_anchors`` smallest ids; distances
+    are exact int64 squared L2 on the 1e-6 grid; per-anchor ranking
+    ties break on the candidate id.
+
+    Scale shape: the anchor set (vectors + cells) broadcasts as an
+    O(n_anchors) relation; candidates compute one integer distance per
+    (row, anchor) inside codegen with no corpus shuffle, and the
+    per-anchor top-k is a rank-limited window PARTITIONED by anchor —
+    Spark's window-group-limit turns it into per-partition heaps, never
+    a single-partition sort.
+    """
+    from .clustering import _dist2, quantize_e6
+
+    assigned = ivf_assign(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    q = assigned.select(
+        F.col(id_col).alias("vid"),
+        quantize_e6(vec_col).alias("q"),
+        "cell",
+    )
+    anchors = q.filter(F.col("vid") < n_anchors).select(
+        F.col("vid").alias("anchor_id"),
+        F.col("q").alias("aq"),
+        F.col("cell").alias("a_cell"),
+    )
+    scored = (
+        q.join(F.broadcast(anchors), F.col("cell") != F.col("a_cell"))
+        .select(
+            "anchor_id",
+            F.col("vid"),
+            _dist2(F.col("q"), F.col("aq")).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("dist2", "vid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "anchor_id",
+            "rnk",
+            F.col("vid").alias(id_col),
+            F.col("dist2").cast("long").alias("dist2"),
+        )
+    )
+
+
 def kcenter_greedy(
     df: DataFrame,
     k: int = 4,

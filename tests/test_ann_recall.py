@@ -113,3 +113,28 @@ def test_ivf_pq_restricts_to_cell_and_degenerates_to_flat_pq(spark):
         for r in ivf_pq_topk(emb, 0, k=10, n_cells=1).collect()
     ]
     assert one == flat
+
+
+def test_hard_negatives_excludes_same_cell_and_ranks_by_distance(spark):
+    from iowa_liquor_sales_spark.operators.similarity import (
+        hard_negatives,
+        ivf_assign,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    out = hard_negatives(emb, n_anchors=4, k=5).collect()
+    cells = {
+        r["vec_id"]: r["cell"] for r in ivf_assign(emb, n_cells=16).collect()
+    }
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(by_anchor) == {0, 1, 2, 3}
+    for aid, rows in by_anchor.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == [1, 2, 3, 4, 5]
+        # negatives are never from the anchor's own pseudo-label cell
+        assert all(cells[r["vec_id"]] != cells[aid] for r in rows)
+        # distances are non-decreasing by rank
+        d = [r["dist2"] for r in rows]
+        assert d == sorted(d)
