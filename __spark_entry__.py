@@ -4353,6 +4353,18 @@ def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return hard_negatives(read_table(spark, sf, "embeddings"))
 
 
+def q_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    # Index observability (operators/similarity.ann_recall_report):
+    # per-query recall@10 of probe-1 IVF vs the exact answer on the
+    # same integer metric — the continuous index-drift monitor. Exact
+    # integer output (recall ppm).
+    from iowa_liquor_sales_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    return ann_recall_report(read_table(spark, sf, "embeddings"))
+
+
 def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     # Corpus collocations by pointwise mutual information
     # (operators/text.pmi_bigrams): three combinable aggregates + two
@@ -8135,6 +8147,7 @@ _GATE_HEAD = [
     "q_ann_pq",
     "q_ann_ivf_pq",
     "q_hard_negatives",
+    "q_ann_recall_report",
     # round-4 additions, never gated
     "q_spearman",
     "q_anova",
@@ -8174,7 +8187,6 @@ _GATE_HEAD = [
     "q_changepoint",
     "q_session_paths",
     "q_grid_density",
-    "q_lateral_topk",
 ]
 
 
@@ -8328,6 +8340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_pq": q_ann_pq,
         "q_ann_ivf_pq": q_ann_ivf_pq,
         "q_hard_negatives": q_hard_negatives,
+        "q_ann_recall_report": q_ann_recall_report,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
         "q_bucketed_join": q_bucketed_join,
@@ -10180,6 +10193,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dist2 AS BIGINT) AS dist2
             FROM scored
             QUALIFY rnk <= 5""",
+        "q_ann_recall_report": """
+            WITH q0 AS (SELECT vec_id AS vid,
+                               list_transform(embedding,
+                                   x -> CAST(floor(CAST(x AS DOUBLE) * 1e6
+                                             + 0.5) AS BIGINT)) AS q
+                        FROM embeddings),
+            cent AS (SELECT vec_id AS ccid, embedding AS cvec
+                     FROM embeddings WHERE vec_id < 16),
+            cellasg AS (
+              SELECT vec_id AS vid, ccid AS cell FROM (
+                SELECT e.vec_id, c.ccid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding::DOUBLE[],
+                                        c.cvec::DOUBLE[]) DESC,
+                                    c.ccid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+              WHERE rn = 1),
+            qq AS (SELECT q0.vid, q0.q, cellasg.cell
+                   FROM q0 JOIN cellasg USING (vid)),
+            anchors AS (SELECT vid AS query_id, q AS aq, cell AS a_cell
+                        FROM qq WHERE vid < 4),
+            scored AS (
+              SELECT a.query_id, a.a_cell, c.vid, c.cell,
+                     list_sum(list_transform(generate_series(1, 64),
+                         i -> (c.q[i] - a.aq[i]) * (c.q[i] - a.aq[i])))
+                       AS dist2
+              FROM qq c CROSS JOIN anchors a WHERE c.vid <> a.query_id),
+            exact AS (SELECT query_id, vid FROM (
+                        SELECT query_id, vid,
+                               row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY dist2, vid) AS rn
+                        FROM scored) WHERE rn <= 10),
+            ivf AS (SELECT query_id, vid FROM (
+                      SELECT query_id, vid,
+                             row_number() OVER (PARTITION BY query_id
+                                                ORDER BY dist2, vid) AS rn
+                      FROM scored WHERE cell = a_cell) WHERE rn <= 10),
+            hits AS (SELECT e.query_id, COUNT(*) AS n_hits
+                     FROM exact e JOIN ivf i
+                       ON e.query_id = i.query_id AND e.vid = i.vid
+                     GROUP BY e.query_id),
+            perq AS (SELECT query_id, COUNT(*) AS n_exact FROM exact
+                     GROUP BY query_id)
+            SELECT perq.query_id,
+                   CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(n_hits, 0) * 1000000 // n_exact
+                        AS BIGINT) AS recall_ppm
+            FROM perq LEFT JOIN hits USING (query_id)""",
         "q_kmeans": """
             WITH q AS (SELECT vec_id AS vid,
                               list_transform(embedding,

@@ -918,6 +918,84 @@ def hard_negatives(
     )
 
 
+def ann_recall_report(
+    embeddings: DataFrame,
+    n_queries: int = 4,
+    k: int = 10,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-quality observability: per query anchor, recall@k of the
+    probe-1 IVF index against the exact answer ON THE SAME METRIC
+    (int64 squared L2 on the 1e-6 grid, ties to lower id) — the report
+    a production vector store runs continuously to catch index drift
+    (cell imbalance after ingest, stale centroids) before users do.
+
+    Output: (query_id, n_exact, n_hits, recall_ppm) — exact-integer
+    columns, engine-portable. recall < 1e6 here is EXPECTED (probe-1
+    coarse quantization); a DROP over time is the signal.
+
+    Scale shape: both arms are the hard_negatives dataflow — broadcast
+    anchors, per-row codegen distances, rank-limited windows
+    partitioned by anchor — plus one tiny join of two O(queries x k)
+    relations. No full-corpus shuffle anywhere.
+    """
+    from .clustering import _dist2, quantize_e6
+
+    assigned = ivf_assign(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    q = assigned.select(
+        F.col(id_col).alias("vid"),
+        quantize_e6(vec_col).alias("q"),
+        "cell",
+    )
+    anchors = q.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"),
+        F.col("q").alias("aq"),
+        F.col("cell").alias("a_cell"),
+    )
+    scored = q.join(F.broadcast(anchors), F.col("vid") != F.col("query_id")).select(
+        "query_id",
+        "a_cell",
+        "vid",
+        "cell",
+        _dist2(F.col("q"), F.col("aq")).alias("dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "vid")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vid")
+    )
+    ivf = (
+        scored.filter(F.col("cell") == F.col("a_cell"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("vid").alias("ivf_vid"))
+    )
+    hits = exact.join(
+        ivf,
+        (exact["query_id"] == ivf["query_id"])
+        & (exact["vid"] == ivf["ivf_vid"]),
+    ).groupBy(exact["query_id"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "coalesce(n_hits, 0) * 1000000 div n_exact"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 def kcenter_greedy(
     df: DataFrame,
     k: int = 4,

@@ -138,3 +138,20 @@ def test_hard_negatives_excludes_same_cell_and_ranks_by_distance(spark):
         # distances are non-decreasing by rank
         d = [r["dist2"] for r in rows]
         assert d == sorted(d)
+
+
+def test_ann_recall_report_bounds_and_full_cell_recall(spark):
+    from iowa_liquor_sales_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    rows = ann_recall_report(emb, n_queries=4, k=10).collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+    for r in rows:
+        assert 1 <= r["n_exact"] <= 10
+        assert 0 <= r["n_hits"] <= r["n_exact"]
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+    # with ONE cell the "index" is exhaustive: recall must be exactly 1
+    full = ann_recall_report(emb, n_queries=4, k=10, n_cells=1).collect()
+    assert all(r["recall_ppm"] == 1_000_000 for r in full)
