@@ -41,7 +41,9 @@ from iowa_liquor_sales_spark.operators.sampling import (  # noqa: E402
 )
 from iowa_liquor_sales_spark.operators.graph import dedup_clusters  # noqa: E402
 from iowa_liquor_sales_spark.operators.similarity import (  # noqa: E402
+    ann_recall_report,
     embedding_near_dup_pairs,
+    hard_negatives,
 )
 from iowa_liquor_sales_spark.operators.text import (  # noqa: E402
     fingerprints,
@@ -167,6 +169,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         curated.withColumn("side", (F.col("doc_id") % 2).cast("int")), "side"
     ).first()
 
+    # 10. contrastive-pair prep + retrieval-index QA over the embedding
+    #     store: mine hard negatives per anchor (nearest WRONG-pseudo-
+    #     label vectors — the triplet/contrastive negative sampler) and
+    #     record the probe-1 IVF recall the serving index would deliver,
+    #     both exact-integer reports (the index-drift monitor a vector
+    #     store runs continuously).
+    negs = hard_negatives(emb, n_anchors=4, k=3)
+    recall = ann_recall_report(emb, n_queries=4, k=10)
+    min_recall = recall.agg(F.min("recall_ppm")).first()[0]
+
     stats = {
         "input": n0,
         "after_quality": docs1.count(),
@@ -178,6 +190,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         "n_sequences": packed.select("shard", "seq").distinct().count(),
         "mixed_rows": mixed.count(),
         "kl_drift_e9": drift["kl_ab_e9"],
+        "n_hard_negatives": negs.count(),
+        "ivf_recall_ppm_min": min_recall,
         "outdir": out,
     }
     print(stats)

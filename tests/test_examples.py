@@ -34,6 +34,9 @@ def test_curation_pipeline_monotone(spark):
     # layout stages fan docs out into chunks, then packs bound sequences
     assert stats["n_chunks"] >= stats["after_weighted_sample"]
     assert 0 < stats["n_sequences"] <= stats["n_chunks"]
+    # contrastive prep: 4 anchors x 3 negatives; index QA in [0, 1e6]
+    assert stats["n_hard_negatives"] == 12
+    assert 0 <= stats["ivf_recall_ppm_min"] <= 1_000_000
 
 
 def test_stream_demo_end_to_end(spark):
