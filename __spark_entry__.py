@@ -10177,7 +10177,7 @@ def oracle_sql() -> dict[str, str]:
             qq AS (SELECT q0.vid, q0.q, cellasg.cell
                    FROM q0 JOIN cellasg USING (vid)),
             anchors AS (SELECT vid AS anchor_id, q AS aq, cell AS a_cell
-                        FROM qq WHERE vid < 8),
+                        FROM qq ORDER BY vid LIMIT 8),
             scored AS (
               SELECT a.anchor_id, c.vid,
                      list_sum(list_transform(generate_series(1, 64),
@@ -10215,7 +10215,7 @@ def oracle_sql() -> dict[str, str]:
             qq AS (SELECT q0.vid, q0.q, cellasg.cell
                    FROM q0 JOIN cellasg USING (vid)),
             anchors AS (SELECT vid AS query_id, q AS aq, cell AS a_cell
-                        FROM qq WHERE vid < 4),
+                        FROM qq ORDER BY vid LIMIT 4),
             scored AS (
               SELECT a.query_id, a.a_cell, c.vid, c.cell,
                      list_sum(list_transform(generate_series(1, 64),

@@ -328,8 +328,6 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
     )
     if observations is not None:
-        from pyspark.sql import Observation
-
         match_obs = Observation("fuzzy_matches")
         out = out.observe(match_obs, F.count(F.lit(1)).alias("n"))
         observations["matches"] = match_obs

@@ -892,10 +892,17 @@ def hard_negatives(
         quantize_e6(vec_col).alias("q"),
         "cell",
     )
-    anchors = q.filter(F.col("vid") < n_anchors).select(
-        F.col("vid").alias("anchor_id"),
-        F.col("q").alias("aq"),
-        F.col("cell").alias("a_cell"),
+    # genuinely the n_anchors SMALLEST ids (TakeOrdered) — a `vid <
+    # n_anchors` filter would silently yield fewer/zero anchors on id
+    # spaces that are not 0-based contiguous (filtered corpora)
+    anchors = (
+        q.orderBy("vid")
+        .limit(n_anchors)
+        .select(
+            F.col("vid").alias("anchor_id"),
+            F.col("q").alias("aq"),
+            F.col("cell").alias("a_cell"),
+        )
     )
     scored = (
         q.join(F.broadcast(anchors), F.col("cell") != F.col("a_cell"))
@@ -951,10 +958,14 @@ def ann_recall_report(
         quantize_e6(vec_col).alias("q"),
         "cell",
     )
-    anchors = q.filter(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"),
-        F.col("q").alias("aq"),
-        F.col("cell").alias("a_cell"),
+    anchors = (
+        q.orderBy("vid")
+        .limit(n_queries)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("q").alias("aq"),
+            F.col("cell").alias("a_cell"),
+        )
     )
     scored = q.join(F.broadcast(anchors), F.col("vid") != F.col("query_id")).select(
         "query_id",
