@@ -8124,14 +8124,17 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
-# Round-5 rotation: positions 1-5 RE-GATE the queries whose code changed
+# Round-5 rotation: positions 1-6 RE-GATE the queries whose code changed
 # this round (the round-4 advice fixes: decimal/hi-lo moment sums in
 # acf + twap, the group_normalize kernel split, the funnel zero guard,
-# the cdc boundary clamp); the rest are queries NEVER driver-checked in
-# rounds 1-4 (zero overlap with CORRECTNESS_r01..r04 beyond those five),
-# prioritizing the round-4 additions (newest code), then backfilling the
-# oldest never-gated r1/r2 block. scripts/oracle_sweep.py still checks
-# every entry locally.
+# the cdc boundary clamp, the frontier recursion); next the 8 NEW
+# round-5 queries (streaming batch twins, personalized PageRank,
+# PQ/IVF-PQ, hard negatives, recall report); the rest are queries NEVER
+# driver-checked in rounds 1-4 (zero overlap with CORRECTNESS_r01..r04
+# beyond the three re-gates already green there), prioritizing the
+# round-4 additions (newest code), then backfilling the oldest
+# never-gated r1/r2 block. scripts/oracle_sweep.py still checks every
+# entry locally.
 _GATE_HEAD = [
     # changed-code re-gates (r5 fixes)
     "q_acf",
