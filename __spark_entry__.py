@@ -1271,6 +1271,27 @@ def q_scene_changes(spark: SparkSession, sf: str) -> DataFrame:
     return scene_changes(attach_payload(docs))
 
 
+def q_keyframes(spark: SparkSession, sf: str) -> DataFrame:
+    # Keyframe selection for VLM-training frame sampling: per video-
+    # shaped payload, the top-2 frames by scene-change magnitude
+    # (multimodal/binary_ops.scene_changes scores -> a per-doc
+    # rank-limited window; deterministic ties on frame_idx). Only
+    # O(frames) rows ever leave the executors; payload bytes never
+    # shuffle.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import scene_changes
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    sc = scene_changes(attach_payload(docs))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("delta_l1").desc(), F.col("frame_idx")
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 2)
+        .select("doc_id", "rnk", "frame_idx", "delta_l1")
+    )
+
+
 def q_twap(spark: SparkSession, sf: str) -> DataFrame:
     # Time-weighted average value per event type (the TWAP primitive):
     # each event's value holds until the SAME user's next event; exact
@@ -8151,6 +8172,7 @@ _GATE_HEAD = [
     "q_ann_ivf_pq",
     "q_hard_negatives",
     "q_ann_recall_report",
+    "q_keyframes",
     # round-4 additions, never gated
     "q_spearman",
     "q_anova",
@@ -8189,7 +8211,6 @@ _GATE_HEAD = [
     "q_seasonal_decompose",
     "q_changepoint",
     "q_session_paths",
-    "q_grid_density",
 ]
 
 
@@ -8344,6 +8365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_pq": q_ann_ivf_pq,
         "q_hard_negatives": q_hard_negatives,
         "q_ann_recall_report": q_ann_recall_report,
+        "q_keyframes": q_keyframes,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
         "q_bucketed_join": q_bucketed_join,
@@ -9687,6 +9709,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(delta_l1 AS BIGINT) AS delta_l1,
                    delta_l1 >= 1500 AS is_scene_change
             FROM d""",
+        "q_keyframes": """
+            WITH f AS (
+              SELECT doc_id, CAST(fi AS INTEGER) AS fi,
+                     substr(text, CAST(fi * 64 + 1 AS INTEGER), 64) AS fr
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, length(text) // 64)) AS fi
+                    FROM documents)),
+            pairs AS (
+              SELECT a.doc_id, b.fi, a.fr AS fa, b.fr AS fb
+              FROM f a JOIN f b
+                ON a.doc_id = b.doc_id AND b.fi = a.fi + 1),
+            d AS (
+              SELECT doc_id, fi,
+                     SUM(abs(ord(substr(fa, CAST(i AS INTEGER), 1))
+                             - ord(substr(fb, CAST(i AS INTEGER), 1))))
+                         AS delta_l1
+              FROM pairs, UNNEST(generate_series(1, 64)) AS u(i)
+              GROUP BY doc_id, fi)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY delta_l1 DESC, fi)
+                        AS INT) AS rnk,
+                   fi AS frame_idx,
+                   CAST(delta_l1 AS BIGINT) AS delta_l1
+            FROM d
+            QUALIFY rnk <= 2""",
         "q_twap": f"""
             WITH d AS (
               SELECT event_type,
