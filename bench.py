@@ -232,6 +232,26 @@ def main() -> None:
     for name in HEADLINE:
         timed(name, lambda name=name: queries[name](spark, wh))
 
+    # Attribute q_ann_pq's wall between the Lloyd codebook TRAIN (a
+    # one-off in production — indexes train offline and are reused) and
+    # the per-query ADC scoring. Timed separately, reported under
+    # "stage_splits" so the headline total stays comparable round to
+    # round; adc_sec is the remainder of the q_ann_pq entry.
+    from iowa_liquor_sales_spark.operators.similarity import _pq_train_encode
+
+    emb = read_table(spark, wh, "embeddings")
+    best = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _pq_train_encode(emb, 8, 4, 1, 64, "vec_id", "embedding")
+        best = min(best, time.perf_counter() - t0)
+    pq_train = round(best, 3)
+    stage_splits = {
+        "q_ann_pq_train": pq_train,
+        "q_ann_pq_adc": round(max(timings.get("q_ann_pq", 0.0) - pq_train, 0.0), 3),
+    }
+
     staged = tempfile.mkdtemp(prefix="bench_stringly_") + "/lineitem_str"
     stage_stringly(spark, wh, staged, n_parts=int(cpus))
     timed("q_silver_transform", lambda: q_silver_transform(spark, staged))
@@ -263,6 +283,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stage_splits": stage_splits,
                 "sf": float(sf),
             }
         )

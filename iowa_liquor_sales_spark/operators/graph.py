@@ -185,7 +185,15 @@ def pagerank_personalized_e12(
     Scale shape per iteration: identical to pagerank_e12 — the weighted
     edge relation is pre-partitioned on its join key and checkpointed
     once; only the O(V) rank relation shuffles per round.
+
+    ``sources`` must be non-empty. Seeds that never appear in the edge
+    relation (neither endpoint) are absent from the node set, so their
+    share of the teleport mass is silently lost — total mass shrinks by
+    ``15e12 * missing/|S|`` per round, the same drop-the-mass trade-off
+    already documented for dangling nodes.
     """
+    if not sources:
+        raise ValueError("sources must be non-empty")
     n_s = len(sources)
     e = (
         edges.select(

@@ -210,6 +210,19 @@ def fuzzy_pairs(
     blocking prunes those bands by exact-substring agreement. Edit
     distance runs only on distinct surviving candidate pairs.
 
+    Second-level filter (between the segment equi-join and the
+    Levenshtein verify): a character-HISTOGRAM count filter. Each name
+    carries a 16-bucket char-frequency vector (chars hashed into
+    buckets); one edit changes the true histogram by at most 2 in L1
+    (substitution: -1/+1, indel: 1), and bucketing only merges counts —
+    never increases L1 — so ``lev(a,b) >= bucketed_L1 / 2`` and
+    dropping pairs with ``bucketed_L1 > 2*d`` is provably complete
+    (same family as the q-gram COUNT filter of Gravano et al., VLDB
+    2001, but O(1)-width per name). It runs BEFORE the candidate
+    distinct, so on concentrated dictionaries (many same-length names,
+    where segment blocking alone degrades toward the length band) it
+    prunes both the distinct shuffle and the verify.
+
     Pass ``observations={}`` and the dict is populated with
     ``pyspark.sql.Observation`` objects under ``"candidates"`` (distinct
     pairs entering the edit-distance verify) and ``"matches"`` — the
@@ -219,10 +232,18 @@ def fuzzy_pairs(
     """
     d = max_dist
     nseg = d + 1
+    nbuck = 16
+    hist = (
+        f"aggregate(split(name, ''), array_repeat(0, {nbuck}),"
+        f" (acc, c) -> if(c = '', acc,"
+        f" transform(acc, (v, i) ->"
+        f" if(i = pmod(hash(c), {nbuck}), v + 1, v))))"
+    )
     names = (
         df.groupBy(F.col(col).alias("name"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         .withColumn("len", F.length("name"))
+        .withColumn("hist", F.expr(hist))
     )
     # Segment scheme for a length-l name: the first (d+1-k) segments get
     # floor(l/(d+1)) chars, the last k = l mod (d+1) get one extra — a
@@ -240,6 +261,7 @@ def fuzzy_pairs(
         F.col("name").alias("name_a"),
         F.col("n_rows").alias("n_rows_a"),
         F.col("len").alias("len_a"),
+        F.col("hist").alias("hist_a"),
         F.expr(
             f"inline(transform(sequence(0, {d}), i -> named_struct("
             f"'seg_id', i, "
@@ -262,6 +284,7 @@ def fuzzy_pairs(
             F.col("name").alias("name_b"),
             F.col("n_rows").alias("n_rows_b"),
             F.col("len").alias("len_b"),
+            F.col("hist").alias("hist_b"),
             F.explode(
                 F.expr(f"sequence(greatest(len - {d}, 0), len)")
             ).alias("la"),
@@ -270,6 +293,7 @@ def fuzzy_pairs(
             "name_b",
             "n_rows_b",
             "len_b",
+            "hist_b",
             "la",
             F.explode(F.expr(f"sequence(0, {d})")).alias("i"),
         )
@@ -277,6 +301,7 @@ def fuzzy_pairs(
             "name_b",
             "n_rows_b",
             "len_b",
+            "hist_b",
             "la",
             F.col("i").alias("seg_id"),
             F.expr(seg_start.format(l="la")).alias("p"),
@@ -296,6 +321,7 @@ def fuzzy_pairs(
             "name_b",
             "n_rows_b",
             "len_b",
+            "hist_b",
             "la",
             "seg_id",
             F.expr("substring(name_b, p + sh, sl)").alias("seg_text"),
@@ -306,6 +332,10 @@ def fuzzy_pairs(
         (F.col("len_a") == F.col("len_b"))
         & (F.col("name_a") < F.col("name_b"))
     )
+    hist_l1 = F.expr(
+        "aggregate(zip_with(hist_a, hist_b, (x, y) -> abs(x - y)),"
+        " 0, (acc, v) -> acc + v)"
+    )
     cand = (
         a.join(
             b,
@@ -314,6 +344,7 @@ def fuzzy_pairs(
             & (a["seg_text"] == b["seg_text"]),
         )
         .filter(orient)
+        .filter(hist_l1 <= 2 * d)
         .select("name_a", "name_b", "n_rows_a", "n_rows_b")
         .distinct()
     )

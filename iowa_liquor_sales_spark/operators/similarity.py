@@ -339,22 +339,64 @@ def ivf_assign(
     )
 
 
+def query_probe_cells(
+    embeddings: DataFrame,
+    query_id: int,
+    nprobe: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe cell selection (FAISS IndexIVF ``nprobe`` semantics):
+    the query's ``nprobe`` nearest coarse cells, ranked by the SAME
+    deterministic (cosine desc, cid asc) order the quantizer uses for
+    rank-1 assignment — so probe rank 1 is always the cell
+    :func:`ivf_assign` would place the query in, and raising nprobe
+    strictly widens the candidate set. O(n_cells) rows; the window sorts
+    a single broadcast-sized relation."""
+    cent = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    qv = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    w = Window.orderBy(F.col("csim").desc(), "cid")
+    return (
+        qv.join(F.broadcast(cent))
+        .select(
+            "cid",
+            cosine_similarity(F.col("q_vec"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn("prnk", F.row_number().over(w))
+        .filter(F.col("prnk") <= nprobe)
+        .select(F.col("cid").alias("p_cell"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,
     k: int = 10,
     n_cells: int = 16,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF probe-1 ANN: score only vectors in the query's cell. Recall < 1
-    by construction (raise nprobe by unioning more cells at scale)."""
+    """IVF ANN: score only vectors in the query's ``nprobe`` nearest
+    cells (:func:`query_probe_cells`). Recall < 1 by construction at
+    nprobe=1; raising nprobe trades scan width for recall exactly as in
+    FAISS IndexIVF — :func:`ann_recall_curve` measures the trade."""
     assigned = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-    q = assigned.filter(F.col(id_col) == query_id).select(
-        F.col("cell").alias("q_cell"), F.col(vec_col).alias("q_vec")
+    probes = query_probe_cells(
+        embeddings, query_id, nprobe, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )
-    cand = assigned.join(F.broadcast(q), F.col("cell") == F.col("q_cell")).filter(
-        F.col(id_col) != query_id
+    qv = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), F.col("cell") == F.col("p_cell"))
+        .filter(F.col(id_col) != query_id)
+        .join(F.broadcast(qv))
     )
     scored = cand.select(
         F.col(id_col),
@@ -674,6 +716,7 @@ def ivf_pq_topk(
     query_id: int,
     k: int = 10,
     n_cells: int = 16,
+    nprobe: int = 1,
     m_sub: int = 8,
     ksub: int = 4,
     iters: int = 1,
@@ -692,23 +735,25 @@ def ivf_pq_topk(
     Scale path: persist codes partitioned by cell — a query prunes to
     its probe cells at the scan, the ADC join is against an O(m·ksub)
     broadcast LUT, and the per-vector sum is map-side combinable.
-    Recall < 1 by construction (probe-1 coarse stage on top of PQ
-    quantization error); raise nprobe / retrain codebooks offline at
-    production scale, exactly as with the float IVF tier.
+    Recall < 1 by construction (coarse quantization on top of PQ
+    quantization error); ``nprobe`` widens the coarse stage to the
+    query's nprobe nearest cells (:func:`query_probe_cells`), exactly
+    as with the float IVF tier; retrain codebooks offline at
+    production scale.
     """
     assigned = ivf_assign(
         embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )
-    qc = assigned.filter(F.col(id_col) == query_id).select(
-        F.col("cell").alias("q_cell")
+    probes = query_probe_cells(
+        embeddings, query_id, nprobe, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )
     cand = (
-        assigned.join(F.broadcast(qc), F.col("cell") == F.col("q_cell"))
+        assigned.join(F.broadcast(probes), F.col("cell") == F.col("p_cell"))
         .select(F.col(id_col).alias("vid"))
     )
-    # Codebooks train on the full corpus; ONLY the probe cell encodes
+    # Codebooks train on the full corpus; ONLY the probe cells encode
     # (per-vector encoding is independent), so the scored relation is
-    # O(cell) rows with no full-corpus codes join.
+    # O(sum of probe-cell sizes) rows with no full-corpus codes join.
     q, codes, cents = _pq_train_encode(
         embeddings, m_sub, ksub, iters, dim, id_col, vec_col,
         encode_ids=cand,
@@ -997,6 +1042,125 @@ def ann_recall_report(
     return (
         per_q.join(hits, "query_id", "left")
         .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "coalesce(n_hits, 0) * 1000000 div n_exact"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def ann_recall_curve(
+    embeddings: DataFrame,
+    nprobes: tuple = (1, 2, 4),
+    n_queries: int = 4,
+    k: int = 10,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-vs-nprobe curve for the IVF index: per (nprobe, anchor),
+    recall@k of the nprobe-cell probe set against the exact answer on
+    the same int64 squared-L2 metric — the tuning report behind the
+    FAISS ``nprobe`` lever. Probe sets NEST (probe ranks come from one
+    deterministic (cosine desc, cid asc) ordering per anchor, shared
+    with :func:`query_probe_cells`), so recall_ppm is monotone
+    non-decreasing in nprobe by construction; the curve quantifies how
+    fast it climbs, which is the number a production store uses to pick
+    nprobe per latency budget.
+
+    Scale shape: ONE scored relation (broadcast anchors, per-row
+    codegen distances) feeds both the exact arm and every nprobe arm —
+    the nprobe fan-out multiplies only the O(queries × probe-cells)
+    candidate subset, not the corpus scan. Probe ranking is an
+    O(queries × n_cells) window. No full-corpus shuffle anywhere.
+    """
+    from .clustering import _dist2, quantize_e6
+
+    spark = embeddings.sparkSession
+    max_np = max(nprobes)
+    assigned = ivf_assign(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    q = assigned.select(
+        F.col(id_col).alias("vid"),
+        quantize_e6(vec_col).alias("q"),
+        F.col(vec_col).alias("vec"),
+        "cell",
+    )
+    anchors = (
+        q.orderBy("vid")
+        .limit(n_queries)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("q").alias("aq"),
+            F.col("vec").alias("avec"),
+        )
+    )
+    cent = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "cid")
+    probes = (
+        anchors.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cid",
+            cosine_similarity(F.col("avec"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn("prnk", F.row_number().over(wp))
+        .filter(F.col("prnk") <= max_np)
+        .select("query_id", F.col("cid").alias("p_cell"), "prnk")
+    )
+    nps = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int")
+    probe_sets = probes.join(nps, probes["prnk"] <= nps["nprobe"]).select(
+        "nprobe", F.col("query_id").alias("p_qid"), "p_cell"
+    )
+    scored = q.join(
+        F.broadcast(anchors.select("query_id", "aq")),
+        F.col("vid") != F.col("query_id"),
+    ).select(
+        "query_id",
+        "vid",
+        "cell",
+        _dist2(F.col("q"), F.col("aq")).alias("dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "vid")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vid")
+    )
+    wnp = Window.partitionBy("nprobe", "query_id").orderBy("dist2", "vid")
+    ivf = (
+        scored.join(
+            F.broadcast(probe_sets),
+            (F.col("query_id") == F.col("p_qid"))
+            & (F.col("cell") == F.col("p_cell")),
+        )
+        .withColumn("rnk", F.row_number().over(wnp))
+        .filter(F.col("rnk") <= k)
+        .select("nprobe", "query_id", F.col("vid").alias("ivf_vid"))
+    )
+    hits = (
+        exact.join(
+            ivf,
+            (exact["query_id"] == ivf["query_id"])
+            & (exact["vid"] == ivf["ivf_vid"]),
+        )
+        .groupBy("nprobe", exact["query_id"])
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        per_q.join(nps)
+        .join(hits, ["nprobe", "query_id"], "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
             "query_id",
             "n_exact",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),

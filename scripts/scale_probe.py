@@ -304,8 +304,12 @@ def replicate_embeddings(spark, factor: int, out: str) -> None:
 def bench_embeddings(spark, emb_path: str) -> dict[str, float]:
     from iowa_liquor_sales_spark.operators.curation import semdedup
     from iowa_liquor_sales_spark.operators.similarity import (
+        ann_recall_curve,
         brute_force_topk,
+        hard_negatives,
+        ivf_pq_topk,
         kcenter_greedy,
+        pq_topk,
     )
 
     emb = spark.read.parquet(emb_path)
@@ -327,6 +331,16 @@ def bench_embeddings(spark, emb_path: str) -> dict[str, float]:
     # O(k) chosen set + one TakeOrdered(1) — wall should track the
     # linear per-round scan, with O(k) driver state regardless of n.
     t("kcenter_k4", kcenter_greedy(emb, k=4))
+    # Round-5 ANN tier. pq/ivf_pq include the in-query Lloyd codebook
+    # train (linear corpus scan) on purpose — that is the worst case; a
+    # production index trains once. ivf_pq encodes only the probe cell,
+    # so its slope should be the train scan, not the encode.
+    t("ann_pq", pq_topk(emb, query_id=0, k=10))
+    t("ann_ivf_pq", ivf_pq_topk(emb, query_id=0, k=10))
+    # hard_negatives / recall ops: broadcast O(anchors), per-row codegen
+    # distances, rank-limited windows — slope should track the scan.
+    t("hard_negatives_k5", hard_negatives(emb))
+    t("recall_curve_np124", ann_recall_curve(emb, nprobes=(1, 2, 4)))
     return timings
 
 
@@ -622,7 +636,11 @@ def main() -> None:
         "O(cells) keeper broadcast — linear in corpus size, the scale path",
         "for semantic dedup. ann_bruteforce = exact top-k, linear scan with",
         "per-partition top-k merge (TakeOrderedAndProject), the verifier",
-        "baseline. (Exact all-pairs near-dup is deliberately NOT probed at",
+        "baseline. ann_pq / ann_ivf_pq include the in-query codebook train",
+        "(linear corpus scan; production trains once); ivf_pq encodes only",
+        "the probe cell. hard_negatives and the nprobe=1,2,4 recall curve",
+        "are broadcast-anchor dataflows whose slope should track the scan.",
+        "(Exact all-pairs near-dup is deliberately NOT probed at",
         "growth: it is O(n²) compute by definition — its scale answer is",
         "the bounded-memory block pairing plus LSH/semdedup composition.)",
         "",

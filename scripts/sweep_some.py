@@ -24,6 +24,8 @@ def main() -> int:
     i = 0
     while i < len(argv):
         if argv[i] == "--sf":
+            if i + 1 >= len(argv):
+                sys.exit("--sf requires a value")
             sf_dir = argv[i + 1]
             i += 2
         else:

@@ -44,6 +44,34 @@ def test_ann_recall_floors(spark):
     assert len(exact & lsh8) >= len(exact & lsh)
 
 
+def test_ivf_multiprobe_monotone_and_full_probe_exact(spark):
+    # Probe sets nest, so recall vs the exact answer is monotone
+    # non-decreasing in nprobe; probing ALL cells makes IVF exhaustive,
+    # i.e. identical to brute force (same metric, same tiebreak).
+    emb = read_table(spark, SF, "embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = _topk_ids(brute_force_topk(emb, qvec, k=10, exclude_ids=[0]))
+    prev = -1
+    for nprobe in (1, 2, 4):
+        got = _topk_ids(ivf_topk(emb, query_id=0, k=10, n_cells=16, nprobe=nprobe))
+        hits = len(exact & got)
+        assert hits >= prev, f"recall dropped at nprobe={nprobe}"
+        prev = hits
+    full = _topk_ids(ivf_topk(emb, query_id=0, k=10, n_cells=16, nprobe=16))
+    assert full == exact
+
+
+def test_ann_recall_curve_monotone(spark):
+    from iowa_liquor_sales_spark.operators.similarity import ann_recall_curve
+
+    emb = read_table(spark, SF, "embeddings")
+    rows = ann_recall_curve(emb, nprobes=(1, 2, 4)).collect()
+    by_np: dict[int, int] = {}
+    for r in rows:
+        by_np[r["nprobe"]] = by_np.get(r["nprobe"], 0) + r["n_hits"]
+    assert by_np[1] <= by_np[2] <= by_np[4]
+
+
 def test_kcenter_greedy_picks_farthest_points(spark):
     from iowa_liquor_sales_spark.operators.similarity import kcenter_greedy
 
