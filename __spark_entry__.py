@@ -3792,6 +3792,42 @@ def _pagerank_oracle(iters: int = 3) -> str:
     )
 
 
+def _textrank_oracle(iters: int = 2, k: int = 20) -> str:
+    # Chained-CTE rendering of text.textrank_keywords: adjacent-word
+    # co-occurrence edges (distinct, symmetrized) + the same unrolled
+    # integer-grid PageRank as _pagerank_oracle, over STRING nodes.
+    parts = [
+        """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        bp AS (SELECT ws[i] AS wa, ws[i + 1] AS wb
+               FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+               WHERE len(ws) >= 2),
+        e AS (SELECT wa AS s, wb AS d FROM bp WHERE wa <> wb
+              UNION SELECT wb AS s, wa AS d FROM bp WHERE wa <> wb),
+        n AS (SELECT DISTINCT s AS node FROM e),
+        deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM n)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+          SELECT e.d AS node, SUM(r{i-1}.r * 85 // (100 * deg.deg)) AS infl
+          FROM e JOIN deg ON e.s = deg.s JOIN r{i-1} ON r{i-1}.node = e.s
+          GROUP BY e.d),
+        r{i} AS (
+          SELECT n.node,
+                 CAST(150000000000 + COALESCE(infl, 0) AS BIGINT) AS r
+          FROM n LEFT JOIN c{i} USING (node))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT node AS word, r AS rank_e12,
+               CAST(row_number() OVER (ORDER BY r DESC, node)
+                    AS INTEGER) AS rnk
+        FROM r{iters} QUALIFY rnk <= {k}"""
+    )
+
+
 def _ppr_oracle(iters: int = 2, seeds: tuple[int, ...] = (2, 4, 6)) -> str:
     # Chained-CTE rendering of graph.pagerank_personalized_e12:
     # hugeint product/floor-div mirrors the Spark DECIMAL(38,0) path
@@ -4396,6 +4432,78 @@ def q_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     from iowa_liquor_sales_spark.operators.similarity import ann_recall_curve
 
     return ann_recall_curve(read_table(spark, sf, "embeddings"))
+
+
+def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    # End-to-end entity resolution (operators/joins.resolve_entities):
+    # fuzzy-match the part-name dictionary (PassJoin blocking +
+    # histogram count filter), connect matches transitively (pointer-
+    # jumping CC), elect the most-used spelling per cluster. The oracle
+    # runs prefilter-free all-pairs levenshtein + recursive reachability.
+    from iowa_liquor_sales_spark.operators.joins import resolve_entities
+
+    return resolve_entities(read_table(spark, sf, "part"), "p_name", max_dist=2)
+
+
+def q_textrank(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus keywords by TextRank (operators/text.textrank_keywords):
+    # adjacent-word co-occurrence graph -> exact integer-grid PageRank
+    # (graph.pagerank_e12, 2 unrolled iterations) -> top-20 words.
+    from iowa_liquor_sales_spark.operators.text import textrank_keywords
+
+    return textrank_keywords(read_table(spark, sf, "documents"), iters=2, k=20)
+
+
+def q_auc(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact distributed ROC-AUC (operators/quality.auc_exact) of doc
+    # length at predicting the 'en' language label: grouped
+    # Mann-Whitney identity, integer pair counts, window over distinct
+    # scores only. The number itself (~0.5, synthetic labels) is not
+    # the point; the exact distributed computation is.
+    from iowa_liquor_sales_spark.operators.quality import auc_exact
+
+    docs = read_table(spark, sf, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return auc_exact(docs, "n_chars", "is_en")
+
+
+def q_audio_segments(spark: SparkSession, sf: str) -> DataFrame:
+    # VAD-shaped energy segmentation (multimodal/binary_ops.
+    # speech_segments over audio_frame_rms, 32-sample frames): frames
+    # at/above the median-ish RMS threshold form gaps-and-islands runs
+    # per payload — the segment units an ASR pipeline feeds downstream.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        attach_payload,
+        audio_frame_rms,
+        speech_segments,
+    )
+
+    docs = attach_payload(read_table(spark, sf, "documents"))
+    frames = audio_frame_rms(docs, frame_samples=32)
+    return speech_segments(frames, threshold_e3=25_500_000)
+
+
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    # Join-key skew diagnosis (operators/quality.join_skew_report):
+    # top-10 heaviest l_orderkey values + exact ppm shares — the
+    # pre-shuffle-join health check that decides between plain shuffle,
+    # AQE skew split, and joins.salted_join.
+    from iowa_liquor_sales_spark.operators.quality import join_skew_report
+
+    return join_skew_report(
+        read_table(spark, sf, "lineitem"), "l_orderkey", top_k=10
+    )
+
+
+def q_ivf_cells(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF index-health report (operators/similarity.ivf_cell_report):
+    # per-cell vector counts + ppm shares, zero-vector cells included —
+    # the imbalance monitor that pairs with q_ann_recall_report (recall
+    # drift is the symptom; a ballooned/starved cell is the cause).
+    from iowa_liquor_sales_spark.operators.similarity import ivf_cell_report
+
+    return ivf_cell_report(read_table(spark, sf, "embeddings"), n_cells=16)
 
 
 def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
@@ -8165,11 +8273,16 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
 # but never driver-re-gated), and the NEW q_ann_multiprobe recall
 # curve. q_personalized_pagerank is exempt from re-gate despite a
 # graph.py diff: the change is an empty-``sources`` ValueError guard +
-# docstring only, unreachable from the gated query. The remaining 45
-# slots backfill the OLDEST never-driver-gated queries (r1/r2 era),
-# per the round-5 verdict's priority order. Still never-gated after
-# this round (the round-7 one-list edit, 34 names): q_compression_ratio
-# (rows-only), q_weighted_sample, q_pack_sequences,
+# docstring only, unreachable from the gated query. Positions 6-11 are
+# the six OTHER new round-6 queries (entity resolution, TextRank,
+# exact AUC, audio segmentation, join-skew report, IVF cell balance).
+# The remaining 39 slots backfill the
+# OLDEST never-driver-gated queries (r1/r2 era), per the round-5
+# verdict's priority order. Still never-gated after this round (the
+# round-7 one-list edit, 40 names): q_compression_ratio (rows-only),
+# q_csv_malformed, q_pii_scrub,
+# q_mix_epochs, q_chunk_documents, q_quantile_filter, q_split_assign,
+# q_weighted_sample, q_pack_sequences,
 # q_dup_rate_by_source, q_corpus_yield, q_dedup_normalized,
 # q_lateral_topk, q_grid_density, q_source_similarity,
 # q_mix_temperature, q_sliding_window, q_length_histogram, q_dup_ngram,
@@ -8182,12 +8295,18 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
 # q_apply_in_arrow. scripts/oracle_sweep.py still checks every entry
 # locally.
 _GATE_HEAD = [
-    # changed-code re-gates + new round-6 query
+    # changed-code re-gates + new round-6 queries
     "q_fuzzy_names",
     "q_ann_ivf",
     "q_ann_ivf_pq",
     "q_kmeans",
     "q_ann_multiprobe",
+    "q_entity_resolution",
+    "q_textrank",
+    "q_auc",
+    "q_audio_segments",
+    "q_skew_report",
+    "q_ivf_cells",
     # oldest never-gated backfill: r1/r2 pipeline + temporal block
     "q_scd2_history",
     "q_merge_upsert",
@@ -8230,13 +8349,6 @@ _GATE_HEAD = [
     "q_set_ops_all",
     "q_json_roundtrip",
     "q_orc_roundtrip",
-    "q_csv_malformed",
-    # curation stragglers
-    "q_pii_scrub",
-    "q_mix_epochs",
-    "q_chunk_documents",
-    "q_quantile_filter",
-    "q_split_assign",
 ]
 
 
@@ -8392,6 +8504,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": q_hard_negatives,
         "q_ann_recall_report": q_ann_recall_report,
         "q_ann_multiprobe": q_ann_multiprobe,
+        "q_entity_resolution": q_entity_resolution,
+        "q_textrank": q_textrank,
+        "q_auc": q_auc,
+        "q_audio_segments": q_audio_segments,
+        "q_skew_report": q_skew_report,
+        "q_ivf_cells": q_ivf_cells,
         "q_keyframes": q_keyframes,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
@@ -10392,6 +10510,130 @@ def oracle_sql() -> dict[str, str]:
             FROM perq p CROSS JOIN nps n
             LEFT JOIN hits h ON h.nprobe = n.nprobe
                             AND h.query_id = p.query_id""",
+        "q_entity_resolution": """
+            WITH RECURSIVE names AS (
+              SELECT p_name AS name, COUNT(*) AS n_rows,
+                     length(p_name) AS len
+              FROM part GROUP BY p_name),
+            pairs AS (
+              SELECT a.name AS na, b.name AS nb
+              FROM names a JOIN names b
+                ON (a.len < b.len OR (a.len = b.len AND a.name < b.name))
+              WHERE levenshtein(a.name, b.name) <= 2),
+            edges AS (SELECT na AS a, nb AS b FROM pairs
+                      UNION SELECT nb AS a, na AS b FROM pairs),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            clusters AS (
+              SELECT a AS name, least(a, MIN(b)) AS cluster
+              FROM reach GROUP BY a),
+            labeled AS (
+              SELECT n.name, n.n_rows,
+                     COALESCE(c.cluster, n.name) AS cluster
+              FROM names n LEFT JOIN clusters c USING (name)),
+            win AS (SELECT cluster, name AS canonical FROM (
+                      SELECT cluster, name,
+                             row_number() OVER (PARTITION BY cluster
+                                 ORDER BY n_rows DESC, name) AS rn
+                      FROM labeled) WHERE rn = 1)
+            SELECT l.name, w.canonical, CAST(l.n_rows AS BIGINT) AS n_rows
+            FROM labeled l JOIN win w USING (cluster)""",
+        "q_textrank": _textrank_oracle(iters=2, k=20),
+        "q_auc": """
+            WITH g AS (
+              SELECT n_chars AS score,
+                     SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos,
+                     SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nneg
+              FROM documents GROUP BY 1),
+            c AS (
+              SELECT npos, nneg,
+                     COALESCE(SUM(nneg) OVER (ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cneg
+              FROM g)
+            SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+                   CAST(SUM(nneg) AS BIGINT) AS n_neg,
+                   CAST(CASE WHEN SUM(npos) > 0 AND SUM(nneg) > 0 THEN
+                        SUM(npos * (2 * cneg + nneg)) * 1000000
+                          // (2 * SUM(npos) * SUM(nneg)) END
+                        AS BIGINT) AS auc_ppm
+            FROM c""",
+        "q_skew_report": """
+            WITH c AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                              COUNT(*) AS n_rows
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT SUM(n_rows) AS total FROM c)
+            SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+                   CAST(row_number() OVER (ORDER BY n_rows DESC, key)
+                        AS INTEGER) AS rnk
+            FROM c, t
+            QUALIFY rnk <= 10""",
+        "q_ivf_cells": """
+            WITH cent AS (SELECT vec_id AS ccid, embedding AS cvec
+                          FROM embeddings WHERE vec_id < 16),
+            cellasg AS (
+              SELECT vec_id AS vid, ccid AS cell FROM (
+                SELECT e.vec_id, c.ccid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding::DOUBLE[],
+                                        c.cvec::DOUBLE[]) DESC,
+                                    c.ccid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+              WHERE rn = 1),
+            cells AS (SELECT CAST(x AS BIGINT) AS cell
+                      FROM generate_series(0, 15) t(x)),
+            cnt AS (SELECT cell, COUNT(*) AS n_vecs FROM cellasg
+                    GROUP BY cell),
+            tot AS (SELECT SUM(n_vecs) AS total FROM cnt)
+            SELECT cells.cell,
+                   CAST(COALESCE(n_vecs, 0) AS BIGINT) AS n_vecs,
+                   CAST(COALESCE(n_vecs, 0) * 1000000 // total
+                        AS BIGINT) AS share_ppm
+            FROM cells LEFT JOIN cnt USING (cell), tot""",
+        "q_audio_segments": """
+            WITH p AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+                              octet_length(CAST(text AS BLOB)) AS nb
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         list_transform(range(0, nb // 2),
+                             i -> CAST(('0x' || substr(h, 4*i + 3, 2)
+                                             || substr(h, 4*i + 1, 2))
+                                       AS BIGINT)) AS samples
+                  FROM p),
+            fr AS (SELECT doc_id, (i // 32) AS frame_id, v
+                   FROM (SELECT doc_id,
+                                generate_subscripts(samples, 1) - 1 AS i,
+                                unnest(samples) AS v
+                         FROM s)),
+            r AS (SELECT doc_id, frame_id,
+                         CAST(floor(sqrt(CAST(SUM(v * v) AS DOUBLE)
+                                         / COUNT(*)) * 1000 + 0.5)
+                              AS BIGINT) AS rms_e3
+                  FROM fr GROUP BY doc_id, frame_id),
+            act AS (SELECT doc_id, frame_id, rms_e3,
+                           frame_id - row_number() OVER (
+                               PARTITION BY doc_id ORDER BY frame_id)
+                             AS grp
+                    FROM r WHERE rms_e3 >= 25500000),
+            seg AS (SELECT doc_id, grp,
+                           MIN(frame_id) AS start_frame,
+                           MAX(frame_id) AS end_frame,
+                           COUNT(*) AS n_frames,
+                           MAX(rms_e3) AS max_rms_e3
+                    FROM act GROUP BY doc_id, grp)
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY start_frame) AS INTEGER) AS seg_id,
+                   CAST(start_frame AS INTEGER) AS start_frame,
+                   CAST(end_frame AS INTEGER) AS end_frame,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(max_rms_e3 AS BIGINT) AS max_rms_e3
+            FROM seg""",
         "q_kmeans": """
             WITH q AS (SELECT vec_id AS vid,
                               list_transform(embedding,

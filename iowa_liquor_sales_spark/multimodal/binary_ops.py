@@ -470,3 +470,49 @@ def scene_changes(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_scenes, SCENE_SCHEMA)
+
+
+def speech_segments(
+    frames: DataFrame,
+    threshold_e3: int,
+    id_col: str = "doc_id",
+    frame_col: str = "frame_id",
+    rms_col: str = "rms_e3",
+) -> DataFrame:
+    """Energy-gated segmentation over per-frame RMS — the VAD
+    (voice-activity-detection) shape: frames at or above
+    ``threshold_e3`` form maximal CONSECUTIVE runs per payload, each
+    run a "speech" segment (the unit an ASR/captioning pipeline feeds
+    to the model). Composes with :func:`audio_frame_rms`, which owns
+    the byte-level decode; this stage is pure DataFrame work.
+
+    Islands via the classic gaps-and-islands trick: within a payload,
+    ``frame_id - row_number()`` is constant exactly on consecutive
+    active frames, so one window + one groupBy yields the runs — no
+    self-join, no per-row Python. Both windows partition by payload id,
+    so at 100 TB the sort is per-document (bounded by frames-per-
+    payload), never global.
+
+    Returns (doc_id, seg_id, start_frame, end_frame, n_frames,
+    max_rms_e3); seg_id numbers a payload's segments in time order.
+    """
+    from pyspark.sql import Window
+
+    act = frames.filter(F.col(rms_col) >= threshold_e3)
+    w = Window.partitionBy(id_col).orderBy(frame_col)
+    g = act.withColumn("grp", F.col(frame_col) - F.row_number().over(w))
+    seg = g.groupBy(id_col, "grp").agg(
+        F.min(frame_col).cast("int").alias("start_frame"),
+        F.max(frame_col).cast("int").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.max(rms_col).cast("long").alias("max_rms_e3"),
+    )
+    w2 = Window.partitionBy(id_col).orderBy("start_frame")
+    return seg.select(
+        id_col,
+        F.row_number().over(w2).cast("int").alias("seg_id"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "max_rms_e3",
+    )

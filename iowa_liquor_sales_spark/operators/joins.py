@@ -371,3 +371,55 @@ def fuzzy_pairs(
             "n_rows_b",
         )
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """End-to-end entity resolution over a string column: map every
+    distinct value to ONE canonical surface form — the classic
+    match → cluster → survive flow (dirty dimension canonicalization,
+    author/brand/store-name consolidation before a star-schema load).
+
+    Three stages, each already the scale-safe primitive:
+
+    1. match: :func:`fuzzy_pairs` (PassJoin segment blocking +
+       histogram count filter) finds every distinct-value pair within
+       ``max_dist`` Levenshtein edits;
+    2. cluster: :func:`..graph.connected_components` (log-round
+       pointer jumping) labels each matched value with its component's
+       MINIMUM value — transitive closure, so A~B~C canonicalize
+       together even when A and C don't match directly;
+    3. survive: per cluster, the canonical form is the value with the
+       LARGEST row count (ties to the lexicographically smaller) — the
+       "most-used spelling wins" survivorship rule, one min_by over a
+       (-n_rows, name) struct.
+
+    Returns (name, canonical, n_rows) for every distinct input value;
+    values with no fuzzy partner are their own canonical (the left
+    join + coalesce keeps singletons out of the CC entirely, so the
+    iterative stage only touches the matched subgraph).
+    """
+    from .graph import connected_components
+
+    names = df.groupBy(F.col(col).alias("name")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    pairs = fuzzy_pairs(df, col, max_dist=max_dist).select("name_a", "name_b")
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    labeled = (
+        names.join(comp, names["name"] == comp["node"], "left")
+        .select(
+            "name",
+            "n_rows",
+            F.coalesce(F.col("component"), F.col("name")).alias("cluster"),
+        )
+    )
+    winners = labeled.groupBy("cluster").agg(
+        F.min_by(
+            "name", F.struct((-F.col("n_rows")).alias("neg"), F.col("name"))
+        ).alias("canonical")
+    )
+    return labeled.join(winners, "cluster").select("name", "canonical", "n_rows")

@@ -344,3 +344,92 @@ def bucket_checksum_diff(
             F.coalesce("checksum_b", F.lit(0)).cast("long").alias("checksum_b"),
         )
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC as a single distributed aggregate — the
+    classifier-eval number every quality-filter training loop watches
+    (e.g. a fastText/logreg quality score vs a held-out label), computed
+    without collecting scores to the driver.
+
+    Uses the grouped Mann–Whitney identity: group rows BY SCORE first
+    (one map-side-combinable aggregate to the O(distinct-scores)
+    relation), then for each score group the positives beat every
+    negative in strictly-lower groups and half-tie with negatives in
+    their own group:
+
+        AUC = sum_g( npos_g * (cum_neg_below_g + nneg_g / 2) )
+              / (n_pos * n_neg)
+
+    Everything stays integer: the numerator is accumulated as
+    ``npos_g * (2*cum_neg_below + nneg_g)`` (twice the pair count) and
+    the result is emitted as ``auc_ppm = 2N * 1e6 div (2 * n_pos *
+    n_neg)`` — exact, engine-portable, no float summation order issues.
+
+    The running-negatives window orders the GROUPED relation, so its
+    cost is O(distinct scores), not O(rows) — for continuous scores,
+    quantize to a grid first (same contract as the sketch operators).
+    Returns one row (n_pos, n_neg, auc_ppm); auc_ppm is NULL when
+    either class is empty.
+    """
+    from pyspark.sql import Window
+
+    is_pos = F.col(label_col).cast("boolean")
+    g = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).cast("long").alias("npos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).cast("long").alias("nneg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn("cneg", F.coalesce(F.sum("nneg").over(w), F.lit(0)))
+    return c.agg(
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum("nneg").cast("long").alias("n_neg"),
+        F.expr(
+            "CASE WHEN sum(npos) > 0 AND sum(nneg) > 0 THEN"
+            " sum(npos * (2 * cneg + nneg)) * 1000000"
+            " div (2 * sum(npos) * sum(nneg)) END"
+        ).cast("long").alias("auc_ppm"),
+    )
+
+
+def join_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnosis — the report to run BEFORE a big
+    shuffle join ships: per-key row counts for the ``top_k`` heaviest
+    keys plus each key's exact share of the table in ppm. A top-1
+    share in the percents is the cue to salt that key
+    (:func:`..joins.salted_join`) or lean on AQE skew splitting; flat
+    shares mean the plain shuffle is safe.
+
+    One map-side-combinable count aggregate to the O(distinct keys)
+    relation, a scalar total attached as a 1-row broadcast, and a
+    global sort LIMITed to ``top_k`` (TakeOrderedAndProject — never a
+    full single-partition sort). All integer arithmetic.
+
+    Returns (key, n_rows, share_ppm, rnk), heaviest first.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    top = (
+        counts.join(broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("n_rows * 1000000 div total").alias("share_ppm"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), "key")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

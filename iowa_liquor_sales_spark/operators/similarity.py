@@ -1229,3 +1229,45 @@ def kcenter_greedy(
         [(r, p, d) for r, p, d, _ in chosen],
         "round int, vec_id long, sel_dist long",
     )
+
+
+def ivf_cell_report(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index-health report: per coarse cell, how many vectors live
+    there and the cell's exact ppm share of the corpus — the imbalance
+    monitor that pairs with :func:`ann_recall_report` (recall drift is
+    the SYMPTOM; a ballooning cell after skewed ingest is the usual
+    CAUSE, because probe-1 latency is the biggest cell you probe and
+    recall collapses for queries landing in starved cells).
+
+    Cells with zero vectors still appear (n_vecs = 0) — a starved cell
+    is signal, not absence. One broadcast-centroid argmax
+    (:func:`ivf_assign`) + one O(n_cells) aggregate; nothing here
+    shuffles more than the cell histogram.
+
+    Returns (cell, n_vecs, share_ppm).
+    """
+    assigned = ivf_assign(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    spark = embeddings.sparkSession
+    cells = spark.range(n_cells).select(F.col("id").cast("long").alias("cell"))
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    total = counts.agg(F.sum("n_vecs").alias("total"))
+    return (
+        cells.join(counts, "cell", "left")
+        .join(F.broadcast(total))
+        .select(
+            "cell",
+            F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs"),
+            F.expr(
+                "coalesce(n_vecs, 0) * 1000000 div total"
+            ).alias("share_ppm"),
+        )
+    )

@@ -997,3 +997,60 @@ def repetition_stats(
             ).alias("dup5_ppm"),
         )
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau, EMNLP 2004):
+    build the word co-occurrence graph — an undirected edge between
+    each pair of ADJACENT words — and rank words by PageRank over it;
+    high-rank words are the terms the corpus "keeps returning to", the
+    unsupervised keyword/keyphrase primitive.
+
+    The edge build is pure Catalyst array work (one transform over the
+    split word array per document, then a global distinct); ranking
+    reuses :func:`..graph.pagerank_e12` — the exact int64-grid PageRank
+    whose unrolled iterations the DuckDB oracle replays bit-for-bit —
+    over the symmetrized distinct edge set (classic TextRank is
+    unweighted over a window; window size 2 here). Top-k by
+    (rank desc, word) with a row_number over the already-LIMITed
+    relation, so no full-vocabulary single-partition sort survives in
+    the plan at scale beyond the O(vocab) rank relation itself.
+
+    Returns (word, rank_e12, rnk), the k highest-ranked words.
+    """
+    from .graph import pagerank_e12
+
+    # Guard size >= 2 BEFORE building the index sequence: Spark's
+    # sequence(1, 0) steps DOWNWARD ([1, 0]), which would fabricate
+    # pairs on single-word documents.
+    ws = df.select(F.split(F.col(text_col), " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    pairs = ws.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("p")
+    ).filter(F.col("p.w1") != F.col("p.w2"))
+    edges = (
+        pairs.select(F.col("p.w1").alias("src"), F.col("p.w2").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("p.w2").alias("src"), F.col("p.w1").alias("dst"))
+        )
+        .distinct()
+    )
+    ranks = pagerank_e12(edges, iters=iters)
+    top = ranks.orderBy(F.col("rank_e12").desc(), "node").limit(k)
+    w = Window.orderBy(F.col("rank_e12").desc(), "node")
+    return top.select(
+        F.col("node").alias("word"),
+        "rank_e12",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )

@@ -770,6 +770,19 @@ def main() -> None:
         "operators already encode.",
     ]
 
+    lines += [
+        "",
+        "## Quiet-box rerun: q_pagerank (round-6 check)",
+        "",
+        "q_pagerank's bench wall drifted 2.76 -> 3.25 s across r4 -> r5 on",
+        "UNCHANGED code. Isolated reruns on an idle box (round 6, sf0.1,",
+        "local[32], same session conf as bench.py, 4 runs): 8.83 s cold",
+        "(JIT/codegen), then 2.92 / 2.72 / 2.83 s steady-state — i.e. the",
+        "r5 number is shared-bench noise around a ~2.8 s true cost, the",
+        "same pattern q_session_native showed (flagged r4, reverted r5).",
+        "No codegen regression; no rework warranted.",
+    ]
+
     # Carry over any appendix sections other probes own (the skew-join
     # probe writes its table once; regenerating this file must not drop
     # it).

@@ -918,3 +918,79 @@ def test_fuzzy_pairs_segment_blocking_matches_brute_force(spark):
         if d <= 3:
             want.add((a, b, d))
     assert got == want
+
+
+def test_resolve_entities_transitive_and_survivorship(spark):
+    from iowa_liquor_sales_spark.operators.joins import resolve_entities
+
+    # abcd ~ abce ~ abcf chain (each pair dist 1): one cluster even
+    # though abcd~abcf only via transitivity at d=1; "abce" has the most
+    # rows so it survives; "zzzz" is a singleton mapping to itself.
+    rows = (
+        [("abcd",)] * 2 + [("abce",)] * 5 + [("abcf",)] * 3 + [("zzzz",)]
+    )
+    df = spark.createDataFrame(rows, ["name"])
+    got = {
+        r["name"]: (r["canonical"], r["n_rows"])
+        for r in resolve_entities(df, "name", max_dist=1).collect()
+    }
+    assert got == {
+        "abcd": ("abce", 2),
+        "abce": ("abce", 5),
+        "abcf": ("abce", 3),
+        "zzzz": ("zzzz", 1),
+    }
+
+
+def test_auc_exact_known_values(spark):
+    from iowa_liquor_sales_spark.operators.quality import auc_exact
+
+    # Perfect separation -> 1.0; all-tied -> 0.5; one discordant pair
+    # among 2x2 -> 0.75.
+    perfect = spark.createDataFrame(
+        [(1, False), (2, False), (3, True), (4, True)], ["s", "y"]
+    )
+    assert auc_exact(perfect, "s", "y").head()["auc_ppm"] == 1_000_000
+    tied = spark.createDataFrame([(7, True), (7, False)], ["s", "y"])
+    assert auc_exact(tied, "s", "y").head()["auc_ppm"] == 500_000
+    mixed = spark.createDataFrame(
+        [(1, False), (2, True), (3, False), (4, True)], ["s", "y"]
+    )
+    assert auc_exact(mixed, "s", "y").head()["auc_ppm"] == 750_000
+    empty_class = spark.createDataFrame([(1, True)], ["s", "y"])
+    assert auc_exact(empty_class, "s", "y").head()["auc_ppm"] is None
+
+
+def test_speech_segments_islands(spark):
+    from iowa_liquor_sales_spark.multimodal.binary_ops import speech_segments
+
+    frames = spark.createDataFrame(
+        [
+            (1, 0, 50), (1, 1, 10), (1, 2, 60), (1, 3, 70), (1, 4, 10),
+            (2, 0, 90),
+        ],
+        ["doc_id", "frame_id", "rms_e3"],
+    )
+    got = sorted(
+        (r["doc_id"], r["seg_id"], r["start_frame"], r["end_frame"],
+         r["n_frames"], r["max_rms_e3"])
+        for r in speech_segments(frames, threshold_e3=50).collect()
+    )
+    assert got == [
+        (1, 1, 0, 0, 1, 50),
+        (1, 2, 2, 3, 2, 70),
+        (2, 1, 0, 0, 1, 90),
+    ]
+
+
+def test_textrank_single_word_docs_make_no_edges(spark):
+    from iowa_liquor_sales_spark.operators.text import textrank_keywords
+
+    # sequence(1, 0) steps DOWNWARD in Spark — a single-word doc must
+    # not fabricate pairs. Two-word docs make a 2-cycle; ranks equal.
+    df = spark.createDataFrame(
+        [("solo",), ("alpha beta",)], ["text"]
+    )
+    rows = textrank_keywords(df, iters=1, k=10).collect()
+    assert {r["word"] for r in rows} == {"alpha", "beta"}
+    assert len({r["rank_e12"] for r in rows}) == 1
