@@ -3828,6 +3828,35 @@ def _textrank_oracle(iters: int = 2, k: int = 20) -> str:
     )
 
 
+def _coreness_oracle(rounds: int = 3) -> str:
+    # Chained-CTE rendering of graph.coreness_hindex: c0 = degree, then
+    # per round the h-index of neighbor values via a per-node window —
+    # max(least(rank, value)) over the desc-sorted neighbor multiset.
+    parts = [
+        """WITH base AS (
+          SELECT o_custkey % 500 AS s, o_orderkey % 700 AS d FROM orders),
+        und AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+                FROM base WHERE least(s, d) < greatest(s, d)),
+        e AS (SELECT lo AS a, hi AS b FROM und
+              UNION ALL SELECT hi AS a, lo AS b FROM und),
+        c0 AS (SELECT a AS v, COUNT(*) AS c FROM e GROUP BY a)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""n{r} AS (SELECT e.a AS v, c{r-1}.c AS cv
+                 FROM e JOIN c{r-1} ON c{r-1}.v = e.b),
+        c{r} AS (SELECT v, MAX(LEAST(rn, cv)) AS c FROM (
+                   SELECT v, cv, row_number() OVER (
+                       PARTITION BY v ORDER BY cv DESC) AS rn
+                   FROM n{r}) GROUP BY v)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT v AS node, CAST(c AS BIGINT) AS coreness FROM c{rounds}"""
+    )
+
+
 def _ppr_oracle(iters: int = 2, seeds: tuple[int, ...] = (2, 4, 6)) -> str:
     # Chained-CTE rendering of graph.pagerank_personalized_e12:
     # hugeint product/floor-div mirrors the Spark DECIMAL(38,0) path
@@ -4482,6 +4511,36 @@ def q_audio_segments(spark: SparkSession, sf: str) -> DataFrame:
     docs = attach_payload(read_table(spark, sf, "documents"))
     frames = audio_frame_rms(docs, frame_samples=32)
     return speech_segments(frames, threshold_e3=25_500_000)
+
+
+def q_coreness(spark: SparkSession, sf: str) -> DataFrame:
+    # Full k-core decomposition in one relation (operators/graph.
+    # coreness_hindex): iterated neighbor h-indices converge from
+    # degree down to each node's core number (Lü et al. 2016) — where
+    # q_kcore answers membership at ONE k, this ranks every node. Same
+    # orders-derived graph as q_kcore; 3 unrolled rounds.
+    from iowa_liquor_sales_spark.operators.graph import coreness_hindex
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        (F.col("o_orderkey") % 700).alias("dst"),
+    )
+    return coreness_hindex(edges, rounds=3)
+
+
+def q_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    # MinHash estimator calibration (operators/dedup.
+    # minhash_calibration_report): |signature estimate - exact Jaccard|
+    # per exact-Jaccard decile over the LSH candidate pairs — the
+    # trust-the-estimate report for signature-only dedup decisions.
+    from iowa_liquor_sales_spark.operators.dedup import (
+        minhash_calibration_report,
+    )
+
+    return minhash_calibration_report(
+        read_table(spark, sf, "documents"), "text", "doc_id"
+    )
 
 
 def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -8273,13 +8332,15 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
 # but never driver-re-gated), and the NEW q_ann_multiprobe recall
 # curve. q_personalized_pagerank is exempt from re-gate despite a
 # graph.py diff: the change is an empty-``sources`` ValueError guard +
-# docstring only, unreachable from the gated query. Positions 6-11 are
-# the six OTHER new round-6 queries (entity resolution, TextRank,
-# exact AUC, audio segmentation, join-skew report, IVF cell balance).
-# The remaining 39 slots backfill the
+# docstring only, unreachable from the gated query. Positions 6-13 are
+# the eight OTHER new round-6 queries (entity resolution, TextRank,
+# exact AUC, audio segmentation, join-skew report, IVF cell balance,
+# h-index coreness, MinHash calibration).
+# The remaining 37 slots backfill the
 # OLDEST never-driver-gated queries (r1/r2 era), per the round-5
 # verdict's priority order. Still never-gated after this round (the
-# round-7 one-list edit, 40 names): q_compression_ratio (rows-only),
+# round-7 one-list edit, 42 names): q_compression_ratio (rows-only),
+# q_json_roundtrip, q_orc_roundtrip,
 # q_csv_malformed, q_pii_scrub,
 # q_mix_epochs, q_chunk_documents, q_quantile_filter, q_split_assign,
 # q_weighted_sample, q_pack_sequences,
@@ -8307,6 +8368,8 @@ _GATE_HEAD = [
     "q_audio_segments",
     "q_skew_report",
     "q_ivf_cells",
+    "q_coreness",
+    "q_minhash_calibration",
     # oldest never-gated backfill: r1/r2 pipeline + temporal block
     "q_scd2_history",
     "q_merge_upsert",
@@ -8347,8 +8410,6 @@ _GATE_HEAD = [
     "q_bool_agg",
     "q_try_arithmetic",
     "q_set_ops_all",
-    "q_json_roundtrip",
-    "q_orc_roundtrip",
 ]
 
 
@@ -8510,6 +8571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_segments": q_audio_segments,
         "q_skew_report": q_skew_report,
         "q_ivf_cells": q_ivf_cells,
+        "q_coreness": q_coreness,
+        "q_minhash_calibration": q_minhash_calibration,
         "q_keyframes": q_keyframes,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
@@ -10560,6 +10623,62 @@ def oracle_sql() -> dict[str, str]:
                           // (2 * SUM(npos) * SUM(nneg)) END
                         AS BIGINT) AS auc_ppm
             FROM c""",
+        "q_coreness": _coreness_oracle(rounds=3),
+        "q_minhash_calibration": f"""
+            WITH {_SHINGLE_CTE},
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            h31 AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                         % 2147483647 AS h31
+              FROM sh
+            ),
+            hx AS (
+              SELECT doc_id, i,
+                     MIN(({_MH_A}[i + 1] * h31 + {_MH_B}[i + 1]) % 2147483647)
+                         AS sig
+              FROM h31, range(32) t(i)
+              GROUP BY doc_id, i
+            ),
+            bands AS (
+              SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                     md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bucket
+              FROM hx GROUP BY doc_id, CAST(i // 4 AS INTEGER)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b USING (band, bucket)
+              WHERE a.doc_id < b.doc_id
+            ),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT c.doc_a, c.doc_b,
+                     SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS mm
+              FROM cand c
+              JOIN hx sa ON sa.doc_id = c.doc_a
+              JOIN hx sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+              GROUP BY 1, 2
+            ),
+            pr AS (
+              SELECT mm * 1000000 // 32 AS est_ppm,
+                     COALESCE(i.inter, 0) * 1000000
+                       // (sa.sz + sb.sz - COALESCE(i.inter, 0)) AS exact_ppm
+              FROM m
+              LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+              JOIN sz sa ON sa.doc_id = m.doc_a
+              JOIN sz sb ON sb.doc_id = m.doc_b
+            )
+            SELECT CAST(exact_ppm // 100000 AS INTEGER) AS jac_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(abs(est_ppm - exact_ppm)) AS BIGINT)
+                       AS sum_abs_err_ppm,
+                   CAST(SUM(abs(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
+                       AS mean_abs_err_ppm
+            FROM pr GROUP BY 1""",
         "q_skew_report": """
             WITH c AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
                               COUNT(*) AS n_rows

@@ -179,6 +179,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
     recall = ann_recall_report(emb, n_queries=4, k=10)
     min_recall = recall.agg(F.min("recall_ppm")).first()[0]
 
+    # 11. estimator QA: before trusting signature-only dedup decisions
+    #     at scale, check how far the MinHash estimate strays from the
+    #     exact Jaccard on the candidate pairs this very run verified —
+    #     worst decile-mean abs error in ppm (Broder-estimator drift
+    #     means: widen signatures or re-band).
+    from iowa_liquor_sales_spark.operators.dedup import (
+        minhash_calibration_report,
+    )
+
+    calib = minhash_calibration_report(docs2, "text", "doc_id")
+    worst_calib = calib.agg(F.max("mean_abs_err_ppm")).first()[0]
+
     stats = {
         "input": n0,
         "after_quality": docs1.count(),
@@ -192,6 +204,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         "kl_drift_e9": drift["kl_ab_e9"],
         "n_hard_negatives": negs.count(),
         "ivf_recall_ppm_min": min_recall,
+        "minhash_worst_decile_err_ppm": worst_calib,
         "outdir": out,
     }
     print(stats)

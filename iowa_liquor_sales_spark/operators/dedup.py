@@ -931,3 +931,109 @@ def cdc_chunks(
             F.col("chunk_hash").cast("long").alias("chunk_hash"),
         )
     )
+
+
+def minhash_calibration_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """MinHash estimator calibration — the observability report that
+    answers "can I trust the signature-only Jaccard estimate at my
+    signature width?": for every LSH candidate pair, compare the
+    SIGNATURE estimate (fraction of agreeing minhash components — the
+    unbiased estimator, Broder 1997) against the EXACT Jaccard, then
+    aggregate |error| per exact-Jaccard decile. A drifting decile row
+    is the cue to widen signatures (or re-band) BEFORE trusting
+    signature-only dedup decisions at 100 TB, where the exact verify is
+    the expensive stage this estimate would replace.
+
+    Everything integer: est_ppm = matches·1e6 div k, exact_ppm =
+    |A∩B|·1e6 div |A∪B|, error = |est−exact| — engine-portable, no
+    float division anywhere. Candidates come from the same banding as
+    :func:`minhash_lsh_pairs` (never all pairs); the report output is
+    O(11) rows.
+
+    Returns (jac_decile, n_pairs, sum_abs_err_ppm, mean_abs_err_ppm).
+    """
+    sh = shingles(df, text_col, id_col, n=n)
+    a_, b_ = affine_params(num_hashes)
+    p = MERSENNE31
+    hashed = sh.select(
+        "doc_id",
+        (hash60("shingle") % F.lit(p)).alias("h31"),
+        F.xxhash64("shingle").alias("h64"),
+    )
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a_[i]) * F.col("h31") + F.lit(b_[i])) % F.lit(p)).alias(
+                f"sig_{i}"
+            )
+            for i in range(num_hashes)
+        ],
+        F.collect_set("h64").alias("hs"),
+    )
+    # Same persist+materialize contract as minhash_lsh_pairs: the
+    # signature relation feeds the band self-join and both sides of the
+    # pair join.
+    per_doc = per_doc.persist()
+    per_doc.count()
+    buckets = minhash_band_buckets(
+        per_doc, rows_per_band=rows_per_band, num_hashes=num_hashes
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sides = per_doc.select(
+        "doc_id",
+        F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("sig"),
+        "hs",
+    )
+    joined = (
+        cand.join(
+            sides.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a", "hs": "set_a"}),
+            "doc_a",
+        )
+        .join(
+            sides.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b", "hs": "set_b"}),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("long")
+    union = (
+        F.size(F.col("set_a")) + F.size(F.col("set_b"))
+    ).cast("long") - inter
+    pairs = joined.select(
+        F.expr(
+            f"aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)),"
+            f" 0L, (acc, v) -> acc + v) * 1000000 div {num_hashes}"
+        ).alias("est_ppm"),
+        (inter * F.lit(1_000_000)).alias("_in"),
+        union.alias("_un"),
+    ).select(
+        "est_ppm",
+        F.expr("_in div _un").alias("exact_ppm"),
+    )
+    err = F.abs(F.col("est_ppm") - F.col("exact_ppm"))
+    return (
+        pairs.select(
+            F.expr("exact_ppm div 100000").cast("int").alias("jac_decile"),
+            err.alias("err"),
+        )
+        .groupBy("jac_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("err").cast("long").alias("sum_abs_err_ppm"),
+            F.expr("sum(err) div count(1)").cast("long").alias("mean_abs_err_ppm"),
+        )
+    )

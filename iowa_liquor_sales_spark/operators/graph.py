@@ -1231,3 +1231,70 @@ def sssp_rounds(
     return dist.filter(F.col("dist").isNotNull()).select(
         "node", F.col("dist").cast("long").alias("dist")
     )
+
+
+def coreness_hindex(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node CORENESS via iterated neighbor h-indices (Lü, Zhou,
+    Zhang, Stanley: "The H-index of a network node and its relation to
+    degree and coreness", Nature Communications 2016): start from
+    c₀ = degree; each round replaces every node's value with the
+    h-index of its neighbors' values (the largest h such that ≥ h
+    neighbors hold value ≥ h). The sequence decreases monotonically and
+    converges to the node's core number — the full k-core decomposition
+    in one relation, where :func:`kcore` answers only membership at one
+    fixed k.
+
+    Fixed ``rounds`` (not run-to-convergence) so the plan unrolls into
+    a finite chain the DuckDB oracle mirrors with chained CTEs —
+    the same contract as :func:`kcore`/:func:`bfs_hops`; production
+    loops until the value sum stops changing, localCheckpoint per
+    round. Values only decrease, so extra rounds past convergence are
+    no-ops.
+
+    Scale shape per round: one equi-join of the (pre-partitioned,
+    checkpointed) symmetric edge list against the O(V) value relation +
+    one per-node window whose partition size is the node's DEGREE (the
+    h-index needs the neighbor multiset sorted once) + a max aggregate.
+    The h-index extraction ``max(least(rank, value))`` is exact integer
+    arithmetic — tie order inside equal values cannot change it.
+
+    Returns (node, coreness) — after enough rounds, coreness is the
+    node's exact core number.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .unionAll(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+        .repartition(F.col("b"))
+        .localCheckpoint(eager=True)
+    )
+    c = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("a").orderBy(F.col("cv").desc())
+    for r in range(rounds):
+        nb = sym.join(
+            c.withColumnRenamed("v", "b").withColumnRenamed("c", "cv"), "b"
+        ).select("a", "cv")
+        c = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("c"))
+        )
+        if r < rounds - 1:
+            c = c.localCheckpoint(eager=True)
+    return c.select(F.col("v").alias("node"), F.col("c").cast("long").alias("coreness"))

@@ -183,6 +183,7 @@ def fuzzy_pairs(
     col: str,
     max_dist: int = 3,
     observations: dict | None = None,
+    hist_filter: bool = True,
 ) -> DataFrame:
     """Fuzzy self-match over a string dictionary: pairs of DISTINCT
     values within ``max_dist`` Levenshtein edits, each weighted by its
@@ -228,7 +229,18 @@ def fuzzy_pairs(
     pairs entering the edit-distance verify) and ``"matches"`` — the
     same counters `dedup.allpairs_jaccard` exposes, so a 100 TB run can
     distinguish candidate blowup (blocking failing on a pathological
-    dictionary) from verify-stage cost.
+    dictionary) from verify-stage cost. FALLBACK TRIGGER: on hex-like
+    dictionaries concentrated at a few lengths, candidates/name still
+    grows with dictionary size (segment agreement is exact-substring
+    luck, and luck scales with names-per-length) — when the candidates
+    Observation exceeds ~100×matches or ~50/name, stop fuzzy-joining
+    the dictionary wholesale and switch the pair source to q-gram
+    MinHash-LSH over the names (``dedup.minhash_lsh_pairs`` with
+    character shingles), keeping this verify stage unchanged — the same
+    escalation `dedup.allpairs_jaccard` documents.
+
+    ``hist_filter=False`` disables the histogram count filter (the
+    scale probe uses it to attribute blocking power per level).
     """
     d = max_dist
     nseg = d + 1
@@ -344,7 +356,7 @@ def fuzzy_pairs(
             & (a["seg_text"] == b["seg_text"]),
         )
         .filter(orient)
-        .filter(hist_l1 <= 2 * d)
+        .filter(hist_l1 <= 2 * d if hist_filter else F.lit(True))
         .select("name_a", "name_b", "n_rows_a", "n_rows_b")
         .distinct()
     )

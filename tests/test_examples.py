@@ -37,6 +37,13 @@ def test_curation_pipeline_monotone(spark):
     # contrastive prep: 4 anchors x 3 negatives; index QA in [0, 1e6]
     assert stats["n_hard_negatives"] == 12
     assert 0 <= stats["ivf_recall_ppm_min"] <= 1_000_000
+    # estimator QA: worst decile-mean |minhash - exact| stays a fraction
+    # of the [0, 1e6] ppm scale (32-hash signatures). None is legal —
+    # it means the LSH banding produced zero candidate pairs at this
+    # tiny sf (the text/embedding union can still cluster docs via the
+    # embedding side alone).
+    if stats["minhash_worst_decile_err_ppm"] is not None:
+        assert 0 <= stats["minhash_worst_decile_err_ppm"] <= 500_000
 
 
 def test_stream_demo_end_to_end(spark):

@@ -994,3 +994,21 @@ def test_textrank_single_word_docs_make_no_edges(spark):
     rows = textrank_keywords(df, iters=1, k=10).collect()
     assert {r["word"] for r in rows} == {"alpha", "beta"}
     assert len({r["rank_e12"] for r in rows}) == 1
+
+
+def test_coreness_hindex_converges_to_core_numbers(spark):
+    from iowa_liquor_sales_spark.operators.graph import coreness_hindex
+
+    # K4 on {0,1,2,3} (coreness 3 each) with a pendant chain 3-10-11:
+    # node 10 sits on a path -> coreness 1, node 11 likewise. Three
+    # rounds are enough here (values only decrease toward the core
+    # number).
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    edges = spark.createDataFrame(
+        k4 + [(3, 10), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["coreness"]
+        for r in coreness_hindex(edges, rounds=3).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1}
