@@ -4513,6 +4513,20 @@ def q_audio_segments(spark: SparkSession, sf: str) -> DataFrame:
     return speech_segments(frames, threshold_e3=25_500_000)
 
 
+def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    # Pairwise association rules (operators/aggregates.
+    # association_rules): support/confidence/lift over order baskets at
+    # part-category granularity (l_partkey % 50 — raw part pairs are
+    # singletons at test sf). Basket-key self-join only; exact ppm/1e-6
+    # integer measures through DECIMAL(38,0).
+    from iowa_liquor_sales_spark.operators.aggregates import association_rules
+
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("cat")
+    )
+    return association_rules(li, "l_orderkey", "cat", min_support_ppm=5000)
+
+
 def q_coreness(spark: SparkSession, sf: str) -> DataFrame:
     # Full k-core decomposition in one relation (operators/graph.
     # coreness_hindex): iterated neighbor h-indices converge from
@@ -8332,15 +8346,15 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
 # but never driver-re-gated), and the NEW q_ann_multiprobe recall
 # curve. q_personalized_pagerank is exempt from re-gate despite a
 # graph.py diff: the change is an empty-``sources`` ValueError guard +
-# docstring only, unreachable from the gated query. Positions 6-13 are
-# the eight OTHER new round-6 queries (entity resolution, TextRank,
+# docstring only, unreachable from the gated query. Positions 6-14 are
+# the nine OTHER new round-6 queries (entity resolution, TextRank,
 # exact AUC, audio segmentation, join-skew report, IVF cell balance,
-# h-index coreness, MinHash calibration).
-# The remaining 37 slots backfill the
+# h-index coreness, MinHash calibration, association rules).
+# The remaining 36 slots backfill the
 # OLDEST never-driver-gated queries (r1/r2 era), per the round-5
 # verdict's priority order. Still never-gated after this round (the
-# round-7 one-list edit, 42 names): q_compression_ratio (rows-only),
-# q_json_roundtrip, q_orc_roundtrip,
+# round-7 one-list edit, 43 names): q_compression_ratio (rows-only),
+# q_set_ops_all, q_json_roundtrip, q_orc_roundtrip,
 # q_csv_malformed, q_pii_scrub,
 # q_mix_epochs, q_chunk_documents, q_quantile_filter, q_split_assign,
 # q_weighted_sample, q_pack_sequences,
@@ -8370,6 +8384,7 @@ _GATE_HEAD = [
     "q_ivf_cells",
     "q_coreness",
     "q_minhash_calibration",
+    "q_assoc_rules",
     # oldest never-gated backfill: r1/r2 pipeline + temporal block
     "q_scd2_history",
     "q_merge_upsert",
@@ -8409,7 +8424,6 @@ _GATE_HEAD = [
     "q_posexplode",
     "q_bool_agg",
     "q_try_arithmetic",
-    "q_set_ops_all",
 ]
 
 
@@ -8573,6 +8587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_cells": q_ivf_cells,
         "q_coreness": q_coreness,
         "q_minhash_calibration": q_minhash_calibration,
+        "q_assoc_rules": q_assoc_rules,
         "q_keyframes": q_keyframes,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
@@ -10623,6 +10638,29 @@ def oracle_sql() -> dict[str, str]:
                           // (2 * SUM(npos) * SUM(nneg)) END
                         AS BIGINT) AS auc_ppm
             FROM c""",
+        "q_assoc_rules": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS o,
+                                  l_partkey % 50 AS item
+                           FROM lineitem),
+            nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM items),
+            freq AS (SELECT item, COUNT(*) AS n_item FROM items
+                     GROUP BY item),
+            p AS (SELECT a.item AS ante, b.item AS cons, COUNT(*) AS n_xy
+                  FROM items a JOIN items b
+                    ON a.o = b.o AND a.item <> b.item
+                  GROUP BY 1, 2)
+            SELECT ante, cons, CAST(n_xy AS BIGINT) AS n_xy,
+                   CAST(n_xy * 1000000 // n_baskets AS BIGINT)
+                       AS support_ppm,
+                   CAST(n_xy * 1000000 // fx.n_item AS BIGINT)
+                       AS confidence_ppm,
+                   CAST((CAST(n_xy AS HUGEINT) * n_baskets * 1000000)
+                        // (CAST(fx.n_item AS HUGEINT) * fy.n_item)
+                        AS BIGINT) AS lift_e6
+            FROM p
+            JOIN freq fx ON fx.item = p.ante
+            JOIN freq fy ON fy.item = p.cons, nb
+            WHERE n_xy * 1000000 // n_baskets >= 5000""",
         "q_coreness": _coreness_oracle(rounds=3),
         "q_minhash_calibration": f"""
             WITH {_SHINGLE_CTE},

@@ -266,3 +266,74 @@ def exact_group_quantiles(
             ).alias(f"{name}_x{q}")
         )
     return staged.filter(keep).groupBy("_g").agg(*aggs).select(*outs)
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_ppm: int = 5000,
+) -> DataFrame:
+    """Pairwise association rules over baskets — support / confidence /
+    lift (Agrawal & Srikant's Apriori measures, VLDB 1994, at rule
+    length 2): for each directed item pair (ante → cons) co-occurring
+    in a basket, how often the pair appears (support), how often cons
+    follows given ante (confidence), and how much MORE often than
+    independence predicts (lift). The market-basket / co-recommendation
+    primitive; with items = token classes it doubles as a corpus
+    co-occurrence-strength report.
+
+    All-exact integer outputs: support/confidence in ppm by integral
+    division; lift in 1e-6 units through a DECIMAL(38,0) product so
+    ``n_xy · n_baskets · 1e6`` cannot wrap for any int64 counts (the
+    DuckDB twin runs the same arithmetic in HUGEINT — engine-identical
+    truncation).
+
+    Scale shape: one distinct (basket, item) projection; the pair
+    generation is a self-join ON THE BASKET KEY ONLY — fanout is
+    Σ k_b·(k_b−1) over basket sizes k_b, the irreducible pair-instance
+    count, never items × items — followed by a map-side-combinable
+    (ante, cons) count. Item frequencies and the 1-row basket total
+    attach as broadcasts. The support filter prunes before the measure
+    arithmetic.
+
+    Returns (ante, cons, n_xy, support_ppm, confidence_ppm, lift_e6).
+    """
+    items = df.select(
+        F.col(basket_col).alias("o"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = items.select(F.countDistinct("o").alias("n_baskets"))
+    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.item") != F.col("b.item")))
+        .groupBy(
+            F.col("a.item").alias("ante"), F.col("b.item").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(freq.withColumnsRenamed({"item": "ante", "n_item": "n_x"})),
+            "ante",
+        )
+        .join(
+            F.broadcast(freq.withColumnsRenamed({"item": "cons", "n_item": "n_y"})),
+            "cons",
+        )
+        .join(F.broadcast(n_baskets))
+        .withColumn("support_ppm", F.expr("n_xy * 1000000 div n_baskets"))
+        .filter(F.col("support_ppm") >= min_support_ppm)
+    )
+    return joined.select(
+        "ante",
+        "cons",
+        F.col("n_xy").cast("long").alias("n_xy"),
+        F.col("support_ppm").cast("long").alias("support_ppm"),
+        F.expr("n_xy * 1000000 div n_x").cast("long").alias("confidence_ppm"),
+        F.expr(
+            "CAST(CAST(n_xy AS DECIMAL(38,0)) * n_baskets * 1000000"
+            " div (CAST(n_x AS DECIMAL(38,0)) * n_y) AS BIGINT)"
+        ).alias("lift_e6"),
+    )

@@ -570,3 +570,77 @@ def test_fuzzy_pairs_passjoin_completeness_property(spark, base, data):
         if lev(a, b) <= 3:
             want.add((a, b))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_settings
+def test_auc_exact_matches_pairwise_definition_property(spark, rows):
+    """auc_exact's grouped Mann-Whitney form must equal the O(n²)
+    pairwise definition — wins + half-ties over pos×neg pairs — on
+    arbitrary small integer scores (heavy ties on purpose)."""
+    from iowa_liquor_sales_spark.operators.quality import auc_exact
+
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = auc_exact(df, "s", "y").head()
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert got["auc_ppm"] is None
+        return
+    num2 = sum(
+        2 if p > n_ else (1 if p == n_ else 0) for p in pos for n_ in neg
+    )
+    assert got["auc_ppm"] == num2 * 1_000_000 // (2 * len(pos) * len(neg))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_coreness_hindex_property_vs_exact_peeling(spark, edges):
+    """On random 10-node graphs, coreness_hindex with enough rounds must
+    equal the exact core number from textbook peeling (repeatedly delete
+    min-degree nodes below k)."""
+    from iowa_liquor_sales_spark.operators.graph import coreness_hindex
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not simple:
+        return
+    df = spark.createDataFrame(sorted(simple), ["src", "dst"])
+    # 10 rounds >> convergence on 10 nodes
+    got = {
+        r["node"]: r["coreness"]
+        for r in coreness_hindex(df, rounds=10).collect()
+    }
+
+    # exact coreness by iterative peeling
+    adj: dict[int, set[int]] = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    live = dict(adj)
+    k = 0
+    while live:
+        k += 1
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in live.items() if len(ns) < k]:
+                core[v] = k - 1
+                for u in live[v]:
+                    live[u].discard(v)
+                del live[v]
+                changed = True
+    assert got == core
