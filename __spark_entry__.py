@@ -4513,6 +4513,19 @@ def q_audio_segments(spark: SparkSession, sf: str) -> DataFrame:
     return speech_segments(frames, threshold_e3=25_500_000)
 
 
+def q_reliability(spark: SparkSession, sf: str) -> DataFrame:
+    # Calibration curve (operators/quality.reliability_bins): per
+    # score-decile positive rate vs mean normalized score — the
+    # companion to q_auc (ranking vs calibration). Same synthetic
+    # score/label pair; the exact distributed aggregate is the point.
+    from iowa_liquor_sales_spark.operators.quality import reliability_bins
+
+    docs = read_table(spark, sf, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return reliability_bins(docs, "n_chars", "is_en", n_bins=10)
+
+
 def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     # Pairwise association rules (operators/aggregates.
     # association_rules): support/confidence/lift over order baskets at
@@ -8349,12 +8362,13 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
 # docstring only, unreachable from the gated query. Positions 6-14 are
 # the nine OTHER new round-6 queries (entity resolution, TextRank,
 # exact AUC, audio segmentation, join-skew report, IVF cell balance,
-# h-index coreness, MinHash calibration, association rules).
-# The remaining 36 slots backfill the
+# h-index coreness, MinHash calibration, association rules,
+# reliability diagram).
+# The remaining 35 slots backfill the
 # OLDEST never-driver-gated queries (r1/r2 era), per the round-5
 # verdict's priority order. Still never-gated after this round (the
-# round-7 one-list edit, 43 names): q_compression_ratio (rows-only),
-# q_set_ops_all, q_json_roundtrip, q_orc_roundtrip,
+# round-7 one-list edit, 44 names): q_compression_ratio (rows-only),
+# q_try_arithmetic, q_set_ops_all, q_json_roundtrip, q_orc_roundtrip,
 # q_csv_malformed, q_pii_scrub,
 # q_mix_epochs, q_chunk_documents, q_quantile_filter, q_split_assign,
 # q_weighted_sample, q_pack_sequences,
@@ -8385,6 +8399,7 @@ _GATE_HEAD = [
     "q_coreness",
     "q_minhash_calibration",
     "q_assoc_rules",
+    "q_reliability",
     # oldest never-gated backfill: r1/r2 pipeline + temporal block
     "q_scd2_history",
     "q_merge_upsert",
@@ -8423,7 +8438,6 @@ _GATE_HEAD = [
     "q_date_arith",
     "q_posexplode",
     "q_bool_agg",
-    "q_try_arithmetic",
 ]
 
 
@@ -8588,6 +8602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_coreness": q_coreness,
         "q_minhash_calibration": q_minhash_calibration,
         "q_assoc_rules": q_assoc_rules,
+        "q_reliability": q_reliability,
         "q_keyframes": q_keyframes,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
@@ -10638,6 +10653,27 @@ def oracle_sql() -> dict[str, str]:
                           // (2 * SUM(npos) * SUM(nneg)) END
                         AS BIGINT) AS auc_ppm
             FROM c""",
+        "q_reliability": """
+            WITH m AS (SELECT MAX(n_chars) AS smax FROM documents),
+            b AS (SELECT least(n_chars * 10 // (smax + 1), 9) AS bin,
+                         n_chars AS score,
+                         (lang = 'en') AS y,
+                         smax
+                  FROM documents, m),
+            g AS (SELECT bin, COUNT(*) AS n_rows,
+                         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+                         SUM(score) AS ssum, MAX(smax) AS smax
+                  FROM b GROUP BY bin)
+            SELECT CAST(bin AS INTEGER) AS bin,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_pos * 1000000 // n_rows AS BIGINT)
+                       AS pos_rate_ppm,
+                   CAST(CASE WHEN smax > 0 THEN
+                        (CAST(ssum AS HUGEINT) * 1000000)
+                          // (CAST(n_rows AS HUGEINT) * smax)
+                        ELSE 0 END AS BIGINT) AS mean_score_ppm
+            FROM g""",
         "q_assoc_rules": """
             WITH items AS (SELECT DISTINCT l_orderkey AS o,
                                   l_partkey % 50 AS item

@@ -433,3 +433,58 @@ def join_skew_report(
     )
     w = Window.orderBy(F.col("n_rows").desc(), "key")
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def reliability_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram (calibration curve) as one aggregate — the
+    companion report to :func:`auc_exact`: AUC says the score RANKS
+    well; this says whether its MAGNITUDE means what it claims. Rows
+    bin by score into ``n_bins`` equal-width bins over [0, max(score)];
+    per bin, the positive rate vs the mean (max-normalized) score — a
+    well-calibrated filter has the two track each other, and a decile
+    whose positive rate drifts from its score is exactly the slice of a
+    quality classifier to re-threshold before a 100 TB curation run.
+
+    Scores must be non-negative integers (quantize first — the engine's
+    standard grid contract). All outputs exact: rates in ppm by
+    integral division, the mean score through a DECIMAL(38,0) product
+    so ``sum(score)·1e6`` cannot wrap.
+
+    One map-side-combinable aggregate to O(n_bins) rows; the score max
+    attaches as a 1-row broadcast. Returns (bin, n_rows, n_pos,
+    pos_rate_ppm, mean_score_ppm).
+    """
+    smax = df.agg(F.max(F.col(score_col)).alias("smax"))
+    binned = df.join(broadcast(smax)).select(
+        F.expr(
+            f"least({score_col} * {n_bins} div (smax + 1), {n_bins - 1})"
+        ).cast("int").alias("bin"),
+        F.col(score_col).alias("score"),
+        F.col(label_col).cast("boolean").alias("y"),
+        "smax",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum("score").alias("ssum"),
+            F.max("smax").alias("smax"),
+        )
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            F.expr("n_pos * 1000000 div n_rows").cast("long").alias("pos_rate_ppm"),
+            F.expr(
+                "CASE WHEN smax > 0 THEN CAST(CAST(ssum AS DECIMAL(38,0))"
+                " * 1000000 div (CAST(n_rows AS DECIMAL(38,0)) * smax)"
+                " AS BIGINT) ELSE 0 END"
+            ).alias("mean_score_ppm"),
+        )
+    )

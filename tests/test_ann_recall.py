@@ -183,3 +183,25 @@ def test_ann_recall_report_bounds_and_full_cell_recall(spark):
     # with ONE cell the "index" is exhaustive: recall must be exactly 1
     full = ann_recall_report(emb, n_queries=4, k=10, n_cells=1).collect()
     assert all(r["recall_ppm"] == 1_000_000 for r in full)
+
+
+def test_ivf_pq_full_probe_equals_plain_pq(spark):
+    # Probing ALL coarse cells makes IVF-PQ's candidate set the whole
+    # corpus, so its ADC ranking must be identical to plain PQ (same
+    # codebooks, same LUT, same tiebreak) — the composition adds
+    # exactly one restriction and nothing else.
+    from iowa_liquor_sales_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    plain = [
+        (r["vec_id"], r["rnk"], r["adc"])
+        for r in pq_topk(emb, query_id=0, k=10).collect()
+    ]
+    full = [
+        (r["vec_id"], r["rnk"], r["adc"])
+        for r in ivf_pq_topk(emb, query_id=0, k=10, n_cells=16, nprobe=16).collect()
+    ]
+    assert sorted(plain) == sorted(full)
