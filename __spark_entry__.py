@@ -4526,6 +4526,18 @@ def q_reliability(spark: SparkSession, sf: str) -> DataFrame:
     return reliability_bins(docs, "n_chars", "is_en", n_bins=10)
 
 
+def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    # Threshold sweep (operators/quality.pr_curve): precision/recall of
+    # "keep score-bin >= t" per decile threshold — the operating-point
+    # picker that completes the q_auc / q_reliability eval family.
+    from iowa_liquor_sales_spark.operators.quality import pr_curve
+
+    docs = read_table(spark, sf, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return pr_curve(docs, "n_chars", "is_en", n_bins=10)
+
+
 def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
     # Pairwise association rules (operators/aggregates.
     # association_rules): support/confidence/lift over order baskets at
@@ -8363,13 +8375,13 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
 # the nine OTHER new round-6 queries (entity resolution, TextRank,
 # exact AUC, audio segmentation, join-skew report, IVF cell balance,
 # h-index coreness, MinHash calibration, association rules,
-# reliability diagram).
-# The remaining 35 slots backfill the
+# reliability diagram, PR curve).
+# The remaining 34 slots backfill the
 # OLDEST never-driver-gated queries (r1/r2 era), per the round-5
 # verdict's priority order. Still never-gated after this round (the
-# round-7 one-list edit, 44 names): q_compression_ratio (rows-only),
-# q_try_arithmetic, q_set_ops_all, q_json_roundtrip, q_orc_roundtrip,
-# q_csv_malformed, q_pii_scrub,
+# round-7 one-list edit, 45 names): q_compression_ratio (rows-only),
+# q_bool_agg, q_try_arithmetic, q_set_ops_all, q_json_roundtrip,
+# q_orc_roundtrip, q_csv_malformed, q_pii_scrub,
 # q_mix_epochs, q_chunk_documents, q_quantile_filter, q_split_assign,
 # q_weighted_sample, q_pack_sequences,
 # q_dup_rate_by_source, q_corpus_yield, q_dedup_normalized,
@@ -8400,6 +8412,7 @@ _GATE_HEAD = [
     "q_minhash_calibration",
     "q_assoc_rules",
     "q_reliability",
+    "q_pr_curve",
     # oldest never-gated backfill: r1/r2 pipeline + temporal block
     "q_scd2_history",
     "q_merge_upsert",
@@ -8437,7 +8450,6 @@ _GATE_HEAD = [
     "q_unpivot",
     "q_date_arith",
     "q_posexplode",
-    "q_bool_agg",
 ]
 
 
@@ -8603,6 +8615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_calibration": q_minhash_calibration,
         "q_assoc_rules": q_assoc_rules,
         "q_reliability": q_reliability,
+        "q_pr_curve": q_pr_curve,
         "q_keyframes": q_keyframes,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
@@ -10652,6 +10665,33 @@ def oracle_sql() -> dict[str, str]:
                         SUM(npos * (2 * cneg + nneg)) * 1000000
                           // (2 * SUM(npos) * SUM(nneg)) END
                         AS BIGINT) AS auc_ppm
+            FROM c""",
+        "q_pr_curve": """
+            WITH m AS (SELECT MAX(n_chars) AS smax FROM documents),
+            b AS (SELECT least(n_chars * 10 // (smax + 1), 9) AS bin,
+                         (lang = 'en') AS y
+                  FROM documents, m),
+            g AS (SELECT bin, COUNT(*) AS n,
+                         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS npos
+                  FROM b GROUP BY bin),
+            c AS (SELECT bin,
+                         SUM(n) OVER (ORDER BY bin DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS n_above,
+                         SUM(npos) OVER (ORDER BY bin DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS pos_above,
+                         SUM(npos) OVER () AS tp
+                  FROM g)
+            SELECT CAST(bin AS INTEGER) AS threshold_bin,
+                   CAST(n_above AS BIGINT) AS n_above,
+                   CAST(pos_above AS BIGINT) AS pos_above,
+                   CAST(CASE WHEN n_above > 0
+                        THEN pos_above * 1000000 // n_above END
+                        AS BIGINT) AS precision_ppm,
+                   CAST(CASE WHEN tp > 0
+                        THEN pos_above * 1000000 // tp END
+                        AS BIGINT) AS recall_ppm
             FROM c""",
         "q_reliability": """
             WITH m AS (SELECT MAX(n_chars) AS smax FROM documents),

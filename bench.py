@@ -95,6 +95,11 @@ HEADLINE = [
     # dictionary and the PQ train/encode/score pipeline
     "q_fuzzy_names",
     "q_ann_pq",
+    # round-6 additions: the end-to-end ER flow (fuzzy match -> CC ->
+    # survivorship, the heaviest new iterative dataflow) and the
+    # multi-arm nprobe recall curve
+    "q_entity_resolution",
+    "q_ann_multiprobe",
 ]
 
 

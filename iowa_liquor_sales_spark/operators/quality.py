@@ -488,3 +488,66 @@ def reliability_bins(
             ).alias("mean_score_ppm"),
         )
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Precision/recall curve at ``n_bins`` score thresholds — the
+    third leg of the classifier-eval family (:func:`auc_exact` ranks,
+    :func:`reliability_bins` calibrates, this picks the operating
+    point): for each threshold bin t, precision and recall of the rule
+    "keep rows with score in bin t or higher" — exactly the decision a
+    quality-filter threshold sweep makes before a 100 TB curation run.
+
+    Same non-negative-integer-score contract and equal-width bin grid
+    as :func:`reliability_bins`. One aggregate to O(n_bins) rows, then
+    suffix-cumulative sums via a window over those n_bins rows (never
+    over data rows); the positive total rides the same window. Exact
+    ppm integral division; precision/recall are NULL when the
+    denominator is empty.
+
+    Returns (threshold_bin, n_above, pos_above, precision_ppm,
+    recall_ppm) — threshold_bin ascending, n_above shrinking.
+    """
+    from pyspark.sql import Window
+
+    smax = df.agg(F.max(F.col(score_col)).alias("smax"))
+    binned = df.join(broadcast(smax)).select(
+        F.expr(
+            f"least({score_col} * {n_bins} div (smax + 1), {n_bins - 1})"
+        ).cast("int").alias("bin"),
+        F.col(label_col).cast("boolean").alias("y"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("npos"),
+    )
+    wsfx = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        g.select(
+            F.col("bin").alias("threshold_bin"),
+            F.sum("n").over(wsfx).cast("long").alias("n_above"),
+            F.sum("npos").over(wsfx).cast("long").alias("pos_above"),
+            F.sum("npos").over(wall).cast("long").alias("_tp"),
+        )
+        .select(
+            "threshold_bin",
+            "n_above",
+            "pos_above",
+            F.expr(
+                "CASE WHEN n_above > 0 THEN pos_above * 1000000 div n_above END"
+            ).cast("long").alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN _tp > 0 THEN pos_above * 1000000 div _tp END"
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
