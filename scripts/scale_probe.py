@@ -85,6 +85,20 @@ def bench_one(spark, li_path: str) -> dict[str, float]:
         ),
     )
     t("distinct_agg", li.select("l_orderkey").distinct().agg(F.count(F.lit(1))))
+    # association rules: the basket self-join's fanout is sum(k_b^2)
+    # over basket sizes — baskets grow with the fact table while basket
+    # SIZE stays fixed, so the pair stage must scale linearly.
+    from iowa_liquor_sales_spark.operators.aggregates import association_rules
+
+    t(
+        "assoc_rules_cat50",
+        association_rules(
+            li.select("l_orderkey", (F.col("l_partkey") % 50).alias("cat")),
+            "l_orderkey",
+            "cat",
+            min_support_ppm=5000,
+        ),
+    )
     # Global total ordering two ways: the naive partitionless window
     # (collapses to ONE task — the curve to watch) vs
     # ranking.global_row_number (range shuffle + narrow sort + O(parts)
@@ -353,6 +367,7 @@ def bench_graph(spark, orders_path: str) -> dict[str, float]:
     from iowa_liquor_sales_spark.operators.graph import (
         adamic_adar,
         boruvka_mst_rounds,
+        coreness_hindex,
         hits_e6,
         pagerank_e12,
         sssp_rounds,
@@ -405,6 +420,10 @@ def bench_graph(spark, orders_path: str) -> dict[str, float]:
     )
     t("sssp_3rounds", lambda: sssp_rounds(sym, source=0, iters=3))
     t("hits_2it", lambda: hits_e6(pr_edges, iters=2))
+    # coreness h-index: per-node window partitions ARE the degrees, so
+    # 10x edges on fixed moduli grows every window partition 10x — the
+    # hostile direction for the per-round neighbor sort.
+    t("coreness_2r", lambda: coreness_hindex(pr_edges, rounds=2))
     return timings
 
 
