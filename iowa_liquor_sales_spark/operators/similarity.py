@@ -1115,7 +1115,9 @@ def ann_recall_curve(
         .select("query_id", F.col("cid").alias("p_cell"), "prnk")
     )
     nps = spark.createDataFrame([(int(n),) for n in nprobes], "nprobe int")
-    probe_sets = probes.join(nps, probes["prnk"] <= nps["nprobe"]).select(
+    probe_sets = probes.join(
+        F.broadcast(nps), probes["prnk"] <= nps["nprobe"]
+    ).select(
         "nprobe", F.col("query_id").alias("p_qid"), "p_cell"
     )
     scored = q.join(
@@ -1157,7 +1159,7 @@ def ann_recall_curve(
         F.count(F.lit(1)).cast("long").alias("n_exact")
     )
     return (
-        per_q.join(nps)
+        per_q.join(F.broadcast(nps))
         .join(hits, ["nprobe", "query_id"], "left")
         .select(
             F.col("nprobe").cast("int").alias("nprobe"),

@@ -205,3 +205,15 @@ def test_ivf_pq_full_probe_equals_plain_pq(spark):
         for r in ivf_pq_topk(emb, query_id=0, k=10, n_cells=16, nprobe=16).collect()
     ]
     assert sorted(plain) == sorted(full)
+
+
+def test_ann_recall_curve_full_probe_hits_one(spark):
+    # nprobe = n_cells probes every cell, so the "index" arm is
+    # exhaustive and recall must be exactly 1.0 for every anchor.
+    from iowa_liquor_sales_spark.operators.similarity import ann_recall_curve
+
+    emb = read_table(spark, SF, "embeddings")
+    rows = ann_recall_curve(emb, nprobes=(1, 16), n_cells=16).collect()
+    assert all(
+        r["recall_ppm"] == 1_000_000 for r in rows if r["nprobe"] == 16
+    )
