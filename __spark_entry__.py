@@ -4526,6 +4526,32 @@ def q_reliability(spark: SparkSession, sf: str) -> DataFrame:
     return reliability_bins(docs, "n_chars", "is_en", n_bins=10)
 
 
+def q_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    # CUPED variance-reduced A/B means (operators/quality.
+    # cuped_adjusted_means, Deng et al. WSDM 2013): arm = user_id % 2,
+    # pre = first-half-of-January value-cents per user, post = second
+    # half; pooled theta from exact DECIMAL(38,0) moments through the
+    # det_double hi/lo split, adjusted means floored at 1e-6.
+    from iowa_liquor_sales_spark.operators.quality import cuped_adjusted_means
+
+    ev = read_table(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    per_u = (
+        ev.select(
+            "user_id",
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            (F.col("ts") < cut).alias("is_pre"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(F.when(F.col("is_pre"), F.col("cents")).otherwise(0)).alias("pre"),
+            F.sum(F.when(~F.col("is_pre"), F.col("cents")).otherwise(0)).alias("post"),
+        )
+    )
+    return cuped_adjusted_means(per_u)
+
+
 def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
     # Threshold sweep (operators/quality.pr_curve): precision/recall of
     # "keep score-bin >= t" per decile threshold — the operating-point
@@ -8375,12 +8401,13 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
 # the nine OTHER new round-6 queries (entity resolution, TextRank,
 # exact AUC, audio segmentation, join-skew report, IVF cell balance,
 # h-index coreness, MinHash calibration, association rules,
-# reliability diagram, PR curve).
-# The remaining 34 slots backfill the
+# reliability diagram, PR curve, CUPED).
+# The remaining 33 slots backfill the
 # OLDEST never-driver-gated queries (r1/r2 era), per the round-5
 # verdict's priority order. Still never-gated after this round (the
-# round-7 one-list edit, 45 names): q_compression_ratio (rows-only),
-# q_bool_agg, q_try_arithmetic, q_set_ops_all, q_json_roundtrip,
+# round-7 one-list edit, 46 names): q_compression_ratio (rows-only),
+# q_posexplode, q_bool_agg, q_try_arithmetic, q_set_ops_all,
+# q_json_roundtrip,
 # q_orc_roundtrip, q_csv_malformed, q_pii_scrub,
 # q_mix_epochs, q_chunk_documents, q_quantile_filter, q_split_assign,
 # q_weighted_sample, q_pack_sequences,
@@ -8413,6 +8440,7 @@ _GATE_HEAD = [
     "q_assoc_rules",
     "q_reliability",
     "q_pr_curve",
+    "q_cuped",
     # oldest never-gated backfill: r1/r2 pipeline + temporal block
     "q_scd2_history",
     "q_merge_upsert",
@@ -8449,7 +8477,6 @@ _GATE_HEAD = [
     "q_string_agg",
     "q_unpivot",
     "q_date_arith",
-    "q_posexplode",
 ]
 
 
@@ -8616,6 +8643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assoc_rules": q_assoc_rules,
         "q_reliability": q_reliability,
         "q_pr_curve": q_pr_curve,
+        "q_cuped": q_cuped,
         "q_keyframes": q_keyframes,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_skyline": q_skyline,
@@ -10666,6 +10694,46 @@ def oracle_sql() -> dict[str, str]:
                           // (2 * SUM(npos) * SUM(nneg)) END
                         AS BIGINT) AS auc_ppm
             FROM c""",
+        "q_cuped": f"""
+            WITH per_u AS (
+              SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+                     SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS pre,
+                     SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0
+                         ELSE CAST(round(value * 100) AS BIGINT)
+                         END) AS post
+              FROM events GROUP BY 1, 2),
+            gm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+                          SUM(pre) AS sx_, SUM(post) AS sy_,
+                          SUM(pre * pre) AS sxx_,
+                          SUM(pre * post) AS sxy_
+                   FROM per_u),
+            gd AS (SELECT n_all,
+                          {det_double_sql('sx_')} AS sx,
+                          {det_double_sql('sy_')} AS sy,
+                          {det_double_sql('sxx_')} AS sxx,
+                          {det_double_sql('sxy_')} AS sxy
+                   FROM gm),
+            gt AS (SELECT n_all, sx,
+                          CASE WHEN (sxx - sx * sx / n_all) > 0
+                               THEN (sxy - sx * sy / n_all)
+                                    / (sxx - sx * sx / n_all)
+                               ELSE 0.0 END AS theta
+                   FROM gd),
+            am AS (SELECT arm, COUNT(*) AS n_units,
+                          SUM(pre) AS sxa_, SUM(post) AS sya_
+                   FROM per_u GROUP BY arm),
+            ad AS (SELECT arm, CAST(n_units AS BIGINT) AS n_units,
+                          {det_double_sql('sxa_')} AS sxa,
+                          {det_double_sql('sya_')} AS sya
+                   FROM am)
+            SELECT arm, n_units,
+                   {floor_scaled_sql('sya / n_units', 6, 'mean_post_e6')},
+                   {floor_scaled_sql(
+                       'sya / n_units - theta * (sxa / n_units - sx / n_all)',
+                       6, 'mean_adj_e6')}
+            FROM ad, gt""",
         "q_pr_curve": """
             WITH m AS (SELECT MAX(n_chars) AS smax FROM documents),
             b AS (SELECT least(n_chars * 10 // (smax + 1), 9) AS bin,

@@ -551,3 +551,77 @@ def pr_curve(
             ).cast("long").alias("recall_ppm"),
         )
     )
+
+
+def cuped_adjusted_means(
+    per_unit: DataFrame,
+    arm_col: str = "arm",
+    pre_col: str = "pre",
+    post_col: str = "post",
+) -> DataFrame:
+    """CUPED variance-reduced A/B means (Deng, Xu, Kohavi, Walker:
+    "Improving the sensitivity of online controlled experiments by
+    utilizing pre-experiment data", WSDM 2013): per experiment arm, the
+    raw post-period mean and the covariate-adjusted mean
+
+        adj_i = post_i − θ·(pre_i − mean(pre)),   θ = Cov(pre, post) / Var(pre)
+
+    with θ pooled across arms. The adjusted means keep each arm's
+    expectation (pre is pre-randomization, so E[pre|arm] is constant)
+    while removing the pre-period component of the variance — the
+    standard lever for detecting small uplifts without more traffic.
+
+    Inputs are one row per RANDOMIZATION UNIT with integer pre/post
+    measures (cents/micros — the engine grid contract). Both moment
+    passes are exact: Σx, Σy, Σx², Σxy in DECIMAL(38,0) (``xsum``),
+    converted via the deterministic hi/lo ``det_double`` split, so θ
+    and the adjusted means are bit-identical in the DuckDB twin. θ is 0
+    when Var(pre) is 0 (degenerate covariate → adjustment is a no-op).
+
+    Scale shape: ONE global moment aggregate (1 row, broadcast back) +
+    one per-arm aggregate — no shuffle wider than O(arms). Returns
+    (arm, n_units, mean_post_e6, mean_adj_e6) with means floored at
+    1e-6 (per-unit measure units).
+    """
+    from ..functions.sums import det_double, floor_scaled, xsum
+
+    g = per_unit.agg(
+        F.count(F.lit(1)).alias("n_units_all"),
+        xsum(F.col(pre_col), "sx_"),
+        xsum(F.col(post_col), "sy_"),
+        xsum(F.col(pre_col) * F.col(pre_col), "sxx_"),
+        xsum(F.col(pre_col) * F.col(post_col), "sxy_"),
+    ).select(
+        F.col("n_units_all").cast("double").alias("n_all"),
+        det_double("sx_").alias("sx"),
+        det_double("sy_").alias("sy"),
+        det_double("sxx_").alias("sxx"),
+        det_double("sxy_").alias("sxy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_all")
+    var = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_all")
+    g = g.select(
+        "n_all",
+        "sx",
+        F.when(var > 0, cov / var).otherwise(F.lit(0.0)).alias("theta"),
+    )
+    arms = per_unit.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        xsum(F.col(pre_col), "sxa_"),
+        xsum(F.col(post_col), "sya_"),
+    ).select(
+        "arm",
+        F.col("n_units").cast("long").alias("n_units"),
+        det_double("sxa_").alias("sxa"),
+        det_double("sya_").alias("sya"),
+    )
+    mean_post = F.col("sya") / F.col("n_units")
+    mean_adj = mean_post - F.col("theta") * (
+        F.col("sxa") / F.col("n_units") - F.col("sx") / F.col("n_all")
+    )
+    return arms.join(broadcast(g)).select(
+        "arm",
+        "n_units",
+        floor_scaled(mean_post, 6, "mean_post_e6"),
+        floor_scaled(mean_adj, 6, "mean_adj_e6"),
+    )

@@ -1012,3 +1012,24 @@ def test_coreness_hindex_converges_to_core_numbers(spark):
         for r in coreness_hindex(edges, rounds=3).collect()
     }
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1}
+
+
+def test_cuped_known_theta_and_degenerate_covariate(spark):
+    from iowa_liquor_sales_spark.operators.quality import cuped_adjusted_means
+
+    # post = 2*pre exactly -> theta = 2; adjusted value for every unit
+    # is 2*mean(pre), so both arms' adjusted means coincide there even
+    # though their raw post means differ.
+    rows = [(0, 10, 20), (0, 20, 40), (1, 30, 60), (1, 40, 80)]
+    df = spark.createDataFrame(rows, ["arm", "pre", "post"])
+    got = {r["arm"]: r for r in cuped_adjusted_means(df).collect()}
+    assert got[0]["mean_post_e6"] == 30_000_000
+    assert got[1]["mean_post_e6"] == 70_000_000
+    assert got[0]["mean_adj_e6"] == got[1]["mean_adj_e6"] == 50_000_000
+
+    # constant pre -> Var(pre)=0 -> theta=0 -> adjusted == raw
+    const = spark.createDataFrame(
+        [(0, 5, 10), (1, 5, 30)], ["arm", "pre", "post"]
+    )
+    for r in cuped_adjusted_means(const).collect():
+        assert r["mean_adj_e6"] == r["mean_post_e6"]
