@@ -4509,12 +4509,19 @@ def q_auc(spark: SparkSession, sf: str) -> DataFrame:
     # Mann-Whitney identity, integer pair counts, window over distinct
     # scores only. The number itself (~0.5, synthetic labels) is not
     # the point; the exact distributed computation is.
+    #
+    # QUANTIZE CONTRACT: the ordering window is O(distinct scores), so
+    # continuous scores MUST be grid-quantized before calling — shown
+    # here explicitly even though n_chars is already integral: the
+    # floor-to-grid cast is the line to keep when swapping in a float
+    # model score (e.g. F.floor(score * 1000) for a 3-decimal grid).
     from iowa_liquor_sales_spark.operators.quality import auc_exact
 
-    docs = read_table(spark, sf, "documents").withColumn(
-        "is_en", F.col("lang") == "en"
+    docs = read_table(spark, sf, "documents").select(
+        F.floor(F.col("n_chars")).cast("long").alias("score_q"),
+        (F.col("lang") == "en").alias("is_en"),
     )
-    return auc_exact(docs, "n_chars", "is_en")
+    return auc_exact(docs, "score_q", "is_en")
 
 
 def q_audio_segments(spark: SparkSession, sf: str) -> DataFrame:

@@ -293,9 +293,15 @@ def association_rules(
     generation is a self-join ON THE BASKET KEY ONLY — fanout is
     Σ k_b·(k_b−1) over basket sizes k_b, the irreducible pair-instance
     count, never items × items — followed by a map-side-combinable
-    (ante, cons) count. Item frequencies and the 1-row basket total
-    attach as broadcasts. The support filter prunes before the measure
-    arithmetic.
+    (ante, cons) count. Before that self-join, the Apriori
+    item-frequency prune (the downward-closure property: pair support
+    ≤ either item's support, so an item with ``n_item * 1e6 div
+    n_baskets < min_support_ppm`` provably cannot appear in any
+    surviving rule) drops infrequent items from BOTH sides via one
+    broadcast semi-join — lossless, and on a long-tail corpus it caps
+    the Σk² fanout to frequent-item co-occurrences only. Item
+    frequencies and the 1-row basket total attach as broadcasts. The
+    pair-support filter prunes before the measure arithmetic.
 
     Returns (ante, cons, n_xy, support_ppm, confidence_ppm, lift_e6).
     """
@@ -304,6 +310,14 @@ def association_rules(
     ).distinct()
     n_baskets = items.select(F.countDistinct("o").alias("n_baskets"))
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    frequent = (
+        freq.join(F.broadcast(n_baskets))
+        .filter(
+            F.expr(f"n_item * 1000000 div n_baskets >= {int(min_support_ppm)}")
+        )
+        .select("item")
+    )
+    items = items.join(F.broadcast(frequent), "item", "left_semi")
     a = items.alias("a")
     b = items.alias("b")
     pairs = (

@@ -369,6 +369,11 @@ def auc_exact(
     ``npos_g * (2*cum_neg_below + nneg_g)`` (twice the pair count) and
     the result is emitted as ``auc_ppm = 2N * 1e6 div (2 * n_pos *
     n_neg)`` — exact, engine-portable, no float summation order issues.
+    The pair-count numerator and denominator run in DECIMAL(38,0), not
+    int64: pair counts reach ``n_pos * n_neg`` ≈ n²/4, which passes
+    2^63 at ~4.3e9 rows — int64 would wrap silently (non-ANSI) right
+    at the 100 TB scale this is for, while DuckDB's HUGEINT would not,
+    so the engines would diverge beyond the small-sf gate's reach.
 
     The running-negatives window orders the GROUPED relation, so its
     cost is O(distinct scores), not O(rows) — for continuous scores,
@@ -390,8 +395,10 @@ def auc_exact(
         F.sum("nneg").cast("long").alias("n_neg"),
         F.expr(
             "CASE WHEN sum(npos) > 0 AND sum(nneg) > 0 THEN"
-            " sum(npos * (2 * cneg + nneg)) * 1000000"
-            " div (2 * sum(npos) * sum(nneg)) END"
+            " CAST(sum(CAST(npos AS DECIMAL(38,0)) * (2 * cneg + nneg))"
+            " * 1000000"
+            " div (2 * CAST(sum(npos) AS DECIMAL(38,0)) * sum(nneg))"
+            " AS BIGINT) END"
         ).cast("long").alias("auc_ppm"),
     )
 
@@ -452,8 +459,10 @@ def reliability_bins(
 
     Scores must be non-negative integers (quantize first — the engine's
     standard grid contract). All outputs exact: rates in ppm by
-    integral division, the mean score through a DECIMAL(38,0) product
-    so ``sum(score)·1e6`` cannot wrap.
+    integral division, and the score sum ACCUMULATES in DECIMAL(38,0)
+    (not summed in int64 and cast after — ``n_rows·smax`` alone passes
+    2^63 well below 100 TB row counts) so ``sum(score)·1e6`` cannot
+    wrap on either engine.
 
     One map-side-combinable aggregate to O(n_bins) rows; the score max
     attaches as a 1-row broadcast. Returns (bin, n_rows, n_pos,
@@ -473,7 +482,7 @@ def reliability_bins(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("n_pos"),
-            F.sum("score").alias("ssum"),
+            F.sum(F.col("score").cast("decimal(38,0)")).alias("ssum"),
             F.max("smax").alias("smax"),
         )
         .select(
@@ -482,7 +491,7 @@ def reliability_bins(
             "n_pos",
             F.expr("n_pos * 1000000 div n_rows").cast("long").alias("pos_rate_ppm"),
             F.expr(
-                "CASE WHEN smax > 0 THEN CAST(CAST(ssum AS DECIMAL(38,0))"
+                "CASE WHEN smax > 0 THEN CAST(ssum"
                 " * 1000000 div (CAST(n_rows AS DECIMAL(38,0)) * smax)"
                 " AS BIGINT) ELSE 0 END"
             ).alias("mean_score_ppm"),
