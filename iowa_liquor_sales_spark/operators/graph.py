@@ -1298,3 +1298,74 @@ def coreness_hindex(
         if r < rounds - 1:
             c = c.localCheckpoint(eager=True)
     return c.select(F.col("v").alias("node"), F.col("c").cast("long").alias("coreness"))
+
+
+def coreness_converged(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 200,
+) -> DataFrame:
+    """Run-to-convergence coreness: the production form of
+    :func:`coreness_hindex` — same iterated neighbor h-index update
+    (Lü et al., Nature Communications 2016), but looping until the
+    VALUE SUM stops changing instead of a caller-guessed round count
+    (which converges only if rounds >= the longest h-index chain).
+    Values start at degree and can only DECREASE, so an unchanged sum
+    means an unchanged relation — the sum is a valid fixpoint probe,
+    and Lü et al. prove that fixpoint is exactly the core number.
+
+    One O(1)-result ``agg(sum)`` action per round is the convergence
+    probe; each round's value relation is ``localCheckpoint``-ed so the
+    logical plan does not grow per iteration (the iterative-Spark
+    lineage trap — see :func:`connected_components`); ``max_iter`` is
+    the safety bound. Same contract as :func:`kcore_converged` /
+    :func:`bfs_hops_converged`; pytest-proven equivalent to exact
+    peeling on random graphs (``tests/test_graph_convergence.py``).
+
+    Scale shape per round matches :func:`coreness_hindex`: one
+    equi-join of the checkpointed symmetric edge list against the O(V)
+    value relation + one per-node degree-bounded window + max
+    aggregate.
+
+    Returns (node, coreness) — the exact core number for every
+    non-isolated node.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .unionAll(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+        .repartition(F.col("b"))
+        .localCheckpoint(eager=True)
+    )
+    c = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    s_prev = c.agg(F.sum("c")).collect()[0][0]
+    w = Window.partitionBy("a").orderBy(F.col("cv").desc())
+    for _ in range(max_iter):
+        nb = sym.join(
+            c.withColumnRenamed("v", "b").withColumnRenamed("c", "cv"), "b"
+        ).select("a", "cv")
+        c = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        s = c.agg(F.sum("c")).collect()[0][0]
+        if s == s_prev:
+            break
+        s_prev = s
+    return c.select(
+        F.col("v").alias("node"), F.col("c").cast("long").alias("coreness")
+    )

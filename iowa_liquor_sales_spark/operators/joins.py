@@ -184,6 +184,11 @@ def fuzzy_pairs(
     max_dist: int = 3,
     observations: dict | None = None,
     hist_filter: bool = True,
+    pair_source: str = "passjoin",
+    auto_max_cand_per_name: int = 50,
+    lsh_num_hashes: int = 32,
+    lsh_rows_per_band: int = 1,
+    lsh_min_jaccard: float = 0.2,
 ) -> DataFrame:
     """Fuzzy self-match over a string dictionary: pairs of DISTINCT
     values within ``max_dist`` Levenshtein edits, each weighted by its
@@ -232,12 +237,30 @@ def fuzzy_pairs(
     dictionary) from verify-stage cost. FALLBACK TRIGGER: on hex-like
     dictionaries concentrated at a few lengths, candidates/name still
     grows with dictionary size (segment agreement is exact-substring
-    luck, and luck scales with names-per-length) — when the candidates
-    Observation exceeds ~100×matches or ~50/name, stop fuzzy-joining
+    luck, and luck scales with names-per-length) — when candidates
+    exceed ~``auto_max_cand_per_name`` per name, stop fuzzy-joining
     the dictionary wholesale and switch the pair source to q-gram
     MinHash-LSH over the names (``dedup.minhash_lsh_pairs`` with
-    character shingles), keeping this verify stage unchanged — the same
-    escalation `dedup.allpairs_jaccard` documents.
+    character-bigram shingles), keeping this verify stage unchanged —
+    the same escalation `dedup.allpairs_jaccard` documents.
+
+    ``pair_source`` wires that escalation as code, not prose:
+
+    - ``"passjoin"`` (default): segment blocking as above — provably
+      complete, bit-identical to every prior round.
+    - ``"lsh"``: candidates from char-bigram MinHash-LSH
+      (``lsh_num_hashes`` signatures, ``lsh_rows_per_band`` rows/band,
+      ``lsh_min_jaccard`` floor), length-banded, then the SAME
+      Levenshtein verify. Probabilistic recall (banding can miss a
+      low-Jaccard pair; names shorter than 2 chars produce no bigram
+      and are skipped) — the deliberate trade when a pathological
+      dictionary makes complete blocking explode.
+    - ``"auto"``: build the PassJoin candidate set, COUNT it (one
+      distributed count over the persisted O(candidates) relation —
+      the measurement IS the trigger), and if it exceeds
+      ``auto_max_cand_per_name × |dictionary|`` regenerate candidates
+      via the LSH source instead. ``observations["pair_source"]``
+      records the decision.
 
     ``hist_filter=False`` disables the histogram count filter (the
     scale probe uses it to attribute blocking power per level).
@@ -257,6 +280,9 @@ def fuzzy_pairs(
         .withColumn("len", F.length("name"))
         .withColumn("hist", F.expr(hist))
     )
+    if pair_source not in ("passjoin", "auto", "lsh"):
+        raise ValueError(f"unknown pair_source: {pair_source!r}")
+    use_lsh = pair_source == "lsh"
     # Segment scheme for a length-l name: the first (d+1-k) segments get
     # floor(l/(d+1)) chars, the last k = l mod (d+1) get one extra — a
     # pure function of (l, seg_id) shared by index and probe sides, so
@@ -360,6 +386,66 @@ def fuzzy_pairs(
         .select("name_a", "name_b", "n_rows_a", "n_rows_b")
         .distinct()
     )
+    if pair_source == "auto":
+        # The trigger is a MEASUREMENT, not a guess: persist the
+        # O(candidates) pair relation (4 small columns — the expensive
+        # explode/join subtree runs once) and count it distributed. If
+        # blocking has degraded past the budget, throw the complete
+        # candidate set away and regenerate probabilistically.
+        cand = cand.persist()
+        n_cand = cand.count()
+        n_names = names.count()
+        if n_cand > auto_max_cand_per_name * max(n_names, 1):
+            cand.unpersist()
+            use_lsh = True
+    if use_lsh:
+        # Escalation source: char-bigram MinHash-LSH over the name
+        # dictionary. Names are char-spaced so the word-shingle
+        # machinery of minhash_lsh_pairs yields character bigrams;
+        # min_jaccard is a loose floor (the Levenshtein verify below is
+        # the real filter), and the length band is re-applied — LSH
+        # buckets don't know about it.
+        from .dedup import minhash_lsh_pairs
+
+        spaced = names.select(
+            "name", F.concat_ws(" ", F.split("name", "")).alias("spaced")
+        )
+        lp = minhash_lsh_pairs(
+            spaced,
+            "spaced",
+            "name",
+            n=2,
+            num_hashes=lsh_num_hashes,
+            rows_per_band=lsh_rows_per_band,
+            min_jaccard=lsh_min_jaccard,
+        ).select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+        side = names.select("name", "n_rows", "len")
+        j = (
+            lp.join(
+                side.withColumnsRenamed(
+                    {"name": "x", "n_rows": "nx", "len": "lx"}
+                ),
+                "x",
+            )
+            .join(
+                side.withColumnsRenamed(
+                    {"name": "y", "n_rows": "ny", "len": "ly"}
+                ),
+                "y",
+            )
+            .filter(F.abs(F.col("lx") - F.col("ly")) <= d)
+        )
+        fwd = (F.col("lx") < F.col("ly")) | (
+            (F.col("lx") == F.col("ly")) & (F.col("x") < F.col("y"))
+        )
+        cand = j.select(
+            F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("name_a"),
+            F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("name_b"),
+            F.when(fwd, F.col("nx")).otherwise(F.col("ny")).alias("n_rows_a"),
+            F.when(fwd, F.col("ny")).otherwise(F.col("nx")).alias("n_rows_b"),
+        )
+    if observations is not None:
+        observations["pair_source"] = "lsh" if use_lsh else "passjoin"
     if observations is not None:
         from pyspark.sql import Observation
 
@@ -389,6 +475,7 @@ def resolve_entities(
     df: DataFrame,
     col: str,
     max_dist: int = 2,
+    pair_source: str = "passjoin",
 ) -> DataFrame:
     """End-to-end entity resolution over a string column: map every
     distinct value to ONE canonical surface form — the classic
@@ -413,13 +500,19 @@ def resolve_entities(
     values with no fuzzy partner are their own canonical (the left
     join + coalesce keeps singletons out of the CC entirely, so the
     iterative stage only touches the matched subgraph).
+
+    ``pair_source`` is forwarded to :func:`fuzzy_pairs` — pass
+    ``"auto"`` on dictionaries that may be pathologically concentrated
+    and the match stage escalates to LSH blocking by measurement.
     """
     from .graph import connected_components
 
     names = df.groupBy(F.col(col).alias("name")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
-    pairs = fuzzy_pairs(df, col, max_dist=max_dist).select("name_a", "name_b")
+    pairs = fuzzy_pairs(
+        df, col, max_dist=max_dist, pair_source=pair_source
+    ).select("name_a", "name_b")
     comp = connected_components(pairs, src="name_a", dst="name_b")
     labeled = (
         names.join(comp, names["name"] == comp["node"], "left")

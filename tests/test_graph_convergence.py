@@ -136,3 +136,59 @@ def test_sssp_relaxes_through_cheaper_multihop_path(spark):
         for r in sssp_rounds(edges, source=1, iters=3).collect()
     }
     assert three == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def _exact_coreness(simple_edges):
+    """Textbook peeling (repeatedly delete min-degree nodes below k)."""
+    adj: dict[int, set[int]] = {}
+    for a, b in simple_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    live = dict(adj)
+    k = 0
+    while live:
+        k += 1
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in live.items() if len(ns) < k]:
+                core[v] = k - 1
+                for u in live[v]:
+                    live[u].discard(v)
+                del live[v]
+                changed = True
+    return core
+
+
+def test_coreness_converged_equals_exact_peeling_on_random_graphs(spark):
+    """Round-6 verdict item 5: the value-sum fixpoint loop must land on
+    the exact core numbers without a caller-guessed round count — on
+    seeded random graphs AND on a long path (whose h-index chain length
+    defeats any small fixed `rounds`)."""
+    import random
+
+    from iowa_liquor_sales_spark.operators.graph import coreness_converged
+
+    rng = random.Random(13)
+    for n, m in [(12, 20), (20, 45), (25, 30)]:
+        simple = set()
+        while len(simple) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                simple.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(simple), ["src", "dst"])
+        got = {
+            r["node"]: r["coreness"]
+            for r in coreness_converged(df).collect()
+        }
+        assert got == _exact_coreness(simple)
+
+    # 30-node path: coreness 1 everywhere, but degree-init values take
+    # many h-index rounds to drain down the chain.
+    path = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(path, ["src", "dst"])
+    got = {
+        r["node"]: r["coreness"] for r in coreness_converged(df).collect()
+    }
+    assert got == _exact_coreness(set(path))
