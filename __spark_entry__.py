@@ -8413,6 +8413,94 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_range(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF RANGE search (similarity.ann_range_search, FAISS range_search
+    # semantics): every vector in query 0's two probe cells with cosine
+    # >= 0.2 — the radius-query companion to the top-k family
+    # (q_ann_ivf/q_ann_multiprobe). No global window at all: the
+    # threshold filter is embarrassingly parallel, which is the whole
+    # point of range search at corpus scale. Oracle mirrors the probe
+    # -cell semantics exactly (same deterministic cell ranking).
+    from iowa_liquor_sales_spark.operators.similarity import ann_range_search
+
+    emb = read_table(spark, sf, "embeddings")
+    return ann_range_search(emb, query_id=0, min_cos=0.2, n_cells=16, nprobe=2)
+
+
+def q_image_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    # Perceptual image dedup end-to-end (multimodal/binary_ops.
+    # image_dhash + dhash_hamming_pairs): each document becomes a REAL
+    # 16x8 binary PPM (P6) plus a 1-byte-perturbed twin; the decode ->
+    # integer grayscale -> exact 2x1 area-pool to an 8x8 grid -> 56-bit
+    # horizontal-gradient dHash runs in Arrow mapInPandas (numpy over
+    # whole pixel buffers), and near-dup pairs come from the banded
+    # Hamming join (Manku WWW'07 pigeonhole: 4 bands of 14 bits give
+    # 100% recall at hamming <= 3). Payload bytes are the rpad'd ASCII
+    # text, so the ENTIRE pipeline — netpbm header parse included — has
+    # a bit-exact SQL oracle; every planted twin lands at hamming <= 1
+    # and the corpus's planted exact-dup texts surface at hamming 0.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        dhash_hamming_pairs,
+        image_dhash,
+    )
+
+    base = read_table(spark, sf, "documents").select(
+        "doc_id", F.rpad("text", 384, "x").alias("s")
+    )
+    assets = base.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "s"
+    ).unionAll(
+        base.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.concat(
+                F.substring("s", 1, 4), F.lit("z"), F.substring("s", 6, 379)
+            ).alias("s"),
+        )
+    )
+    ppm = assets.select(
+        "doc_id",
+        F.concat(
+            F.lit("P6\n# near-dup probe\n16 8\n255\n").cast("binary"),
+            F.col("s").cast("binary"),
+        ).alias("payload"),
+    )
+    hashes = image_dhash(ppm, grid_w=8, grid_h=8)
+    return dhash_hamming_pairs(hashes, bits=56, bands=4, max_hamming=3)
+
+
+def q_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    # Benjamini-Hochberg FDR over per-user activity anomaly tests
+    # (operators/quality.bh_fdr): one hypothesis per user, p-value =
+    # the distribution-free Chebyshev bound P(|X-mu| >= dev) <=
+    # var/dev^2 on the user's event count vs the population — exact
+    # integer arithmetic end-to-end (the m^2 grid cancels in the
+    # var/dev^2 ratio; DECIMAL(38,0)/HUGEINT products so nothing wraps
+    # at any scale). On this well-behaved synthetic corpus BH correctly
+    # rejects nothing (conservative p-values, uniform data) — the
+    # planted-signal step-up mechanics are pytest-proven; the driver
+    # checks the exact p_ppm / rank / cutoff arithmetic.
+    from iowa_liquor_sales_spark.operators.quality import bh_fdr
+
+    ev = read_table(spark, sf, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = c.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("tot2"),
+    )
+    hyp = c.join(F.broadcast(stats)).select(
+        "user_id",
+        F.expr(
+            "CASE WHEN n * m - tot = 0 THEN 1000000 ELSE least(1000000,"
+            " CAST((CAST(m AS DECIMAL(38,0)) * tot2 - CAST(tot AS"
+            " DECIMAL(38,0)) * tot) * 1000000"
+            " div ((CAST(n AS DECIMAL(38,0)) * m - tot)"
+            " * (CAST(n AS DECIMAL(38,0)) * m - tot)) AS BIGINT)) END"
+        ).alias("p_ppm"),
+    )
+    return bh_fdr(hyp, "user_id", "p_ppm", alpha_ppm=100_000)
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -8423,11 +8511,19 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
 # hash them; a schema sweep confirmed no other query emits a
 # list/map/struct output column. Positions 3-48 are ALL 46 remaining
 # never-driver-gated queries from the round-6 backlog (round-6 verdict
-# item 2), including the rows-only q_compression_ratio. The final
-# slots hold the new round-7 queries; any round-7 additions beyond the
-# 50-slot window are the round-8 backlog and are listed at the end of
-# this comment. scripts/oracle_sweep.py still checks every entry
-# locally each round.
+# item 2), including the rows-only q_compression_ratio. Positions
+# 49-50 re-gate q_assoc_rules (Apriori item-frequency prune added —
+# round-6 verdict item 3's done criterion requires it driver-green
+# bit-identical) and q_auc (pair-count arithmetic moved to
+# DECIMAL(38,0) + the quantize guard at the call site). Round-8 gate
+# backlog, in priority order: the three NEW round-7 queries
+# q_image_dhash, q_ann_range, q_bh_fdr (oracle-checked in the local
+# sweep this round), then the lower-risk changed-code re-gates
+# q_reliability (score sum now accumulates in DECIMAL(38,0)),
+# q_fuzzy_names and q_entity_resolution (fuzzy_pairs gained the
+# pair_source branch; the default path is plan-identical and was
+# re-verified bit-identical vs oracle at sf0.01 this round).
+# scripts/oracle_sweep.py still checks every entry locally each round.
 _GATE_HEAD = [
     # round-6 reds, re-gated after output-shape fix
     "q_array_funcs",
@@ -8479,6 +8575,9 @@ _GATE_HEAD = [
     "q_rollup_year",
     "q_vector_stats",
     "q_apply_in_arrow",
+    # round-7 changed-code re-gates (Apriori prune; AUC decimal + guard)
+    "q_assoc_rules",
+    "q_auc",
 ]
 
 
@@ -8822,6 +8921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_attribution": q_stream_attribution,
         "q_cdc_microbatch": q_cdc_microbatch,
         "q_personalized_pagerank": q_personalized_pagerank,
+        "q_ann_range": q_ann_range,
+        "q_image_dhash": q_image_dhash,
+        "q_bh_fdr": q_bh_fdr,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -14042,4 +14144,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT lag, CAST(n_days AS BIGINT) AS n_days,
                    {floor_scaled_sql("rho", 9, "ccf_ppb")}
             FROM e""",
+        "q_ann_range": """
+            WITH cent AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id < 16
+            ),
+            assigned AS (
+              SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding::DOUBLE[],
+                                        c.cvec::DOUBLE[]) DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+              WHERE rn = 1
+            ),
+            q AS (SELECT embedding AS q_vec FROM embeddings
+                  WHERE vec_id = 0),
+            probes AS (
+              SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (
+                           ORDER BY list_cosine_similarity(
+                                        q.q_vec::DOUBLE[],
+                                        c.cvec::DOUBLE[]) DESC,
+                                    c.cid) AS prnk
+                FROM cent c, q)
+              WHERE prnk <= 2)
+            SELECT a.vec_id,
+                   CAST(floor(list_cosine_similarity(
+                       a.embedding::DOUBLE[], q.q_vec::DOUBLE[]) * 1000000)
+                       AS BIGINT) AS cos_e6
+            FROM assigned a, q
+            WHERE a.cell IN (SELECT cid FROM probes)
+              AND a.vec_id <> 0
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         q.q_vec::DOUBLE[]) >= 0.2""",
+        "q_image_dhash": """
+            WITH base AS (SELECT doc_id, rpad(text, 384, 'x') AS s
+                          FROM documents),
+            assets AS (
+              SELECT doc_id * 2 AS aid, s FROM base
+              UNION ALL
+              SELECT doc_id * 2 + 1 AS aid,
+                     substr(s, 1, 4) || 'z' || substr(s, 6) AS s
+              FROM base),
+            g AS (SELECT aid, r, c,
+                    (ascii(substr(s, (r*16+c)*3+1, 1))
+                     + ascii(substr(s, (r*16+c)*3+2, 1))
+                     + ascii(substr(s, (r*16+c)*3+3, 1))) // 3 AS gray
+                  FROM assets, range(0,8) t1(r), range(0,16) t2(c)),
+            pooled AS (SELECT aid, r, c // 2 AS pc, SUM(gray) // 2 AS pg
+                       FROM g GROUP BY aid, r, c // 2),
+            hv AS (SELECT a.aid,
+                     SUM(CASE WHEN a.pg > b.pg
+                         THEN (1::BIGINT << (a.r*7 + a.pc))
+                         ELSE 0 END) AS dhash
+                   FROM pooled a JOIN pooled b
+                     ON a.aid = b.aid AND a.r = b.r AND b.pc = a.pc + 1
+                   GROUP BY a.aid)
+            SELECT x.aid AS doc_a, y.aid AS doc_b,
+                   CAST(bit_count(xor(x.dhash, y.dhash)) AS INTEGER)
+                       AS hamming
+            FROM hv x JOIN hv y ON x.aid < y.aid
+            WHERE bit_count(xor(x.dhash, y.dhash)) <= 3""",
+        "q_bh_fdr": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n
+                       FROM events GROUP BY user_id),
+            stats AS (SELECT COUNT(*) AS m, SUM(n) AS tot,
+                             SUM(n * n) AS tot2
+                      FROM c),
+            hyp AS (
+              SELECT user_id,
+                     CASE WHEN n * m - tot = 0 THEN 1000000
+                          ELSE least(1000000, CAST(
+                            (CAST(m AS HUGEINT) * tot2
+                             - CAST(tot AS HUGEINT) * tot) * 1000000
+                            // ((CAST(n AS HUGEINT) * m - tot)
+                                * (CAST(n AS HUGEINT) * m - tot))
+                            AS BIGINT)) END AS p_ppm
+              FROM c, stats),
+            ranked AS (
+              SELECT user_id AS id, p_ppm,
+                     row_number() OVER (ORDER BY p_ppm, user_id) AS rnk,
+                     COUNT(*) OVER () AS m2
+              FROM hyp),
+            cut AS (SELECT MAX(CASE WHEN p_ppm * m2 <= rnk * 100000
+                                    THEN rnk ELSE 0 END) AS k
+                    FROM ranked)
+            SELECT id, p_ppm, rnk, rnk <= k AS reject
+            FROM ranked, cut""",
     }

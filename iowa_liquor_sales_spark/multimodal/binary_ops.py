@@ -68,10 +68,10 @@ def decode_image(payload: bytes, codec: str = "real"):
     )
 
 
-def _ppm_pixels(payload: bytes) -> bytes:
+def _ppm_dims_pixels(payload: bytes) -> tuple[int, int, bytes]:
     """Parse a binary PPM (P6) payload — ``P6 <w> <h> <maxval>`` header
     with whitespace and ``#`` comments per the netpbm spec — and return
-    the raw w*h*3 RGB pixel buffer."""
+    (width, height, raw w*h*3 RGB pixel buffer)."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     pos, fields = 2, []
@@ -93,7 +93,12 @@ def _ppm_pixels(payload: bytes) -> bytes:
     pixels = payload[pos : pos + w * h * 3]
     if len(pixels) != w * h * 3:
         raise ValueError(f"truncated PPM: want {w * h * 3} bytes, got {len(pixels)}")
-    return pixels
+    return w, h, pixels
+
+
+def _ppm_pixels(payload: bytes) -> bytes:
+    """Raw RGB pixel buffer of a binary PPM (see :func:`_ppm_dims_pixels`)."""
+    return _ppm_dims_pixels(payload)[2]
 
 
 def _decode_ppm(payload: bytes) -> dict:
@@ -515,4 +520,128 @@ def speech_segments(
         "end_frame",
         "n_frames",
         "max_rms_e3",
+    )
+
+
+def image_dhash(
+    df: DataFrame,
+    grid_w: int = 8,
+    grid_h: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded PPM images —
+    the image-dedup fingerprint: integer grayscale ``(r+g+b) div 3`` per
+    pixel, exact area-mean downsample to a ``grid_w x grid_h`` grid
+    (image dims must be integer multiples; the mean is a floor
+    division, so the whole pipeline stays integer-exact and
+    oracle-portable), then one bit per horizontal gradient
+    ``gray[r][c] > gray[r][c+1]`` — ``(grid_w-1) * grid_h`` bits packed
+    into an int64. Visually-near-identical images (re-encodes, small
+    edits, watermarks) land within a few bits of each other in Hamming
+    space; :func:`dhash_hamming_pairs` turns that into banded candidate
+    pairs the way SimHash text dedup does.
+
+    Arrow ``mapInPandas`` with numpy inside (whole pixel buffers
+    vectorize; no per-pixel Python), declared output schema. Compressed
+    codecs (JPEG/PNG) would decode to the same (w, h, rgb) contract via
+    PIL where available — the decode gate is the only stub, per
+    :func:`decode_image`.
+    """
+    if grid_w < 2 or (grid_w - 1) * grid_h > 63:
+        raise ValueError("need 2 <= grid_w and (grid_w-1)*grid_h <= 63 bits")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = (
+            1 << np.arange(grid_h * (grid_w - 1), dtype=np.int64)
+        ).reshape(grid_h, grid_w - 1)
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, pixels = _ppm_dims_pixels(bytes(payload))
+                if w % grid_w or h % grid_h:
+                    raise ValueError(
+                        f"{w}x{h} image is not an integer multiple of the "
+                        f"{grid_w}x{grid_h} grid"
+                    )
+                a = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+                gray = a.reshape(h, w, 3).sum(axis=2) // 3
+                fy, fx = h // grid_h, w // grid_w
+                pooled = (
+                    gray.reshape(grid_h, fy, grid_w, fx)
+                    .sum(axis=(1, 3)) // (fy * fx)
+                )
+                bits = pooled[:, :-1] > pooled[:, 1:]
+                ids.append(int(doc_id))
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_dhash, schema)
+
+
+def dhash_hamming_pairs(
+    fingerprints: DataFrame,
+    bits: int = 28,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from dHash fingerprints — the banded
+    Hamming join (Manku et al., WWW 2007, same pigeonhole as the
+    SimHash text path ``dedup.simhash_hamming_pairs``): split the
+    ``bits``-bit hash into ``bands`` contiguous blocks and equi-join on
+    (band, block); any pair within Hamming distance ``bands - 1``
+    agrees exactly on some block, so ``max_hamming <= bands - 1`` keeps
+    100% recall with zero all-pairs work. The xor+popcount verify
+    touches candidates only. Returns (doc_a, doc_b, hamming).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("max_hamming must be <= bands - 1 for full recall")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fp = fingerprints.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("fp")
+    )
+    banded = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "block", F.expr(f"shiftright(fp, band * {band_bits}) & {mask}")
+    )
+    a = banded.select(
+        "band", "block",
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"),
+    )
+    b = banded.select(
+        "band", "block",
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"),
+    )
+    return (
+        a.join(b, ["band", "block"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )

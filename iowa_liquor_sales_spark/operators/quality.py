@@ -634,3 +634,51 @@ def cuped_adjusted_means(
         floor_scaled(mean_post, 6, "mean_post_e6"),
         floor_scaled(mean_adj, 6, "mean_adj_e6"),
     )
+
+
+def bh_fdr(
+    hypotheses: DataFrame,
+    id_col: str,
+    p_col: str = "p_ppm",
+    alpha_ppm: int = 100_000,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over m simultaneous hypotheses —
+    the multiple-testing leg of the classifier-eval family: a curation
+    run that sweeps thousands of per-slice quality checks (per-source
+    drift, per-language filter lift, per-shard anomaly scores) cannot
+    threshold each p-value at alpha without drowning in false
+    discoveries; BH rejects the largest prefix of the p-sorted list
+    with ``p_(i) <= i * alpha / m`` and guarantees FDR <= alpha
+    (Benjamini & Hochberg, JRSS-B 1995).
+
+    All-integer and exact: p-values arrive in ppm, the step-up
+    comparison is ``p_ppm * m <= rank * alpha_ppm`` (int64 — wraps only
+    past ~9e12 hypotheses), and the rejection cutoff is a max over the
+    O(m) hypothesis relation. Grouped-first contract: this runs over
+    the HYPOTHESES relation (one row per test, already aggregated from
+    the data), so the two global windows sort m rows, never data rows
+    — same shape as :func:`auc_exact`'s distinct-score window.
+
+    Returns (id, p_ppm, rnk, reject) — rnk is the BH rank (ties broken
+    by id for engine determinism), reject is the step-up decision.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("p"), F.col("id"))
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = hypotheses.select(
+        F.col(id_col).alias("id"), F.col(p_col).cast("long").alias("p")
+    ).select(
+        "id",
+        "p",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    crit = F.col("p") * F.col("m") <= F.col("rnk") * F.lit(int(alpha_ppm))
+    cutoff = F.max(F.when(crit, F.col("rnk")).otherwise(F.lit(0))).over(wall)
+    return ranked.select(
+        F.col("id"),
+        F.col("p").alias("p_ppm"),
+        "rnk",
+        (F.col("rnk") <= cutoff).alias("reject"),
+    )

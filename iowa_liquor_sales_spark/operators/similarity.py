@@ -410,6 +410,60 @@ def ivf_topk(
     )
 
 
+def ann_range_search(
+    embeddings: DataFrame,
+    query_id: int,
+    min_cos: float,
+    n_cells: int = 16,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF RANGE search (FAISS ``range_search`` semantics): every vector
+    in the query's ``nprobe`` probe cells with cosine >= ``min_cos`` —
+    the radius-query companion to :func:`ivf_topk`'s top-k. Top-k
+    answers "give me the k closest"; range answers "give me EVERYTHING
+    this similar", the primitive behind near-dup sweeps around a probe
+    document, contamination blast-radius checks, and recall-oriented
+    retrieval where the result size is data-dependent.
+
+    Same probe-cell contract as :func:`ivf_topk` (recall < 1 by
+    construction at nprobe=1, widening monotonically with nprobe via
+    :func:`query_probe_cells`'s deterministic cell ranking) and the
+    same scale shape: candidates are the probe cells' contents only —
+    never a corpus scan — and no window at all (range search has no
+    global top-k sort; the threshold filter is embarrassingly
+    parallel, which is exactly why FAISS offers it alongside top-k).
+
+    Returns (vec_id, cos_e6) — the similarity floored to a 1e-6 grid
+    (floor of bit-identical IEEE doubles, engine-portable).
+    """
+    assigned = ivf_assign(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    probes = query_probe_cells(
+        embeddings, query_id, nprobe,
+        n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+    )
+    qv = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), F.col("cell") == F.col("p_cell"))
+        .filter(F.col(id_col) != query_id)
+        .join(F.broadcast(qv))
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col("q_vec"))
+    return (
+        cand.select(F.col(id_col), sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cos)
+        .select(
+            id_col,
+            F.floor(F.col("cos_sim") * 1e6).cast("long").alias("cos_e6"),
+        )
+    )
+
+
 def label_centroids_e6(
     df: DataFrame,
     vec_col: str = "embedding",

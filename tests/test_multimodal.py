@@ -160,3 +160,55 @@ def test_scene_changes_flags_content_jump(spark):
     assert set(out) == {1, 2}
     assert out[1]["delta_l1"] == 0 and not out[1]["is_scene_change"]
     assert out[2]["delta_l1"] == 25 * 64 and out[2]["is_scene_change"]
+
+
+def test_image_dhash_known_pixels_and_pooling(spark):
+    from iowa_liquor_sales_spark.multimodal.binary_ops import image_dhash
+
+    # 4x2 image, pooled 2x1 to a 2x2 grid: one bit per row comparing the
+    # left pooled cell to the right. Row 0 bytes make left gray > right;
+    # row 1 the opposite — expected hash = bit 0 set, bit 2 clear.
+    # Pixels: row 0 = [9,9,9, 9,9,9, 0,0,0, 0,0,0] -> pooled 9 vs 0
+    #         row 1 = [0,0,0, 0,0,0, 9,9,9, 9,9,9] -> pooled 0 vs 9
+    row0 = bytes([9] * 6 + [0] * 6)
+    row1 = bytes([0] * 6 + [9] * 6)
+    payload = b"P6\n4 2\n255\n" + row0 + row1
+    df = spark.createDataFrame([(1, payload)], ["doc_id", "payload"])
+    out = image_dhash(df, grid_w=2, grid_h=2).collect()
+    # bit layout: bit (r * (grid_w-1) + c); grid_w=2 -> bit r
+    assert out[0]["dhash"] == 0b01
+
+    # non-multiple dims must refuse, not silently mis-pool
+    import pytest
+
+    bad = spark.createDataFrame([(1, payload)], ["doc_id", "payload"])
+    with pytest.raises(Exception, match="integer multiple"):
+        image_dhash(bad, grid_w=3, grid_h=2).collect()
+
+
+def test_dhash_hamming_pairs_matches_brute_force(spark):
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        dhash_hamming_pairs,
+    )
+
+    hashes = [
+        (1, 0b0000000000000000),
+        (2, 0b0000000000000111),  # hamming 3 from 1
+        (3, 0b0000111100001111),  # hamming 8 from 1
+        (4, 0b0000111100001110),  # hamming 1 from 3
+        (5, 0b0000000000000000),  # hamming 0 from 1
+    ]
+    df = spark.createDataFrame(hashes, ["doc_id", "dhash"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dhash_hamming_pairs(
+            df, bits=16, bands=4, max_hamming=3
+        ).collect()
+    }
+    want = {}
+    for i, (ida, ha) in enumerate(hashes):
+        for idb, hb in hashes[i + 1:]:
+            d = bin(ha ^ hb).count("1")
+            if d <= 3:
+                want[(ida, idb)] = d
+    assert got == want and (1, 2) in got and (3, 4) in got and (1, 5) in got

@@ -40,3 +40,34 @@ def test_bucket_checksum_diff_locates_drift(spark):
         assert (r["checksum_a"] != r["checksum_b"]) or (
             r["n_rows_a"] != r["n_rows_b"]
         )
+
+
+def test_bh_fdr_step_up_rescues_interior_hypothesis(spark):
+    """The classic BH signature: p_(2) individually exceeds 2*alpha/m but
+    p_(3) <= 3*alpha/m, so the step-up rejects ALL of ranks 1..3 —
+    a per-rank filter would wrongly keep only ranks 1 and 3."""
+    from iowa_liquor_sales_spark.operators.quality import bh_fdr
+
+    rows = [("a", 10_000), ("b", 60_000), ("c", 70_000), ("d", 900_000)]
+    df = spark.createDataFrame(rows, ["test_id", "p_ppm"])
+    got = {
+        r["id"]: (r["rnk"], r["reject"])
+        for r in bh_fdr(df, "test_id", alpha_ppm=100_000).collect()
+    }
+    # m=4, thresholds i*25000: 10000<=25000 T, 60000<=50000 F,
+    # 70000<=75000 T -> cutoff 3
+    assert got == {
+        "a": (1, True),
+        "b": (2, True),
+        "c": (3, True),
+        "d": (4, False),
+    }
+
+    # no p-value under alpha/m -> nothing rejects
+    null = spark.createDataFrame(
+        [("x", 500_000), ("y", 800_000)], ["test_id", "p_ppm"]
+    )
+    assert all(
+        not r["reject"]
+        for r in bh_fdr(null, "test_id", alpha_ppm=100_000).collect()
+    )

@@ -180,3 +180,63 @@ def test_power_iteration_pc1_recovers_planted_component(spark):
     assert abs(cos) > 0.99, cos
     # sign contract: the largest-|component| entry is positive
     assert max(v, key=abs) > 0
+
+
+def test_ann_range_search_probe_semantics_and_monotone_nprobe(spark):
+    """Range search returns exactly the brute-force threshold matches
+    RESTRICTED to the probe cells; widening nprobe widens the result
+    monotonically and reaches the full brute-force set at n_cells."""
+    from iowa_liquor_sales_spark.operators.similarity import (
+        ann_range_search,
+        ivf_assign,
+        query_probe_cells,
+    )
+    from iowa_liquor_sales_spark.functions.vectors import cosine_similarity
+    from pyspark.sql import functions as F
+
+    import math
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    thr = 0.3
+
+    brute = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .join(
+            emb.filter(F.col("vec_id") == 0).select(
+                F.col("embedding").alias("q_vec")
+            )
+        )
+        .filter(cosine_similarity(F.col("embedding"), F.col("q_vec")) >= thr)
+        .collect()
+    }
+
+    prev: set[int] = set()
+    for nprobe in (1, 2, 4, 8):
+        got = {
+            r["vec_id"]
+            for r in ann_range_search(
+                emb, query_id=0, min_cos=thr, n_cells=8, nprobe=nprobe
+            ).collect()
+        }
+        assert got <= brute           # never a false positive
+        assert prev <= got            # monotone widening
+        # exactness within the probed cells
+        cells = {
+            r["p_cell"]
+            for r in query_probe_cells(emb, 0, nprobe, n_cells=8).collect()
+        }
+        in_cells = {
+            r["vec_id"]
+            for r in ivf_assign(emb, n_cells=8)
+            .filter(F.col("cell").isin(cells))
+            .collect()
+        }
+        assert got == brute & in_cells
+        prev = got
+    assert prev == brute              # nprobe = n_cells -> exact
