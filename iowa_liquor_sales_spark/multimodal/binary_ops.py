@@ -613,9 +613,16 @@ def dhash_hamming_pairs(
         raise ValueError("max_hamming must be <= bands - 1 for full recall")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+    # The fingerprint relation feeds BOTH sides of the banded self-join;
+    # without materialization Catalyst duplicates the upstream subtree —
+    # typically an Arrow mapInPandas image DECODE, the most expensive
+    # stage — and runs it twice. Persist the O(docs) (id, int64) relation
+    # once (same contract as dedup.minhash_lsh_pairs' signature persist);
+    # eager count so the two join sides can't race on the uncached tree.
     fp = fingerprints.select(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("fp")
-    )
+    ).persist()
+    fp.count()
     banded = fp.select(
         "doc_id",
         "fp",
