@@ -8413,6 +8413,27 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    # Dedup-aware train/val/test split (sampling.leakage_safe_split):
+    # near-dup pairs (exact Jaccard >= 0.5 over df-capped 3-gram
+    # shingles — the q_dedup_clusters pair graph) -> transitive CC
+    # cluster ids -> ONE content-keyed hash_split on the CLUSTER, so
+    # near-duplicates can never straddle the train/eval boundary (the
+    # eval-contamination leak a per-row hash split commits by
+    # construction). Oracle replays the recursive-CTE transitive
+    # closure, left-joins the full corpus so singletons split by their
+    # own id, and applies the identical md5 bucket carve.
+    from iowa_liquor_sales_spark.operators.dedup import jaccard_pairs, shingles
+    from iowa_liquor_sales_spark.operators.sampling import leakage_safe_split
+
+    docs = read_table(spark, sf, "documents")
+    cap = max(1, int(0.05 * docs.count()))
+    pairs = jaccard_pairs(
+        shingles(docs, "text", "doc_id", n=3), min_jaccard=0.5, max_df=cap
+    ).select("doc_a", "doc_b")
+    return leakage_safe_split(docs, pairs)
+
+
 def q_ann_range(spark: SparkSession, sf: str) -> DataFrame:
     # IVF RANGE search (similarity.ann_range_search, FAISS range_search
     # semantics): every vector in query 0's two probe cells with cosine
@@ -8516,9 +8537,9 @@ def q_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
 # round-6 verdict item 3's done criterion requires it driver-green
 # bit-identical) and q_auc (pair-count arithmetic moved to
 # DECIMAL(38,0) + the quantize guard at the call site). Round-8 gate
-# backlog, in priority order: the three NEW round-7 queries
-# q_image_dhash, q_ann_range, q_bh_fdr (oracle-checked in the local
-# sweep this round), then the lower-risk changed-code re-gates
+# backlog, in priority order: the four NEW round-7 queries
+# q_image_dhash, q_ann_range, q_bh_fdr, q_leakage_split (oracle-checked
+# in the local sweep this round), then the lower-risk changed-code re-gates
 # q_reliability (score sum now accumulates in DECIMAL(38,0)),
 # q_fuzzy_names and q_entity_resolution (fuzzy_pairs gained the
 # pair_source branch; the default path is plan-identical and was
@@ -8924,6 +8945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_range": q_ann_range,
         "q_image_dhash": q_image_dhash,
         "q_bh_fdr": q_bh_fdr,
+        "q_leakage_split": q_leakage_split,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -14236,4 +14258,29 @@ def oracle_sql() -> dict[str, str]:
                     FROM ranked)
             SELECT id, p_ppm, rnk, rnk <= k AS reject
             FROM ranked, cut""",
+        "q_leakage_split": f"""
+            WITH RECURSIVE {_JACCARD_CTE},
+            pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION
+                      SELECT doc_b AS a, doc_a AS b FROM pairs),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            comp AS (SELECT a AS node, least(a, MIN(b)) AS component
+                     FROM reach GROUP BY a)
+            SELECT doc_id, cluster_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT d.doc_id,
+                         COALESCE(c.component, d.doc_id) AS cluster_id,
+                         CAST(('0x' || substr(md5('split' ||
+                              CAST(COALESCE(c.component, d.doc_id)
+                                   AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 10000 AS b
+                  FROM documents d
+                  LEFT JOIN comp c ON d.doc_id = c.node)""",
     }

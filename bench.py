@@ -100,6 +100,10 @@ HEADLINE = [
     # multi-arm nprobe recall curve
     "q_entity_resolution",
     "q_ann_multiprobe",
+    # round-7 additions: the image-dedup flow (Arrow decode -> dHash ->
+    # banded Hamming join) and the IVF radius query
+    "q_image_dhash",
+    "q_ann_range",
 ]
 
 

@@ -337,3 +337,48 @@ def weighted_topk_sample(
         .orderBy(F.col("sel_key_e9").desc(), F.col(key))
         .limit(k)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Dedup-aware train/val/test split: carve by near-dup CLUSTER, not
+    by row, so no near-duplicate pair ever straddles the train/eval
+    boundary. A plain row-hash split leaks by construction — two
+    near-identical documents hash independently, one lands in train
+    and one in test, and the eval set silently scores memorization.
+    This is the split every deduplicated-corpus training run actually
+    needs (the contamination literature's remedy: split UNITS are
+    duplicate clusters).
+
+    ``pairs`` is any near-dup pair relation ``(doc_a, doc_b)`` — exact
+    hash groups, MinHash-LSH, SimHash bands, dHash image pairs — so
+    the leakage definition is pluggable. The split key is the pair
+    graph's connected-component representative (transitive closure:
+    A~B~C travel together even when A and C never matched directly),
+    via the log-round pointer-jumping CC; singleton documents skip the
+    iterative stage entirely through the left join + coalesce (same
+    shape as ``joins.resolve_entities``). The final assignment is one
+    :func:`hash_split` over the cluster key — deterministic under
+    rerun, repartition, and cluster resize, like every split here.
+
+    Returns (doc_id, cluster_id, split).
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    labeled = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    return hash_split(labeled, "cluster_id", weights=weights, salt=salt)

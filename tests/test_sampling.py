@@ -139,3 +139,37 @@ def test_weighted_topk_sample_favors_heavy_rows(spark):
     # deterministic: identical sample on re-run
     ids2 = {r["doc_id"] for r in weighted_topk_sample(df, "doc_id", F.col("w"), k=10).collect()}
     assert ids == ids2
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Transitive near-dup chains must land in ONE split (the whole
+    point); singletons split by their own id, identically to a plain
+    hash_split of the same key."""
+    from iowa_liquor_sales_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], ["doc_id"]
+    )
+    # chain 3~7~11 (transitive: 3 and 11 never matched directly) plus
+    # the pair 20~21; everyone else is a singleton
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 11), (20, 21)], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 40
+    assert (
+        out[3]["cluster_id"] == out[7]["cluster_id"] == out[11]["cluster_id"] == 3
+    )
+    assert out[3]["split"] == out[7]["split"] == out[11]["split"]
+    assert out[20]["cluster_id"] == out[21]["cluster_id"] == 20
+    assert out[20]["split"] == out[21]["split"]
+    # singleton assignment == plain hash_split on its own id
+    singles = hash_split(
+        docs.filter("doc_id NOT IN (3, 7, 11, 20, 21)"), "doc_id"
+    ).collect()
+    for r in singles:
+        assert out[r["doc_id"]]["cluster_id"] == r["doc_id"]
+        assert out[r["doc_id"]]["split"] == r["split"]
