@@ -8413,6 +8413,26 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    # Greedy best-first corpus selection under a 20k-token budget
+    # (curation.select_token_budget): quality = word count, tokens =
+    # n_chars div 4, keep docs in (quality desc, doc_id) order while
+    # the running sum fits. The engine plan never sorts the corpus —
+    # O(distinct quality levels) cumulative grid + a within-level
+    # window on the ONE boundary level; the oracle is the naive global
+    # prefix scan, proving the two-phase rewrite exact.
+    from iowa_liquor_sales_spark.operators.curation import select_token_budget
+
+    d = read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("q"),
+        F.expr("n_chars div 4").alias("tok"),
+    )
+    return select_token_budget(
+        d, budget_tokens=20_000, quality_col="q", token_col="tok"
+    )
+
+
 def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
     # Dedup-aware train/val/test split (sampling.leakage_safe_split):
     # near-dup pairs (exact Jaccard >= 0.5 over df-capped 3-gram
@@ -8537,8 +8557,9 @@ def q_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
 # round-6 verdict item 3's done criterion requires it driver-green
 # bit-identical) and q_auc (pair-count arithmetic moved to
 # DECIMAL(38,0) + the quantize guard at the call site). Round-8 gate
-# backlog, in priority order: the four NEW round-7 queries
-# q_image_dhash, q_ann_range, q_bh_fdr, q_leakage_split (oracle-checked
+# backlog, in priority order: the five NEW round-7 queries
+# q_image_dhash, q_ann_range, q_bh_fdr, q_leakage_split,
+# q_token_budget (oracle-checked
 # in the local sweep this round), then the lower-risk changed-code re-gates
 # q_reliability (score sum now accumulates in DECIMAL(38,0)),
 # q_fuzzy_names and q_entity_resolution (fuzzy_pairs gained the
@@ -8946,6 +8967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_dhash": q_image_dhash,
         "q_bh_fdr": q_bh_fdr,
         "q_leakage_split": q_leakage_split,
+        "q_token_budget": q_token_budget,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -14283,4 +14305,15 @@ def oracle_sql() -> dict[str, str]:
                            % 10000 AS b
                   FROM documents d
                   LEFT JOIN comp c ON d.doc_id = c.node)""",
+        "q_token_budget": """
+            WITH d AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS q,
+                              n_chars // 4 AS tok
+                       FROM documents),
+            c AS (SELECT doc_id, q, tok,
+                         SUM(tok) OVER (ORDER BY q DESC, doc_id) AS cum
+                  FROM d)
+            SELECT doc_id, CAST(q AS BIGINT) AS quality,
+                   CAST(tok AS BIGINT) AS tokens
+            FROM c WHERE cum <= 20000""",
     }

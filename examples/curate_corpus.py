@@ -191,6 +191,36 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
     calib = minhash_calibration_report(docs2, "text", "doc_id")
     worst_calib = calib.agg(F.max("mean_abs_err_ppm")).first()[0]
 
+    # 12. leakage-safe split: the SAME near-dup pair graph that drove
+    #     cluster dedup (step 3) decides the split UNIT, so no
+    #     near-duplicate pair can straddle the train/eval boundary —
+    #     per-row hash splits leak memorized eval answers by
+    #     construction.
+    from iowa_liquor_sales_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    split = leakage_safe_split(
+        curated, pairs_text.unionByName(pairs_emb)
+    )
+    n_eval = split.filter(F.col("split") != "train").count()
+
+    # 13. token-budget gate: fill a fixed training budget best-first by
+    #     quality (regex-token count as the quality proxy here) — the
+    #     final selection the trainer's loader actually reads; two-phase
+    #     plan (quality-level grid + one boundary-level window), never a
+    #     corpus sort.
+    from iowa_liquor_sales_spark.operators.curation import (
+        select_token_budget,
+    )
+
+    budgeted = select_token_budget(
+        curated.select("doc_id", "re_tokens", "ws_tokens"),
+        budget_tokens=5_000,
+        quality_col="re_tokens",
+        token_col="ws_tokens",
+    )
+
     stats = {
         "input": n0,
         "after_quality": docs1.count(),
@@ -205,6 +235,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01", outdir: str | None = None) -> di
         "n_hard_negatives": negs.count(),
         "ivf_recall_ppm_min": min_recall,
         "minhash_worst_decile_err_ppm": worst_calib,
+        "n_eval_split": n_eval,
+        "n_budget_selected": budgeted.count(),
         "outdir": out,
     }
     print(stats)

@@ -773,3 +773,83 @@ def dsir_logweights(
             F.sum(F.col("cw") * F.col("term_nano")).alias("logw_nano"),
         )
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy best-first corpus selection under a token budget: keep
+    documents in (quality desc, id asc) order while the running token
+    sum stays within ``budget_tokens`` — "fill a 10B-token training mix
+    with the best documents first", the final gate of every curation
+    pipeline after scoring/filtering/dedup.
+
+    Semantics are EXACTLY the naive prefix scan (a document is kept iff
+    its running cumulative token count <= budget), but the plan never
+    sorts the corpus globally. Two phases:
+
+    1. one map-side-combinable aggregate onto the integer QUALITY LEVEL
+       relation (O(distinct quality scores) rows — scores are integer
+       grid values per the engine's standard quantize contract), plus a
+       cumulative window over that tiny relation, finds the last level
+       that fits ENTIRELY in budget and the residual budget for the
+       next (boundary) level;
+    2. full levels pass with a bare filter (embarrassingly parallel);
+       only the single boundary level pays a within-level cumulative
+       window, whose partition is that level's documents — corpus/
+       levels on average, never the corpus.
+
+    The boundary relation attaches as a 1-row broadcast. All integer
+    arithmetic. Returns (id, quality, tokens) of the selected set.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(quality_col).cast("long").alias("q"),
+        F.col(token_col).cast("long").alias("tokens"),
+    )
+    levels = d.groupBy("q").agg(F.sum("tokens").alias("t"))
+    wlev = Window.orderBy(F.col("q").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = levels.withColumn("cum_t", F.sum("t").over(wlev))
+    # Last fully-funded level and the residual for the one after it.
+    bound = cum.agg(
+        # levels run q DESC, so cum_t grows as q falls: the boundary —
+        # the FIRST level that no longer fits — is the HIGHEST q whose
+        # cumulative exceeds the budget.
+        F.max(
+            F.when(F.col("cum_t") > budget_tokens, F.col("q"))
+        ).alias("boundary_q"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("cum_t") <= budget_tokens, F.col("cum_t"))
+            ),
+            F.lit(0),
+        ).alias("spent"),
+    )
+    staged = d.join(F.broadcast(bound))
+    full = staged.filter(
+        F.col("boundary_q").isNull() | (F.col("q") > F.col("boundary_q"))
+    )
+    wdoc = Window.partitionBy("q").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    partial = (
+        staged.filter(F.col("q") == F.col("boundary_q"))
+        .withColumn("cum_doc", F.sum("tokens").over(wdoc))
+        .filter(
+            F.col("cum_doc") <= F.lit(int(budget_tokens)) - F.col("spent")
+        )
+        .drop("cum_doc")
+    )
+    return full.unionByName(partial).select(
+        F.col("id").alias(id_col),
+        F.col("q").alias("quality"),
+        "tokens",
+    )

@@ -259,6 +259,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     rows_per_band: int = 4,
     min_jaccard: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup detection with exact verification:
     shingle → signatures → band buckets → bucket self-join (candidates) →
@@ -268,7 +269,18 @@ def minhash_lsh_pairs(
     Verification joins each candidate pair to the two documents'
     hashed-shingle sets (one array per doc) and computes
     |A∩B| / |A∪B| with array intrinsics — O(candidates × shingles), fully
-    distributed, no second inverted-index pass."""
+    distributed, no second inverted-index pass.
+
+    ``max_bucket`` is the standard LSH hot-bucket cap: (band, bucket)
+    groups holding more than that many documents are dropped BEFORE the
+    self-join, bounding the per-bucket fanout at ``max_bucket²``. On a
+    small shingle universe (short strings, tiny alphabets) minhash
+    values collapse into mega-buckets whose k² fanout dwarfs the real
+    candidate set — measured 212x wall blowup on a 128k-name hex
+    dictionary before this cap existed (SCALE.md round-7 probe). The
+    recall loss concentrates on documents whose every band is
+    near-universal; ``None`` (default) keeps the exact historical
+    behavior."""
     # ONE shingle pass + ONE shuffle: the same aggregate produces all k
     # signature mins (from the oracle-portable md5 hash) and the exact
     # hashed-shingle set (xxhash64) used for verification.
@@ -305,6 +317,16 @@ def minhash_lsh_pairs(
     buckets = minhash_band_buckets(
         per_doc, rows_per_band=rows_per_band, num_hashes=num_hashes
     )
+    if max_bucket is not None:
+        # Hot-bucket cap: one O(buckets) count + a semi-join drops the
+        # mega-buckets whose k-squared self-join fanout would dominate.
+        small = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= max_bucket)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(small, ["band", "bucket"], "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -189,6 +189,8 @@ def fuzzy_pairs(
     lsh_num_hashes: int = 32,
     lsh_rows_per_band: int = 1,
     lsh_min_jaccard: float = 0.2,
+    lsh_shingle_n: int = 3,
+    lsh_max_bucket: int | None = 512,
 ) -> DataFrame:
     """Fuzzy self-match over a string dictionary: pairs of DISTINCT
     values within ``max_dist`` Levenshtein edits, each weighted by its
@@ -248,13 +250,19 @@ def fuzzy_pairs(
 
     - ``"passjoin"`` (default): segment blocking as above — provably
       complete, bit-identical to every prior round.
-    - ``"lsh"``: candidates from char-bigram MinHash-LSH
-      (``lsh_num_hashes`` signatures, ``lsh_rows_per_band`` rows/band,
-      ``lsh_min_jaccard`` floor), length-banded, then the SAME
+    - ``"lsh"``: candidates from char-``lsh_shingle_n``-gram
+      MinHash-LSH (``lsh_num_hashes`` signatures,
+      ``lsh_rows_per_band`` rows/band, ``lsh_min_jaccard`` floor,
+      ``lsh_max_bucket`` hot-bucket cap), length-banded, then the SAME
       Levenshtein verify. Probabilistic recall (banding can miss a
-      low-Jaccard pair; names shorter than 2 chars produce no bigram
-      and are skipped) — the deliberate trade when a pathological
-      dictionary makes complete blocking explode.
+      low-Jaccard pair; names shorter than the shingle width produce
+      no gram and are skipped; capped buckets drop their pairs) — the
+      deliberate trade when a pathological dictionary makes complete
+      blocking explode. The bucket cap matters on tiny alphabets:
+      hex-like names collapse the gram universe, minhash values
+      concentrate, and uncapped mega-buckets pay a k² pre-distinct
+      fanout the final candidate count never shows (measured 212x wall
+      blowup at 128k names before the cap — SCALE.md round-7 probe).
     - ``"auto"``: build the PassJoin candidate set, COUNT it (one
       distributed count over the persisted O(candidates) relation —
       the measurement IS the trigger), and if it exceeds
@@ -414,10 +422,11 @@ def fuzzy_pairs(
             spaced,
             "spaced",
             "name",
-            n=2,
+            n=lsh_shingle_n,
             num_hashes=lsh_num_hashes,
             rows_per_band=lsh_rows_per_band,
             min_jaccard=lsh_min_jaccard,
+            max_bucket=lsh_max_bucket,
         ).select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
         side = names.select("name", "n_rows", "len")
         j = (

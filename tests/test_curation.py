@@ -383,3 +383,54 @@ def test_dsir_logweights_favor_target_vocabulary(spark):
     # doc 2, whose words never occur in the target.
     assert out[1]["logw_nano"] > out[2]["logw_nano"]
     assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
+
+
+def test_select_token_budget_equals_naive_prefix(spark):
+    """The two-phase (level grid + boundary window) plan must reproduce
+    the naive global prefix scan exactly — including the partial
+    boundary level, budget-0, and budget-covers-everything."""
+    import random
+
+    from iowa_liquor_sales_spark.operators.curation import select_token_budget
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(5), 1 + rng.randrange(9)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "q", "tok"])
+
+    def naive(budget):
+        out, cum = set(), 0
+        for i, q, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
+            cum += tok
+            if cum <= budget:
+                out.add(i)
+        return out
+
+    total = sum(t for _, _, t in rows)
+    for budget in (0, 1, 37, 250, total - 1, total, total + 10):
+        got = {
+            r["doc_id"]
+            for r in select_token_budget(
+                df, budget, quality_col="q", token_col="tok"
+            ).collect()
+        }
+        assert got == naive(budget), budget
+
+
+def test_minhash_lsh_hot_bucket_cap_prunes_mega_buckets(spark):
+    """max_bucket drops (band, bucket) groups above the cap BEFORE the
+    self-join — on a corpus where every doc lands in the same buckets,
+    a small cap removes all pairs; uncapped behavior is unchanged."""
+    from iowa_liquor_sales_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    uncapped = minhash_lsh_pairs(docs, "text", "doc_id", min_jaccard=0.9)
+    assert uncapped.count() == 12 * 11 // 2  # identical docs: all pairs
+    capped = minhash_lsh_pairs(
+        docs, "text", "doc_id", min_jaccard=0.9, max_bucket=5
+    )
+    assert capped.count() == 0  # every bucket holds 12 > 5 docs

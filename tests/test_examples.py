@@ -44,6 +44,10 @@ def test_curation_pipeline_monotone(spark):
     # embedding side alone).
     if stats["minhash_worst_decile_err_ppm"] is not None:
         assert 0 <= stats["minhash_worst_decile_err_ppm"] <= 500_000
+    # split covers the whole curated corpus; eval side non-trivial
+    assert 0 < stats["n_eval_split"] < stats["after_weighted_sample"]
+    # budget gate selects a strict, non-empty subset
+    assert 0 < stats["n_budget_selected"] <= stats["after_weighted_sample"]
 
 
 def test_stream_demo_end_to_end(spark):

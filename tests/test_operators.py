@@ -1059,8 +1059,10 @@ def _hex_concentrated_dictionary():
 def test_fuzzy_pairs_lsh_source_matches_passjoin_on_concentrated_dict(spark):
     """Round-6 verdict item 4: the LSH escalation path must reproduce
     the complete PassJoin matched-pair set on a concentrated hex
-    dictionary (char-bigram Jaccard of a dist<=2 pair of 16-char names
-    is >=~0.58, where 32 one-row bands have ~1-1e-12 recall)."""
+    dictionary (char-trigram Jaccard of a dist<=2 pair of 16-char
+    names is >=~0.4, where 32 one-row bands still have ~1-6e-8
+    recall; the hot-bucket cap never fires at this dictionary
+    size)."""
     from iowa_liquor_sales_spark.operators.joins import fuzzy_pairs
 
     df = spark.createDataFrame(_hex_concentrated_dictionary(), ["name"])

@@ -153,3 +153,45 @@ def test_join_strategy_hints_respected(spark):
     assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
     shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
     assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_image_dhash_decodes_once_and_joins_equi(spark):
+    # The Arrow decode must run ONCE (fingerprints persist across the
+    # banded self-join — both sides read InMemoryRelation builds of the
+    # same cache) and the candidate join must be a (band, block)
+    # equi-join, never a CartesianProduct.
+    plan = _plan(spark, "q_image_dhash")
+    assert "CartesianProduct" not in plan
+    # both self-join sides must read the persisted fingerprint cache
+    # (the toString rendering re-prints the cached build plan — with its
+    # MapInPandas — under EACH InMemoryTableScan, so count scans, not
+    # MapInPandas nodes: two scans of one cache = one decode execution)
+    assert plan.count("InMemoryTableScan") >= 2, "fingerprints not cached"
+
+
+def test_ann_range_has_no_global_window_or_sort(spark):
+    # Range search's point vs top-k: the threshold filter needs NO
+    # global ranking of CANDIDATES — a Window/TakeOrdered over the
+    # candidate relation would reintroduce the single-partition sort.
+    # The only ordered operator allowed is the nprobe probe-cell pick
+    # over the O(n_cells) centroid relation (TakeOrdered limit=nprobe).
+    import re
+
+    plan = _plan(spark, "q_ann_range")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    takes = re.findall(r"TakeOrderedAndProject\(limit=(\d+)", plan)
+    assert all(int(lim) <= 16 for lim in takes), takes  # probe pick only
+    # no candidate-ranking column anywhere (the probe window's prnk over
+    # the O(n_cells) centroid relation is the one allowed ranking)
+    assert not re.search(r"\brnk#", plan)
+
+
+def test_token_budget_never_sorts_the_corpus(spark):
+    # The two-phase rewrite's contract: no range-partitioned global
+    # sort of the document relation — the only Exchanges are the
+    # quality-level aggregate, the two tiny window relations, and the
+    # boundary-level window partition.
+    plan = _plan(spark, "q_token_budget")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning(q DESC" not in plan.replace(" ", "")
