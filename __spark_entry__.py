@@ -8413,6 +8413,66 @@ def q_ccf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Canonicalization-aware exact dedup (text.canonicalize_confusables
+    # ∘ dedup.exact_dedup): every 3rd document gets an obfuscated twin —
+    # Latin a/e/o swapped for Cyrillic homoglyphs plus a planted
+    # zero-width space — which raw md5 dedup cannot see (one swapped
+    # byte, new hash). Folding confusables, stripping zero-width chars,
+    # collapsing whitespace, and lowercasing BEFORE hashing recovers
+    # every planted twin group; the oracle replays the identical
+    # translate/regexp/lower pipeline. Output: canonical dup groups
+    # with >= 2 members.
+    from iowa_liquor_sales_spark.operators.dedup import exact_dedup
+    from iowa_liquor_sales_spark.operators.text import (
+        canonicalize_confusables,
+    )
+
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    obf = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("aid"),
+        F.concat(
+            F.substring("text", 1, 1),
+            F.lit("\u200b"),
+            F.translate(F.expr("substring(text, 2)"), "aeo", "аео"),
+        ).alias("t"),
+    )
+    assets = docs.select(
+        (F.col("doc_id") * 2).alias("aid"), F.col("text").alias("t")
+    ).unionAll(obf)
+    canon = canonicalize_confusables(assets, text_col="t")
+    return exact_dedup(canon, "canon_text", "aid").filter(
+        F.col("n_dups") >= 2
+    )
+
+
+def q_join_delta(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental JOIN-view maintenance (upsert.join_view_delta, the
+    # Gupta-Mumick insert-only delta rule): orders and lineitem each
+    # split into base + insert batch on INDEPENDENT attributes, and the
+    # view's delta is computed as dA⋈B ∪ A⋈dB ∪ dA⋈dB — no base⋈base
+    # join anywhere in the plan. Join views are BAGS (the synthetic
+    # lineitem PK is deliberately non-unique), so the output is the
+    # delta's per-row-value MULTIPLICITY, and the oracle proves the bag
+    # algebra: count(full new view) - count(full old view) per row
+    # value.
+    from iowa_liquor_sales_spark.operators.upsert import join_view_delta
+
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_suppkey"
+    )
+    bo = o.filter(F.col("o_orderkey") % 10 < 8)
+    do_ = o.filter(F.col("o_orderkey") % 10 >= 8)
+    bl = li.filter(F.col("l_suppkey") % 7 < 5)
+    dl = li.filter(F.col("l_suppkey") % 7 >= 5)
+    return (
+        join_view_delta(bo, do_, bl, dl, ["o_orderkey"])
+        .groupBy("o_orderkey", "l_linenumber", "o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
 def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     # Greedy best-first corpus selection under a 20k-token budget
     # (curation.select_token_budget): quality = word count, tokens =
@@ -8557,9 +8617,9 @@ def q_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
 # round-6 verdict item 3's done criterion requires it driver-green
 # bit-identical) and q_auc (pair-count arithmetic moved to
 # DECIMAL(38,0) + the quantize guard at the call site). Round-8 gate
-# backlog, in priority order: the five NEW round-7 queries
+# backlog, in priority order: the seven NEW round-7 queries
 # q_image_dhash, q_ann_range, q_bh_fdr, q_leakage_split,
-# q_token_budget (oracle-checked
+# q_token_budget, q_canonical_dedup, q_join_delta (all oracle-checked
 # in the local sweep this round), then the lower-risk changed-code re-gates
 # q_reliability (score sum now accumulates in DECIMAL(38,0)),
 # q_fuzzy_names and q_entity_resolution (fuzzy_pairs gained the
@@ -8968,6 +9028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bh_fdr": q_bh_fdr,
         "q_leakage_split": q_leakage_split,
         "q_token_budget": q_token_budget,
+        "q_canonical_dedup": q_canonical_dedup,
+        "q_join_delta": q_join_delta,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -8990,6 +9052,37 @@ def _countmin_oracle() -> str:
 NON_SQL_QUERIES = frozenset({
     "q_compression_ratio",  # zlib byte counts — no SQL engine computes them
 })
+
+
+def _canonical_dedup_oracle() -> str:
+    # Reuses the operator's own confusable map so oracle and engine can
+    # never drift; zero-width chars via RE2's \x{...} (DuckDB) vs the
+    # Java-regex \uXXXX the Spark side uses — same four codepoints.
+    from iowa_liquor_sales_spark.operators.text import (
+        _CONFUSABLE_DST,
+        _CONFUSABLE_SRC,
+    )
+
+    return f"""
+        WITH obf AS (
+          SELECT doc_id * 2 + 1 AS aid,
+                 substr(text, 1, 1) || chr(8203)
+                   || translate(substr(text, 2), 'aeo', 'аео') AS t
+          FROM documents WHERE doc_id % 3 = 0),
+        assets AS (
+          SELECT doc_id * 2 AS aid, text AS t FROM documents
+          UNION ALL SELECT aid, t FROM obf),
+        canon AS (
+          SELECT aid,
+                 lower(regexp_replace(regexp_replace(
+                     translate(t, '{_CONFUSABLE_SRC}', '{_CONFUSABLE_DST}'),
+                     '[\\x{{200B}}\\x{{200C}}\\x{{200D}}\\x{{FEFF}}]', '',
+                     'g'),
+                     '[ \\t\\r\\n]+', ' ', 'g')) AS c
+          FROM assets)
+        SELECT md5(c) AS content_hash, MIN(aid) AS keeper_id,
+               COUNT(*) AS n_dups
+        FROM canon GROUP BY md5(c) HAVING COUNT(*) >= 2"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14316,4 +14409,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(q AS BIGINT) AS quality,
                    CAST(tok AS BIGINT) AS tokens
             FROM c WHERE cum <= 20000""",
+        "q_canonical_dedup": _canonical_dedup_oracle(),
+        "q_join_delta": """
+            WITH li AS (SELECT l_orderkey AS o_orderkey, l_linenumber,
+                               l_suppkey
+                        FROM lineitem),
+            bo AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+            bl AS (SELECT * FROM li WHERE l_suppkey % 7 < 5),
+            newc AS (
+              SELECT o.o_orderkey, li.l_linenumber, o.o_custkey,
+                     li.l_suppkey, COUNT(*) AS n
+              FROM orders o JOIN li ON o.o_orderkey = li.o_orderkey
+              GROUP BY 1, 2, 3, 4),
+            oldc AS (
+              SELECT bo.o_orderkey, bl.l_linenumber, bo.o_custkey,
+                     bl.l_suppkey, COUNT(*) AS n
+              FROM bo JOIN bl ON bo.o_orderkey = bl.o_orderkey
+              GROUP BY 1, 2, 3, 4)
+            SELECT newc.o_orderkey, newc.l_linenumber, newc.o_custkey,
+                   newc.l_suppkey,
+                   newc.n - COALESCE(oldc.n, 0) AS n_rows
+            FROM newc LEFT JOIN oldc
+              USING (o_orderkey, l_linenumber, o_custkey, l_suppkey)
+            WHERE newc.n - COALESCE(oldc.n, 0) > 0""",
     }

@@ -1054,3 +1054,37 @@ def textrank_keywords(
         "rank_e12",
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+
+# Cyrillic/Greek homoglyphs that render identically to Latin letters —
+# the standard confusable set spam/dedup evasion actually uses
+# (Unicode TR39 confusables, the high-frequency single-char subset).
+_CONFUSABLE_SRC = "аеорсухΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+_CONFUSABLE_DST = "aeopcyxABEZHIKMNOPTYX"
+
+
+def canonicalize_confusables(
+    df: DataFrame,
+    text_col: str = "text",
+    zero_width: bool = True,
+) -> DataFrame:
+    """Text canonicalization for dedup: fold Unicode confusables
+    (Cyrillic/Greek homoglyphs -> Latin, Unicode TR39's high-frequency
+    single-char subset), strip zero-width characters (ZWSP/ZWNJ/ZWJ/
+    BOM), collapse runs of whitespace, and lowercase — the
+    normalization pass that runs BEFORE content hashing, because exact
+    dedup by raw bytes misses the trivially-obfuscated copies that
+    spam, SEO mirror, and benchmark-contamination text actually
+    contains (one swapped Cyrillic 'о' defeats md5).
+
+    Pure Catalyst expressions (translate / regexp_replace / lower) —
+    zero shuffle, codegen-friendly, and each building block exists
+    verbatim in ANSI engines so the pass is oracle-portable. Adds
+    ``canon_text``; compose with :func:`..dedup.exact_dedup` on that
+    column for canonical-dedup, or with MinHash for near-dup.
+    """
+    c = F.translate(F.col(text_col), _CONFUSABLE_SRC, _CONFUSABLE_DST)
+    if zero_width:
+        c = F.regexp_replace(c, "[\u200b\u200c\u200d\ufeff]", "")
+    c = F.lower(F.regexp_replace(c, "[ \\t\\r\\n]+", " "))
+    return df.withColumn("canon_text", c)

@@ -111,3 +111,36 @@ def merge_aggregate_delta(
         *[F.sum(c).alias(c) for c in sum_cols],
         F.sum(count_col).cast("long").alias(count_col),
     )
+
+
+def join_view_delta(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance for an inner JOIN view
+    (the classic delta rule of incremental view maintenance,
+    Gupta & Mumick's counting-free insert-only form):
+
+        Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    given insert-only deltas, the view's new rows are exactly the three
+    disjoint terms — old-left with new-right, new-left with old-right,
+    and new-with-new. Appending the result to the stored view equals a
+    full recompute of ``(A ∪ ΔA) ⋈ (B ∪ ΔB)`` without ever re-joining
+    the two BASE tables — the term a 100 TB view refresh cannot afford.
+    (Deletes/updates need the counting algorithm on top; the engine's
+    CDC path composes :func:`apply_cdc` before this for last-write-wins
+    feeds.)
+
+    Cost shape: two delta⋈base joins (each shuffles the DELTA fully but
+    the base only on the join key — broadcast the delta when it is
+    small) plus one delta⋈delta join; nothing scans base⋈base.
+    """
+    return (
+        delta_left.join(base_right, on)
+        .unionByName(base_left.join(delta_right, on))
+        .unionByName(delta_left.join(delta_right, on))
+    )

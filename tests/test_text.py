@@ -314,3 +314,23 @@ def test_repetition_stats_interval_union(spark):
     assert out[3]["top_bigram_cnt"] == 5
     assert out[3]["top_bigram_ppm"] > 1_000_000
     assert out[3]["dup5_tokens"] == 6
+
+
+def test_canonicalize_confusables_folds_known_obfuscations(spark):
+    from iowa_liquor_sales_spark.operators.text import (
+        canonicalize_confusables,
+    )
+
+    rows = [
+        (1, "Free Money now"),
+        # Cyrillic о/е, zero-width space, doubled blanks, case tweak
+        (2, "Free Mоnеy ​NOW"),
+        (3, "unrelated text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["canon_text"]
+        for r in canonicalize_confusables(df).collect()
+    }
+    assert got[1] == got[2] == "free money now"
+    assert got[3] == "unrelated text"

@@ -113,3 +113,31 @@ def test_merge_aggregate_delta_new_and_untouched_groups(spark):
         ).collect()
     }
     assert got == {1: (10, 2), 2: (25, 2), 3: (7, 1)}
+
+
+def test_join_view_delta_bag_equivalence_with_duplicate_keys(spark):
+    """old view + delta must equal the full recompute as a BAG —
+    including duplicate join keys on both sides (multiplicities
+    multiply through the join, the case set-EXCEPT gets wrong)."""
+    from iowa_liquor_sales_spark.operators.upsert import join_view_delta
+
+    base_l = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], ["k", "lv"]
+    )
+    delta_l = spark.createDataFrame([(1, "a3"), (3, "c")], ["k", "lv"])
+    base_r = spark.createDataFrame(
+        [(1, 10), (1, 11), (3, 30)], ["k", "rv"]
+    )
+    delta_r = spark.createDataFrame([(1, 12), (2, 20)], ["k", "rv"])
+
+    old_view = base_l.join(base_r, ["k"])
+    delta = join_view_delta(base_l, delta_l, base_r, delta_r, ["k"])
+    full_new = base_l.unionByName(delta_l).join(
+        base_r.unionByName(delta_r), ["k"]
+    )
+
+    def bag(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert sorted(bag(old_view) + bag(delta)) == bag(full_new)
+    assert bag(full_new) != bag(old_view)
