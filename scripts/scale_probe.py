@@ -329,6 +329,31 @@ def bench_docs(
     # grow the vocabulary linearly with the corpus, so both the edge
     # distinct and the per-iteration join must track the scan.
     t("textrank_top20", textrank_keywords(docs))
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        dhash_hamming_pairs,
+        image_dhash,
+    )
+
+    # Image dedup (round-7): PPM wrap -> Arrow decode -> dHash -> banded
+    # Hamming join. Decode is one pass over the (persisted) fingerprint
+    # relation; the banded join's buckets stay small because salted
+    # replica texts produce distinct gradients.
+    ppm = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("P6\n16 8\n255\n").cast("binary"),
+            F.rpad(F.col("text"), 384, "x").cast("binary"),
+        ).alias("payload"),
+    )
+    t(
+        "image_dhash_pairs",
+        dhash_hamming_pairs(
+            image_dhash(ppm, grid_w=8, grid_h=8),
+            bits=56,
+            bands=4,
+            max_hamming=3,
+        ),
+    )
     return timings
 
 
