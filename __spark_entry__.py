@@ -8545,8 +8545,17 @@ def q_image_dhash(spark: SparkSession, sf: str) -> DataFrame:
         image_dhash,
     )
 
+    # ASCII-only projection FIRST: the engine parses pixel values from
+    # UTF-8 payload BYTES while the SQL oracle reads codepoints via
+    # ascii(substr(...)) — identical only when every char is ASCII.
+    # Stripping non-printable-ASCII here (and identically in the
+    # oracle) makes that a guaranteed invariant of the query instead of
+    # a property of today's generated corpus.
     base = read_table(spark, sf, "documents").select(
-        "doc_id", F.rpad("text", 384, "x").alias("s")
+        "doc_id",
+        F.rpad(
+            F.regexp_replace("text", r"[^\x20-\x7E]", ""), 384, "x"
+        ).alias("s"),
     )
     assets = base.select(
         (F.col("doc_id") * 2).alias("doc_id"), "s"
@@ -14320,7 +14329,10 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          q.q_vec::DOUBLE[]) >= 0.2""",
         "q_image_dhash": """
-            WITH base AS (SELECT doc_id, rpad(text, 384, 'x') AS s
+            WITH base AS (SELECT doc_id,
+                            rpad(regexp_replace(text, '[^\\x20-\\x7E]',
+                                                '', 'g'),
+                                 384, 'x') AS s
                           FROM documents),
             assets AS (
               SELECT doc_id * 2 AS aid, s FROM base

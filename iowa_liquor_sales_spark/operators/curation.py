@@ -800,13 +800,22 @@ def select_token_budget(
        next (boundary) level;
     2. full levels pass with a bare filter (embarrassingly parallel);
        only the single boundary level pays a within-level cumulative
-       window, whose partition is that level's documents — corpus/
-       levels on average, never the corpus.
+       token sum — and that prefix sum runs through the DISTRIBUTED
+       ranker machinery (:func:`.ranking.global_cumsum`: range shuffle
+       + per-partition offsets), NOT a single-partition
+       ``Window.partitionBy(level)``. Quality scores sit on a coarse
+       integer grid (the engine's quantize contract), so a heavy modal
+       level — a classifier pinning much of the corpus to one ppm
+       bucket — is the COMMON case, not a corner; with the old window
+       the boundary level was one task sorting that corpus fraction
+       (the measured ``rank_window_1part`` x50 blowup, SCALE.md).
 
     The boundary relation attaches as a 1-row broadcast. All integer
     arithmetic. Returns (id, quality, tokens) of the selected set.
     """
     from pyspark.sql import Window
+
+    from .ranking import global_cumsum
 
     d = df.select(
         F.col(id_col).alias("id"),
@@ -837,12 +846,16 @@ def select_token_budget(
     full = staged.filter(
         F.col("boundary_q").isNull() | (F.col("q") > F.col("boundary_q"))
     )
-    wdoc = Window.partitionBy("q").orderBy("id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # Exactly one level survives this filter, so a window PARTITIONed
+    # by q would put the whole boundary level in ONE task; the
+    # distributed prefix sum keeps it range-parallel at any skew.
     partial = (
-        staged.filter(F.col("q") == F.col("boundary_q"))
-        .withColumn("cum_doc", F.sum("tokens").over(wdoc))
+        global_cumsum(
+            staged.filter(F.col("q") == F.col("boundary_q")),
+            ["id"],
+            "tokens",
+            out_col="cum_doc",
+        )
         .filter(
             F.col("cum_doc") <= F.lit(int(budget_tokens)) - F.col("spent")
         )

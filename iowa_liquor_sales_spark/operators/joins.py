@@ -243,7 +243,9 @@ def fuzzy_pairs(
     exceed ~``auto_max_cand_per_name`` per name, stop fuzzy-joining
     the dictionary wholesale and switch the pair source to q-gram
     MinHash-LSH over the names (``dedup.minhash_lsh_pairs`` with
-    character-bigram shingles), keeping this verify stage unchanged —
+    char-``lsh_shingle_n``-gram shingles — default TRIgrams, the
+    tiny-alphabet mega-bucket remedy, SCALE.md round 7), keeping this
+    verify stage unchanged —
     the same escalation `dedup.allpairs_jaccard` documents.
 
     ``pair_source`` wires that escalation as code, not prose:
@@ -399,7 +401,14 @@ def fuzzy_pairs(
         # O(candidates) pair relation (4 small columns — the expensive
         # explode/join subtree runs once) and count it distributed. If
         # blocking has degraded past the budget, throw the complete
-        # candidate set away and regenerate probabilistically.
+        # candidate set away and regenerate probabilistically. When the
+        # measurement STAYS on PassJoin the persisted relation is
+        # deliberately retained for the session — the returned (lazy)
+        # verify plan reads it, so an eager unpersist here would just
+        # re-run the explode/join subtree; same documented cache-
+        # retention idiom as dedup.minhash_lsh_pairs and
+        # binary_ops.dhash_hamming_pairs (callers churning many
+        # dictionaries per session: spark.catalog.clearCache()).
         cand = cand.persist()
         n_cand = cand.count()
         n_names = names.count()
@@ -407,9 +416,11 @@ def fuzzy_pairs(
             cand.unpersist()
             use_lsh = True
     if use_lsh:
-        # Escalation source: char-bigram MinHash-LSH over the name
-        # dictionary. Names are char-spaced so the word-shingle
-        # machinery of minhash_lsh_pairs yields character bigrams;
+        # Escalation source: char-n-gram MinHash-LSH over the name
+        # dictionary (default lsh_shingle_n=3 -> TRIgrams: wider gram
+        # universe, the tiny-alphabet mega-bucket remedy). Names are
+        # char-spaced so the word-shingle machinery of
+        # minhash_lsh_pairs yields character n-grams;
         # min_jaccard is a loose floor (the Levenshtein verify below is
         # the real filter), and the length band is re-applied — LSH
         # buckets don't know about it.

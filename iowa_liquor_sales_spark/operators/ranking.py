@@ -71,3 +71,76 @@ def global_row_number(
     return local.withColumn(
         out_col, (F.col("_lrn") + offset_expr).cast("long")
     ).drop("_mid", "_pid", "_lrn")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running (inclusive) sum of ``value_col`` in global ``order_cols``
+    order without ever collapsing to one partition — the prefix-sum twin
+    of :func:`global_row_number`, replacing
+    ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` whose
+    no-PARTITION-BY window Spark executes as a single-task global sort.
+
+    Same machinery: one ``repartitionByRange`` on the order key (ordered
+    partition boundaries from a driver-side sample), a narrow
+    ``sortWithinPartitions``, per-partition VALUE sums (an O(#partitions)
+    collect, bounded by cluster size) turned into cumulative offsets and
+    rejoined as a broadcast map; the within-partition running sum is an
+    ordinary window PARTITIONED by the range-partition id, so every
+    window partition is one range partition — parallel, never global.
+    ``order_cols`` should be a unique key (ties make any engine's
+    running sum order-arbitrary). Output column is ``long``.
+    """
+    from pyspark.sql import Window
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    tagged = ranged.withColumn("_mid", F.monotonically_increasing_id())
+    tagged = tagged.withColumn(
+        "_pid", F.shiftrightunsigned("_mid", _PART_BITS).cast("long")
+    )
+    # Pin ONE execution of the range shuffle (same reasoning as
+    # global_row_number: the offsets job and the caller's output job
+    # must see identical sampled boundaries).
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    sums = {
+        r["_pid"]: r["_s"]
+        for r in tagged.groupBy("_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("_s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p] or 0
+    if offsets:
+        offset_expr = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+                ),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        )
+    else:  # empty input: no partitions observed
+        offset_expr = F.lit(0)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return tagged.withColumn(
+        out_col,
+        (F.sum(F.col(value_col).cast("long")).over(w) + offset_expr).cast(
+            "long"
+        ),
+    ).drop("_mid", "_pid")

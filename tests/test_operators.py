@@ -1127,3 +1127,71 @@ def test_resolve_entities_inherits_pair_source(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_global_cumsum_matches_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.ranking import global_cumsum
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 7919 % 997).alias("k"),
+        ((F.col("id") % 13) - 6).alias("v"),  # negatives included
+    )
+    out = global_cumsum(df, ["k"], "v", out_col="cum", num_partitions=8)
+    expected = df.withColumn(
+        "cum",
+        F.sum("v").over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert out.count() == 997
+    diff = out.join(expected, ["k", "v"]).filter(
+        out["cum"] != expected["cum"]
+    )
+    assert diff.count() == 0
+
+
+def test_global_cumsum_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.ranking import global_cumsum
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    ).filter(F.col("k") < 0)
+    assert global_cumsum(df, ["k"], "v").count() == 0
+
+
+def test_select_token_budget_modal_level_matches_naive(spark):
+    """Hostile shape for the boundary stage: EVERY document on one
+    quality level, so the boundary level IS the corpus — the de-skewed
+    prefix sum must still reproduce the naive global-order scan."""
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.curation import (
+        select_token_budget,
+    )
+
+    n = 500
+    df = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(7).alias("q"),
+        ((F.col("id") * 37 % 91) + 1).alias("tokens"),
+    )
+    budget = 3000
+    out = {
+        r["doc_id"]
+        for r in select_token_budget(
+            df, budget, "q", "tokens", id_col="doc_id"
+        ).collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: (-r["q"], r["doc_id"]))
+    acc, keep = 0, set()
+    for r in rows:
+        acc += r["tokens"]
+        if acc > budget:
+            break
+        keep.add(r["doc_id"])
+    assert out == keep and 0 < len(keep) < n
