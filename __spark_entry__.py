@@ -8611,6 +8611,53 @@ def q_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
     return bh_fdr(hyp, "user_id", "p_ppm", alpha_ppm=100_000)
 
 
+def q_ann_prebuilt(spark: SparkSession, sf: str) -> DataFrame:
+    # ANN index lifecycle (similarity.build_ann_index/load_ann_index):
+    # train the IVF quantizer ONCE, persist centroids + cell-PARTITIONED
+    # assignments, then answer the top-k query from the prebuilt index —
+    # the FAISS train/add/search split every production corpus uses
+    # instead of the in-query training the oracle-checkable forms
+    # inline. Results are bit-identical to q_ann_ivf's in-query path by
+    # construction (pytest test_prebuilt_index_bit_identical), so the
+    # oracle is the same coarse-quantize/probe/scan SQL; nprobe=2 widens
+    # the probe set so the prebuilt probe ranking is exercised too.
+    from iowa_liquor_sales_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk,
+        load_ann_index,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    path = tempfile.mkdtemp(prefix="iowa_ann_idx_") + "/ann"
+    build_ann_index(emb, path, n_cells=16)
+    idx = load_ann_index(spark, path)
+    return ivf_topk(emb, query_id=7, k=10, nprobe=2, index=idx).select(
+        "vec_id", "rnk"
+    )
+
+
+def q_ann_assign_delta(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental ANN ingest (similarity.assign_new_vectors): new
+    # vectors are placed into a prebuilt index's cells against the
+    # FROZEN stored centroids — one broadcast argmax over O(n_cells)
+    # rows, no retrain, no base-corpus scan; the delta appends straight
+    # into the index's cell partitions (the ANN half of the incremental
+    # pattern whose join half is upsert.join_view_delta). The oracle
+    # assigns the same delta against the same first-16 quantizer.
+    from iowa_liquor_sales_spark.operators.similarity import (
+        assign_new_vectors,
+        build_ann_index,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    is_delta = (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 16)
+    path = tempfile.mkdtemp(prefix="iowa_ann_delta_") + "/ann"
+    idx = build_ann_index(emb.filter(~is_delta), path, n_cells=16)
+    return assign_new_vectors(emb.filter(is_delta), idx).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9039,6 +9086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget": q_token_budget,
         "q_canonical_dedup": q_canonical_dedup,
         "q_join_delta": q_join_delta,
+        "q_ann_prebuilt": q_ann_prebuilt,
+        "q_ann_assign_delta": q_ann_assign_delta,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -14444,4 +14493,61 @@ def oracle_sql() -> dict[str, str]:
             FROM newc LEFT JOIN oldc
               USING (o_orderkey, l_linenumber, o_custkey, l_suppkey)
             WHERE newc.n - COALESCE(oldc.n, 0) > 0""",
+        # The prebuilt index is a bit-identical materialization of the
+        # in-query IVF quantizer, so the oracle is the same coarse-
+        # assign/probe/scan SQL as q_ann_ivf — at nprobe=2, query 7.
+        "q_ann_prebuilt": """
+            WITH cent AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id < 16
+            ),
+            assigned AS (
+              SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        e.embedding::DOUBLE[],
+                                        c.cvec::DOUBLE[]) DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cent c)
+              WHERE rn = 1
+            ),
+            q AS (SELECT embedding AS q_vec FROM embeddings
+                  WHERE vec_id = 7),
+            probes AS (
+              SELECT cid AS p_cell FROM (
+                SELECT c.cid,
+                       row_number() OVER (
+                           ORDER BY list_cosine_similarity(
+                                        q.q_vec::DOUBLE[],
+                                        c.cvec::DOUBLE[]) DESC,
+                                    c.cid) AS prnk
+                FROM cent c, q)
+              WHERE prnk <= 2
+            )
+            SELECT vec_id,
+                   CAST(row_number() OVER (
+                       ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                                       q_vec::DOUBLE[])
+                       DESC, vec_id) AS INTEGER) AS rnk
+            FROM assigned, q
+            WHERE cell IN (SELECT p_cell FROM probes) AND vec_id <> 7
+            QUALIFY rnk <= 10""",
+        "q_ann_assign_delta": """
+            WITH cent AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id < 16
+            )
+            SELECT vec_id, cell FROM (
+              SELECT e.vec_id, c.cid AS cell,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                                      e.embedding::DOUBLE[],
+                                      c.cvec::DOUBLE[]) DESC,
+                                  c.cid) AS rn
+              FROM embeddings e CROSS JOIN cent c
+              WHERE e.vec_id % 7 = 3 AND e.vec_id >= 16)
+            WHERE rn = 1""",
     }

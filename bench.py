@@ -104,6 +104,16 @@ HEADLINE = [
     # banded Hamming join) and the IVF radius query
     "q_image_dhash",
     "q_ann_range",
+    # round-8 additions: steady-state walls for the rest of the round-7
+    # surface (regressions on new operators must be visible), plus the
+    # prebuilt-ANN-index lifecycle queries
+    "q_leakage_split",
+    "q_token_budget",
+    "q_canonical_dedup",
+    "q_join_delta",
+    "q_bh_fdr",
+    "q_ann_prebuilt",
+    "q_ann_assign_delta",
 ]
 
 

@@ -191,6 +191,7 @@ def fuzzy_pairs(
     lsh_min_jaccard: float = 0.2,
     lsh_shingle_n: int = 3,
     lsh_max_bucket: int | None = 512,
+    recall_sample_mod: int | None = None,
 ) -> DataFrame:
     """Fuzzy self-match over a string dictionary: pairs of DISTINCT
     values within ``max_dist`` Levenshtein edits, each weighted by its
@@ -274,6 +275,22 @@ def fuzzy_pairs(
 
     ``hist_filter=False`` disables the histogram count filter (the
     scale probe uses it to attribute blocking power per level).
+
+    ``recall_sample_mod``: when the LSH source is in play (``"lsh"``,
+    or ``"auto"`` after escalation), the probabilistic arm's recall is
+    otherwise UNMEASURED — a 100 TB run would fly blind on how many
+    true pairs banding dropped. Set an integer ``mod`` and the operator
+    measures it: a deterministic ~1/mod hash-sample of names re-runs
+    the COMPLETE PassJoin source with the sample as index side (cost
+    proportional to the sample, completeness guaranteed for every pair
+    whose shorter member is sampled), verifies with the same
+    Levenshtein bound, and counts how many of those true pairs the LSH
+    candidates recovered. ``observations["recall_sample"]`` gets
+    ``{"expected": n_true_sampled, "found": n_recovered}`` — a measured
+    recall estimate for the whole pair population (the sample is
+    uniform over shorter-pair endpoints). Computed eagerly (two counts
+    over sample-bounded relations); leave ``None`` to skip. Ignored on
+    the PassJoin path, whose recall is provably 1.
     """
     d = max_dist
     nseg = d + 1
@@ -305,97 +322,112 @@ def fuzzy_pairs(
         f"(({{l}} div {nseg})"
         f" + if(i >= {nseg} - {{l}} % {nseg}, 1, 0))"
     )
-    a = names.select(
-        F.col("name").alias("name_a"),
-        F.col("n_rows").alias("n_rows_a"),
-        F.col("len").alias("len_a"),
-        F.col("hist").alias("hist_a"),
-        F.expr(
-            f"inline(transform(sequence(0, {d}), i -> named_struct("
-            f"'seg_id', i, "
-            f"'seg_text', substring(name, {seg_start.format(l='len')}, "
-            f"{seg_len.format(l='len')}))))"
-        ),
-    )
-    # Probe side: for each partner length la in the band, each segment
-    # of la's scheme, each admissible prefix shift, the substring of
-    # name_b the surviving segment would occupy. The shift window is the
-    # multi-match-aware PassJoin bound: with D = len_b - la, a shift of
-    # s forces >= |s| indels before the surviving segment and >= |D - s|
-    # edits after it (the suffix length difference must be made up), two
-    # DISJOINT edit sets, so |s| + |D - s| <= d — i.e.
-    # s in [-((d - D) div 2), (d + D) div 2], a (d+1)-wide window
-    # instead of the naive 2d+1. Distinct collapses the (frequent) shift
-    # duplicates before the join.
-    b = (
-        names.select(
-            F.col("name").alias("name_b"),
-            F.col("n_rows").alias("n_rows_b"),
-            F.col("len").alias("len_b"),
-            F.col("hist").alias("hist_b"),
-            F.explode(
-                F.expr(f"sequence(greatest(len - {d}, 0), len)")
-            ).alias("la"),
+    def _passjoin_cand(idx_names, probe_names):
+        # Two-sided PassJoin candidate generation: ``idx_names`` emits
+        # its d+1 segments (the SHORTER side of every found pair, by the
+        # orientation filter), ``probe_names`` emits every admissible
+        # surviving-segment substring. The main path calls it with
+        # (names, names) — the self-join; the sampled-recall probe calls
+        # it with a hash-sampled index side, which keeps the candidate
+        # set proportional to the sample while staying PROVABLY COMPLETE
+        # for pairs whose shorter member is sampled.
+        a = idx_names.select(
+            F.col("name").alias("name_a"),
+            F.col("n_rows").alias("n_rows_a"),
+            F.col("len").alias("len_a"),
+            F.col("hist").alias("hist_a"),
+            F.expr(
+                f"inline(transform(sequence(0, {d}), i -> named_struct("
+                f"'seg_id', i, "
+                f"'seg_text', substring(name, {seg_start.format(l='len')}, "
+                f"{seg_len.format(l='len')}))))"
+            ),
         )
-        .select(
-            "name_b",
-            "n_rows_b",
-            "len_b",
-            "hist_b",
-            "la",
-            F.explode(F.expr(f"sequence(0, {d})")).alias("i"),
-        )
-        .select(
-            "name_b",
-            "n_rows_b",
-            "len_b",
-            "hist_b",
-            "la",
-            F.col("i").alias("seg_id"),
-            F.expr(seg_start.format(l="la")).alias("p"),
-            F.expr(seg_len.format(l="la")).alias("sl"),
-            F.explode(
-                F.expr(
-                    f"sequence(-(({d} - (len_b - la)) div 2), "
-                    f"({d} + (len_b - la)) div 2)"
+        # Probe side: for each partner length la in the band, each
+        # segment of la's scheme, each admissible prefix shift, the
+        # substring of name_b the surviving segment would occupy. The
+        # shift window is the multi-match-aware PassJoin bound: with
+        # D = len_b - la, a shift of s forces >= |s| indels before the
+        # surviving segment and >= |D - s| edits after it (the suffix
+        # length difference must be made up), two DISJOINT edit sets, so
+        # |s| + |D - s| <= d — i.e.
+        # s in [-((d - D) div 2), (d + D) div 2], a (d+1)-wide window
+        # instead of the naive 2d+1. Distinct collapses the (frequent)
+        # shift duplicates before the join.
+        b = (
+            probe_names.select(
+                F.col("name").alias("name_b"),
+                F.col("n_rows").alias("n_rows_b"),
+                F.col("len").alias("len_b"),
+                F.col("hist").alias("hist_b"),
+                F.explode(
+                    F.expr(f"sequence(greatest(len - {d}, 0), len)")
+                ).alias("la"),
+            )
+            .select(
+                "name_b",
+                "n_rows_b",
+                "len_b",
+                "hist_b",
+                "la",
+                F.explode(F.expr(f"sequence(0, {d})")).alias("i"),
+            )
+            .select(
+                "name_b",
+                "n_rows_b",
+                "len_b",
+                "hist_b",
+                "la",
+                F.col("i").alias("seg_id"),
+                F.expr(seg_start.format(l="la")).alias("p"),
+                F.expr(seg_len.format(l="la")).alias("sl"),
+                F.explode(
+                    F.expr(
+                        f"sequence(-(({d} - (len_b - la)) div 2), "
+                        f"({d} + (len_b - la)) div 2)"
+                    )
+                ).alias("sh"),
+            )
+            .filter(
+                (F.col("p") + F.col("sh") >= 1)
+                & (
+                    F.col("p") + F.col("sh") + F.col("sl") - 1
+                    <= F.col("len_b")
                 )
-            ).alias("sh"),
+            )
+            .select(
+                "name_b",
+                "n_rows_b",
+                "len_b",
+                "hist_b",
+                "la",
+                "seg_id",
+                F.expr("substring(name_b, p + sh, sl)").alias("seg_text"),
+            )
+            .distinct()
         )
-        .filter(
-            (F.col("p") + F.col("sh") >= 1)
-            & (F.col("p") + F.col("sh") + F.col("sl") - 1 <= F.col("len_b"))
+        orient = (F.col("len_a") < F.col("len_b")) | (
+            (F.col("len_a") == F.col("len_b"))
+            & (F.col("name_a") < F.col("name_b"))
         )
-        .select(
-            "name_b",
-            "n_rows_b",
-            "len_b",
-            "hist_b",
-            "la",
-            "seg_id",
-            F.expr("substring(name_b, p + sh, sl)").alias("seg_text"),
+        hist_l1 = F.expr(
+            "aggregate(zip_with(hist_a, hist_b, (x, y) -> abs(x - y)),"
+            " 0, (acc, v) -> acc + v)"
         )
-        .distinct()
-    )
-    orient = (F.col("len_a") < F.col("len_b")) | (
-        (F.col("len_a") == F.col("len_b"))
-        & (F.col("name_a") < F.col("name_b"))
-    )
-    hist_l1 = F.expr(
-        "aggregate(zip_with(hist_a, hist_b, (x, y) -> abs(x - y)),"
-        " 0, (acc, v) -> acc + v)"
-    )
-    cand = (
-        a.join(
-            b,
-            (a["len_a"] == b["la"])
-            & (a["seg_id"] == b["seg_id"])
-            & (a["seg_text"] == b["seg_text"]),
+        return (
+            a.join(
+                b,
+                (a["len_a"] == b["la"])
+                & (a["seg_id"] == b["seg_id"])
+                & (a["seg_text"] == b["seg_text"]),
+            )
+            .filter(orient)
+            .filter(hist_l1 <= 2 * d if hist_filter else F.lit(True))
+            .select("name_a", "name_b", "n_rows_a", "n_rows_b")
+            .distinct()
         )
-        .filter(orient)
-        .filter(hist_l1 <= 2 * d if hist_filter else F.lit(True))
-        .select("name_a", "name_b", "n_rows_a", "n_rows_b")
-        .distinct()
-    )
+
+    cand = _passjoin_cand(names, names)
     if pair_source == "auto":
         # The trigger is a MEASUREMENT, not a guess: persist the
         # O(candidates) pair relation (4 small columns — the expensive
@@ -466,6 +498,35 @@ def fuzzy_pairs(
         )
     if observations is not None:
         observations["pair_source"] = "lsh" if use_lsh else "passjoin"
+    if use_lsh and recall_sample_mod and observations is not None:
+        from ..functions.hashing import hash60
+
+        def _sampled(col):
+            return F.pmod(hash60(col), F.lit(recall_sample_mod)) == 0
+
+        # Ground truth for the sample: complete PassJoin with the
+        # sampled names as index side (finds EVERY true pair whose
+        # shorter member is sampled), verified by the same bound.
+        truth = (
+            _passjoin_cand(names.filter(_sampled(F.col("name"))), names)
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= max_dist)
+            .select("name_a", "name_b")
+            .persist()
+        )
+        got = (
+            cand.filter(_sampled(F.col("name_a")))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= max_dist)
+            .select("name_a", "name_b")
+        )
+        expected = truth.count()
+        found = truth.join(got, ["name_a", "name_b"], "left_semi").count()
+        truth.unpersist()
+        observations["recall_sample"] = {
+            "expected": expected,
+            "found": found,
+        }
     if observations is not None:
         from pyspark.sql import Observation
 

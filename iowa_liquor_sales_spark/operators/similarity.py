@@ -20,6 +20,7 @@ DuckDB oracle can reproduce them bit-for-bit as SQL literals.
 from __future__ import annotations
 
 import hashlib
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -309,6 +310,7 @@ def ivf_assign(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     cell (by cosine, deterministic tiebreak on centroid id).
@@ -317,13 +319,22 @@ def ivf_assign(
     first ``n_cells`` vectors by id — so the assignment is reproducible in
     the SQL oracle. A production build would k-means the centroids offline
     and broadcast them exactly the same way; the engine plan (broadcast
-    centroids → per-row argmax → cell column) is identical.
+    centroids → per-row argmax → cell column) is identical. Pass a FROZEN
+    ``centroids`` relation (``cid``, ``cvec`` — e.g. from
+    :func:`load_ann_index`) to assign against a prebuilt quantizer
+    instead of deriving centroids from this relation; that is also the
+    incremental-ingest path (:func:`assign_new_vectors`).
 
-    Scale path: persist partitioned by ``cell``; a query then scans only
-    its probe cells (partition pruning), like the LSH bucket path.
+    Scale path: persist partitioned by ``cell`` (:func:`build_ann_index`
+    does exactly this); a query then scans only its probe cells
+    (partition pruning), like the LSH bucket path.
     """
-    cent = embeddings.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    cent = (
+        centroids
+        if centroids is not None
+        else embeddings.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
     )
     scored = embeddings.join(F.broadcast(cent)).select(
         id_col,
@@ -346,6 +357,7 @@ def query_probe_cells(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe cell selection (FAISS IndexIVF ``nprobe`` semantics):
     the query's ``nprobe`` nearest coarse cells, ranked by the SAME
@@ -353,9 +365,15 @@ def query_probe_cells(
     rank-1 assignment — so probe rank 1 is always the cell
     :func:`ivf_assign` would place the query in, and raising nprobe
     strictly widens the candidate set. O(n_cells) rows; the window sorts
-    a single broadcast-sized relation."""
-    cent = embeddings.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    a single broadcast-sized relation. ``centroids`` (``cid``, ``cvec``)
+    overrides the derived quantizer, same contract as
+    :func:`ivf_assign`."""
+    cent = (
+        centroids
+        if centroids is not None
+        else embeddings.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
     )
     qv = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("q_vec")
@@ -381,14 +399,32 @@ def ivf_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: "AnnIndex | None" = None,
 ) -> DataFrame:
     """IVF ANN: score only vectors in the query's ``nprobe`` nearest
     cells (:func:`query_probe_cells`). Recall < 1 by construction at
     nprobe=1; raising nprobe trades scan width for recall exactly as in
-    FAISS IndexIVF — :func:`ann_recall_curve` measures the trade."""
-    assigned = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    FAISS IndexIVF — :func:`ann_recall_curve` measures the trade.
+
+    Pass a prebuilt ``index`` (:func:`build_ann_index` /
+    :func:`load_ann_index`) and the query skips the corpus-wide
+    assignment scan entirely: candidates come from the index's
+    cell-partitioned assignment relation (the broadcast probe join on
+    the PARTITION column prunes the scan to the probe cells) and probe
+    selection reads the O(n_cells) stored centroids. Results are
+    bit-identical to the in-query-trained form — the index is a
+    materialization, not a different algorithm."""
+    assigned = (
+        index.assignments
+        if index is not None
+        else ivf_assign(
+            embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    )
     probes = query_probe_cells(
-        embeddings, query_id, nprobe, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        embeddings, query_id, nprobe, n_cells=n_cells, id_col=id_col,
+        vec_col=vec_col,
+        centroids=index.centroids if index is not None else None,
     )
     qv = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("q_vec")
@@ -615,6 +651,7 @@ def pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: "AnnIndex | None" = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou, Douze, Schmid: "Product
     quantization for nearest neighbor search", TPAMI 2011) — the
@@ -645,7 +682,24 @@ def pq_topk(
     map-side-combinable per-vector sum + TakeOrderedAndProject.
     Driver state is the O(m·ksub·dsub) codebook — the same documented
     contract as kmeans_e6.
+
+    With a prebuilt ``index`` (from :func:`build_ann_index(pq=True)
+    <build_ann_index>`) the Lloyd train and the corpus encode are both
+    skipped: codes come from the stored relation and the LUT from the
+    stored codebook, bit-identically.
     """
+    if index is not None:
+        from .clustering import quantize_e6
+
+        q = embeddings.select(
+            F.col(id_col).alias("vid"), quantize_e6(vec_col).alias("q")
+        )
+        codes = index.pq_codes.select("vid", "m", "cid")
+        cents = {
+            (r["m"], r["cid"]): list(r["c"])
+            for r in index.pq_codebook.collect()
+        }
+        return _pq_adc_topk(q, codes, cents, query_id, k, dim // m_sub, id_col)
     q, codes, cents = _pq_train_encode(
         embeddings, m_sub, ksub, iters, dim, id_col, vec_col
     )
@@ -777,6 +831,7 @@ def ivf_pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: "AnnIndex | None" = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the FAISS IndexIVFPQ composition (Jégou et al.,
     TPAMI 2011 §V): the coarse IVF quantizer (:func:`ivf_assign`,
@@ -793,8 +848,34 @@ def ivf_pq_topk(
     quantization error); ``nprobe`` widens the coarse stage to the
     query's nprobe nearest cells (:func:`query_probe_cells`), exactly
     as with the float IVF tier; retrain codebooks offline at
-    production scale.
+    production scale — :func:`build_ann_index(pq=True) <build_ann_index>`
+    materializes exactly that, and passing the result as ``index`` makes
+    this query read prebuilt cell-partitioned codes (probe-cell
+    partition pruning) plus the O(m·ksub) stored codebook instead of
+    retraining; results are bit-identical.
     """
+    if index is not None:
+        probes = query_probe_cells(
+            embeddings, query_id, nprobe, n_cells=n_cells, id_col=id_col,
+            vec_col=vec_col, centroids=index.centroids,
+        )
+        from .clustering import quantize_e6
+
+        q = embeddings.select(
+            F.col(id_col).alias("vid"), quantize_e6(vec_col).alias("q")
+        )
+        codes = (
+            index.pq_codes.join(
+                F.broadcast(probes), F.col("cell") == F.col("p_cell")
+            )
+            .filter(F.col("vid") != query_id)
+            .select("vid", "m", "cid")
+        )
+        cents = {
+            (r["m"], r["cid"]): list(r["c"])
+            for r in index.pq_codebook.collect()
+        }
+        return _pq_adc_topk(q, codes, cents, query_id, k, dim // m_sub, id_col)
     assigned = ivf_assign(
         embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )
@@ -1326,4 +1407,130 @@ def ivf_cell_report(
                 "coalesce(n_vecs, 0) * 1000000 div total"
             ).alias("share_ppm"),
         )
+    )
+
+
+class AnnIndex(NamedTuple):
+    """A persisted ANN index: the production artifact
+    :func:`build_ann_index` writes and every ``*_topk(index=...)`` query
+    reads. ``centroids`` is the O(n_cells) coarse quantizer,
+    ``assignments`` the cell-PARTITIONED (id, vector, cell) relation,
+    and — when PQ codes were built — ``pq_codebook`` the O(m·ksub)
+    subspace codebook plus ``pq_codes`` the cell-partitioned compressed
+    codes."""
+
+    centroids: DataFrame
+    assignments: DataFrame
+    pq_codebook: DataFrame | None = None
+    pq_codes: DataFrame | None = None
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    pq: bool = False,
+    m_sub: int = 8,
+    ksub: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> AnnIndex:
+    """Train the ANN quantizers ONCE and persist them — the index
+    lifecycle every in-query ``ivf_topk``/``pq_topk``/``ivf_pq_topk``
+    call deliberately inlines for oracle checkability but that a
+    production corpus trains offline and reuses per query (FAISS's
+    train/add/search split; "production trains once", SCALE.md).
+
+    Written under ``path``:
+
+    - ``centroids/`` — the coarse quantizer (``cid``, ``cvec``),
+      O(n_cells) rows;
+    - ``assignments/`` — (id, vector, ``cell``), parquet PARTITIONED BY
+      cell, so a query's broadcast probe join on the partition column
+      prunes the scan to its probe cells (dynamic partition pruning —
+      the disk-layout version of the FAISS inverted list);
+    - with ``pq=True``: ``pq_codebook/`` (``m``, ``cid``, ``c``) and
+      ``pq_codes/`` — (vid, m, cid) + ``cell``, also partitioned by
+      cell, the 8-bytes-per-vector tier.
+
+    Everything is deterministic (same conventions as the in-query
+    forms), so prebuilt-index query results are BIT-IDENTICAL to the
+    in-query-trained results — pytest asserts exactly that. Incremental
+    ingest composes: :func:`assign_new_vectors` assigns a delta against
+    the frozen centroids and the new rows append to ``assignments/``
+    (their cell partitions), never touching trained state.
+    """
+    spark = embeddings.sparkSession
+    cent = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assignments"
+    )
+    if pq:
+        _, codes, cents = _pq_train_encode(
+            embeddings, m_sub, ksub, iters, dim, id_col, vec_col
+        )
+        cdf = spark.createDataFrame(
+            [(m, cid, c) for (m, cid), c in sorted(cents.items())],
+            "m int, cid int, c array<bigint>",
+        )
+        cdf.write.mode("overwrite").parquet(f"{path}/pq_codebook")
+        stored = spark.read.parquet(f"{path}/assignments")
+        codes.join(
+            stored.select(F.col(id_col).alias("vid"), "cell"), "vid"
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/pq_codes"
+        )
+    return load_ann_index(spark, path)
+
+
+def load_ann_index(spark, path: str) -> AnnIndex:
+    """Open a persisted :func:`build_ann_index` directory. The PQ
+    relations are optional (indexes built with ``pq=False`` have no
+    codebook)."""
+    import os
+
+    pq_codebook = pq_codes = None
+    if os.path.isdir(f"{path}/pq_codebook"):
+        pq_codebook = spark.read.parquet(f"{path}/pq_codebook")
+        pq_codes = spark.read.parquet(f"{path}/pq_codes")
+    return AnnIndex(
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        assignments=spark.read.parquet(f"{path}/assignments"),
+        pq_codebook=pq_codebook,
+        pq_codes=pq_codes,
+    )
+
+
+def assign_new_vectors(
+    new_embeddings: DataFrame,
+    index: AnnIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental-ingest assignment: place NEW vectors into the
+    prebuilt index's cells against the FROZEN centroids — never
+    retraining, so existing assignments (and any downstream
+    materialization keyed on them) stay valid; the delta appends to the
+    index's cell partitions. This is the ANN half of the incremental
+    pattern whose join half is ``upsert.join_view_delta`` — compose the
+    two to keep an ANN-backed join view fresh under ingest.
+
+    One broadcast argmax over the O(n_cells) stored centroids — an
+    embarrassingly parallel map over the delta, no shuffle, no scan of
+    the base corpus. Returns (id, vector, cell), the ``assignments``
+    schema.
+    """
+    return ivf_assign(
+        new_embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=index.centroids,
     )

@@ -1195,3 +1195,47 @@ def test_select_token_budget_modal_level_matches_naive(spark):
             break
         keep.add(r["doc_id"])
     assert out == keep and 0 < len(keep) < n
+
+
+def test_fuzzy_pairs_sampled_recall_measurement(spark):
+    """recall_sample_mod: the escalated LSH arm must MEASURE its recall
+    — a complete PassJoin rerun over a deterministic name sample gives
+    the expected pair count, and the LSH candidates are scored against
+    it. mod=1 samples every name, so expected == the full PassJoin
+    matched-pair count and found == the LSH arm's true-pair overlap."""
+    from iowa_liquor_sales_spark.operators.joins import fuzzy_pairs
+
+    df = spark.createDataFrame(_hex_concentrated_dictionary(), ["name"])
+    full = fuzzy_pairs(df, "name", max_dist=2).count()
+    assert full > 0
+
+    obs = {}
+    out = fuzzy_pairs(
+        df, "name", max_dist=2, pair_source="lsh",
+        observations=obs, recall_sample_mod=1,
+    )
+    got = out.count()
+    rs = obs["recall_sample"]
+    assert rs["expected"] == full
+    assert 0 <= rs["found"] <= rs["expected"]
+    # on this dictionary the LSH arm is pytest-proven complete, so the
+    # measured recall must agree with the matched-set equivalence
+    assert rs["found"] == got == full
+
+    # sampled (mod=4): expected is a subset of the full truth, found
+    # bounded by it
+    obs = {}
+    fuzzy_pairs(
+        df, "name", max_dist=2, pair_source="lsh",
+        observations=obs, recall_sample_mod=4,
+    ).count()
+    rs4 = obs["recall_sample"]
+    assert rs4["expected"] <= full
+    assert 0 <= rs4["found"] <= rs4["expected"]
+
+    # the passjoin path ignores the knob (provably complete source)
+    obs = {}
+    fuzzy_pairs(
+        df, "name", max_dist=2, observations=obs, recall_sample_mod=4
+    ).count()
+    assert "recall_sample" not in obs

@@ -240,3 +240,74 @@ def test_ann_range_search_probe_semantics_and_monotone_nprobe(spark):
         assert got == brute & in_cells
         prev = got
     assert prev == brute              # nprobe = n_cells -> exact
+
+
+def test_prebuilt_index_bit_identical(spark, tmp_path):
+    """build_ann_index -> load -> query must reproduce the in-query-
+    trained ivf/pq/ivf_pq results exactly: the index is a
+    materialization of the same deterministic quantizers, not a
+    different algorithm."""
+    from iowa_liquor_sales_spark.operators.similarity import (
+        build_ann_index,
+        ivf_pq_topk,
+        ivf_topk,
+        load_ann_index,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = build_ann_index(emb, str(tmp_path / "ann"), n_cells=16, pq=True)
+    # load from a fresh reader (not the build's return) to prove the
+    # round-trip through parquet, not just the in-session relations
+    idx = load_ann_index(spark, str(tmp_path / "ann"))
+
+    for qid, nprobe in ((0, 1), (7, 2)):
+        live = ivf_topk(emb, query_id=qid, k=10, nprobe=nprobe).collect()
+        pre = ivf_topk(
+            emb, query_id=qid, k=10, nprobe=nprobe, index=idx
+        ).collect()
+        assert sorted(map(tuple, live)) == sorted(map(tuple, pre))
+
+    live = pq_topk(emb, query_id=0, k=10).collect()
+    pre = pq_topk(emb, query_id=0, k=10, index=idx).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, pre))
+
+    live = ivf_pq_topk(emb, query_id=0, k=10, nprobe=2).collect()
+    pre = ivf_pq_topk(emb, query_id=0, k=10, nprobe=2, index=idx).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, pre))
+
+
+def test_assign_new_vectors_matches_full_rebuild(spark, tmp_path):
+    """Frozen-centroid delta assignment + base assignments == one-shot
+    assignment of the full corpus (centroid ids all live in the base
+    slice, so the quantizer is identical)."""
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.similarity import (
+        assign_new_vectors,
+        build_ann_index,
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # every centroid id (< 16) must live in the base slice, or the
+    # frozen quantizer differs from the full-corpus one by construction
+    is_delta = (F.col("vec_id") % 5 == 4) & (F.col("vec_id") >= 16)
+    base = emb.filter(~is_delta)
+    delta = emb.filter(is_delta)
+    assert delta.count() > 0
+    idx = build_ann_index(base, str(tmp_path / "ann2"), n_cells=16)
+
+    combined = {
+        (r["vec_id"], r["cell"])
+        for r in idx.assignments.select("vec_id", "cell")
+        .unionByName(
+            assign_new_vectors(delta, idx).select("vec_id", "cell")
+        )
+        .collect()
+    }
+    full = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign(emb, n_cells=16).select("vec_id", "cell").collect()
+    }
+    assert combined == full
