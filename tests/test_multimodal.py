@@ -212,3 +212,68 @@ def test_dhash_hamming_pairs_matches_brute_force(spark):
             if d <= 3:
                 want[(ida, idb)] = d
     assert got == want and (1, 2) in got and (3, 4) in got and (1, 5) in got
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed")
+def test_pil_decode_matches_ppm_contract(spark):
+    """codec='pil' must hand the SAME (w, h, rgb) tuple to the pixel
+    consumers as the dependency-free PPM parse: dHash of a PNG-encoded
+    image equals dHash of its PPM twin, and decode_image's feature dict
+    matches. Skipped where PIL is absent (this sandbox); real on any
+    cluster image with pillow."""
+    import io
+
+    from PIL import Image
+
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        _pil_dims_pixels,
+        decode_image,
+        image_dhash,
+    )
+
+    w, h = 16, 8
+    rgb = bytes((i * 7 + c * 31) % 256 for i in range(w * h) for c in range(3))
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + rgb
+    buf = io.BytesIO()
+    Image.frombytes("RGB", (w, h), rgb).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    assert _pil_dims_pixels(png) == (w, h, rgb)
+    assert decode_image(png, codec="pil") == decode_image(ppm, codec="ppm")
+
+    df = spark.createDataFrame(
+        [(0, png), (1, png)], "doc_id long, payload binary"
+    )
+    df_ppm = spark.createDataFrame(
+        [(0, ppm), (1, ppm)], "doc_id long, payload binary"
+    )
+    got_pil = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(df, grid_w=8, grid_h=8, codec="pil").collect()
+    }
+    got_ppm = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(df_ppm, grid_w=8, grid_h=8).collect()
+    }
+    assert got_pil == got_ppm
+
+
+def test_pil_gate_raises_cleanly_without_pil():
+    """The compressed-decode arm must fail with the documented
+    NotImplementedError (not an ImportError traceback) when PIL is
+    absent, keeping the dependency-free codecs usable."""
+    if _has_pil():
+        pytest.skip("PIL installed; gate cannot fire")
+    from iowa_liquor_sales_spark.multimodal.binary_ops import decode_image
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\x89PNG....", codec="pil")
