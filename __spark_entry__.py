@@ -8658,6 +8658,42 @@ def q_ann_assign_delta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    # Zipf's-law fit over the top-100 corpus unigrams (text.zipf_slope):
+    # OLS of ln(freq) on ln(rank), both gridded to the integer 1e-6 ln
+    # convention so the regression sums are exact DECIMAL(38,0) and the
+    # slope/intercept land via truncating div (Spark div == DuckDB //).
+    # One corpus-sized token count + a distributed top-k; the regression
+    # itself runs on 100 rows.
+    from iowa_liquor_sales_spark.operators.text import zipf_slope
+
+    return zipf_slope(read_table(spark, sf, "documents"), top_n=100)
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-document novel-shingle ratio in corpus order (text.
+    # ngram_novelty): min(doc_id) per 3-gram shingle, joined back —
+    # "how much genuinely new content does each doc add", near-dups
+    # score ~0. Same shingle relation + df-join shape as TF-IDF.
+    from iowa_liquor_sales_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(read_table(spark, sf, "documents"), n=3)
+
+
+def q_spearman_global(spark: SparkSession, sf: str) -> DataFrame:
+    # Spearman rank correlation of quantity vs extended price
+    # (aggregates.spearman_corr): tie-corrected average ranks from
+    # DISTRIBUTED prefix sums over each column's O(distinct) count
+    # relation (ranking.global_cumsum — no row-level window anywhere),
+    # then exact-decimal Pearson moments with one final double sqrt on
+    # the ppb grid.
+    from iowa_liquor_sales_spark.operators.aggregates import spearman_corr
+
+    return spearman_corr(
+        read_table(spark, sf, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -8683,59 +8719,74 @@ def q_ann_assign_delta(spark: SparkSession, sf: str) -> DataFrame:
 # re-verified bit-identical vs oracle at sf0.01 this round).
 # scripts/oracle_sweep.py still checks every entry locally each round.
 _GATE_HEAD = [
-    # round-6 reds, re-gated after output-shape fix
-    "q_array_funcs",
-    "q_map_funcs",
-    # the 46 never-gated queries (round-6 backlog, verbatim)
-    "q_compression_ratio",
-    "q_posexplode",
-    "q_bool_agg",
-    "q_try_arithmetic",
-    "q_set_ops_all",
-    "q_json_roundtrip",
-    "q_orc_roundtrip",
-    "q_csv_malformed",
-    "q_pii_scrub",
-    "q_mix_epochs",
-    "q_chunk_documents",
-    "q_quantile_filter",
-    "q_split_assign",
-    "q_weighted_sample",
-    "q_pack_sequences",
-    "q_dup_rate_by_source",
-    "q_corpus_yield",
-    "q_dedup_normalized",
-    "q_lateral_topk",
-    "q_grid_density",
-    "q_source_similarity",
-    "q_mix_temperature",
-    "q_sliding_window",
-    "q_length_histogram",
-    "q_dup_ngram",
-    "q_cluster_sizes",
-    "q_winnow_fingerprint",
-    "q_embed_centroid",
-    "q_yoy_growth",
-    "q_ratio_to_report",
-    "q_bigrams",
-    "q_repetition_ratio",
-    "q_date_spine",
-    "q_keyset_pagination",
-    "q_cross_join",
-    "q_waiting_suppliers",
-    "q_min_cost_supplier",
-    "q_forecast_revenue",
-    "q_parts_supplier",
-    "q_potential_promotion",
-    "q_geo_point_parse",
+    # round-8 rotation. Changed-code + never-gated first: q_token_budget
+    # (boundary prefix sum de-skewed through ranking.global_cumsum) and
+    # q_image_dhash (ASCII-only projection guard) both changed THIS
+    # round and have never been driver-gated; positions 3-7 are the
+    # remaining round-7 additions (all sweep-green since r7).
+    "q_token_budget",
+    "q_image_dhash",
+    "q_ann_range",
+    "q_bh_fdr",
+    "q_leakage_split",
+    "q_canonical_dedup",
+    "q_join_delta",
+    # round-8 NEW queries: ANN index lifecycle (prebuilt IVF query +
+    # frozen-centroid delta assign), Zipf slope, n-gram novelty,
+    # Poisson-bootstrap CI, Spearman over distributed tie-ranks.
+    "q_ann_prebuilt",
+    "q_ann_assign_delta",
+    "q_zipf_slope",
+    "q_ngram_novelty",
+    "q_spearman_global",
+    # round-7 verdict-named re-gates (changed in r7, gated earlier):
+    # reliability's DECIMAL(38,0) score sum; the fuzzy_pairs
+    # pair_source branch feeding q_fuzzy_names/q_entity_resolution —
+    # and in r8 the PassJoin candidate generation was refactored into a
+    # two-sided helper (plan-equivalent; re-gate proves it).
+    "q_reliability",
+    "q_fuzzy_names",
+    "q_entity_resolution",
+    # round-8 changed-code re-gates: every query over the similarity
+    # functions that gained prebuilt-index parameters (default paths
+    # plan-identical), plus the other fuzzy consumer and the ranking
+    # module's original user.
+    "q_ann_ivf",
+    "q_ann_multiprobe",
+    "q_ann_ivf_pq",
+    "q_ann_pq",
+    "q_semdedup",
+    "q_ivf_cells",
     "q_fuzzy_match",
-    "q_gaps_islands",
-    "q_rollup_year",
-    "q_vector_stats",
-    "q_apply_in_arrow",
-    # round-7 changed-code re-gates (Apriori prune; AUC decimal + guard)
-    "q_assoc_rules",
-    "q_auc",
+    "q_ann_recall_report",
+    "q_hard_negatives",
+    "q_global_rank",
+    # oldest-gated backfill (round-1 cohort, longest since last gate)
+    "q_scan_parquet",
+    "q_csv_roundtrip",
+    "q_project",
+    "q_filter_between",
+    "q_filter_notnull",
+    "q_limit",
+    "q_count",
+    "q_cast_ts",
+    "q_cast_num",
+    "q_fillna",
+    "q_date_dim",
+    "q_distinct_dim",
+    "q_dedup_key",
+    "q_dedup_rank",
+    "q_pk_check",
+    "q_fk_antijoin",
+    "q_fk_violations",
+    "q_groupby_agg",
+    "q_star_join",
+    "q_semijoin",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+    "q_topk_pergroup",
+    "q_window_running",
 ]
 
 
@@ -9088,6 +9139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_delta": q_join_delta,
         "q_ann_prebuilt": q_ann_prebuilt,
         "q_ann_assign_delta": q_ann_assign_delta,
+        "q_zipf_slope": q_zipf_slope,
+        "q_ngram_novelty": q_ngram_novelty,
+        "q_spearman_global": q_spearman_global,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -14550,4 +14604,70 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN cent c
               WHERE e.vec_id % 7 = 3 AND e.vec_id >= 16)
             WHERE rn = 1""",
+        "q_zipf_slope": """
+            WITH t AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            f AS (SELECT word, COUNT(*) AS freq FROM t GROUP BY word),
+            top AS (SELECT word, freq FROM f
+                    ORDER BY freq DESC, word LIMIT 100),
+            xy AS (SELECT
+                     CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5)
+                          AS HUGEINT) AS x,
+                     CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5)
+                          AS HUGEINT) AS y
+                   FROM (SELECT freq,
+                                row_number() OVER (
+                                    ORDER BY freq DESC, word) AS rnk
+                         FROM top)),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x*y) AS sxy, SUM(x*x) AS sxx
+                  FROM xy)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   CAST((n*sxy - sx*sy) * 1000000
+                        // (n*sxx - sx*sx) AS BIGINT) AS slope_ppm,
+                   CAST((sy*(n*sxx - sx*sx) - sx*(n*sxy - sx*sy))
+                        // (n*(n*sxx - sx*sx)) AS BIGINT)
+                     AS intercept_ppm
+            FROM s""",
+        "q_ngram_novelty": f"""
+            WITH {_SHINGLE_CTE},
+            first AS (SELECT shingle, MIN(doc_id) AS first_doc
+                      FROM sh GROUP BY shingle)
+            SELECT sh.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN sh.doc_id = first_doc
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   CAST(SUM(CASE WHEN sh.doc_id = first_doc
+                                 THEN 1 ELSE 0 END) * 1000000
+                        // COUNT(*) AS BIGINT) AS novelty_ppm
+            FROM sh JOIN first USING (shingle)
+            GROUP BY sh.doc_id""",
+        "q_spearman_global": """
+            WITH d AS (SELECT l_quantity AS xv, l_extendedprice AS yv
+                       FROM lineitem),
+            cx AS (SELECT xv AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM d GROUP BY 1),
+            rx AS (SELECT v,
+                          CAST(2*(SUM(cnt) OVER (ORDER BY v) - cnt)
+                               + cnt + 1 AS HUGEINT) AS r2
+                   FROM cx),
+            cy AS (SELECT yv AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM d GROUP BY 1),
+            ry AS (SELECT v,
+                          CAST(2*(SUM(cnt) OVER (ORDER BY v) - cnt)
+                               + cnt + 1 AS HUGEINT) AS r2
+                   FROM cy),
+            j AS (SELECT rx.r2 AS x, ry.r2 AS y
+                  FROM d JOIN rx ON d.xv = rx.v JOIN ry ON d.yv = ry.v),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                         SUM(x*x) AS sxx, SUM(y*y) AS syy
+                  FROM j)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                        / sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        / sqrt(CAST(n*syy - sy*sy AS DOUBLE))
+                        * 1e9) AS BIGINT) AS spearman_ppb
+            FROM s""",
     }

@@ -114,6 +114,9 @@ HEADLINE = [
     "q_bh_fdr",
     "q_ann_prebuilt",
     "q_ann_assign_delta",
+    "q_zipf_slope",
+    "q_ngram_novelty",
+    "q_spearman_global",
 ]
 
 

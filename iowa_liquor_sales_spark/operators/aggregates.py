@@ -351,3 +351,81 @@ def association_rules(
             " div (CAST(n_x AS DECIMAL(38,0)) * n_y) AS BIGINT)"
         ).alias("lift_e6"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    robust (monotone-invariant) companion to the exact-decimal Pearson
+    aggregate: Pearson over TIE-CORRECTED average ranks.
+
+    The scale trick is in the ranking: no row-level window ever runs.
+    Each column's distinct-value relation (O(distinct), map-side
+    combinable counts) gets a DISTRIBUTED prefix sum of counts in value
+    order (:func:`.ranking.global_cumsum` — range shuffle + offsets,
+    never a single-task ORDER BY window); the tie-corrected average
+    rank of value v is then ``cum_before(v) + (cnt(v)+1)/2``, kept
+    exact-integer by carrying DOUBLED ranks ``r2 = 2·cum_before + cnt
+    + 1``. Two broadcast-free equi-joins attach r2x/r2y back to the
+    rows, and the correlation finishes as exact DECIMAL(38,0) moment
+    sums with one double sqrt at the very end, floored to the ppb grid
+    (identical IEEE sqrt in any engine given identical integer inputs).
+
+    Returns one row: (n, spearman_ppb).
+    """
+    from .ranking import global_cumsum
+
+    d = df.select(
+        F.col(x_col).alias("xv"), F.col(y_col).alias("yv")
+    )
+
+    def ranks(col):
+        cnt = d.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        cum = global_cumsum(cnt, ["v"], "cnt", out_col="cum")
+        return cum.select(
+            "v",
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+            .cast("long")
+            .alias("r2"),
+        )
+
+    rx = ranks("xv").withColumnsRenamed({"v": "xv", "r2": "r2x"})
+    ry = ranks("yv").withColumnsRenamed({"v": "yv", "r2": "r2y"})
+    joined = d.join(rx, "xv").join(ry, "yv").select(
+        F.col("r2x").cast("decimal(38,0)").alias("x"),
+        F.col("r2y").cast("decimal(38,0)").alias("y"),
+    )
+    s = joined.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # corr = (nΣxy − ΣxΣy) / sqrt((nΣx²−Σx²)(nΣy²−Σy²)); numerator and
+    # variance terms exact integers, ONE sqrt+division in double at the
+    # end, floored to ppb.
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("spearman_ppb"),
+    )

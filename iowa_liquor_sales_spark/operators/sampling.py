@@ -382,3 +382,4 @@ def leakage_safe_split(
         )
     )
     return hash_split(labeled, "cluster_id", weights=weights, salt=salt)
+

@@ -1088,3 +1088,120 @@ def canonicalize_confusables(
         c = F.regexp_replace(c, "[\u200b\u200c\u200d\ufeff]", "")
     c = F.lower(F.regexp_replace(c, "[ \\t\\r\\n]+", " "))
     return df.withColumn("canon_text", c)
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram frequency distribution: the
+    OLS slope of ln(frequency) on ln(rank) over the ``top_n`` most
+    frequent tokens — the standard corpus-health fingerprint (natural
+    text sits near slope -1; template/boilerplate-heavy or synthetic
+    corpora drift off it), one number a curation pipeline tracks per
+    ingest batch.
+
+    Scale shape: one explode → map-side-combinable (token) count — the
+    only corpus-sized work; the top-``top_n`` cut is a distributed
+    TakeOrderedAndProject (per-partition top-k merge, never a global
+    sort), and ranking/regression run on the O(top_n) result. ln values
+    are gridded to integer 1e-6 (house ulp convention, cf.
+    :func:`tfidf_top_terms`), so all OLS sums are EXACT DECIMAL(38,0)
+    integer arithmetic and the slope is a deterministic truncating
+    division — identical in any engine.
+
+    Returns one row: (n_terms, slope_ppm, intercept_ppm).
+    """
+    from .dedup import _ensure_parallelism
+
+    tokens = _ensure_parallelism(df).select(
+        F.explode(words(text_col)).alias("word")
+    )
+    freq = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    top = freq.orderBy(F.col("freq").desc(), "word").limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), "word")
+    xy = (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.floor(F.log(F.col("rnk").cast("double")) * 1e6 + 0.5)
+            .cast("decimal(38,0)")
+            .alias("x"),
+            F.floor(F.log(F.col("freq").cast("double")) * 1e6 + 0.5)
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); ppm via exact integer
+    # truncating division (Spark div == DuckDB // on these operands).
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_ppm"),
+        # intercept = (Σy − slope·Σx)/n with slope as the exact ratio:
+        # (Σy·den − Σx·num)/(n·den) — one truncating division at the
+        # end keeps it exact-integer. x and y already sit on the 1e-6
+        # ln grid, so the result IS ppm.
+        F.expr(
+            "CAST((sy * (n * sxx - sx * sx) - sx * (n * sxy - sx * sy))"
+            " div (n * (n * sxx - sx * sx)) AS BIGINT)"
+        ).alias("intercept_ppm"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document NOVEL n-gram ratio in corpus (id) order: a shingle
+    is novel in the single document with the smallest id containing it.
+    The curation signal behind "how much genuinely new content does
+    each source/batch add?" — near-duplicates and boilerplate-heavy
+    docs score near 0, fresh material near 1e6 (ppm grid).
+
+    Dataflow: the same distinct-shingle relation the dedup family uses
+    (:func:`..dedup.shingles`) → a map-side-combinable min(id) per
+    shingle (O(vocab) state) → one join back on shingle → per-doc
+    counts. No windows, no corpus sort; the shingle-keyed join is the
+    skew point (AQE splits hot shingles), exactly like the TF-IDF df
+    join.
+
+    Returns (doc_id, n_shingles, n_novel, novelty_ppm); documents
+    shorter than ``n`` words have no shingles and are absent, matching
+    the shingle relation's contract.
+    """
+    from .dedup import shingles
+
+    sh = shingles(df, text_col, id_col, n=n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr("CAST(n_novel * 1000000 div n_shingles AS BIGINT)").alias(
+            "novelty_ppm"
+        ),
+    )

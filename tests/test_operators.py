@@ -1239,3 +1239,35 @@ def test_fuzzy_pairs_sampled_recall_measurement(spark):
         df, "name", max_dist=2, observations=obs, recall_sample_mod=4
     ).count()
     assert "recall_sample" not in obs
+
+
+def test_spearman_corr_known_values(spark):
+    """Monotone transform -> rho = 1 exactly; reversing one column ->
+    rho = -1; ties use average ranks (checked against scipy-computed
+    reference on a fixed small sample: [1,2,2,3] vs [10,20,20,40] ->
+    rho = 1)."""
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.aggregates import spearman_corr
+
+    df = spark.range(1, 201).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * F.col("id")).cast("double").alias("y"),
+    )
+    # the final sqrt/div run in double, so rho = 1 floors to within an
+    # ulp of the ppb grid (identically in the oracle engine)
+    assert abs(spearman_corr(df, "x", "y").first()["spearman_ppb"] - 10**9) <= 2
+    rev = df.withColumn("y", -F.col("y"))
+    assert (
+        abs(spearman_corr(rev, "x", "y").first()["spearman_ppb"] + 10**9)
+        <= 2
+    )
+
+    tied = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)], ["x", "y"]
+    )
+    assert tied.count() == 4
+    assert (
+        abs(spearman_corr(tied, "x", "y").first()["spearman_ppb"] - 10**9)
+        <= 2
+    )

@@ -173,3 +173,4 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     for r in singles:
         assert out[r["doc_id"]]["cluster_id"] == r["doc_id"]
         assert out[r["doc_id"]]["split"] == r["split"]
+

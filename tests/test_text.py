@@ -334,3 +334,38 @@ def test_canonicalize_confusables_folds_known_obfuscations(spark):
     }
     assert got[1] == got[2] == "free money now"
     assert got[3] == "unrelated text"
+
+
+def test_zipf_slope_synthetic_power_law(spark):
+    """A corpus built with token frequencies freq(r) = 1000/r must fit
+    slope ~ -1 (ppm grid): the OLS machinery is exact-integer, so the
+    check bounds only the ln-grid rounding."""
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.text import zipf_slope
+
+    # one doc per token occurrence keeps the token counter honest
+    rows = []
+    for r in range(1, 51):
+        rows.extend((f"tok{r:03d}",) for _ in range(1000 // r))
+    df = spark.createDataFrame(rows, ["text"])
+    out = zipf_slope(df, top_n=50).collect()[0]
+    assert out["n_terms"] == 50
+    assert -1_080_000 <= out["slope_ppm"] <= -920_000
+
+
+def test_ngram_novelty_near_dup_scores_zero(spark):
+    """A verbatim copy later in id order contributes zero novel
+    shingles; the original owns them all."""
+    from iowa_liquor_sales_spark.operators.text import ngram_novelty
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1]["novelty_ppm"] == 1_000_000
+    assert out[2]["novelty_ppm"] == 0
+    assert out[3]["novelty_ppm"] == 1_000_000
+    assert out[1]["n_shingles"] == out[2]["n_shingles"] == 6
