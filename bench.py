@@ -274,6 +274,39 @@ def main() -> None:
         "q_ann_pq_adc": round(max(timings.get("q_ann_pq", 0.0) - pq_train, 0.0), 3),
     }
 
+    # The prebuilt-index lifecycle split: q_ann_prebuilt's headline wall
+    # includes the one-off index BUILD (train + cell-partitioned write)
+    # because the oracle-checked query is self-contained; production
+    # builds once and pays only the query side. Time them separately:
+    # build once, then the pure index-backed query (which also reads
+    # fewer partitions than the in-query-trained q_ann_ivf scan).
+    from iowa_liquor_sales_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk,
+        load_ann_index,
+    )
+
+    idx_path = tempfile.mkdtemp(prefix="bench_annidx_") + "/ann"
+    best = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        build_ann_index(emb, idx_path, n_cells=16)
+        best = min(best, time.perf_counter() - t0)
+    stage_splits["q_ann_prebuilt_build"] = round(best, 3)
+    idx = load_ann_index(spark, idx_path)
+    best = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _force(
+            ivf_topk(emb, query_id=7, k=10, nprobe=2, index=idx).select(
+                "vec_id", "rnk"
+            )
+        )
+        best = min(best, time.perf_counter() - t0)
+    stage_splits["q_ann_prebuilt_query"] = round(best, 3)
+
     staged = tempfile.mkdtemp(prefix="bench_stringly_") + "/lineitem_str"
     stage_stringly(spark, wh, staged, n_parts=int(cpus))
     timed("q_silver_transform", lambda: q_silver_transform(spark, staged))

@@ -56,3 +56,16 @@ def test_stream_demo_end_to_end(spark):
     stats = main("/root/testdata/sf0.001")
     assert stats["unique_events"] == stats["staged_rows"] // 2
     assert stats["window_rows"] > 0 and stats["closed_sessions"] > 0
+
+
+def test_ann_index_lifecycle_example(spark, tmp_path):
+    from examples.ann_index_lifecycle import main
+
+    stats = main("/root/testdata/sf0.001", str(tmp_path))
+    assert stats["cells"] == 16
+    assert stats["delta_vectors"] > 0
+    assert (
+        stats["indexed_after_ingest"]
+        == stats["base_vectors"] + stats["delta_vectors"]
+    )
+    assert len(stats["top5"]) == 5

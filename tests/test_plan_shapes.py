@@ -195,3 +195,33 @@ def test_token_budget_never_sorts_the_corpus(spark):
     plan = _plan(spark, "q_token_budget")
     assert "CartesianProduct" not in plan
     assert "rangepartitioning(q DESC" not in plan.replace(" ", "")
+
+
+def test_ann_prebuilt_scan_is_dynamically_pruned(spark):
+    # The whole point of the persisted index: the cell-PARTITIONED
+    # assignments scan must carry a dynamic-partition-pruning subquery
+    # on the broadcast probe cells (losing it = full index scan per
+    # query, the 100 TB regression).
+    plan = _plan(spark, "q_ann_prebuilt")
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
+
+
+def test_token_budget_boundary_is_range_partitioned(spark):
+    # The boundary level's prefix sum must run through the distributed
+    # ranker (range shuffle), not a 1-partition Window.partitionBy(q):
+    # the modal-quality corpus makes that single task hold ~everything.
+    plan = _plan(spark, "q_token_budget")
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_spearman_global_has_no_row_level_window(spark):
+    # Ranks come from distributed prefix sums over the O(distinct)
+    # count relations; the only windows allowed partition by the range
+    # partition id (_pid) — a window over raw rows (or one with no
+    # partition spec) is the scale regression.
+    plan = _plan(spark, "q_spearman_global")
+    import re
+
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_pid" in spec, spec
