@@ -8694,6 +8694,127 @@ def q_spearman_global(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    # Mann-Whitney U / Wilcoxon rank-sum between English and Chinese
+    # docs' lengths (quality.mann_whitney_u): tie-corrected average
+    # ranks from a DISTRIBUTED prefix sum over the combined O(distinct)
+    # value relation (ranking.global_cumsum — no row-level window),
+    # doubled-integer U exact in DECIMAL(38,0), one double sqrt for the
+    # normal-approximation z on the ppm grid.
+    from iowa_liquor_sales_spark.operators.quality import mann_whitney_u
+
+    return mann_whitney_u(
+        read_table(spark, sf, "documents"), "n_chars", "lang", "en", "zh"
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Two-sample Kolmogorov-Smirnov drift statistic between English and
+    # Spanish docs' length distributions (quality.ks_two_sample): two
+    # distributed prefix sums over the distinct-value relation, ECDF
+    # difference cross-multiplied to exact integers, max + smallest
+    # argmax — D on the ppm grid via truncating div.
+    from iowa_liquor_sales_spark.operators.quality import ks_two_sample
+
+    return ks_two_sample(
+        read_table(spark, sf, "documents"), "n_chars", "lang", "en", "es"
+    ).select(
+        "n_a", "n_b", "ks_ppm", F.col("ks_at").cast("long").alias("ks_at")
+    )
+
+
+def q_chi2_source_lang(spark: SparkSession, sf: str) -> DataFrame:
+    # Chi-squared independence of source x language + Cramer's V
+    # (quality.chi2_independence): everything reduces to the O(r*c)
+    # contingency relation; per-cell terms are exact integers on a 1e12
+    # grid (truncating div == DuckDB //), one double sqrt for V.
+    from iowa_liquor_sales_spark.operators.quality import chi2_independence
+
+    return chi2_independence(
+        read_table(spark, sf, "documents"), "source", "lang"
+    )
+
+
+def q_gini_chars(spark: SparkSession, sf: str) -> DataFrame:
+    # Gini coefficient of character mass across documents
+    # (aggregates.gini_concentration): grouped-distinct rank-sum with a
+    # distributed prefix sum for the cumulative count — tie-invariant,
+    # exact DECIMAL(38,0), ppm grid.
+    from iowa_liquor_sales_spark.operators.aggregates import (
+        gini_concentration,
+    )
+
+    return gini_concentration(read_table(spark, sf, "documents"), "n_chars")
+
+
+def q_dup_rate_curve(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus-level duplicate-mass vs shingle size (text.dup_rate_curve):
+    # per n one explode + exact distinct aggregate; five one-row results
+    # union — the knob-setting curve for the dedup family.
+    from iowa_liquor_sales_spark.operators.text import dup_rate_curve
+
+    return dup_rate_curve(read_table(spark, sf, "documents"))
+
+
+def q_interleave_order(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic source-interleaved training order
+    # (curation.interleave_by_source): ONE distributed global rank over
+    # (source, hash, id) — never a per-source window, whose modal-source
+    # task inherits the corpus skew — then within-source positions via
+    # an O(sources) first-rank join and a strided round-robin order key.
+    from iowa_liquor_sales_spark.operators.curation import (
+        interleave_by_source,
+    )
+
+    return interleave_by_source(
+        read_table(spark, sf, "documents")
+    ).select(F.col("id").alias("doc_id"), "source", "pos", "order_key")
+
+
+def q_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
+    # Kruskal-Wallis H across the five language slices' doc lengths
+    # (quality.kruskal_wallis): tie-averaged doubled ranks from the
+    # distributed prefix sum, per-group rank-sums exact DECIMAL(38,0),
+    # the irreducible R_g^2/n_g fractions on a 1e6 truncating-div grid
+    # (== DuckDB //), H + tie correction in one double expression.
+    from iowa_liquor_sales_spark.operators.quality import kruskal_wallis
+
+    return kruskal_wallis(
+        read_table(spark, sf, "documents"), "n_chars", "lang"
+    )
+
+
+def q_anova_f(spark: SparkSession, sf: str) -> DataFrame:
+    # One-way ANOVA F across language slices (quality.anova_f): one
+    # grouped moment aggregate (sum/sumsq/count, exact decimals), O(k)
+    # rollup, S_g^2/n_g on the 1e6 truncating-div grid, F in double on
+    # the ppm grid.
+    from iowa_liquor_sales_spark.operators.quality import anova_f
+
+    return anova_f(read_table(spark, sf, "documents"), "n_chars", "lang")
+
+
+def q_levene(spark: SparkSession, sf: str) -> DataFrame:
+    # Brown-Forsythe variance-homogeneity test (quality.levene_bf):
+    # ANOVA on DOUBLED absolute deviations from group medians (doubling
+    # keeps half-integer medians exact in int64; F is scale-invariant).
+    from iowa_liquor_sales_spark.operators.quality import levene_bf
+
+    return levene_bf(read_table(spark, sf, "documents"), "n_chars", "lang")
+
+
+def q_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    # Simplified (centroid) silhouette per label over the embedding
+    # corpus (similarity.silhouette_labels): e6-grid integer centroids,
+    # division-free exact distance numerators ||n*x - s||^2, one double
+    # ratio per point floored to ppm, integer-div label means.
+    from iowa_liquor_sales_spark.operators.similarity import (
+        silhouette_labels,
+    )
+
+    return silhouette_labels(read_table(spark, sf, "embeddings"))
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -8718,6 +8839,9 @@ def q_spearman_global(spark: SparkSession, sf: str) -> DataFrame:
 # pair_source branch; the default path is plan-identical and was
 # re-verified bit-identical vs oracle at sf0.01 this round).
 # scripts/oracle_sweep.py still checks every entry locally each round.
+# Round-9 gate backlog (added late in round 8, oracle-checked in the
+# local sweep but past this round's 50-query window): q_kruskal_wallis,
+# q_anova_f, q_levene, q_silhouette.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -8761,6 +8885,14 @@ _GATE_HEAD = [
     "q_ann_recall_report",
     "q_hard_negatives",
     "q_global_rank",
+    # round-8 second batch, never gated: rank/drift statistics and the
+    # interleave order (added this round, oracle-checked in the sweep)
+    "q_mann_whitney",
+    "q_ks_drift",
+    "q_chi2_source_lang",
+    "q_gini_chars",
+    "q_dup_rate_curve",
+    "q_interleave_order",
     # oldest-gated backfill (round-1 cohort, longest since last gate)
     "q_scan_parquet",
     "q_csv_roundtrip",
@@ -8781,12 +8913,6 @@ _GATE_HEAD = [
     "q_fk_violations",
     "q_groupby_agg",
     "q_star_join",
-    "q_semijoin",
-    "q_set_union",
-    "q_set_intersect",
-    "q_set_except",
-    "q_topk_pergroup",
-    "q_window_running",
 ]
 
 
@@ -9142,6 +9268,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zipf_slope": q_zipf_slope,
         "q_ngram_novelty": q_ngram_novelty,
         "q_spearman_global": q_spearman_global,
+        "q_mann_whitney": q_mann_whitney,
+        "q_ks_drift": q_ks_drift,
+        "q_chi2_source_lang": q_chi2_source_lang,
+        "q_gini_chars": q_gini_chars,
+        "q_dup_rate_curve": q_dup_rate_curve,
+        "q_interleave_order": q_interleave_order,
+        "q_kruskal_wallis": q_kruskal_wallis,
+        "q_anova_f": q_anova_f,
+        "q_levene": q_levene,
+        "q_silhouette": q_silhouette,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -14670,4 +14806,284 @@ def oracle_sql() -> dict[str, str]:
                         / sqrt(CAST(n*syy - sy*sy AS DOUBLE))
                         * 1e9) AS BIGINT) AS spearman_ppb
             FROM s""",
+        "q_mann_whitney": """
+            WITH d AS (SELECT n_chars AS v, lang AS g FROM documents
+                       WHERE lang IN ('en', 'zh')),
+            c AS (SELECT v,
+                         CAST(SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS ca,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM d GROUP BY v),
+            r AS (SELECT ca, cnt,
+                         CAST(2*(SUM(cnt) OVER (ORDER BY v) - cnt)
+                              + cnt + 1 AS HUGEINT) AS r2
+                  FROM c),
+            s AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+                         CAST(SUM(cnt - ca) AS HUGEINT) AS nb,
+                         SUM(CAST(ca AS HUGEINT) * r2) AS ra2,
+                         SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS ties
+                  FROM r)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   CAST(ra2 - na*(na+1) AS BIGINT) AS u2_a,
+                   CAST(floor(
+                       CAST(ra2 - na*(na+1) - na*nb AS DOUBLE) / 2.0
+                       / sqrt(CAST(na*nb*((na+nb+1)*(na+nb)*(na+nb-1)
+                                          - ties) AS DOUBLE)
+                              / CAST(12*(na+nb)*(na+nb-1) AS DOUBLE))
+                       * 1e6) AS BIGINT) AS z_ppm
+            FROM s""",
+        "q_ks_drift": """
+            WITH d AS (SELECT n_chars AS v, lang AS g FROM documents
+                       WHERE lang IN ('en', 'es')),
+            c AS (SELECT v,
+                         CAST(SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS ca,
+                         CAST(SUM(CASE WHEN g = 'en' THEN 0 ELSE 1 END)
+                              AS BIGINT) AS cb
+                  FROM d GROUP BY v),
+            r AS (SELECT v,
+                         SUM(ca) OVER (ORDER BY v) AS cuma,
+                         SUM(ca + cb) OVER (ORDER BY v) AS cumt
+                  FROM c),
+            t AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+                         CAST(SUM(cb) AS HUGEINT) AS nb
+                  FROM c),
+            diff AS (SELECT v, na, nb,
+                            abs(CAST(cuma AS HUGEINT)*nb
+                                - CAST(cumt - cuma AS HUGEINT)*na) AS dnum
+                     FROM r, t),
+            mx AS (SELECT na, nb, MAX(dnum) AS dmax
+                   FROM diff GROUP BY na, nb),
+            at AS (SELECT MIN(v) AS ks_at FROM diff, mx
+                   WHERE dnum = dmax)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   CAST((dmax * 1000000) // (na*nb) AS BIGINT) AS ks_ppm,
+                   CAST(ks_at AS BIGINT) AS ks_at
+            FROM mx, at""",
+        "q_chi2_source_lang": """
+            WITH obs AS (SELECT source AS r, lang AS c,
+                                CAST(COUNT(*) AS HUGEINT) AS o
+                         FROM documents GROUP BY 1, 2),
+            rt AS (SELECT r, SUM(o) AS rtot FROM obs GROUP BY r),
+            ct AS (SELECT c, SUM(o) AS ctot FROM obs GROUP BY c),
+            s AS (SELECT CAST(SUM(o) AS HUGEINT) AS n,
+                         SUM((o * o * CAST(1000000000000 AS HUGEINT))
+                             // (rtot * ctot)) AS t,
+                         CAST(COUNT(DISTINCT r) AS HUGEINT) AS nr,
+                         CAST(COUNT(DISTINCT c) AS HUGEINT) AS nc
+                  FROM obs JOIN rt USING (r) JOIN ct USING (c))
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(nr AS BIGINT) AS n_rows,
+                   CAST(nc AS BIGINT) AS n_cols,
+                   CAST((n*(t - 1000000000000)*1000000)
+                        // 1000000000000 AS BIGINT) AS chi2_ppm,
+                   CAST(floor(sqrt(
+                       (CAST((n*(t - 1000000000000)*1000000)
+                             // 1000000000000 AS DOUBLE) / 1e6)
+                       / CAST(n * least(nr - 1, nc - 1) AS DOUBLE))
+                       * 1e9) AS BIGINT) AS cramers_v_ppb
+            FROM s""",
+        "q_gini_chars": """
+            WITH c AS (SELECT n_chars AS v,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM documents GROUP BY 1),
+            r AS (SELECT CAST(v AS HUGEINT) AS v,
+                         CAST(cnt AS HUGEINT) AS c,
+                         CAST(SUM(cnt) OVER (ORDER BY v) - cnt
+                              AS HUGEINT) AS p
+                  FROM c),
+            s AS (SELECT SUM(c) AS n, SUM(v*c) AS t,
+                         SUM(v*(2*c*p + c*c + c)) AS s2
+                  FROM r)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(t AS BIGINT) AS total,
+                   CAST(((s2 - (n+1)*t) * 1000000) // (n*t) AS BIGINT)
+                     AS gini_ppm
+            FROM s""",
+        "q_dup_rate_curve": """
+            SELECT 1 AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+                   CAST(CASE WHEN COUNT(*) > 0
+                        THEN ((COUNT(*) - COUNT(DISTINCT g)) * 1000000)
+                             // COUNT(*) ELSE 0 END AS BIGINT) AS dup_ppm
+            FROM (SELECT unnest(CASE WHEN len(ws) >= 1
+                         THEN list_transform(range(1, len(ws) - 1 + 2),
+                              i -> ws[i+0])
+                         ELSE [] END) AS g
+                  FROM (SELECT string_split(text, ' ') AS ws
+                        FROM documents))
+            UNION ALL
+            SELECT 2 AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+                   CAST(CASE WHEN COUNT(*) > 0
+                        THEN ((COUNT(*) - COUNT(DISTINCT g)) * 1000000)
+                             // COUNT(*) ELSE 0 END AS BIGINT) AS dup_ppm
+            FROM (SELECT unnest(CASE WHEN len(ws) >= 2
+                         THEN list_transform(range(1, len(ws) - 2 + 2),
+                              i -> ws[i+0] || ' ' || ws[i+1])
+                         ELSE [] END) AS g
+                  FROM (SELECT string_split(text, ' ') AS ws
+                        FROM documents))
+            UNION ALL
+            SELECT 3 AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+                   CAST(CASE WHEN COUNT(*) > 0
+                        THEN ((COUNT(*) - COUNT(DISTINCT g)) * 1000000)
+                             // COUNT(*) ELSE 0 END AS BIGINT) AS dup_ppm
+            FROM (SELECT unnest(CASE WHEN len(ws) >= 3
+                         THEN list_transform(range(1, len(ws) - 3 + 2),
+                              i -> ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                         ELSE [] END) AS g
+                  FROM (SELECT string_split(text, ' ') AS ws
+                        FROM documents))
+            UNION ALL
+            SELECT 5 AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+                   CAST(CASE WHEN COUNT(*) > 0
+                        THEN ((COUNT(*) - COUNT(DISTINCT g)) * 1000000)
+                             // COUNT(*) ELSE 0 END AS BIGINT) AS dup_ppm
+            FROM (SELECT unnest(CASE WHEN len(ws) >= 5
+                         THEN list_transform(range(1, len(ws) - 5 + 2),
+                              i -> ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+                         ELSE [] END) AS g
+                  FROM (SELECT string_split(text, ' ') AS ws
+                        FROM documents))
+            UNION ALL
+            SELECT 8 AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+                   CAST(CASE WHEN COUNT(*) > 0
+                        THEN ((COUNT(*) - COUNT(DISTINCT g)) * 1000000)
+                             // COUNT(*) ELSE 0 END AS BIGINT) AS dup_ppm
+            FROM (SELECT unnest(CASE WHEN len(ws) >= 8
+                         THEN list_transform(range(1, len(ws) - 8 + 2),
+                              i -> ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])
+                         ELSE [] END) AS g
+                  FROM (SELECT string_split(text, ' ') AS ws
+                        FROM documents))""",
+        "q_interleave_order": """
+            WITH d AS (SELECT doc_id, source,
+                              (doc_id * 2654435761) % 2147483648 AS h
+                       FROM documents),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY h, doc_id) AS pos,
+                         dense_rank() OVER (ORDER BY source) - 1 AS sidx
+                  FROM d),
+            s AS (SELECT COUNT(DISTINCT source) AS ns FROM d)
+            SELECT doc_id, source,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST((pos - 1) * ns + sidx AS BIGINT) AS order_key
+            FROM r, s""",
+        "q_kruskal_wallis": """
+            WITH d AS (SELECT n_chars AS v, lang AS g FROM documents
+                       WHERE lang IS NOT NULL),
+            c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM d GROUP BY v),
+            r AS (SELECT v, cnt,
+                         CAST(2*(SUM(cnt) OVER (ORDER BY v) - cnt)
+                              + cnt + 1 AS HUGEINT) AS r2
+                  FROM c),
+            cvg AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS cg
+                    FROM d GROUP BY v, g),
+            pg AS (SELECT g, CAST(SUM(cg) AS HUGEINT) AS ng,
+                          SUM(CAST(cg AS HUGEINT) * r2) AS rg2
+                   FROM cvg JOIN r USING (v) GROUP BY g),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(ng) AS n,
+                         SUM((rg2*rg2*1000000) // ng) AS s6
+                  FROM pg),
+            t AS (SELECT SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS ties
+                  FROM r)
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   CAST(floor(
+                       (3.0 * CAST(s6 AS DOUBLE)
+                        / (1e6 * CAST(n*(n+1) AS DOUBLE))
+                        - 3.0 * CAST(n+1 AS DOUBLE))
+                       * (CAST(n*n*n - n AS DOUBLE)
+                          / CAST((n*n*n - n) - ties AS DOUBLE))
+                       * 1e6) AS BIGINT) AS h_ppm
+            FROM s, t""",
+        "q_anova_f": """
+            WITH g AS (SELECT lang,
+                              CAST(COUNT(*) AS HUGEINT) AS ng,
+                              CAST(SUM(n_chars) AS HUGEINT) AS sg,
+                              SUM(CAST(n_chars AS HUGEINT) * n_chars) AS qg
+                       FROM documents GROUP BY lang),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(ng) AS n,
+                         SUM(sg) AS stot, SUM(qg) AS qtot,
+                         SUM((sg*sg*1000000) // ng) AS t6
+                  FROM g)
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   CAST(floor(
+                       ((CAST(t6 AS DOUBLE)/1e6
+                         - CAST(stot*stot AS DOUBLE)/CAST(n AS DOUBLE))
+                        / CAST(k-1 AS DOUBLE))
+                       / ((CAST(qtot AS DOUBLE)
+                           - CAST(t6 AS DOUBLE)/1e6)
+                          / CAST(n-k AS DOUBLE))
+                       * 1e6) AS BIGINT) AS f_ppm
+            FROM s""",
+        "q_levene": """
+            WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x, lang AS g
+                       FROM documents),
+            m AS (SELECT g, CAST(median(x) * 2 AS BIGINT) AS m2
+                  FROM d GROUP BY g),
+            z AS (SELECT d.g AS g, abs(2*x - m2) AS z2
+                  FROM d JOIN m USING (g)),
+            gg AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng,
+                          CAST(SUM(z2) AS HUGEINT) AS sg,
+                          SUM(CAST(z2 AS HUGEINT) * z2) AS qg
+                   FROM z GROUP BY g),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(ng) AS n,
+                         SUM(sg) AS stot, SUM(qg) AS qtot,
+                         SUM((sg*sg*1000000) // ng) AS t6
+                  FROM gg)
+            SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                   CAST(floor(
+                       ((CAST(t6 AS DOUBLE)/1e6
+                         - CAST(stot*stot AS DOUBLE)/CAST(n AS DOUBLE))
+                        / CAST(k-1 AS DOUBLE))
+                       / ((CAST(qtot AS DOUBLE)
+                           - CAST(t6 AS DOUBLE)/1e6)
+                          / CAST(n-k AS DOUBLE))
+                       * 1e6) AS BIGINT) AS f_ppm
+            FROM s""",
+        "q_silhouette": """
+            WITH q AS (SELECT vec_id, label AS own,
+                              CAST(generate_subscripts(embedding, 1) - 1
+                                   AS INT) AS pos,
+                              CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                         * 1e6 + 0.5) AS HUGEINT) AS x_e6
+                       FROM embeddings),
+            cent AS (SELECT own AS clabel, pos, SUM(x_e6) AS s,
+                            CAST(COUNT(*) AS HUGEINT) AS cn
+                     FROM q GROUP BY own, pos),
+            num AS (SELECT vec_id, own, clabel,
+                           SUM((cn*x_e6 - s)*(cn*x_e6 - s)) AS num,
+                           ANY_VALUE(cn) AS cn
+                    FROM q JOIN cent USING (pos)
+                    GROUP BY vec_id, own, clabel),
+            d AS (SELECT vec_id, own, clabel,
+                         CAST(num AS DOUBLE)/CAST(cn*cn AS DOUBLE) AS dist
+                  FROM num),
+            pp AS (SELECT vec_id, own,
+                          MAX(CASE WHEN clabel = own THEN dist END) AS a,
+                          MIN(CASE WHEN clabel <> own THEN dist END) AS b
+                   FROM d GROUP BY vec_id, own),
+            sil AS (SELECT own,
+                           CASE WHEN greatest(a, b) > 0
+                                THEN CAST(floor((b - a) * 1e6
+                                          / greatest(a, b)) AS BIGINT)
+                                ELSE 0 END AS sil_ppm
+                    FROM pp)
+            SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(sil_ppm) // COUNT(*) AS BIGINT)
+                     AS mean_sil_ppm
+            FROM sil GROUP BY own""",
     }

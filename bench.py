@@ -117,6 +117,17 @@ HEADLINE = [
     "q_zipf_slope",
     "q_ngram_novelty",
     "q_spearman_global",
+    # round-8 second batch: rank/drift statistics + interleave order
+    "q_mann_whitney",
+    "q_ks_drift",
+    "q_chi2_source_lang",
+    "q_gini_chars",
+    "q_dup_rate_curve",
+    "q_interleave_order",
+    "q_kruskal_wallis",
+    "q_anova_f",
+    "q_levene",
+    "q_silhouette",
 ]
 
 

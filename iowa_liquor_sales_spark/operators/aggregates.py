@@ -429,3 +429,52 @@ def spearman_corr(
         .cast("long")
         .alias("spearman_ppb"),
     )
+
+
+def gini_concentration(df: DataFrame, value_col: str) -> DataFrame:
+    """Gini coefficient of a non-negative integer column — the corpus-
+    balance scalar ("how concentrated is the token mass across
+    documents/sources?") that a mixture designer tracks next to
+    per-source caps: 0 = perfectly even, ->1 = one row holds everything.
+
+    Grouped-distinct-value formula, never a row-level sort: with
+    distinct values v (count c_v, mass cum-before P_v), the rank-sum
+    S = sum_i i*x_i collapses per run of ties to
+    v * (c*P + c*(c+1)/2), so the DOUBLED sum S2 = sum_v v*(2cP + c^2
+    + c) is exact in DECIMAL(38,0) and G = (S2 - (n+1)*T) / (n*T) with
+    T = sum(x). P comes from a DISTRIBUTED prefix sum over the
+    O(distinct) count relation (:func:`.ranking.global_cumsum` — range
+    shuffle + offsets, no single-task ORDER BY window). Reported on
+    the ppm grid via truncating div (matches DuckDB ``//``).
+
+    Note: within a tie run the rank assignment is arbitrary, but S2 is
+    rank-assignment invariant (the run contributes v times the SUM of
+    its ranks), so ties cost nothing.
+
+    Returns one row: (n, total, gini_ppm).
+    """
+    from .ranking import global_cumsum
+
+    c = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = global_cumsum(c, ["v"], "cnt", out_col="cum")
+    s = cum.select(
+        F.col("v").cast("decimal(38,0)").alias("v"),
+        F.col("cnt").cast("decimal(38,0)").alias("c"),
+        (F.col("cum") - F.col("cnt")).cast("decimal(38,0)").alias("p"),
+    ).agg(
+        F.sum(F.col("c")).alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("t"),
+        F.sum(
+            F.col("v")
+            * (2 * F.col("c") * F.col("p") + F.col("c") * F.col("c")
+               + F.col("c"))
+        ).alias("s2"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("t").cast("long").alias("total"),
+        F.expr("CAST(((s2 - (n + 1) * t) * 1000000) div (n * t) AS BIGINT)")
+        .alias("gini_ppm"),
+    )

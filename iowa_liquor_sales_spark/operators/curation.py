@@ -866,3 +866,69 @@ def select_token_budget(
         F.col("q").alias("quality"),
         "tokens",
     )
+
+
+def interleave_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic source-interleaved training order: documents are
+    pseudo-shuffled WITHIN each source (a cheap multiplicative hash of
+    the id — reproducible on any engine, unlike a seeded RNG) and then
+    round-robined ACROSS sources, so a sequential reader sees the
+    mixture ratio locally at every window instead of one source at a
+    time — the data-order half of mixture design (the weights half is
+    ``mixture_weights``/``per-source caps``).
+
+    Scale contract: NO per-source window (``row_number() OVER
+    (PARTITION BY source)`` puts each source's full corpus in one task
+    — the modal source dominates a crawl, so that window inherits the
+    whole skew). Instead ONE distributed global rank ordered by
+    (source, h, id) (:func:`.ranking.global_row_number` — range shuffle
+    + per-partition offsets); because sources are contiguous in that
+    order, the within-source position is ``rn - first_rn(source) + 1``
+    with first_rn from an O(sources) aggregate joined back broadcast.
+    The emitted ``order_key = (pos - 1) * n_sources + src_idx`` is a
+    strided ORDER KEY (sort by it to read in training order): with
+    unequal source sizes it has gaps where exhausted sources drop out
+    of the round-robin; re-densifying would cost a second global rank
+    and changes nothing about the order.
+
+    Returns (id, source, pos, order_key); deterministic for unique ids.
+    """
+    from .ranking import global_row_number
+
+    # Multiplicative Fibonacci-ish hash on the integer id — expressible
+    # identically in ANSI SQL (no xxhash64 in other engines), good
+    # enough to decorrelate the within-source order from id order.
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src"),
+    ).withColumn(
+        "h",
+        (F.col("id").cast("long") * F.lit(2654435761)) % F.lit(1 << 31),
+    )
+    ranked = global_row_number(d, ["src", "h", "id"], out_col="rn")
+    firsts = ranked.groupBy("src").agg(F.min("rn").alias("first_rn"))
+    # O(sources) driver state (bounded like the ranking offsets map and
+    # the k-means seeds): dense alphabetical index as a broadcast map.
+    srcs = sorted(r["src"] for r in firsts.select("src").collect())
+    n_src = len(srcs)
+    idx_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for s, i in zip(srcs, range(n_src)) for x in (s, i)]
+        ),
+        F.col("src"),
+    )
+    return (
+        ranked.join(F.broadcast(firsts), "src")
+        .select(
+            F.col("id"),
+            F.col("src").alias(source_col),
+            (F.col("rn") - F.col("first_rn") + 1).alias("pos"),
+            (
+                (F.col("rn") - F.col("first_rn")) * F.lit(n_src) + idx_expr
+            ).cast("long").alias("order_key"),
+        )
+    )

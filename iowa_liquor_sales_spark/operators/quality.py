@@ -682,3 +682,399 @@ def bh_fdr(
         "rnk",
         (F.col("rnk") <= cutoff).alias("reject"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two groups — the
+    nonparametric "did the quality filter shift the distribution?"
+    check that compares SHAPES, not means: does group A's ``value_col``
+    stochastically dominate group B's? The workhorse A/B readout when
+    values are skewed (doc lengths, latencies) and the t-test's
+    normality premise is junk.
+
+    Scale contract (same as :func:`~.aggregates.spearman_corr`): no
+    row-level window ever runs. Ranks come from the combined DISTINCT-
+    value relation (O(distinct), map-side combinable conditional
+    counts) via a DISTRIBUTED prefix sum (:func:`.ranking.
+    global_cumsum`), tie-corrected average ranks carried as exact
+    DOUBLED integers ``r2 = 2*cum_before + cnt + 1``. The rank-sum,
+    U statistic, and the tie term ``sum(t^3 - t)`` are exact
+    DECIMAL(38,0); the normal-approximation z-score (no continuity
+    correction) pays ONE double sqrt at the end, floored to the ppm
+    grid — identical IEEE arithmetic in any engine given identical
+    integer inputs.
+
+    Returns one row: (n_a, n_b, u2_a, z_ppm) where ``u2_a`` is the
+    DOUBLED U statistic of group A (doubling keeps tie-averaged
+    half-integer U exact in int64).
+    """
+    from .ranking import global_cumsum
+
+    d = df.select(
+        F.col(value_col).alias("v"), F.col(group_col).alias("g")
+    ).filter(F.col("g").isin([group_a, group_b]))
+    c = d.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    cum = global_cumsum(c, ["v"], "cnt", out_col="cum")
+    r2 = cum.select(
+        "ca",
+        "cnt",
+        (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias("r2"),
+    )
+    s = r2.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum(F.col("cnt") - F.col("ca")).cast("decimal(38,0)").alias("nb"),
+        F.sum(F.col("ca").cast("decimal(38,0)") * F.col("r2")).alias("ra2"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("ties"),
+    )
+    n = F.col("na") + F.col("nb")
+    # 2*U_a = R2_a - n_a*(n_a+1); mean(2U) = n_a*n_b; var(U) with tie
+    # correction = n_a*n_b*((N+1)*N*(N-1) - sum(t^3-t)) / (12*N*(N-1)).
+    u2 = F.col("ra2") - F.col("na") * (F.col("na") + 1)
+    var_num = (
+        F.col("na") * F.col("nb") * ((n + 1) * n * (n - 1) - F.col("ties"))
+    )
+    var_den = 12 * n * (n - 1)
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        F.floor(
+            (u2 - F.col("na") * F.col("nb")).cast("double")
+            / F.lit(2.0)
+            / F.sqrt(var_num.cast("double") / var_den.cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("z_ppm"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two groups'
+    ``value_col`` distributions — the drift detector that catches ANY
+    distributional change (location, spread, shape), complementing
+    :func:`~.text.term_kl_divergence`'s token-level drift: D = max over
+    v of |ECDF_a(v) - ECDF_b(v)|.
+
+    Exact integers throughout: per-distinct-value conditional counts
+    (O(distinct) relation), two distributed prefix sums
+    (:func:`.ranking.global_cumsum` — never a single-task ORDER BY
+    window), and the ECDF difference cross-multiplied to avoid
+    division: ``D_num = max |cumA*n_b - cumB*n_a|``, reported as
+    ``ks_ppm = D_num * 1e6 div (n_a*n_b)`` (truncating div, matching
+    DuckDB ``//``). ``ks_at`` is the smallest value attaining the max
+    (deterministic tie-break).
+
+    Returns one row: (n_a, n_b, ks_ppm, ks_at).
+    """
+    from .ranking import global_cumsum
+
+    d = df.select(
+        F.col(value_col).alias("v"), F.col(group_col).alias("g")
+    ).filter(F.col("g").isin([group_a, group_b]))
+    c = d.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("g") == group_a, 0).otherwise(1))
+        .cast("long")
+        .alias("cb"),
+    )
+    # One range shuffle serves both prefix sums: cumsum the TOTAL count
+    # alongside group A's count derived from one packed long would cap
+    # group sizes at 2^31; instead cumsum ca and cnt=ca+cb separately —
+    # two O(distinct) range shuffles, no magnitude bound — and recover
+    # cumB = cum_cnt - cum_ca.
+    cnt = c.select("v", "ca", (F.col("ca") + F.col("cb")).alias("cnt"))
+    cum_a = global_cumsum(
+        cnt.select("v", "ca"), ["v"], "ca", out_col="cuma"
+    ).select("v", "cuma")
+    cum_t = global_cumsum(
+        cnt.select("v", "cnt"), ["v"], "cnt", out_col="cumt"
+    ).select("v", "cumt")
+    tot = c.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    diff = (
+        cum_a.join(cum_t, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "na",
+            "nb",
+            F.abs(
+                F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+                - (F.col("cumt") - F.col("cuma")).cast("decimal(38,0)")
+                * F.col("na")
+            ).alias("dnum"),
+        )
+    )
+    mx = diff.groupBy("na", "nb").agg(F.max("dnum").alias("dmax"))
+    at = (
+        diff.join(
+            F.broadcast(mx.select(F.col("dmax").alias("_dmax"))),
+            F.col("dnum") == F.col("_dmax"),
+        )
+        .agg(F.min("v").alias("ks_at"))
+    )
+    return (
+        mx.crossJoin(F.broadcast(at))
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            (F.col("dmax") * 1000000).alias("_sc"),
+            F.col("na"),
+            F.col("nb"),
+            F.col("ks_at"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.expr("CAST(_sc div (na * nb) AS BIGINT)").alias("ks_ppm"),
+            "ks_at",
+        )
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns (source x language, split x label, shard x quality-bucket)
+    plus Cramér's V effect size — the corpus-balance check that says
+    whether composition differs across slices BEYOND count noise.
+
+    Everything reduces to the O(r*c) contingency relation: one
+    grouped count (map-side combinable), marginals by two tiny
+    re-aggregations, N by one more. The statistic uses the
+    sum-of-squares form chi2 = N * (sum O^2/(rt*ct) - 1), whose per-cell
+    term is computed as an exact integer ``(O^2 * scale) div (rt*ct)``
+    (truncating div, bit-identical to DuckDB ``//``); the sum is
+    bounded by ``min(r, c) * scale`` so DECIMAL(38,0) never overflows
+    even at 1e13 rows. Truncation error is at most ``cells * N /
+    scale`` chi2-units — at the default 1e12 scale, far below the ppm
+    grid for any real contingency table; and since engine and oracle
+    truncate IDENTICALLY, the gate comparison is exact regardless.
+    Cramér's V = sqrt(chi2 / (N * min(r-1, c-1))) pays one double sqrt,
+    floored to ppb.
+
+    Returns one row: (n, n_rows, n_cols, chi2_ppm, cramers_v_ppb).
+    """
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("ct"))
+    cells = obs.join(F.broadcast(rt), "r").join(F.broadcast(ct), "c")
+    s = cells.agg(
+        F.sum("o").cast("decimal(38,0)").alias("n"),
+        F.sum(
+            F.expr(f"(o * o * CAST({scale} AS DECIMAL(38,0))) div (rt * ct)")
+        ).alias("t"),
+        F.count_distinct("r").cast("decimal(38,0)").alias("nr"),
+        F.count_distinct("c").cast("decimal(38,0)").alias("nc"),
+    )
+    # chi2_ppm = N * (t - scale) * 1e6 div scale; V over the same grid.
+    chi2_ppm = F.expr(
+        f"(n * (t - {scale}) * 1000000) div CAST({scale} AS DECIMAL(38,0))"
+    )
+    k = F.expr("CAST(least(nr - 1, nc - 1) AS DECIMAL(38,0))")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nr").cast("long").alias("n_rows"),
+        F.col("nc").cast("long").alias("n_cols"),
+        chi2_ppm.cast("long").alias("chi2_ppm"),
+        F.floor(
+            F.sqrt(
+                (chi2_ppm.cast("double") / 1e6)
+                / (F.col("n") * k).cast("double")
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("cramers_v_ppb"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H test across k groups — the k-sample
+    generalization of :func:`mann_whitney_u` ("does ANY language/source
+    slice have a shifted value distribution?"), with tie correction.
+
+    Same rank machinery: tie-averaged ranks as exact doubled integers
+    from a DISTRIBUTED prefix sum over the O(distinct) value relation
+    (:func:`.ranking.global_cumsum`), per-(value, group) counts joined
+    on value (O(distinct·k) rows), doubled rank-sums R2_g exact in
+    DECIMAL(38,0). The per-group ratio R_g^2/n_g is irreducibly
+    fractional, so each term lands on a 1e6 grid via truncating div
+    (``(R2_g^2 * 1e6) div n_g`` — identical truncation in DuckDB
+    ``//``, so the gate comparison stays exact); H and the tie factor
+    finish in double with one expression shape, floored to ppm:
+    H = 3*S/(1e6*N*(N+1)) - 3*(N+1), H' = H*(N^3-N)/((N^3-N)-ties).
+
+    Returns one row: (k, n, h_ppm).
+    """
+    from .ranking import global_cumsum
+
+    d = df.select(
+        F.col(value_col).alias("v"), F.col(group_col).alias("g")
+    ).filter(F.col("g").isNotNull())
+    c = d.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r2 = global_cumsum(c, ["v"], "cnt", out_col="cum").select(
+        "v",
+        "cnt",
+        (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias("r2"),
+    )
+    cvg = d.groupBy("v", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    per_g = (
+        cvg.join(r2, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").cast("decimal(38,0)").alias("ng"),
+            F.sum(F.col("cg").cast("decimal(38,0)") * F.col("r2")).alias(
+                "rg2"
+            ),
+        )
+    )
+    s = per_g.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum(
+            F.expr("(rg2 * rg2 * 1000000) div ng")
+        ).alias("s6"),
+    )
+    ties = r2.agg(
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("ties")
+    )
+    n = F.col("n")
+    h = (
+        F.lit(3.0) * F.col("s6").cast("double")
+        / (F.lit(1e6) * (n * (n + 1)).cast("double"))
+        - F.lit(3.0) * (n + 1).cast("double")
+    )
+    tie_adj = (n * n * n - n).cast("double") / (
+        (n * n * n - n) - F.col("ties")
+    ).cast("double")
+    return s.crossJoin(F.broadcast(ties)).select(
+        F.col("k").cast("long").alias("k"),
+        n.cast("long").alias("n"),
+        F.floor(h * tie_adj * 1e6).cast("long").alias("h_ppm"),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way ANOVA F statistic across k groups on an integer-valued
+    column — the parametric sibling of :func:`kruskal_wallis` (means
+    instead of ranks; use this when the value is well-behaved and the
+    rank test when it is skewed).
+
+    One map-side-combinable aggregate into groups (sum, sum of squares,
+    count — all exact DECIMAL(38,0)), then an O(k) rollup. The
+    irreducible fractions S_g^2/n_g land on a 1e6 grid via truncating
+    div (same convention as :func:`kruskal_wallis`); F finishes in
+    double, floored to ppm: with T6 = sum_g (S_g^2*1e6) div n_g,
+    SSB = T6/1e6 - S^2/N, SSW = sum(x^2) - T6/1e6,
+    F = (SSB/(k-1)) / (SSW/(N-k)).
+
+    Returns one row: (k, n, f_ppm).
+    """
+    g = df.select(
+        F.col(value_col).cast("decimal(38,0)").alias("x"),
+        F.col(group_col).alias("g"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).alias("qg"),
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("stot"),
+        F.sum("qg").alias("qtot"),
+        F.sum(F.expr("(sg * sg * 1000000) div ng")).alias("t6"),
+    )
+    t = F.col("t6").cast("double") / 1e6
+    ssb = t - (F.col("stot") * F.col("stot")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ssw = F.col("qtot").cast("double") - t
+    f = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("n") - F.col("k")).cast("double")
+    )
+    return s.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.floor(f * 1e6).cast("long").alias("f_ppm"),
+    )
+
+
+def levene_bf(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown–Forsythe test of variance homogeneity across k groups
+    (Levene's test with MEDIAN centers — robust to the heavy tails
+    that break the mean-centered original): one-way ANOVA on the
+    absolute deviations from each group's median. The "did the rewrite
+    change the SPREAD of doc lengths, not just the middle?" check.
+
+    Exactness trick: the group median of an integer column is either
+    an integer or a half-integer, so DOUBLED deviations
+    ``z2 = |2x - 2*median_g|`` are exact int64 and the whole ANOVA
+    runs on them (F is scale-invariant, so F(z2) = F(z)). Medians come
+    from one exact ``percentile`` aggregate per group — O(distinct)
+    executor memory per group, the same cost class as the count
+    aggregate (cluster note: swap in percentile_approx when the value
+    domain is unbounded). The O(k) median relation broadcasts back.
+
+    Returns one row: (k, n, f_ppm) — F on the doubled deviations.
+    """
+    d = df.select(
+        F.col(value_col).cast("long").alias("x"),
+        F.col(group_col).alias("g"),
+    )
+    med2 = d.groupBy("g").agg(
+        (F.expr("percentile(x, 0.5)") * 2).cast("long").alias("m2")
+    )
+    z = d.join(F.broadcast(med2), "g").select(
+        "g", F.abs(2 * F.col("x") - F.col("m2")).alias("z2")
+    )
+    return anova_f(z, "z2", "g")

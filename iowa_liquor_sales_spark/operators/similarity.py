@@ -1534,3 +1534,89 @@ def assign_new_vectors(
         vec_col=vec_col,
         centroids=index.centroids,
     )
+
+
+def silhouette_labels(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label — the
+    cluster-quality readout for a labeled embedding corpus: a(x) =
+    distance to OWN label's centroid, b(x) = distance to the nearest
+    OTHER centroid, s(x) = (b-a)/max(a,b). Medoid-free "simplified
+    silhouette" (Hruschka et al. 2004): O(points·k) instead of the
+    O(points²) pairwise original — the only form that exists at corpus
+    scale.
+
+    Exactness: coordinates quantize to the e6 integer grid
+    (:func:`label_centroids_e6`), and the squared distance to a MEAN
+    avoids division entirely — ||x - s/n||² ∝ Σ_pos (n·x - s)², an
+    exact DECIMAL(38,0) numerator with denominator n². Per-point a and
+    b convert to double only for the final ratio (identical IEEE
+    expression in any engine), floored to the ppm grid; per-label means
+    are integer ``div`` over the ppm values, never a float mean (float
+    means are partition-order dependent).
+
+    Dataflow: posexplode → broadcast-join the O(k·dims) centroid
+    relation → one map-side-combinable aggregate into (point, label)
+    distance numerators (O(points·k) rows) → conditional min/max per
+    point → O(k) rollup. No shuffle ever carries more than points·k
+    rows.
+
+    Returns one row per label: (label, n_points, mean_sil_ppm).
+    """
+    cent = label_centroids_e6(df, vec_col, label_col).select(
+        F.col(label_col).alias("clabel"),
+        "pos",
+        F.col("sum_e6").cast("decimal(38,0)").alias("s"),
+        F.col("n").cast("decimal(38,0)").alias("cn"),
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("own"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).withColumn(
+        "x_e6",
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)"),
+    )
+    num = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("id", "own", "clabel")
+        .agg(
+            F.sum(
+                (F.col("cn") * F.col("x_e6") - F.col("s"))
+                * (F.col("cn") * F.col("x_e6") - F.col("s"))
+            ).alias("num"),
+            F.first("cn").alias("cn"),
+        )
+    )
+    d = num.select(
+        "id",
+        "own",
+        "clabel",
+        (
+            F.col("num").cast("double")
+            / (F.col("cn") * F.col("cn")).cast("double")
+        ).alias("dist"),
+    )
+    per_point = d.groupBy("id", "own").agg(
+        F.max(F.when(F.col("clabel") == F.col("own"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("own"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    sil = per_point.select(
+        "own",
+        F.when(F.greatest("a", "b") > 0, F.floor(
+            (F.col("b") - F.col("a")) * 1e6 / F.greatest("a", "b")
+        ).cast("long")).otherwise(F.lit(0).cast("long")).alias("sil_ppm"),
+    )
+    return sil.groupBy(F.col("own").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.expr("sum(sil_ppm) div count(1)").alias("mean_sil_ppm"),
+    )

@@ -1205,3 +1205,70 @@ def ngram_novelty(
             "novelty_ppm"
         ),
     )
+
+
+
+def _gram_at(ws, n: int):
+    """Unary shingle lambda for F.transform — a closure factory keeps the
+    lambda single-argument (a 2-param lambda would be read by PySpark as
+    the (element, index) binary form)."""
+    def fn(i):
+        return F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        )
+    return fn
+
+
+def dup_rate_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (1, 2, 3, 5, 8),
+) -> DataFrame:
+    """Corpus-level duplicate-mass curve: for each word-shingle size n,
+    the fraction of n-gram OCCURRENCES that are repeats of an earlier
+    occurrence anywhere in the corpus — the knob-setting companion to
+    the dedup family (tiny n saturates near 1, large n isolates true
+    near-dup mass; the knee tells you which shingle size separates
+    natural language reuse from copying).
+
+    Per n: one explode + one exact distinct-aggregate (two map-side-
+    combinable passes over the shingle relation, the same cost class as
+    minhash's shingle scan); the per-n one-row results union into an
+    O(|ns|) relation. dup_ppm = (total - distinct) * 1e6 div total,
+    exact integers (truncating div matches DuckDB ``//``).
+    """
+    out = None
+    for n in ns:
+        ws = F.col("ws_")
+        grams = (
+            df.withColumn("ws_", F.split(F.col(text_col), " "))
+            .select(
+                F.when(
+                    F.size(ws) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                        _gram_at(ws, n),
+                    ),
+                )
+                .otherwise(F.array().cast("array<string>"))
+                .alias("grams")
+            )
+            .select(F.explode("grams").alias("g"))
+        )
+        row = grams.agg(
+            F.lit(n).cast("int").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count_distinct("g").cast("long").alias("n_distinct"),
+        ).select(
+            "n",
+            "n_grams",
+            "n_distinct",
+            F.expr(
+                "CASE WHEN n_grams > 0 THEN"
+                " ((n_grams - n_distinct) * 1000000) div n_grams"
+                " ELSE 0 END"
+            ).alias("dup_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

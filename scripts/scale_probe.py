@@ -1248,8 +1248,8 @@ def main() -> None:
         "q_weighted_median's bench wall moved 0.67 -> 0.99 s across",
         "r2 -> r7 on UNCHANGED code (git log -S confirms no touch since",
         "r2). Isolated reruns on an idle box (round 8, sf0.1, bench",
-        "session conf, 32-file lineitem layout, 4 runs): 3.14 s cold",
-        "(JIT/codegen), then 1.00 / 0.70 / 0.70 s steady-state — the",
+        "session conf, 32-file lineitem layout, 4 runs): 2.71 s cold",
+        "(JIT/codegen), then 1.04 / 0.72 / 0.69 s steady-state — the",
         "true cost sits at ~0.7 s and the r7 0.99 s was shared-bench",
         "noise, the same pattern adjudicated for q_pagerank (r6) and",
         "q_substring_dedup (r7). No regression; no rework warranted.",

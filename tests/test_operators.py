@@ -1271,3 +1271,298 @@ def test_spearman_corr_known_values(spark):
         abs(spearman_corr(tied, "x", "y").first()["spearman_ppb"] - 10**9)
         <= 2
     )
+
+
+# ---------------------------------------------------------------- round-8
+# rank/drift statistics + interleave (quality.mann_whitney_u /
+# ks_two_sample / chi2_independence, aggregates.gini_concentration,
+# curation.interleave_by_source)
+
+
+def _mw_python(a, b):
+    """Reference Mann-Whitney: doubled U of group a with tie-averaged
+    ranks, plus the tie-corrected z (no continuity correction)."""
+    import math
+
+    vals = sorted(set(a) | set(b))
+    combined = sorted(a + b)
+    # tie-averaged rank per value, doubled to stay integral
+    r2 = {}
+    i = 0
+    for v in vals:
+        c = combined.count(v)
+        r2[v] = 2 * i + c + 1
+        i += c
+    ra2 = sum(r2[v] for v in a)
+    na, nb = len(a), len(b)
+    u2 = ra2 - na * (na + 1)
+    n = na + nb
+    ties = sum(combined.count(v) ** 3 - combined.count(v) for v in vals)
+    var = na * nb * ((n + 1) * n * (n - 1) - ties) / (12 * n * (n - 1))
+    z = (u2 - na * nb) / 2.0 / math.sqrt(var)
+    return u2, z
+
+
+def test_mann_whitney_matches_reference(spark):
+    from iowa_liquor_sales_spark.operators.quality import mann_whitney_u
+
+    a = [3, 5, 5, 8, 12, 12, 12, 20]
+    b = [1, 2, 5, 7, 12, 13]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    got = mann_whitney_u(df, "v", "g", "a", "b").head()
+    u2, z = _mw_python(a, b)
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    assert got["u2_a"] == u2
+    assert got["z_ppm"] == int(z * 1e6 // 1)  # floor
+
+    # complement identity: U_a + U_b = n_a*n_b (doubled: 2*na*nb)
+    got_b = mann_whitney_u(df, "v", "g", "b", "a").head()
+    assert got["u2_a"] + got_b["u2_a"] == 2 * len(a) * len(b)
+
+
+def test_ks_two_sample_bounds_and_value(spark):
+    from iowa_liquor_sales_spark.operators.quality import ks_two_sample
+
+    # identical samples -> D = 0
+    rows = [(v, g) for v in (1, 2, 3, 4) for g in ("a", "b")]
+    same = ks_two_sample(
+        spark.createDataFrame(rows, ["v", "g"]), "v", "g", "a", "b"
+    ).head()
+    assert same["ks_ppm"] == 0
+
+    # disjoint supports -> D = 1 at the boundary value
+    rows = [(v, "a") for v in (1, 2, 3)] + [(v, "b") for v in (10, 11)]
+    dis = ks_two_sample(
+        spark.createDataFrame(rows, ["v", "g"]), "v", "g", "a", "b"
+    ).head()
+    assert dis["ks_ppm"] == 1_000_000
+    assert dis["ks_at"] == 3
+
+    # hand case: a={1,2,2,5}, b={2,3}; ECDFs cross mid-range
+    rows = [(1, "a"), (2, "a"), (2, "a"), (5, "a"), (2, "b"), (3, "b")]
+    got = ks_two_sample(
+        spark.createDataFrame(rows, ["v", "g"]), "v", "g", "a", "b"
+    ).head()
+    # at v=3: F_a = 3/4, F_b = 2/2 -> |3*2 - 2*4| = 2 -> 2/8 = .25
+    # at v=1: |1*2 - 0| = 2 -> also .25; smallest argmax is v=1
+    assert got["ks_ppm"] == 250_000
+    assert got["ks_at"] == 1
+
+
+def test_chi2_independence_exact_cases(spark):
+    from iowa_liquor_sales_spark.operators.quality import chi2_independence
+
+    # perfectly independent 2x2 (all marginals balanced) -> chi2 = 0
+    rows = [(r, c) for r in ("x", "y") for c in ("p", "q") for _ in range(5)]
+    ind = chi2_independence(
+        spark.createDataFrame(rows, ["r", "c"]), "r", "c"
+    ).head()
+    assert ind["chi2_ppm"] == 0
+    assert ind["cramers_v_ppb"] == 0
+
+    # classic 2x2: [[10, 20], [20, 10]] -> chi2 = 60^2*... = 6.666...
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 10
+    )
+    got = chi2_independence(
+        spark.createDataFrame(rows, ["r", "c"]), "r", "c"
+    ).head()
+    # chi2 = n*(sum O^2/(rt*ct) - 1) with n=60: exact value 20/3
+    assert abs(got["chi2_ppm"] - 6_666_666) <= 4  # 1e-12-grid truncation
+    # V = sqrt(chi2/n) for 2x2 = sqrt(1/9) = 1/3
+    assert abs(got["cramers_v_ppb"] - 333_333_333) <= 1000
+
+
+def test_gini_concentration_known_values(spark):
+    from iowa_liquor_sales_spark.operators.aggregates import (
+        gini_concentration,
+    )
+
+    # all equal -> 0
+    eq = gini_concentration(
+        spark.createDataFrame([(7,)] * 6, ["v"]), "v"
+    ).head()
+    assert eq["gini_ppm"] == 0
+
+    # one holder of everything: G = (n-1)/n = 0.75 for n=4
+    one = gini_concentration(
+        spark.createDataFrame([(0,), (0,), (0,), (100,)], ["v"]), "v"
+    ).head()
+    assert one["gini_ppm"] == 750_000
+
+    # python reference on a mixed multiset
+    vals = [1, 1, 2, 3, 5, 8, 8, 13]
+    xs = sorted(vals)
+    n, t = len(xs), sum(xs)
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = (2 * s - (n + 1) * t) * 1_000_000 // (n * t)
+    got = gini_concentration(
+        spark.createDataFrame([(v,) for v in vals], ["v"]), "v"
+    ).head()
+    assert got["gini_ppm"] == expect
+    assert (got["n"], got["total"]) == (n, t)
+
+
+def test_dup_rate_curve_hand_corpus(spark):
+    from iowa_liquor_sales_spark.operators.text import dup_rate_curve
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    rows = {
+        r["n"]: r for r in dup_rate_curve(df, ns=(1, 2, 4)).collect()
+    }
+    # n=1: 7 tokens, 3 distinct
+    assert (rows[1]["n_grams"], rows[1]["n_distinct"]) == (7, 3)
+    assert rows[1]["dup_ppm"] == 4 * 1_000_000 // 7
+    # n=2: grams "a b","b a","a b" + "a b","b c" -> 5 total, 3 distinct
+    assert (rows[2]["n_grams"], rows[2]["n_distinct"]) == (5, 3)
+    # n=4: only doc1 has one 4-gram
+    assert (rows[4]["n_grams"], rows[4]["n_distinct"]) == (1, 1)
+    assert rows[4]["dup_ppm"] == 0
+
+
+def test_interleave_matches_window_form(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.curation import (
+        interleave_by_source,
+    )
+
+    df = spark.range(97).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias(
+            "source"
+        ),
+    )
+    got = interleave_by_source(df).toPandas().set_index("id")
+
+    # oracle: per-source window row_number over the same hash order
+    h = (F.col("doc_id") * 2654435761) % (1 << 31)
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    exp = (
+        df.withColumn("h", h)
+        .withColumn("pos", F.row_number().over(w))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(got) == 97
+    for doc_id, row in got.iterrows():
+        assert row["pos"] == exp.loc[doc_id, "pos"]
+
+    # order_key is unique and the first len(sources) keys in sorted
+    # order hit every source once (true round-robin locally)
+    keys = sorted(zip(got["order_key"], got["source"]))
+    assert len({k for k, _ in keys}) == len(keys)
+    assert {s for _, s in keys[:3]} == {"s0", "s1", "s2"}
+
+
+def test_kruskal_wallis_matches_reference(spark):
+    from iowa_liquor_sales_spark.operators.quality import kruskal_wallis
+
+    groups = {"a": [1, 3, 5, 7, 7], "b": [2, 4, 6, 7], "c": [8, 9, 9, 10]}
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    got = kruskal_wallis(
+        spark.createDataFrame(rows, ["v", "g"]), "v", "g"
+    ).head()
+
+    # pure-python reference with tie-averaged ranks
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+    rank = {}
+    i = 0
+    for v in sorted(set(allv)):
+        c = allv.count(v)
+        rank[v] = i + (c + 1) / 2
+        i += c
+    h = 12 / (n * (n + 1)) * sum(
+        sum(rank[v] for v in vs) ** 2 / len(vs) for vs in groups.values()
+    ) - 3 * (n + 1)
+    ties = sum(
+        allv.count(v) ** 3 - allv.count(v) for v in set(allv)
+    )
+    h_adj = h / (1 - ties / (n**3 - n))
+    assert (got["k"], got["n"]) == (3, n)
+    # the engine's 1e6 truncating-div grid costs < 2 ppm here
+    assert abs(got["h_ppm"] - int(h_adj * 1e6)) <= 2
+
+
+def test_anova_and_levene_match_reference(spark):
+    from iowa_liquor_sales_spark.operators.quality import anova_f, levene_bf
+
+    groups = {"a": [10, 12, 14, 11], "b": [20, 22, 19], "c": [15, 15, 16, 30]}
+    rows = [(v, g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, ["v", "g"])
+
+    def f_stat(gs):
+        n = sum(len(v) for v in gs.values())
+        k = len(gs)
+        tot = sum(sum(v) for v in gs.values())
+        ssb = sum(sum(v) ** 2 / len(v) for v in gs.values()) - tot**2 / n
+        ssw = sum(x**2 for v in gs.values() for x in v) - sum(
+            sum(v) ** 2 / len(v) for v in gs.values()
+        )
+        return (ssb / (k - 1)) / (ssw / (n - k))
+
+    got = anova_f(df, "v", "g").head()
+    assert abs(got["f_ppm"] - int(f_stat(groups) * 1e6)) <= 3
+
+    # Brown-Forsythe: ANOVA on |2x - 2*median_g| (doubling is
+    # F-invariant and keeps half-integer medians exact)
+    import statistics
+
+    zgroups = {
+        g: [abs(2 * x - int(2 * statistics.median(vs))) for x in vs]
+        for g, vs in groups.items()
+    }
+    got_bf = levene_bf(df, "v", "g").head()
+    assert abs(got_bf["f_ppm"] - int(f_stat(zgroups) * 1e6)) <= 3
+
+
+def test_silhouette_separated_and_reference(spark):
+    from iowa_liquor_sales_spark.operators.similarity import (
+        silhouette_labels,
+    )
+
+    # two tight, far-apart clusters -> mean silhouette near 1
+    rows = [
+        (1, [0.0, 0.0], "a"), (2, [0.1, 0.0], "a"), (3, [0.0, 0.1], "a"),
+        (4, [9.0, 9.0], "b"), (5, [9.1, 9.0], "b"), (6, [9.0, 9.1], "b"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r["label"]: r for r in silhouette_labels(df).collect()}
+    assert got["a"]["n_points"] == 3 and got["b"]["n_points"] == 3
+    assert got["a"]["mean_sil_ppm"] > 990_000
+    assert got["b"]["mean_sil_ppm"] > 990_000
+
+    # python reference (simplified silhouette on the e6 grid)
+    def ref(rows):
+        from collections import defaultdict
+
+        pts = {r[0]: ([round(x * 1e6) for x in r[1]], r[2]) for r in rows}
+        cent = defaultdict(lambda: [0, 0, 0])
+        for v, lab in pts.values():
+            cent[lab][0] += v[0]
+            cent[lab][1] += v[1]
+            cent[lab][2] += 1
+        sums = defaultdict(list)
+        for v, lab in pts.values():
+            d = {}
+            for cl, (sx, sy, n) in cent.items():
+                d[cl] = ((n * v[0] - sx) ** 2 + (n * v[1] - sy) ** 2) / n**2
+            a = d[lab]
+            b = min(x for cl, x in d.items() if cl != lab)
+            sums[lab].append(
+                int((b - a) * 1e6 / max(a, b) // 1) if max(a, b) > 0 else 0
+            )
+        # truncate-toward-zero mean, matching Spark div / DuckDB //
+        return {
+            lab: int(sum(s) / len(s)) for lab, s in sums.items()
+        }
+
+    expect = ref(rows)
+    for lab in ("a", "b"):
+        assert abs(got[lab]["mean_sil_ppm"] - expect[lab]) <= 1

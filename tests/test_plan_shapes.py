@@ -225,3 +225,55 @@ def test_spearman_global_has_no_row_level_window(spark):
 
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "_pid" in spec, spec
+
+
+def test_rank_statistics_have_no_row_level_window(spark):
+    # mann_whitney_u / ks_two_sample / gini_concentration: ranks and
+    # cumulative counts come from distributed prefix sums over the
+    # O(distinct) value relations; every Window must partition by the
+    # range-partition id (_pid) — a window over raw rows (or with no
+    # partition spec) is the single-task scale regression.
+    import re
+
+    for name in ("q_mann_whitney", "q_ks_drift", "q_gini_chars"):
+        plan = _plan(spark, name)
+        for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+            assert "_pid" in spec, (name, spec)
+
+
+def test_interleave_has_no_per_source_window(spark):
+    # interleave_by_source: positions come from ONE distributed global
+    # rank over (source, hash, id) — a Window partitioned by source
+    # would hand the modal source's full corpus to one task.
+    plan = _plan(spark, "q_interleave_order")
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_chi2_broadcasts_its_marginals(spark):
+    # chi2_independence: the row/column marginal joins against the
+    # O(r*c) contingency relation must broadcast — a shuffle join for
+    # O(r)+O(c) rows is pure overhead.
+    plan = _plan(spark, "q_chi2_source_lang")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kruskal_has_no_row_level_window(spark):
+    # Same contract as the two-sample tests: ranks from the distributed
+    # prefix sum; every Window partitions by the range-partition id.
+    import re
+
+    plan = _plan(spark, "q_kruskal_wallis")
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_pid" in spec, spec
+
+
+def test_silhouette_broadcasts_centroids(spark):
+    # The O(k*dims) centroid relation must broadcast against the
+    # exploded point relation; a shuffle join there would move
+    # points*dims rows twice.
+    plan = _plan(spark, "q_silhouette")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
