@@ -63,6 +63,7 @@ from iowa_liquor_sales_spark.operators.similarity import (
 from iowa_liquor_sales_spark.operators.upsert import insert_ignore, merge_upsert
 from iowa_liquor_sales_spark.operators.text import (
     LANG_MARKERS,
+    RAKE_DELIM as _RAKE_DELIM,
     TOKEN_PATTERN,
     fingerprints,
     lang_id,
@@ -8815,6 +8816,114 @@ def q_silhouette(spark: SparkSession, sf: str) -> DataFrame:
     return silhouette_labels(read_table(spark, sf, "embeddings"))
 
 
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    # Flesch Reading Ease per document (text.readability_flesch):
+    # word / sentence / vowel-group counts in pure Catalyst string
+    # expressions (zero shuffle), score exact on the milli grid via one
+    # DECIMAL(38,0) truncating division — the classic curation-side
+    # readability feature.
+    from iowa_liquor_sales_spark.operators.text import readability_flesch
+
+    return readability_flesch(read_table(spark, sf, "documents"))
+
+
+def q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    # RAKE corpus keywords (text.rake_keywords): stopword/punctuation-
+    # delimited candidate phrases, word degree/freq scores on the milli
+    # grid BEFORE the phrase sum (no float accumulation), distributed
+    # top-50.
+    from iowa_liquor_sales_spark.operators.text import rake_keywords
+
+    return rake_keywords(read_table(spark, sf, "documents"), top_n=50)
+
+
+def q_jsd_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-source Jensen-Shannon drift vs the corpus unigram
+    # distribution (text.jsd_source_drift): add-1 smoothing over the
+    # joint vocabulary, per-term contributions rounded to exact 1e9
+    # integers before the sum (the term_kl_divergence convention), a
+    # vocab x sources dense grid built via broadcast of the O(sources)
+    # relation.
+    from iowa_liquor_sales_spark.operators.text import jsd_source_drift
+
+    return jsd_source_drift(read_table(spark, sf, "documents"))
+
+
+def q_friedman(spark: SparkSession, sf: str) -> DataFrame:
+    # Friedman rank test: does doc length differ by LANGUAGE when
+    # blocking on SOURCE (quality.friedman_test)? Complete blocks only;
+    # tie-corrected doubled ranks inside an O(k)-row per-block window
+    # (bounded by the treatment count, not the data); Q exact-integer
+    # on the ppm grid.
+    from iowa_liquor_sales_spark.operators.quality import friedman_test
+
+    return friedman_test(
+        read_table(spark, sf, "documents"), "source", "lang", "n_chars"
+    )
+
+
+def q_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    # NDCG@10 of the embedding space against its labels
+    # (similarity.ndcg_at_k): exact int64 squared-L2 ranking per
+    # broadcast anchor, log2 position gains gridded to 1e6 integers
+    # BEFORE the DCG/IDCG sums, one truncating division per anchor.
+    from iowa_liquor_sales_spark.operators.similarity import ndcg_at_k
+
+    return ndcg_at_k(read_table(spark, sf, "embeddings"), n_queries=8, k=10)
+
+
+def q_dbscan_grid(spark: SparkSession, sf: str) -> DataFrame:
+    # Grid-blocked DBSCAN (clustering.grid_dbscan) over deterministic
+    # 2-D integer points synthesized from customer keys (the geo-query
+    # convention): 20x20 cluster centers 50 apart with spread < 8, so
+    # eps=10/min_pts=4 separates core/border/noise cleanly. The
+    # neighbor join is an equi-join on eps-grid cells (3x3 neighborhood
+    # explode — constant fanout, never all-pairs); clusters are the
+    # shared pointer-jumping CC over core-core edges.
+    from iowa_liquor_sales_spark.operators.clustering import grid_dbscan
+
+    # Every 11th key is a "straggler" offset +10 from its center — too
+    # sparse to be core, within eps of the center's points: the BORDER
+    # case (everything at an undersized center is NOISE).
+    pts = read_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            (F.col("c_custkey") % 20) * 50
+            + F.when(F.col("c_custkey") % 11 == 0, 10).otherwise(
+                (F.col("c_custkey") * 7) % 8
+            )
+        )
+        .cast("long")
+        .alias("x"),
+        (((F.col("c_custkey") * 13) % 20) * 50 + (F.col("c_custkey") * 11) % 8)
+        .cast("long")
+        .alias("y"),
+    )
+    return grid_dbscan(pts, eps=10, min_pts=4)
+
+
+def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    # t-closeness audit (quality.t_closeness_audit — implemented in
+    # round 4, wired to the oracle gate here): per (nation, segment) QI
+    # class, the EMD between the class's ordered balance-bucket
+    # distribution and the global one, cross-multiplied to exact
+    # integers on the ppm grid. Completes the privacy-audit trio after
+    # q_k_anonymity / q_l_diversity (skewness attack: a class can be
+    # k-anonymous AND l-diverse while its sensitive distribution leaks).
+    from iowa_liquor_sales_spark.operators.quality import (
+        t_closeness_audit,
+    )
+
+    c = read_table(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.round(F.col("c_acctbal")).cast("long") % 10).alias("bal_bucket"),
+    )
+    return t_closeness_audit(
+        c, ["c_nationkey", "c_mktsegment"], "bal_bucket"
+    )
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -8841,7 +8950,8 @@ def q_silhouette(spark: SparkSession, sf: str) -> DataFrame:
 # scripts/oracle_sweep.py still checks every entry locally each round.
 # Round-9 gate backlog (added late in round 8, oracle-checked in the
 # local sweep but past this round's 50-query window): q_kruskal_wallis,
-# q_anova_f, q_levene, q_silhouette.
+# q_anova_f, q_levene, q_silhouette, q_readability, q_rake_keywords,
+# q_jsd_drift, q_friedman, q_ndcg, q_dbscan_grid, q_t_closeness.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -9278,6 +9388,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anova_f": q_anova_f,
         "q_levene": q_levene,
         "q_silhouette": q_silhouette,
+        "q_readability": q_readability,
+        "q_rake_keywords": q_rake_keywords,
+        "q_jsd_drift": q_jsd_drift,
+        "q_friedman": q_friedman,
+        "q_ndcg": q_ndcg,
+        "q_dbscan_grid": q_dbscan_grid,
+        "q_t_closeness": q_t_closeness,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -15086,4 +15203,267 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(sil_ppm) // COUNT(*) AS BIGINT)
                      AS mean_sil_ppm
             FROM sil GROUP BY own""",
+        "q_readability": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS ws,
+                     greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                       AS ns
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     greatest(1, len(ws)) AS nw,
+                     ns,
+                     coalesce(list_sum(list_transform(ws,
+                         x -> greatest(1, len(regexp_extract_all(
+                                  lower(x), '[aeiouy]+'))))), 0) AS ny
+              FROM w)
+            SELECT doc_id,
+                   CAST(nw AS BIGINT) AS n_words,
+                   CAST(ns AS BIGINT) AS n_sentences,
+                   CAST(ny AS BIGINT) AS n_syllables,
+                   CAST((206835 * CAST(ns AS HUGEINT) * nw
+                         - 1015 * CAST(nw AS HUGEINT) * nw
+                         - 84600 * CAST(ny AS HUGEINT) * ns)
+                        // (CAST(ns AS HUGEINT) * nw) AS BIGINT)
+                     AS flesch_milli
+            FROM c""",
+        "q_rake_keywords": f"""
+            WITH segs AS (
+              SELECT unnest(string_split_regex(lower(text),
+                  '{_RAKE_DELIM}')) AS seg
+              FROM documents),
+            ph2 AS (
+              SELECT array_to_string(pw, ' ') AS phrase, pw, len(pw) AS plen
+              FROM (SELECT list_filter(string_split(trim(seg), ' '),
+                                       x -> x <> '') AS pw
+                    FROM segs)
+              WHERE len(pw) >= 1 AND len(pw) <= 4),
+            wsc AS (
+              SELECT word,
+                     CAST((CAST(SUM(plen) AS HUGEINT) * 1000)
+                          // COUNT(*) AS BIGINT) AS wscore
+              FROM (SELECT unnest(pw) AS word, plen FROM ph2)
+              GROUP BY word),
+            pcnt AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+                     FROM ph2 GROUP BY phrase),
+            psc AS (
+              SELECT phrase, CAST(SUM(wscore) AS BIGINT) AS score_milli
+              FROM (SELECT phrase, unnest(pw) AS word
+                    FROM (SELECT DISTINCT phrase, pw FROM ph2)) t
+              JOIN wsc USING (word)
+              GROUP BY phrase)
+            SELECT pcnt.phrase, n_occurrences, score_milli
+            FROM pcnt JOIN psc USING (phrase)
+            ORDER BY score_milli DESC, phrase
+            LIMIT 50""",
+        "q_jsd_drift": """
+            WITH terms AS (
+              SELECT source AS grp,
+                     unnest(list_filter(string_split_regex(trim(text), ' +'),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            gt AS (SELECT grp, term, COUNT(*) AS n_gt
+                   FROM terms GROUP BY 1, 2),
+            t AS (SELECT term, SUM(n_gt) AS n_t FROM gt GROUP BY 1),
+            g AS (SELECT grp, SUM(n_gt) AS tot_g FROM gt GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS v, SUM(n_t) AS tot_all FROM t),
+            grid AS (
+              SELECT g.grp, g.tot_g, t.n_t,
+                     coalesce(gt.n_gt, 0) AS n_gt, tot.v, tot.tot_all
+              FROM t CROSS JOIN g
+              LEFT JOIN gt ON gt.term = t.term AND gt.grp = g.grp
+              CROSS JOIN tot),
+            c AS (
+              SELECT grp, tot_g,
+                     CAST(round(0.5e9 * (
+                        (CAST(n_gt + 1 AS DOUBLE) / (tot_g + v))
+                          * ln((CAST(n_gt + 1 AS DOUBLE) / (tot_g + v))
+                               / (((CAST(n_gt + 1 AS DOUBLE) / (tot_g + v))
+                                   + (CAST(n_t + 1 AS DOUBLE)
+                                      / (tot_all + v))) / 2))
+                      + (CAST(n_t + 1 AS DOUBLE) / (tot_all + v))
+                          * ln((CAST(n_t + 1 AS DOUBLE) / (tot_all + v))
+                               / (((CAST(n_gt + 1 AS DOUBLE) / (tot_g + v))
+                                   + (CAST(n_t + 1 AS DOUBLE)
+                                      / (tot_all + v))) / 2))
+                     )) AS BIGINT) AS contrib
+              FROM grid)
+            SELECT grp AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(ANY_VALUE(tot_g) AS BIGINT) AS tot_group,
+                   CAST(SUM(contrib) AS BIGINT) AS jsd_e9
+            FROM c GROUP BY grp""",
+        "q_friedman": """
+            WITH cells AS (
+              SELECT source AS blk, lang AS trt, SUM(n_chars) AS v
+              FROM documents GROUP BY 1, 2),
+            kk AS (SELECT COUNT(DISTINCT trt) AS k FROM cells),
+            complete AS (SELECT blk FROM cells GROUP BY blk
+                         HAVING COUNT(*) = (SELECT k FROM kk)),
+            cc AS (SELECT cells.blk, cells.trt, cells.v
+                   FROM cells JOIN complete USING (blk)),
+            vc AS (SELECT blk, v, COUNT(*) AS cnt FROM cc GROUP BY 1, 2),
+            r2 AS (SELECT blk, v,
+                          CAST(2*(SUM(cnt) OVER (PARTITION BY blk
+                                                 ORDER BY v) - cnt)
+                               + cnt + 1 AS HUGEINT) AS r2
+                   FROM vc),
+            ranked AS (SELECT cc.trt, r2.r2
+                       FROM cc JOIN r2 USING (blk, v)),
+            pt AS (SELECT trt, SUM(r2) AS r2_sum FROM ranked GROUP BY trt),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) // (SELECT k FROM kk)
+                           AS n,
+                         CAST((SELECT k FROM kk) AS HUGEINT) AS k,
+                         SUM(r2*r2) AS ssq
+                  FROM ranked),
+            f AS (SELECT s.n, s.k, s.ssq,
+                         SUM((pt.r2_sum - s.n*(s.k+1))
+                             * (pt.r2_sum - s.n*(s.k+1))) AS num_sq
+                  FROM pt CROSS JOIN s
+                  GROUP BY s.n, s.k, s.ssq)
+            SELECT CAST(n AS BIGINT) AS n_blocks,
+                   CAST(k AS BIGINT) AS k_treatments,
+                   CAST(CASE WHEN ssq - n*k*(k+1)*(k+1) = 0 THEN 0
+                        ELSE ((k-1) * num_sq * 1000000)
+                             // (ssq - n*k*(k+1)*(k+1))
+                        END AS BIGINT) AS q_ppm
+            FROM f""",
+        "q_ndcg": """
+            WITH q0 AS (SELECT vec_id AS vid, label AS lbl,
+                               list_transform(embedding,
+                                   x -> CAST(floor(CAST(x AS DOUBLE) * 1e6
+                                             + 0.5) AS BIGINT)) AS q
+                        FROM embeddings),
+            anchors AS (SELECT vid AS query_id, q AS aq, lbl AS albl
+                        FROM q0 ORDER BY vid LIMIT 8),
+            scored AS (
+              SELECT a.query_id, c.vid,
+                     list_sum(list_transform(generate_series(1, 64),
+                         i -> (c.q[i] - a.aq[i]) * (c.q[i] - a.aq[i])))
+                       AS dist2,
+                     CASE WHEN c.lbl = a.albl THEN 1 ELSE 0 END AS rel
+              FROM q0 c CROSS JOIN anchors a WHERE c.vid <> a.query_id),
+            rnked AS (SELECT query_id, rel,
+                             row_number() OVER (PARTITION BY query_id
+                                                ORDER BY dist2, vid) AS r
+                      FROM scored),
+            agg AS (SELECT query_id,
+                           SUM(CASE WHEN r <= 10 THEN rel *
+                               CAST(floor(1e6 / log2(CAST(r AS DOUBLE) + 1)
+                                          + 0.5) AS BIGINT)
+                               ELSE 0 END) AS dcg_e6,
+                           SUM(rel) AS n_relevant
+                    FROM rnked GROUP BY query_id),
+            ideal AS (
+              SELECT query_id,
+                     CAST(n_relevant AS BIGINT) AS n_relevant,
+                     CAST(dcg_e6 AS BIGINT) AS dcg_e6,
+                     CAST(CASE WHEN n_relevant > 0 THEN
+                          coalesce(list_sum(list_transform(
+                              range(1, CAST(least(10, n_relevant) + 1
+                                            AS BIGINT)),
+                              rr -> CAST(floor(1e6
+                                        / log2(CAST(rr AS DOUBLE) + 1)
+                                        + 0.5) AS BIGINT))), 0)
+                          ELSE 0 END AS BIGINT) AS idcg_e6
+              FROM agg)
+            SELECT query_id, n_relevant, dcg_e6, idcg_e6,
+                   CAST(CASE WHEN idcg_e6 > 0 THEN
+                        (dcg_e6 * 1000000) // idcg_e6
+                        ELSE 0 END AS BIGINT) AS ndcg_ppm
+            FROM ideal ORDER BY query_id""",
+        "q_dbscan_grid": """
+            WITH RECURSIVE p AS (
+              SELECT c_custkey AS pid,
+                     CAST((c_custkey % 20) * 50
+                          + CASE WHEN c_custkey % 11 = 0 THEN 10
+                                 ELSE (c_custkey * 7) % 8 END
+                          AS BIGINT) AS x,
+                     CAST(((c_custkey * 13) % 20) * 50
+                          + (c_custkey * 11) % 8 AS BIGINT) AS y
+              FROM customer),
+            nbr AS (SELECT a.pid AS pa, b.pid AS pb
+                    FROM p a JOIN p b
+                      ON a.pid <> b.pid
+                     AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 100),
+            deg AS (SELECT pa AS pid, COUNT(*) AS n FROM nbr GROUP BY pa),
+            flags AS (SELECT p.pid, coalesce(deg.n, 0) + 1 >= 4 AS is_core
+                      FROM p LEFT JOIN deg USING (pid)),
+            ce AS (SELECT pa, pb FROM nbr
+                   JOIN flags fa ON fa.pid = nbr.pa AND fa.is_core
+                   JOIN flags fb ON fb.pid = nbr.pb AND fb.is_core),
+            edges AS (SELECT pa AS a, pb AS b FROM ce
+                      UNION SELECT pb, pa FROM ce),
+            reach AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r
+                      JOIN edges e ON r.b = e.a),
+            comp AS (SELECT a AS node, least(a, MIN(b)) AS component
+                     FROM reach GROUP BY a),
+            core_lbl AS (
+              SELECT f.pid, coalesce(c.component, f.pid) AS cluster
+              FROM flags f LEFT JOIN comp c ON f.pid = c.node
+              WHERE f.is_core),
+            border AS (
+              SELECT nbr.pa AS pid, MIN(cl.cluster) AS bcluster
+              FROM nbr JOIN core_lbl cl ON nbr.pb = cl.pid
+              GROUP BY nbr.pa)
+            SELECT f.pid AS id,
+                   CASE WHEN f.is_core THEN 'core'
+                        WHEN b.bcluster IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   CAST(coalesce(cl.cluster,
+                            CASE WHEN NOT f.is_core THEN b.bcluster END,
+                            -1) AS BIGINT) AS cluster
+            FROM flags f
+            LEFT JOIN core_lbl cl ON f.pid = cl.pid
+            LEFT JOIN border b ON f.pid = b.pid""",
+        "q_t_closeness": """
+            WITH c AS (SELECT c_nationkey, c_mktsegment,
+                              CAST(round(c_acctbal) AS BIGINT) % 10
+                                AS bal_bucket
+                       FROM customer),
+            cells AS (SELECT c_nationkey, c_mktsegment, bal_bucket,
+                             COUNT(*) AS cnt
+                      FROM c GROUP BY 1, 2, 3),
+            bins AS (SELECT bal_bucket, SUM(cnt) AS g
+                     FROM cells GROUP BY 1),
+            classes AS (SELECT c_nationkey, c_mktsegment,
+                               SUM(cnt) AS n_class
+                        FROM cells GROUP BY 1, 2),
+            tot AS (SELECT SUM(g) AS n_total, COUNT(*) AS m_bins
+                    FROM bins),
+            grid AS (
+              SELECT cl.c_nationkey, cl.c_mktsegment, b.bal_bucket,
+                     cl.n_class, b.g, coalesce(ce.cnt, 0) AS cnt
+              FROM classes cl CROSS JOIN bins b
+              LEFT JOIN cells ce
+                ON ce.c_nationkey = cl.c_nationkey
+               AND ce.c_mktsegment = cl.c_mktsegment
+               AND ce.bal_bucket = b.bal_bucket),
+            cum AS (
+              SELECT c_nationkey, c_mktsegment, n_class,
+                     SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                    ORDER BY bal_bucket) AS cum_c,
+                     SUM(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                  ORDER BY bal_bucket) AS cum_g
+              FROM grid),
+            per AS (
+              SELECT c_nationkey, c_mktsegment,
+                     MAX(n_class) AS n_class,
+                     SUM(ABS(CAST(cum_c AS HUGEINT)
+                               * (SELECT n_total FROM tot)
+                             - CAST(cum_g AS HUGEINT) * n_class))
+                       AS emd_num
+              FROM cum GROUP BY c_nationkey, c_mktsegment)
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(n_class AS BIGINT) AS n_class,
+                   CAST((emd_num * 1000000)
+                        // (CAST(n_class AS HUGEINT)
+                            * (SELECT n_total FROM tot)
+                            * ((SELECT m_bins FROM tot) - 1))
+                        AS BIGINT) AS emd_ppm
+            FROM per""",
     }

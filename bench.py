@@ -128,6 +128,15 @@ HEADLINE = [
     "q_anova_f",
     "q_levene",
     "q_silhouette",
+    # round-8 third batch: readability/RAKE/JSD text analysis, Friedman,
+    # NDCG retrieval eval, grid-blocked DBSCAN
+    "q_readability",
+    "q_rake_keywords",
+    "q_jsd_drift",
+    "q_friedman",
+    "q_ndcg",
+    "q_dbscan_grid",
+    "q_t_closeness",
 ]
 
 

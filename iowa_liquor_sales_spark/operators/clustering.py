@@ -103,3 +103,126 @@ def kmeans_e6(
 
     final = assign(cents).select(F.col("vid").alias(id_col), "cid")
     return final, [cents[c] for c in sorted(cents)]
+
+
+def grid_dbscan(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over 2-D
+    integer points, blocked by an ``eps``-sized grid: a point is CORE
+    when at least ``min_pts`` points (itself included) sit within
+    ``eps``; clusters are the connected components of the core-core
+    eps-graph; non-core points within ``eps`` of a core join its
+    cluster as BORDER; everything else is NOISE (cluster −1). Border
+    ties go to the smallest adjacent cluster id (the deterministic
+    resolution of DBSCAN's documented order-dependence).
+
+    Coordinates must be non-negative integers (quantize upstream — the
+    same contract as the geohash/z-order ops); distances compare as
+    exact int64 ``dx²+dy² ≤ eps²``, so every verdict is bit-portable.
+
+    Scale shape: the neighbor join is an EQUI-join on grid cells — one
+    side explodes its 3×3 cell neighborhood (9× fanout, constant), so
+    candidates are O(n · density per cell), never all-pairs; the grid
+    cell is the standard spatial blocking key (cf. the latitude-band
+    radius join). Core flags are one hash aggregate; cluster labels are
+    the shared pointer-jumping CC over the core-core edge relation
+    (O(log diameter) rounds); the border assign is one more cell-
+    blocked join of non-core against the O(cores) labeled relation.
+    """
+    from .graph import connected_components
+
+    p = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+    )
+    # 3x3 neighborhood explode on the LEFT side; equi-join on the cell.
+    offs = F.expr(
+        "explode(array(-1L, 0L, 1L))"
+    )
+    left = (
+        p.withColumn("ox", offs)
+        .withColumn("oy", F.expr("explode(array(-1L, 0L, 1L))"))
+        .select(
+            "pid",
+            "px",
+            "py",
+            (F.expr(f"px div {eps}") + F.col("ox")).alias("cx"),
+            (F.expr(f"py div {eps}") + F.col("oy")).alias("cy"),
+        )
+    )
+    right = p.select(
+        F.col("pid").alias("qid"),
+        F.col("px").alias("qx"),
+        F.col("py").alias("qy"),
+        F.expr(f"px div {eps}").alias("cx"),
+        F.expr(f"py div {eps}").alias("cy"),
+    )
+    d2 = (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx")) + (
+        F.col("py") - F.col("qy")
+    ) * (F.col("py") - F.col("qy"))
+    nbrs = (
+        left.join(right, ["cx", "cy"])
+        .filter((F.col("pid") != F.col("qid")) & (d2 <= eps * eps))
+        .select("pid", "qid")
+    )
+    deg = nbrs.groupBy("pid").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    flags = p.join(deg, "pid", "left").select(
+        "pid",
+        "px",
+        "py",
+        (F.coalesce(F.col("n_nbrs"), F.lit(0)) + 1 >= min_pts).alias(
+            "is_core"
+        ),
+    )
+    cores = flags.filter("is_core").select(F.col("pid").alias("cid"))
+    core_edges = (
+        nbrs.join(cores, nbrs["pid"] == cores["cid"])
+        .drop("cid")
+        .join(cores, nbrs["qid"] == cores["cid"])
+        .select(F.col("pid").alias("doc_a"), F.col("qid").alias("doc_b"))
+    )
+    comp = connected_components(core_edges)  # (node, component)
+    # Isolated cores (no core neighbor) form their own singleton cluster.
+    core_lbl = (
+        cores.join(comp, cores["cid"] == comp["node"], "left")
+        .select(
+            F.col("cid").alias("pid"),
+            F.coalesce(F.col("component"), F.col("cid")).alias("cluster"),
+        )
+    )
+    border = (
+        nbrs.join(
+            core_lbl.withColumnRenamed("pid", "qid").withColumnRenamed(
+                "cluster", "qcluster"
+            ),
+            "qid",
+        )
+        .groupBy("pid")
+        .agg(F.min("qcluster").alias("bcluster"))
+    )
+    out = (
+        flags.join(core_lbl.select("pid", "cluster"), "pid", "left")
+        .join(border, "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("bcluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(
+                F.col("cluster"),
+                F.when(~F.col("is_core"), F.col("bcluster")),
+                F.lit(-1),
+            )
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+    return out

@@ -1078,3 +1078,92 @@ def levene_bf(
         "g", F.abs(2 * F.col("x") - F.col("m2")).alias("z2")
     )
     return anova_f(z, "z2", "g")
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test for ``k`` related treatments over ``n``
+    blocks (Friedman 1937, tie-corrected form): values are SUM-
+    aggregated per (block, treatment) cell, each block's cells are
+    ranked, and the statistic compares per-treatment rank sums — the
+    nonparametric repeated-measures ANOVA (e.g. "does document length
+    differ by language, controlling for source?").
+
+    Only COMPLETE blocks (all ``k`` treatments present) enter, per the
+    test's definition. Tie-corrected average ranks ride the doubled-
+    integer convention (``r2 = 2·rank``, always integral): with
+    ``R2_j = Σ_blocks r2`` per treatment,
+
+    ``Q = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ_ij r2² − n·k·(k+1)²)``
+
+    — numerator and denominator are exact DECIMAL(38,0) integers and
+    ``q_ppm`` is one truncating division (Spark ``div`` == DuckDB
+    ``//``). No float anywhere.
+
+    Scale shape: one hash aggregate to the O(n·k) cell relation; the
+    within-block rank window partitions by BLOCK and holds at most
+    ``k`` rows per partition (treatments are a handful — the window is
+    bounded by the schema, not the data). Everything after is O(n·k)
+    and O(k) aggregates.
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(block_col).alias("blk"), F.col(treat_col).alias("trt")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("v"))
+    k = cells.select("trt").distinct().count()
+    complete = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == k)
+        .select("blk")
+    )
+    cells = cells.join(broadcast(complete), "blk")
+    # Tie-corrected average rank within each block, doubled so ties'
+    # .5 stays integral: r2 = 2·(#strictly-below) + (#tied) + 1.
+    vc = cells.groupBy("blk", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("blk").orderBy("v")
+    r2 = vc.select(
+        "blk",
+        "v",
+        (
+            2 * (F.sum("cnt").over(w) - F.col("cnt"))
+            + F.col("cnt")
+            + F.lit(1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r2"),
+    )
+    ranked = cells.join(r2, ["blk", "v"])
+    per_treat = ranked.groupBy("trt").agg(
+        F.sum("r2").alias("r2_sum"), F.count(F.lit(1)).alias("n_blocks")
+    )
+    sums = ranked.agg(
+        F.sum(F.col("r2") * F.col("r2")).alias("ssq"),
+        (F.count(F.lit(1)) / F.lit(k)).cast("decimal(38,0)").alias("n"),
+    )
+    s = (
+        per_treat.crossJoin(broadcast(sums))
+        .agg(
+            F.first("n").alias("n"),
+            F.sum(
+                (F.col("r2_sum") - F.col("n") * F.lit(k + 1))
+                * (F.col("r2_sum") - F.col("n") * F.lit(k + 1))
+            ).alias("num_sq"),
+            F.first("ssq").alias("ssq"),
+        )
+        .withColumn("k", F.lit(k).cast("decimal(38,0)"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_treatments"),
+        F.expr(
+            "CAST(CASE WHEN ssq - n * k * (k+1) * (k+1) = 0 THEN 0"
+            " ELSE ((k-1) * num_sq * 1000000)"
+            " div (ssq - n * k * (k+1) * (k+1)) END AS BIGINT)"
+        ).alias("q_ppm"),
+    )

@@ -1620,3 +1620,113 @@ def silhouette_labels(
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.expr("sum(sil_ppm) div count(1)").alias("mean_sil_ppm"),
     )
+
+
+def ndcg_at_k(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality NDCG@k per query anchor: rank the corpus by
+    exact distance to the anchor (int64 squared L2 on the 1e-6 grid,
+    ties to lower id — the house exact-ANN metric), score relevance 1
+    where the neighbor shares the anchor's ``label_col``, and report
+    normalized discounted cumulative gain — the standard eval number
+    for an embedding space ("do nearest neighbors share the class?"),
+    complementing recall@k which only checks the index, not the space.
+
+    Gains land on an integer grid BEFORE summation: position ``r``
+    contributes ``g(r) = floor(1e6 / log2(r+1) + 0.5)`` (one double
+    log2 of a small integer, rounded to int — engine-portable), so
+    DCG/IDCG are exact integer sums and ``ndcg_ppm`` is one truncating
+    division. IDCG uses the ideal ordering of ``min(k, R)`` relevant
+    items, ``R`` = the anchor's corpus-wide relevant count.
+
+    Scale shape: the hard_negatives dataflow — broadcast O(n_queries)
+    anchors, per-row codegen distances, rank-limited per-anchor
+    windows — plus O(n_queries) aggregates. No full-corpus shuffle
+    beyond the per-anchor rank.
+    """
+    from .clustering import _dist2, quantize_e6
+
+    q = embeddings.select(
+        F.col(id_col).alias("vid"),
+        quantize_e6(vec_col).alias("qv"),
+        F.col(label_col).alias("lbl"),
+    )
+    anchors = (
+        q.orderBy("vid")
+        .limit(n_queries)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("qv").alias("aq"),
+            F.col("lbl").alias("albl"),
+        )
+    )
+    scored = q.join(
+        F.broadcast(anchors), F.col("vid") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vid",
+        _dist2(F.col("qv"), F.col("aq")).alias("dist2"),
+        F.when(F.col("lbl") == F.col("albl"), 1).otherwise(0).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "vid")
+    gain = F.floor(
+        F.lit(1e6) / F.log2(F.col("rnk").cast("double") + F.lit(1.0))
+        + F.lit(0.5)
+    ).cast("long")
+    top = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rel", gain.alias("g"))
+    )
+    dcg = top.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.col("g")).cast("long").alias("dcg_e6")
+    )
+    rtot = scored.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_relevant")
+    )
+    # IDCG: relevant items packed into the first min(k, R) positions.
+    # Guard n_relevant = 0: Spark's sequence(1, 0) is DESCENDING (it
+    # would emit r=0, whose log2(1)=0 divides by zero), so gate the
+    # whole fold behind the emptiness check.
+    ideal = rtot.select(
+        "query_id",
+        "n_relevant",
+        F.when(
+            F.col("n_relevant") > 0,
+            F.aggregate(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(k), F.col("n_relevant").cast("int")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, r: acc
+                + F.floor(
+                    F.lit(1e6) / F.log2(r.cast("double") + F.lit(1.0))
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("idcg_e6"),
+    )
+    return (
+        ideal.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_relevant",
+            F.coalesce(F.col("dcg_e6"), F.lit(0)).alias("dcg_e6"),
+            F.col("idcg_e6"),
+            F.expr(
+                "CASE WHEN idcg_e6 > 0 THEN"
+                " coalesce(dcg_e6, 0) * 1000000 div idcg_e6"
+                " ELSE 0 END"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -1272,3 +1272,232 @@ def dup_rate_curve(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def readability_flesch(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch Reading Ease per document (Flesch 1948): ``206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words)`` — the classic
+    curation-side readability score (prose sits ~60-80; dense/technical
+    text lower), a standard quality-scoring feature for pre-training
+    corpus filters.
+
+    Heuristics are engine-portable by construction: sentences = runs of
+    ``[.!?]`` (floor 1 — headline-style text without terminal
+    punctuation counts as one sentence), words = whitespace tokens,
+    syllables = vowel-group runs ``[aeiouy]+`` per word with a floor of
+    1 per word (the standard dictionary-free approximation). The score
+    lands on an exact integer milli grid: with W/S/Y integer counts,
+    ``flesch_milli = (206835·S·W − 1015·W² − 84600·Y·S) div (S·W)`` —
+    one truncating division over DECIMAL(38,0) products (Spark ``div``
+    == DuckDB ``//``), so engine and oracle agree bit-for-bit with no
+    float in sight.
+
+    Scale shape: pure per-row Catalyst string/array expressions inside
+    whole-stage codegen — scan speed, zero shuffle, trivially sharded
+    over a 100 TB corpus.
+    """
+    w = words(text_col)
+    n_words = F.greatest(F.lit(1), F.size(F.filter(w, lambda x: x != "")))
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+    )
+    n_syll = F.aggregate(
+        F.filter(w, lambda x: x != ""),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.lower(x), F.lit("[aeiouy]+"), 0)),
+        ).cast("long"),
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CAST((206835 * CAST(n_sentences AS DECIMAL(38,0)) * n_words"
+            " - 1015 * CAST(n_words AS DECIMAL(38,0)) * n_words"
+            " - 84600 * CAST(n_syllables AS DECIMAL(38,0)) * n_sentences)"
+            " div (CAST(n_sentences AS DECIMAL(38,0)) * n_words)"
+            " AS BIGINT)"
+        ).alias("flesch_milli"),
+    )
+
+
+#: Phrase delimiters for :func:`rake_keywords` — a fixed, documented
+#: English function-word list (Stoddard/RAKE convention trimmed to the
+#: closed-class core) so the operator is deterministic with no external
+#: stoplist file. Matching is on lowercased text.
+RAKE_STOPWORDS = (
+    "a an and are as at be by for from has he in is it its of on or "
+    "that the to was were will with this these those they you we i"
+).split()
+
+#: The phrase-delimiter regex built from :data:`RAKE_STOPWORDS` — a
+#: module constant so the engine and the DuckDB oracle compile the
+#: IDENTICAL pattern (Java regex and RE2 agree on this subset:
+#: non-capturing groups, alternation, ``\b``).
+RAKE_DELIM = "(?:[^a-z ]+|\\b(?:" + "|".join(RAKE_STOPWORDS) + ")\\b)"
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+    max_words: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the whole corpus:
+    candidate phrases are maximal runs of non-stopword tokens between
+    stopword/punctuation delimiters; each word scores ``degree/freq``
+    (degree = Σ length of phrases containing it, freq = occurrences)
+    and a phrase scores the sum of its words' scores. The standard
+    cheap keyword/topic fingerprint for corpus exploration and
+    boilerplate spotting.
+
+    Determinism contract: word scores land on an integer milli grid
+    (``(degree·1000) div freq``) BEFORE the phrase sum, so the phrase
+    score is an exact integer in any engine — no float accumulation
+    order to disagree on. Candidates longer than ``max_words`` are
+    dropped (standard RAKE practice; unbounded runs between rare
+    stopwords are not keyword material).
+
+    Scale shape: one regexp split per document (codegen), one explode →
+    two hash aggregates of O(vocab) / O(distinct-phrase) width, a
+    broadcast-sized word-score join back onto phrase words, and a
+    distributed top-``top_n`` (TakeOrderedAndProject). No window over
+    data rows, no all-pairs anything.
+    """
+    phrases = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), RAKE_DELIM)
+            ).alias("seg")
+        )
+        .select(
+            F.filter(F.split(F.trim("seg"), " +"), lambda x: x != "").alias(
+                "pw"
+            )
+        )
+        .filter((F.size("pw") >= 1) & (F.size("pw") <= max_words))
+        .select(
+            F.array_join("pw", " ").alias("phrase"),
+            F.col("pw"),
+            F.size("pw").alias("plen"),
+        )
+    )
+    wstats = (
+        phrases.select(F.explode("pw").alias("word"), "plen")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+        .select(
+            "word",
+            F.expr("CAST((degree * 1000) div freq AS BIGINT)").alias(
+                "wscore_milli"
+            ),
+        )
+    )
+    # Occurrence counts over ALL phrase instances; the score needs each
+    # phrase's word multiset ONCE (phrase string <-> word list is a
+    # bijection — words contain no spaces), so score over the distinct
+    # (phrase, words) mapping, summing member word scores with
+    # multiplicity (standard RAKE).
+    pcnt = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pscore = (
+        phrases.select("phrase", "pw")
+        .distinct()
+        .select("phrase", F.explode("pw").alias("word"))
+        .join(wstats, "word")
+        .groupBy("phrase")
+        .agg(F.sum("wscore_milli").cast("long").alias("score_milli"))
+    )
+    return (
+        pcnt.join(pscore, "phrase")
+        .orderBy(F.col("score_milli").desc(), F.col("phrase"))
+        .limit(top_n)
+    )
+
+
+def jsd_source_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence of the unigram term
+    distribution vs the corpus-wide distribution — the symmetric,
+    bounded ([0, ln 2]) sibling of :func:`term_kl_divergence`, the
+    usual "which ingest source drifted" leaderboard (KL explodes on
+    disjoint support; JSD does not, which is why mixing dashboards
+    prefer it).
+
+    Both distributions are add-1 smoothed over the JOINT vocabulary;
+    ``jsd = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)`` with ``m = (p+q)/2``. Each
+    term's contribution is rounded to an exact integer at 1e9 scale
+    before summing (the :func:`term_kl_divergence` convention), so the
+    Σ over the vocabulary is partition-order deterministic.
+
+    Scale shape: one explode → (term, group) count, one O(vocab) term
+    total, and a vocab × n_groups dense grid for the smoothed zeros —
+    linear in vocabulary with a SMALL group fan-out (sources are
+    dozens, not millions; the grid is built with a broadcast of the
+    O(groups) relation, never a shuffle of the vocabulary per group).
+    """
+    terms = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("term"),
+    ).filter(F.col("term") != "")
+    gt = terms.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("n_gt"))
+    t = gt.groupBy("term").agg(F.sum("n_gt").alias("n_t"))
+    groups = gt.groupBy("grp").agg(F.sum("n_gt").alias("tot_g"))
+    tot = t.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("n_t").cast("long").alias("tot_all"),
+    )
+    # Dense grid: every (term, group) pair, zero-filled — the smoothed
+    # q side needs mass on terms the group never produced.
+    grid = (
+        t.crossJoin(F.broadcast(groups))
+        .join(gt, ["term", "grp"], "left")
+        .fillna(0, subset=["n_gt"])
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.col("n_gt") + 1).cast("double") / (
+        F.col("tot_g") + F.col("v")
+    ).cast("double")
+    q = (F.col("n_t") + 1).cast("double") / (
+        F.col("tot_all") + F.col("v")
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    contrib = F.round(
+        F.lit(0.5e9) * (p * F.log(p / m) + q * F.log(q / m)), 0
+    ).cast("long")
+    return (
+        grid.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.first("tot_g").cast("long").alias("tot_group"),
+            F.sum(contrib).alias("jsd_e9"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_terms",
+            "tot_group",
+            "jsd_e9",
+        )
+    )

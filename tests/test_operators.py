@@ -1566,3 +1566,183 @@ def test_silhouette_separated_and_reference(spark):
     expect = ref(rows)
     for lab in ("a", "b"):
         assert abs(got[lab]["mean_sil_ppm"] - expect[lab]) <= 1
+
+
+def test_readability_flesch_hand_values(spark):
+    from iowa_liquor_sales_spark.operators.text import readability_flesch
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r for r in readability_flesch(df).collect()
+    }
+    # W=5, S=2 ('.'+'!'), Y=5 (one vowel group per word)
+    r = got[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
+    # (206835*2*5 - 1015*25 - 84600*5*2) div 10 = 1196975 div 10
+    assert r["flesch_milli"] == 119697
+    # empty text: floors W=S=1, Y=0
+    r = got[2]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (1, 1, 0)
+    assert r["flesch_milli"] == 206835 - 1015
+
+
+def test_rake_keywords_hand_corpus(spark):
+    from iowa_liquor_sales_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "the deep learning model and the deep model")],
+        ["doc_id", "text"],
+    )
+    got = {r["phrase"]: r for r in rake_keywords(df).collect()}
+    # phrases: "deep learning model", "deep model"
+    # deep: freq 2, degree 5 -> 2500; learning: 1/3 -> 3000;
+    # model: freq 2, degree 5 -> 2500
+    assert got["deep learning model"]["score_milli"] == 2500 + 3000 + 2500
+    assert got["deep model"]["score_milli"] == 5000
+    assert got["deep learning model"]["n_occurrences"] == 1
+    assert set(got) == {"deep learning model", "deep model"}
+
+
+def test_jsd_drift_single_group_is_zero(spark):
+    from iowa_liquor_sales_spark.operators.text import jsd_source_drift
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta", "s1"), (2, "alpha gamma", "s1")],
+        ["doc_id", "text", "source"],
+    )
+    got = jsd_source_drift(df).head()
+    # one group == the global distribution -> p == q -> JSD exactly 0
+    assert got["jsd_e9"] == 0
+    assert got["n_terms"] == 3
+
+    # disjoint vocabularies -> strictly positive divergence both sides
+    df2 = spark.createDataFrame(
+        [(1, "aa aa bb", "s1"), (2, "cc dd dd dd", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["source"]: r for r in jsd_source_drift(df2).collect()}
+    assert rows["s1"]["jsd_e9"] > 0 and rows["s2"]["jsd_e9"] > 0
+    # python mirror of the exact grid arithmetic
+    import math
+
+    counts = {"s1": {"aa": 2, "bb": 1}, "s2": {"cc": 1, "dd": 3}}
+    vocab = {"aa", "bb", "cc", "dd"}
+    tot_all = 7
+    for src, r in rows.items():
+        tot_g = sum(counts[src].values())
+        jsd = 0
+        for term in vocab:
+            p = (counts[src].get(term, 0) + 1) / (tot_g + 4)
+            q = (
+                sum(c.get(term, 0) for c in counts.values()) + 1
+            ) / (tot_all + 4)
+            m = (p + q) / 2
+            jsd += round(0.5e9 * (p * math.log(p / m) + q * math.log(q / m)))
+        assert r["jsd_e9"] == jsd
+
+
+def test_friedman_reference_value(spark):
+    from iowa_liquor_sales_spark.operators.quality import friedman_test
+
+    # no-tie hand case: Q = 12/(nk(k+1))*SUM(R_j^2) - 3n(k+1) = 4.5
+    data = [
+        ("b1", "A", 1), ("b1", "B", 2), ("b1", "C", 3),
+        ("b2", "A", 1), ("b2", "B", 3), ("b2", "C", 2),
+        ("b3", "A", 1), ("b3", "B", 2), ("b3", "C", 3),
+        ("b4", "A", 2), ("b4", "B", 1), ("b4", "C", 3),
+    ]
+    df = spark.createDataFrame(data, ["blk", "trt", "v"])
+    got = friedman_test(df, "blk", "trt", "v").head()
+    assert (got["n_blocks"], got["k_treatments"]) == (4, 3)
+    assert got["q_ppm"] == 4_500_000
+
+    # incomplete blocks are excluded; all-tied blocks -> den 0 -> 0
+    df2 = spark.createDataFrame(
+        data + [("b5", "A", 9)], ["blk", "trt", "v"]
+    )
+    got2 = friedman_test(df2, "blk", "trt", "v").head()
+    assert got2["n_blocks"] == 4 and got2["q_ppm"] == 4_500_000
+
+    tied = spark.createDataFrame(
+        [("b1", t, 5) for t in "ABC"] + [("b2", t, 7) for t in "ABC"],
+        ["blk", "trt", "v"],
+    )
+    assert friedman_test(tied, "blk", "trt", "v").head()["q_ppm"] == 0
+
+
+def test_ndcg_hand_values(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.similarity import ndcg_at_k
+
+    rows = [
+        (0, [0.0, 0.0], "x"),
+        (1, [1.0, 0.0], "x"),
+        (2, [2.0, 0.0], "y"),
+        (3, [3.0, 0.0], "x"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = ndcg_at_k(df, n_queries=1, k=2).head()
+    g1 = math.floor(1e6 / math.log2(2) + 0.5)
+    g2 = math.floor(1e6 / math.log2(3) + 0.5)
+    # top-2 by distance: id1 (rel 1), id2 (rel 0) -> DCG = g1
+    assert got["n_relevant"] == 2
+    assert got["dcg_e6"] == g1
+    assert got["idcg_e6"] == g1 + g2
+    assert got["ndcg_ppm"] == g1 * 1_000_000 // (g1 + g2)
+
+    # all-irrelevant anchor: n_relevant 0 -> idcg 0 -> ndcg 0, no crash
+    rows0 = [
+        (0, [0.0, 0.0], "z"),
+        (1, [1.0, 0.0], "x"),
+        (2, [2.0, 0.0], "y"),
+    ]
+    got0 = ndcg_at_k(
+        spark.createDataFrame(rows0, ["vec_id", "embedding", "label"]),
+        n_queries=1,
+        k=2,
+    ).head()
+    assert (got0["n_relevant"], got0["idcg_e6"], got0["ndcg_ppm"]) == (
+        0,
+        0,
+        0,
+    )
+
+
+def test_grid_dbscan_roles_and_clusters(spark):
+    from iowa_liquor_sales_spark.operators.clustering import grid_dbscan
+
+    pts = [
+        (1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 1, 1),  # dense unit square
+        (5, 3, 0),                                    # border straggler
+        (6, 10, 10),                                  # noise
+    ]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = {r["id"]: r for r in grid_dbscan(df, eps=2, min_pts=4).collect()}
+    for pid in (1, 2, 3, 4):
+        assert got[pid]["role"] == "core"
+        assert got[pid]["cluster"] == 1
+    assert got[5]["role"] == "border" and got[5]["cluster"] == 1
+    assert got[6]["role"] == "noise" and got[6]["cluster"] == -1
+
+
+def test_t_closeness_hand_distribution(spark):
+    from iowa_liquor_sales_spark.operators.quality import t_closeness_audit
+
+    # class A mirrors the global distribution exactly -> EMD 0 is
+    # impossible unless A IS the whole data; use two classes with known
+    # CDFs over bins {0,1}: A = [0,0,1,1], B = [1,1]; global = 2x0, 4x1.
+    rows = (
+        [("A", 0)] * 2 + [("A", 1)] * 2 + [("B", 1)] * 2
+    )
+    df = spark.createDataFrame(rows, ["qi", "s"])
+    got = {r["qi"]: r for r in t_closeness_audit(df, ["qi"], "s").collect()}
+    # m=2 bins; F_glob = (2/6, 1). A: F=(1/2, 1) -> EMD = |1/2-1/3| = 1/6
+    # exact: |cum_c*N - cum_g*n| summed = |2*6-2*4| + |4*6-6*4| = 4
+    # ppm = 4*1e6 div (4*6*(2-1)) = 166666
+    assert got["A"]["emd_ppm"] == 166_666
+    # B: |0*6-2*2| + |2*6-6*2| = 4 -> 4*1e6 div (2*6*1) = 333333
+    assert got["B"]["emd_ppm"] == 333_333
+    assert got["A"]["n_class"] == 4 and got["B"]["n_class"] == 2

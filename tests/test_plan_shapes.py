@@ -277,3 +277,30 @@ def test_silhouette_broadcasts_centroids(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dbscan_neighbor_join_is_equi_join(spark):
+    # grid_dbscan's neighbor discovery must be an EQUI-join on the
+    # eps-grid cell (3x3 neighborhood explode) — a nested-loop or
+    # cartesian pair generation is the all-pairs scale regression the
+    # grid blocking exists to prevent.
+    plan = _plan(spark, "q_dbscan_grid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ndcg_broadcasts_anchors(spark):
+    # The O(n_queries) anchor relation must broadcast against the
+    # corpus; shuffling the corpus for 8 anchors is pure overhead.
+    plan = _plan(spark, "q_ndcg")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jsd_grid_broadcasts_group_relation(spark):
+    # The vocab x groups dense grid must come from broadcasting the
+    # O(groups) relation onto the vocabulary — a SortMergeJoin there
+    # shuffles the whole vocabulary per group.
+    plan = _plan(spark, "q_jsd_drift")
+    assert "SortMergeJoin" not in plan
