@@ -8924,6 +8924,105 @@ def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    # Harmonic closeness from 4 seed nodes over the q_bfs_hops graph
+    # (graph.harmonic_centrality): ONE multi-seed BFS — the distance
+    # relation is keyed (seed, node) so all seeds ride the same
+    # frontier⋈edges equi-join per round; 1/d terms exact on the 1e6
+    # truncating-div grid.
+    from iowa_liquor_sales_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        (F.col("o_orderkey") % 700).alias("dst"),
+    )
+    return harmonic_centrality(edges, sources=[0, 1, 2, 3], rounds=3)
+
+
+def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    # Degree assortativity (graph.degree_assortativity) of the
+    # customer/order bipartite projection: Pearson over endpoint
+    # degrees, exact DECIMAL(38,0) moments, ONE double sqrt floored to
+    # ppb. Bipartite graphs are canonically DISassortative — the sign
+    # is the sanity check.
+    from iowa_liquor_sales_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 4000).alias("src"),
+        ((F.col("o_orderkey") % 6000) + 4000).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+def q_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    # Newman modularity Q (graph.modularity_q) of a deterministic
+    # node%8 partition over the bipartite projection: exact-integer
+    # form Σ(mc2·M − d_c²)/M² on the ppm grid. An arbitrary partition
+    # of a near-random graph scores ~0 — the value IS the null check;
+    # the computation is the point (real callers pass CC/LPA labels).
+    from iowa_liquor_sales_spark.operators.graph import modularity_q
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 4000).alias("src"),
+        ((F.col("o_orderkey") % 6000) + 4000).alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", (F.col("node") % 8).alias("community"))
+    )
+    return modularity_q(edges, nodes)
+
+
+def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    # Cohen's kappa between the gold `lang` label and the stopword-
+    # profile lang_id prediction (quality.cohens_kappa): agreement
+    # beyond chance from exact integer marginal cross-products, ppm
+    # grid. On the shared-vocabulary synthetic corpus kappa ~ 0 — the
+    # honest "heuristic can't see these labels" read.
+    from iowa_liquor_sales_spark.operators.quality import cohens_kappa
+    from iowa_liquor_sales_spark.operators.text import lang_id
+
+    docs = read_table(spark, sf, "documents")
+    pred = lang_id(docs).select("doc_id", "pred_lang")
+    return cohens_kappa(
+        docs.select("doc_id", "lang").join(pred, "doc_id"),
+        "lang",
+        "pred_lang",
+    )
+
+
+def q_mcc(spark: SparkSession, sf: str) -> DataFrame:
+    # Matthews correlation of a length-threshold classifier predicting
+    # the 'en' label (quality.mcc_binary): exact integer confusion
+    # counts, one double sqrt per marginal at the end, ppb floor.
+    from iowa_liquor_sales_spark.operators.quality import mcc_binary
+
+    d = read_table(spark, sf, "documents").select(
+        (F.col("lang") == "en").alias("y"),
+        (F.col("n_chars") >= 500).alias("p"),
+    )
+    return mcc_binary(d, "y", "p")
+
+
+def q_theil_u(spark: SparkSession, sf: str) -> DataFrame:
+    # Theil's uncertainty coefficient U(lang | source)
+    # (quality.theil_u): plug-in entropies from the O(r·c) contingency,
+    # per-term 1e9 rounding before the sums (term_kl convention), U on
+    # the ppm truncating-div grid.
+    from iowa_liquor_sales_spark.operators.quality import theil_u
+
+    return theil_u(read_table(spark, sf, "documents"), "lang", "source")
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -8951,7 +9050,9 @@ def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
 # Round-9 gate backlog (added late in round 8, oracle-checked in the
 # local sweep but past this round's 50-query window): q_kruskal_wallis,
 # q_anova_f, q_levene, q_silhouette, q_readability, q_rake_keywords,
-# q_jsd_drift, q_friedman, q_ndcg, q_dbscan_grid, q_t_closeness.
+# q_jsd_drift, q_friedman, q_ndcg, q_dbscan_grid, q_t_closeness,
+# q_harmonic_centrality, q_assortativity, q_modularity,
+# q_cohens_kappa, q_mcc, q_theil_u.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -9395,6 +9496,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ndcg": q_ndcg,
         "q_dbscan_grid": q_dbscan_grid,
         "q_t_closeness": q_t_closeness,
+        "q_harmonic_centrality": q_harmonic_centrality,
+        "q_assortativity": q_assortativity,
+        "q_modularity": q_modularity,
+        "q_cohens_kappa": q_cohens_kappa,
+        "q_mcc": q_mcc,
+        "q_theil_u": q_theil_u,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -15466,4 +15573,156 @@ def oracle_sql() -> dict[str, str]:
                             * ((SELECT m_bins FROM tot) - 1))
                         AS BIGINT) AS emd_ppm
             FROM per""",
+        "q_harmonic_centrality": """
+            WITH e AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT o_custkey % 500 AS a, o_orderkey % 700 AS b
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey % 700 AS a, o_custkey % 500 AS b
+                FROM orders)),
+            d0 AS (SELECT CAST(s AS BIGINT) AS s, CAST(s AS BIGINT) AS v,
+                          0 AS d
+                   FROM (VALUES (0), (1), (2), (3)) AS t(s)),
+            d1 AS (SELECT s, v, MIN(d) AS d FROM (
+                     SELECT s, v, d FROM d0
+                     UNION ALL
+                     SELECT d0.s, e.b AS v, d0.d + 1
+                     FROM d0 JOIN e ON e.a = d0.v) GROUP BY s, v),
+            d2 AS (SELECT s, v, MIN(d) AS d FROM (
+                     SELECT s, v, d FROM d1
+                     UNION ALL
+                     SELECT d1.s, e.b AS v, d1.d + 1
+                     FROM d1 JOIN e ON e.a = d1.v) GROUP BY s, v),
+            d3 AS (SELECT s, v, MIN(d) AS d FROM (
+                     SELECT s, v, d FROM d2
+                     UNION ALL
+                     SELECT d2.s, e.b AS v, d2.d + 1
+                     FROM d2 JOIN e ON e.a = d2.v) GROUP BY s, v)
+            SELECT s AS source, CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_e6
+            FROM d3 WHERE v <> s GROUP BY s""",
+        "q_assortativity": """
+            WITH sym AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT o_custkey % 4000 AS a,
+                       (o_orderkey % 6000) + 4000 AS b FROM orders
+                UNION ALL
+                SELECT (o_orderkey % 6000) + 4000 AS a,
+                       o_custkey % 4000 AS b FROM orders)),
+            deg AS (SELECT a AS nd, CAST(COUNT(*) AS HUGEINT) AS dg
+                    FROM sym GROUP BY a),
+            xy AS (SELECT da.dg AS x, db.dg AS y
+                   FROM sym
+                   JOIN deg da ON sym.a = da.nd
+                   JOIN deg db ON sym.b = db.nd),
+            s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                         SUM(x*x) AS sxx, SUM(y*y) AS syy
+                  FROM xy)
+            SELECT CAST(n AS BIGINT) AS n_directed_edges,
+                   CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                        / sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        / sqrt(CAST(n*syy - sy*sy AS DOUBLE))
+                        * 1e9) AS BIGINT) AS assortativity_ppb
+            FROM s""",
+        "q_modularity": """
+            WITH sym AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT o_custkey % 4000 AS a,
+                       (o_orderkey % 6000) + 4000 AS b FROM orders
+                UNION ALL
+                SELECT (o_orderkey % 6000) + 4000 AS a,
+                       o_custkey % 4000 AS b FROM orders)),
+            lab AS (SELECT node, node % 8 AS community
+                    FROM (SELECT DISTINCT a AS node FROM sym)),
+            bt AS (SELECT la.community AS ca, lb.community AS cb
+                   FROM sym
+                   JOIN lab la ON sym.a = la.node
+                   JOIN lab lb ON sym.b = lb.node),
+            per_c AS (SELECT ca, CAST(COUNT(*) AS HUGEINT) AS d_c,
+                             CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END)
+                                  AS HUGEINT) AS mc2
+                      FROM bt GROUP BY ca),
+            tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM bt),
+            s AS (SELECT (SELECT m2 FROM tot) AS m2,
+                         CAST(COUNT(*) AS BIGINT) AS n_communities,
+                         SUM(mc2 * (SELECT m2 FROM tot) - d_c*d_c) AS qnum
+                  FROM per_c)
+            SELECT CAST(m2 // 2 AS BIGINT) AS m_edges, n_communities,
+                   CAST(CASE WHEN m2 = 0 THEN 0
+                        ELSE (qnum * 1000000) // (m2 * m2)
+                        END AS BIGINT) AS q_ppm
+            FROM s""",
+        "q_cohens_kappa": f"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     list_distinct(string_split(text, ' ')) AS ws
+              FROM documents),
+            pred AS (SELECT lang AS ra, {lang_case} AS rb FROM w),
+            base AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                            CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END)
+                                 AS HUGEINT) AS agree
+                     FROM pred),
+            r AS (SELECT ra, CAST(COUNT(*) AS HUGEINT) AS n_row
+                  FROM pred GROUP BY ra),
+            c AS (SELECT rb, CAST(COUNT(*) AS HUGEINT) AS n_col
+                  FROM pred GROUP BY rb),
+            pe AS (SELECT coalesce(SUM(n_row * n_col), 0) AS pe_num
+                   FROM r JOIN c ON r.ra = c.rb)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST((agree * 1000000) // n AS BIGINT) AS po_ppm,
+                   CAST((pe_num * 1000000) // (n * n) AS BIGINT) AS pe_ppm,
+                   CAST(CASE WHEN n * n - pe_num = 0 THEN 0
+                        ELSE ((n * agree - pe_num) * 1000000)
+                             // (n * n - pe_num) END AS BIGINT)
+                     AS kappa_ppm
+            FROM base, pe""",
+        "q_mcc": """
+            WITH d AS (SELECT (lang = 'en') AS y, (n_chars >= 500) AS p
+                       FROM documents),
+            c AS (SELECT
+                    CAST(SUM(CASE WHEN y AND p THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS tp,
+                    CAST(SUM(CASE WHEN NOT y AND p THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS fp,
+                    CAST(SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS tn,
+                    CAST(SUM(CASE WHEN y AND NOT p THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS fn
+                  FROM d)
+            SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+                   CAST(CASE WHEN (tp+fp)*(tp+fn) = 0
+                             OR (tn+fp)*(tn+fn) = 0 THEN 0
+                        ELSE floor(CAST(tp*tn - fp*fn AS DOUBLE)
+                             / sqrt(CAST(tp+fp AS DOUBLE))
+                             / sqrt(CAST(tp+fn AS DOUBLE))
+                             / sqrt(CAST(tn+fp AS DOUBLE))
+                             / sqrt(CAST(tn+fn AS DOUBLE))
+                             * 1e9) END AS BIGINT) AS mcc_ppb
+            FROM c""",
+        "q_theil_u": """
+            WITH cells AS (SELECT lang AS xv, source AS yv,
+                                  COUNT(*) AS n_xy
+                           FROM documents GROUP BY 1, 2),
+            ny AS (SELECT yv, SUM(n_xy) AS n_y FROM cells GROUP BY 1),
+            nx AS (SELECT xv, SUM(n_xy) AS n_x FROM cells GROUP BY 1),
+            tot AS (SELECT SUM(n_xy) AS n FROM cells),
+            hx AS (SELECT SUM(CAST(round(1e9
+                       * (CAST(n_x AS DOUBLE) / n)
+                       * ln(CAST(n AS DOUBLE) / n_x)) AS BIGINT))
+                     AS hx_e9
+                   FROM nx, tot),
+            hxy AS (SELECT SUM(CAST(round(1e9
+                        * (CAST(n_xy AS DOUBLE) / n)
+                        * ln(CAST(n_y AS DOUBLE) / n_xy)) AS BIGINT))
+                      AS hxy_e9
+                    FROM cells JOIN ny USING (yv), tot)
+            SELECT CAST(hx_e9 AS BIGINT) AS hx_e9,
+                   CAST(hxy_e9 AS BIGINT) AS hxy_e9,
+                   CAST(CASE WHEN hx_e9 = 0 THEN 0
+                        ELSE ((hx_e9 - hxy_e9) * 1000000) // hx_e9
+                        END AS BIGINT) AS u_ppm
+            FROM hx, hxy""",
     }

@@ -137,6 +137,13 @@ HEADLINE = [
     "q_ndcg",
     "q_dbscan_grid",
     "q_t_closeness",
+    # round-8 fourth batch: graph health metrics + classifier agreement
+    "q_harmonic_centrality",
+    "q_assortativity",
+    "q_modularity",
+    "q_cohens_kappa",
+    "q_mcc",
+    "q_theil_u",
 ]
 
 

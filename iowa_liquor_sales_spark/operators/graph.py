@@ -1369,3 +1369,177 @@ def coreness_converged(
     return c.select(
         F.col("v").alias("node"), F.col("c").cast("long").alias("coreness")
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: list[int],
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Harmonic closeness centrality from a handful of seed nodes:
+    ``H(s) = Σ_{v≠s reachable} 1/d(s,v)`` truncated at ``rounds`` hops
+    (Boldi & Vigna 2014 recommend harmonic over classic closeness
+    precisely because unreachable nodes contribute 0, not ∞). Sampled
+    seeds are the standard cluster-scale estimator — exact centrality
+    for all nodes is O(V·E) and not a thing anyone runs on 100 TB.
+
+    One multi-seed BFS: the distance relation is keyed (seed, node), so
+    ALL seeds advance in the SAME per-round frontier⋈edges equi-join —
+    k seeds cost one join of a k·|frontier| relation, not k passes.
+    Distances only shrink (min-aggregate per round), so the result is
+    partitioning-independent; each 1/d term lands on the integer 1e6
+    grid via truncating division, making the final sum exact.
+
+    Returns one row per seed: (source, n_reached, harmonic_e6).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "s long, v long, d int"
+    )
+    for _ in range(rounds):
+        step = dist.join(und, dist["v"] == und["a"]).select(
+            "s", F.col("b").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(step).groupBy("s", "v").agg(F.min("d").alias("d"))
+        )
+    return (
+        dist.filter(F.col("v") != F.col("s"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(F.expr("1000000 div d")).cast("long").alias("harmonic_e6"),
+        )
+        .select(F.col("s").alias("source"), "n_reached", "harmonic_e6")
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the directed-both-ways edge
+    list — positive when hubs attach to hubs (social shape), negative
+    when hubs attach to leaves (star/bipartite shape). The one-number
+    graph-health check a pipeline tracks alongside the degree
+    distribution.
+
+    Dataflow: distinct symmetric edges, one O(V) degree aggregate, two
+    broadcast-sized joins of degrees onto the edge list, then exact
+    DECIMAL(38,0) moment sums with ONE double sqrt at the end, floored
+    to ppb (the spearman_corr convention). No window, no all-pairs.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("dg"))
+    xy = (
+        sym.join(deg.withColumnRenamed("a", "ja"), F.col("a") == F.col("ja"))
+        .select("a", "b", F.col("dg").alias("x"))
+        .join(
+            deg.select(F.col("a").alias("jb"), F.col("dg").alias("y")),
+            F.col("b") == F.col("jb"),
+        )
+        .select(
+            F.col("x").cast("decimal(38,0)").alias("x"),
+            F.col("y").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("assortativity_ppb"),
+    )
+
+
+def modularity_q(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a given node partition over an undirected
+    graph: ``Q = Σ_c (m_c/m − (d_c/2m)²)`` — the standard "is this
+    clustering better than chance" score for community assignments
+    (near-dup clusters, label propagation output, source groupings).
+
+    Exact-integer form over the directed-both-ways edge relation
+    (``M = 2m`` rows): ``Q = Σ_c (mc2·M − d_c²) / M²`` with ``mc2`` the
+    within-community directed edge count — one truncating division onto
+    the ppm grid at the end. Dataflow: two label joins onto the edge
+    list (the label relation is O(V), edge list O(E) — the joins are
+    the only shuffles), one O(communities) aggregate.
+
+    Returns one row: (m_edges, n_communities, q_ppm).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("ln"), F.col(label_col).alias("lc")
+    )
+    both = (
+        sym.join(lab, F.col("a") == F.col("ln"))
+        .select("a", "b", F.col("lc").alias("ca"))
+        .join(
+            lab.select(F.col("ln").alias("ln2"), F.col("lc").alias("cb")),
+            F.col("b") == F.col("ln2"),
+        )
+        .select("ca", "cb")
+    )
+    per_c = both.groupBy("ca").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d_c"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("mc2"),
+    )
+    tot = both.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m2"))
+    s = per_c.crossJoin(F.broadcast(tot)).agg(
+        F.first("m2").alias("m2"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(
+            F.col("mc2") * F.col("m2") - F.col("d_c") * F.col("d_c")
+        ).alias("qnum"),
+    )
+    return s.select(
+        F.expr("CAST(m2 div 2 AS BIGINT)").alias("m_edges"),
+        "n_communities",
+        F.expr(
+            "CAST(CASE WHEN m2 = 0 THEN 0"
+            " ELSE (qnum * 1000000) div (m2 * m2) END AS BIGINT)"
+        ).alias("q_ppm"),
+    )

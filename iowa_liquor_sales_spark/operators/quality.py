@@ -1167,3 +1167,159 @@ def friedman_test(
             " div (ssq - n * k * (k+1) * (k+1)) END AS BIGINT)"
         ).alias("q_ppm"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns (rater agreement
+    beyond chance — e.g. a heuristic classifier vs gold labels):
+    ``kappa = (p_o − p_e)/(1 − p_e)`` with the chance term from the
+    marginal products. Cross-multiplied to exact integers:
+    ``kappa_ppm = (N·agree − Σ_k row_k·col_k)·1e6 div
+    (N² − Σ_k row_k·col_k)`` — no float anywhere, sign-correct under
+    truncating division in both engines.
+
+    Scale shape: one pass for the agreement count and N, one O(cats)
+    aggregate per side, a broadcast-sized join of the two marginal
+    relations — nothing after the first aggregates depends on the row
+    count.
+    """
+    d = df.select(F.col(col_a).alias("ra"), F.col(col_b).alias("rb"))
+    base = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("agree"),
+    )
+    rows = d.groupBy("ra").agg(F.count(F.lit(1)).alias("n_row"))
+    cols = d.groupBy("rb").agg(F.count(F.lit(1)).alias("n_col"))
+    pe = (
+        rows.join(cols, F.col("ra") == F.col("rb"))
+        .agg(
+            F.sum(
+                F.col("n_row").cast("decimal(38,0)") * F.col("n_col")
+            ).alias("pe_num")
+        )
+        .fillna(0, subset=["pe_num"])
+    )
+    return base.crossJoin(broadcast(pe)).select(
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST((agree * 1000000) div n AS BIGINT)").alias("po_ppm"),
+        F.expr("CAST((pe_num * 1000000) div (n * n) AS BIGINT)").alias(
+            "pe_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n * n - pe_num = 0 THEN 0"
+            " ELSE ((n * agree - pe_num) * 1000000)"
+            " div (n * n - pe_num) END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+def mcc_binary(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Matthews correlation coefficient for a binary classifier — the
+    single-number confusion-matrix summary that stays honest under
+    class imbalance (unlike accuracy or F1). ``label_col`` /
+    ``pred_col`` are boolean-ish expressions.
+
+    The numerator ``TP·TN − FP·FN`` is exact DECIMAL(38,0); the four
+    marginal factors take ONE double sqrt each at the very end, floored
+    to ppb (the spearman convention). Any zero marginal → MCC defined
+    as 0 (the standard convention). One combinable aggregate — scan
+    shape, no shuffle beyond the 1-row final.
+    """
+    d = df.select(
+        F.col(label_col).cast("boolean").alias("y"),
+        F.col(pred_col).cast("boolean").alias("p"),
+    )
+    c = d.agg(
+        F.sum(F.when(F.col("y") & F.col("p"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("tp"),
+        F.sum(F.when(~F.col("y") & F.col("p"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("fp"),
+        F.sum(F.when(~F.col("y") & ~F.col("p"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("tn"),
+        F.sum(F.when(F.col("y") & ~F.col("p"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("fn"),
+    )
+    return c.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fn").cast("long").alias("fn"),
+        F.expr(
+            "CAST(CASE WHEN (tp+fp)*(tp+fn) = 0 OR (tn+fp)*(tn+fn) = 0"
+            " THEN 0 ELSE floor("
+            " CAST(tp*tn - fp*fn AS DOUBLE)"
+            " / sqrt(CAST(tp+fp AS DOUBLE)) / sqrt(CAST(tp+fn AS DOUBLE))"
+            " / sqrt(CAST(tn+fp AS DOUBLE)) / sqrt(CAST(tn+fn AS DOUBLE))"
+            " * 1e9) END AS BIGINT)"
+        ).alias("mcc_ppb"),
+    )
+
+
+def theil_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(x|y) — the asymmetric,
+    normalized-MI association measure ("what fraction of x's entropy
+    does knowing y remove"), the categorical-EDA sibling of Cramér's V
+    that, unlike V, tells you the DIRECTION of predictability.
+
+    ``U = (H(x) − H(x|y)) / H(x)`` with plug-in entropies from the
+    O(r·c) contingency relation. Each entropy term is rounded to an
+    exact integer at 1e9 scale before summation (the
+    term_kl_divergence convention — partition-order deterministic),
+    and U lands on the ppm grid via one truncating division.
+
+    Scale shape: one (x, y) count aggregate on the fact; everything
+    after runs on the O(r·c) relation with broadcast marginals.
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("xv"), F.col(y_col).alias("yv")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    ny = cells.groupBy("yv").agg(F.sum("n_xy").alias("n_y"))
+    nx = cells.groupBy("xv").agg(F.sum("n_xy").alias("n_x"))
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("n"))
+    hx = (
+        nx.crossJoin(broadcast(tot))
+        .select(
+            F.round(
+                F.lit(1.0e9)
+                * (F.col("n_x").cast("double") / F.col("n"))
+                * F.log(F.col("n").cast("double") / F.col("n_x")),
+                0,
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").alias("hx_e9"))
+    )
+    hxy = (
+        cells.join(broadcast(ny), "yv")
+        .crossJoin(broadcast(tot))
+        .select(
+            F.round(
+                F.lit(1.0e9)
+                * (F.col("n_xy").cast("double") / F.col("n"))
+                * F.log(F.col("n_y").cast("double") / F.col("n_xy")),
+                0,
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").alias("hxy_e9"))
+    )
+    return hx.crossJoin(broadcast(hxy)).select(
+        F.col("hx_e9").cast("long").alias("hx_e9"),
+        F.col("hxy_e9").cast("long").alias("hxy_e9"),
+        F.expr(
+            "CAST(CASE WHEN hx_e9 = 0 THEN 0"
+            " ELSE ((hx_e9 - hxy_e9) * 1000000) div hx_e9 END AS BIGINT)"
+        ).alias("u_ppm"),
+    )

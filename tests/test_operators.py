@@ -1746,3 +1746,115 @@ def test_t_closeness_hand_distribution(spark):
     # B: |0*6-2*2| + |2*6-6*2| = 4 -> 4*1e6 div (2*6*1) = 333333
     assert got["B"]["emd_ppm"] == 333_333
     assert got["A"]["n_class"] == 4 and got["B"]["n_class"] == 2
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from iowa_liquor_sales_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    got = harmonic_centrality(edges, sources=[0], rounds=3).head()
+    # d = 1, 2, 3 within 3 rounds -> 1e6 + 500000 + 333333
+    assert got["n_reached"] == 3
+    assert got["harmonic_e6"] == 1_000_000 + 500_000 + 333_333
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from iowa_liquor_sales_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+    got = degree_assortativity(star).head()
+    # a star is perfectly disassortative; all terms are exact squares so
+    # the double pipeline hits -1.0 on the nose
+    assert got["n_directed_edges"] == 6
+    assert got["assortativity_ppb"] == -1_000_000_000
+
+
+def test_modularity_two_triangles(spark):
+    from iowa_liquor_sales_spark.operators.graph import modularity_q
+
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    edges = spark.createDataFrame(tri, ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(n, 0 if n < 3 else 1) for n in range(6)], ["node", "community"]
+    )
+    got = modularity_q(edges, labels).head()
+    # all edges internal, two equal communities -> Q = 1/2 exactly
+    assert (got["m_edges"], got["n_communities"]) == (6, 2)
+    assert got["q_ppm"] == 500_000
+
+
+def test_cohens_kappa_textbook_case(spark):
+    from iowa_liquor_sales_spark.operators.quality import cohens_kappa
+
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    got = cohens_kappa(
+        spark.createDataFrame(rows, ["ra", "rb"]), "ra", "rb"
+    ).head()
+    # po = .7, pe = .5 -> kappa = .4
+    assert got["n"] == 50
+    assert got["po_ppm"] == 700_000
+    assert got["pe_ppm"] == 500_000
+    assert got["kappa_ppm"] == 400_000
+
+
+def test_mcc_matches_python_mirror(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.quality import mcc_binary
+
+    tp, fp, tn, fn = 7, 2, 5, 3
+    rows = (
+        [(True, True)] * tp + [(False, True)] * fp
+        + [(False, False)] * tn + [(True, False)] * fn
+    )
+    got = mcc_binary(
+        spark.createDataFrame(rows, ["y", "p"]), "y", "p"
+    ).head()
+    assert (got["tp"], got["fp"], got["tn"], got["fn"]) == (tp, fp, tn, fn)
+    exp = math.floor(
+        (tp * tn - fp * fn)
+        / math.sqrt(tp + fp) / math.sqrt(tp + fn)
+        / math.sqrt(tn + fp) / math.sqrt(tn + fn)
+        * 1e9
+    )
+    assert got["mcc_ppb"] == exp
+
+    # degenerate marginal -> defined as 0
+    allpos = spark.createDataFrame(
+        [(True, True), (False, True)], ["y", "p"]
+    )
+    assert mcc_binary(allpos, "y", "p").head()["mcc_ppb"] == 0
+
+
+def test_theil_u_determined_and_mirror(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.quality import theil_u
+
+    # y fully determines x -> H(x|y) = 0 -> U = 1
+    det = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 2)], ["x", "y"]
+    )
+    got = theil_u(det, "x", "y").head()
+    assert got["hxy_e9"] == 0 and got["u_ppm"] == 1_000_000
+
+    # python mirror on an asymmetric table
+    rows = [("a", 1)] * 3 + [("b", 1)] * 1 + [("a", 2)] * 1 + [("b", 2)] * 3
+    got = theil_u(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y"
+    ).head()
+    n = 8
+    hx = sum(
+        round(1e9 * (c / n) * math.log(n / c)) for c in (4, 4)
+    )
+    hxy = sum(
+        round(1e9 * (c / n) * math.log(ny / c))
+        for c, ny in ((3, 4), (1, 4), (1, 4), (3, 4))
+    )
+    assert got["hx_e9"] == hx and got["hxy_e9"] == hxy
+    assert got["u_ppm"] == (hx - hxy) * 1_000_000 // hx
