@@ -9023,6 +9023,78 @@ def q_theil_u(spark: SparkSession, sf: str) -> DataFrame:
     return theil_u(read_table(spark, sf, "documents"), "lang", "source")
 
 
+def q_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    # Maximum drawdown per event type of the centered cumulative value
+    # series (temporal.max_drawdown): two stacked windows over the same
+    # (type, ts, id) order — running sum, running max — on exact
+    # integer cents; the worst peak-to-trough dip a metric monitor
+    # reports.
+    from iowa_liquor_sales_spark.operators.temporal import max_drawdown
+
+    ev = read_table(spark, sf, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            - 10000
+        ).alias("v"),
+    )
+    return max_drawdown(ev, "event_type", "ts", "v", tie_col="event_id")
+
+
+def q_decayed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Freshness-weighted user leaderboard (temporal.decayed_topk):
+    # per-event value·2^(−age_days/7) rounded to the integer 1e6 grid
+    # BEFORE the per-user sum (partition-order deterministic), top-20
+    # via TakeOrderedAndProject.
+    from iowa_liquor_sales_spark.operators.temporal import decayed_topk
+
+    return decayed_topk(
+        read_table(spark, sf, "events"),
+        "user_id",
+        "ts",
+        "value",
+        half_life_days=7,
+        k=20,
+    )
+
+
+def q_cronbach(spark: SparkSession, sf: str) -> DataFrame:
+    # Cronbach's alpha over three length-family "items" per document
+    # (quality.cronbach_alpha): chars/100, whitespace tokens/20, regex
+    # tokens/20 — deliberately correlated sub-scores, so alpha lands
+    # high; all moments exact DECIMAL(38,0) in ONE scan, alpha via
+    # truncating div on the ppm grid.
+    from iowa_liquor_sales_spark.operators.quality import cronbach_alpha
+    from iowa_liquor_sales_spark.operators.text import TOKEN_PATTERN
+
+    d = read_table(spark, sf, "documents").select(
+        F.expr("n_chars div 100").alias("i1"),
+        F.expr("size(split(text, ' ')) div 20").alias("i2"),
+        (
+            F.regexp_count(F.col("text"), F.lit(TOKEN_PATTERN)).cast("long")
+        ).alias("_rt"),
+    ).select("i1", "i2", F.expr("_rt div 20").alias("i3"))
+    return cronbach_alpha(d, ["i1", "i2", "i3"])
+
+
+def q_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    # The three-stage dedup funnel as one composed report
+    # (curation.dedup_cascade_report): exact md5 -> normalized md5 ->
+    # exact-Jaccard near-dup CC, each stage on the previous stage's
+    # survivors only — the per-batch yield report a curation pipeline
+    # publishes. Oracle replays all three rungs including the
+    # recursive-CTE transitive closure.
+    from iowa_liquor_sales_spark.operators.curation import (
+        dedup_cascade_report,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    cap = max(1, int(0.05 * docs.count()))
+    return dedup_cascade_report(docs, max_df=cap)
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9052,7 +9124,8 @@ def q_theil_u(spark: SparkSession, sf: str) -> DataFrame:
 # q_anova_f, q_levene, q_silhouette, q_readability, q_rake_keywords,
 # q_jsd_drift, q_friedman, q_ndcg, q_dbscan_grid, q_t_closeness,
 # q_harmonic_centrality, q_assortativity, q_modularity,
-# q_cohens_kappa, q_mcc, q_theil_u.
+# q_cohens_kappa, q_mcc, q_theil_u, q_drawdown, q_decayed_topk,
+# q_cronbach, q_dedup_cascade.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -9502,6 +9575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohens_kappa": q_cohens_kappa,
         "q_mcc": q_mcc,
         "q_theil_u": q_theil_u,
+        "q_drawdown": q_drawdown,
+        "q_decayed_topk": q_decayed_topk,
+        "q_cronbach": q_cronbach,
+        "q_dedup_cascade": q_dedup_cascade,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -15725,4 +15802,126 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ((hx_e9 - hxy_e9) * 1000000) // hx_e9
                         END AS BIGINT) AS u_ppm
             FROM hx, hxy""",
+        "q_drawdown": """
+            WITH d AS (SELECT event_type AS k, ts, event_id,
+                              CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                   AS BIGINT) - 10000 AS v
+                       FROM events),
+            c AS (SELECT k, ts, event_id,
+                         SUM(v) OVER (PARTITION BY k ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM d),
+            p AS (SELECT k,
+                         MAX(cum) OVER (PARTITION BY k
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) - cum
+                           AS dd
+                  FROM c)
+            SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(MAX(dd) AS BIGINT) AS max_drawdown
+            FROM p GROUP BY k""",
+        "q_decayed_topk": """
+            WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+            d AS (SELECT user_id AS key,
+                         CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS cents,
+                         date_diff('day', CAST(ts AS DATE),
+                                   CAST(mx AS DATE)) AS age_d
+                  FROM events, mx),
+            t AS (SELECT key,
+                         CAST(round(cents * pow(2.0,
+                              -CAST(age_d AS DOUBLE) / 7.0) * 1e4)
+                              AS BIGINT) AS t
+                  FROM d)
+            SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(t) AS BIGINT) AS score_e6
+            FROM t GROUP BY key
+            ORDER BY score_e6 DESC, key LIMIT 20""",
+        "q_cronbach": f"""
+            WITH d AS (SELECT n_chars // 100 AS i1,
+                              len(string_split(text, ' ')) // 20 AS i2,
+                              len(regexp_extract_all(text,
+                                  '{TOKEN_PATTERN}')) // 20 AS i3
+                       FROM documents),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(CAST(i1 AS HUGEINT)) AS s0,
+                         SUM(CAST(i1 AS HUGEINT) * i1) AS q0,
+                         SUM(CAST(i2 AS HUGEINT)) AS s1,
+                         SUM(CAST(i2 AS HUGEINT) * i2) AS q1,
+                         SUM(CAST(i3 AS HUGEINT)) AS s2,
+                         SUM(CAST(i3 AS HUGEINT) * i3) AS q2,
+                         SUM(CAST(i1 + i2 + i3 AS HUGEINT)) AS st,
+                         SUM(CAST(i1 + i2 + i3 AS HUGEINT)
+                             * (i1 + i2 + i3)) AS qt
+                  FROM d)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(3 AS BIGINT) AS k_items,
+                   CAST(CASE WHEN n*qt - st*st = 0 THEN 0
+                        ELSE (3 * ((n*qt - st*st)
+                              - ((n*q0 - s0*s0) + (n*q1 - s1*s1)
+                                 + (n*q2 - s2*s2))) * 1000000)
+                             // (2 * (n*qt - st*st)) END AS BIGINT)
+                     AS alpha_ppm
+            FROM m""",
+        "q_dedup_cascade": """
+            WITH RECURSIVE
+            k1 AS (SELECT md5(text) AS h, MIN(doc_id) AS kid
+                   FROM documents GROUP BY 1),
+            s1 AS (SELECT d.doc_id, d.text FROM documents d
+                   JOIN k1 ON d.doc_id = k1.kid),
+            k2 AS (SELECT md5(trim(regexp_replace(regexp_replace(
+                              lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                              ' +', ' ', 'g'))) AS h,
+                          MIN(doc_id) AS kid
+                   FROM s1 GROUP BY 1),
+            s2 AS (SELECT d.doc_id, d.text FROM s1 d
+                   JOIN k2 ON d.doc_id = k2.kid),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s2),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct(list_transform(
+                              range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' '
+                                   || ws[i+2]))) AS shingle
+                   FROM w WHERE len(ws) >= 3),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             COUNT(*) AS inter
+                      FROM sh a JOIN sh b USING (shingle)
+                      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT doc_a, doc_b FROM inter
+                      JOIN sz sa ON sa.doc_id = doc_a
+                      JOIN sz sb ON sb.doc_id = doc_b
+                      WHERE CAST(inter AS DOUBLE)
+                            / (sa.sz + sb.sz - inter) >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (SELECT a, b FROM edges
+                      UNION
+                      SELECT r.a, e.b FROM reach r
+                      JOIN edges e ON r.b = e.a),
+            comp AS (SELECT a AS node, least(a, MIN(b)) AS component
+                     FROM reach GROUP BY a),
+            n3 AS (SELECT COUNT(DISTINCT
+                       coalesce(c.component, s2.doc_id)) AS n
+                   FROM s2 LEFT JOIN comp c ON s2.doc_id = c.node),
+            n0 AS (SELECT COUNT(*) AS n FROM documents),
+            n1 AS (SELECT COUNT(*) AS n FROM s1),
+            n2 AS (SELECT COUNT(*) AS n FROM s2)
+            SELECT CAST(1 AS INTEGER) AS stage_no, 'exact' AS stage,
+                   CAST((SELECT n FROM n0) AS BIGINT) AS n_in,
+                   CAST((SELECT n FROM n1) AS BIGINT) AS n_out,
+                   CAST((SELECT n FROM n0) - (SELECT n FROM n1)
+                        AS BIGINT) AS removed
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'normalized',
+                   CAST((SELECT n FROM n1) AS BIGINT),
+                   CAST((SELECT n FROM n2) AS BIGINT),
+                   CAST((SELECT n FROM n1) - (SELECT n FROM n2)
+                        AS BIGINT)
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), 'neardup',
+                   CAST((SELECT n FROM n2) AS BIGINT),
+                   CAST((SELECT n FROM n3) AS BIGINT),
+                   CAST((SELECT n FROM n2) - (SELECT n FROM n3)
+                        AS BIGINT)""",
     }

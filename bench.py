@@ -144,6 +144,12 @@ HEADLINE = [
     "q_cohens_kappa",
     "q_mcc",
     "q_theil_u",
+    # round-8 fifth batch: drawdown/decay temporal ops, reliability,
+    # and the composed dedup funnel (the heaviest new dataflow)
+    "q_drawdown",
+    "q_decayed_topk",
+    "q_cronbach",
+    "q_dedup_cascade",
 ]
 
 

@@ -932,3 +932,79 @@ def interleave_by_source(
             ).cast("long").alias("order_key"),
         )
     )
+
+
+def dedup_cascade_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    max_df: int | float | None = 0.05,
+) -> DataFrame:
+    """The standard three-stage dedup cascade as ONE composed report:
+    exact md5 → normalized md5 (case/punct/whitespace folded) →
+    near-dup (exact n-gram Jaccard pairs → transitive CC clusters),
+    each stage running only on the previous stage's survivors — the
+    funnel a curation pipeline publishes per ingest batch ("how much
+    did each rung remove"). Cheap rungs first is the whole economics:
+    the expensive pair stage sees only content-distinct documents.
+
+    Per stage one hash aggregate (exact/normalized) or the shared
+    df-capped inverted-index pair join + pointer-jumping CC (near-dup);
+    the report itself is three 1-row counts — nothing but survivors
+    flows between stages.
+
+    Returns 3 rows: (stage_no, stage, n_in, n_out, removed).
+    """
+    from .dedup import jaccard_pairs, normalize_text, shingles
+    from .graph import connected_components
+
+    ids = df.select(F.col(id_col), F.col(text_col))
+    k1 = (
+        ids.groupBy(F.md5(F.col(text_col).cast("binary")).alias("h"))
+        .agg(F.min(id_col).alias("kid"))
+        .select(F.col("kid").alias(id_col))
+    )
+    s1 = ids.join(k1, id_col)
+    k2 = (
+        s1.groupBy(
+            F.md5(normalize_text(text_col).cast("binary")).alias("h")
+        )
+        .agg(F.min(id_col).alias("kid"))
+        .select(F.col("kid").alias(id_col))
+    )
+    s2 = s1.join(k2, id_col)
+    pairs = jaccard_pairs(
+        shingles(s2, text_col, id_col, n=3),
+        min_jaccard=min_jaccard,
+        max_df=max_df,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    k3 = (
+        s2.join(comp, s2[id_col] == comp["node"], "left")
+        .select(
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cmp")
+        )
+        .agg(F.count_distinct("cmp").cast("long").alias("n"))
+    )
+    n0 = ids.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def row(no, name, a, b):
+        return (
+            a.crossJoin(F.broadcast(b.withColumnRenamed("n", "m")))
+            .select(
+                F.lit(no).cast("int").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col("n").cast("long").alias("n_in"),
+                F.col("m").cast("long").alias("n_out"),
+                (F.col("n") - F.col("m")).cast("long").alias("removed"),
+            )
+        )
+
+    return (
+        row(1, "exact", n0, n1)
+        .unionByName(row(2, "normalized", n1, n2))
+        .unionByName(row(3, "neardup", n2, k3))
+    )

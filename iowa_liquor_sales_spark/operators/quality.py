@@ -1323,3 +1323,41 @@ def theil_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             " ELSE ((hx_e9 - hxy_e9) * 1000000) div hx_e9 END AS BIGINT)"
         ).alias("u_ppm"),
     )
+
+
+def cronbach_alpha(df: DataFrame, item_cols: list[str]) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability over ``k``
+    integer item columns: ``α = k/(k−1) · (1 − Σ var_i / var_total)``
+    — the standard "do these features measure the same thing" check
+    before collapsing quality sub-scores into one composite.
+
+    Cross-multiplied to exact integers: with ``v_i = n·Σx² − (Σx)²``
+    (n²-scaled variances, exact DECIMAL(38,0)) and ``V`` the same for
+    the per-row item total, ``α_ppm = k·(V − Σv_i)·1e6 div ((k−1)·V)``
+    — one truncating division, no float. One combinable aggregate over
+    the fact (all moments in a single scan), then literal arithmetic.
+    """
+    k = len(item_cols)
+    xs = [F.col(c).cast("decimal(38,0)") for c in item_cols]
+    total = sum(xs[1:], xs[0])
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i, x in enumerate(xs):
+        aggs += [
+            F.sum(x).alias(f"s{i}"),
+            F.sum(x * x).alias(f"q{i}"),
+        ]
+    aggs += [
+        F.sum(total).alias("st"),
+        F.sum(total * total).alias("qt"),
+    ]
+    m = df.agg(*aggs)
+    vsum = " + ".join(f"(n*q{i} - s{i}*s{i})" for i in range(k))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k_items"),
+        F.expr(
+            f"CAST(CASE WHEN n*qt - st*st = 0 THEN 0"
+            f" ELSE ({k} * ((n*qt - st*st) - ({vsum})) * 1000000)"
+            f" div ({k - 1} * (n*qt - st*st)) END AS BIGINT)"
+        ).alias("alpha_ppm"),
+    )

@@ -753,3 +753,98 @@ def burst_segments(
         ).cast("long").alias("burst_days"),
         F.expr(f"least({c0}, {c1})").cast("long").alias("path_cost"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Maximum drawdown per key of the CUMULATIVE value series in time
+    order: ``max over t of (running_max(cum) − cum_t)`` — the standard
+    worst-peak-to-trough risk number, and in pipeline-monitoring terms
+    "the deepest sustained dip this metric ever took". Values are
+    integer units (cents/counts — quantize upstream), so running sums
+    and the drawdown are exact in any engine.
+
+    Two stacked windows over the SAME (key, time) partition order: one
+    cumulative sum, one running max — the per-key series length bounds
+    the partition (the 200-keys-growing-rows caveat of the acf/burst
+    family applies; keys here are event types / metric names, not
+    users).
+
+    Returns per key: (key, n_points, final_value, max_drawdown).
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    d = df.select(
+        F.col(key_col).alias("k"),
+        *[c.alias(f"_o{i}") for i, c in enumerate(order)],
+        F.col(value_col).cast("long").alias("v"),
+    )
+    w2 = (
+        Window.partitionBy("k")
+        .orderBy(*[F.col(f"_o{i}") for i in range(len(order))])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cum", F.sum("v").over(w2))
+    dd = cum.withColumn("peak", F.max("cum").over(w2)).select(
+        "k", "cum", (F.col("peak") - F.col("cum")).alias("dd")
+    )
+    return dd.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("dd").cast("long").alias("max_drawdown"),
+    ).select(F.col("k").alias(key_col), "n_points", "max_drawdown")
+
+
+def decayed_topk(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_days: int = 7,
+    k: int = 20,
+) -> DataFrame:
+    """Time-decayed leaderboard: per key, ``Σ value·2^(−age_days/h)``
+    with age in WHOLE days from the corpus max timestamp — the standard
+    freshness-weighted ranking (trending sources, active users) where
+    yesterday counts double next week.
+
+    Determinism: ages quantize to integer days, values to integer
+    cents, and each event's decayed contribution rounds to the integer
+    1e6 grid BEFORE the per-key sum (the term_kl convention — float
+    accumulation order never matters). One double ``pow(2, −d/h)`` per
+    row feeds the rounding; the top-k is a distributed
+    TakeOrderedAndProject on (score desc, key), never a global sort.
+
+    Returns k rows: (key, n_events, score_e6).
+    """
+    mx = df.agg(F.max(F.col(ts_col)).alias("mx"))
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        (F.col(value_col).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).crossJoin(F.broadcast(mx))
+    term = F.round(
+        F.col("cents")
+        * F.pow(
+            F.lit(2.0),
+            -(F.datediff(F.col("mx"), F.col("ts")).cast("double"))
+            / F.lit(float(half_life_days)),
+        )
+        * 1e4,
+        0,
+    ).cast("long")
+    return (
+        d.select("key", term.alias("t"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("t").cast("long").alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), "key")
+        .limit(k)
+    )

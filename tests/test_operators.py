@@ -1858,3 +1858,81 @@ def test_theil_u_determined_and_mirror(spark):
     )
     assert got["hx_e9"] == hx and got["hxy_e9"] == hxy
     assert got["u_ppm"] == (hx - hxy) * 1_000_000 // hx
+
+
+def test_max_drawdown_hand_series(spark):
+    from iowa_liquor_sales_spark.operators.temporal import max_drawdown
+
+    rows = [("a", i, i, v) for i, v in enumerate([5, -3, 2, -6, 10])]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+    got = max_drawdown(df, "k", "ts", "v", tie_col="eid").head()
+    # cum = 5,2,4,-2,8; peaks = 5,5,5,5,8; dd = 0,3,1,7,0
+    assert got["n_points"] == 5
+    assert got["max_drawdown"] == 7
+
+
+def test_decayed_topk_halving(spark):
+    import datetime
+
+    from iowa_liquor_sales_spark.operators.temporal import decayed_topk
+
+    t0 = datetime.datetime(2024, 1, 8)
+    rows = [
+        ("A", t0, 1.00),
+        ("B", t0 - datetime.timedelta(days=7), 1.00),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "value"])
+    got = decayed_topk(df, "u", "ts", "value", half_life_days=7, k=5)
+    out = {r["key"]: r["score_e6"] for r in got.collect()}
+    # age 0 -> 100 cents * 1e4 = 1e6; one half-life -> exactly half
+    assert out["A"] == 1_000_000
+    assert out["B"] == 500_000
+
+
+def test_cronbach_alpha_perfect_and_mirror(spark):
+    from iowa_liquor_sales_spark.operators.quality import cronbach_alpha
+
+    # two identical items -> alpha exactly 1
+    df = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["i1", "i2"])
+    assert cronbach_alpha(df, ["i1", "i2"]).head()["alpha_ppm"] == 1_000_000
+
+    # integer mirror on a hand table (k=2): alpha =
+    # k/(k-1) * (V - sum v_i)/V with v = n*sum(x^2) - (sum x)^2
+    rows = [(1, 2), (2, 1), (3, 4), (4, 3)]
+    got = cronbach_alpha(
+        spark.createDataFrame(rows, ["i1", "i2"]), ["i1", "i2"]
+    ).head()
+    n = 4
+    xs1 = [r[0] for r in rows]
+    xs2 = [r[1] for r in rows]
+    ts = [a + b for a, b in rows]
+    v1 = n * sum(x * x for x in xs1) - sum(xs1) ** 2
+    v2 = n * sum(x * x for x in xs2) - sum(xs2) ** 2
+    V = n * sum(t * t for t in ts) - sum(ts) ** 2
+    exp = 2 * (V - (v1 + v2)) * 1_000_000 // (1 * V)
+    assert got["alpha_ppm"] == exp
+
+
+def test_dedup_cascade_funnel(spark):
+    from iowa_liquor_sales_spark.operators.curation import (
+        dedup_cascade_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),        # exact dup of 1
+            (3, "A b, c d"),       # normalized dup of 1
+            (4, "a b c d e"),      # near-dup of 1 (jaccard 2/3)
+            (5, "x y z w"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["stage"]: r
+        for r in dedup_cascade_report(docs, max_df=10).collect()
+    }
+    assert (got["exact"]["n_in"], got["exact"]["n_out"]) == (5, 4)
+    assert (got["normalized"]["n_in"], got["normalized"]["n_out"]) == (4, 3)
+    assert (got["neardup"]["n_in"], got["neardup"]["n_out"]) == (3, 2)
+    assert got["neardup"]["removed"] == 1
