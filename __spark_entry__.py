@@ -9095,6 +9095,43 @@ def q_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_cascade_report(docs, max_df=cap)
 
 
+def q_sax_words(spark: SparkSession, sf: str) -> DataFrame:
+    # SAX symbolization of each event type's value series
+    # (temporal.sax_words): PAA into 8 segments, 4-letter equal-width
+    # alphabet — all exact integer arithmetic (the z-normalized
+    # Gaussian-breakpoint variant is float-land; the integer variant
+    # is the bit-portable house form). Per-type windows bounded by
+    # series length.
+    from iowa_liquor_sales_spark.operators.temporal import sax_words
+
+    ev = read_table(spark, sf, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return sax_words(
+        ev, "event_type", "ts", "cents", w=8, alphabet=4,
+        tie_col="event_id",
+    )
+
+
+def q_lift_table(spark: SparkSession, sf: str) -> DataFrame:
+    # Cumulative gains/lift deciles of doc length predicting the 'en'
+    # label (quality.lift_table): global rank from the DISTRIBUTED
+    # ranker (range shuffle + offsets — never a 1-partition window over
+    # data rows; the only window is over the O(10) bin relation), exact
+    # DECIMAL cross-products for gain/lift ppm.
+    from iowa_liquor_sales_spark.operators.quality import lift_table
+
+    d = read_table(spark, sf, "documents").select(
+        "doc_id", "n_chars", (F.col("lang") == "en").alias("y")
+    )
+    return lift_table(d, "n_chars", "y", "doc_id", n_bins=10)
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9125,7 +9162,7 @@ def q_dedup_cascade(spark: SparkSession, sf: str) -> DataFrame:
 # q_jsd_drift, q_friedman, q_ndcg, q_dbscan_grid, q_t_closeness,
 # q_harmonic_centrality, q_assortativity, q_modularity,
 # q_cohens_kappa, q_mcc, q_theil_u, q_drawdown, q_decayed_topk,
-# q_cronbach, q_dedup_cascade.
+# q_cronbach, q_dedup_cascade, q_sax_words, q_lift_table.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -9579,6 +9616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decayed_topk": q_decayed_topk,
         "q_cronbach": q_cronbach,
         "q_dedup_cascade": q_dedup_cascade,
+        "q_sax_words": q_sax_words,
+        "q_lift_table": q_lift_table,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -15924,4 +15963,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT n FROM n3) AS BIGINT),
                    CAST((SELECT n FROM n2) - (SELECT n FROM n3)
                         AS BIGINT)""",
+        "q_sax_words": """
+            WITH d AS (SELECT event_type AS k, ts, event_id,
+                              CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                   AS BIGINT) AS c
+                       FROM events),
+            r AS (SELECT k, c,
+                         row_number() OVER (PARTITION BY k
+                                            ORDER BY ts, event_id) AS r,
+                         COUNT(*) OVER (PARTITION BY k) AS n
+                  FROM d),
+            seg AS (SELECT k, n, c, ((r - 1) * 8) // n AS seg FROM r),
+            m AS (SELECT k, seg, MAX(n) AS n,
+                         SUM(c) // COUNT(*) AS mc
+                  FROM seg GROUP BY k, seg),
+            b AS (SELECT k, seg, mc, n,
+                         MIN(mc) OVER (PARTITION BY k) AS mn,
+                         MAX(mc) OVER (PARTITION BY k) AS mx
+                  FROM m),
+            sym AS (SELECT k, seg, n,
+                           least(3, ((mc - mn) * 4) // (mx - mn + 1))
+                             AS sym
+                    FROM b)
+            SELECT k AS event_type,
+                   CAST(MAX(n) AS BIGINT) AS n_points,
+                   string_agg(chr(97 + CAST(sym AS INTEGER)), ''
+                              ORDER BY seg) AS sax_word
+            FROM sym GROUP BY k""",
+        "q_lift_table": """
+            WITH d AS (SELECT doc_id, n_chars,
+                              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                       FROM documents),
+            r AS (SELECT y,
+                         row_number() OVER (ORDER BY n_chars DESC,
+                                            doc_id) AS rn
+                  FROM d),
+            tot AS (SELECT COUNT(*) AS n, SUM(y) AS pos FROM d),
+            binned AS (SELECT CAST((rn - 1) * 10 // (SELECT n FROM tot)
+                                   AS INTEGER) AS bin,
+                              COUNT(*) AS n, SUM(y) AS n_pos
+                       FROM r GROUP BY 1),
+            cum AS (SELECT bin, n, n_pos,
+                           SUM(n) OVER (ORDER BY bin
+                                        ROWS UNBOUNDED PRECEDING) AS cum_n,
+                           SUM(n_pos) OVER (ORDER BY bin
+                                        ROWS UNBOUNDED PRECEDING)
+                             AS cum_pos
+                    FROM binned)
+            SELECT bin, CAST(n AS BIGINT) AS n,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(cum_n AS BIGINT) AS cum_n,
+                   CAST(cum_pos AS BIGINT) AS cum_pos,
+                   CAST(CASE WHEN (SELECT pos FROM tot) = 0 THEN 0
+                        ELSE (CAST(cum_pos AS HUGEINT) * 1000000)
+                             // (SELECT pos FROM tot) END AS BIGINT)
+                     AS gain_ppm,
+                   CAST(CASE WHEN (SELECT pos FROM tot) = 0
+                             OR cum_n = 0 THEN 0
+                        ELSE (CAST(cum_pos AS HUGEINT)
+                              * (SELECT n FROM tot) * 1000000)
+                             // (CAST(cum_n AS HUGEINT)
+                                 * (SELECT pos FROM tot))
+                        END AS BIGINT) AS lift_ppm
+            FROM cum""",
     }

@@ -150,6 +150,8 @@ HEADLINE = [
     "q_decayed_topk",
     "q_cronbach",
     "q_dedup_cascade",
+    "q_sax_words",
+    "q_lift_table",
 ]
 
 

@@ -848,3 +848,84 @@ def decayed_topk(
         .orderBy(F.col("score_e6").desc(), "key")
         .limit(k)
     )
+
+
+def sax_words(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    w: int = 8,
+    alphabet: int = 4,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """SAX symbolization (Lin/Keogh 2003) of each key's value series:
+    PAA-compress the ordered series into ``w`` segments (mean per
+    segment), then map segment means to an ``alphabet``-letter word —
+    the classic index/motif/anomaly representation for time series
+    ("two metrics with the same word moved the same way").
+
+    This is the EQUAL-WIDTH variant: symbols bin the segment mean's
+    position inside the key's [min, max] mean range via
+    ``least(a−1, (mean − min)·a div (max − min + 1))`` — exact integer
+    arithmetic end-to-end (classic SAX z-normalizes against Gaussian
+    breakpoints, which is float-land; the integer variant is
+    bit-portable across engines, the house contract).
+
+    Per-key windows bound their partitions by the series length (keys
+    are metric names/event types — the acf/burst-family caveat).
+
+    Returns per key: (key, n_points, sax_word).
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    d = df.select(
+        F.col(key_col).alias("k"),
+        *[c.alias(f"_o{i}") for i, c in enumerate(order)],
+        F.col(value_col).cast("long").alias("c"),
+    )
+    wk = Window.partitionBy("k").orderBy(
+        *[F.col(f"_o{i}") for i in range(len(order))]
+    )
+    wall = Window.partitionBy("k")
+    r = d.select(
+        "k",
+        "c",
+        F.row_number().over(wk).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    seg = r.select(
+        "k", "n", "c", F.expr(f"((r - 1) * {w}) div n").alias("seg")
+    )
+    m = seg.groupBy("k", "seg").agg(
+        F.expr("sum(c) div count(1)").alias("mc"),
+        F.max("n").alias("n"),
+    )
+    b = m.select(
+        "k",
+        "seg",
+        "mc",
+        "n",
+        F.min("mc").over(Window.partitionBy("k")).alias("mn"),
+        F.max("mc").over(Window.partitionBy("k")).alias("mx"),
+    )
+    sym = b.select(
+        "k",
+        "seg",
+        "n",
+        F.least(
+            F.lit(alphabet - 1),
+            F.expr(f"((mc - mn) * {alphabet}) div (mx - mn + 1)"),
+        ).alias("sym"),
+    )
+    return (
+        sym.groupBy("k")
+        .agg(
+            F.max("n").cast("long").alias("n_points"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(seg, sym))),"
+                " x -> char(97 + x.sym)), '')"
+            ).alias("sax_word"),
+        )
+        .select(F.col("k").alias(key_col), "n_points", "sax_word")
+    )

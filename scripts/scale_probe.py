@@ -967,6 +967,129 @@ def render_round8(r8_timings: dict, extras: dict) -> list[str]:
     return lines
 
 
+def bench_round8b(spark, docs_paths: dict, emb_paths: dict) -> dict:
+    """Round-8 second probe wave: growth shapes for the operators added
+    THIS round.
+
+    - dbscan_fixed_density: points grow with the center count (cluster
+      size stays ~4) — the realistic direction; the eps-grid equi-join
+      keeps candidates linear in n.
+    - dbscan_growing_density: centers FIXED while points grow, so
+      per-cell density grows 16x — the hostile direction: neighbor
+      candidates are O(n * density), i.e. the wall must bend HERE and
+      nowhere else. At 100 TB the remedy is a finer grid / larger eps
+      denominator, not a different algorithm.
+    - jsd_drift: vocabulary grows with the word-salted corpus, groups
+      fixed — the vocab x groups grid must stay linear in vocab.
+    - dedup_cascade: the full exact -> normalized -> jaccard-CC funnel
+      end-to-end; replicas are word-salted (NOT near-dups), so the
+      pair stage inherits the flat-candidates/doc property the PPJoin
+      probe established.
+    - ndcg_at_k: corpus grows with 8 anchors fixed — the per-anchor
+      rank window holds a corpus-sized partition per anchor (the
+      accepted ann_recall_report posture); the probe checks the wall
+      still tracks the scan at 16x like recall_report's did.
+    """
+    from iowa_liquor_sales_spark.operators.clustering import grid_dbscan
+    from iowa_liquor_sales_spark.operators.curation import (
+        dedup_cascade_report,
+    )
+    from iowa_liquor_sales_spark.operators.similarity import ndcg_at_k
+    from iowa_liquor_sales_spark.operators.text import jsd_source_drift
+
+    timings: dict[str, dict] = {}
+
+    def t(label, factor, mk):
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings.setdefault(label, {})[factor] = round(best, 2)
+
+    def pts(n, centers):
+        return spark.range(n).select(
+            F.col("id"),
+            ((F.col("id") % centers) * 50 + (F.col("id") * 7) % 8)
+            .cast("long")
+            .alias("x"),
+            (((F.col("id") * 13) % centers) * 50 + (F.col("id") * 11) % 8)
+            .cast("long")
+            .alias("y"),
+        )
+
+    for factor in (1, 4, 16):
+        n = 10_000 * factor
+        # centers^2 grid cells ~= n/4 -> cluster size ~4 at every n
+        t(
+            "dbscan_fixed_density",
+            factor,
+            lambda n=n: grid_dbscan(
+                pts(n, int((n / 4) ** 0.5)), eps=10, min_pts=4
+            ),
+        )
+        t(
+            "dbscan_growing_density",
+            factor,
+            lambda n=n: grid_dbscan(pts(n, 50), eps=10, min_pts=4),
+        )
+
+    for factor in (1, 4, 16):
+        docs = spark.read.parquet(docs_paths[factor])
+        t(
+            "jsd_drift",
+            factor,
+            lambda docs=docs: jsd_source_drift(docs),
+        )
+        cap = max(1, int(0.05 * docs.count()))
+        t(
+            "dedup_cascade",
+            factor,
+            lambda docs=docs, cap=cap: dedup_cascade_report(
+                docs, max_df=cap
+            ),
+        )
+
+    for factor in (1, 4, 16):
+        emb = spark.read.parquet(emb_paths[factor])
+        t(
+            "ndcg_at_k",
+            factor,
+            lambda emb=emb: ndcg_at_k(emb, n_queries=8, k=10),
+        )
+    return timings
+
+
+def render_round8b(timings: dict) -> list[str]:
+    lines = [
+        "",
+        "## Round-8 new-operator probe (DBSCAN density arms, JSD,"
+        " cascade, NDCG)",
+        "",
+        "dbscan_fixed_density grows the center count with n (cluster",
+        "size ~4 constant) — the realistic shape; the eps-grid",
+        "equi-join stays linear. dbscan_growing_density FIXES the 50x50",
+        "center grid while points grow 16x, so per-cell density grows",
+        "16x and neighbor candidates grow ~n*density — the deliberately",
+        "hostile arm: a bend here is expected and documents WHERE the",
+        "grid-blocking contract ends (remedy at scale: finer cells,",
+        "not a different algorithm). jsd_drift's vocab x sources grid,",
+        "dedup_cascade's three-rung funnel, and ndcg's fixed-anchor",
+        "rank windows should all track the scan.",
+        "",
+        "| op | wall by growth factor |",
+        "|---|---|",
+    ]
+    for label, per in timings.items():
+        lines.append(
+            f"| {label} | "
+            + ", ".join(f"x{f}: {per[f]:.2f}s" for f in sorted(per))
+            + " |"
+        )
+    return lines
+
+
 def main() -> None:
     spark = get_spark(
         master="local[32]",
@@ -1240,6 +1363,9 @@ def main() -> None:
     lines += render_round7(*bench_round7(spark))
 
     lines += render_round8(*bench_round8(spark, li_paths, docs_paths))
+    emb_paths = {f: f"{WORK}/embeddings_x{f}" for f in (4, 16)}
+    emb_paths[1] = f"{BASE}/embeddings.parquet"
+    lines += render_round8b(bench_round8b(spark, docs_paths, emb_paths))
 
     lines += [
         "",

@@ -1936,3 +1936,47 @@ def test_dedup_cascade_funnel(spark):
     assert (got["normalized"]["n_in"], got["normalized"]["n_out"]) == (4, 3)
     assert (got["neardup"]["n_in"], got["neardup"]["n_out"]) == (3, 2)
     assert got["neardup"]["removed"] == 1
+
+
+def test_sax_words_hand_series(spark):
+    from iowa_liquor_sales_spark.operators.temporal import sax_words
+
+    vals = [0, 0, 10, 10, 20, 20, 30, 30]
+    rows = [("a", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "c"])
+    got = sax_words(
+        df, "k", "ts", "c", w=8, alphabet=4, tie_col="eid"
+    ).head()
+    # n == w -> one point per segment; equal-width bins over [0, 30]
+    assert got["n_points"] == 8
+    assert got["sax_word"] == "aabbccdd"
+
+    # short series: 4 points spread over 8 segments -> 4-letter word
+    short = spark.createDataFrame(
+        [("b", i, i, v) for i, v in enumerate([5, 5, 5, 5])],
+        ["k", "ts", "eid", "c"],
+    )
+    got = sax_words(
+        short, "k", "ts", "c", w=8, alphabet=4, tie_col="eid"
+    ).head()
+    # flat series -> all lowest symbol
+    assert got["sax_word"] == "aaaa"
+
+
+def test_lift_table_hand_values(spark):
+    from iowa_liquor_sales_spark.operators.quality import lift_table
+
+    # scores 10..1; the top five are the positives
+    rows = [(i, 10 - i, i < 5) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "score", "y"])
+    got = {
+        r["bin"]: r
+        for r in lift_table(df, "score", "y", "id", n_bins=10).collect()
+    }
+    assert len(got) == 10 and all(got[b]["n"] == 1 for b in range(10))
+    # top decile: 1 of 5 positives captured, lift = (1*10)/(1*5) = 2x
+    assert got[0]["gain_ppm"] == 200_000
+    assert got[0]["lift_ppm"] == 2_000_000
+    # after five deciles every positive is captured
+    assert got[4]["gain_ppm"] == 1_000_000
+    assert got[9]["cum_pos"] == 5 and got[9]["lift_ppm"] == 1_000_000
