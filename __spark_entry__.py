@@ -9132,6 +9132,32 @@ def q_lift_table(spark: SparkSession, sf: str) -> DataFrame:
     return lift_table(d, "n_chars", "y", "doc_id", n_bins=10)
 
 
+def q_ece(spark: SparkSession, sf: str) -> DataFrame:
+    # Expected Calibration Error of doc length "predicting" the 'en'
+    # label (quality.expected_calibration_error): one exact integer
+    # aggregate over the reliability diagram's ppm-gridded O(n_bins)
+    # stats — the per-retrain gate number whose drill-down is
+    # q_reliability.
+    from iowa_liquor_sales_spark.operators.quality import (
+        expected_calibration_error,
+    )
+
+    d = read_table(spark, sf, "documents").select(
+        "n_chars", (F.col("lang") == "en").alias("y")
+    )
+    return expected_calibration_error(d, "n_chars", "y", n_bins=10)
+
+
+def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    # Out-of-vocabulary rate of each held-out doc vs the 80% train
+    # split's vocabulary (text.oov_rate): content-keyed hash carve,
+    # O(vocab) distinct, token-keyed left join (the TF-IDF-family skew
+    # posture) — "how much of eval becomes <unk>".
+    from iowa_liquor_sales_spark.operators.text import oov_rate
+
+    return oov_rate(read_table(spark, sf, "documents"))
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9162,7 +9188,8 @@ def q_lift_table(spark: SparkSession, sf: str) -> DataFrame:
 # q_jsd_drift, q_friedman, q_ndcg, q_dbscan_grid, q_t_closeness,
 # q_harmonic_centrality, q_assortativity, q_modularity,
 # q_cohens_kappa, q_mcc, q_theil_u, q_drawdown, q_decayed_topk,
-# q_cronbach, q_dedup_cascade, q_sax_words, q_lift_table.
+# q_cronbach, q_dedup_cascade, q_sax_words, q_lift_table, q_ece,
+# q_oov_rate.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -9618,6 +9645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_cascade": q_dedup_cascade,
         "q_sax_words": q_sax_words,
         "q_lift_table": q_lift_table,
+        "q_ece": q_ece,
+        "q_oov_rate": q_oov_rate,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -16026,4 +16055,47 @@ def oracle_sql() -> dict[str, str]:
                                  * (SELECT pos FROM tot))
                         END AS BIGINT) AS lift_ppm
             FROM cum""",
+        "q_ece": """
+            WITH m AS (SELECT MAX(n_chars) AS smax FROM documents),
+            b AS (SELECT least(n_chars * 10 // (smax + 1), 9) AS bin,
+                         n_chars AS score, (lang = 'en') AS y, smax
+                  FROM documents, m),
+            g AS (SELECT bin, COUNT(*) AS n_rows,
+                         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+                         SUM(score) AS ssum, MAX(smax) AS smax
+                  FROM b GROUP BY bin),
+            rel AS (SELECT n_rows,
+                           CAST(n_pos * 1000000 // n_rows AS BIGINT)
+                             AS pr,
+                           CAST(CASE WHEN smax > 0 THEN
+                                (CAST(ssum AS HUGEINT) * 1000000)
+                                  // (CAST(n_rows AS HUGEINT) * smax)
+                                ELSE 0 END AS BIGINT) AS ms
+                    FROM g)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+                   CAST(SUM(n_rows) AS BIGINT) AS n,
+                   CAST(SUM(CAST(n_rows AS HUGEINT) * abs(pr - ms))
+                        // SUM(CAST(n_rows AS HUGEINT)) AS BIGINT)
+                     AS ece_ppm
+            FROM rel""",
+        "q_oov_rate": """
+            WITH b AS (SELECT doc_id, text,
+                              CAST(('0x' || substr(md5('oov'
+                                   || CAST(doc_id AS VARCHAR)), 1, 15))
+                                   AS BIGINT) % 10000 AS bk
+                       FROM documents),
+            tr AS (SELECT DISTINCT unnest(list_filter(
+                       string_split(text, ' '), x -> x <> '')) AS w
+                   FROM b WHERE bk < 8000),
+            ev AS (SELECT doc_id, unnest(list_filter(
+                       string_split(text, ' '), x -> x <> '')) AS w
+                   FROM b WHERE bk >= 8000)
+            SELECT ev.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN tr.w IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(SUM(CASE WHEN tr.w IS NULL THEN 1 ELSE 0 END)
+                        * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
+            FROM ev LEFT JOIN tr ON ev.w = tr.w
+            GROUP BY ev.doc_id""",
     }

@@ -152,6 +152,8 @@ HEADLINE = [
     "q_dedup_cascade",
     "q_sax_words",
     "q_lift_table",
+    "q_ece",
+    "q_oov_rate",
 ]
 
 

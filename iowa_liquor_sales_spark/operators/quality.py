@@ -1444,3 +1444,34 @@ def lift_table(
             " END AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error — the one-number summary of the
+    reliability diagram (Naeini et al. 2015): ``Σ_b (n_b/N)·|pos_rate_b
+    − mean_score_b|``, the metric a quality-classifier gate tracks per
+    retrain where the full diagram is the drill-down.
+
+    Defined ON THE PPM-GRIDDED bin statistics of
+    :func:`reliability_bins` (rates and mean scores land on exact
+    integer grids there), so the ECE itself is one exact integer
+    aggregate over O(n_bins) rows — deterministic in any engine, and
+    consistent with what the diagram displays.
+
+    Returns one row: (n_bins_used, n, ece_ppm).
+    """
+    bins = reliability_bins(df, score_col, label_col, n_bins)
+    return bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum("n_rows").cast("long").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(n_rows AS DECIMAL(38,0))"
+            " * abs(pos_rate_ppm - mean_score_ppm))"
+            " div SUM(CAST(n_rows AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ece_ppm"),
+    )

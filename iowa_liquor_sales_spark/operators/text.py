@@ -1501,3 +1501,66 @@ def jsd_source_drift(
             "jsd_e9",
         )
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    salt: str = "oov",
+) -> DataFrame:
+    """Out-of-vocabulary rate of each held-out document against the
+    train split's vocabulary — the tokenizer/coverage health check run
+    before committing a vocab ("how much of eval will be <unk>?").
+    The split is the house content-keyed hash carve
+    (:func:`~.sampling.hash_split`), so train/eval membership is
+    deterministic and reproducible across engines.
+
+    Scale shape: one explode per side, a DISTINCT on train tokens
+    (O(vocab)), and one token-keyed left join of eval tokens against
+    the vocabulary — the stopword-skewed join the TF-IDF family
+    already documents (AQE skew-join splits the hot tokens; the vocab
+    side is orders of magnitude smaller than the corpus).
+
+    Returns per eval doc: (doc_id, n_tokens, n_oov, oov_ppm).
+    """
+    from .sampling import hash_split
+
+    split = hash_split(
+        df,
+        id_col,
+        {"train": train_frac, "eval": 1.0 - train_frac},
+        salt=salt,
+    )
+    toks = lambda d: d.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    vocab = (
+        toks(split.filter(F.col("split") == "train"))
+        .select("w")
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    ev = toks(split.filter(F.col("split") == "eval"))
+    return (
+        ev.join(vocab, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_known").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.expr("CAST(n_oov * 1000000 div n_tokens AS BIGINT)").alias(
+                "oov_ppm"
+            ),
+        )
+    )

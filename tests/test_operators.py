@@ -1980,3 +1980,58 @@ def test_lift_table_hand_values(spark):
     # after five deciles every positive is captured
     assert got[4]["gain_ppm"] == 1_000_000
     assert got[9]["cum_pos"] == 5 and got[9]["lift_ppm"] == 1_000_000
+
+
+def test_ece_perfect_and_skewed(spark):
+    from iowa_liquor_sales_spark.operators.quality import (
+        expected_calibration_error,
+    )
+
+    # scores pinned to the bin edges with matching positive rates:
+    # score smax for positives, 0 for negatives -> |pr - ms| = 0 in
+    # both occupied bins -> ECE 0
+    rows = [(10, True)] * 4 + [(0, False)] * 6
+    got = expected_calibration_error(
+        spark.createDataFrame(rows, ["s", "y"]), "s", "y", n_bins=10
+    ).head()
+    assert got["n_bins_used"] == 2 and got["n"] == 10
+    # bin 9: pr 1e6, ms = 10*1e6/(1*10... ) mean score ppm = smax/smax
+    assert got["ece_ppm"] == 0
+
+    # anti-calibrated: high scores all negative, low all positive
+    rows = [(10, False)] * 5 + [(0, True)] * 5
+    got = expected_calibration_error(
+        spark.createDataFrame(rows, ["s", "y"]), "s", "y", n_bins=10
+    ).head()
+    assert got["ece_ppm"] == 1_000_000
+
+
+def test_oov_rate_hand_split(spark):
+    from iowa_liquor_sales_spark.operators.text import oov_rate
+    from iowa_liquor_sales_spark.operators.sampling import hash_split
+
+    rows = [(i, "alpha beta gamma" if i % 2 else "alpha delta")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in oov_rate(df).collect()}
+    # mirror the split to find the eval docs, then check each eval
+    # doc's OOV count against the train vocabulary computed in python
+    split = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df, "doc_id", {"train": 0.8, "eval": 0.2}, salt="oov"
+        ).collect()
+    }
+    train_vocab = set()
+    for i, text in rows:
+        if split[i] == "train":
+            train_vocab |= set(text.split())
+    assert set(got) == {i for i in split if split[i] == "eval"}
+    for i, text in rows:
+        if split[i] != "eval":
+            continue
+        toks = text.split()
+        oov = sum(1 for t in toks if t not in train_vocab)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["n_oov"] == oov
+        assert got[i]["oov_ppm"] == oov * 1_000_000 // len(toks)
