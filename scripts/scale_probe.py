@@ -1090,6 +1090,85 @@ def render_round8b(timings: dict) -> list[str]:
     return lines
 
 
+def bench_round8c(spark) -> dict:
+    """Growth shapes for the round-8 graph metrics: synthesized
+    hash-scatter graphs with average degree FIXED at ~25 while V and E
+    grow 4x per step (the realistic corpus-growth direction). All
+    three ops are O(E)-dataflow claims: harmonic is rounds x one
+    frontier equi-join, assortativity is one degree aggregate + two
+    joins + moments, modularity is two label joins + an O(communities)
+    rollup.
+    """
+    from iowa_liquor_sales_spark.operators.graph import (
+        degree_assortativity,
+        harmonic_centrality,
+        modularity_q,
+    )
+
+    timings: dict[str, dict] = {}
+
+    def t(label, factor, mk):
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings.setdefault(label, {})[factor] = round(best, 2)
+
+    for factor in (1, 4, 16):
+        E = 100_000 * factor
+        V = E // 25
+        edges = spark.range(E).select(
+            ((F.col("id") * 7919) % V).alias("src"),
+            ((F.col("id") * 104729 + 13) % V).alias("dst"),
+        )
+        t(
+            "harmonic_4seeds_3r",
+            factor,
+            lambda e=edges: harmonic_centrality(
+                e, sources=[0, 1, 2, 3], rounds=3
+            ),
+        )
+        t(
+            "assortativity",
+            factor,
+            lambda e=edges: degree_assortativity(e),
+        )
+        nodes = spark.range(V).select(
+            F.col("id").alias("node"), (F.col("id") % 8).alias("community")
+        )
+        t(
+            "modularity_mod8",
+            factor,
+            lambda e=edges, n=nodes: modularity_q(e, n),
+        )
+    return timings
+
+
+def render_round8c(timings: dict) -> list[str]:
+    lines = [
+        "",
+        "## Round-8 graph-metric probe (degree fixed, V and E grow)",
+        "",
+        "Hash-scatter graphs, average degree ~25 held constant while",
+        "V and E grow 4x per step — the realistic direction for the",
+        "three new graph health metrics. Each is an O(E)-per-round or",
+        "O(E)-total dataflow; linear-ish walls confirm no hidden",
+        "all-pairs or label-explosion term.",
+        "",
+        "| op | wall by growth factor |",
+        "|---|---|",
+    ]
+    for label, per in timings.items():
+        lines.append(
+            f"| {label} | "
+            + ", ".join(f"x{f}: {per[f]:.2f}s" for f in sorted(per))
+            + " |"
+        )
+    return lines
+
+
 def main() -> None:
     spark = get_spark(
         master="local[32]",
@@ -1366,6 +1445,7 @@ def main() -> None:
     emb_paths = {f: f"{WORK}/embeddings_x{f}" for f in (4, 16)}
     emb_paths[1] = f"{BASE}/embeddings.parquet"
     lines += render_round8b(bench_round8b(spark, docs_paths, emb_paths))
+    lines += render_round8c(bench_round8c(spark))
 
     lines += [
         "",
