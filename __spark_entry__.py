@@ -9158,6 +9158,38 @@ def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     return oov_rate(read_table(spark, sf, "documents"))
 
 
+def q_moments(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-language higher-moment report of doc lengths
+    # (aggregates.moments_report): exact DECIMAL(38,0) power sums in
+    # one pass; mean/variance by truncating division; skewness and
+    # excess kurtosis through the det_double hi/lo split + fixed-shape
+    # double formula, floor-scaled — the distribution-shape monitor.
+    from iowa_liquor_sales_spark.operators.aggregates import (
+        moments_report,
+    )
+
+    return moments_report(
+        read_table(spark, sf, "documents"), "n_chars", "lang"
+    )
+
+
+def q_mantel_haenszel(spark: SparkSession, sf: str) -> DataFrame:
+    # Mantel-Haenszel pooled odds ratio of (long doc | English) across
+    # source strata (quality.mantel_haenszel_or): per-stratum 2x2
+    # terms rounded to exact 1e6 integers before pooling; the
+    # confounder-adjusted sibling of q_chi2_source_lang.
+    from iowa_liquor_sales_spark.operators.quality import (
+        mantel_haenszel_or,
+    )
+
+    d = read_table(spark, sf, "documents").select(
+        "source",
+        (F.col("lang") == "en").alias("e"),
+        (F.col("n_chars") >= 500).alias("o"),
+    )
+    return mantel_haenszel_or(d, "source", "e", "o")
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9189,7 +9221,7 @@ def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
 # q_harmonic_centrality, q_assortativity, q_modularity,
 # q_cohens_kappa, q_mcc, q_theil_u, q_drawdown, q_decayed_topk,
 # q_cronbach, q_dedup_cascade, q_sax_words, q_lift_table, q_ece,
-# q_oov_rate.
+# q_oov_rate, q_moments, q_mantel_haenszel.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -9647,6 +9679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lift_table": q_lift_table,
         "q_ece": q_ece,
         "q_oov_rate": q_oov_rate,
+        "q_moments": q_moments,
+        "q_mantel_haenszel": q_mantel_haenszel,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -16098,4 +16132,60 @@ def oracle_sql() -> dict[str, str]:
                         * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
             FROM ev LEFT JOIN tr ON ev.w = tr.w
             GROUP BY ev.doc_id""",
+        "q_moments": f"""
+            WITH m AS (
+              SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(CAST(n_chars AS HUGEINT)) AS s1,
+                     SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+                     SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars)
+                       AS s3,
+                     SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars
+                         * n_chars) AS s4
+              FROM documents GROUP BY lang),
+            c AS (SELECT lang, n, s1,
+                         n*s2 - s1*s1 AS a,
+                         n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS b,
+                         n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2
+                           - s1*s1*s1*s1*3 AS c
+                  FROM m)
+            SELECT lang, CAST(n AS BIGINT) AS n,
+                   CAST((s1 * 1000) // n AS BIGINT) AS mean_milli,
+                   CAST((a * 1000) // (n * n) AS BIGINT) AS var_milli,
+                   CAST(CASE WHEN a <= 0 THEN 0 ELSE
+                        floor({det_double_sql('b')}
+                              / (sqrt({det_double_sql('a')})
+                                 * {det_double_sql('a')}) * 1e6)
+                        END AS BIGINT) AS skew_e6,
+                   CAST(CASE WHEN a <= 0 THEN 0 ELSE
+                        floor(({det_double_sql('c')}
+                               / {det_double_sql('a')}
+                               / {det_double_sql('a')} - 3.0) * 1e6)
+                        END AS BIGINT) AS kurt_e6
+            FROM c""",
+        "q_mantel_haenszel": """
+            WITH d AS (SELECT source AS s, (lang = 'en') AS e,
+                              (n_chars >= 500) AS o
+                       FROM documents),
+            t AS (SELECT s,
+                         SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS a,
+                         SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
+                           AS b,
+                         SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
+                           AS c,
+                         SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+                           AS d
+                  FROM d GROUP BY s),
+            r AS (SELECT
+                    CAST(round(1e6 * CAST(a*d AS DOUBLE)
+                               / (a+b+c+d)) AS BIGINT) AS tn,
+                    CAST(round(1e6 * CAST(b*c AS DOUBLE)
+                               / (a+b+c+d)) AS BIGINT) AS td
+                  FROM t)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                   CAST(SUM(tn) AS BIGINT) AS num_e6,
+                   CAST(SUM(td) AS BIGINT) AS den_e6,
+                   CAST(CASE WHEN SUM(td) = 0 THEN 0
+                        ELSE (CAST(SUM(tn) AS HUGEINT) * 1000000)
+                             // SUM(td) END AS BIGINT) AS or_mh_ppm
+            FROM r""",
     }

@@ -154,6 +154,8 @@ HEADLINE = [
     "q_lift_table",
     "q_ece",
     "q_oov_rate",
+    "q_moments",
+    "q_mantel_haenszel",
 ]
 
 

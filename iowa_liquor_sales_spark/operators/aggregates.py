@@ -478,3 +478,71 @@ def gini_concentration(df: DataFrame, value_col: str) -> DataFrame:
         F.expr("CAST(((s2 - (n + 1) * t) * 1000000) div (n * t) AS BIGINT)")
         .alias("gini_ppm"),
     )
+
+
+def moments_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Higher-moment distribution report per group: mean, variance,
+    skewness (g1 = m3/m2^1.5) and excess kurtosis (g2 = m4/m2² − 3)
+    from ONE pass of exact raw power sums — the distribution-shape
+    fingerprint a data monitor tracks beside the mean ("lengths grew a
+    heavy right tail this batch" is a skewness alarm, not a mean
+    alarm).
+
+    Determinism: S1..S4 accumulate as exact DECIMAL(38,0); the central
+    moment combinations A = n·S2−S1², B = n²·S3−3n·S1·S2+2S1³,
+    C = n³·S4−4n²·S1·S3+6n·S1²·S2−3S1⁴ are exact integers; mean and
+    variance finish with integral truncating division; skewness and
+    kurtosis convert via the hi/lo int64 split (det_double — decimal→
+    double casts are not cross-engine correctly rounded) and a
+    fixed-shape ``+ - * / sqrt`` double formula, floor-scaled to 1e6
+    (never ROUND of a double). One map-side-combinable aggregate;
+    everything after is O(groups).
+    """
+    from ..functions.sums import det_double
+
+    x = F.col(value_col).cast("decimal(38,0)")
+    keys = [group_col] if group_col else []
+    m = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    m = m.select(
+        *keys,
+        "n",
+        "s1",
+        F.expr("n*s2 - s1*s1").alias("a"),
+        F.expr("n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1").alias("b"),
+        F.expr(
+            "n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - s1*s1*s1*s1*3"
+        ).alias("c"),
+    )
+    ad = det_double("a")
+    return m.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST((s1 * 1000) div n AS BIGINT)").alias("mean_milli"),
+        F.expr("CAST((a * 1000) div (n * n) AS BIGINT)").alias(
+            "var_milli"
+        ),
+        F.when(F.col("a") <= 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                det_double("b") / (F.sqrt(ad) * ad) * F.lit(1e6)
+            ).cast("long")
+        )
+        .alias("skew_e6"),
+        F.when(F.col("a") <= 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (det_double("c") / ad / ad - F.lit(3.0)) * F.lit(1e6)
+            ).cast("long")
+        )
+        .alias("kurt_e6"),
+    )

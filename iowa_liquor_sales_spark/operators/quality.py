@@ -1475,3 +1475,69 @@ def expected_calibration_error(
             " div SUM(CAST(n_rows AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("ece_ppm"),
     )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata — the
+    confounder-adjusted effect estimate ("is exposure associated with
+    outcome once we stratify by source?"), the stratified sibling of
+    the chi-squared independence test.
+
+    ``OR_MH = Σ_i (a_i·d_i/n_i) / Σ_i (b_i·c_i/n_i)`` over per-stratum
+    2×2 tables. Each stratum's term is rounded to an exact integer at
+    1e6 scale before summing (the term_kl convention — the products
+    a·d stay under 2^53, so the doubles feeding the rounding are
+    exact), and the final ratio is one truncating division onto the
+    ppm grid. One (stratum)-grouped aggregate on the fact; everything
+    after is O(strata).
+
+    Returns one row: (n_strata, num_e6, den_e6, or_mh_ppm).
+    """
+    d = df.select(
+        F.col(stratum_col).alias("s"),
+        F.col(exposure_col).cast("boolean").alias("e"),
+        F.col(outcome_col).cast("boolean").alias("o"),
+    )
+    t = d.groupBy("s").agg(
+        F.sum(F.when(F.col("e") & F.col("o"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("e") & ~F.col("o"), 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~F.col("e") & F.col("o"), 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~F.col("e") & ~F.col("o"), 1).otherwise(0)).alias(
+            "d"
+        ),
+    )
+    term_num = F.round(
+        F.lit(1e6)
+        * (F.col("a") * F.col("d")).cast("double")
+        / (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+            "double"
+        ),
+        0,
+    ).cast("long")
+    term_den = F.round(
+        F.lit(1e6)
+        * (F.col("b") * F.col("c")).cast("double")
+        / (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+            "double"
+        ),
+        0,
+    ).cast("long")
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(term_num).cast("long").alias("num_e6"),
+        F.sum(term_den).cast("long").alias("den_e6"),
+    ).select(
+        "n_strata",
+        "num_e6",
+        "den_e6",
+        F.expr(
+            "CAST(CASE WHEN den_e6 = 0 THEN 0"
+            " ELSE (CAST(num_e6 AS DECIMAL(38,0)) * 1000000) div den_e6"
+            " END AS BIGINT)"
+        ).alias("or_mh_ppm"),
+    )

@@ -2035,3 +2035,53 @@ def test_oov_rate_hand_split(spark):
         assert got[i]["n_tokens"] == len(toks)
         assert got[i]["n_oov"] == oov
         assert got[i]["oov_ppm"] == oov * 1_000_000 // len(toks)
+
+
+def test_moments_report_hand_values(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.aggregates import moments_report
+
+    df = spark.createDataFrame([(v,) for v in (1, 2, 3, 4, 5)], ["x"])
+    got = moments_report(df, "x").head()
+    # mean 3, population var 2, symmetric -> skew 0
+    assert got["n"] == 5
+    assert got["mean_milli"] == 3000
+    assert got["var_milli"] == 2000
+    assert got["skew_e6"] == 0
+    # double mirror of the fixed-shape kurtosis finish: C/A/A - 3
+    A, C = 50.0, 4250.0
+    assert got["kurt_e6"] == math.floor((C / A / A - 3.0) * 1e6)
+
+    # constant column -> A = 0 -> both shape stats defined as 0
+    flat = spark.createDataFrame([(7,)] * 4, ["x"])
+    g = moments_report(flat, "x").head()
+    assert (g["var_milli"], g["skew_e6"], g["kurt_e6"]) == (0, 0, 0)
+
+
+def test_mantel_haenszel_single_and_pooled(spark):
+    from iowa_liquor_sales_spark.operators.quality import mantel_haenszel_or
+
+    def rows(s, a, b, c, d):
+        return (
+            [(s, True, True)] * a + [(s, True, False)] * b
+            + [(s, False, True)] * c + [(s, False, False)] * d
+        )
+
+    # single stratum: OR = (10*8)/(5*4) = 4; mirror the e6 rounding
+    df = spark.createDataFrame(rows("s1", 10, 5, 4, 8), ["s", "e", "o"])
+    got = mantel_haenszel_or(df, "s", "e", "o").head()
+    tn = round(1e6 * 80 / 27)
+    td = round(1e6 * 20 / 27)
+    assert got["n_strata"] == 1
+    assert (got["num_e6"], got["den_e6"]) == (tn, td)
+    assert got["or_mh_ppm"] == tn * 1_000_000 // td
+
+    # two strata with identical tables pool to the same OR
+    df2 = spark.createDataFrame(
+        rows("s1", 10, 5, 4, 8) + rows("s2", 10, 5, 4, 8),
+        ["s", "e", "o"],
+    )
+    got2 = mantel_haenszel_or(df2, "s", "e", "o").head()
+    assert got2["n_strata"] == 2
+    assert got2["or_mh_ppm"] == got["or_mh_ppm"]
