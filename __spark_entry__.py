@@ -9190,6 +9190,36 @@ def q_mantel_haenszel(spark: SparkSession, sf: str) -> DataFrame:
     return mantel_haenszel_or(d, "source", "e", "o")
 
 
+def q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    # Ljung-Box white-noise Q per event type over lags 1-3
+    # (temporal.ljung_box): defined on the ppb-gridded ACF — each rho²
+    # term an exact integer truncating division by (n-k), Q on the ppm
+    # grid via one DECIMAL(38,0) division. The residual diagnostic
+    # layered on q_acf's machinery.
+    from iowa_liquor_sales_spark.operators.temporal import ljung_box
+
+    return ljung_box(
+        read_table(spark, sf, "events"),
+        key_col="event_type",
+        order_col="event_id",
+        value_col="value",
+    )
+
+
+def q_lorenz(spark: SparkSession, sf: str) -> DataFrame:
+    # Lorenz curve of character mass across documents by decile
+    # (aggregates.lorenz_deciles): the drill-down behind q_gini_chars —
+    # global rank via the distributed ranker, O(10) everything after,
+    # exact DECIMAL cross-multiplied shares.
+    from iowa_liquor_sales_spark.operators.aggregates import (
+        lorenz_deciles,
+    )
+
+    return lorenz_deciles(
+        read_table(spark, sf, "documents"), "n_chars", "doc_id"
+    )
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9221,7 +9251,7 @@ def q_mantel_haenszel(spark: SparkSession, sf: str) -> DataFrame:
 # q_harmonic_centrality, q_assortativity, q_modularity,
 # q_cohens_kappa, q_mcc, q_theil_u, q_drawdown, q_decayed_topk,
 # q_cronbach, q_dedup_cascade, q_sax_words, q_lift_table, q_ece,
-# q_oov_rate, q_moments, q_mantel_haenszel.
+# q_oov_rate, q_moments, q_mantel_haenszel, q_ljung_box, q_lorenz.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -9681,6 +9711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_oov_rate": q_oov_rate,
         "q_moments": q_moments,
         "q_mantel_haenszel": q_mantel_haenszel,
+        "q_ljung_box": q_ljung_box,
+        "q_lorenz": q_lorenz,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -16188,4 +16220,43 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (CAST(SUM(tn) AS HUGEINT) * 1000000)
                              // SUM(td) END AS BIGINT) AS or_mh_ppm
             FROM r""",
+        "q_ljung_box": f"""
+            WITH acf AS ({_acf_oracle()})
+            SELECT event_type,
+                   n_obs,
+                   CAST((CAST(n_obs AS HUGEINT) * (n_obs + 2) * (
+                       (CAST(acf_1_ppb AS HUGEINT) * acf_1_ppb)
+                         // (n_obs - 1)
+                     + (CAST(acf_2_ppb AS HUGEINT) * acf_2_ppb)
+                         // (n_obs - 2)
+                     + (CAST(acf_3_ppb AS HUGEINT) * acf_3_ppb)
+                         // (n_obs - 3)
+                   )) // 1000000000000 AS BIGINT) AS q_ppm
+            FROM acf""",
+        "q_lorenz": """
+            WITH r AS (SELECT n_chars AS v,
+                              row_number() OVER (ORDER BY n_chars,
+                                                 doc_id) AS rn
+                       FROM documents),
+            tot AS (SELECT COUNT(*) AS n,
+                           SUM(CAST(v AS HUGEINT)) AS mass FROM r),
+            binned AS (SELECT CAST((rn - 1) * 10
+                                   // (SELECT n FROM tot) AS INTEGER)
+                                AS bin,
+                              COUNT(*) AS n,
+                              SUM(CAST(v AS HUGEINT)) AS mass
+                       FROM r GROUP BY 1),
+            cum AS (SELECT bin, n, mass,
+                           SUM(mass) OVER (ORDER BY bin
+                                       ROWS UNBOUNDED PRECEDING)
+                             AS cum_mass
+                    FROM binned)
+            SELECT bin, CAST(n AS BIGINT) AS n,
+                   CAST(mass AS BIGINT) AS mass,
+                   CAST(cum_mass AS BIGINT) AS cum_mass,
+                   CAST(CASE WHEN (SELECT mass FROM tot) = 0 THEN 0
+                        ELSE (CAST(cum_mass AS HUGEINT) * 1000000)
+                             // (SELECT mass FROM tot) END AS BIGINT)
+                     AS cum_share_ppm
+            FROM cum""",
     }

@@ -156,6 +156,8 @@ HEADLINE = [
     "q_oov_rate",
     "q_moments",
     "q_mantel_haenszel",
+    "q_ljung_box",
+    "q_lorenz",
 ]
 
 

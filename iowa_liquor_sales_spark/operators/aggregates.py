@@ -546,3 +546,71 @@ def moments_report(
         )
         .alias("kurt_e6"),
     )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Lorenz curve by decile: rank rows by value ASCENDING, cut into
+    ``n_bins`` equal-count bins, report each prefix's cumulative share
+    of the total mass — the drill-down behind the Gini coefficient
+    ("the bottom half of documents carries 12% of the tokens"), the
+    concentration view a mixing dashboard shows beside the one-number
+    Gini.
+
+    The global rank rides the distributed ranker
+    (:func:`~.ranking.global_row_number`); everything after is
+    O(n_bins), and shares are exact via DECIMAL(38,0) cross-multiplied
+    truncating division.
+
+    Returns per bin: (bin, n, mass, cum_mass, cum_share_ppm).
+    """
+    from pyspark.sql import Window
+
+    from .ranking import global_row_number
+
+    d = df.select(
+        F.col(value_col).cast("long").alias("_v"),
+        F.col(id_col).alias("_id"),
+    )
+    rn = global_row_number(d, ["_v", "_id"], out_col="_rn")
+    tot = rn.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_v").cast("decimal(38,0)").alias("_mass"),
+    )
+    binned = (
+        rn.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"CAST((_rn - 1) * {n_bins} div _n AS INT)").alias(
+                "bin"
+            ),
+            "_v",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_v").cast("decimal(38,0)").alias("mass"),
+        )
+    )
+    wb = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        binned.select(
+            "bin", "n", "mass", F.sum("mass").over(wb).alias("cum_mass")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.col("mass").cast("long").alias("mass"),
+            F.col("cum_mass").cast("long").alias("cum_mass"),
+            F.expr(
+                "CAST(CASE WHEN _mass = 0 THEN 0"
+                " ELSE (cum_mass * 1000000) div _mass END AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )

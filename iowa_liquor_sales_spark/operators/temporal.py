@@ -929,3 +929,42 @@ def sax_words(
         )
         .select(F.col("k").alias(key_col), "n_points", "sax_word")
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    scale: int = 100,
+) -> DataFrame:
+    """Ljung–Box portmanteau white-noise test per key:
+    ``Q = n(n+2)·Σ_k ρ_k²/(n−k)`` over the first ``len(lags)``
+    autocorrelations — "is there ANY serial structure left", the
+    standard residual diagnostic after detrending/forecasting (large Q
+    → the series is not noise; compare to χ²_{#lags}).
+
+    Defined ON THE PPB-GRIDDED ACF of :func:`autocorrelation` (whose
+    correlations are already engine-deterministic): each ρ_k² term is
+    an exact integer truncating division by (n−k), and Q lands on the
+    ppm grid via one DECIMAL(38,0) division — no float beyond what the
+    ACF itself pinned. Adds only an O(keys) projection on top of the
+    ACF aggregate.
+
+    Returns per key: (key, n_obs, q_ppm).
+    """
+    a = autocorrelation(df, key_col, order_col, value_col, lags, scale)
+    term = " + ".join(
+        f"(CAST(acf_{k}_ppb AS DECIMAL(38,0)) * acf_{k}_ppb)"
+        f" div (n_obs - {k})"
+        for k in lags
+    )
+    return a.select(
+        key_col,
+        "n_obs",
+        F.expr(
+            f"CAST((CAST(n_obs AS DECIMAL(38,0)) * (n_obs + 2)"
+            f" * ({term})) div 1000000000000 AS BIGINT)"
+        ).alias("q_ppm"),
+    )

@@ -2085,3 +2085,39 @@ def test_mantel_haenszel_single_and_pooled(spark):
     got2 = mantel_haenszel_or(df2, "s", "e", "o").head()
     assert got2["n_strata"] == 2
     assert got2["or_mh_ppm"] == got["or_mh_ppm"]
+
+
+def test_ljung_box_white_vs_trending(spark):
+    from iowa_liquor_sales_spark.operators.temporal import ljung_box
+
+    # strongly trending series -> rho_k ~ 1 -> large Q; alternating
+    # high-low series -> rho_1 ~ -1 -> also large Q; a hash-scrambled
+    # series -> small Q. Check ordering rather than magic constants.
+    import random
+
+    rng = random.Random(7)
+    trend = [("t", i, float(i)) for i in range(60)]
+    noise = [("n", i, float(rng.randint(0, 100))) for i in range(60)]
+    df = spark.createDataFrame(trend + noise, ["k", "o", "value"])
+    got = {r["k"]: r["q_ppm"] for r in ljung_box(df, "k", "o", "value").collect()}
+    assert got["t"] > got["n"]
+    # trending series: rho ~ 1 at all 3 lags -> Q near n(n+2)*3/n ~ 186
+    assert got["t"] > 100_000_000  # Q > 100 in ppm terms
+
+
+def test_lorenz_deciles_uniform_and_concentrated(spark):
+    from iowa_liquor_sales_spark.operators.aggregates import lorenz_deciles
+
+    # equal masses -> deciles each carry exactly 10%
+    eq = spark.createDataFrame([(i, 5) for i in range(100)], ["id", "v"])
+    got = {r["bin"]: r for r in lorenz_deciles(eq, "v", "id").collect()}
+    assert got[0]["cum_share_ppm"] == 100_000
+    assert got[9]["cum_share_ppm"] == 1_000_000
+
+    # one giant holder: bottom 9 deciles carry 90 of 1090 mass
+    conc = spark.createDataFrame(
+        [(i, 1) for i in range(99)] + [(99, 991)], ["id", "v"]
+    )
+    got = {r["bin"]: r for r in lorenz_deciles(conc, "v", "id").collect()}
+    assert got[8]["cum_share_ppm"] == 90 * 1_000_000 // 1090
+    assert got[9]["cum_share_ppm"] == 1_000_000
