@@ -9220,6 +9220,30 @@ def q_lorenz(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_logrank(spark: SparkSession, sf: str) -> DataFrame:
+    # Two-group log-rank (Mantel-Cox) test on the q_kaplan_meier
+    # survival setup (quality.logrank_test): do high-priority orders
+    # ship on a different delay curve? Administrative censoring at 45
+    # days; per-event-time O-E and variance terms on exact 1e6 grids
+    # before pooling; the at-risk machinery runs on the O(groups x 46)
+    # time-domain relation, never data rows.
+    from iowa_liquor_sales_spark.operators.quality import logrank_test
+
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    dur = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.least(dur, F.lit(45)).alias("t"),
+        (dur < 45).alias("e"),
+        (F.col("o_orderpriority") < "3").alias("g"),
+    )
+    return logrank_test(d, "t", "e", "g")
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9251,7 +9275,8 @@ def q_lorenz(spark: SparkSession, sf: str) -> DataFrame:
 # q_harmonic_centrality, q_assortativity, q_modularity,
 # q_cohens_kappa, q_mcc, q_theil_u, q_drawdown, q_decayed_topk,
 # q_cronbach, q_dedup_cascade, q_sax_words, q_lift_table, q_ece,
-# q_oov_rate, q_moments, q_mantel_haenszel, q_ljung_box, q_lorenz.
+# q_oov_rate, q_moments, q_mantel_haenszel, q_ljung_box, q_lorenz,
+# q_logrank.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -9713,6 +9738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mantel_haenszel": q_mantel_haenszel,
         "q_ljung_box": q_ljung_box,
         "q_lorenz": q_lorenz,
+        "q_logrank": q_logrank,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -16259,4 +16285,54 @@ def oracle_sql() -> dict[str, str]:
                              // (SELECT mass FROM tot) END AS BIGINT)
                      AS cum_share_ppm
             FROM cum""",
+        "q_logrank": """
+            WITH d AS (
+              SELECT least(date_diff('day', CAST(o_orderdate AS DATE),
+                                     CAST(l_shipdate AS DATE)), 45) AS t,
+                     CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) < 45
+                          THEN 1 ELSE 0 END AS e,
+                     CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END
+                       AS g
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            gt AS (SELECT g, t, COUNT(*) AS c, SUM(e) AS o
+                   FROM d GROUP BY 1, 2),
+            ti AS (SELECT DISTINCT t FROM d),
+            gr AS (SELECT DISTINCT g FROM d),
+            dense AS (
+              SELECT gr.g, ti.t,
+                     SUM(CASE WHEN gt.t >= ti.t THEN gt.c ELSE 0 END)
+                       AS nr,
+                     SUM(CASE WHEN gt.t = ti.t THEN gt.o ELSE 0 END)
+                       AS o
+              FROM ti CROSS JOIN gr JOIN gt ON gt.g = gr.g
+              GROUP BY gr.g, ti.t),
+            g1 AS (SELECT t, nr AS n1, o AS o1 FROM dense WHERE g = 1),
+            g0 AS (SELECT t, nr AS n0, o AS o0 FROM dense WHERE g = 0),
+            p AS (SELECT t, o1, o1 + o0 AS ot,
+                         CAST(n1 AS DOUBLE) AS n1,
+                         CAST(n1 + n0 AS DOUBLE) AS nt
+                  FROM g1 JOIN g0 USING (t)
+                  WHERE o1 + o0 > 0 AND n1 + n0 > 1),
+            terms AS (SELECT o1,
+                        CAST(round(1e6 * (CAST(o1 AS DOUBLE)
+                             - CAST(ot AS DOUBLE) * n1 / nt))
+                             AS BIGINT) AS num,
+                        CAST(round(1e6 * CAST(ot AS DOUBLE) * (n1 / nt)
+                             * (1.0 - n1 / nt)
+                             * (nt - CAST(ot AS DOUBLE)) / (nt - 1.0))
+                             AS BIGINT) AS vr
+                      FROM p),
+            s AS (SELECT COUNT(*) AS n_event_times, SUM(o1) AS o1_total,
+                         SUM(num) AS s_e6, SUM(vr) AS v_e6
+                  FROM terms)
+            SELECT CAST(n_event_times AS BIGINT) AS n_event_times,
+                   CAST(o1_total AS BIGINT) AS o1_total,
+                   CAST(s_e6 AS BIGINT) AS s_e6,
+                   CAST(v_e6 AS BIGINT) AS v_e6,
+                   CAST(CASE WHEN v_e6 <= 0 THEN 0
+                        ELSE floor(CAST(s_e6 AS DOUBLE) * 1e3
+                                   / sqrt(CAST(v_e6 AS DOUBLE)))
+                        END AS BIGINT) AS z_ppm
+            FROM s""",
     }

@@ -158,6 +158,7 @@ HEADLINE = [
     "q_mantel_haenszel",
     "q_ljung_box",
     "q_lorenz",
+    "q_logrank",
 ]
 
 

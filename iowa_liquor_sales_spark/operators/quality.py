@@ -1541,3 +1541,113 @@ def mantel_haenszel_or(
             " END AS BIGINT)"
         ).alias("or_mh_ppm"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel–Cox) — "do the two survival
+    curves differ", the inferential companion to the Kaplan–Meier
+    estimator: at every distinct event time, observed vs expected
+    events in group 1 under the shared-hazard null, pooled into one z.
+
+    ``group_col`` must be boolean-ish (group 1 = true). Dataflow: one
+    (group, time) count aggregate on the fact; at-risk counts come from
+    a cumulative window over the O(groups × distinct-times) relation
+    (bounded by the time domain — duration days, not rows). Per-time
+    O−E and variance terms round to exact 1e6 integers BEFORE pooling
+    (the term_kl convention, identical fixed-shape formulas in both
+    engines), and z finishes with one double sqrt, floor-scaled ppm.
+
+    Returns one row: (n_event_times, o1_total, s_e6, v_e6, z_ppm).
+    """
+    d = df.select(
+        F.col(time_col).cast("long").alias("t"),
+        F.col(event_col).cast("boolean").cast("int").alias("e"),
+        F.col(group_col).cast("boolean").cast("int").alias("g"),
+    )
+    gt = d.groupBy("g", "t").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("e").alias("o"),
+    )
+    # Dense per-time join of the two groups (missing side -> 0 events,
+    # at-risk = next-higher time's at-risk, i.e. the group's cumulative
+    # count of times >= t even when the group has no row AT t). Build
+    # the dense grid from distinct times x the O(2) group relation.
+    times = d.select("t").distinct()
+    groups = d.select("g").distinct()
+    grid = times.crossJoin(F.broadcast(groups))
+    # at-risk for (g, t) = count of the group's rows with time >= t:
+    # join the group's full per-time counts and re-aggregate — still
+    # O(groups x times^2 / 2) on a <=O(100)-row relation.
+    cnts = gt.select("g", F.col("t").alias("t2"), "c", "o")
+    dense = (
+        grid.join(cnts, "g")
+        .groupBy("g", "t")
+        .agg(
+            F.sum(
+                F.when(F.col("t2") >= F.col("t"), F.col("c")).otherwise(0)
+            ).alias("nr"),
+            F.sum(
+                F.when(F.col("t2") == F.col("t"), F.col("o")).otherwise(0)
+            ).alias("o"),
+        )
+    )
+    g1 = dense.filter(F.col("g") == 1).select(
+        "t", F.col("nr").alias("n1"), F.col("o").alias("o1")
+    )
+    g0 = dense.filter(F.col("g") == 0).select(
+        "t", F.col("nr").alias("n0"), F.col("o").alias("o0")
+    )
+    per_t = (
+        g1.join(g0, "t")
+        .select(
+            "t",
+            "o1",
+            (F.col("o1") + F.col("o0")).alias("ot"),
+            F.col("n1").cast("double").alias("n1"),
+            (F.col("n1") + F.col("n0")).cast("double").alias("nt"),
+        )
+        .filter((F.col("ot") > 0) & (F.col("nt") > 1))
+    )
+    num = F.round(
+        F.lit(1e6)
+        * (
+            F.col("o1").cast("double")
+            - F.col("ot").cast("double") * F.col("n1") / F.col("nt")
+        ),
+        0,
+    ).cast("long")
+    var = F.round(
+        F.lit(1e6)
+        * F.col("ot").cast("double")
+        * (F.col("n1") / F.col("nt"))
+        * (F.lit(1.0) - F.col("n1") / F.col("nt"))
+        * (F.col("nt") - F.col("ot").cast("double"))
+        / (F.col("nt") - F.lit(1.0)),
+        0,
+    ).cast("long")
+    s = per_t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+        F.sum("o1").cast("long").alias("o1_total"),
+        F.sum(num).cast("long").alias("s_e6"),
+        F.sum(var).cast("long").alias("v_e6"),
+    )
+    return s.select(
+        "n_event_times",
+        "o1_total",
+        "s_e6",
+        "v_e6",
+        F.when(F.col("v_e6") <= 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.col("s_e6").cast("double")
+                * F.lit(1e3)
+                / F.sqrt(F.col("v_e6").cast("double"))
+            ).cast("long")
+        )
+        .alias("z_ppm"),
+    )

@@ -2121,3 +2121,45 @@ def test_lorenz_deciles_uniform_and_concentrated(spark):
     got = {r["bin"]: r for r in lorenz_deciles(conc, "v", "id").collect()}
     assert got[8]["cum_share_ppm"] == 90 * 1_000_000 // 1090
     assert got[9]["cum_share_ppm"] == 1_000_000
+
+
+def test_logrank_mirror_and_identical_groups(spark):
+    from iowa_liquor_sales_spark.operators.quality import logrank_test
+
+    # identical survival experience in both groups -> O = E -> z = 0
+    # (numerator terms cancel exactly on the grid: equal group sizes
+    # and equal event patterns give O1 = O/2 = O*N1/N)
+    same = [(t, 1, g) for g in (0, 1) for t in (1, 2, 3, 4)]
+    df = spark.createDataFrame(same, ["t", "e", "g"])
+    got = logrank_test(df, "t", "e", "g").head()
+    assert got["s_e6"] == 0 and got["z_ppm"] == 0
+
+    # hand data, python mirror with the identical op order
+    rows = [(1, 1, 1), (2, 1, 1), (3, 1, 1), (2, 1, 0), (3, 1, 0), (4, 1, 0)]
+    got = logrank_test(
+        spark.createDataFrame(rows, ["t", "e", "g"]), "t", "e", "g"
+    ).head()
+    import math
+
+    def at_risk(g, t):
+        return sum(1 for tt, _, gg in rows if gg == g and tt >= t)
+
+    s_e6 = v_e6 = 0
+    n_times = 0
+    for t in sorted({t for t, _, _ in rows}):
+        o1 = sum(1 for tt, e, gg in rows if tt == t and gg == 1 and e)
+        o0 = sum(1 for tt, e, gg in rows if tt == t and gg == 0 and e)
+        ot = o1 + o0
+        n1 = float(at_risk(1, t))
+        nt = float(at_risk(1, t) + at_risk(0, t))
+        if ot <= 0 or nt <= 1:
+            continue
+        n_times += 1
+        s_e6 += round(1e6 * (float(o1) - float(ot) * n1 / nt))
+        v_e6 += round(
+            1e6 * float(ot) * (n1 / nt) * (1.0 - n1 / nt)
+            * (nt - float(ot)) / (nt - 1.0)
+        )
+    assert got["n_event_times"] == n_times
+    assert got["s_e6"] == s_e6 and got["v_e6"] == v_e6
+    assert got["z_ppm"] == math.floor(s_e6 * 1e3 / math.sqrt(v_e6))
