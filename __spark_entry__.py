@@ -9244,6 +9244,50 @@ def q_logrank(spark: SparkSession, sf: str) -> DataFrame:
     return logrank_test(d, "t", "e", "g")
 
 
+def q_by_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    # Benjamini-Yekutieli FDR (quality.by_fdr) over the SAME Chebyshev
+    # per-user hypotheses as q_bh_fdr — the arbitrary-dependence
+    # step-up: threshold shrinks by the harmonic c(m) on the 1e9 grid
+    # (computed once from the 1-row count, never per hypothesis),
+    # DECIMAL(38,0) cross-multiplied criterion.
+    from iowa_liquor_sales_spark.operators.quality import by_fdr
+
+    ev = read_table(spark, sf, "events")
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = c.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("tot2"),
+    )
+    hyp = c.join(F.broadcast(stats)).select(
+        "user_id",
+        F.expr(
+            "CASE WHEN n * m - tot = 0 THEN 1000000 ELSE least(1000000,"
+            " CAST((CAST(m AS DECIMAL(38,0)) * tot2 - CAST(tot AS"
+            " DECIMAL(38,0)) * tot) * 1000000"
+            " div ((CAST(n AS DECIMAL(38,0)) * m - tot)"
+            " * (CAST(n AS DECIMAL(38,0)) * m - tot)) AS BIGINT)) END"
+        ).alias("p_ppm"),
+    )
+    return by_fdr(hyp, "user_id", "p_ppm", alpha_ppm=100_000)
+
+
+def q_lsh_plan(spark: SparkSession, sf: str) -> DataFrame:
+    # MinHash-LSH band-planning table (dedup.lsh_band_plan): every
+    # (bands, rows) factorization of a 128-hash signature with its
+    # (1/b)^(1/r) S-curve threshold on the e6 floor grid, and the plan
+    # closest to a 0.5 target flagged — the pre-flight knob calculator
+    # for minhash_lsh_pairs, companion to the measured calibration
+    # report.
+    from iowa_liquor_sales_spark.operators.dedup import lsh_band_plan
+
+    return lsh_band_plan(
+        spark, n_hashes=128, target_jaccard_ppm=500_000
+    )
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9276,7 +9320,7 @@ def q_logrank(spark: SparkSession, sf: str) -> DataFrame:
 # q_cohens_kappa, q_mcc, q_theil_u, q_drawdown, q_decayed_topk,
 # q_cronbach, q_dedup_cascade, q_sax_words, q_lift_table, q_ece,
 # q_oov_rate, q_moments, q_mantel_haenszel, q_ljung_box, q_lorenz,
-# q_logrank.
+# q_logrank, q_by_fdr, q_lsh_plan.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -9739,6 +9783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ljung_box": q_ljung_box,
         "q_lorenz": q_lorenz,
         "q_logrank": q_logrank,
+        "q_by_fdr": q_by_fdr,
+        "q_lsh_plan": q_lsh_plan,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -16335,4 +16381,53 @@ def oracle_sql() -> dict[str, str]:
                                    / sqrt(CAST(v_e6 AS DOUBLE)))
                         END AS BIGINT) AS z_ppm
             FROM s""",
+        "q_by_fdr": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n
+                       FROM events GROUP BY user_id),
+            stats AS (SELECT COUNT(*) AS m, SUM(n) AS tot,
+                             SUM(n * n) AS tot2
+                      FROM c),
+            hyp AS (
+              SELECT user_id,
+                     CASE WHEN n * m - tot = 0 THEN 1000000
+                          ELSE least(1000000, CAST(
+                            (CAST(m AS HUGEINT) * tot2
+                             - CAST(tot AS HUGEINT) * tot) * 1000000
+                            // ((CAST(n AS HUGEINT) * m - tot)
+                                * (CAST(n AS HUGEINT) * m - tot))
+                            AS BIGINT)) END AS p_ppm
+              FROM c, stats),
+            cm AS (SELECT COUNT(*) AS m2 FROM hyp),
+            harm AS (SELECT SUM(1000000000 // j) AS c_e9
+                     FROM generate_series(1, 1000000) AS t(j), cm
+                     WHERE j <= cm.m2),
+            ranked AS (
+              SELECT user_id AS id, p_ppm,
+                     row_number() OVER (ORDER BY p_ppm, user_id) AS rnk
+              FROM hyp),
+            cut AS (SELECT MAX(CASE WHEN CAST(p_ppm AS HUGEINT)
+                                         * (SELECT m2 FROM cm)
+                                         * (SELECT c_e9 FROM harm)
+                                    <= CAST(rnk AS HUGEINT) * 100000
+                                       * 1000000000
+                                    THEN rnk ELSE 0 END) AS k
+                    FROM ranked)
+            SELECT id, p_ppm, rnk, rnk <= k AS reject
+            FROM ranked, cut""",
+        "q_lsh_plan": """
+            WITH d AS (SELECT CAST(b AS INTEGER) AS bands,
+                              CAST(128 / b AS INTEGER) AS rows_per_band
+                       FROM generate_series(1, 128) AS t(b)
+                       WHERE 128 % b = 0),
+            thr AS (SELECT bands, rows_per_band,
+                           CAST(floor(pow(1.0 / bands,
+                                1.0 / rows_per_band) * 1e6) AS BIGINT)
+                             AS threshold_ppm
+                    FROM d),
+            best AS (SELECT bands AS bb FROM thr
+                     ORDER BY abs(threshold_ppm - 500000), bands
+                     LIMIT 1)
+            SELECT bands, rows_per_band, threshold_ppm,
+                   bands = (SELECT bb FROM best) AS recommended
+            FROM thr ORDER BY bands""",
     }

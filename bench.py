@@ -159,6 +159,8 @@ HEADLINE = [
     "q_ljung_box",
     "q_lorenz",
     "q_logrank",
+    "q_by_fdr",
+    "q_lsh_plan",
 ]
 
 

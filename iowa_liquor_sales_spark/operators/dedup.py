@@ -1059,3 +1059,54 @@ def minhash_calibration_report(
             F.expr("sum(err) div count(1)").cast("long").alias("mean_abs_err_ppm"),
         )
     )
+
+
+def lsh_band_plan(
+    spark,
+    n_hashes: int = 128,
+    target_jaccard_ppm: int = 500_000,
+) -> DataFrame:
+    """MinHash-LSH tuning table: every (bands, rows) factorization of
+    the signature length with its S-curve threshold ``(1/b)^(1/r)`` —
+    the similarity where a pair's collision probability crosses ~50% —
+    plus the plan whose threshold sits closest to the target. The
+    pre-flight calculation behind :func:`minhash_lsh_pairs`' ``bands``
+    knob, companion to the measured :func:`minhash_calibration` report
+    (plan first, verify after).
+
+    Thresholds are ``floor(pow(1/b, 1/r)·1e6)`` — one libm pow per
+    O(divisors) row, the decayed-leaderboard precedent. Pure O(d(n))
+    local computation; no data touched.
+    """
+    divs = [b for b in range(1, n_hashes + 1) if n_hashes % b == 0]
+    base = spark.createDataFrame(
+        [(b, n_hashes // b) for b in divs], "bands int, rows_per_band int"
+    )
+    thr = F.floor(
+        F.pow(
+            F.lit(1.0) / F.col("bands").cast("double"),
+            F.lit(1.0) / F.col("rows_per_band").cast("double"),
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    t = base.select("bands", "rows_per_band", thr.alias("threshold_ppm"))
+    best = t.select(
+        F.min(
+            F.struct(
+                F.abs(
+                    F.col("threshold_ppm") - F.lit(int(target_jaccard_ppm))
+                ).alias("gap"),
+                F.col("bands").alias("b"),
+            )
+        ).alias("bst")
+    )
+    return (
+        t.crossJoin(F.broadcast(best))
+        .select(
+            "bands",
+            "rows_per_band",
+            "threshold_ppm",
+            (F.col("bands") == F.col("bst.b")).alias("recommended"),
+        )
+        .orderBy("bands")
+    )

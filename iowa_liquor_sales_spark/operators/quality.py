@@ -1651,3 +1651,60 @@ def logrank_test(
         )
         .alias("z_ppm"),
     )
+
+
+def by_fdr(
+    hypotheses: DataFrame,
+    id_col: str,
+    p_col: str = "p_ppm",
+    alpha_ppm: int = 100_000,
+) -> DataFrame:
+    """Benjamini–Yekutieli FDR step-up — :func:`bh_fdr`'s conservative
+    sibling that holds under ARBITRARY dependence between hypotheses
+    (Benjamini & Yekutieli 2001): the BH threshold shrinks by the
+    harmonic factor ``c(m) = Σ_{j=1..m} 1/j``. The right default when
+    per-slice quality checks share data (overlapping shards, nested
+    slices) and independence cannot be argued.
+
+    Grid contract: ``c(m)`` lands on the integer 1e9 grid as
+    ``Σ (1e9 div j)`` (computed ONCE from the 1-row count relation,
+    never per hypothesis), and the step-up comparison cross-multiplies
+    in DECIMAL(38,0): ``p·m·c_e9 ≤ rnk·alpha·1e9`` — exact and
+    identical in any engine. Same grouped-first O(m)-window shape as
+    BH.
+
+    Returns (id, p_ppm, rnk, reject).
+    """
+    from pyspark.sql import Window
+
+    cm = hypotheses.agg(F.count(F.lit(1)).cast("long").alias("m")).select(
+        "m",
+        F.expr(
+            "aggregate(sequence(1, CAST(m AS INT)),"
+            " CAST(0 AS BIGINT), (acc, j) -> acc + 1000000000 div j)"
+        ).alias("c_e9"),
+    )
+    w = Window.orderBy(F.col("p"), F.col("id"))
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        hypotheses.select(
+            F.col(id_col).alias("id"), F.col(p_col).cast("long").alias("p")
+        )
+        .select("id", "p", F.row_number().over(w).cast("long").alias("rnk"))
+        .crossJoin(broadcast(cm))
+    )
+    crit = F.expr(
+        f"CAST(p AS DECIMAL(38,0)) * m * c_e9"
+        f" <= CAST(rnk AS DECIMAL(38,0)) * {int(alpha_ppm)} * 1000000000"
+    )
+    cutoff = F.max(F.when(crit, F.col("rnk")).otherwise(F.lit(0))).over(
+        wall
+    )
+    return ranked.select(
+        F.col("id"),
+        F.col("p").alias("p_ppm"),
+        "rnk",
+        (F.col("rnk") <= cutoff).alias("reject"),
+    )

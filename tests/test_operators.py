@@ -2163,3 +2163,53 @@ def test_logrank_mirror_and_identical_groups(spark):
     assert got["n_event_times"] == n_times
     assert got["s_e6"] == s_e6 and got["v_e6"] == v_e6
     assert got["z_ppm"] == math.floor(s_e6 * 1e3 / math.sqrt(v_e6))
+
+
+def test_by_fdr_more_conservative_than_bh(spark):
+    from iowa_liquor_sales_spark.operators.quality import bh_fdr, by_fdr
+
+    # planted signal: 3 tiny p-values among 20; BY must reject a
+    # SUBSET of BH's rejections (c(m) > 1 shrinks every threshold)
+    ps = [1000, 2000, 3000] + [800_000 + i * 9000 for i in range(17)]
+    hyp = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], ["id", "p_ppm"]
+    )
+    bh = {r["id"]: r["reject"] for r in bh_fdr(hyp, "id").collect()}
+    by = {r["id"]: r["reject"] for r in by_fdr(hyp, "id").collect()}
+    assert any(bh.values())
+    assert all(bh[i] for i in by if by[i])  # BY ⊆ BH
+    # exact threshold mirror: c(20) on the 1e9 grid
+    c_e9 = sum(1_000_000_000 // j for j in range(1, 21))
+    m = 20
+    expect = set()
+    ranked = sorted((p, i) for i, p in enumerate(ps))
+    cutoff = 0
+    for rnk, (p, i) in enumerate(ranked, start=1):
+        if p * m * c_e9 <= rnk * 100_000 * 1_000_000_000:
+            cutoff = rnk
+    for rnk, (p, i) in enumerate(ranked, start=1):
+        if rnk <= cutoff:
+            expect.add(i)
+    assert {i for i in by if by[i]} == expect
+
+
+def test_lsh_band_plan_known_thresholds(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.dedup import lsh_band_plan
+
+    got = {
+        r["bands"]: r
+        for r in lsh_band_plan(spark, 128, 500_000).collect()
+    }
+    # all 8 divisor factorizations of 128 present
+    assert set(got) == {1, 2, 4, 8, 16, 32, 64, 128}
+    for b, r in got.items():
+        exp = math.floor((1.0 / b) ** (1.0 / r["rows_per_band"]) * 1e6)
+        assert r["threshold_ppm"] == exp
+    # exactly one recommendation, at the argmin |threshold - 0.5e6|
+    recs = [b for b, r in got.items() if r["recommended"]]
+    best = min(
+        got, key=lambda b: (abs(got[b]["threshold_ppm"] - 500_000), b)
+    )
+    assert recs == [best]
