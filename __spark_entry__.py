@@ -9288,6 +9288,294 @@ def q_lsh_plan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    # Kendall tau-b between order-line quantity and line number
+    # (aggregates.kendall_tau_b): the pair counting never touches row
+    # pairs — one groupBy collapses to the O(50x7) contingency-cell
+    # relation, concordant/discordant mass is a broadcast nested-loop
+    # quadrant sum over CELL pairs, exact DECIMAL(38,0) throughout,
+    # one double sqrt per tie factor on the ppb grid.
+    from iowa_liquor_sales_spark.operators.aggregates import kendall_tau_b
+
+    return kendall_tau_b(
+        read_table(spark, sf, "lineitem"), "l_quantity", "l_linenumber"
+    )
+
+
+def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
+    # 1-D earth-mover's distance between English and Spanish doc-length
+    # distributions (quality.wasserstein_1d): the drift metric that
+    # weighs HOW FAR mass moved, unlike KS's worst-gap. Grouped-first:
+    # the CDF cross-difference runs over the O(distinct) support
+    # relation, exact DECIMAL(38,0), ppm truncating div.
+    from iowa_liquor_sales_spark.operators.quality import wasserstein_1d
+
+    return wasserstein_1d(
+        read_table(spark, sf, "documents"), "n_chars", "lang", "en", "es"
+    )
+
+
+def q_effect_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    # Standardized effect sizes en-vs-es doc length (quality.
+    # effect_sizes): Cohen's d / Hedges' g from one exact integer-
+    # moment pass, Cliff's delta from strict-below/above prefix sums
+    # over the O(distinct) support relation — the "is the difference
+    # MEANINGFUL" companion to the significance tests, which at corpus
+    # scale reject everything.
+    from iowa_liquor_sales_spark.operators.quality import effect_sizes
+
+    return effect_sizes(
+        read_table(spark, sf, "documents"), "n_chars", "lang", "en", "es"
+    )
+
+
+def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
+    # Cochran-Armitage trend test: does the return-flag rate trend
+    # with line number (quality.cochran_armitage)? Spends its single
+    # degree of freedom on the LINEAR trend the plain chi-squared
+    # ignores; everything reduces to the O(#doses) contingency
+    # relation, exact DECIMAL(38,0), one double sqrt on the ppm grid.
+    from iowa_liquor_sales_spark.operators.quality import cochran_armitage
+
+    li = read_table(spark, sf, "lineitem").select(
+        "l_linenumber", (F.col("l_returnflag") == "R").alias("is_r")
+    )
+    return cochran_armitage(li, "l_linenumber", "is_r")
+
+
+def q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    # McNemar's paired test between two length-threshold classifiers
+    # predicting the 'en' label on the SAME docs (quality.mcnemar_test):
+    # the paired-eval significance check whose information is entirely
+    # in the discordant counts; pure-integer statistic on the ppm grid.
+    from iowa_liquor_sales_spark.operators.quality import mcnemar_test
+
+    d = read_table(spark, sf, "documents").select(
+        (F.col("lang") == "en").alias("y"),
+        (F.col("n_chars") >= 500).alias("pa"),
+        (F.col("n_chars") >= 800).alias("pb"),
+    )
+    return mcnemar_test(d, "y", "pa", "pb")
+
+
+def q_durbin_watson(spark: SparkSession, sf: str) -> DataFrame:
+    # Durbin-Watson lag-1 serial-correlation diagnostic per event type
+    # (temporal.durbin_watson): one hash-partitioned per-key window lag
+    # + one combinable aggregate; residuals cleared of the mean by
+    # scaling with n so every term stays exact DECIMAL(38,0); ppm
+    # truncating div. The single-number companion to q_ljung_box.
+    from iowa_liquor_sales_spark.operators.temporal import durbin_watson
+
+    return durbin_watson(
+        read_table(spark, sf, "events"), "event_type", "event_id", "value"
+    ).withColumnRenamed("event_type", "etype")
+
+
+def q_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    # Leakage-free out-of-fold target encoding of order priority by
+    # mean order value (curation.target_encode_oof): folds from the
+    # engine-portable md5 hash of the order key, per-(cat, fold) sums
+    # in one combinable pass, OOF mean = (total - own fold) on the
+    # cents truncating-div grid — the classic "don't let the row see
+    # its own label" encoder for training pipelines.
+    from iowa_liquor_sales_spark.operators.curation import target_encode_oof
+
+    return target_encode_oof(
+        read_table(spark, sf, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        n_folds=5,
+    )
+
+
+def q_randomization_test(spark: SparkSession, sf: str) -> DataFrame:
+    # Randomization (approximate permutation) test of the en-vs-es
+    # mean doc-length difference (quality.randomization_test): 100
+    # pseudo-assignments from the engine-portable md5 hash of
+    # (doc_id, replicate), each replicate's statistic compared to the
+    # observed one by cross-multiplied integer sums — the
+    # distribution-free p-value with no variance formula. The explode
+    # collapses through a map-side-combinable groupBy(rep), so the
+    # shuffle carries O(n_reps) rows per task.
+    from iowa_liquor_sales_spark.operators.quality import randomization_test
+
+    return randomization_test(
+        read_table(spark, sf, "documents"),
+        "n_chars",
+        "lang",
+        "en",
+        "es",
+        id_col="doc_id",
+        n_reps=100,
+    )
+
+
+def q_dp_mean(spark: SparkSession, sf: str) -> DataFrame:
+    # Differential-privacy mean release of doc length per source
+    # (quality.dp_noisy_mean): clip to [0, 2000], Laplace-noised sum
+    # (eps/2) over Laplace-noised count (eps/2) — the budget-split mean
+    # mechanism, with the same LOUD determinism caveat as
+    # q_dp_histogram (hash-derived noise = testable, NOT private; swap
+    # in a true RNG for production).
+    from iowa_liquor_sales_spark.operators.quality import dp_noisy_mean
+
+    return dp_noisy_mean(
+        read_table(spark, sf, "documents"),
+        ["source"],
+        "n_chars",
+        clip_lo=0,
+        clip_hi=2000,
+        epsilon=1.0,
+    )
+
+
+def q_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    # Neighborhood-Jaccard link prediction over the same bipartite
+    # customer/order projection as q_adamic_adar (graph.
+    # neighbor_jaccard): the size-invariant companion score — common
+    # neighbors over the union of neighborhoods, computed from the
+    # wedge self-join (O(sum deg^2), never all-pairs; max_deg prunes
+    # hub middles) with a pure-integer ppm score.
+    from iowa_liquor_sales_spark.operators.graph import neighbor_jaccard
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 4000).alias("src"),
+        ((F.col("o_orderkey") % 6000) + 4000).alias("dst"),
+    )
+    return neighbor_jaccard(edges, max_deg=300, min_common=2)
+
+
+
+def q_map_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    # MAP@10 and MRR@10 of the embedding space against its labels
+    # (similarity.map_mrr_at_k): the recall-oriented and first-hit IR
+    # eval numbers next to q_ndcg — same broadcast-anchor exact-L2
+    # dataflow, per-term precision on the (cum_rel*1e6) div r integer
+    # grid, pure-integer reciprocal rank.
+    from iowa_liquor_sales_spark.operators.similarity import map_mrr_at_k
+
+    return map_mrr_at_k(
+        read_table(spark, sf, "embeddings"), n_queries=8, k=10
+    )
+
+
+def q_holm(spark: SparkSession, sf: str) -> DataFrame:
+    # Holm-Bonferroni step-DOWN FWER control (quality.holm_bonferroni)
+    # over the SAME Chebyshev per-user hypotheses as q_bh_fdr/q_by_fdr
+    # — rejects the maximal PREFIX of the p-sorted list where every
+    # p_(i) <= alpha/(m-i+1); all-integer step-down over the O(m)
+    # hypothesis relation.
+    from iowa_liquor_sales_spark.operators.quality import holm_bonferroni
+
+    ev = read_table(spark, sf, "events")
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = c.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("tot2"),
+    )
+    hyp = c.join(F.broadcast(stats)).select(
+        "user_id",
+        F.expr(
+            "CASE WHEN n * m - tot = 0 THEN 1000000 ELSE least(1000000,"
+            " CAST((CAST(m AS DECIMAL(38,0)) * tot2 - CAST(tot AS"
+            " DECIMAL(38,0)) * tot) * 1000000"
+            " div ((CAST(n AS DECIMAL(38,0)) * m - tot)"
+            " * (CAST(n AS DECIMAL(38,0)) * m - tot)) AS BIGINT)) END"
+        ).alias("p_ppm"),
+    )
+    return holm_bonferroni(hyp, "user_id", "p_ppm", alpha_ppm=100_000)
+
+
+def q_audio_zcr(spark: SparkSession, sf: str) -> DataFrame:
+    # Audio zero-crossing rate per 256-sample frame (multimodal/
+    # binary_ops.audio_zero_crossings): the voiced/unvoiced + noisiness
+    # feature next to q_multimodal_rms's energy — same Arrow
+    # mapInPandas zero-copy PCM reinterpret, pure-integer transition
+    # count, frames independently recomputable under repartitioning.
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        attach_payload,
+        audio_zero_crossings,
+    )
+
+    docs = attach_payload(read_table(spark, sf, "documents"))
+    return audio_zero_crossings(docs)
+
+
+def q_hurst(spark: SparkSession, sf: str) -> DataFrame:
+    # Hurst exponent per event-type series via rescaled-range analysis
+    # (temporal.hurst_rs): complete chunks at w=8/16/32/64, exact
+    # n-scaled cumulative deviations (DECIMAL(38,0)), one double sqrt
+    # per chunk on the ppm grid, zipf-convention ln-ln regression —
+    # the "does this metric have memory" long-range-dependence
+    # diagnostic.
+    from iowa_liquor_sales_spark.operators.temporal import hurst_rs
+
+    return hurst_rs(
+        read_table(spark, sf, "events"), "event_type", "event_id", "value"
+    ).withColumnRenamed("event_type", "etype")
+
+
+
+def q_isotonic(spark: SparkSession, sf: str) -> DataFrame:
+    # Isotonic (PAV) calibration of P(lang='en') as a non-decreasing
+    # function of the doc-length decile grid (quality.
+    # isotonic_calibration): the sequential pooling loop re-expressed
+    # as the closed minimax form — two window passes over the
+    # O(levels^2) interval relation, nothing sequential, no driver
+    # loop. The quantized-score contract bounds levels.
+    from iowa_liquor_sales_spark.operators.quality import (
+        isotonic_calibration,
+    )
+
+    d = read_table(spark, sf, "documents").select(
+        F.expr("CAST(n_chars div 100 AS BIGINT)").alias("bucket"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return isotonic_calibration(d, "bucket", "is_en")
+
+
+def q_quadratic_fit(spark: SparkSession, sf: str) -> DataFrame:
+    # Degree-2 OLS of daily revenue on the day index (aggregates.
+    # quadratic_fit): is growth accelerating or saturating — the
+    # curvature question the linear slopes can't answer. Seven exact
+    # DECIMAL(38,0) moments in one combinable pass; Cramer's rule in
+    # double (identical IEEE both engines), ppm grid.
+    from iowa_liquor_sales_spark.operators.aggregates import quadratic_fit
+
+    o = read_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("t")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    return quadratic_fit(daily, "t", "cents")
+
+
+
+def q_auc_delong(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact ROC-AUC with its DeLong 95% confidence interval (quality.
+    # auc_delong_ci) for the q_auc score/label pair: the placement
+    # variances collapse to exact DECIMAL(38,0) moments over the
+    # O(distinct-scores) relation (placements are constant within a
+    # score group), one double sqrt for the standard error. The CI is
+    # the number a model-gating decision actually needs.
+    from iowa_liquor_sales_spark.operators.quality import auc_delong_ci
+
+    docs = read_table(spark, sf, "documents").select(
+        F.floor(F.col("n_chars")).cast("long").alias("score"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return auc_delong_ci(docs, "score", "is_en")
+
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9785,6 +10073,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_logrank": q_logrank,
         "q_by_fdr": q_by_fdr,
         "q_lsh_plan": q_lsh_plan,
+        "q_kendall_tau": q_kendall_tau,
+        "q_wasserstein": q_wasserstein,
+        "q_effect_sizes": q_effect_sizes,
+        "q_cochran_armitage": q_cochran_armitage,
+        "q_mcnemar": q_mcnemar,
+        "q_durbin_watson": q_durbin_watson,
+        "q_target_encode": q_target_encode,
+        "q_randomization_test": q_randomization_test,
+        "q_dp_mean": q_dp_mean,
+        "q_neighbor_jaccard": q_neighbor_jaccard,
+        "q_map_mrr": q_map_mrr,
+        "q_holm": q_holm,
+        "q_audio_zcr": q_audio_zcr,
+        "q_hurst": q_hurst,
+        "q_isotonic": q_isotonic,
+        "q_quadratic_fit": q_quadratic_fit,
+        "q_auc_delong": q_auc_delong,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -16430,4 +16735,574 @@ def oracle_sql() -> dict[str, str]:
             SELECT bands, rows_per_band, threshold_ppm,
                    bands = (SELECT bb FROM best) AS recommended
             FROM thr ORDER BY bands""",
+        "q_kendall_tau": """
+            WITH cells AS (
+              SELECT l_quantity AS x, l_linenumber AS y,
+                     CAST(COUNT(*) AS HUGEINT) AS cnt
+              FROM lineitem GROUP BY 1, 2),
+            p AS (
+              SELECT SUM(CASE WHEN a.y < b.y THEN a.cnt * b.cnt
+                              ELSE 0 END) AS c,
+                     SUM(CASE WHEN a.y > b.y THEN a.cnt * b.cnt
+                              ELSE 0 END) AS d
+              FROM cells a JOIN cells b
+                ON a.x < b.x AND a.y <> b.y),
+            mx AS (SELECT SUM(cx * (cx - 1)) AS tx2, SUM(cx) AS n
+                   FROM (SELECT SUM(cnt) AS cx FROM cells GROUP BY x)),
+            my AS (SELECT SUM(cy * (cy - 1)) AS ty2
+                   FROM (SELECT SUM(cnt) AS cy FROM cells GROUP BY y))
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(c AS BIGINT) AS concordant,
+                   CAST(d AS BIGINT) AS discordant,
+                   CAST(floor(CAST(c - d AS DOUBLE)
+                        / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE) / 2.0)
+                        / sqrt(CAST(n * (n - 1) - ty2 AS DOUBLE) / 2.0)
+                        * 1e9) AS BIGINT) AS tau_b_ppb
+            FROM p, mx, my""",
+        "q_wasserstein": """
+            WITH d AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                              lang = 'en' AS is_a
+                       FROM documents WHERE lang IN ('en', 'es')),
+            c AS (SELECT v,
+                         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+                              AS BIGINT) AS ca,
+                         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END)
+                              AS BIGINT) AS cb
+                  FROM d GROUP BY v),
+            cum AS (SELECT v,
+                           CAST(SUM(ca) OVER (ORDER BY v) AS HUGEINT)
+                             AS cuma,
+                           CAST(SUM(cb) OVER (ORDER BY v) AS HUGEINT)
+                             AS cumb,
+                           lead(v) OVER (ORDER BY v) AS v_next
+                    FROM c),
+            tot AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+                           CAST(SUM(cb) AS HUGEINT) AS nb
+                    FROM c),
+            s AS (SELECT SUM(abs(cuma * nb - cumb * na)
+                             * CAST(v_next - v AS HUGEINT)) AS mass,
+                         ANY_VALUE(na) AS na, ANY_VALUE(nb) AS nb
+                  FROM cum, tot WHERE v_next IS NOT NULL)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   CAST((mass * 1000000) // (na * nb) AS BIGINT)
+                     AS w1_ppm
+            FROM s""",
+        "q_effect_sizes": """
+            WITH d AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                              lang = 'en' AS is_a
+                       FROM documents WHERE lang IN ('en', 'es')),
+            m AS (SELECT
+                    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS na,
+                    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END)
+                         AS HUGEINT) AS nb,
+                    CAST(SUM(CASE WHEN is_a THEN v ELSE 0 END)
+                         AS HUGEINT) AS sa,
+                    CAST(SUM(CASE WHEN is_a THEN 0 ELSE v END)
+                         AS HUGEINT) AS sb,
+                    CAST(SUM(CASE WHEN is_a THEN v * v ELSE 0 END)
+                         AS HUGEINT) AS ssa,
+                    CAST(SUM(CASE WHEN is_a THEN 0 ELSE v * v END)
+                         AS HUGEINT) AS ssb
+                  FROM d),
+            dg AS (SELECT na, nb,
+                     (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                     / sqrt(((CAST(ssa AS DOUBLE)
+                              - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                                / CAST(na AS DOUBLE))
+                             + (CAST(ssb AS DOUBLE)
+                                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                                  / CAST(nb AS DOUBLE)))
+                            / CAST(na + nb - 2 AS DOUBLE)) AS dd
+                   FROM m),
+            c AS (SELECT v,
+                         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+                              AS BIGINT) AS ca,
+                         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END)
+                              AS BIGINT) AS cb
+                  FROM d GROUP BY v),
+            sc AS (SELECT ca, cb,
+                          CAST(SUM(cb) OVER (ORDER BY v) - cb AS HUGEINT)
+                            AS b_below
+                   FROM c),
+            delta AS (SELECT SUM(CAST(ca AS HUGEINT)
+                              * (b_below - (tot.nb - b_below
+                                            - CAST(cb AS HUGEINT))))
+                               AS net,
+                             ANY_VALUE(tot.na) AS na,
+                             ANY_VALUE(tot.nb) AS nb
+                      FROM sc, (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+                                       CAST(SUM(cb) AS HUGEINT) AS nb
+                                FROM c) AS tot)
+            SELECT CAST(dg.na AS BIGINT) AS n_a,
+                   CAST(dg.nb AS BIGINT) AS n_b,
+                   CAST(floor(dd * 1e6) AS BIGINT) AS cohens_d_ppm,
+                   CAST(floor(dd * (1.0 - 3.0
+                        / (4.0 * CAST(dg.na + dg.nb AS DOUBLE) - 9.0))
+                        * 1e6) AS BIGINT) AS hedges_g_ppm,
+                   CAST((net * 1000000) // (delta.na * delta.nb)
+                        AS BIGINT) AS cliffs_delta_ppm
+            FROM dg, delta""",
+        "q_cochran_armitage": """
+            WITH doses AS (
+              SELECT CAST(l_linenumber AS BIGINT) AS w,
+                     CAST(COUNT(*) AS HUGEINT) AS ni,
+                     CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1
+                              ELSE 0 END) AS HUGEINT) AS ri
+              FROM lineitem GROUP BY 1),
+            s AS (SELECT SUM(ni) AS n, SUM(ri) AS r,
+                         SUM(w * ri) AS wr, SUM(w * ni) AS wn,
+                         SUM(w * w * ni) AS wwn
+                  FROM doses)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(r AS BIGINT) AS n_pos,
+                   CAST(floor(CAST(n * wr - r * wn AS DOUBLE)
+                        / sqrt(CAST(r * (n - r)
+                                    * (n * wwn - wn * wn) AS DOUBLE)
+                               / CAST(n - 1 AS DOUBLE))
+                        * 1e6) AS BIGINT) AS z_ppm
+            FROM s""",
+        "q_mcnemar": """
+            WITH d AS (SELECT (n_chars >= 500) = (lang = 'en') AS oka,
+                              (n_chars >= 800) = (lang = 'en') AS okb
+                       FROM documents),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(CASE WHEN oka AND NOT okb THEN 1
+                                  ELSE 0 END) AS BIGINT) AS b10,
+                         CAST(SUM(CASE WHEN NOT oka AND okb THEN 1
+                                  ELSE 0 END) AS BIGINT) AS b01
+                  FROM d)
+            SELECT n, b10 AS a_only_correct, b01 AS b_only_correct,
+                   CAST(CASE WHEN b10 + b01 = 0 THEN 0
+                        ELSE ((b10 - b01) * (b10 - b01) * 1000000)
+                             // (b10 + b01) END AS BIGINT) AS chi2_ppm
+            FROM s""",
+        "q_durbin_watson": """
+            WITH g AS (SELECT event_type AS k, event_id AS o,
+                              CAST(floor(value * 1000000) AS HUGEINT)
+                                AS v
+                       FROM events),
+            l AS (SELECT k, v,
+                         v - lag(v) OVER (PARTITION BY k ORDER BY o)
+                           AS dv
+                  FROM g),
+            s AS (SELECT k, CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(v) AS sv, SUM(v * v) AS svv,
+                         SUM(dv * dv) AS sdd
+                  FROM l GROUP BY k)
+            SELECT k AS etype, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * n * svv - n * sv * sv = 0 THEN NULL
+                        ELSE CAST((n * n * sdd * 1000000)
+                             // (n * n * svv - n * sv * sv) AS BIGINT)
+                        END AS dw_ppm
+            FROM s""",
+        "q_target_encode": """
+            WITH pf AS (
+              SELECT o_orderpriority AS cat,
+                     CAST(CAST(('0x' || substr(md5(
+                          CAST(o_orderkey AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 5 AS INTEGER) AS fold,
+                     CAST(COUNT(*) AS HUGEINT) AS cnt,
+                     CAST(SUM(CAST(floor(o_totalprice * 100)
+                              AS HUGEINT)) AS HUGEINT) AS s
+              FROM orders GROUP BY 1, 2),
+            tot AS (SELECT cat, SUM(cnt) AS tot_cnt, SUM(s) AS tot_s
+                    FROM pf GROUP BY cat)
+            SELECT pf.cat AS cat, pf.fold AS fold,
+                   CAST(cnt AS BIGINT) AS n_in,
+                   CAST(tot_cnt - cnt AS BIGINT) AS n_out,
+                   CASE WHEN tot_cnt - cnt = 0 THEN NULL
+                        ELSE CAST((tot_s - s) // (tot_cnt - cnt)
+                                  AS BIGINT) END AS enc
+            FROM pf JOIN tot USING (cat)""",
+        "q_randomization_test": """
+            WITH d AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS v,
+                              lang = 'en' AS is_a
+                       FROM documents WHERE lang IN ('en', 'es')),
+            tot AS (SELECT
+                      CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+                           AS HUGEINT) AS na,
+                      CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END)
+                           AS HUGEINT) AS nb,
+                      CAST(SUM(CASE WHEN is_a THEN v ELSE 0 END)
+                           AS HUGEINT) AS sa,
+                      CAST(SUM(CASE WHEN is_a THEN 0 ELSE v END)
+                           AS HUGEINT) AS sb
+                    FROM d),
+            asg AS (SELECT t.r AS rep, d.v,
+                      (CAST(('0x' || substr(md5(CAST(d.id AS VARCHAR)
+                            || '_' || CAST(t.r AS VARCHAR)), 1, 15))
+                            AS BIGINT)
+                       % CAST(tot.na + tot.nb AS BIGINT))
+                        < CAST(tot.na AS BIGINT) AS pa
+                    FROM d, tot, range(0, 100) AS t(r)),
+            reps AS (SELECT rep,
+                       CAST(SUM(CASE WHEN pa THEN 1 ELSE 0 END)
+                            AS HUGEINT) AS nar,
+                       CAST(SUM(CASE WHEN pa THEN 0 ELSE 1 END)
+                            AS HUGEINT) AS nbr,
+                       CAST(SUM(CASE WHEN pa THEN v ELSE 0 END)
+                            AS HUGEINT) AS sar,
+                       CAST(SUM(CASE WHEN pa THEN 0 ELSE v END)
+                            AS HUGEINT) AS sbr
+                     FROM asg GROUP BY rep),
+            ex AS (SELECT CAST(SUM(CASE WHEN nar = 0 OR nbr = 0
+                          OR CAST(abs(sar * nbr - sbr * nar) AS DOUBLE)
+                             * CAST(tot.na * tot.nb AS DOUBLE)
+                             >= CAST(abs(tot.sa * tot.nb
+                                         - tot.sb * tot.na) AS DOUBLE)
+                                * CAST(nar * nbr AS DOUBLE)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+                   FROM reps, tot)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   CAST(floor(CAST(sa * nb - sb * na AS DOUBLE)
+                        / CAST(na * nb AS DOUBLE) * 1e6) AS BIGINT)
+                     AS obs_diff_ppm,
+                   n_exceed,
+                   CAST(((n_exceed + 1) * 1000000) // 101 AS BIGINT)
+                     AS p_ppm
+            FROM tot, ex""",
+        "q_dp_mean": """
+            WITH agg AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(least(greatest(
+                          CAST(n_chars AS BIGINT), 0), 2000))
+                          AS HUGEINT) AS s
+              FROM documents GROUP BY source),
+            k AS (SELECT source, n, s,
+                    (CAST(('0x' || substr(md5('sum|' || source), 1, 15))
+                          AS BIGINT) % 1048576) * 2 + 1 - 1048576
+                      AS num_s,
+                    (CAST(('0x' || substr(md5('cnt|' || source), 1, 15))
+                          AS BIGINT) % 1048576) * 2 + 1 - 1048576
+                      AS num_c
+                  FROM agg),
+            nz AS (SELECT source, n,
+                     s * 1000000 + CAST(floor(sign(num_s)
+                       * -ln((1048576 - abs(num_s)) / 1048576.0)
+                       * 4000.0 * 1000000.0) AS BIGINT) AS nsum,
+                     n * 1000000 + CAST(floor(sign(num_c)
+                       * -ln((1048576 - abs(num_c)) / 1048576.0)
+                       * 2.0 * 1000000.0) AS BIGINT) AS ncnt
+                   FROM k)
+            SELECT source, n,
+                   CAST(floor(CAST(nsum AS DOUBLE)
+                        / CAST(greatest(ncnt, 1) AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS noisy_mean_ppm
+            FROM nz""",
+        "q_neighbor_jaccard": """
+            WITH e AS (
+              SELECT DISTINCT
+                     least(o_custkey % 4000,
+                           (o_orderkey % 6000) + 4000) AS lo,
+                     greatest(o_custkey % 4000,
+                              (o_orderkey % 6000) + 4000) AS hi
+              FROM orders
+              WHERE least(o_custkey % 4000, (o_orderkey % 6000) + 4000)
+                    < greatest(o_custkey % 4000,
+                               (o_orderkey % 6000) + 4000)),
+            adj AS (
+              SELECT lo AS w, hi AS u FROM e
+              UNION ALL SELECT hi, lo FROM e),
+            deg AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM adj GROUP BY w),
+            mid AS (
+              SELECT a.w, a.u FROM adj a JOIN deg d USING (w)
+              WHERE d.deg >= 2 AND d.deg <= 300),
+            p AS (
+              SELECT a.u AS u, b.u AS v,
+                     CAST(COUNT(*) AS BIGINT) AS common
+              FROM mid a JOIN mid b ON a.w = b.w AND a.u < b.u
+              GROUP BY a.u, b.u HAVING COUNT(*) >= 2),
+            sc AS (
+              SELECT p.u, p.v, p.common,
+                     du.deg AS deg_u, dv.deg AS deg_v,
+                     CAST((p.common * 1000000)
+                          // (du.deg + dv.deg - p.common) AS BIGINT)
+                       AS jaccard_ppm
+              FROM p JOIN deg du ON du.w = p.u
+                     JOIN deg dv ON dv.w = p.v)
+            SELECT u, v, common, deg_u, deg_v, jaccard_ppm FROM sc
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e WHERE e.lo = sc.u AND e.hi = sc.v)""",
+        "q_map_mrr": """
+            WITH q0 AS (SELECT vec_id AS vid, label AS lbl,
+                               list_transform(embedding,
+                                   x -> CAST(floor(CAST(x AS DOUBLE) * 1e6
+                                             + 0.5) AS BIGINT)) AS q
+                        FROM embeddings),
+            anchors AS (SELECT vid AS query_id, q AS aq, lbl AS albl
+                        FROM q0 ORDER BY vid LIMIT 8),
+            scored AS (
+              SELECT a.query_id, c.vid,
+                     list_sum(list_transform(generate_series(1, 64),
+                         i -> (c.q[i] - a.aq[i]) * (c.q[i] - a.aq[i])))
+                       AS dist2,
+                     CASE WHEN c.lbl = a.albl THEN 1 ELSE 0 END AS rel
+              FROM q0 c CROSS JOIN anchors a WHERE c.vid <> a.query_id),
+            rnked AS (SELECT query_id, rel,
+                             row_number() OVER (PARTITION BY query_id
+                                                ORDER BY dist2, vid) AS r,
+                             SUM(rel) OVER (PARTITION BY query_id
+                                            ORDER BY dist2, vid
+                                            ROWS UNBOUNDED PRECEDING)
+                               AS cum_rel
+                      FROM scored),
+            rtot AS (SELECT query_id, CAST(SUM(rel) AS BIGINT)
+                              AS n_relevant
+                     FROM scored GROUP BY query_id),
+            perq AS (SELECT query_id,
+                       CAST(SUM(CASE WHEN r <= 10 AND rel = 1
+                                THEN (cum_rel * 1000000) // r
+                                ELSE 0 END) AS BIGINT) AS ap_num_ppm,
+                       MIN(CASE WHEN r <= 10 AND rel = 1 THEN r END)
+                         AS first_rel
+                     FROM rnked GROUP BY query_id)
+            SELECT rtot.query_id, n_relevant,
+                   CAST(CASE WHEN least(n_relevant, 10) > 0 THEN
+                        coalesce(ap_num_ppm, 0) // least(n_relevant, 10)
+                        ELSE 0 END AS BIGINT) AS ap_ppm,
+                   CAST(CASE WHEN first_rel IS NULL THEN 0
+                        ELSE 1000000 // first_rel END AS BIGINT)
+                     AS rr_ppm
+            FROM rtot LEFT JOIN perq USING (query_id)
+            ORDER BY query_id""",
+        "q_holm": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n
+                       FROM events GROUP BY user_id),
+            stats AS (SELECT COUNT(*) AS m, SUM(n) AS tot,
+                             SUM(n * n) AS tot2
+                      FROM c),
+            hyp AS (
+              SELECT user_id,
+                     CASE WHEN n * m - tot = 0 THEN 1000000
+                          ELSE least(1000000, CAST(
+                            (CAST(m AS HUGEINT) * tot2
+                             - CAST(tot AS HUGEINT) * tot) * 1000000
+                            // ((CAST(n AS HUGEINT) * m - tot)
+                                * (CAST(n AS HUGEINT) * m - tot))
+                            AS BIGINT)) END AS p_ppm
+              FROM c, stats),
+            ranked AS (
+              SELECT user_id AS id, p_ppm,
+                     row_number() OVER (ORDER BY p_ppm, user_id) AS rnk,
+                     COUNT(*) OVER () AS m
+              FROM hyp),
+            stp AS (SELECT MIN(CASE WHEN p_ppm * (m - rnk + 1) > 100000
+                                    THEN rnk END) AS stop
+                    FROM ranked)
+            SELECT id, p_ppm, rnk,
+                   CASE WHEN stop IS NULL THEN TRUE
+                        ELSE rnk < stop END AS reject
+            FROM ranked, stp""",
+        "q_audio_zcr": """
+            WITH p AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+                              octet_length(CAST(text AS BLOB)) AS nb
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         list_transform(range(0, nb // 2),
+                             i -> CAST(('0x' || substr(h, 4*i + 3, 2)
+                                             || substr(h, 4*i + 1, 2))
+                                       AS BIGINT)) AS samples
+                  FROM p),
+            fr AS (SELECT doc_id, (i // 256) AS frame_id, i,
+                          v >= 32768 AS hi
+                   FROM (SELECT doc_id,
+                                generate_subscripts(samples, 1) - 1 AS i,
+                                unnest(samples) AS v
+                         FROM s)),
+            lagd AS (SELECT doc_id, frame_id, hi,
+                            lag(hi) OVER (PARTITION BY doc_id, frame_id
+                                          ORDER BY i) AS ph
+                     FROM fr)
+            SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id,
+                   CAST(COUNT(*) AS INTEGER) AS n_samples,
+                   CAST(SUM(CASE WHEN ph IS NOT NULL AND hi <> ph
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_crossings
+            FROM lagd GROUP BY doc_id, frame_id""",
+        "q_hurst": """
+            WITH base AS (
+              SELECT event_type AS k,
+                     CAST(floor(value * 1000000) AS HUGEINT) AS v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY event_id) AS idx
+              FROM events),
+            rep AS (SELECT k, v, idx, w,
+                           CAST((idx - 1) // w AS BIGINT) AS chunk
+                    FROM base, (VALUES (8), (16), (32), (64)) AS ws(w)),
+            pr AS (SELECT k, w, chunk,
+                     CAST(COUNT(*) OVER (PARTITION BY k, w, chunk)
+                          AS HUGEINT) AS n,
+                     SUM(v) OVER (PARTITION BY k, w, chunk) AS s,
+                     SUM(v * v) OVER (PARTITION BY k, w, chunk) AS ssq,
+                     CAST(COUNT(*) OVER (PARTITION BY k, w, chunk)
+                          AS HUGEINT)
+                       * SUM(v) OVER (PARTITION BY k, w, chunk
+                                      ORDER BY idx
+                                      ROWS UNBOUNDED PRECEDING)
+                     - CAST(row_number() OVER (PARTITION BY k, w, chunk
+                                               ORDER BY idx) AS HUGEINT)
+                       * SUM(v) OVER (PARTITION BY k, w, chunk) AS ny
+                   FROM rep),
+            chunks AS (
+              SELECT k, w, chunk, ANY_VALUE(n) AS n, ANY_VALUE(s) AS s,
+                     ANY_VALUE(ssq) AS ssq, MAX(ny) - MIN(ny) AS rn
+              FROM pr GROUP BY 1, 2, 3
+              HAVING ANY_VALUE(n) = w
+                 AND ANY_VALUE(n) * ANY_VALUE(ssq)
+                     - ANY_VALUE(s) * ANY_VALUE(s) > 0),
+            rs AS (SELECT k, w,
+                     CAST(floor(CAST(rn AS DOUBLE)
+                          / sqrt(CAST(n * ssq - s * s AS DOUBLE))
+                          * 1e6) AS BIGINT) AS rs_ppm
+                   FROM chunks),
+            pw2 AS (SELECT k, w,
+                      CAST(SUM(rs_ppm) // COUNT(*) AS BIGINT)
+                        AS mean_rs_ppm
+                    FROM rs GROUP BY 1, 2),
+            pts AS (SELECT k,
+                      CAST(floor(ln(CAST(w AS DOUBLE)) * 1e6)
+                           AS HUGEINT) AS x,
+                      CAST(floor(ln(CAST(mean_rs_ppm AS DOUBLE)) * 1e6)
+                           AS HUGEINT) AS y
+                    FROM pw2),
+            reg AS (SELECT k, CAST(COUNT(*) AS HUGEINT) AS m,
+                           SUM(x) AS sx, SUM(y) AS sy,
+                           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                    FROM pts GROUP BY k)
+            SELECT k AS etype, CAST(m AS BIGINT) AS n_levels,
+                   CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST(((m * sxy - sx * sy) * 1000000)
+                             // (m * sxx - sx * sx) AS BIGINT)
+                        END AS hurst_ppm
+            FROM reg""",
+        "q_isotonic": """
+            WITH levels AS (
+              SELECT CAST(n_chars // 100 AS BIGINT) AS score,
+                     CAST(COUNT(*) AS BIGINT) AS c,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS s
+              FROM documents GROUP BY 1),
+            pre AS (SELECT score, c, s,
+                           SUM(c) OVER (ORDER BY score) AS cc,
+                           SUM(s) OVER (ORDER BY score) AS cs
+                    FROM levels),
+            iv AS (
+              SELECT j.score AS j, k.score AS k,
+                     CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+                     / CAST(k.cc - (j.cc - j.c) AS DOUBLE) AS avg
+              FROM pre j JOIN pre k ON j.score <= k.score),
+            m AS (SELECT j, k AS i,
+                         MIN(avg) OVER (PARTITION BY j ORDER BY k DESC
+                                        ROWS UNBOUNDED PRECEDING) AS mn
+                  FROM iv),
+            fit AS (SELECT i AS score, mx FROM (
+                      SELECT i, j,
+                             MAX(mn) OVER (PARTITION BY i ORDER BY j
+                                           ROWS UNBOUNDED PRECEDING)
+                               AS mx
+                      FROM m) WHERE j = i)
+            SELECT levels.score AS score, c AS n, s AS n_pos,
+                   CAST(floor(mx * 1e6) AS BIGINT) AS fit_ppm
+            FROM levels JOIN fit USING (score)""",
+        "q_quadratic_fit": """
+            WITH daily AS (
+              SELECT CAST(datediff('day', DATE '1995-01-01',
+                                   o_orderdate) AS HUGEINT) AS x,
+                     CAST(SUM(CAST(round(o_totalprice * 100, 0)
+                              AS BIGINT)) AS HUGEINT) AS y
+              FROM orders GROUP BY 1),
+            mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                           CAST(SUM(x) AS DOUBLE) AS sx,
+                           CAST(SUM(x * x) AS DOUBLE) AS sx2,
+                           CAST(SUM(x * x * x) AS DOUBLE) AS sx3,
+                           CAST(SUM(x * x * x * x) AS DOUBLE) AS sx4,
+                           CAST(SUM(y) AS DOUBLE) AS sy,
+                           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                           CAST(SUM(x * x * y) AS DOUBLE) AS sx2y
+                    FROM daily),
+            dets AS (SELECT n,
+                       n * (sx2 * sx4 - sx3 * sx3)
+                       - sx * (sx * sx4 - sx3 * sx2)
+                       + sx2 * (sx * sx3 - sx2 * sx2) AS det,
+                       sy * (sx2 * sx4 - sx3 * sx3)
+                       - sx * (sxy * sx4 - sx3 * sx2y)
+                       + sx2 * (sxy * sx3 - sx2 * sx2y) AS det0,
+                       n * (sxy * sx4 - sx2y * sx3)
+                       - sy * (sx * sx4 - sx3 * sx2)
+                       + sx2 * (sx * sx2y - sxy * sx2) AS det1,
+                       n * (sx2 * sx2y - sxy * sx3)
+                       - sx * (sx * sx2y - sxy * sx2)
+                       + sy * (sx * sx3 - sx2 * sx2) AS det2
+                     FROM mom)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(floor(det0 / det * 1e6) AS BIGINT) AS b0_ppm,
+                   CAST(floor(det1 / det * 1e6) AS BIGINT) AS b1_ppm,
+                   CAST(floor(det2 / det * 1e6) AS BIGINT) AS b2_ppm
+            FROM dets""",
+        "q_auc_delong": """
+            WITH g AS (
+              SELECT n_chars AS score,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS npos,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                          AS BIGINT) AS nneg
+              FROM documents GROUP BY 1),
+            c AS (
+              SELECT npos, nneg,
+                     COALESCE(SUM(nneg) OVER (ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cneg,
+                     COALESCE(SUM(npos) OVER (ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cpos
+              FROM g),
+            tot AS (SELECT CAST(SUM(npos) AS HUGEINT) AS np,
+                           CAST(SUM(nneg) AS HUGEINT) AS nn
+                    FROM c),
+            wb AS (SELECT np, nn,
+                          CAST(npos AS HUGEINT) AS nposd,
+                          CAST(nneg AS HUGEINT) AS nnegd,
+                          CAST(2 * cneg + nneg AS HUGEINT) AS a,
+                          CAST(2 * (np - cpos - npos) + npos
+                               AS HUGEINT) AS b
+                   FROM c, tot),
+            s AS (SELECT ANY_VALUE(np) AS np, ANY_VALUE(nn) AS nn,
+                         SUM(nposd * a) AS a1, SUM(nposd * a * a) AS a2,
+                         SUM(nnegd * b) AS b1, SUM(nnegd * b * b) AS b2
+                  FROM wb),
+            d AS (SELECT CAST(np AS BIGINT) AS n_pos,
+                         CAST(nn AS BIGINT) AS n_neg,
+                         CAST(a1 AS DOUBLE)
+                           / (2.0 * CAST(np AS DOUBLE)
+                              * CAST(nn AS DOUBLE)) AS auc,
+                         sqrt(
+                           (CAST(a2 AS DOUBLE)
+                            - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)
+                              / CAST(np AS DOUBLE))
+                           / ((2.0 * CAST(nn AS DOUBLE))
+                              * (2.0 * CAST(nn AS DOUBLE))
+                              * (CAST(np AS DOUBLE) - 1.0))
+                           / CAST(np AS DOUBLE)
+                           + (CAST(b2 AS DOUBLE)
+                              - CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                                / CAST(nn AS DOUBLE))
+                             / ((2.0 * CAST(np AS DOUBLE))
+                                * (2.0 * CAST(np AS DOUBLE))
+                                * (CAST(nn AS DOUBLE) - 1.0))
+                             / CAST(nn AS DOUBLE)) AS se
+                  FROM s)
+            SELECT n_pos, n_neg,
+                   CAST(floor(auc * 1e6) AS BIGINT) AS auc_ppm,
+                   CAST(floor(se * 1e6) AS BIGINT) AS se_ppm,
+                   greatest(CAST(floor((auc - 1.959964 * se) * 1e6)
+                                 AS BIGINT), 0) AS lo_ppm,
+                   least(CAST(floor((auc + 1.959964 * se) * 1e6)
+                              AS BIGINT), 1000000) AS hi_ppm
+            FROM d""",
     }

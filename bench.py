@@ -161,6 +161,26 @@ HEADLINE = [
     "q_logrank",
     "q_by_fdr",
     "q_lsh_plan",
+    # round-8 sixth batch: rank-correlation/effect-size/trend statistics,
+    # OOF target encoding, randomization test, isotonic calibration, the
+    # MAP/MRR retrieval eval, audio ZCR, and the Hurst R/S diagnostic
+    "q_kendall_tau",
+    "q_wasserstein",
+    "q_effect_sizes",
+    "q_cochran_armitage",
+    "q_mcnemar",
+    "q_durbin_watson",
+    "q_target_encode",
+    "q_randomization_test",
+    "q_dp_mean",
+    "q_neighbor_jaccard",
+    "q_map_mrr",
+    "q_holm",
+    "q_audio_zcr",
+    "q_hurst",
+    "q_isotonic",
+    "q_quadratic_fit",
+    "q_auc_delong",
 ]
 
 

@@ -614,3 +614,168 @@ def lorenz_deciles(
             ).alias("cum_share_ppm"),
         )
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall rank correlation (tau-b, tie-corrected) between two
+    columns of BOUNDED distinct cardinality — the O(n log n)-free,
+    shuffle-once companion to :func:`spearman_corr`.
+
+    Scale contract: the pair counting NEVER touches row pairs. One
+    map-side-combinable ``groupBy(x, y)`` collapses the data to the
+    O(|X|·|Y|) contingency-cell relation; concordant/discordant mass is
+    then a quadrant sum over CELL pairs (broadcast nested-loop over the
+    tiny cell relation — cells², not rows²), and every product is an
+    exact DECIMAL(38,0). Quantize continuous columns first (the same
+    precondition the engine's AUC/reliability ops declare): tau over a
+    quantized grid is exact tau of the quantized variables.
+
+    tau_b = (C − D) / sqrt((n0 − tx)(n0 − ty)) with n0 = n(n−1)/2 and
+    tx/ty the tied-pair counts per marginal; one double sqrt per factor
+    at the very end (spearman convention), floored to the ppb grid.
+
+    Returns one row: (n, concordant, discordant, tau_b_ppb).
+    """
+    cells = (
+        df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
+        .persist()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    # Quadrant sum over cell pairs: x strictly increases; classify by y.
+    # The cell relation is small by contract, so broadcast the build
+    # side and let the nested-loop run cells x cells, never rows x rows.
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.x") < F.col("b.x")) & (F.col("a.y") != F.col("b.y")),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("a.y") < F.col("b.y"),
+                F.col("a.cnt") * F.col("b.cnt"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("c"),
+        F.sum(
+            F.when(
+                F.col("a.y") > F.col("b.y"),
+                F.col("a.cnt") * F.col("b.cnt"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("d"),
+    )
+    marg_x = (
+        cells.groupBy("x")
+        .agg(F.sum("cnt").alias("cx"))
+        .agg(
+            F.sum(F.col("cx") * (F.col("cx") - 1)).alias("tx2"),
+            F.sum("cx").cast("decimal(38,0)").alias("n"),
+        )
+    )
+    marg_y = (
+        cells.groupBy("y")
+        .agg(F.sum("cnt").alias("cy"))
+        .agg(F.sum(F.col("cy") * (F.col("cy") - 1)).alias("ty2"))
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(marg_x))
+        .crossJoin(F.broadcast(marg_y))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("c").cast("long").alias("concordant"),
+            F.col("d").cast("long").alias("discordant"),
+            # doubled tie counts keep everything integer: n0_2 = n(n-1),
+            # tau_b = (C-D) / sqrt((n0_2-tx2)/2) / sqrt((n0_2-ty2)/2)
+            F.floor(
+                (F.col("c") - F.col("d")).cast("double")
+                / F.sqrt(
+                    (
+                        F.col("n") * (F.col("n") - 1) - F.col("tx2")
+                    ).cast("double")
+                    / 2.0
+                )
+                / F.sqrt(
+                    (
+                        F.col("n") * (F.col("n") - 1) - F.col("ty2")
+                    ).cast("double")
+                    / 2.0
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("tau_b_ppb"),
+        )
+    )
+    return out
+
+
+def quadratic_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Closed-form degree-2 OLS fit y ~ b0 + b1·x + b2·x² — curvature
+    detection for trend series (is growth accelerating or saturating?),
+    the one question :func:`theil_sen_slope` and the rolling linear
+    slopes can't answer. Callers pass integer-gridded columns (day
+    index, cents) per the house quantize contract.
+
+    One combinable aggregate pass collects the seven exact
+    DECIMAL(38,0) moments (n, Σx..Σx⁴, Σy, Σxy, Σx²y); the 3×3 normal
+    equations are solved by Cramer's rule in DOUBLE (the determinant
+    products overflow any fixed decimal; identical integer inputs →
+    identical IEEE arithmetic in any engine), coefficients on the ppm
+    floor grid.
+
+    Returns one row: (n, b0_ppm, b1_ppm, b2_ppm).
+    """
+    d = df.select(
+        F.col(x_col).cast("decimal(38,0)").alias("x"),
+        F.col(y_col).cast("decimal(38,0)").alias("y"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("sx3"),
+        F.sum(
+            F.col("x") * F.col("x") * F.col("x") * F.col("x")
+        ).alias("sx4"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x") * F.col("y")).alias("sx2y"),
+    )
+    # Cramer's rule on [[n,sx,sx2],[sx,sx2,sx3],[sx2,sx3,sx4]] — every
+    # 2x2 minor and the final det in double, same shape both engines.
+    md = m.select(
+        *[F.col(c).cast("double").alias(c) for c in
+          ("n", "sx", "sx2", "sx3", "sx4", "sy", "sxy", "sx2y")]
+    )
+    det = (
+        F.col("n") * (F.col("sx2") * F.col("sx4") - F.col("sx3") * F.col("sx3"))
+        - F.col("sx") * (F.col("sx") * F.col("sx4") - F.col("sx3") * F.col("sx2"))
+        + F.col("sx2") * (F.col("sx") * F.col("sx3") - F.col("sx2") * F.col("sx2"))
+    )
+    det0 = (
+        F.col("sy") * (F.col("sx2") * F.col("sx4") - F.col("sx3") * F.col("sx3"))
+        - F.col("sx") * (F.col("sxy") * F.col("sx4") - F.col("sx3") * F.col("sx2y"))
+        + F.col("sx2") * (F.col("sxy") * F.col("sx3") - F.col("sx2") * F.col("sx2y"))
+    )
+    det1 = (
+        F.col("n") * (F.col("sxy") * F.col("sx4") - F.col("sx2y") * F.col("sx3"))
+        - F.col("sy") * (F.col("sx") * F.col("sx4") - F.col("sx3") * F.col("sx2"))
+        + F.col("sx2") * (F.col("sx") * F.col("sx2y") - F.col("sxy") * F.col("sx2"))
+    )
+    det2 = (
+        F.col("n") * (F.col("sx2") * F.col("sx2y") - F.col("sxy") * F.col("sx3"))
+        - F.col("sx") * (F.col("sx") * F.col("sx2y") - F.col("sxy") * F.col("sx2"))
+        + F.col("sy") * (F.col("sx") * F.col("sx3") - F.col("sx2") * F.col("sx2"))
+    )
+    return md.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(det0 / det * 1e6).cast("long").alias("b0_ppm"),
+        F.floor(det1 / det * 1e6).cast("long").alias("b1_ppm"),
+        F.floor(det2 / det * 1e6).cast("long").alias("b2_ppm"),
+    )

@@ -1008,3 +1008,71 @@ def dedup_cascade_report(
         .unionByName(row(2, "normalized", n1, n2))
         .unionByName(row(3, "neardup", n2, k3))
     )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    key_col: str,
+    n_folds: int = 5,
+    target_scale: int = 100,
+) -> DataFrame:
+    """Leakage-free (out-of-fold) target encoding: replace a categorical
+    feature by the mean target of OTHER folds' rows in the same
+    category — THE standard high-cardinality categorical encoder for
+    training-data pipelines, and the classic leakage trap when done
+    naively (a global category mean includes each row's own label; the
+    model then memorizes labels through the feature).
+
+    Folds are the engine-portable md5 hash of the row key
+    (``hash60(key) % n_folds`` — deterministic, reproducible in the SQL
+    oracle, and stable under repartitioning). One map-side-combinable
+    ``groupBy(cat, fold)`` pass gives per-fold sums/counts; the
+    out-of-fold mean for fold f is then (total − fold_f) on both the
+    numerator and denominator — O(categories · folds) rows, never a
+    second data scan, broadcast-joinable back onto the training rows.
+    Encoding is exact: floor(target·scale) sums in DECIMAL(38,0), the
+    mean on the truncating-div grid (Spark ``div`` == DuckDB ``//``).
+
+    Returns (cat, fold, n_in, n_out, enc) — ``enc`` is the scaled OOF
+    mean; NULL when a category exists in only one fold (no out-of-fold
+    evidence, the honest "cannot encode" signal callers should
+    backfill with the global prior).
+    """
+    from ..functions.hashing import hash60
+
+    scaled = F.floor(
+        F.col(target_col).cast("double") * F.lit(int(target_scale))
+    ).cast("decimal(38,0)")
+    per_fold = (
+        df.select(
+            F.col(cat_col).alias("cat"),
+            (hash60(F.col(key_col).cast("string")) % F.lit(int(n_folds)))
+            .cast("int")
+            .alias("fold"),
+            scaled.alias("t"),
+        )
+        .groupBy("cat", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"),
+            F.sum("t").alias("s"),
+        )
+    )
+    tot = per_fold.groupBy("cat").agg(
+        F.sum("cnt").alias("tot_cnt"), F.sum("s").alias("tot_s")
+    )
+    return (
+        per_fold.join(F.broadcast(tot), "cat")
+        .select(
+            "cat",
+            "fold",
+            F.col("cnt").cast("long").alias("n_in"),
+            (F.col("tot_cnt") - F.col("cnt")).cast("long").alias("n_out"),
+            F.expr(
+                "CASE WHEN tot_cnt - cnt = 0 THEN NULL"
+                " ELSE CAST((tot_s - s) div (tot_cnt - cnt) AS BIGINT)"
+                " END"
+            ).alias("enc"),
+        )
+    )

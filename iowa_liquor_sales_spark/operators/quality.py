@@ -1708,3 +1708,773 @@ def by_fdr(
         "rnk",
         (F.col("rnk") <= cutoff).alias("reject"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """1-D Wasserstein (earth-mover's) distance between two groups'
+    value distributions — the drift metric that, unlike KS, weighs HOW
+    FAR mass moved, not just the worst CDF gap: W1 = integral over v of
+    |F_a(v) − F_b(v)| dv (exact for empirical distributions as a sum
+    over the merged support).
+
+    Grouped-first contract: one map-side-combinable ``groupBy(value)``
+    collapses the data to the O(distinct) support relation; the CDF
+    cross-difference ``|cum_a·n_b − cum_b·n_a|·(v_next − v)`` is exact
+    DECIMAL(38,0) per support point, and the single global window sorts
+    O(distinct values), never data rows (the :func:`bh_fdr` /
+    :func:`auc_exact` precedent). Quantize continuous doubles first.
+    Returns one row: (n_a, n_b, w1_ppm) with w1_ppm = floor(W1 · 1e6)
+    in value units.
+    """
+    from pyspark.sql import Window
+
+    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == F.lit(group_a)).alias("is_a"),
+    )
+    c = d.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v")
+    cum = c.select(
+        "v",
+        F.sum("ca").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,0)")
+        .alias("cuma"),
+        F.sum("cb").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,0)")
+        .alias("cumb"),
+        F.lead("v").over(w).alias("v_next"),
+    )
+    tot = c.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    seg = cum.filter(F.col("v_next").isNotNull()).crossJoin(
+        F.broadcast(tot)
+    )
+    s = seg.agg(
+        F.sum(
+            F.abs(
+                F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+            )
+            * (F.col("v_next") - F.col("v")).cast("decimal(38,0)")
+        ).alias("mass"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        # truncating integer div (Spark `div` == DuckDB `//`), exact
+        F.expr("CAST((mass * 1000000) div (na * nb) AS BIGINT)").alias(
+            "w1_ppm"
+        ),
+    )
+
+
+def effect_sizes(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Standardized effect sizes between two groups — the "is the
+    difference MEANINGFUL, not just significant" companion every A/B
+    significance test in this module needs at corpus scale (where any
+    difference is significant): Cohen's d on the pooled SD, the
+    small-sample Hedges' g correction, and the nonparametric Cliff's
+    delta.
+
+    One exact integer-moment pass (n, Σv, Σv²) per group gives d and g
+    with a single double sqrt at the end (spearman convention).
+    Cliff's delta never touches row pairs: the O(distinct) support
+    relation's strict-below/strict-above prefix sums give
+    Σ_v ca(v)·(#b below − #b above) exactly (DECIMAL 38,0), and the one
+    global window sorts O(distinct values) — grouped-first contract.
+
+    Returns one row:
+    (n_a, n_b, cohens_d_ppm, hedges_g_ppm, cliffs_delta_ppm).
+    """
+    from pyspark.sql import Window
+
+    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == F.lit(group_a)).alias("is_a"),
+    )
+    m = d.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("na"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.col("v")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sa"),
+        F.sum(F.when(~F.col("is_a"), F.col("v")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sb"),
+        F.sum(
+            F.when(F.col("is_a"), F.col("v") * F.col("v")).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("ssa"),
+        F.sum(
+            F.when(~F.col("is_a"), F.col("v") * F.col("v")).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("ssb"),
+    )
+    # Pooled variance, all-integer until the final doubles:
+    # (na-1)·s2a = ssa - sa²/na  →  scale by na·nb to clear fractions.
+    mean_diff = (
+        F.col("sa").cast("double") / F.col("na").cast("double")
+        - F.col("sb").cast("double") / F.col("nb").cast("double")
+    )
+    pooled_var = (
+        (
+            F.col("ssa").cast("double")
+            - F.col("sa").cast("double")
+            * F.col("sa").cast("double")
+            / F.col("na").cast("double")
+        )
+        + (
+            F.col("ssb").cast("double")
+            - F.col("sb").cast("double")
+            * F.col("sb").cast("double")
+            / F.col("nb").cast("double")
+        )
+    ) / (F.col("na") + F.col("nb") - 2).cast("double")
+    dd = mean_diff / F.sqrt(pooled_var)
+    # Hedges' g: d · (1 − 3/(4(na+nb) − 9)), the Hedges–Olkin
+    # small-sample bias correction.
+    gg = dd * (
+        F.lit(1.0)
+        - F.lit(3.0)
+        / (F.lit(4.0) * (F.col("na") + F.col("nb")).cast("double") - 9.0)
+    )
+    moments = m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.floor(dd * 1e6).cast("long").alias("cohens_d_ppm"),
+        F.floor(gg * 1e6).cast("long").alias("hedges_g_ppm"),
+    )
+    # Cliff's delta from the support relation: for each a-value v,
+    # #b strictly below v minus #b strictly above v.
+    c = d.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = c.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    scored = c.select(
+        "ca",
+        "cb",
+        (F.sum("cb").over(w) - F.col("cb"))
+        .cast("decimal(38,0)")
+        .alias("b_below"),
+    ).crossJoin(F.broadcast(tot))
+    delta = scored.agg(
+        F.sum(
+            F.col("ca").cast("decimal(38,0)")
+            * (
+                F.col("b_below")
+                - (F.col("nb") - F.col("b_below") - F.col("cb"))
+            )
+        ).alias("net"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    ).select(
+        F.expr(
+            "CAST((net * 1000000) div (na * nb) AS BIGINT)"
+        ).alias("cliffs_delta_ppm")
+    )
+    return moments.crossJoin(F.broadcast(delta))
+
+
+def cochran_armitage(
+    df: DataFrame,
+    dose_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test: is a binary outcome's rate
+    monotonically associated with an ORDERED dose (quality decile,
+    dedup-cascade stage, shard age)? The chi-squared independence test
+    ignores order; this one spends its single degree of freedom on the
+    linear trend and is the standard "does quality really decay with
+    the knob" check.
+
+    Everything reduces to the O(#doses) contingency relation (one
+    map-side-combinable groupBy). With integer dose scores w:
+    z = (N·Σwr − R·Σwn) / sqrt(R(N−R)(N·Σw²n − (Σwn)²)/(N−1)) — the
+    numerator and the radicand are exact DECIMAL(38,0); one double
+    sqrt at the end, ppm floor.
+
+    Returns one row: (n, n_pos, z_ppm).
+    """
+    doses = df.select(
+        F.col(dose_col).cast("long").alias("w"),
+        F.col(flag_col).cast("boolean").alias("y"),
+    ).groupBy("w").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ni"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ri"),
+    )
+    s = doses.agg(
+        F.sum("ni").alias("n"),
+        F.sum("ri").alias("r"),
+        F.sum(F.col("w") * F.col("ri")).alias("wr"),
+        F.sum(F.col("w") * F.col("ni")).alias("wn"),
+        F.sum(F.col("w") * F.col("w") * F.col("ni")).alias("wwn"),
+    )
+    num = F.col("n") * F.col("wr") - F.col("r") * F.col("wn")
+    rad = (
+        F.col("r")
+        * (F.col("n") - F.col("r"))
+        * (F.col("n") * F.col("wwn") - F.col("wn") * F.col("wn"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_pos"),
+        F.floor(
+            num.cast("double")
+            / F.sqrt(
+                rad.cast("double")
+                / (F.col("n") - 1).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("z_ppm"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    truth_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+) -> DataFrame:
+    """McNemar's paired test: do two classifiers scored on the SAME
+    examples differ in error rate? Accuracy deltas on shared eval sets
+    are paired — the information is entirely in the DISCORDANT cells
+    (A right & B wrong vs A wrong & B right); the marginal-accuracy
+    z-test overstates certainty by ignoring the pairing.
+
+    One conditional-count aggregate pass; the statistic
+    (b − c)²/(b + c) is a pure integer ratio on the ppm grid — no
+    floats anywhere. Returns one row:
+    (n, a_only_correct, b_only_correct, chi2_ppm).
+    """
+    d = df.select(
+        (F.col(pred_a_col) == F.col(truth_col)).alias("oka"),
+        (F.col(pred_b_col) == F.col(truth_col)).alias("okb"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("oka") & ~F.col("okb"), 1).otherwise(0))
+        .cast("long")
+        .alias("b10"),
+        F.sum(F.when(~F.col("oka") & F.col("okb"), 1).otherwise(0))
+        .cast("long")
+        .alias("b01"),
+    )
+    return s.select(
+        "n",
+        F.col("b10").alias("a_only_correct"),
+        F.col("b01").alias("b_only_correct"),
+        F.expr(
+            "CASE WHEN b10 + b01 = 0 THEN 0 ELSE"
+            " ((b10 - b01) * (b10 - b01) * 1000000) div (b10 + b01)"
+            " END"
+        )
+        .cast("long")
+        .alias("chi2_ppm"),
+    )
+
+
+def randomization_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    id_col: str,
+    n_reps: int = 100,
+) -> DataFrame:
+    """Randomization (approximate permutation) test for a two-group
+    mean difference: pool both groups' values, reassign each row to a
+    pseudo-group with the observed marginal probability, and ask how
+    often the replicated |mean_a − mean_b| reaches the observed one —
+    the distribution-free p-value that needs no variance formula at
+    all (Fisher 1935; the Bernoulli-reassignment variant is the
+    standard distributed relaxation of the fixed-margin permutation).
+
+    Determinism: assignments come from the engine-portable md5 hash of
+    (id, replicate) — ``hash60(id || '_' || r) % n < n_a`` — so Spark
+    and the SQL oracle draw IDENTICAL pseudo-samples. Each replicate's
+    statistic and the observed one are compared exactly by
+    cross-multiplication of integer sums (DECIMAL(38,0) → one double
+    div per side on the ppm grid).
+
+    Scale shape: the explode is n_rows × n_reps but collapses through a
+    map-side-combinable groupBy(rep) to O(n_reps) rows — partial
+    aggregation means the shuffle carries 2·n_reps rows per task, not
+    the exploded relation. n_reps is the wall-clock knob.
+
+    Returns one row: (n_a, n_b, obs_diff_ppm, n_exceed, p_ppm).
+    """
+    from ..functions.hashing import hash60
+
+    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == F.lit(group_a)).alias("is_a"),
+    )
+    tot = d.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("na"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.col("v")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sa"),
+        F.sum(F.when(~F.col("is_a"), F.col("v")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sb"),
+    )
+    reps = (
+        d.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(int(n_reps) - 1)))
+        )
+        .withColumn(
+            "pseudo_a",
+            (
+                hash60(F.concat_ws("_", F.col("id"), F.col("rep")))
+                % (F.col("na") + F.col("nb")).cast("long")
+            )
+            < F.col("na").cast("long"),
+        )
+        .groupBy("rep")
+        .agg(
+            F.sum(F.when(F.col("pseudo_a"), 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("nar"),
+            F.sum(F.when(~F.col("pseudo_a"), 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("nbr"),
+            F.sum(F.when(F.col("pseudo_a"), F.col("v")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("sar"),
+            F.sum(F.when(~F.col("pseudo_a"), F.col("v")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("sbr"),
+        )
+    )
+    # |d_r| >= |d_obs|  ⇔  |sar·nbr − sbr·nar| · (na·nb)
+    #                      >= |sa·nb − sb·na| · (nar·nbr)
+    # — each side is one exact DECIMAL(38,0) product cast to double
+    # (identical integer operands → identical IEEE product/compare in
+    # any engine; a 38-digit² product would overflow decimal, so the
+    # compare itself runs in double on BOTH sides). A replicate that
+    # degenerates to one empty pseudo-group (essentially impossible at
+    # any real n) counts as exceeding, the conservative direction.
+    scored = reps.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            (F.col("nar") == 0) | (F.col("nbr") == 0), F.lit(True)
+        )
+        .otherwise(
+            F.abs(
+                F.col("sar") * F.col("nbr") - F.col("sbr") * F.col("nar")
+            )
+            .cast("double")
+            * (F.col("na") * F.col("nb")).cast("double")
+            >= F.abs(
+                F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+            )
+            .cast("double")
+            * (F.col("nar") * F.col("nbr")).cast("double")
+        )
+        .alias("exceed")
+    )
+    exceed = scored.agg(
+        F.sum(F.when(F.col("exceed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exceed")
+    )
+    return (
+        tot.crossJoin(F.broadcast(exceed))
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.floor(
+                (
+                    F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+                ).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+                * 1e6
+            )
+            .cast("long")
+            .alias("obs_diff_ppm"),
+            "n_exceed",
+            F.expr(
+                "CAST(((n_exceed + 1) * 1000000) div"
+                f" {int(n_reps) + 1} AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+    )
+
+
+def dp_noisy_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    clip_lo: int,
+    clip_hi: int,
+    epsilon: float = 1.0,
+) -> DataFrame:
+    """Differential-privacy mean release per group: clip values to
+    [clip_lo, clip_hi] (bounding each row's sensitivity), release a
+    Laplace-noised SUM (sensitivity = clip_hi − clip_lo, eps/2) and a
+    Laplace-noised COUNT (sensitivity 1, eps/2), and post-process their
+    ratio — the standard budget-split mean mechanism (Dwork & Roth
+    2014, Alg. 2.3).
+
+    Same DETERMINISM CAVEAT as :func:`dp_noisy_counts` (noise is
+    hash-derived so the release is testable, NOT actually private —
+    swap in a true RNG for production); same dyadic-rational uniform so
+    the inverse CDF's input is exact in both engines, libm ``ln``
+    wobble absorbed by the 1e-6 grid. One clipped conditional-sum
+    aggregate; noise is a scalar expression over O(groups) rows.
+
+    Returns (group..., n, noisy_mean_ppm).
+    """
+    from ..functions.hashing import hash60
+
+    c_lo, c_hi = int(clip_lo), int(clip_hi)
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("long"), F.lit(c_lo)),
+        F.lit(c_hi),
+    )
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(clipped).cast("decimal(38,0)").alias("s"),
+    )
+
+    def lap_e6(salt: str, scale: float) -> Column:
+        key = F.concat_ws(
+            "|",
+            F.lit(salt),
+            *[F.col(c).cast("string") for c in group_cols],
+        )
+        h = hash60(key) % F.lit(1048576)
+        num = (h * 2 + 1) - F.lit(1048576)
+        arg = (F.lit(1048576) - F.abs(num)) / F.lit(1048576.0)
+        return F.floor(
+            F.signum(num.cast("double"))
+            * -F.log(arg)
+            * F.lit(float(scale))
+            * F.lit(1e6)
+        ).cast("long")
+
+    sens = float(c_hi - c_lo)
+    noisy_sum_e6 = F.col("s") * F.lit(1_000_000) + lap_e6(
+        "sum", sens / (epsilon / 2.0)
+    )
+    noisy_cnt_e6 = F.col("n") * F.lit(1_000_000) + lap_e6(
+        "cnt", 1.0 / (epsilon / 2.0)
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.floor(
+            noisy_sum_e6.cast("double")
+            / F.greatest(noisy_cnt_e6, F.lit(1)).cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("noisy_mean_ppm"),
+    )
+
+
+def holm_bonferroni(
+    hypotheses: DataFrame,
+    id_col: str,
+    p_col: str = "p_ppm",
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Holm–Bonferroni step-DOWN multiple-testing control — the
+    family-wise-error-rate companion to :func:`bh_fdr`'s FDR step-up:
+    walk the p-sorted list from the smallest, reject while
+    ``p_(i) <= alpha / (m − i + 1)``, and STOP at the first failure
+    (everything after it is retained, even if individually small) —
+    uniformly more powerful than plain Bonferroni with the same FWER
+    guarantee (Holm, Scand. J. Statist. 1979).
+
+    All-integer step-down: ``p_ppm · (m − rnk + 1) <= alpha_ppm`` per
+    rank, the stop rank is a min over failures, both over the O(m)
+    hypothesis relation (grouped-first contract — the windows sort m
+    tests, never data rows).
+
+    Returns (id, p_ppm, rnk, reject).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("p"), F.col("id"))
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = hypotheses.select(
+        F.col(id_col).alias("id"), F.col(p_col).cast("long").alias("p")
+    ).select(
+        "id",
+        "p",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    fails = F.col("p") * (F.col("m") - F.col("rnk") + 1) > F.lit(
+        int(alpha_ppm)
+    )
+    stop = F.min(F.when(fails, F.col("rnk"))).over(wall)
+    return ranked.select(
+        "id",
+        F.col("p").alias("p_ppm"),
+        "rnk",
+        F.when(stop.isNull(), F.lit(True))
+        .otherwise(F.col("rnk") < stop)
+        .alias("reject"),
+    )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Isotonic-regression calibration (pool-adjacent-violators fit) of
+    a binary label rate as a NON-DECREASING function of a score — the
+    standard nonparametric classifier calibrator (Zadrozny & Elkan,
+    KDD 2002) next to :func:`reliability_bins`' fixed-width diagnostic:
+    the PAV fit is the unique monotone step function minimizing squared
+    error against the empirical rates.
+
+    Spark-first shape: PAV is usually presented as a sequential pooling
+    loop, but the fit has a closed MINIMAX form —
+    ``iso(i) = max_{j<=i} min_{k>=i} mean(y[j..k])`` (Robertson, Wright
+    & Dykstra 1988, Thm 1.4.4) — which is two window passes over the
+    O(levels²) interval relation: a suffix-min over k per start level j
+    (running min on the DESC sort), then a prefix-max over j per level
+    i. Nothing sequential, no driver loop; the quantized-score contract
+    (the AUC/reliability precondition) bounds levels, so the interval
+    relation is tiny however big the data. Interval means are doubles
+    built from exact integer prefix sums (identical IEEE both engines);
+    the fit lands on the ppm floor grid.
+
+    Returns one row per distinct score level:
+    (score, n, n_pos, fit_ppm) with fit_ppm non-decreasing in score.
+    """
+    from pyspark.sql import Window
+
+    levels = (
+        df.select(
+            F.col(score_col).cast("long").alias("score"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("y").cast("long").alias("s"),
+        )
+    )
+    wcum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pre = levels.select(
+        "score",
+        "c",
+        "s",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("s").over(wcum).alias("cs"),
+    )
+    j = pre.select(
+        F.col("score").alias("j"),
+        (F.col("cc") - F.col("c")).alias("cc_before"),
+        (F.col("cs") - F.col("s")).alias("cs_before"),
+    )
+    k = pre.select(
+        F.col("score").alias("k"),
+        F.col("cc").alias("cc_k"),
+        F.col("cs").alias("cs_k"),
+    )
+    # O(levels²) interval relation: mean(y[j..k]) for every j <= k.
+    iv = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cs_k") - F.col("cs_before")).cast("double")
+            / (F.col("cc_k") - F.col("cc_before")).cast("double")
+        ).alias("avg"),
+    )
+    # suffix-min over k for each (j, i >= j): running min on DESC k.
+    wmin = Window.partitionBy("j").orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    m = iv.select(
+        "j",
+        F.col("k").alias("i"),
+        F.min("avg").over(wmin).alias("mn"),
+    )
+    # prefix-max over j for each i; the fit is the j = i row's value.
+    wmax = Window.partitionBy("i").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fit = (
+        m.select("i", "j", F.max("mn").over(wmax).alias("mx"))
+        .filter(F.col("j") == F.col("i"))
+        .select(F.col("i").alias("score"), F.col("mx").alias("iso"))
+    )
+    return (
+        levels.join(fit, "score")
+        .select(
+            "score",
+            F.col("c").alias("n"),
+            F.col("s").alias("n_pos"),
+            F.floor(F.col("iso") * 1e6).cast("long").alias("fit_ppm"),
+        )
+    )
+
+
+def auc_delong_ci(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    z_e6: int = 1_959_964,
+) -> DataFrame:
+    """Exact ROC-AUC with its DeLong confidence interval — the number
+    :func:`auc_exact` reports plus the uncertainty every model-gating
+    decision actually needs (DeLong, DeLong & Clarke-Pearson,
+    Biometrics 1988: the AUC is a two-sample U-statistic; its variance
+    comes from the per-observation placement values).
+
+    Grouped-first: placements are CONSTANT within a distinct-score
+    group, so both placement variances collapse to moments over the
+    O(distinct-scores) relation — doubled-integer placements
+    a_g = 2·neg_below + neg_tied (positives) and
+    b_g = 2·pos_above + pos_tied (negatives) keep everything exact
+    DECIMAL(38,0) through the second moments:
+
+        S10 = [Σ npos_g·a_g² − A²/n_pos] / ((2·n_neg)²·(n_pos−1))
+        S01 = [Σ nneg_g·b_g² − B²/n_neg] / ((2·n_pos)²·(n_neg−1))
+        se  = sqrt(S10/n_pos + S01/n_neg)
+
+    with A = Σ npos_g·a_g (the doubled AUC numerator). One double sqrt
+    at the end; AUC/se/CI on the ppm floor grid, CI clamped to [0, 1].
+    Same quantized-score contract as auc_exact.
+
+    Returns one row: (n_pos, n_neg, auc_ppm, se_ppm, lo_ppm, hi_ppm).
+    """
+    from pyspark.sql import Window
+
+    is_pos = F.col(label_col).cast("boolean")
+    g = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).cast("long").alias("npos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).cast("long").alias("nneg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "score",
+        "npos",
+        "nneg",
+        F.coalesce(F.sum("nneg").over(w), F.lit(0)).alias("cneg"),
+        F.coalesce(F.sum("npos").over(w), F.lit(0)).alias("cpos"),
+    )
+    # b_g needs the GLOBAL positive total inside the row expression, so
+    # compute totals first and join them back (single-row broadcast)
+    # before the moment pass.
+    tot = c.agg(
+        F.sum("npos").cast("decimal(38,0)").alias("np"),
+        F.sum("nneg").cast("decimal(38,0)").alias("nn"),
+    )
+    withb = c.crossJoin(F.broadcast(tot)).select(
+        F.col("np"),
+        F.col("nn"),
+        F.col("npos").cast("decimal(38,0)").alias("nposd"),
+        F.col("nneg").cast("decimal(38,0)").alias("nnegd"),
+        (2 * F.col("cneg") + F.col("nneg"))
+        .cast("decimal(38,0)")
+        .alias("a"),
+        (
+            F.lit(2) * (F.col("np") - F.col("cpos") - F.col("npos"))
+            + F.col("npos")
+        )
+        .cast("decimal(38,0)")
+        .alias("b"),
+    )
+    s = withb.agg(
+        F.first("np").alias("np"),
+        F.first("nn").alias("nn"),
+        F.sum(F.col("nposd") * F.col("a")).alias("a1"),
+        F.sum(F.col("nposd") * F.col("a") * F.col("a")).alias("a2"),
+        F.sum(F.col("nnegd") * F.col("b")).alias("b1"),
+        F.sum(F.col("nnegd") * F.col("b") * F.col("b")).alias("b2"),
+    )
+    auc = F.col("a1").cast("double") / (
+        2.0 * F.col("np").cast("double") * F.col("nn").cast("double")
+    )
+    s10 = (
+        (
+            F.col("a2").cast("double")
+            - F.col("a1").cast("double")
+            * F.col("a1").cast("double")
+            / F.col("np").cast("double")
+        )
+        / (
+            (2.0 * F.col("nn").cast("double"))
+            * (2.0 * F.col("nn").cast("double"))
+            * (F.col("np").cast("double") - 1.0)
+        )
+    )
+    s01 = (
+        (
+            F.col("b2").cast("double")
+            - F.col("b1").cast("double")
+            * F.col("b1").cast("double")
+            / F.col("nn").cast("double")
+        )
+        / (
+            (2.0 * F.col("np").cast("double"))
+            * (2.0 * F.col("np").cast("double"))
+            * (F.col("nn").cast("double") - 1.0)
+        )
+    )
+    se = F.sqrt(
+        s10 / F.col("np").cast("double") + s01 / F.col("nn").cast("double")
+    )
+    zz = float(z_e6) / 1e6
+    return s.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.floor(auc * 1e6).cast("long").alias("auc_ppm"),
+        F.floor(se * 1e6).cast("long").alias("se_ppm"),
+        F.greatest(
+            F.floor((auc - F.lit(zz) * se) * 1e6).cast("long"), F.lit(0)
+        ).alias("lo_ppm"),
+        F.least(
+            F.floor((auc + F.lit(zz) * se) * 1e6).cast("long"),
+            F.lit(1_000_000),
+        ).alias("hi_ppm"),
+    )

@@ -1730,3 +1730,99 @@ def ndcg_at_k(
         )
         .orderBy("query_id")
     )
+
+
+def map_mrr_at_k(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality MAP@k and MRR@k per query anchor — the two IR
+    eval numbers :func:`ndcg_at_k` doesn't give: average precision
+    (position-weighted precision over every relevant hit — the recall-
+    oriented ranking score) and reciprocal rank of the FIRST relevant
+    hit (the "how fast does the user see something right" score).
+
+    Same exact dataflow as ndcg_at_k (broadcast O(n_queries) anchors,
+    int64 squared-L2 on the 1e-6 grid, ties to lower id, rank-limited
+    per-anchor windows). Both metrics stay on exact integer grids:
+    precision@r = cum_rel(r)/r lands per-term as
+    ``(cum_rel·1e6) div r`` BEFORE the sum, AP divides by min(k, R)
+    with one truncating div, and RR is the pure-integer
+    ``1e6 div first_rel_rank`` (0 when no relevant in the top k).
+
+    Returns (query_id, n_relevant, ap_ppm, rr_ppm) ordered by query.
+    """
+    from .clustering import _dist2, quantize_e6
+
+    q = embeddings.select(
+        F.col(id_col).alias("vid"),
+        quantize_e6(vec_col).alias("qv"),
+        F.col(label_col).alias("lbl"),
+    )
+    anchors = (
+        q.orderBy("vid")
+        .limit(n_queries)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("qv").alias("aq"),
+            F.col("lbl").alias("albl"),
+        )
+    )
+    scored = q.join(
+        F.broadcast(anchors), F.col("vid") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vid",
+        _dist2(F.col("qv"), F.col("aq")).alias("dist2"),
+        F.when(F.col("lbl") == F.col("albl"), 1).otherwise(0).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "vid")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = scored.select(
+        "query_id",
+        "rel",
+        F.row_number().over(w).alias("r"),
+        F.sum("rel").over(wcum).cast("long").alias("cum_rel"),
+    )
+    rtot = scored.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_relevant")
+    )
+    top = ranked.filter(F.col("r") <= k)
+    per_q = top.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr("(cum_rel * 1000000) div r"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ap_num_ppm"),
+        F.min(F.when(F.col("rel") == 1, F.col("r")))
+        .cast("long")
+        .alias("first_rel"),
+    )
+    return (
+        rtot.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_relevant",
+            F.expr(
+                "CASE WHEN least(n_relevant, {k}) > 0 THEN"
+                " coalesce(ap_num_ppm, 0) div least(n_relevant, {k})"
+                " ELSE 0 END".format(k=int(k))
+            )
+            .cast("long")
+            .alias("ap_ppm"),
+            F.expr(
+                "CASE WHEN first_rel IS NULL THEN 0"
+                " ELSE 1000000 div first_rel END"
+            )
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -968,3 +968,186 @@ def ljung_box(
             f" * ({term})) div 1000000000000 AS BIGINT)"
         ).alias("q_ppm"),
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    value_scale: int = 1_000_000,
+) -> DataFrame:
+    """Durbin–Watson autocorrelation diagnostic per series: DW =
+    Σ(e_t − e_{t−1})² / Σe_t² over mean-residuals, the classic "are my
+    model residuals (or metric series) serially correlated" readout —
+    ≈2 means white noise, →0 positive drift, →4 alternation. The
+    Ljung–Box test here asks the same question jointly over many lags;
+    DW is the single-number lag-1 form every regression report prints.
+
+    All-integer: values land on a fixed grid (``floor(v·scale)``), the
+    residual is cleared of the mean by scaling both sums by n
+    (e_t·n = v_t·n − S, Δe_t·n = Δv_t·n), so DW·1e6 =
+    n²·Σ(Δv)²·1e6 div Σ(n·v − S)² with every term DECIMAL(38,0). One
+    hash-partitioned per-key window pass (lag) + one combinable
+    aggregate — the :func:`autocorrelation` shape.
+
+    Returns (key, n, dw_ppm).
+    """
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.floor(F.col(value_col).cast("double") * F.lit(int(value_scale)))
+        .cast("decimal(38,0)")
+        .alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy("o")
+    lagged = g.select(
+        "k",
+        "v",
+        (F.col("v") - F.lag("v").over(w)).alias("dv"),
+    )
+    s = lagged.groupBy("k").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("dv") * F.col("dv")).alias("sdd"),
+    )
+    # Σ(n·v − S)² = n²·Σv² − 2nS·Σv + n·S² = n²Σv² − nS² ; numerator
+    # n²·Σ(Δv)². Both exact; ratio on the ppm truncating-div grid.
+    return s.select(
+        F.col("k").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        # truncating integer div (Spark `div` == DuckDB `//`), exact
+        F.expr(
+            "CASE WHEN n * n * svv - n * sv * sv = 0 THEN NULL"
+            " ELSE CAST((n * n * sdd * 1000000)"
+            " div (n * n * svv - n * sv * sv) AS BIGINT) END"
+        ).alias("dw_ppm"),
+    )
+
+
+def hurst_rs(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    window_sizes: tuple[int, ...] = (8, 16, 32, 64),
+    value_scale: int = 1_000_000,
+) -> DataFrame:
+    """Hurst exponent per series via classical rescaled-range (R/S)
+    analysis (Hurst 1951; Mandelbrot & Wallis 1969): chop the series
+    into complete chunks of each window size w, compute each chunk's
+    range-of-cumulative-deviations over its standard deviation, and
+    regress ln(mean R/S) on ln(w) — H≈0.5 is a random walk, H>0.5
+    long-range persistence (trends compound), H<0.5 mean reversion.
+    The "does this metric have memory" diagnostic for event streams.
+
+    Exactness: values land on the ``floor(v·scale)`` grid; the chunk
+    cumulative deviation is cleared of the mean by n-scaling
+    (n·Y_j = n·cum_j − j·S — exact DECIMAL(38,0)), so
+    R/S = (max n·Y − min n·Y) / sqrt(n·Σv² − S²) with ONE double sqrt
+    per chunk, floored to ppm; per-w means and the final 4-point
+    ln-ln regression reuse the zipf_slope convention (1e-6 ln grid,
+    exact integer regression sums, truncating-div slope).
+
+    Scale shape: rows replicate ×|window_sizes| (explode), every
+    window partitions by (key, w, chunk) — O(w)-sized partitions, no
+    global sort anywhere; everything after the chunk aggregate is
+    O(#chunks) then O(|window_sizes|) rows per key.
+
+    Returns (key, n_levels, hurst_ppm).
+    """
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("k").orderBy("o")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.floor(F.col(value_col).cast("double") * F.lit(int(value_scale)))
+        .cast("decimal(38,0)")
+        .alias("v"),
+    ).withColumn("idx", F.row_number().over(wk))
+    lvls = F.array(*[F.lit(int(w)) for w in window_sizes])
+    rep = base.withColumn("w", F.explode(lvls)).withColumn(
+        "chunk", F.expr("CAST((idx - 1) div w AS BIGINT)")
+    )
+    wc = Window.partitionBy("k", "w", "chunk").orderBy("idx")
+    wall = wc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per_row = rep.select(
+        "k",
+        "w",
+        "chunk",
+        F.count(F.lit(1)).over(wall).cast("decimal(38,0)").alias("n"),
+        F.sum("v").over(wall).alias("s"),
+        (
+            F.count(F.lit(1)).over(wall).cast("decimal(38,0)")
+            * F.sum("v").over(
+                wc.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.row_number().over(wc).cast("decimal(38,0)") * F.sum("v").over(wall)
+        ).alias("ny"),
+        F.sum(F.col("v") * F.col("v")).over(wall).alias("ssq"),
+    )
+    chunks = (
+        per_row.groupBy("k", "w", "chunk")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("s").alias("s"),
+            F.first("ssq").alias("ssq"),
+            (F.max("ny") - F.min("ny")).alias("rn"),
+        )
+        # complete chunks with non-degenerate variance only
+        .filter(
+            (F.col("n") == F.col("w").cast("decimal(38,0)"))
+            & (F.col("n") * F.col("ssq") - F.col("s") * F.col("s") > 0)
+        )
+    )
+    rs = chunks.select(
+        "k",
+        "w",
+        F.floor(
+            F.col("rn").cast("double")
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+                ).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("rs_ppm"),
+    )
+    per_w = rs.groupBy("k", "w").agg(
+        F.expr("CAST(SUM(rs_ppm) div COUNT(*) AS BIGINT)").alias(
+            "mean_rs_ppm"
+        )
+    )
+    pts = per_w.select(
+        "k",
+        F.floor(F.log(F.col("w").cast("double")) * 1e6)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.floor(F.log(F.col("mean_rs_ppm").cast("double")) * 1e6)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    reg = pts.groupBy("k").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return reg.select(
+        F.col("k").alias(key_col),
+        F.col("m").cast("long").alias("n_levels"),
+        F.expr(
+            "CASE WHEN m * sxx - sx * sx = 0 THEN NULL"
+            " ELSE CAST(((m * sxy - sx * sy) * 1000000)"
+            " div (m * sxx - sx * sx) AS BIGINT) END"
+        ).alias("hurst_ppm"),
+    )

@@ -1516,3 +1516,128 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def bench_round8d(spark) -> dict:
+    """Growth shapes for the round-8 statistics/encoding wave: data
+    grows 4x per step while the contracts' bounded relations (cells,
+    support, levels, folds, replicate count) stay FIXED — the claim
+    under test is that every op reduces to one combinable scan plus
+    work on an O(bounded) relation, so walls should track the scan.
+    hurst_rs replicates x|window_sizes| and pays per-chunk windows, so
+    slightly superlinear constants are expected but not blowups."""
+    from iowa_liquor_sales_spark.operators.aggregates import (
+        kendall_tau_b,
+        quadratic_fit,
+    )
+    from iowa_liquor_sales_spark.operators.curation import target_encode_oof
+    from iowa_liquor_sales_spark.operators.quality import (
+        effect_sizes,
+        isotonic_calibration,
+        randomization_test,
+        wasserstein_1d,
+    )
+    from iowa_liquor_sales_spark.operators.temporal import hurst_rs
+
+    timings: dict[str, dict] = {}
+
+    def t(label, factor, mk):
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings.setdefault(label, {})[factor] = round(best, 2)
+
+    for factor in (1, 4, 16):
+        n = 200_000 * factor
+        d = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 50).alias("x"),
+            ((F.col("id") * 7919) % 7).alias("y7"),
+            ((F.col("id") * 104729) % 1000).alias("v"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+            (F.col("id") % 8).alias("k"),
+        )
+        t(
+            "kendall_tau_350cells",
+            factor,
+            lambda dd=d: kendall_tau_b(dd, "x", "y7"),
+        )
+        t(
+            "wasserstein_1k_support",
+            factor,
+            lambda dd=d: wasserstein_1d(dd, "v", "g", "a", "b"),
+        )
+        t(
+            "effect_sizes",
+            factor,
+            lambda dd=d: effect_sizes(dd, "v", "g", "a", "b"),
+        )
+        t(
+            "randomization_50reps",
+            factor,
+            lambda dd=d: randomization_test(
+                dd, "v", "g", "a", "b", id_col="id", n_reps=50
+            ),
+        )
+        t(
+            "isotonic_100lvl",
+            factor,
+            lambda dd=d: isotonic_calibration(
+                dd.select(
+                    F.expr("v div 10").alias("s"),
+                    (F.col("id") % 3 == 0).alias("y"),
+                ),
+                "s",
+                "y",
+            ),
+        )
+        t(
+            "target_encode_50cat",
+            factor,
+            lambda dd=d: target_encode_oof(
+                dd.select("id", "x", F.col("v").cast("double").alias("t")),
+                "x",
+                "t",
+                "id",
+                n_folds=5,
+            ),
+        )
+        t(
+            "hurst_8series",
+            factor,
+            lambda dd=d: hurst_rs(dd, "k", "id", "v"),
+        )
+        t(
+            "quadratic_fit",
+            factor,
+            lambda dd=d: quadratic_fit(dd, "x", "v"),
+        )
+    return timings
+
+
+def render_round8d(timings: dict) -> list[str]:
+    lines = [
+        "",
+        "## Round-8 statistics/encoding probe (data grows, bounded relations fixed)",
+        "",
+        "Synthesized 200k/800k/3.2M-row relations; the contingency cells",
+        "(50x7), value support (1k), score levels (100), categories (50),",
+        "folds (5) and replicate count (50) stay fixed while rows grow 4x",
+        "per step. Every op claims one combinable scan + O(bounded)",
+        "post-work; linear-ish walls confirm it. hurst_8series pays the",
+        "x4 window-size replication and per-chunk windows (still",
+        "partition-parallel).",
+        "",
+        "| op | wall by growth factor |",
+        "|---|---|",
+    ]
+    for label, per in timings.items():
+        lines.append(
+            f"| {label} | "
+            + ", ".join(f"x{f}: {per[f]:.2f}s" for f in sorted(per))
+            + " |"
+        )
+    return lines

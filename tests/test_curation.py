@@ -434,3 +434,38 @@ def test_minhash_lsh_hot_bucket_cap_prunes_mega_buckets(spark):
         docs, "text", "doc_id", min_jaccard=0.9, max_bucket=5
     )
     assert capped.count() == 0  # every bucket holds 12 > 5 docs
+
+
+def test_target_encode_oof_is_leakage_free(spark):
+    from iowa_liquor_sales_spark.operators.curation import target_encode_oof
+
+    rows = [(i, "c" + str(i % 3), float(i % 3) * 10 + (i % 7))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "cat", "t"])
+    out = target_encode_oof(
+        df, "cat", "t", "k", n_folds=4, target_scale=100
+    ).collect()
+    # recompute folds/sums in python with the same md5 hash
+    import hashlib
+    import math
+
+    def fold(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 4
+
+    sums, cnts = {}, {}
+    for k, cat, t in rows:
+        f = fold(k)
+        sums[(cat, f)] = sums.get((cat, f), 0) + math.floor(t * 100)
+        cnts[(cat, f)] = cnts.get((cat, f), 0) + 1
+    for r in out:
+        cat, f = r["cat"], r["fold"]
+        tot_s = sum(v for (c, _), v in sums.items() if c == cat)
+        tot_n = sum(v for (c, _), v in cnts.items() if c == cat)
+        own_s, own_n = sums[(cat, f)], cnts[(cat, f)]
+        assert r["n_in"] == own_n and r["n_out"] == tot_n - own_n
+        # leakage-free: own fold's rows are excluded from the encoding
+        want = (tot_s - own_s) // (tot_n - own_n)
+        assert r["enc"] == want
+    # a category confined to one fold cannot be encoded (NULL, not 0)
+    solo = spark.createDataFrame([(1, "x", 5.0)], ["k", "cat", "t"])
+    assert target_encode_oof(solo, "cat", "t", "k").collect()[0]["enc"] is None

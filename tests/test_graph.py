@@ -245,3 +245,30 @@ def test_personalized_pagerank_mass_stays_near_seeds(spark):
     assert out[2] > out[3] > 0  # the heavy edge carries more seed mass
     # teleport floor: the seed always keeps at least 0.15e12
     assert out[1] >= 15 * 10**10
+
+
+def test_neighbor_jaccard_matches_bruteforce(spark):
+    from iowa_liquor_sales_spark.operators.graph import neighbor_jaccard
+
+    # bowtie + tail: neighborhoods overlap differently per pair
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (3, 5), (5, 6)]
+    out = {
+        (r["u"], r["v"]): (r["common"], r["jaccard_ppm"])
+        for r in neighbor_jaccard(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    eset = {tuple(sorted(e)) for e in edges}
+    want = {}
+    for u in adj:
+        for v in adj:
+            if u < v and (u, v) not in eset:
+                common = len(adj[u] & adj[v])
+                if common >= 1:
+                    union = len(adj[u] | adj[v])
+                    want[(u, v)] = (common, common * 1_000_000 // union)
+    assert out == want

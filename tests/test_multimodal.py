@@ -277,3 +277,36 @@ def test_pil_gate_raises_cleanly_without_pil():
 
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\x89PNG....", codec="pil")
+
+
+def test_audio_zero_crossings_counts_transitions(spark):
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        audio_zero_crossings,
+    )
+
+    import struct
+
+    # frame of 6 samples alternating below/above the 32768 midpoint:
+    # transitions at every adjacent pair -> 5 crossings
+    alt = struct.pack("<6H", 0, 40000, 0, 40000, 0, 40000)
+    # constant frame: 0 crossings; 300 samples -> frames of 256 + 44
+    flat = struct.pack("<300H", *([100] * 300))
+    df = spark.createDataFrame(
+        [(1, bytearray(alt)), (2, bytearray(flat))], ["doc_id", "payload"]
+    )
+    out = {
+        (r["doc_id"], r["frame_id"]): (r["n_samples"], r["n_crossings"])
+        for r in audio_zero_crossings(df, frame_samples=256).collect()
+    }
+    assert out[(1, 0)] == (6, 5)
+    assert out[(2, 0)] == (256, 0)
+    assert out[(2, 1)] == (44, 0)
+    # frame boundary pair belongs to neither frame: a transition right
+    # at the boundary is not counted
+    cross = struct.pack("<4H", 0, 0, 40000, 40000)
+    d2 = spark.createDataFrame([(3, bytearray(cross))], ["doc_id", "payload"])
+    got = {
+        r["frame_id"]: r["n_crossings"]
+        for r in audio_zero_crossings(d2, frame_samples=2).collect()
+    }
+    assert got == {0: 0, 1: 0}

@@ -2213,3 +2213,23 @@ def test_lsh_band_plan_known_thresholds(spark):
         got, key=lambda b: (abs(got[b]["threshold_ppm"] - 500_000), b)
     )
     assert recs == [best]
+
+
+def test_quadratic_fit_recovers_exact_polynomial(spark):
+    from iowa_liquor_sales_spark.operators.aggregates import quadratic_fit
+
+    # exact quadratic: y = 7 + 3x + 2x² (integer grid, no noise)
+    rows = [(x, 7 + 3 * x + 2 * x * x) for x in range(50)]
+    got = quadratic_fit(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert got["n"] == 50
+    assert abs(got["b0_ppm"] - 7_000_000) <= 1
+    assert abs(got["b1_ppm"] - 3_000_000) <= 1
+    assert abs(got["b2_ppm"] - 2_000_000) <= 1
+    # pure line: curvature term vanishes
+    lin = [(x, 10 * x + 1) for x in range(50)]
+    g2 = quadratic_fit(
+        spark.createDataFrame(lin, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert abs(g2["b2_ppm"]) <= 1 and abs(g2["b1_ppm"] - 10_000_000) <= 1

@@ -71,3 +71,300 @@ def test_bh_fdr_step_up_rescues_interior_hypothesis(spark):
         not r["reject"]
         for r in bh_fdr(null, "test_id", alpha_ppm=100_000).collect()
     )
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    from iowa_liquor_sales_spark.operators.aggregates import kendall_tau_b
+
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 5), rng.randint(0, 3)) for _ in range(120)]
+    got = kendall_tau_b(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    c = d = tx = ty = 0
+    n = len(rows)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (x1, y1), (x2, y2) = rows[i], rows[j]
+            if x1 == x2:
+                tx += 1
+                if y1 == y2:
+                    ty += 1
+                continue
+            if y1 == y2:
+                ty += 1
+                continue
+            if (x1 < x2) == (y1 < y2):
+                c += 1
+            else:
+                d += 1
+    n0 = n * (n - 1) // 2
+    # brute tx counts pairs tied on x (incl. both-tied); the operator's
+    # marginal form is the same quantity
+    tau = (c - d) / math.sqrt(n0 - tx) / math.sqrt(n0 - ty)
+    assert got["n"] == n
+    assert got["concordant"] == c and got["discordant"] == d
+    assert got["tau_b_ppb"] == math.floor(tau * 1e9)
+
+
+def test_wasserstein_1d_exact_small_case(spark):
+    from iowa_liquor_sales_spark.operators.quality import wasserstein_1d
+
+    # a: {0, 4}, b: {2}: |Fa-Fb| is 1/2 on [0,2), 1/2 on [2,4) -> W1 = 2
+    rows = [(0, "a"), (4, "a"), (2, "b")]
+    got = wasserstein_1d(
+        spark.createDataFrame(rows, ["v", "g"]), "v", "g", "a", "b"
+    ).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (2, 1)
+    assert got["w1_ppm"] == 2_000_000
+    # shifting one distribution by delta adds exactly delta
+    rows2 = [(v + (10 if g == "b" else 0), g) for v, g in rows]
+    got2 = wasserstein_1d(
+        spark.createDataFrame(rows2, ["v", "g"]), "v", "g", "a", "b"
+    ).collect()[0]
+    assert got2["w1_ppm"] == 10_000_000
+
+
+def test_effect_sizes_match_numpy(spark):
+    import math
+    import random
+
+    from iowa_liquor_sales_spark.operators.quality import effect_sizes
+
+    rng = random.Random(3)
+    a = [rng.randint(100, 200) for _ in range(60)]
+    b = [rng.randint(120, 260) for _ in range(40)]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    got = effect_sizes(
+        spark.createDataFrame(rows, ["v", "g"]), "v", "g", "a", "b"
+    ).collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = (sum(x * x for x in a) - sum(a) ** 2 / na) / (na - 1)
+    vb = (sum(x * x for x in b) - sum(b) ** 2 / nb) / (nb - 1)
+    sp = math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    dd = (ma - mb) / sp
+    gg = dd * (1 - 3 / (4 * (na + nb) - 9))
+    assert abs(got["cohens_d_ppm"] / 1e6 - dd) < 2e-6
+    assert abs(got["hedges_g_ppm"] / 1e6 - gg) < 2e-6
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    assert abs(got["cliffs_delta_ppm"] / 1e6 - (gt - lt) / (na * nb)) < 2e-6
+
+
+def test_cochran_armitage_detects_trend_direction(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.quality import cochran_armitage
+
+    # rate rises with dose 1->3: strong positive trend
+    rows = (
+        [(1, True)] * 5 + [(1, False)] * 45
+        + [(2, True)] * 20 + [(2, False)] * 30
+        + [(3, True)] * 40 + [(3, False)] * 10
+    )
+    got = cochran_armitage(
+        spark.createDataFrame(rows, ["dose", "y"]), "dose", "y"
+    ).collect()[0]
+    assert got["n"] == 150 and got["n_pos"] == 65
+    # hand-computed: N=150 R=65, wr = 5+40+120=165, wn=50+100+150=300,
+    # wwn=50+200+450=700
+    num = 150 * 165 - 65 * 300
+    rad = 65 * 85 * (150 * 700 - 300 * 300) / 149
+    z = num / math.sqrt(rad)
+    assert got["z_ppm"] == math.floor(z * 1e6)
+    assert got["z_ppm"] > 5_000_000  # overwhelmingly significant
+    # flat rates: |z| small
+    flat = [(d, i % 2 == 0) for d in (1, 2, 3) for i in range(50)]
+    z0 = cochran_armitage(
+        spark.createDataFrame(flat, ["dose", "y"]), "dose", "y"
+    ).collect()[0]["z_ppm"]
+    assert abs(z0) < 1_000_000
+
+
+def test_mcnemar_pure_integer_statistic(spark):
+    from iowa_liquor_sales_spark.operators.quality import mcnemar_test
+
+    # truth all True; A right on 30+10, B right on 30+5:
+    # b10 (A only) = 10, b01 (B only) = 5
+    rows = (
+        [(True, True, True)] * 30
+        + [(True, True, False)] * 10
+        + [(True, False, True)] * 5
+        + [(True, False, False)] * 3
+    )
+    got = mcnemar_test(
+        spark.createDataFrame(rows, ["y", "pa", "pb"]), "y", "pa", "pb"
+    ).collect()[0]
+    assert (got["a_only_correct"], got["b_only_correct"]) == (10, 5)
+    assert got["chi2_ppm"] == (5 * 5 * 1_000_000) // 15
+    # identical predictors: zero discordance, zero statistic
+    same = mcnemar_test(
+        spark.createDataFrame(rows, ["y", "pa", "pb"]), "y", "pa", "pa"
+    ).collect()[0]
+    assert same["chi2_ppm"] == 0
+
+
+def test_randomization_test_separates_null_from_shift(spark):
+    from iowa_liquor_sales_spark.operators.quality import randomization_test
+
+    # identical distributions: p should be comfortably non-tiny
+    null_rows = [(i, 100 + (i % 7), "a" if i % 2 == 0 else "b")
+                 for i in range(200)]
+    p_null = randomization_test(
+        spark.createDataFrame(null_rows, ["id", "v", "g"]),
+        "v", "g", "a", "b", id_col="id", n_reps=50,
+    ).collect()[0]
+    assert p_null["p_ppm"] > 100_000  # > 0.1
+    # massive shift: no replicate should reach it -> p = 1/51
+    shift_rows = [(i, (1000 if i % 2 == 0 else 100) + i % 5,
+                   "a" if i % 2 == 0 else "b") for i in range(200)]
+    p_shift = randomization_test(
+        spark.createDataFrame(shift_rows, ["id", "v", "g"]),
+        "v", "g", "a", "b", id_col="id", n_reps=50,
+    ).collect()[0]
+    assert p_shift["n_exceed"] == 0
+    assert p_shift["p_ppm"] == 1_000_000 // 51
+
+
+def test_dp_noisy_mean_deterministic_and_clipped(spark):
+    from iowa_liquor_sales_spark.operators.quality import dp_noisy_mean
+
+    rows = [("g1", v) for v in range(0, 100)] + [("g2", 10_000)] * 50
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out1 = {r["grp"]: r for r in dp_noisy_mean(
+        df, ["grp"], "v", clip_lo=0, clip_hi=200, epsilon=1.0
+    ).collect()}
+    out2 = {r["grp"]: r for r in dp_noisy_mean(
+        df, ["grp"], "v", clip_lo=0, clip_hi=200, epsilon=1.0
+    ).collect()}
+    for g in out1:
+        assert out1[g]["noisy_mean_ppm"] == out2[g]["noisy_mean_ppm"]
+    # g2's raw mean is 10000 but the clip pins it near 200: the release
+    # must reflect the clipped sensitivity bound, not the raw outliers
+    assert out1["g2"]["noisy_mean_ppm"] < 250 * 1_000_000
+    # g1 mean ~49.5; Laplace(400/n) noise keeps the release in range
+    assert 0 < out1["g1"]["noisy_mean_ppm"] < 100 * 1_000_000
+
+
+def test_holm_step_down_stops_at_first_failure(spark):
+    """Holm signature: rank 2 fails its alpha/(m-1) threshold, so rank 3
+    is NOT rejected even though it would pass its own alpha/(m-2) bar —
+    the step-down mirror of BH's interior rescue."""
+    from iowa_liquor_sales_spark.operators.quality import holm_bonferroni
+
+    # m=4, alpha=100000: thresholds 25000, 33333, 50000, 100000
+    rows = [("a", 10_000), ("b", 40_000), ("c", 45_000), ("d", 900_000)]
+    df = spark.createDataFrame(rows, ["test_id", "p_ppm"])
+    got = {
+        r["id"]: (r["rnk"], r["reject"])
+        for r in holm_bonferroni(
+            df, "test_id", alpha_ppm=100_000
+        ).collect()
+    }
+    # rank1 10000*4=40000<=100000 ok; rank2 40000*3=120000>100000 FAIL
+    # -> stop at rank 2; rank3 45000*2=90000 would pass but is retained
+    assert got == {
+        "a": (1, True),
+        "b": (2, False),
+        "c": (3, False),
+        "d": (4, False),
+    }
+    # all tiny: everything rejected (stop is NULL)
+    tiny = spark.createDataFrame(
+        [("x", 1_000), ("y", 2_000)], ["test_id", "p_ppm"]
+    )
+    out = holm_bonferroni(tiny, "test_id", alpha_ppm=100_000).collect()
+    assert all(r["reject"] for r in out)
+
+
+def test_isotonic_calibration_matches_sequential_pav(spark):
+    from iowa_liquor_sales_spark.operators.quality import (
+        isotonic_calibration,
+    )
+
+    import math
+    import random
+
+    rng = random.Random(13)
+    # noisy but upward-trending rate over 12 score levels
+    rows = []
+    for lvl in range(12):
+        p = min(0.95, 0.1 + 0.08 * lvl + rng.uniform(-0.15, 0.15))
+        for _ in range(40):
+            rows.append((lvl, 1 if rng.random() < p else 0))
+    got = {
+        r["score"]: r["fit_ppm"]
+        for r in isotonic_calibration(
+            spark.createDataFrame(rows, ["score", "y"]), "score", "y"
+        ).collect()
+    }
+    # classic sequential pool-adjacent-violators reference
+    levels = sorted({lvl for lvl, _ in rows})
+    blocks = []
+    for lvl in levels:
+        c = sum(1 for l, _ in rows if l == lvl)
+        s = sum(y for l, y in rows if l == lvl)
+        blocks.append([s, c, [lvl]])
+        while len(blocks) >= 2 and (
+            blocks[-2][0] * blocks[-1][1]
+            >= blocks[-1][0] * blocks[-2][1]
+        ):
+            s2, c2, l2 = blocks.pop()
+            blocks[-1][0] += s2
+            blocks[-1][1] += c2
+            blocks[-1][2].extend(l2)
+    want = {}
+    for s, c, ls in blocks:
+        for lvl in ls:
+            want[lvl] = math.floor(s / c * 1e6)
+    assert got == want
+    # monotone non-decreasing by construction
+    fits = [got[lvl] for lvl in levels]
+    assert fits == sorted(fits)
+
+
+def test_auc_delong_ci_matches_reference(spark):
+    """DeLong placement-variance reference computed directly from the
+    per-observation placements on a small quantized sample."""
+    from iowa_liquor_sales_spark.operators.quality import auc_delong_ci
+
+    import math
+    import random
+
+    rng = random.Random(17)
+    rows = [(rng.randint(0, 20) + (4 if rng.random() < 0.5 else 0),
+             rng.random() < 0.5) for _ in range(300)]
+    # make the score informative: positives shifted up
+    rows = [(s + (6 if y else 0), y) for s, y in rows]
+    got = auc_delong_ci(
+        spark.createDataFrame(rows, ["score", "y"]), "score", "y"
+    ).collect()[0]
+    pos = sorted(s for s, y in rows if y)
+    neg = sorted(s for s, y in rows if not y)
+    npos, nneg = len(pos), len(neg)
+
+    def frac_below(xs, v):  # (below + 0.5*tied)
+        lo = sum(1 for x in xs if x < v)
+        tie = sum(1 for x in xs if x == v)
+        return lo + 0.5 * tie
+
+    v10 = [frac_below(neg, p) / nneg for p in pos]
+    v01 = [(npos - frac_below(pos, nv) - 0) / npos for nv in neg]
+    # v01 = fraction of positives ABOVE + half ties
+    v01 = [
+        (sum(1 for p in pos if p > nv) + 0.5 * sum(1 for p in pos if p == nv))
+        / npos
+        for nv in neg
+    ]
+    auc = sum(v10) / npos
+    s10 = sum((v - auc) ** 2 for v in v10) / (npos - 1)
+    s01 = sum((v - auc) ** 2 for v in v01) / (nneg - 1)
+    se = math.sqrt(s10 / npos + s01 / nneg)
+    assert got["n_pos"] == npos and got["n_neg"] == nneg
+    assert abs(got["auc_ppm"] - math.floor(auc * 1e6)) <= 1
+    assert abs(got["se_ppm"] - math.floor(se * 1e6)) <= 1
+    assert got["lo_ppm"] <= got["auc_ppm"] <= got["hi_ppm"]

@@ -311,3 +311,46 @@ def test_assign_new_vectors_matches_full_rebuild(spark, tmp_path):
         for r in ivf_assign(emb, n_cells=16).select("vec_id", "cell").collect()
     }
     assert combined == full
+
+
+def test_map_mrr_matches_bruteforce(spark):
+    from iowa_liquor_sales_spark.operators.similarity import map_mrr_at_k
+
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r["query_id"]: (r["n_relevant"], r["ap_ppm"], r["rr_ppm"])
+        for r in map_mrr_at_k(df, n_queries=4, k=5).collect()
+    }
+    # python reference on the SAME 1e-6 quantized grid
+    import math
+
+    def quant(v):
+        return [math.floor(x * 1e6 + 0.5) for x in v]
+
+    qrows = [(i, quant(v), lbl) for i, v, lbl in rows]
+    for qid, qv, qlbl in qrows[:4]:
+        cands = []
+        for vid, v, lbl in qrows:
+            if vid == qid:
+                continue
+            d2 = sum((a - b) ** 2 for a, b in zip(v, qv))
+            cands.append((d2, vid, 1 if lbl == qlbl else 0))
+        cands.sort()
+        n_rel = sum(c[2] for c in cands)
+        ap_num, cum, first = 0, 0, None
+        for r, (_, _, rel) in enumerate(cands[:5], start=1):
+            cum += rel
+            if rel:
+                ap_num += (cum * 1_000_000) // r
+                if first is None:
+                    first = r
+        ap = ap_num // min(n_rel, 5) if min(n_rel, 5) > 0 else 0
+        rr = 1_000_000 // first if first else 0
+        assert got[qid] == (n_rel, ap, rr)

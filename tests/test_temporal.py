@@ -296,3 +296,60 @@ def test_burst_segments_viterbi_optimum(spark):
     assert out["run"]["n_days"] == 7 and out["run"]["n_hot"] == 3
     assert out["blip"]["burst_days"] == 0 and out["blip"]["path_cost"] == 1
     assert out["quiet"]["burst_days"] == 0 and out["quiet"]["path_cost"] == 0
+
+
+def test_durbin_watson_white_noise_vs_trend(spark):
+    from iowa_liquor_sales_spark.operators.temporal import durbin_watson
+
+    # alternating residuals -> DW near 4; monotone ramp -> DW near 0
+    alt = [("a", i, 10.0 + (1.0 if i % 2 == 0 else -1.0))
+           for i in range(100)]
+    ramp = [("r", i, float(i)) for i in range(100)]
+    out = {
+        r["k"]: r["dw_ppm"]
+        for r in durbin_watson(
+            spark.createDataFrame(alt + ramp, ["k", "o", "v"]),
+            "k", "o", "v",
+        ).collect()
+    }
+    assert out["a"] > 3_500_000          # alternation -> ~4
+    assert out["r"] < 100_000            # strong positive trend -> ~0
+    # exact check on a tiny series: v = 1,2,4 -> mean 7/3,
+    # residuals e = -4/3, -1/3, 5/3; sum(de^2) = 1+4 = 5,
+    # sum(e^2) = (16+1+25)/9 = 42/9 -> DW = 45/42
+    tiny = [("t", 1, 1.0), ("t", 2, 2.0), ("t", 3, 4.0)]
+    got = durbin_watson(
+        spark.createDataFrame(tiny, ["k", "o", "v"]), "k", "o", "v"
+    ).collect()[0]
+    assert got["dw_ppm"] == (45 * 1_000_000) // 42
+
+
+def test_hurst_rs_separates_persistence_regimes(spark):
+    from iowa_liquor_sales_spark.operators.temporal import hurst_rs
+
+    import random
+
+    rng = random.Random(11)
+    # trending series (strong persistence): H near 1
+    trend, x = [], 0.0
+    for i in range(512):
+        x += 1.0 + 0.01 * rng.random()
+        trend.append(("t", i, x))
+    # alternating series (strong anti-persistence): H near 0
+    alt = [("a", i, 100.0 + (5.0 if i % 2 == 0 else -5.0) + 0.01 * rng.random())
+           for i in range(512)]
+    out = {
+        r["k"]: r["hurst_ppm"]
+        for r in hurst_rs(
+            spark.createDataFrame(trend + alt, ["k", "o", "v"]),
+            "k", "o", "v",
+        ).collect()
+    }
+    assert out["t"] > 800_000      # persistent ~1
+    assert out["a"] < 300_000      # mean-reverting ~0
+    # i.i.d.-ish noise sits between the regimes
+    noise = [("n", i, rng.random() * 100) for i in range(512)]
+    h = hurst_rs(
+        spark.createDataFrame(noise, ["k", "o", "v"]), "k", "o", "v"
+    ).collect()[0]["hurst_ppm"]
+    assert 300_000 < h < 800_000
