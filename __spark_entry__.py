@@ -9576,6 +9576,57 @@ def q_auc_delong(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_stratified_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    # Stratified 5-fold assignment over documents, stratified by
+    # language (sampling.stratified_kfold): rows ranked within each
+    # stratum by the content hash and dealt round-robin, so every
+    # stratum's folds balance within +-1 — the cross-validation
+    # splitter hash_split's in-expectation buckets can't guarantee for
+    # rare strata. Deterministic and partition-invariant.
+    from iowa_liquor_sales_spark.operators.sampling import stratified_kfold
+
+    return stratified_kfold(
+        read_table(spark, sf, "documents").select("doc_id", "lang"),
+        ["lang"],
+        "doc_id",
+        n_folds=5,
+    )
+
+
+def q_rolling_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    # Trailing-7-day p95 of event value per day (temporal.
+    # rolling_grid_quantile): merged DAILY HISTOGRAMS instead of a
+    # per-row window sort — one combinable groupBy(day, bucket), a
+    # bounded x7 fanout join, and the quantile as the first bucket
+    # crossing the threshold; everything after the first aggregate
+    # runs on O(days x buckets) rows.
+    from iowa_liquor_sales_spark.operators.temporal import (
+        rolling_grid_quantile,
+    )
+
+    return rolling_grid_quantile(
+        read_table(spark, sf, "events"),
+        "ts",
+        "value",
+        q_ppm=950_000,
+        trailing_days=7,
+        bucket_width=100,
+        value_scale=100,
+    )
+
+
+def q_script_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-document Unicode-script profile + dominant class (text.
+    # script_profile): the zero-shuffle count-by-deletion idiom
+    # (length minus length after class removal) with literal character
+    # ranges so Java regex and RE2 agree — the writing-system routing
+    # key upstream of lang_id in a multilingual curation pipeline.
+    from iowa_liquor_sales_spark.operators.text import script_profile
+
+    return script_profile(read_table(spark, sf, "documents"))
+
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -10090,6 +10141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_isotonic": q_isotonic,
         "q_quadratic_fit": q_quadratic_fit,
         "q_auc_delong": q_auc_delong,
+        "q_stratified_kfold": q_stratified_kfold,
+        "q_rolling_quantile": q_rolling_quantile,
+        "q_script_profile": q_script_profile,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -17305,4 +17359,73 @@ def oracle_sql() -> dict[str, str]:
                    least(CAST(floor((auc + 1.959964 * se) * 1e6)
                               AS BIGINT), 1000000) AS hi_ppm
             FROM d""",
+        "q_stratified_kfold": """
+            SELECT doc_id, lang,
+                   CAST((row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY CAST(('0x' || substr(md5('kfold'
+                                 || CAST(doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) ASC,
+                                 CAST(doc_id AS VARCHAR) ASC) - 1) % 5
+                        AS INTEGER) AS fold
+            FROM documents""",
+        "q_rolling_quantile": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(floor(value * 100) AS BIGINT) // 100 AS b,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day AS tday FROM daily),
+            span AS (
+              SELECT d.tday, m.b, m.c
+              FROM daily m JOIN days d
+                ON d.tday >= m.day
+               AND d.tday < m.day + INTERVAL 7 DAY),
+            merged AS (SELECT tday, b, CAST(SUM(c) AS BIGINT) AS wc
+                       FROM span GROUP BY 1, 2),
+            scored AS (
+              SELECT tday, b,
+                     SUM(wc) OVER (PARTITION BY tday ORDER BY b
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(wc) OVER (PARTITION BY tday) AS tot
+              FROM merged),
+            hit AS (SELECT tday, b, tot,
+                           row_number() OVER (PARTITION BY tday
+                                              ORDER BY b) AS rn
+                    FROM scored
+                    WHERE cum * 1000000 >= tot * 950000)
+            SELECT tday AS day, CAST(tot AS BIGINT) AS n_window,
+                   CAST(b * 100 AS BIGINT) AS p_lo
+            FROM hit WHERE rn = 1""",
+        "q_script_profile": """
+            WITH t AS (SELECT doc_id, COALESCE(text, '') AS tx
+                       FROM documents),
+            c AS (SELECT doc_id,
+                    CAST(length(tx) AS BIGINT) AS n_chars,
+                    CAST(length(tx) - length(regexp_replace(tx,
+                         '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+                    CAST(length(tx) - length(regexp_replace(tx,
+                         '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                    CAST(length(tx) - length(regexp_replace(tx,
+                         '[ \t\n\r]', '', 'g')) AS BIGINT) AS n_space,
+                    CAST(length(tx) - length(regexp_replace(tx,
+                         '[一-鿿]', '', 'g')) AS BIGINT)
+                      AS n_cjk
+                  FROM t)
+            SELECT doc_id, n_chars, n_latin, n_digit, n_space, n_cjk,
+                   n_chars - n_latin - n_digit - n_space - n_cjk
+                     AS n_other,
+                   CASE WHEN n_latin >= n_cjk AND n_latin >= n_digit
+                             AND n_latin >= (n_chars - n_latin - n_digit
+                                             - n_space - n_cjk)
+                        THEN 'latin'
+                        WHEN n_cjk >= n_digit
+                             AND n_cjk >= (n_chars - n_latin - n_digit
+                                           - n_space - n_cjk)
+                        THEN 'cjk'
+                        WHEN n_digit >= (n_chars - n_latin - n_digit
+                                         - n_space - n_cjk)
+                        THEN 'digit'
+                        ELSE 'other' END AS dominant
+            FROM c""",
     }

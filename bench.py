@@ -181,6 +181,9 @@ HEADLINE = [
     "q_isotonic",
     "q_quadratic_fit",
     "q_auc_delong",
+    "q_stratified_kfold",
+    "q_rolling_quantile",
+    "q_script_profile",
 ]
 
 

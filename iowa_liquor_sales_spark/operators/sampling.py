@@ -383,3 +383,40 @@ def leakage_safe_split(
     )
     return hash_split(labeled, "cluster_id", weights=weights, salt=salt)
 
+
+
+def stratified_kfold(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    n_folds: int = 5,
+    salt: str = "kfold",
+) -> DataFrame:
+    """Stratified k-fold assignment: every stratum's rows are spread
+    across the k folds as evenly as arithmetic allows (sizes within
+    ±1 inside each stratum) — the cross-validation splitter a
+    class-imbalanced eval needs, where :func:`hash_split`'s plain
+    hash-bucket assignment only balances in expectation and can
+    starve a rare stratum's fold.
+
+    Deterministic and partition-invariant: rows are ranked WITHIN each
+    stratum by the content hash (a total, data-independent order) and
+    dealt round-robin — ``fold = (rank − 1) % k``. One shuffle on the
+    strata columns; the window is per-stratum (hash-partitioned,
+    parallel across strata). Re-running on any cluster layout deals
+    identical folds.
+
+    Returns the input plus a ``fold`` column in [0, n_folds).
+    """
+    h = hash60(
+        F.concat(
+            F.lit(salt), F.col(key_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h.asc(), F.col(key_col).cast("string").asc()
+    )
+    return df.withColumn(
+        "fold",
+        ((F.row_number().over(w) - 1) % F.lit(int(n_folds))).cast("int"),
+    )

@@ -1151,3 +1151,83 @@ def hurst_rs(
             " div (m * sxx - sx * sx) AS BIGINT) END"
         ).alias("hurst_ppm"),
     )
+
+
+def rolling_grid_quantile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    q_ppm: int = 950_000,
+    trailing_days: int = 7,
+    bucket_width: int = 1,
+    value_scale: int = 1,
+) -> DataFrame:
+    """Rolling quantile (e.g. trailing-7-day p95) computed from MERGED
+    DAILY HISTOGRAMS instead of re-sorting every window — the
+    dashboard staple ("p95 over the last week, per day") that naive
+    windowing executes as a per-row sort over the window. Each day
+    contributes one bounded bucket-count relation; each daily
+    histogram row fans out to the <= ``trailing_days`` observed target
+    days it covers (a range join with bounded fanout), the per-target
+    merge is one hash aggregate, and the quantile is the first bucket
+    whose running count crosses the q threshold — exact for the
+    gridded values (the house quantize contract: bucket_width IS the
+    answer resolution).
+
+    Scale shape: one map-side-combinable groupBy(day, bucket) collapses
+    the data; everything after runs on O(days · buckets) rows (fanout
+    ×trailing_days), never data rows. Days absent from the data
+    contribute nothing and get no output row (compose with date_spine
+    for a zero-filled calendar).
+
+    Returns (day, n_window, p_lo) — p_lo is the gridded lower edge of
+    the quantile bucket in scaled value units (bucket · bucket_width).
+    """
+    day = F.to_date(F.date_trunc("DAY", F.col(ts_col)))
+    bucket = F.expr(
+        f"CAST(floor({value_col} * {int(value_scale)})"
+        f" div {int(bucket_width)} AS BIGINT)"
+    )
+    daily = (
+        df.select(day.alias("day"), bucket.alias("b"))
+        .groupBy("day", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    days = daily.select("day").distinct().select(
+        F.col("day").alias("tday"), F.unix_date(F.col("day")).alias("tnum")
+    )
+    # each (source day, bucket, count) covers the observed target days
+    # in [src, src + trailing): bounded fanout, exact trailing window.
+    span = daily.withColumn("snum", F.unix_date("day")).join(
+        F.broadcast(days),
+        (F.col("tnum") >= F.col("snum"))
+        & (F.col("tnum") < F.col("snum") + F.lit(int(trailing_days))),
+    )
+    merged = span.groupBy("tday", "b").agg(
+        F.sum("c").cast("long").alias("wc")
+    )
+    wday = Window.partitionBy("tday").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("tday")
+    scored = merged.select(
+        "tday",
+        "b",
+        F.sum("wc").over(wday).alias("cum"),
+        F.sum("wc").over(wtot).alias("tot"),
+    )
+    hit = scored.filter(
+        F.col("cum") * 1_000_000 >= F.col("tot") * F.lit(int(q_ppm))
+    )
+    wfirst = Window.partitionBy("tday").orderBy("b")
+    return (
+        hit.withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("tday").alias("day"),
+            F.col("tot").cast("long").alias("n_window"),
+            F.expr(f"CAST(b * {int(bucket_width)} AS BIGINT)").alias(
+                "p_lo"
+            ),
+        )
+    )

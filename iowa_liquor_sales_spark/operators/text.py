@@ -1564,3 +1564,67 @@ def oov_rate(
             ),
         )
     )
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Unicode-script profile: counts of Latin letters,
+    digits, whitespace, CJK ideographs, and everything else, plus the
+    dominant class — the cheap script-level complement to the n-gram
+    :func:`lang_id` (script tells you *writing system* reliably even
+    when the language model is unsure; it's the first routing key a
+    multilingual curation pipeline branches on).
+
+    Zero-shuffle narrow projection: each count is
+    ``length(text) − length(regexp_replace(text, class, ''))`` — the
+    engine-portable "count by deletion" idiom (works identically in
+    Spark's Java regex and DuckDB's RE2 because the character classes
+    are spelled as literal ranges, not engine-specific escapes).
+
+    Returns (id, n_chars, n_latin, n_digit, n_space, n_cjk, n_other,
+    dominant).
+    """
+    cjk_lo, cjk_hi = chr(0x4E00), chr(0x9FFF)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def by_deletion(pattern: str) -> Column:
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        ).cast("long")
+
+    out = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        by_deletion("[A-Za-z]").alias("n_latin"),
+        by_deletion("[0-9]").alias("n_digit"),
+        by_deletion("[ \\t\\n\\r]").alias("n_space"),
+        by_deletion(f"[{cjk_lo}-{cjk_hi}]").alias("n_cjk"),
+    ).withColumn(
+        "n_other",
+        (
+            F.col("n_chars")
+            - F.col("n_latin")
+            - F.col("n_digit")
+            - F.col("n_space")
+            - F.col("n_cjk")
+        ).cast("long"),
+    )
+    dom = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_cjk"))
+            & (F.col("n_latin") >= F.col("n_digit"))
+            & (F.col("n_latin") >= F.col("n_other")),
+            F.lit("latin"),
+        )
+        .when(
+            (F.col("n_cjk") >= F.col("n_digit"))
+            & (F.col("n_cjk") >= F.col("n_other")),
+            F.lit("cjk"),
+        )
+        .when(F.col("n_digit") >= F.col("n_other"), F.lit("digit"))
+        .otherwise(F.lit("other"))
+    )
+    return out.withColumn("dominant", dom)

@@ -174,3 +174,36 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         assert out[r["doc_id"]]["cluster_id"] == r["doc_id"]
         assert out[r["doc_id"]]["split"] == r["split"]
 
+
+
+def test_stratified_kfold_balances_within_every_stratum(spark):
+    from iowa_liquor_sales_spark.operators.sampling import stratified_kfold
+
+    # wildly imbalanced strata: 97 / 11 / 3 rows
+    rows = (
+        [(i, "big") for i in range(97)]
+        + [(100 + i, "mid") for i in range(11)]
+        + [(200 + i, "rare") for i in range(3)]
+    )
+    out = stratified_kfold(
+        spark.createDataFrame(rows, ["k", "s"]), ["s"], "k", n_folds=5
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["s"], {}).setdefault(r["fold"], 0)
+        by[r["s"]][r["fold"]] += 1
+    # within every stratum, fold sizes differ by at most 1
+    for s, folds in by.items():
+        sizes = [folds.get(f, 0) for f in range(5)]
+        assert max(sizes) - min(sizes) <= 1, (s, sizes)
+    # rare stratum's 3 rows land in 3 DIFFERENT folds — the guarantee
+    # plain hash bucketing cannot make
+    assert sorted(by["rare"].values()) == [1, 1, 1]
+    # deterministic under repartitioning
+    out2 = stratified_kfold(
+        spark.createDataFrame(rows, ["k", "s"]).repartition(7),
+        ["s"], "k", n_folds=5,
+    ).collect()
+    assert {(r["k"], r["fold"]) for r in out} == {
+        (r["k"], r["fold"]) for r in out2
+    }

@@ -353,3 +353,54 @@ def test_hurst_rs_separates_persistence_regimes(spark):
         spark.createDataFrame(noise, ["k", "o", "v"]), "k", "o", "v"
     ).collect()[0]["hurst_ppm"]
     assert 300_000 < h < 800_000
+
+
+def test_rolling_grid_quantile_matches_bruteforce(spark):
+    from iowa_liquor_sales_spark.operators.temporal import (
+        rolling_grid_quantile,
+    )
+
+    import datetime
+    import math
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for d in range(20):
+        for _ in range(rng.randint(3, 30)):
+            rows.append(
+                (
+                    datetime.datetime(2024, 1, 1 + d, rng.randint(0, 23)),
+                    float(rng.randint(0, 500)),
+                )
+            )
+    got = {
+        str(r["day"]): (r["n_window"], r["p_lo"])
+        for r in rolling_grid_quantile(
+            spark.createDataFrame(rows, ["ts", "v"]),
+            "ts",
+            "v",
+            q_ppm=950_000,
+            trailing_days=7,
+            bucket_width=10,
+            value_scale=1,
+        ).collect()
+    }
+    for d in range(20):
+        day = datetime.date(2024, 1, 1 + d)
+        lo = day - datetime.timedelta(days=6)
+        window = sorted(
+            math.floor(v) // 10
+            for ts, v in rows
+            if lo <= ts.date() <= day
+        )
+        n = len(window)
+        # first bucket whose cumulative count reaches 95% of the window
+        need = n * 950_000
+        cum, pick = 0, None
+        for b in window:
+            cum += 1
+            if cum * 1_000_000 >= need:
+                pick = b
+                break
+        assert got[str(day)] == (n, pick * 10), day

@@ -369,3 +369,29 @@ def test_ngram_novelty_near_dup_scores_zero(spark):
     assert out[2]["novelty_ppm"] == 0
     assert out[3]["novelty_ppm"] == 1_000_000
     assert out[1]["n_shingles"] == out[2]["n_shingles"] == 6
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from iowa_liquor_sales_spark.operators.text import script_profile
+
+    cjk = "中文文本"  # 4 ideographs
+    rows = [
+        (1, "Hello world 42"),
+        (2, cjk + " ok"),
+        (3, "12345"),
+        (4, None),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in script_profile(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1["n_latin"], r1["n_digit"], r1["n_space"]) == (10, 2, 2)
+    assert r1["n_cjk"] == 0 and r1["dominant"] == "latin"
+    r2 = out[2]
+    assert r2["n_cjk"] == 4 and r2["n_latin"] == 2
+    assert r2["dominant"] == "cjk"
+    assert out[3]["dominant"] == "digit"
+    assert out[4]["n_chars"] == 0
