@@ -9627,6 +9627,87 @@ def q_script_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    # Difference-in-differences estimate of the "treatment" on event
+    # value: arm = user parity, post = second half of the event window
+    # (quality.diff_in_diff) — nets out the stable arm difference and
+    # the common time trend, four (arm x period) cells of exact
+    # DECIMAL(38,0) moments, pooled z in double at the end. The causal
+    # companion to q_cuped for non-randomized rollouts.
+    from iowa_liquor_sales_spark.operators.quality import diff_in_diff
+
+    ev = read_table(spark, sf, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp_ntz"))
+        .cast("int")
+        .alias("post"),
+        "value",
+    )
+    return diff_in_diff(ev, "arm", "post", "value", value_scale=100)
+
+
+def q_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-eval-doc 3-gram coverage by the train split (text.
+    # ngram_coverage): train = sources src2..src19, eval = src0/src1
+    # (the q_decontaminate split, inverted question) — one hash join
+    # from eval shingles to the train distinct-shingle relation,
+    # pure-integer ppm coverage.
+    from iowa_liquor_sales_spark.operators.text import ngram_coverage
+
+    docs = read_table(spark, sf, "documents")
+    train = docs.filter(~F.col("source").isin(["src0", "src1"]))
+    ev = docs.filter(F.col("source").isin(["src0", "src1"]))
+    return ngram_coverage(train, ev, n=3)
+
+
+def q_hill_tail(spark: SparkSession, sf: str) -> DataFrame:
+    # Hill tail-index estimate over the top-200 order totals
+    # (aggregates.hill_tail_index): the heavy-tail diagnostic on the
+    # cents grid — global structure is ONLY the top-k
+    # (TakeOrderedAndProject, per-partition prune), log-ratios floored
+    # to the 1e-6 grid before the exact integer sum (zipf convention).
+    from iowa_liquor_sales_spark.operators.aggregates import (
+        hill_tail_index,
+    )
+
+    o = read_table(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return hill_tail_index(o, "cents", k=200)
+
+
+
+def q_ams_f2(spark: SparkSession, sf: str) -> DataFrame:
+    # AMS second-moment (self-join size) sketch over supplier keys
+    # (sketches.ams_f2): nine md5-parity +-1 estimators summed in ONE
+    # combinable pass, exact-integer median-of-squares, with the exact
+    # F2 emitted beside the estimate — the join-sizing/skew-planning
+    # number, one scan.
+    from iowa_liquor_sales_spark.operators.sketches import ams_f2
+
+    return ams_f2(
+        read_table(spark, sf, "lineitem"), "l_suppkey", n_estimators=9
+    )
+
+
+def q_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    # 4-truss decomposition of the q_triangles folded projection
+    # (graph.ktruss_converged): peel edges with triangle support < 2
+    # to convergence — one oriented wedge join + semi-verify per round,
+    # localCheckpoint-flattened lineage, O(1) convergence probe. The
+    # oracle replays a fixed 12-round peel (idempotent past the
+    # fixpoint, so any convergence round count <= 12 matches).
+    from iowa_liquor_sales_spark.operators.graph import ktruss_converged
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        (F.col("o_orderkey") % 700).alias("dst"),
+    )
+    return ktruss_converged(edges, k=4)
+
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -10144,6 +10225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_kfold": q_stratified_kfold,
         "q_rolling_quantile": q_rolling_quantile,
         "q_script_profile": q_script_profile,
+        "q_diff_in_diff": q_diff_in_diff,
+        "q_ngram_coverage": q_ngram_coverage,
+        "q_hill_tail": q_hill_tail,
+        "q_ams_f2": q_ams_f2,
+        "q_ktruss": q_ktruss,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -10151,6 +10237,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _ams_f2_oracle(d: int = 9) -> str:
+    def h(i: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5('" + i + "|' || x), 1, 15))"
+            " AS BIGINT)"
+        )
+
+    zs = ",\n".join(
+        f"SUM(1 - 2 * ({h(str(i))} % 2)) AS z{i}" for i in range(d)
+    )
+    arr = ", ".join(f"CAST(z{i} * z{i} AS BIGINT)" for i in range(d))
+    return f"""
+        WITH keyed AS (SELECT CAST(l_suppkey AS VARCHAR) AS x
+                       FROM lineitem),
+        z AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {zs} FROM keyed),
+        ests AS (SELECT n, unnest([{arr}]) AS est FROM z),
+        med AS (SELECT n, est AS f2_est FROM (
+                  SELECT n, est, row_number() OVER (ORDER BY est) AS rn
+                  FROM ests) WHERE rn = {(d + 1) // 2}),
+        exact AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact FROM (
+                    SELECT CAST(COUNT(*) AS HUGEINT) AS f
+                    FROM keyed GROUP BY x))
+        SELECT n, CAST({d} AS INTEGER) AS n_estimators, f2_exact, f2_est,
+               CAST(abs(f2_est - f2_exact) * 1000000 // f2_exact
+                    AS BIGINT) AS err_ppm
+        FROM med, exact"""
+
+
+def _ktruss_oracle(rounds: int = 12, need: int = 2) -> str:
+    def tri(r: int) -> str:
+        return (
+            f"tri{r} AS MATERIALIZED (SELECT ab.a, ab.b, bc.c FROM"
+            f" (SELECT lo AS a, hi AS b FROM e{r}) ab"
+            f" JOIN (SELECT lo AS b, hi AS c FROM e{r}) bc USING (b)"
+            f" WHERE EXISTS (SELECT 1 FROM e{r} x"
+            f" WHERE x.lo = ab.a AND x.hi = bc.c))"
+        )
+
+    def sup(r: int) -> str:
+        return (
+            f"(SELECT lo, hi, COUNT(*) AS s FROM ("
+            f" SELECT a AS lo, b AS hi FROM tri{r}"
+            f" UNION ALL SELECT b, c FROM tri{r}"
+            f" UNION ALL SELECT a, c FROM tri{r}) GROUP BY 1, 2)"
+        )
+
+    parts = [
+        """e0 AS MATERIALIZED (
+          SELECT DISTINCT least(o_custkey % 500, o_orderkey % 700) AS lo,
+                 greatest(o_custkey % 500, o_orderkey % 700) AS hi
+          FROM orders
+          WHERE least(o_custkey % 500, o_orderkey % 700)
+                < greatest(o_custkey % 500, o_orderkey % 700))""",
+        tri(0),
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.lo, e.hi FROM e{r-1} e"
+            f" LEFT JOIN {sup(r-1)} s"
+            f" ON e.lo = s.lo AND e.hi = s.hi"
+            f" WHERE COALESCE(s.s, 0) >= {need})"
+        )
+        parts.append(tri(r))
+    final = (
+        f"SELECT e.lo, e.hi, CAST(s.s AS BIGINT) AS support"
+        f" FROM e{rounds} e JOIN {sup(rounds)} s"
+        f" ON e.lo = s.lo AND e.hi = s.hi"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 def _countmin_oracle() -> str:
@@ -17428,4 +17585,103 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'digit'
                         ELSE 'other' END AS dominant
             FROM c""",
+        "q_diff_in_diff": """
+            WITH cells AS (
+              SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                     CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1
+                          ELSE 0 END AS post,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                          AS HUGEINT) AS s,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                              * CAST(floor(value * 100) AS BIGINT))
+                          AS HUGEINT) AS ss
+              FROM events GROUP BY 1, 2),
+            one AS (SELECT
+                MAX(CASE WHEN arm=0 AND post=0 THEN n END) AS n00,
+                MAX(CASE WHEN arm=0 AND post=0 THEN s END) AS s00,
+                MAX(CASE WHEN arm=0 AND post=0 THEN ss END) AS ss00,
+                MAX(CASE WHEN arm=0 AND post=1 THEN n END) AS n01,
+                MAX(CASE WHEN arm=0 AND post=1 THEN s END) AS s01,
+                MAX(CASE WHEN arm=0 AND post=1 THEN ss END) AS ss01,
+                MAX(CASE WHEN arm=1 AND post=0 THEN n END) AS n10,
+                MAX(CASE WHEN arm=1 AND post=0 THEN s END) AS s10,
+                MAX(CASE WHEN arm=1 AND post=0 THEN ss END) AS ss10,
+                MAX(CASE WHEN arm=1 AND post=1 THEN n END) AS n11,
+                MAX(CASE WHEN arm=1 AND post=1 THEN s END) AS s11,
+                MAX(CASE WHEN arm=1 AND post=1 THEN ss END) AS ss11
+              FROM cells),
+            d AS (SELECT
+                CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n,
+                (CAST(s11 AS DOUBLE)/CAST(n11 AS DOUBLE)
+                 - CAST(s10 AS DOUBLE)/CAST(n10 AS DOUBLE))
+                - (CAST(s01 AS DOUBLE)/CAST(n01 AS DOUBLE)
+                   - CAST(s00 AS DOUBLE)/CAST(n00 AS DOUBLE)) AS did,
+                sqrt(
+                  (CAST(ss11 AS DOUBLE) - CAST(s11 AS DOUBLE)
+                     * CAST(s11 AS DOUBLE)/CAST(n11 AS DOUBLE))
+                    / (CAST(n11 AS DOUBLE) - 1.0)
+                    / CAST(n11 AS DOUBLE)
+                  + (CAST(ss10 AS DOUBLE) - CAST(s10 AS DOUBLE)
+                       * CAST(s10 AS DOUBLE)/CAST(n10 AS DOUBLE))
+                    / (CAST(n10 AS DOUBLE) - 1.0)
+                    / CAST(n10 AS DOUBLE)
+                  + (CAST(ss01 AS DOUBLE) - CAST(s01 AS DOUBLE)
+                       * CAST(s01 AS DOUBLE)/CAST(n01 AS DOUBLE))
+                    / (CAST(n01 AS DOUBLE) - 1.0)
+                    / CAST(n01 AS DOUBLE)
+                  + (CAST(ss00 AS DOUBLE) - CAST(s00 AS DOUBLE)
+                       * CAST(s00 AS DOUBLE)/CAST(n00 AS DOUBLE))
+                    / (CAST(n00 AS DOUBLE) - 1.0)
+                    / CAST(n00 AS DOUBLE)) AS se
+              FROM one)
+            SELECT n,
+                   CAST(floor(did * 1e6) AS BIGINT) AS did_ppm,
+                   CAST(floor(se * 1e6) AS BIGINT) AS se_ppm,
+                   CAST(floor(did / se * 1e6) AS BIGINT) AS z_ppm
+            FROM d""",
+        "q_ngram_coverage": """
+            WITH w AS (SELECT doc_id, source,
+                              string_split(text, ' ') AS ws
+                       FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' '
+                            || ws[i+2]))) AS s
+              FROM w WHERE len(ws) >= 3),
+            tr AS (SELECT DISTINCT s FROM sh
+                   WHERE source NOT IN ('src0', 'src1')),
+            ev AS (SELECT doc_id, s FROM sh
+                   WHERE source IN ('src0', 'src1')),
+            j AS (SELECT ev.doc_id,
+                         CASE WHEN tr.s IS NULL THEN 0 ELSE 1 END AS hit
+                  FROM ev LEFT JOIN tr ON ev.s = tr.s)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(hit) AS BIGINT) AS n_covered,
+                   CAST((SUM(hit) * 1000000) // COUNT(*) AS BIGINT)
+                     AS coverage_ppm
+            FROM j GROUP BY doc_id""",
+        "q_hill_tail": """
+            WITH top AS (
+              SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+              FROM orders ORDER BY 1 DESC LIMIT 200),
+            wm AS (SELECT x, MIN(x) OVER () AS xk FROM top),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                         CAST(MAX(xk) AS BIGINT) AS x_k,
+                         CAST(SUM(CAST(floor(
+                             (ln(CAST(x AS DOUBLE))
+                              - ln(CAST(xk AS DOUBLE))) * 1e6)
+                             AS BIGINT)) AS HUGEINT) AS slr
+                  FROM wm)
+            SELECT k, x_k,
+                   CASE WHEN slr > 0 THEN
+                        CAST((CAST(k AS HUGEINT) * 1000000 * 1000000)
+                             // slr AS BIGINT)
+                        ELSE NULL END AS alpha_ppm
+            FROM s""",
+        "q_ams_f2": _ams_f2_oracle(),
+        "q_ktruss": _ktruss_oracle(),
     }

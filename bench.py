@@ -184,6 +184,11 @@ HEADLINE = [
     "q_stratified_kfold",
     "q_rolling_quantile",
     "q_script_profile",
+    "q_diff_in_diff",
+    "q_ngram_coverage",
+    "q_hill_tail",
+    "q_ams_f2",
+    "q_ktruss",
 ]
 
 

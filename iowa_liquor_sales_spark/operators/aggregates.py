@@ -779,3 +779,61 @@ def quadratic_fit(
         F.floor(det1 / det * 1e6).cast("long").alias("b1_ppm"),
         F.floor(det2 / det * 1e6).cast("long").alias("b2_ppm"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top-k order
+    statistics: alpha_hat = k / Σ_{i<=k} ln(x_(i) / x_(k)) — the
+    heavy-tail diagnostic (finite variance? finite mean?) for degree,
+    revenue, or token-frequency distributions; the quantitative
+    companion to the Zipf-slope fit (alpha relates to the Zipf
+    exponent on the same data).
+
+    Scale shape: the ONLY global structure needed is the top-k, which
+    Spark executes as TakeOrderedAndProject (per-partition prune, no
+    global sort); the log-ratio sum then runs over k rows with each
+    ln floored to the 1e-6 grid before the exact integer sum (zipf
+    convention — one libm ln per row, wobble absorbed by the grid).
+
+    Returns one row: (k, x_k, alpha_ppm).
+    """
+    from pyspark.sql import Window
+
+    top = df.select(
+        F.col(value_col).cast("long").alias("x")
+    ).orderBy(F.col("x").desc()).limit(int(k))
+    wall = Window.orderBy(F.col("x").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_min = top.select(
+        "x", F.min("x").over(wall).alias("xk")
+    )
+    s = with_min.select(
+        "xk",
+        F.floor(
+            (
+                F.log(F.col("x").cast("double"))
+                - F.log(F.col("xk").cast("double"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lr_e6"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("xk").cast("long").alias("x_k"),
+        F.sum("lr_e6").cast("decimal(38,0)").alias("slr"),
+    )
+    return s.select(
+        "k",
+        "x_k",
+        F.expr(
+            "CASE WHEN slr > 0 THEN"
+            " CAST((CAST(k AS DECIMAL(38,0)) * 1000000 * 1000000)"
+            " div slr AS BIGINT) ELSE NULL END"
+        ).alias("alpha_ppm"),
+    )

@@ -1076,3 +1076,80 @@ def target_encode_oof(
             ).alias("enc"),
         )
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    top_m: int = 5,
+    min_gap: int = 1,
+) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training data:
+    within each group (topic, source, prompt cluster), pair the top-m
+    highest-scoring documents as "chosen" against the bottom-m as
+    "rejected", keeping pairs whose score gap clears ``min_gap`` — the
+    standard way to mint contrastive pairs from a scored corpus
+    without human labels.
+
+    Scale shape: two rank-limited per-group windows (top-m and
+    bottom-m — one shuffle on the group key) reduce each group to
+    O(m) rows; the pairing is an m×m self-join PER GROUP on the
+    already-tiny ranked relations, never corpus×corpus. Ties break by
+    id for engine determinism.
+
+    Returns (group, chosen_id, rejected_id, chosen_score,
+    rejected_score, gap).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("long").alias("s"),
+    )
+    wtop = Window.partitionBy("g").orderBy(
+        F.col("s").desc(), F.col("id").asc()
+    )
+    wbot = Window.partitionBy("g").orderBy(
+        F.col("s").asc(), F.col("id").asc()
+    )
+    top = (
+        base.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= int(top_m))
+        .select(
+            "g",
+            F.col("id").alias("chosen_id"),
+            F.col("s").alias("chosen_score"),
+        )
+    )
+    bot = (
+        base.withColumn("rn", F.row_number().over(wbot))
+        .filter(F.col("rn") <= int(top_m))
+        .select(
+            "g",
+            F.col("id").alias("rejected_id"),
+            F.col("s").alias("rejected_score"),
+        )
+    )
+    return (
+        top.join(bot, "g")
+        .filter(
+            (F.col("chosen_score") - F.col("rejected_score"))
+            >= F.lit(int(min_gap))
+        )
+        # a document must not be paired with itself (possible when a
+        # small group's top-m and bottom-m overlap)
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            F.col("g").alias(group_col),
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias(
+                "gap"
+            ),
+        )
+    )

@@ -2478,3 +2478,162 @@ def auc_delong_ci(
             F.lit(1_000_000),
         ).alias("hi_ppm"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    arm_col: str,
+    period_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences estimator: the causal-inference
+    workhorse for "we shipped the change to group T at time t" —
+    DiD = (T_post − T_pre) − (C_post − C_pre) nets out both the stable
+    group difference and the common time trend, with the standard
+    four-cell pooled z (Card & Krueger 1994 shape). The CUPED operator
+    here reduces variance within one experiment; DiD is what you use
+    when assignment wasn't randomized.
+
+    One combinable aggregate to the FOUR (arm × period) cells over
+    unit-level values on the ``floor(v·scale)`` grid — exact
+    DECIMAL(38,0) sums/squares, cell means and the pooled SE in double
+    at the end (identical IEEE both engines), ppm floor.
+
+    Returns one row: (n, did_ppm, se_ppm, z_ppm).
+    """
+    cells = (
+        df.select(
+            F.col(arm_col).cast("int").alias("arm"),
+            F.col(period_col).cast("int").alias("post"),
+            F.floor(
+                F.col(value_col).cast("double") * F.lit(int(value_scale))
+            )
+            .cast("decimal(38,0)")
+            .alias("v"),
+        )
+        .groupBy("arm", "post")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+    )
+    # pivot the 4 cells into one row via conditional firsts
+    pick = lambda a, p, c: F.max(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("post") == p), F.col(c))
+    )
+    one = cells.agg(
+        *[
+            pick(a, p, c).alias(f"{c}{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+            for c in ("n", "s", "ss")
+        ]
+    )
+    mean = lambda a, p: F.col(f"s{a}{p}").cast("double") / F.col(  # noqa: E731
+        f"n{a}{p}"
+    ).cast("double")
+    # per-cell sample variance of the mean: (ss − s²/n) / (n−1) / n
+    varm = lambda a, p: (  # noqa: E731
+        (
+            F.col(f"ss{a}{p}").cast("double")
+            - F.col(f"s{a}{p}").cast("double")
+            * F.col(f"s{a}{p}").cast("double")
+            / F.col(f"n{a}{p}").cast("double")
+        )
+        / (F.col(f"n{a}{p}").cast("double") - 1.0)
+        / F.col(f"n{a}{p}").cast("double")
+    )
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(varm(1, 1) + varm(1, 0) + varm(0, 1) + varm(0, 0))
+    return one.select(
+        (
+            F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11")
+        )
+        .cast("long")
+        .alias("n"),
+        F.floor(did * 1e6).cast("long").alias("did_ppm"),
+        F.floor(se * 1e6).cast("long").alias("se_ppm"),
+        F.floor(did / se * 1e6).cast("long").alias("z_ppm"),
+    )
+
+
+def sprt_monitor(
+    df: DataFrame,
+    ts_col: str,
+    success_col: str,
+    p0_ppm: int,
+    p1_ppm: int,
+    alpha_ppm: int = 50_000,
+    beta_ppm: int = 100_000,
+) -> DataFrame:
+    """Sequential probability-ratio test (Wald 1945) monitor for a
+    Bernoulli rate: the always-on A/B readout that may stop the
+    experiment EARLY the moment the evidence crosses a boundary —
+    unlike the fixed-horizon z-test, peeking daily at an SPRT costs no
+    extra false positives. H0: p = p0 vs H1: p = p1; log-likelihood
+    ratio after (N trials, K successes) is K·ln(p1/p0) +
+    (N−K)·ln((1−p1)/(1−p0)); reject H0 at ln((1−β)/α), accept at
+    ln(β/(1−α)).
+
+    All-integer dataflow: the two per-observation log increments and
+    the two boundaries are python-computed constants floored to the
+    1e-6 grid (the ONLY floats — no libm call varies per row or per
+    engine), so the daily LLR walk is exact int64 over the O(days)
+    relation (one combinable daily aggregate + one ordered window).
+
+    Returns per day: (day, n_cum, k_cum, llr_e6, decision) with
+    decision in {'reject_h0', 'accept_h0', 'continue'}.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    p0, p1 = p0_ppm / 1e6, p1_ppm / 1e6
+    alpha, beta = alpha_ppm / 1e6, beta_ppm / 1e6
+    c1 = math.floor(math.log(p1 / p0) * 1e6)
+    c0 = math.floor(math.log((1 - p1) / (1 - p0)) * 1e6)
+    upper = math.floor(math.log((1 - beta) / alpha) * 1e6)
+    lower = math.floor(math.log(beta / (1 - alpha)) * 1e6)
+    daily = (
+        df.select(
+            F.to_date(F.date_trunc("DAY", F.col(ts_col))).alias("day"),
+            F.col(success_col).cast("int").alias("y"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("kk"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n").over(w).alias("n_cum"),
+        F.sum("kk").over(w).alias("k_cum"),
+    )
+    llr = (
+        F.col("k_cum") * F.lit(c1)
+        + (F.col("n_cum") - F.col("k_cum")) * F.lit(c0)
+    ).alias("llr_e6")
+    return cum.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        llr,
+        F.when(
+            F.col("k_cum") * F.lit(c1)
+            + (F.col("n_cum") - F.col("k_cum")) * F.lit(c0)
+            >= F.lit(upper),
+            F.lit("reject_h0"),
+        )
+        .when(
+            F.col("k_cum") * F.lit(c1)
+            + (F.col("n_cum") - F.col("k_cum")) * F.lit(c0)
+            <= F.lit(lower),
+            F.lit("accept_h0"),
+        )
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

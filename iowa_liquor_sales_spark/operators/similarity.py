@@ -1826,3 +1826,90 @@ def map_mrr_at_k(
         )
         .orderBy("query_id")
     )
+
+
+def truncated_recall(
+    embeddings: DataFrame,
+    trunc_dims: int,
+    n_queries: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation eval: recall@k of nearest-neighbor
+    search run on only the FIRST ``trunc_dims`` coordinates, judged
+    against the full-dimension exact top-k — the number that tells you
+    how many dims the serving index can drop (MRL, Kusupati et al.
+    2022) before retrieval quality pays.
+
+    Same broadcast-anchor dataflow as the house recall report: exact
+    int64 squared-L2 on the 1e-6 grid for BOTH rankings (full and
+    ``slice``-truncated), ties to lower id, two rank-limited windows,
+    one join to intersect the top-k sets. Pure-integer recall ppm.
+
+    Returns (query_id, k, n_hit, recall_ppm) ordered by query.
+    """
+    from .clustering import quantize_e6
+
+    q = embeddings.select(
+        F.col(id_col).alias("vid"),
+        quantize_e6(vec_col).alias("qv"),
+    ).withColumn("tv", F.slice(F.col("qv"), 1, int(trunc_dims)))
+    anchors = (
+        q.orderBy("vid")
+        .limit(n_queries)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("qv").alias("aq"),
+            F.col("tv").alias("at"),
+        )
+    )
+    scored = q.join(
+        F.broadcast(anchors), F.col("vid") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vid",
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("aq"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dfull"),
+        F.aggregate(
+            F.zip_with(
+                F.col("tv"), F.col("at"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dtrunc"),
+    )
+    wf = Window.partitionBy("query_id").orderBy("dfull", "vid")
+    wt = Window.partitionBy("query_id").orderBy("dtrunc", "vid")
+    full_top = scored.withColumn("rf", F.row_number().over(wf)).filter(
+        F.col("rf") <= k
+    )
+    trunc_top = scored.withColumn("rt", F.row_number().over(wt)).filter(
+        F.col("rt") <= k
+    )
+    hits = full_top.select("query_id", "vid").join(
+        trunc_top.select("query_id", "vid"), ["query_id", "vid"]
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        full_top.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(int(k)).cast("int").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.expr(
+                f"CAST(coalesce(n_hit, 0) * 1000000 div {int(k)}"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -930,3 +930,89 @@ def ams_f2_sql(
                CAST((abs(ams_med_sum - 4 * f2_exact) * 1000000)
                     // (4 * f2_exact) AS BIGINT) AS err_ppm
         FROM ex CROSS JOIN med"""
+
+
+def ams_f2(
+    df: DataFrame,
+    expr: Column | str,
+    n_estimators: int = 9,
+) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy 1996) second-frequency-moment sketch:
+    F2 = Σ_x f_x² — the self-join size of the keyed relation, THE
+    planning number for join sizing and skew detection — estimated in
+    ONE pass with d independent ±1-hash estimators, each
+    Z_i = Σ_rows sign_i(x) with E[Z_i²] = F2; the median of the d
+    squares is the classic variance-reduced estimate.
+
+    Everything is exact integers: signs come from the engine-portable
+    md5 hash parity (``hash60(i || '|' || x) % 2``), each Z_i is an
+    exact int64 sum (|Z| <= n), squares in DECIMAL(38,0), and the
+    median of d values is the sort-free house median (rank over d
+    rows). The exact F2 (one groupBy) is emitted next to the estimate
+    so the query is its own error report.
+
+    One data pass computes all d partial sums map-side (conditional
+    sums in a single aggregate); the estimator relation is O(d).
+
+    Returns one row: (n, n_estimators, f2_exact, f2_est, err_ppm).
+    """
+    c = expr if isinstance(expr, Column) else F.col(expr)
+    keyed = df.select(c.cast("string").alias("x"))
+    signs = keyed.select(
+        "x",
+        *[
+            (
+                1
+                - 2
+                * (
+                    hash60(F.concat(F.lit(f"{i}|"), F.col("x")))
+                    % F.lit(2)
+                )
+            )
+            .cast("long")
+            .alias(f"s{i}")
+            for i in range(int(n_estimators))
+        ],
+    )
+    z = signs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.col(f"s{i}")).cast("decimal(38,0)").alias(f"z{i}")
+            for i in range(int(n_estimators))
+        ],
+    )
+    ests = z.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    (F.col(f"z{i}") * F.col(f"z{i}"))
+                    .cast("long")
+                    for i in range(int(n_estimators))
+                ]
+            )
+        ).alias("est"),
+    )
+    # sort-free median over the O(d) estimator relation
+    w = Window.orderBy("est", F.monotonically_increasing_id())
+    d = int(n_estimators)
+    med = (
+        ests.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == (d + 1) // 2)
+        .select("n", F.col("est").alias("f2_est"))
+    )
+    exact = keyed.groupBy("x").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("f")
+    ).agg(
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact")
+    )
+    return med.crossJoin(F.broadcast(exact)).select(
+        "n",
+        F.lit(d).cast("int").alias("n_estimators"),
+        "f2_exact",
+        "f2_est",
+        F.expr(
+            "CAST(abs(f2_est - f2_exact) * 1000000 div f2_exact"
+            " AS BIGINT)"
+        ).alias("err_ppm"),
+    )

@@ -1628,3 +1628,60 @@ def script_profile(
         .otherwise(F.lit("other"))
     )
     return out.withColumn("dominant", dom)
+
+
+def ngram_coverage(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-eval-document n-gram coverage by a training corpus: what
+    fraction of each eval doc's distinct word shingles appears ANYWHERE
+    in train — the inverse question of :func:`..curation.decontaminate`
+    (there: kill eval-contaminated train docs; here: measure how much
+    of the eval set the train distribution already spans — the
+    memorization-vs-generalization denominator for a benchmark score).
+
+    Scale shape: both sides collapse to shingle relations first
+    (``curation.word_ngrams`` array expressions, distinct per doc; the
+    train side globally distinct and map-side combinable); the
+    membership probe is ONE hash left-join from eval shingles to the
+    train distinct-shingle relation, then a per-doc conditional count —
+    never a doc×doc comparison. Coverage is a pure-integer ppm ratio.
+
+    Returns (doc_id, n_shingles, n_covered, coverage_ppm) for eval
+    docs with at least one shingle.
+    """
+    from .curation import word_ngrams
+
+    tr = (
+        train.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = eval_df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+    )
+    joined = ev.join(tr, "shingle", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_covered",
+            F.expr(
+                "CAST((n_covered * 1000000) div n_shingles AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

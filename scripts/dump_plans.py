@@ -210,6 +210,11 @@ FLAGSHIP = [
     "q_stratified_kfold",
     "q_rolling_quantile",
     "q_script_profile",
+    "q_diff_in_diff",
+    "q_ngram_coverage",
+    "q_hill_tail",
+    "q_ams_f2",
+    "q_ktruss",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

@@ -469,3 +469,36 @@ def test_target_encode_oof_is_leakage_free(spark):
     # a category confined to one fold cannot be encoded (NULL, not 0)
     solo = spark.createDataFrame([(1, "x", 5.0)], ["k", "cat", "t"])
     assert target_encode_oof(solo, "cat", "t", "k").collect()[0]["enc"] is None
+
+
+def test_preference_pairs_rank_gap_and_self_exclusion(spark):
+    from iowa_liquor_sales_spark.operators.curation import preference_pairs
+
+    rows = [
+        ("g1", 1, 90), ("g1", 2, 80), ("g1", 3, 30), ("g1", 4, 20),
+        ("g2", 5, 50), ("g2", 6, 50),   # tie, zero gap -> excluded
+        ("g3", 7, 70),                  # singleton: top==bottom -> none
+    ]
+    out = {
+        (r["g"], r["chosen_id"], r["rejected_id"]): r["gap"]
+        for r in preference_pairs(
+            spark.createDataFrame(rows, ["g", "id", "s"]),
+            "g", "id", "s", top_m=2, min_gap=10,
+        ).collect()
+    }
+    # g1: top-2 {1,2} x bottom-2 {4,3}, all gaps >= 10
+    assert out == {
+        ("g1", 1, 4): 70, ("g1", 1, 3): 60,
+        ("g1", 2, 4): 60, ("g1", 2, 3): 50,
+    }
+    # min_gap=0 keeps the g2 tie out only via self-exclusion rules:
+    # (5,6) and (6,5) have gap 0 >= 0 and differ by id -> included
+    out0 = preference_pairs(
+        spark.createDataFrame(rows, ["g", "id", "s"]),
+        "g", "id", "s", top_m=2, min_gap=0,
+    ).filter("g = 'g2'").collect()
+    assert {(r["chosen_id"], r["rejected_id"]) for r in out0} == {
+        (5, 6), (6, 5)
+    }
+    # singleton group emits nothing (self pair excluded)
+    assert not [k for k in out if k[0] == "g3"]

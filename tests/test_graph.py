@@ -272,3 +272,46 @@ def test_neighbor_jaccard_matches_bruteforce(spark):
                     union = len(adj[u] | adj[v])
                     want[(u, v)] = (common, common * 1_000_000 // union)
     assert out == want
+
+
+def test_ktruss_matches_sequential_peeling(spark):
+    from iowa_liquor_sales_spark.operators.graph import ktruss_converged
+
+    import itertools
+    import random
+
+    rng = random.Random(37)
+    nodes = list(range(18))
+    edges = {
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.3
+    }
+    # plant a clique so a 4-truss exists
+    for a, b in itertools.combinations([1, 3, 5, 7, 9], 2):
+        edges.add((a, b))
+    got = {
+        (r["lo"], r["hi"]): r["support"]
+        for r in ktruss_converged(
+            spark.createDataFrame(sorted(edges), ["src", "dst"]), k=4
+        ).collect()
+    }
+
+    # sequential reference: peel support < k-2 until stable
+    def support(es):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in es}
+
+    es = set(edges)
+    while True:
+        sup = support(es)
+        drop = {e for e, s in sup.items() if s < 2}
+        if not drop:
+            break
+        es -= drop
+    assert got == support(es)
+    # every survivor meets the bound
+    assert all(s >= 2 for s in got.values())

@@ -2233,3 +2233,26 @@ def test_quadratic_fit_recovers_exact_polynomial(spark):
         spark.createDataFrame(lin, ["x", "y"]), "x", "y"
     ).collect()[0]
     assert abs(g2["b2_ppm"]) <= 1 and abs(g2["b1_ppm"] - 10_000_000) <= 1
+
+
+def test_hill_tail_index_recovers_pareto_alpha(spark):
+    import math
+    import random
+
+    from iowa_liquor_sales_spark.operators.aggregates import hill_tail_index
+
+    rng = random.Random(31)
+    # Pareto(alpha=2): x = xm / u^(1/alpha), gridded to integers
+    alpha = 2.0
+    xs = [int(1000 / (rng.random() ** (1 / alpha))) for _ in range(20_000)]
+    got = hill_tail_index(
+        spark.createDataFrame([(x,) for x in xs], ["v"]), "v", k=500
+    ).collect()[0]
+    assert got["k"] == 500
+    # Hill on 500 tail points: alpha_hat within ~15% of truth
+    assert abs(got["alpha_ppm"] / 1e6 - alpha) < 0.35
+    # exact contract: matches the direct top-k computation on the grid
+    top = sorted(xs, reverse=True)[:500]
+    xk = top[-1]
+    slr = sum(math.floor((math.log(x) - math.log(xk)) * 1e6) for x in top)
+    assert got["alpha_ppm"] == (500 * 1_000_000 * 1_000_000) // slr

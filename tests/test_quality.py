@@ -368,3 +368,72 @@ def test_auc_delong_ci_matches_reference(spark):
     assert abs(got["auc_ppm"] - math.floor(auc * 1e6)) <= 1
     assert abs(got["se_ppm"] - math.floor(se * 1e6)) <= 1
     assert got["lo_ppm"] <= got["auc_ppm"] <= got["hi_ppm"]
+
+
+def test_diff_in_diff_nets_out_trend_and_group_effect(spark):
+    import math
+    import random
+
+    from iowa_liquor_sales_spark.operators.quality import diff_in_diff
+
+    rng = random.Random(29)
+    rows = []
+    # control: base 100, +20 time trend; treated: base 150 (+group
+    # effect), +20 trend, +30 TRUE treatment effect in post
+    for i in range(400):
+        arm = i % 2
+        post = (i // 2) % 2
+        base = 100 + 50 * arm + 20 * post + 30 * arm * post
+        rows.append((arm, post, base + rng.uniform(-5, 5)))
+    got = diff_in_diff(
+        spark.createDataFrame(rows, ["arm", "post", "v"]),
+        "arm", "post", "v", value_scale=100,
+    ).collect()[0]
+    # estimate recovers ~30 (scaled by 100 -> 3000 cents, ppm of cents)
+    assert abs(got["did_ppm"] / 1e6 - 3000) < 150
+    assert got["z_ppm"] > 5_000_000  # decisive
+    # no treatment effect: estimate near zero, z small
+    null_rows = [
+        (i % 2, (i // 2) % 2,
+         100 + 50 * (i % 2) + 20 * ((i // 2) % 2) + rng.uniform(-5, 5))
+        for i in range(400)
+    ]
+    g0 = diff_in_diff(
+        spark.createDataFrame(null_rows, ["arm", "post", "v"]),
+        "arm", "post", "v", value_scale=100,
+    ).collect()[0]
+    assert abs(g0["did_ppm"] / 1e6) < 150
+    assert abs(g0["z_ppm"]) < 3_000_000
+    del math
+
+
+def test_sprt_monitor_crosses_correct_boundary(spark):
+    from iowa_liquor_sales_spark.operators.quality import sprt_monitor
+
+    import datetime
+
+    # H0 p=0.2 vs H1 p=0.4; feed a stream at 40%: must reject H0
+    rows = []
+    for d in range(10):
+        for i in range(50):
+            rows.append(
+                (datetime.datetime(2024, 3, 1 + d, 12), i % 5 < 2)
+            )
+    out = sprt_monitor(
+        spark.createDataFrame(rows, ["ts", "y"]),
+        "ts", "y", p0_ppm=200_000, p1_ppm=400_000,
+    ).orderBy("day").collect()
+    assert out[-1]["decision"] == "reject_h0"
+    # the LLR walk is monotone here; once crossed it stays crossed
+    crossed = [r["decision"] == "reject_h0" for r in out]
+    assert crossed == sorted(crossed)
+    # a 20% stream accepts H0
+    rows0 = [
+        (datetime.datetime(2024, 3, 1 + d, 12), i % 5 == 0)
+        for d in range(10) for i in range(50)
+    ]
+    out0 = sprt_monitor(
+        spark.createDataFrame(rows0, ["ts", "y"]),
+        "ts", "y", p0_ppm=200_000, p1_ppm=400_000,
+    ).orderBy("day").collect()
+    assert out0[-1]["decision"] == "accept_h0"

@@ -354,3 +354,24 @@ def test_map_mrr_matches_bruteforce(spark):
         ap = ap_num // min(n_rel, 5) if min(n_rel, 5) > 0 else 0
         rr = 1_000_000 // first if first else 0
         assert got[qid] == (n_rel, ap, rr)
+
+
+def test_truncated_recall_full_dims_is_perfect(spark):
+    from iowa_liquor_sales_spark.operators.similarity import (
+        truncated_recall,
+    )
+
+    import random
+
+    rng = random.Random(41)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # truncating to ALL 64 dims must reproduce the exact top-k: 1.0
+    full = truncated_recall(df, trunc_dims=64, n_queries=4, k=8).collect()
+    assert all(r["recall_ppm"] == 1_000_000 for r in full)
+    # truncating to 4 dims degrades but stays a valid fraction
+    t4 = truncated_recall(df, trunc_dims=4, n_queries=4, k=8).collect()
+    assert all(0 <= r["recall_ppm"] <= 1_000_000 for r in t4)
+    assert any(r["recall_ppm"] < 1_000_000 for r in t4)

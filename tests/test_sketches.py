@@ -235,3 +235,27 @@ def test_hll_sliding_tracks_exact_trailing_distinct(spark):
         assert abs(out[d] - exact) / exact < 0.35, (d, out[d], exact)
     # the window genuinely merges days: estimate well above one day's 300
     assert out[19] > 380
+
+
+def test_ams_f2_exact_arithmetic_and_reasonable_error(spark):
+    from iowa_liquor_sales_spark.operators.sketches import ams_f2
+
+    import hashlib
+
+    rows = [(f"k{i % 40}",) for i in range(1000)]
+    got = ams_f2(
+        spark.createDataFrame(rows, ["x"]), "x", n_estimators=9
+    ).collect()[0]
+    # exact F2: 40 keys x 25 each -> 40 * 625
+    assert got["f2_exact"] == 40 * 625
+    # python replication of the md5-parity estimator
+    ests = []
+    for i in range(9):
+        z = 0
+        for (x,) in rows:
+            h = int(hashlib.md5(f"{i}|{x}".encode()).hexdigest()[:15], 16)
+            z += 1 - 2 * (h % 2)
+        ests.append(z * z)
+    assert got["f2_est"] == sorted(ests)[4]
+    # median-of-9 AMS keeps the estimate within a small factor
+    assert got["err_ppm"] < 3_000_000

@@ -395,3 +395,28 @@ def test_script_profile_counts_and_dominant(spark):
     assert r2["dominant"] == "cjk"
     assert out[3]["dominant"] == "digit"
     assert out[4]["n_chars"] == 0
+
+
+def test_ngram_coverage_fraction_is_exact(spark):
+    from iowa_liquor_sales_spark.operators.text import ngram_coverage
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "a b c d"),      # grams: abc, bcd -> both in train
+            (11, "c d e f g"),    # cde in train; def, efg not -> 1/3
+            (12, "q r s"),        # qrs not in train -> 0/1
+            (13, "a b"),          # too short: no shingles, no row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_covered"], r["coverage_ppm"])
+        for r in ngram_coverage(train, ev, n=3).collect()
+    }
+    assert out[10] == (2, 2, 1_000_000)
+    assert out[11] == (3, 1, 333_333)
+    assert out[12] == (1, 0, 0)
+    assert 13 not in out
