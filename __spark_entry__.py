@@ -9708,6 +9708,58 @@ def q_ktruss(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # DPO-style preference-pair mining (curation.preference_pairs):
+    # within each source, top-3 longest docs as "chosen" vs bottom-3 as
+    # "rejected" with a minimum score gap — two rank-limited per-group
+    # windows reduce each group to O(m) rows before the m x m pairing;
+    # never corpus x corpus. The no-human-labels contrastive-data op.
+    from iowa_liquor_sales_spark.operators.curation import preference_pairs
+
+    return preference_pairs(
+        read_table(spark, sf, "documents"),
+        "source",
+        "doc_id",
+        "n_chars",
+        top_m=3,
+        min_gap=50,
+    )
+
+
+def q_truncated_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # Matryoshka truncation eval (similarity.truncated_recall):
+    # recall@10 of nearest-neighbor search on the FIRST 16 of 64
+    # embedding dims against the full-dim exact top-10 — how many dims
+    # the serving index can drop before retrieval pays. Broadcast
+    # anchors, exact int64 grid distances for both rankings,
+    # pure-integer recall.
+    from iowa_liquor_sales_spark.operators.similarity import (
+        truncated_recall,
+    )
+
+    return truncated_recall(
+        read_table(spark, sf, "embeddings"), trunc_dims=16, n_queries=8,
+        k=10,
+    )
+
+
+def q_sprt(spark: SparkSession, sf: str) -> DataFrame:
+    # Wald SPRT sequential monitor of the daily purchase rate
+    # (quality.sprt_monitor): H0 p=0.15 vs H1 p=0.25 — the
+    # peek-every-day A/B readout with no alpha inflation. The only
+    # floats are four python-computed constants on the 1e-6 grid; the
+    # daily LLR walk is exact int64 over the O(days) relation.
+    from iowa_liquor_sales_spark.operators.quality import sprt_monitor
+
+    ev = read_table(spark, sf, "events").select(
+        "ts", (F.col("event_type") == "purchase").alias("is_purchase")
+    )
+    return sprt_monitor(
+        ev, "ts", "is_purchase", p0_ppm=150_000, p1_ppm=250_000
+    )
+
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -10230,6 +10282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hill_tail": q_hill_tail,
         "q_ams_f2": q_ams_f2,
         "q_ktruss": q_ktruss,
+        "q_preference_pairs": q_preference_pairs,
+        "q_truncated_recall": q_truncated_recall,
+        "q_sprt": q_sprt,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -17684,4 +17739,86 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         "q_ams_f2": _ams_f2_oracle(),
         "q_ktruss": _ktruss_oracle(),
+        "q_preference_pairs": """
+            WITH base AS (SELECT source AS g, doc_id AS id,
+                                 CAST(n_chars AS BIGINT) AS s
+                          FROM documents),
+            top AS (SELECT g, id AS chosen_id, s AS chosen_score FROM (
+                      SELECT g, id, s,
+                             row_number() OVER (PARTITION BY g
+                                 ORDER BY s DESC, id ASC) AS rn
+                      FROM base) WHERE rn <= 3),
+            bot AS (SELECT g, id AS rejected_id, s AS rejected_score
+                    FROM (
+                      SELECT g, id, s,
+                             row_number() OVER (PARTITION BY g
+                                 ORDER BY s ASC, id ASC) AS rn
+                      FROM base) WHERE rn <= 3)
+            SELECT top.g AS source, chosen_id, rejected_id,
+                   chosen_score, rejected_score,
+                   chosen_score - rejected_score AS gap
+            FROM top JOIN bot USING (g)
+            WHERE chosen_score - rejected_score >= 50
+              AND chosen_id <> rejected_id""",
+        "q_truncated_recall": """
+            WITH q0 AS (SELECT vec_id AS vid,
+                               list_transform(embedding,
+                                   x -> CAST(floor(CAST(x AS DOUBLE)
+                                        * 1e6 + 0.5) AS BIGINT)) AS q
+                        FROM embeddings),
+            anchors AS (SELECT vid AS query_id, q AS aq
+                        FROM q0 ORDER BY vid LIMIT 8),
+            scored AS (
+              SELECT a.query_id, c.vid,
+                     list_sum(list_transform(generate_series(1, 64),
+                         i -> (c.q[i] - a.aq[i]) * (c.q[i] - a.aq[i])))
+                       AS dfull,
+                     list_sum(list_transform(generate_series(1, 16),
+                         i -> (c.q[i] - a.aq[i]) * (c.q[i] - a.aq[i])))
+                       AS dtrunc
+              FROM q0 c CROSS JOIN anchors a WHERE c.vid <> a.query_id),
+            ft AS (SELECT query_id, vid FROM (
+                     SELECT query_id, vid,
+                            row_number() OVER (PARTITION BY query_id
+                                ORDER BY dfull, vid) AS rf
+                     FROM scored) WHERE rf <= 10),
+            tt AS (SELECT query_id, vid FROM (
+                     SELECT query_id, vid,
+                            row_number() OVER (PARTITION BY query_id
+                                ORDER BY dtrunc, vid) AS rt
+                     FROM scored) WHERE rt <= 10),
+            hits AS (SELECT ft.query_id,
+                            CAST(COUNT(*) AS BIGINT) AS n_hit
+                     FROM ft JOIN tt USING (query_id, vid)
+                     GROUP BY ft.query_id)
+            SELECT q.query_id, CAST(10 AS INTEGER) AS k,
+                   COALESCE(n_hit, 0) AS n_hit,
+                   CAST(COALESCE(n_hit, 0) * 1000000 // 10 AS BIGINT)
+                     AS recall_ppm
+            FROM (SELECT DISTINCT query_id FROM ft) q
+            LEFT JOIN hits USING (query_id)
+            ORDER BY query_id""",
+        "q_sprt": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS kk
+              FROM events GROUP BY 1),
+            cum AS (SELECT day,
+                           SUM(n) OVER (ORDER BY day) AS n_cum,
+                           SUM(kk) OVER (ORDER BY day) AS k_cum
+                    FROM daily)
+            SELECT day, CAST(n_cum AS BIGINT) AS n_cum,
+                   CAST(k_cum AS BIGINT) AS k_cum,
+                   CAST(k_cum * 510825
+                        + (n_cum - k_cum) * -125164 AS BIGINT) AS llr_e6,
+                   CASE WHEN k_cum * 510825
+                             + (n_cum - k_cum) * -125164 >= 2890371
+                        THEN 'reject_h0'
+                        WHEN k_cum * 510825
+                             + (n_cum - k_cum) * -125164 <= -2251292
+                        THEN 'accept_h0'
+                        ELSE 'continue' END AS decision
+            FROM cum""",
     }

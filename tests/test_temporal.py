@@ -404,3 +404,39 @@ def test_rolling_grid_quantile_matches_bruteforce(spark):
                 pick = b
                 break
         assert got[str(day)] == (n, pick * 10), day
+
+
+def test_forecast_backtest_seasonal_beats_naive_on_weekly_pattern(spark):
+    from iowa_liquor_sales_spark.operators.temporal import forecast_backtest
+
+    import datetime
+
+    # strong weekly cycle: seasonal-naive is near-perfect, naive-1 bad
+    rows = []
+    for d in range(35):
+        rows.append(
+            (
+                "a",
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(d),
+                float(100 + 50 * (d % 7)),
+            )
+        )
+    got = forecast_backtest(
+        spark.createDataFrame(rows, ["k", "ts", "v"]), "k", "ts", "v",
+        season=7,
+    ).collect()[0]
+    # exact weekly repeat: seasonal error 0 -> MASE 0
+    assert got["mae_seasonal_e2"] == 0 and got["mase_ppm"] == 0
+    assert got["n_scored"] == 28  # first 7 days unscored
+    # anti-seasonal series: seasonal-naive worse than naive-1
+    rows2 = [
+        ("b", datetime.datetime(2024, 1, 1) + datetime.timedelta(d),
+         float(d * 10))
+        for d in range(35)
+    ]
+    g2 = forecast_backtest(
+        spark.createDataFrame(rows2, ["k", "ts", "v"]), "k", "ts", "v",
+        season=7,
+    ).collect()[0]
+    # linear ramp: seasonal error = 7x naive error exactly
+    assert g2["mase_ppm"] == 7_000_000
