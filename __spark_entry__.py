@@ -9760,6 +9760,66 @@ def q_sprt(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    # Rolling-origin backtest of the seasonal-naive forecaster with
+    # MASE per event type (temporal.forecast_backtest): both forecasts
+    # are per-key window lags over the O(days) daily relation; exact
+    # int64 absolute-error sums on the cents grid, one truncating div.
+    # MASE < 1e6 means the weekly-seasonal forecaster beats the naive
+    # walk — the pick-your-forecaster number next to q_holt_forecast.
+    from iowa_liquor_sales_spark.operators.temporal import (
+        forecast_backtest,
+    )
+
+    return forecast_backtest(
+        read_table(spark, sf, "events"),
+        "event_type",
+        "ts",
+        "value",
+        season=7,
+    ).withColumnRenamed("event_type", "etype")
+
+
+def q_best_f1(spark: SparkSession, sf: str) -> DataFrame:
+    # Argmax-F1 decision threshold for the q_auc score/label pair
+    # (quality.best_f1_threshold): suffix sums over the O(distinct
+    # scores) relation give TP/FP at EVERY threshold in one pass; the
+    # winner is picked by the exact-integer-ratio F1 compare (double
+    # only for ordering, identical IEEE both engines), ties to the
+    # stricter threshold — the deploy knob q_pr_curve plots but
+    # doesn't pick.
+    from iowa_liquor_sales_spark.operators.quality import (
+        best_f1_threshold,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        F.floor(F.col("n_chars")).cast("long").alias("score"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return best_f1_threshold(docs, "score", "is_en")
+
+
+
+def q_betweenness(spark: SparkSession, sf: str) -> DataFrame:
+    # Sampled Brandes betweenness from 4 sources over the folded
+    # projection graph (graph.betweenness_sample): all sources advance
+    # in ONE frontier relation per BFS level, and the backward
+    # dependency accumulation is ALL-INTEGER — each successor term is
+    # (sigma_v * (1e9 + delta_w)) div sigma_w, so the estimate is
+    # bit-stable under any partitioning (a float Brandes would be
+    # order-dependent in its sums). The oracle replays the same
+    # levels as chained materialized CTEs.
+    from iowa_liquor_sales_spark.operators.graph import betweenness_sample
+
+    o = read_table(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 500).alias("src"),
+        (F.col("o_orderkey") % 700).alias("dst"),
+    )
+    return betweenness_sample(edges, sources=[0, 1, 2, 3], max_depth=4)
+
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9793,6 +9853,17 @@ def q_sprt(spark: SparkSession, sf: str) -> DataFrame:
 # q_cronbach, q_dedup_cascade, q_sax_words, q_lift_table, q_ece,
 # q_oov_rate, q_moments, q_mantel_haenszel, q_ljung_box, q_lorenz,
 # q_logrank, q_by_fdr, q_lsh_plan.
+# Round-9 backlog, continued (the round-8 statistics/encoding/graph
+# waves — every one oracle-checked in the local sf0.001 AND sf0.01
+# sweeps this round, never driver-gated): q_kendall_tau,
+# q_wasserstein, q_effect_sizes, q_cochran_armitage, q_mcnemar,
+# q_durbin_watson, q_target_encode, q_randomization_test, q_dp_mean,
+# q_neighbor_jaccard, q_map_mrr, q_holm, q_audio_zcr, q_hurst,
+# q_isotonic, q_quadratic_fit, q_auc_delong, q_stratified_kfold,
+# q_rolling_quantile, q_script_profile, q_diff_in_diff,
+# q_ngram_coverage, q_hill_tail, q_ams_f2, q_ktruss,
+# q_preference_pairs, q_truncated_recall, q_sprt, q_forecast_backtest,
+# q_best_f1, q_betweenness, q_negative_sampling.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -10285,6 +10356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_preference_pairs": q_preference_pairs,
         "q_truncated_recall": q_truncated_recall,
         "q_sprt": q_sprt,
+        "q_forecast_backtest": q_forecast_backtest,
+        "q_best_f1": q_best_f1,
+        "q_betweenness": q_betweenness,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -10363,6 +10437,64 @@ def _ktruss_oracle(rounds: int = 12, need: int = 2) -> str:
         f" ON e.lo = s.lo AND e.hi = s.hi"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _betweenness_oracle(sources=(0, 1, 2, 3), depth: int = 4) -> str:
+    src_vals = ", ".join(f"({s})" for s in sources)
+    parts = [
+        """und AS MATERIALIZED (
+          SELECT DISTINCT least(o_custkey % 500, o_orderkey % 700) AS a,
+                 greatest(o_custkey % 500, o_orderkey % 700) AS b
+          FROM orders
+          WHERE least(o_custkey % 500, o_orderkey % 700)
+                < greatest(o_custkey % 500, o_orderkey % 700))""",
+        "adj AS MATERIALIZED (SELECT a AS u, b AS w FROM und"
+        " UNION ALL SELECT b, a FROM und)",
+        f"f0 AS MATERIALIZED (SELECT s, s AS v,"
+        f" CAST(1 AS HUGEINT) AS sigma"
+        f" FROM (VALUES {src_vals}) AS t(s))",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for l in range(1, depth + 1):
+        parts.append(
+            f"f{l} AS MATERIALIZED ("
+            f" SELECT f.s, a.w AS v, CAST(SUM(f.sigma) AS HUGEINT)"
+            f" AS sigma"
+            f" FROM f{l-1} f JOIN adj a ON f.v = a.u"
+            f" WHERE NOT EXISTS (SELECT 1 FROM vis{l-1} x"
+            f" WHERE x.s = f.s AND x.v = a.w)"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"vis{l} AS MATERIALIZED (SELECT * FROM vis{l-1}"
+            f" UNION ALL SELECT s, v FROM f{l})"
+        )
+    parts.append(
+        f"d{depth} AS MATERIALIZED (SELECT s, v,"
+        f" CAST(0 AS HUGEINT) AS d FROM f{depth})"
+    )
+    for l in range(depth - 1, 0, -1):
+        parts.append(
+            f"d{l} AS MATERIALIZED ("
+            f" SELECT c.s, c.v, CAST(COALESCE(t.d, 0) AS HUGEINT) AS d"
+            f" FROM f{l} c LEFT JOIN ("
+            f"   SELECT c2.s, c2.v,"
+            f"   SUM((c2.sigma * (1000000000 + x.d)) // n.sigma) AS d"
+            f"   FROM f{l} c2 JOIN adj a ON c2.v = a.u"
+            f"   JOIN f{l+1} n ON n.s = c2.s AND n.v = a.w"
+            f"   JOIN d{l+1} x ON x.s = c2.s AND x.v = a.w"
+            f"   GROUP BY c2.s, c2.v) t"
+            f" ON t.s = c.s AND t.v = c.v)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT v, d FROM d{l} WHERE d > 0" for l in range(1, depth + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(v AS BIGINT) AS v,"
+        + " CAST(SUM(d) AS BIGINT) AS betweenness_e9"
+        + f" FROM ({unions}) GROUP BY v"
+    )
 
 
 def _countmin_oracle() -> str:
@@ -17739,6 +17871,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         "q_ams_f2": _ams_f2_oracle(),
         "q_ktruss": _ktruss_oracle(),
+        "q_betweenness": _betweenness_oracle(),
         "q_preference_pairs": """
             WITH base AS (SELECT source AS g, doc_id AS id,
                                  CAST(n_chars AS BIGINT) AS s
@@ -17821,4 +17954,68 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'accept_h0'
                         ELSE 'continue' END AS decision
             FROM cum""",
+        "q_forecast_backtest": """
+            WITH daily AS (
+              SELECT event_type AS k,
+                     CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS v
+              FROM events GROUP BY 1, 2),
+            sc AS (SELECT k,
+                          v - lag(v, 7) OVER (PARTITION BY k
+                                              ORDER BY day) AS es,
+                          v - lag(v, 1) OVER (PARTITION BY k
+                                              ORDER BY day) AS en
+                   FROM daily),
+            f AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_scored,
+                         CAST(SUM(abs(es)) AS HUGEINT) AS sae_s,
+                         CAST(SUM(abs(en)) AS HUGEINT) AS sae_n
+                  FROM sc WHERE es IS NOT NULL AND en IS NOT NULL
+                  GROUP BY k)
+            SELECT k AS etype, n_scored,
+                   CAST(sae_s // n_scored AS BIGINT)
+                     AS mae_seasonal_e2,
+                   CAST(sae_n // n_scored AS BIGINT) AS mae_naive_e2,
+                   CASE WHEN sae_n = 0 THEN NULL
+                        ELSE CAST((sae_s * 1000000) // sae_n AS BIGINT)
+                        END AS mase_ppm
+            FROM f""",
+        "q_best_f1": """
+            WITH g AS (
+              SELECT n_chars AS score,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS npos,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                          AS BIGINT) AS nneg
+              FROM documents GROUP BY 1),
+            c AS (SELECT score,
+                         SUM(npos) OVER (ORDER BY score DESC
+                             ROWS UNBOUNDED PRECEDING) AS tp,
+                         SUM(nneg) OVER (ORDER BY score DESC
+                             ROWS UNBOUNDED PRECEDING) AS fp,
+                         SUM(npos) OVER ()
+                           - SUM(npos) OVER (ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS fn
+                  FROM g),
+            r AS (SELECT score, tp, fp, fn,
+                         row_number() OVER (
+                           ORDER BY CAST(2 * tp AS DOUBLE)
+                                    / CAST(2 * tp + fp + fn AS DOUBLE)
+                                    DESC,
+                                    score DESC) AS rn
+                  FROM c)
+            SELECT CAST(score AS BIGINT) AS threshold,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   CAST(CASE WHEN tp + fp = 0 THEN 0
+                        ELSE (tp * 1000000) // (tp + fp) END AS BIGINT)
+                     AS precision_ppm,
+                   CAST(CASE WHEN tp + fn = 0 THEN 0
+                        ELSE (tp * 1000000) // (tp + fn) END AS BIGINT)
+                     AS recall_ppm,
+                   CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                        ELSE (2 * tp * 1000000)
+                             // (2 * tp + fp + fn) END AS BIGINT)
+                     AS f1_ppm
+            FROM r WHERE rn = 1""",
     }

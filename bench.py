@@ -192,6 +192,9 @@ HEADLINE = [
     "q_preference_pairs",
     "q_truncated_recall",
     "q_sprt",
+    "q_forecast_backtest",
+    "q_best_f1",
+    "q_betweenness",
 ]
 
 

@@ -1632,3 +1632,135 @@ def ktruss_converged(
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )
     return e.join(sup, ["lo", "hi"]).select("lo", "hi", "support")
+
+
+def betweenness_sample(
+    edges: DataFrame,
+    sources: list[int],
+    max_depth: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001, k-source variant):
+    run the forward BFS/path-count and backward dependency
+    accumulation from a FIXED sample of sources and sum the
+    dependencies — the standard way betweenness scales past toy
+    graphs (exact Brandes is one BFS per vertex; sampling trades a
+    bounded estimator error for a k/|V| cost factor, Bader et al.
+    2007). Truncated at ``max_depth`` hops (graph-diameter bound at
+    the call site).
+
+    Spark-first and EXACT-integer: all k sources advance together in
+    one frontier relation (s, v, sigma) — per level ONE frontier⋈adj
+    join + hash aggregate, anti-joined against the visited set and
+    ``localCheckpoint``-ed (flat lineage). The backward pass walks
+    levels deepest-first; each successor term is the all-integer
+    ``(sigma_v · (1e9 + delta_e9(w))) div sigma_w`` — truncating div
+    on the 1e-9 grid instead of a float ratio, so the accumulated
+    dependency is bit-stable under any partitioning or engine (float
+    sums here are order-dependent; integer sums are not). Path counts
+    ride DECIMAL(38,0) — sigma grows multiplicatively on dense
+    graphs and would wrap int64.
+
+    Returns (v, betweenness_e9) for vertices with nonzero dependency,
+    summed over sources (sources themselves excluded at distance 0).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = und.select(
+        F.col("a").alias("u"), F.col("b").alias("w")
+    ).unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("w")))
+    adj = adj.localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(int(s), int(s), 1) for s in sources], ["s", "v", "sigma"]
+    ).select(
+        "s", "v", F.col("sigma").cast("decimal(38,0)").alias("sigma")
+    )
+    levels = [frontier.localCheckpoint(eager=True)]
+    visited = levels[0].select("s", "v")
+    for _ in range(int(max_depth)):
+        nxt = (
+            levels[-1]
+            .join(adj, levels[-1]["v"] == adj["u"])
+            .groupBy("s", "w")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("s", F.col("w").alias("v"), "sigma")
+            .join(visited, ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionAll(nxt.select("s", "v")).localCheckpoint(
+            eager=True
+        )
+    # backward dependency accumulation on the 1e-9 integer grid
+    delta = levels[-1].select(
+        "s", "v", F.lit(0).cast("decimal(38,0)").alias("d")
+    )
+    acc = None
+    for lvl in range(len(levels) - 2, -1, -1):
+        cur, succ = levels[lvl], delta
+        term = (
+            cur.alias("c")
+            .join(adj, F.col("c.v") == adj["u"])
+            .join(
+                succ.alias("x"),
+                (F.col("x.s") == F.col("c.s"))
+                & (F.col("x.v") == adj["w"]),
+            )
+            .join(
+                levels[lvl + 1]
+                .alias("n")
+                .select(
+                    F.col("n.s").alias("ns"),
+                    F.col("n.v").alias("nv"),
+                    F.col("n.sigma").alias("nsigma"),
+                ),
+                (F.col("ns") == F.col("c.s"))
+                & (F.col("nv") == adj["w"]),
+            )
+            .select(
+                F.col("c.s").alias("s"),
+                F.col("c.v").alias("v"),
+                F.expr(
+                    "CAST((c.sigma * (1000000000 + x.d)) div nsigma"
+                    " AS DECIMAL(38,0))"
+                ).alias("t"),
+            )
+        )
+        dlvl = (
+            cur.select("s", "v")
+            .join(
+                term.groupBy("s", "v").agg(F.sum("t").alias("d")),
+                ["s", "v"],
+                "left",
+            )
+            .select(
+                "s",
+                "v",
+                F.coalesce(F.col("d"), F.lit(0))
+                .cast("decimal(38,0)")
+                .alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        nonzero = dlvl.filter(F.col("d") > 0)
+        if lvl > 0:  # level-0 vertices are the sources themselves
+            acc = nonzero if acc is None else acc.unionAll(nonzero)
+        delta = dlvl
+    if acc is None:
+        return spark.createDataFrame([], "v long, betweenness_e9 long")
+    return (
+        acc.groupBy("v")
+        .agg(F.sum("d").cast("long").alias("betweenness_e9"))
+        .select(F.col("v").cast("long").alias("v"), "betweenness_e9")
+    )

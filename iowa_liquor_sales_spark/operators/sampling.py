@@ -420,3 +420,62 @@ def stratified_kfold(
         "fold",
         ((F.row_number().over(w) - 1) % F.lit(int(n_folds))).cast("int"),
     )
+
+
+def weighted_choice(
+    draws: DataFrame,
+    weights: DataFrame,
+    draw_key_cols: list[str],
+    item_col: str,
+    weight_col: str,
+    salt: str = "choice",
+) -> DataFrame:
+    """Deterministic categorical sampling: for every draw row, pick one
+    item from a weighted vocabulary with probability proportional to
+    its weight — the primitive behind skip-gram negative sampling
+    (unigram^0.75), mixture-weighted source picking, and any
+    "sample from this distribution, reproducibly" need. ``rand()`` is
+    partition-seeded and shuffles assignments on re-run; here the draw
+    is the md5 hash of the draw key, so the same key always draws the
+    same item on any cluster layout (and in the SQL oracle).
+
+    Plan shape: the vocabulary collapses to an O(items) cumulative-
+    weight relation (one window over items); each draw computes
+    ``h = hash60(salt || key) mod W`` and picks the item whose
+    [cum_lo, cum_hi) interval contains h. With a small vocabulary the
+    interval probe is a broadcast range join (Catalyst BNLJ over O(items)
+    rows); for a huge vocabulary compose with :func:`..temporal.range_join`'s
+    covering-bucket trick instead — the semantics (and this hash
+    contract) stay identical.
+
+    Returns draws plus (item, w) of the chosen item.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(item_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = weights.select(
+        F.col(item_col).alias("item"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).select(
+        "item",
+        "w",
+        (F.sum("w").over(w) - F.col("w")).alias("lo"),
+        F.sum("w").over(w).alias("hi"),
+    )
+    tot = cum.agg(F.sum("w").cast("long").alias("wtot"))
+    key = F.concat_ws(
+        "_", F.lit(salt), *[F.col(c).cast("string") for c in draw_key_cols]
+    )
+    h = hash60(key)
+    drawn = draws.crossJoin(F.broadcast(tot)).withColumn(
+        "_h", h % F.col("wtot")
+    )
+    return (
+        drawn.join(
+            F.broadcast(cum),
+            (F.col("_h") >= F.col("lo")) & (F.col("_h") < F.col("hi")),
+        )
+        .drop("_h", "wtot", "lo", "hi")
+    )

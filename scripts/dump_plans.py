@@ -218,6 +218,9 @@ FLAGSHIP = [
     "q_preference_pairs",
     "q_truncated_recall",
     "q_sprt",
+    "q_forecast_backtest",
+    "q_best_f1",
+    "q_betweenness",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

@@ -1641,3 +1641,70 @@ def render_round8d(timings: dict) -> list[str]:
             + " |"
         )
     return lines
+
+
+def bench_round8e(spark) -> dict:
+    """Growth shapes for the round-8 graph wave: k-truss peeling and
+    sampled betweenness on hash-scatter graphs with average degree
+    fixed (~12) while V and E grow 4x per step. k-truss is
+    O(Σ deg²)-wedge work per round; betweenness is O(E) per BFS level
+    per source batch — both should grow near-linearly in E when degree
+    is held constant."""
+    from iowa_liquor_sales_spark.operators.graph import (
+        betweenness_sample,
+        ktruss_converged,
+    )
+
+    timings: dict[str, dict] = {}
+
+    def t(label, factor, mk):
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings.setdefault(label, {})[factor] = round(best, 2)
+
+    for factor in (1, 4, 16):
+        E = 50_000 * factor
+        V = E // 12
+        edges = spark.range(E).select(
+            ((F.col("id") * 7919) % V).alias("src"),
+            ((F.col("id") * 104729 + 13) % V).alias("dst"),
+        )
+        t(
+            "ktruss_k4",
+            factor,
+            lambda e=edges: ktruss_converged(e, k=4),
+        )
+        t(
+            "betweenness_4src_d4",
+            factor,
+            lambda e=edges: betweenness_sample(
+                e, sources=[0, 1, 2, 3], max_depth=4
+            ),
+        )
+    return timings
+
+
+def render_round8e(timings: dict) -> list[str]:
+    lines = [
+        "",
+        "## Round-8 graph-wave probe (k-truss + sampled betweenness)",
+        "",
+        "Hash-scatter graphs, average degree ~12 fixed while V and E",
+        "grow 4x per step. k-truss pays O(sum deg^2) wedge work per",
+        "peel round; betweenness pays O(E) per BFS level per source",
+        "batch — near-linear walls in E confirm no hidden all-pairs.",
+        "",
+        "| op | wall by growth factor |",
+        "|---|---|",
+    ]
+    for label, per in timings.items():
+        lines.append(
+            f"| {label} | "
+            + ", ".join(f"x{f}: {per[f]:.2f}s" for f in sorted(per))
+            + " |"
+        )
+    return lines

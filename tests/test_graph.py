@@ -315,3 +315,68 @@ def test_ktruss_matches_sequential_peeling(spark):
     assert got == support(es)
     # every survivor meets the bound
     assert all(s >= 2 for s in got.values())
+
+
+def test_betweenness_sample_matches_grid_brandes(spark):
+    from iowa_liquor_sales_spark.operators.graph import betweenness_sample
+
+    import itertools
+    import random
+
+    rng = random.Random(47)
+    nodes = list(range(14))
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.25
+        }
+        | {(0, 1), (1, 2), (2, 3)}  # guarantee connectivity spine
+    )
+    sources = [0, 1, 2, 3]
+    got = {
+        r["v"]: r["betweenness_e9"]
+        for r in betweenness_sample(
+            spark.createDataFrame(edges, ["src", "dst"]),
+            sources,
+            max_depth=6,
+        ).collect()
+    }
+
+    # python Brandes with the SAME 1e-9 integer-grid recurrence
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for s in sources:
+        dist, sigma = {s: 0}, {s: 1}
+        frontier, order = [s], [[s]]
+        while frontier:
+            nxt = {}
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        nxt[w] = nxt.get(w, 0) + sigma[u]
+            for w, sg in nxt.items():
+                dist[w] = len(order)
+                sigma[w] = sg
+            if not nxt:
+                break
+            order.append(sorted(nxt))
+            frontier = list(nxt)
+        delta = {v: 0 for v in dist}
+        for lvl in range(len(order) - 2, -1, -1):
+            for v in order[lvl]:
+                t = 0
+                for w in adj.get(v, ()):
+                    if dist.get(w) == lvl + 1:
+                        t += (
+                            sigma[v] * (1_000_000_000 + delta[w])
+                        ) // sigma[w]
+                delta[v] = t
+                if lvl > 0 and t > 0:
+                    want[v] = want.get(v, 0) + t
+    assert got == want
+    # the spine's interior vertices carry dependency mass
+    assert any(v in got for v in (1, 2))

@@ -207,3 +207,42 @@ def test_stratified_kfold_balances_within_every_stratum(spark):
     assert {(r["k"], r["fold"]) for r in out} == {
         (r["k"], r["fold"]) for r in out2
     }
+
+
+def test_weighted_choice_deterministic_and_proportional(spark):
+    from iowa_liquor_sales_spark.operators.sampling import weighted_choice
+
+    import hashlib
+
+    weights = spark.createDataFrame(
+        [("a", 70), ("b", 20), ("c", 10)], ["item", "w"]
+    )
+    draws = spark.createDataFrame(
+        [(i, s) for i in range(500) for s in range(3)], ["k", "slot"]
+    )
+    out = weighted_choice(
+        draws, weights, ["k", "slot"], "item", "w"
+    ).collect()
+    assert len(out) == 1500  # exactly one item per draw
+    # python replication of the hash -> interval pick
+    intervals = {"a": (0, 70), "b": (70, 90), "c": (90, 100)}
+    for r in out:
+        h = int(
+            hashlib.md5(f"choice_{r['k']}_{r['slot']}".encode())
+            .hexdigest()[:15], 16,
+        ) % 100
+        lo, hi = intervals[r["item"]]
+        assert lo <= h < hi
+    # frequencies track the weights (md5 is uniform enough at n=1500)
+    freq = {}
+    for r in out:
+        freq[r["item"]] = freq.get(r["item"], 0) + 1
+    assert 0.6 < freq["a"] / 1500 < 0.8
+    assert 0.05 < freq["c"] / 1500 < 0.15
+    # re-running draws the identical assignment
+    out2 = weighted_choice(
+        draws.repartition(11), weights, ["k", "slot"], "item", "w"
+    ).collect()
+    assert {(r["k"], r["slot"], r["item"]) for r in out} == {
+        (r["k"], r["slot"], r["item"]) for r in out2
+    }
