@@ -9820,6 +9820,36 @@ def q_betweenness(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    # Skip-gram-style negative sampling (sampling.weighted_choice):
+    # every (doc, slot 0..2) draw picks a source from the corpus
+    # source distribution raised to 0.75 (the word2vec unigram
+    # flattening), deterministically via the md5 draw hash — same key,
+    # same negative, on any cluster layout. The vocabulary collapses
+    # to an O(sources) cumulative-weight relation; the interval probe
+    # is a broadcast range join.
+    from iowa_liquor_sales_spark.operators.sampling import weighted_choice
+
+    docs = read_table(spark, sf, "documents")
+    weights = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "source",
+            F.floor(F.pow(F.col("cnt").cast("double"), 0.75) * 1e3)
+            .cast("long")
+            .alias("w75"),
+        )
+    )
+    draws = docs.select("doc_id").withColumn(
+        "slot", F.explode(F.sequence(F.lit(0), F.lit(2)))
+    )
+    return weighted_choice(
+        draws, weights, ["doc_id", "slot"], "source", "w75"
+    ).select("doc_id", "slot", F.col("item").alias("neg_source"))
+
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -10359,6 +10389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_forecast_backtest": q_forecast_backtest,
         "q_best_f1": q_best_f1,
         "q_betweenness": q_betweenness,
+        "q_negative_sampling": q_negative_sampling,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -17872,6 +17903,29 @@ def oracle_sql() -> dict[str, str]:
         "q_ams_f2": _ams_f2_oracle(),
         "q_ktruss": _ktruss_oracle(),
         "q_betweenness": _betweenness_oracle(),
+        "q_negative_sampling": """
+            WITH wt AS (
+              SELECT source,
+                     CAST(floor(pow(CAST(COUNT(*) AS DOUBLE), 0.75)
+                          * 1e3) AS BIGINT) AS w
+              FROM documents GROUP BY source),
+            cum AS (SELECT source, w,
+                           SUM(w) OVER (ORDER BY source) - w AS lo,
+                           SUM(w) OVER (ORDER BY source) AS hi
+                    FROM wt),
+            tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM wt),
+            draws AS (SELECT doc_id, t.slot
+                      FROM documents,
+                           (VALUES (0), (1), (2)) AS t(slot)),
+            h AS (SELECT doc_id, slot,
+                         CAST(('0x' || substr(md5('choice_'
+                              || CAST(doc_id AS VARCHAR) || '_'
+                              || CAST(slot AS VARCHAR)), 1, 15))
+                              AS BIGINT) % (SELECT wtot FROM tot) AS hh
+                  FROM draws)
+            SELECT doc_id, CAST(slot AS INTEGER) AS slot,
+                   c.source AS neg_source
+            FROM h JOIN cum c ON h.hh >= c.lo AND h.hh < c.hi""",
         "q_preference_pairs": """
             WITH base AS (SELECT source AS g, doc_id AS id,
                                  CAST(n_chars AS BIGINT) AS s

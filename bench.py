@@ -195,6 +195,7 @@ HEADLINE = [
     "q_forecast_backtest",
     "q_best_f1",
     "q_betweenness",
+    "q_negative_sampling",
 ]
 
 

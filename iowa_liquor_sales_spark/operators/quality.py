@@ -2718,3 +2718,170 @@ def best_f1_threshold(
             " AS BIGINT) END"
         ).alias("f1_ppm"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    alpha_ppm: int = 100_000,
+    value_scale: int = 100,
+    salt: str = "conformal",
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al.; Lei et al.
+    2018): hash-split the data into a fit half and a calibration half,
+    predict each row by its group's fit-half mean, take the
+    ceil((n_cal+1)(1−α))-th smallest absolute calibration residual as
+    the interval half-width q̂, and report the EMPIRICAL coverage of
+    ``prediction ± q̂`` on the calibration complement — the
+    distribution-free "how wrong can this model be" guarantee that
+    needs no normality and no variance formula.
+
+    All-exact: the split is the engine-portable md5 parity of the row
+    key; predictions are truncating-div means of exact integer sums on
+    the value grid; the conformal quantile is an order statistic over
+    the O(cal-rows... grouped to O(distinct-residuals)) relation via
+    prefix sums — never a global row sort; coverage is a pure-integer
+    ppm ratio.
+
+    Returns one row:
+    (n_fit, n_cal, n_test, qhat, coverage_ppm, target_ppm).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash60
+
+    base = df.select(
+        F.col(key_col).alias("id"),
+        F.col(group_col).alias("g"),
+        F.floor(
+            F.col(value_col).cast("double") * F.lit(int(value_scale))
+        )
+        .cast("long")
+        .alias("v"),
+        (
+            hash60(
+                F.concat(F.lit(salt), F.col(key_col).cast("string"))
+            )
+            % 3
+        ).alias("part"),  # 0 = fit, 1 = calibration, 2 = test
+    )
+    fit = base.filter(F.col("part") == 0)
+    means = fit.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("nf"),
+        F.sum("v").cast("decimal(38,0)").alias("sf"),
+    ).select(
+        "g", "nf", F.expr("CAST(sf div nf AS BIGINT)").alias("pred")
+    )
+    cal = base.filter(F.col("part") == 1).join(means, "g").select(
+        F.abs(F.col("v") - F.col("pred")).alias("resid")
+    )
+    # conformal rank over the grouped residual relation via prefix sums
+    rc = cal.groupBy("resid").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("resid").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = rc.select(
+        "resid",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wall).alias("n_cal"),
+    )
+    # rank_needed = ceil((n_cal + 1) * (1 - alpha)); qhat = smallest
+    # residual whose cumulative count reaches it (clamped to max).
+    # ceil-div with truncating div: ceil(A/B) = (A + B - 1) div B
+    need = F.expr(
+        f"CAST(((CAST(n_cal AS BIGINT) + 1)"
+        f" * (1000000 - {int(alpha_ppm)}) + 999999)"
+        f" div 1000000 AS BIGINT)"
+    )
+    qrel = (
+        cum.withColumn("need", F.least(need, F.col("n_cal")))
+        .filter(F.col("cum") >= F.col("need"))
+        .orderBy("resid")
+        .limit(1)
+        .select(F.col("resid").alias("qhat"), "n_cal")
+    )
+    test = base.filter(F.col("part") == 2).join(means, "g")
+    cov = test.crossJoin(F.broadcast(qrel)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            F.when(
+                F.abs(F.col("v") - F.col("pred")) <= F.col("qhat"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_in"),
+        F.first("qhat").alias("qhat"),
+        F.first("n_cal").alias("n_cal"),
+    )
+    nfit = fit.agg(F.count(F.lit(1)).cast("long").alias("n_fit"))
+    return cov.crossJoin(F.broadcast(nfit)).select(
+        "n_fit",
+        "n_cal",
+        "n_test",
+        "qhat",
+        F.expr(
+            "CAST((n_in * 1000000) div n_test AS BIGINT)"
+        ).alias("coverage_ppm"),
+        F.lit(1_000_000 - int(alpha_ppm)).cast("long").alias(
+            "target_ppm"
+        ),
+    )
+
+
+def ucb_ranking(
+    df: DataFrame,
+    arm_col: str,
+    reward_col: str,
+    reward_scale: int = 100,
+) -> DataFrame:
+    """UCB1 bandit ranking (Auer, Cesa-Bianchi & Fischer 2002): score
+    every arm by mean reward + sqrt(2·ln N / n_i) and rank — the
+    optimism-under-uncertainty readout that tells a data-mixing or
+    experiment-routing loop WHICH arm to pull next, trading off
+    observed mean against how little an arm has been tried.
+
+    One combinable aggregate to the O(arms) relation; the mean is an
+    exact truncating-div on the reward grid, the exploration bonus is
+    one ln + one sqrt per ARM (not per row) floored to the ppm grid,
+    and the rank is a window over O(arms) rows with ties broken by
+    arm for engine determinism.
+
+    Returns (arm, n, mean_e2, ucb_e2, rank) ordered by rank.
+    """
+    from pyspark.sql import Window
+
+    arms = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                F.col(reward_col).cast("double")
+                * F.lit(int(reward_scale))
+            ).cast("long")
+        )
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    tot = arms.agg(F.sum("n").cast("long").alias("nn"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_e2"),
+        (
+            F.expr("CAST(s div n AS BIGINT)")
+            + F.floor(
+                F.sqrt(
+                    F.lit(2.0)
+                    * F.log(F.col("nn").cast("double"))
+                    / F.col("n").cast("double")
+                )
+                * F.lit(float(reward_scale))
+            ).cast("long")
+        ).alias("ucb_e2"),
+    )
+    w = Window.orderBy(F.col("ucb_e2").desc(), F.col("arm"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).orderBy("rank")

@@ -452,7 +452,7 @@ def weighted_choice(
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(item_col)).rowsBetween(
+    w = Window.orderBy(F.col("item")).rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = weights.select(

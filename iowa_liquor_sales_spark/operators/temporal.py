@@ -1295,3 +1295,107 @@ def forecast_backtest(
             " ELSE CAST((sae_s * 1000000) div sae_n AS BIGINT) END"
         ).alias("mase_ppm"),
     )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    trailing_days: int = 7,
+    k_ppm: int = 3_000_000,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Rolling-median anomaly detection on a daily series: flag days
+    whose total deviates from the trailing-window MEDIAN by more than
+    k times the global MAD of those residuals — the robust
+    (outlier-proof, level-shift-tolerant) daily-metrics alarm; a
+    mean/stddev version would let one spike inflate its own threshold.
+
+    Everything reduces to the O(days) daily relation after one
+    combinable aggregate. The trailing median is exact: each daily row
+    fans out to the <= ``trailing_days`` target days it covers (the
+    :func:`rolling_grid_quantile` bounded-fanout trick) and the lower
+    median is the rank-((n+1) div 2) smallest by window rank. Residual
+    centering and the MAD are medians over O(days) rows (grouped-first
+    contract); the flag compare is pure-integer:
+    |r − med_r|·1e6 > k_ppm·MAD.
+
+    Returns (day, v, med_trailing, residual, is_anomaly).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(
+            F.to_date(F.date_trunc("DAY", F.col(ts_col))).alias("day"),
+            F.floor(
+                F.col(value_col).cast("double") * F.lit(int(value_scale))
+            )
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").alias("v"))
+    )
+    days = daily.select(
+        F.col("day").alias("tday"),
+        F.unix_date(F.col("day")).alias("tnum"),
+    )
+    span = daily.withColumn("snum", F.unix_date(F.col("day"))).join(
+        F.broadcast(days),
+        (F.col("tnum") >= F.col("snum"))
+        & (F.col("tnum") < F.col("snum") + F.lit(int(trailing_days))),
+    )
+    wrank = Window.partitionBy("tday").orderBy("v", "day")
+    wcnt = Window.partitionBy("tday")
+    med = (
+        span.select(
+            "tday",
+            F.col("v").alias("wv"),
+            F.row_number().over(wrank).alias("rn"),
+            F.count(F.lit(1)).over(wcnt).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("tday").alias("day"), F.col("wv").alias("med"))
+    )
+    resid = daily.join(med, "day").select(
+        "day", "v", F.col("med").alias("med_trailing"),
+        (F.col("v") - F.col("med")).alias("r"),
+    )
+    # global lower-median of residuals, then MAD — both over O(days)
+    wr = Window.orderBy("r", "day")
+    wall = Window.partitionBy()
+    med_r = (
+        resid.select(
+            "r",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("r").alias("med_r"))
+    )
+    dev = resid.crossJoin(F.broadcast(med_r)).withColumn(
+        "ad", F.abs(F.col("r") - F.col("med_r"))
+    )
+    wd = Window.orderBy("ad", "day")
+    mad = (
+        dev.select(
+            "ad",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("ad").alias("mad"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "v",
+            "med_trailing",
+            F.col("r").alias("residual"),
+            (
+                F.col("ad") * F.lit(1_000_000)
+                > F.lit(int(k_ppm)) * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+    )

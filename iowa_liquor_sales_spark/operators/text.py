@@ -1685,3 +1685,81 @@ def ngram_coverage(
             ).alias("coverage_ppm"),
         )
     )
+
+
+def log_odds_ratio(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    alpha_e3: int = 1000,
+    min_count: int = 5,
+) -> DataFrame:
+    """Monroe–Colaresi–Quinn "fightin' words" (2008): per-term
+    log-odds-ratio between two corpora with a Dirichlet prior, scaled
+    by its estimated standard error — THE principled "which words
+    distinguish corpus A from corpus B" list (raw frequency ratios
+    explode on rare terms; the prior and the z-scaling fix exactly
+    that). The curation use: contrast a kept vs filtered split to see
+    what a quality filter is actually keying on.
+
+    One tokenize+count pass to the O(vocab) term relation; the prior
+    uses the pooled corpus as its direction (the paper's informative
+    prior), alpha = alpha_e3/1e3 pseudo-counts per term. The
+    delta/variance are computed per TERM over the vocab relation in
+    double (ln of exact integer ratios — one libm call per term,
+    identical operands both engines), floored to the ppm grid.
+
+    Returns (term, cnt_a, cnt_b, z_ppm) for terms with
+    cnt_a + cnt_b >= min_count.
+    """
+    toks = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).alias("is_a"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    a3 = int(alpha_e3)
+    # delta = ln((ca + α)/(na + Vα − ca − α)) − ln((cb + α)/(nb + Vα − cb − α))
+    # var ≈ 1/(ca + α) + 1/(cb + α); z = delta / sqrt(var).
+    # All ratios are exact rationals on the 1e-3 alpha grid: scale
+    # numerators/denominators by 1e3 so the ln arguments are exact
+    # integer ratios in both engines.
+    num_a = F.col("ca") * 1000 + F.lit(a3)
+    den_a = F.col("na") * 1000 + F.col("v") * F.lit(a3) - num_a
+    num_b = F.col("cb") * 1000 + F.lit(a3)
+    den_b = F.col("nb") * 1000 + F.col("v") * F.lit(a3) - num_b
+    delta = (
+        F.log(num_a.cast("double")) - F.log(den_a.cast("double"))
+        - F.log(num_b.cast("double")) + F.log(den_b.cast("double"))
+    )
+    var = (
+        F.lit(1000.0) / num_a.cast("double")
+        + F.lit(1000.0) / num_b.cast("double")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("ca") + F.col("cb") >= int(min_count))
+        .select(
+            "term",
+            F.col("ca").alias("cnt_a"),
+            F.col("cb").alias("cnt_b"),
+            F.floor(delta / F.sqrt(var) * 1e6)
+            .cast("long")
+            .alias("z_ppm"),
+        )
+    )

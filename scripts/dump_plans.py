@@ -221,6 +221,7 @@ FLAGSHIP = [
     "q_forecast_backtest",
     "q_best_f1",
     "q_betweenness",
+    "q_negative_sampling",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

@@ -465,3 +465,45 @@ def test_best_f1_threshold_matches_exhaustive_sweep(spark):
     assert got["f1_ppm"] == (2 * best[2] * 1_000_000) // (
         2 * best[2] + best[3] + best[4]
     )
+
+
+def test_conformal_interval_hits_target_coverage(spark):
+    from iowa_liquor_sales_spark.operators.quality import conformal_interval
+
+    import random
+
+    rng = random.Random(53)
+    # group means 100/200/300 with bounded noise: conformal coverage
+    # must be >= target up to finite-sample wobble
+    rows = [
+        (i, f"g{i % 3}", 100.0 * (i % 3 + 1) + rng.uniform(-20, 20))
+        for i in range(3000)
+    ]
+    got = conformal_interval(
+        spark.createDataFrame(rows, ["id", "g", "v"]),
+        "id", "g", "v", alpha_ppm=100_000,
+    ).collect()[0]
+    assert got["n_fit"] + got["n_cal"] + got["n_test"] == 3000
+    # split-conformal guarantee: coverage >= 1 - alpha (up to ~2%
+    # finite-sample noise on the test half)
+    assert got["coverage_ppm"] >= got["target_ppm"] - 20_000
+    # the interval is not vacuous: qhat smaller than the full range
+    assert 0 < got["qhat"] < 4000  # cents grid, noise span is +-2000
+
+
+def test_ucb_ranking_prefers_undertried_arms(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.quality import ucb_ranking
+
+    # arm a: mean 10, pulled 1000x; arm b: mean 9.5, pulled 4x —
+    # UCB must rank the barely-tried b first
+    rows = [("a", 10.0)] * 1000 + [("b", 9.5)] * 4
+    out = {r["arm"]: r for r in ucb_ranking(
+        spark.createDataFrame(rows, ["arm", "r"]), "arm", "r"
+    ).collect()}
+    assert out["b"]["rank"] == 1 and out["a"]["rank"] == 2
+    # exact replication for arm b
+    nn = 1004
+    bonus = math.floor(math.sqrt(2 * math.log(nn) / 4) * 100)
+    assert out["b"]["ucb_e2"] == 950 + bonus

@@ -246,3 +246,18 @@ def test_weighted_choice_deterministic_and_proportional(spark):
     assert {(r["k"], r["slot"], r["item"]) for r in out} == {
         (r["k"], r["slot"], r["item"]) for r in out2
     }
+
+
+def test_weighted_choice_renamed_item_column(spark):
+    # regression: the cumulative window must order the RENAMED item
+    # column, not the caller's original column name
+    from iowa_liquor_sales_spark.operators.sampling import weighted_choice
+
+    weights = spark.createDataFrame(
+        [("x", 1), ("y", 1)], ["src_name", "wt"]
+    )
+    draws = spark.createDataFrame([(1,), (2,)], ["k"])
+    out = weighted_choice(
+        draws, weights, ["k"], "src_name", "wt"
+    ).collect()
+    assert len(out) == 2 and all(r["item"] in ("x", "y") for r in out)

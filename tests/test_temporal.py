@@ -440,3 +440,28 @@ def test_forecast_backtest_seasonal_beats_naive_on_weekly_pattern(spark):
     ).collect()[0]
     # linear ramp: seasonal error = 7x naive error exactly
     assert g2["mase_ppm"] == 7_000_000
+
+
+def test_rolling_anomaly_flags_the_spike_not_the_trend(spark):
+    from iowa_liquor_sales_spark.operators.temporal import rolling_anomaly
+
+    import datetime
+
+    rows = []
+    for d in range(30):
+        v = 100.0 + (d % 3)       # small jitter
+        if d == 20:
+            v = 500.0             # the spike
+        rows.append((datetime.datetime(2024, 1, 1 + (d % 30) if d < 30 else 1, 6)
+                     + datetime.timedelta(0), v))
+    rows = [(datetime.datetime(2024, 1, 1, 6) + datetime.timedelta(d), v)
+            for d, (_, v) in enumerate(rows)]
+    out = {str(r["day"]): r for r in rolling_anomaly(
+        spark.createDataFrame(rows, ["ts", "v"]), "ts", "v",
+        trailing_days=7, k_ppm=3_000_000,
+    ).collect()}
+    assert len(out) == 30
+    flagged = [d for d, r in out.items() if r["is_anomaly"]]
+    assert "2024-01-21" in flagged  # the spike day
+    # jitter days are not flagged
+    assert len(flagged) <= 3

@@ -420,3 +420,36 @@ def test_ngram_coverage_fraction_is_exact(spark):
     assert out[11] == (3, 1, 333_333)
     assert out[12] == (1, 0, 0)
     assert 13 not in out
+
+
+def test_log_odds_ratio_flags_distinguishing_terms(spark):
+    from iowa_liquor_sales_spark.operators.text import log_odds_ratio
+
+    import math
+
+    rows = (
+        [("a", "apple apple banana common")] * 20
+        + [("b", "cherry cherry banana common")] * 20
+    )
+    out = {
+        r["term"]: r
+        for r in log_odds_ratio(
+            spark.createDataFrame(rows, ["g", "text"]),
+            "text", "g", "a", "b", alpha_e3=1000, min_count=5,
+        ).collect()
+    }
+    # apple is pure-A, cherry pure-B, common/banana neutral
+    assert out["apple"]["z_ppm"] > 3_000_000
+    assert out["cherry"]["z_ppm"] < -3_000_000
+    assert abs(out["common"]["z_ppm"]) < 1_000_000
+    # python replication of the exact formula for one term
+    ca, cb = out["apple"]["cnt_a"], out["apple"]["cnt_b"]
+    na = sum(4 for g, _ in rows if g == "a")
+    nb = sum(4 for g, _ in rows if g == "b")
+    v = len(out)
+    num_a, den_a = ca * 1000 + 1000, na * 1000 + v * 1000 - (ca * 1000 + 1000)
+    num_b, den_b = cb * 1000 + 1000, nb * 1000 + v * 1000 - (cb * 1000 + 1000)
+    delta = (math.log(num_a) - math.log(den_a)
+             - math.log(num_b) + math.log(den_b))
+    var = 1000.0 / num_a + 1000.0 / num_b
+    assert out["apple"]["z_ppm"] == math.floor(delta / math.sqrt(var) * 1e6)
