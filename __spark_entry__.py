@@ -9850,6 +9850,76 @@ def q_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_log_odds(spark: SparkSession, sf: str) -> DataFrame:
+    # Monroe-Colaresi-Quinn "fightin' words" between English and
+    # Spanish docs (text.log_odds_ratio): per-term Dirichlet-prior
+    # log-odds z over the O(vocab) term relation — which words
+    # distinguish corpus A from B with rare-term error bars done
+    # right; ln of exact integer ratios on the 1e-3 alpha grid.
+    from iowa_liquor_sales_spark.operators.text import log_odds_ratio
+
+    return log_odds_ratio(
+        read_table(spark, sf, "documents"),
+        "text",
+        "lang",
+        "en",
+        "es",
+        alpha_e3=1000,
+        min_count=5,
+    )
+
+
+def q_rolling_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    # Rolling-median anomaly flags on daily event value (temporal.
+    # rolling_anomaly): trailing-7-day exact median via the bounded
+    # fanout join, residual MAD gate |r - med_r|*1e6 > k*MAD, all
+    # pure-integer on the cents grid over the O(days) relation — the
+    # robust daily-metrics alarm a mean/stddev gate can't be.
+    from iowa_liquor_sales_spark.operators.temporal import rolling_anomaly
+
+    return rolling_anomaly(
+        read_table(spark, sf, "events"),
+        "ts",
+        "value",
+        trailing_days=7,
+        k_ppm=3_000_000,
+    )
+
+
+
+def q_conformal(spark: SparkSession, sf: str) -> DataFrame:
+    # Split-conformal prediction interval for order totals predicted
+    # by their priority-group mean (quality.conformal_interval):
+    # md5-parity fit/calibration/test split, conformal quantile as an
+    # order statistic via prefix sums over the grouped residual
+    # relation (never a global row sort), pure-integer empirical
+    # coverage vs the 90% target — the distribution-free error bar.
+    from iowa_liquor_sales_spark.operators.quality import (
+        conformal_interval,
+    )
+
+    return conformal_interval(
+        read_table(spark, sf, "orders"),
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        alpha_ppm=100_000,
+    )
+
+
+def q_ucb_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    # UCB1 bandit ranking of event types by mean value + exploration
+    # bonus (quality.ucb_ranking): one combinable aggregate to the
+    # O(arms) relation, one ln + one sqrt per ARM on the e2 grid —
+    # which arm a mixing/routing loop should pull next.
+    from iowa_liquor_sales_spark.operators.quality import ucb_ranking
+
+    return ucb_ranking(
+        read_table(spark, sf, "events"), "event_type", "value"
+    )
+
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9893,7 +9963,8 @@ def q_negative_sampling(spark: SparkSession, sf: str) -> DataFrame:
 # q_rolling_quantile, q_script_profile, q_diff_in_diff,
 # q_ngram_coverage, q_hill_tail, q_ams_f2, q_ktruss,
 # q_preference_pairs, q_truncated_recall, q_sprt, q_forecast_backtest,
-# q_best_f1, q_betweenness, q_negative_sampling.
+# q_best_f1, q_betweenness, q_negative_sampling, q_log_odds,
+# q_rolling_anomaly, q_conformal, q_ucb_ranking.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -10390,6 +10461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_best_f1": q_best_f1,
         "q_betweenness": q_betweenness,
         "q_negative_sampling": q_negative_sampling,
+        "q_log_odds": q_log_odds,
+        "q_rolling_anomaly": q_rolling_anomaly,
+        "q_conformal": q_conformal,
+        "q_ucb_ranking": q_ucb_ranking,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -17903,6 +17978,130 @@ def oracle_sql() -> dict[str, str]:
         "q_ams_f2": _ams_f2_oracle(),
         "q_ktruss": _ktruss_oracle(),
         "q_betweenness": _betweenness_oracle(),
+        "q_conformal": """
+            WITH base AS (
+              SELECT o_orderkey AS id, o_orderpriority AS g,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+                     CAST(('0x' || substr(md5('conformal'
+                          || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 3 AS part
+              FROM orders),
+            means AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nf,
+                             CAST(CAST(SUM(v) AS HUGEINT)
+                                  // COUNT(*) AS BIGINT) AS pred
+                      FROM base WHERE part = 0 GROUP BY g),
+            cal AS (SELECT abs(v - pred) AS resid
+                    FROM base JOIN means USING (g) WHERE part = 1),
+            rc AS (SELECT resid, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM cal GROUP BY resid),
+            cum AS (SELECT resid,
+                           SUM(c) OVER (ORDER BY resid) AS cum,
+                           SUM(c) OVER () AS n_cal
+                    FROM rc),
+            qrel AS (SELECT resid AS qhat, CAST(n_cal AS BIGINT)
+                              AS n_cal
+                     FROM cum
+                     WHERE cum >= least(
+                       ((n_cal + 1) * 900000 + 999999) // 1000000,
+                       n_cal)
+                     ORDER BY resid LIMIT 1),
+            test AS (SELECT v, pred FROM base JOIN means USING (g)
+                     WHERE part = 2),
+            cov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                           CAST(SUM(CASE WHEN abs(v - pred) <= qhat
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_in,
+                           ANY_VALUE(qhat) AS qhat,
+                           ANY_VALUE(n_cal) AS n_cal
+                    FROM test, qrel),
+            nfit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fit
+                     FROM base WHERE part = 0)
+            SELECT n_fit, n_cal, n_test, qhat,
+                   CAST((n_in * 1000000) // n_test AS BIGINT)
+                     AS coverage_ppm,
+                   CAST(900000 AS BIGINT) AS target_ppm
+            FROM cov, nfit""",
+        "q_ucb_ranking": """
+            WITH arms AS (
+              SELECT event_type AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                          AS HUGEINT) AS s
+              FROM events GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM arms),
+            scored AS (
+              SELECT arm, n, CAST(s // n AS BIGINT) AS mean_e2,
+                     CAST(s // n AS BIGINT)
+                     + CAST(floor(sqrt(2.0
+                           * ln(CAST(nn AS DOUBLE))
+                           / CAST(n AS DOUBLE)) * 100.0) AS BIGINT)
+                       AS ucb_e2
+              FROM arms, tot)
+            SELECT arm, n, mean_e2, ucb_e2,
+                   CAST(row_number() OVER (ORDER BY ucb_e2 DESC, arm)
+                        AS INTEGER) AS rank
+            FROM scored ORDER BY rank""",
+        "q_log_odds": """
+            WITH toks AS (
+              SELECT lang = 'en' AS is_a,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE lang IN ('en', 'es')),
+            counts AS (
+              SELECT term,
+                     CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                     CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END)
+                          AS BIGINT) AS cb
+              FROM toks WHERE term <> '' GROUP BY term),
+            tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                           CAST(SUM(cb) AS BIGINT) AS nb,
+                           CAST(COUNT(*) AS BIGINT) AS v
+                    FROM counts)
+            SELECT term, ca AS cnt_a, cb AS cnt_b,
+                   CAST(floor(
+                     (ln(CAST(ca * 1000 + 1000 AS DOUBLE))
+                      - ln(CAST(na * 1000 + v * 1000
+                                - (ca * 1000 + 1000) AS DOUBLE))
+                      - ln(CAST(cb * 1000 + 1000 AS DOUBLE))
+                      + ln(CAST(nb * 1000 + v * 1000
+                                - (cb * 1000 + 1000) AS DOUBLE)))
+                     / sqrt(1000.0 / CAST(ca * 1000 + 1000 AS DOUBLE)
+                            + 1000.0 / CAST(cb * 1000 + 1000 AS DOUBLE))
+                     * 1e6) AS BIGINT) AS z_ppm
+            FROM counts, tot WHERE ca + cb >= 5""",
+        "q_rolling_anomaly": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS v
+              FROM events GROUP BY 1),
+            span AS (
+              SELECT d.day AS tday, m.v AS wv, m.day AS sday
+              FROM daily m JOIN daily d
+                ON d.day >= m.day AND d.day < m.day + INTERVAL 7 DAY),
+            med AS (SELECT tday AS day, wv AS med FROM (
+                      SELECT tday, wv,
+                             row_number() OVER (PARTITION BY tday
+                                 ORDER BY wv, sday) AS rn,
+                             COUNT(*) OVER (PARTITION BY tday) AS n
+                      FROM span) WHERE rn = (n + 1) // 2),
+            resid AS (SELECT daily.day, v, med AS med_trailing,
+                             v - med AS r
+                      FROM daily JOIN med USING (day)),
+            medr AS (SELECT r AS med_r FROM (
+                       SELECT r,
+                              row_number() OVER (ORDER BY r, day) AS rn,
+                              COUNT(*) OVER () AS n
+                       FROM resid) WHERE rn = (n + 1) // 2),
+            dev AS (SELECT resid.*, abs(r - med_r) AS ad
+                    FROM resid, medr),
+            mad AS (SELECT ad AS mad FROM (
+                      SELECT ad,
+                             row_number() OVER (ORDER BY ad, day) AS rn,
+                             COUNT(*) OVER () AS n
+                      FROM dev) WHERE rn = (n + 1) // 2)
+            SELECT day, v, med_trailing, r AS residual,
+                   ad * 1000000 > 3000000 * mad AS is_anomaly
+            FROM dev, mad""",
         "q_negative_sampling": """
             WITH wt AS (
               SELECT source,

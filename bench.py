@@ -196,6 +196,10 @@ HEADLINE = [
     "q_best_f1",
     "q_betweenness",
     "q_negative_sampling",
+    "q_log_odds",
+    "q_rolling_anomaly",
+    "q_conformal",
+    "q_ucb_ranking",
 ]
 
 

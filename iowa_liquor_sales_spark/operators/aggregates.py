@@ -837,3 +837,65 @@ def hill_tail_index(
             " div slr AS BIGINT) ELSE NULL END"
         ).alias("alpha_ppm"),
     )
+
+
+def knee_point(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kneedle-style knee/elbow detection (Satopää et al. 2011,
+    difference-curve form) over a small monotone curve relation — the
+    "where does the curve stop paying" picker for every tuning curve
+    this engine emits (recall-vs-nprobe, Lorenz share, dup-rate vs
+    shingle size, cluster-count scree): normalize x and y to [0, 1]
+    and take the point maximizing y_norm − x_norm.
+
+    Exact integers via cross-multiplication: with spans dx = x_max −
+    x_min and dy = y_max − y_min, the difference at point i is
+    ((y_i − y_min)·dx − (x_i − x_min)·dy) — compared WITHOUT division
+    in DECIMAL(38,0); ties break to the smaller x. The curve relation
+    is O(points) by contract (it is itself an aggregate), so the two
+    windows are trivial.
+
+    Returns one row: (knee_x, knee_y, score_e6) where score_e6 is the
+    normalized difference floored to 1e-6.
+    """
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    d = df.select(
+        F.col(x_col).cast("decimal(38,0)").alias("x"),
+        F.col(y_col).cast("decimal(38,0)").alias("y"),
+    ).select(
+        "x",
+        "y",
+        F.min("x").over(wall).alias("xmin"),
+        F.max("x").over(wall).alias("xmax"),
+        F.min("y").over(wall).alias("ymin"),
+        F.max("y").over(wall).alias("ymax"),
+    )
+    scored = d.select(
+        "x",
+        "y",
+        (
+            (F.col("y") - F.col("ymin")) * (F.col("xmax") - F.col("xmin"))
+            - (F.col("x") - F.col("xmin"))
+            * (F.col("ymax") - F.col("ymin"))
+        ).alias("num"),
+        ((F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin")))
+        .alias("den"),
+    )
+    w = Window.orderBy(F.col("num").desc(), F.col("x").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("x").cast("long").alias("knee_x"),
+            F.col("y").cast("long").alias("knee_y"),
+            F.expr(
+                "CASE WHEN den = 0 THEN 0"
+                " ELSE CAST((num * 1000000) div den AS BIGINT) END"
+            ).alias("score_e6"),
+        )
+    )

@@ -2885,3 +2885,86 @@ def ucb_ranking(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).orderBy("rank")
+
+
+def mde_power(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+    value_scale: int = 100,
+    z_alpha_e6: int = 1_959_964,
+    z_beta_e6: int = 841_621,
+) -> DataFrame:
+    """A/B power analysis from observed data: the minimum detectable
+    effect (MDE) at the given alpha/power for a two-arm mean test —
+    MDE = (z_{α/2} + z_β)·sqrt(s²_a/n_a + s²_b/n_b) — plus the sample
+    size per arm needed to detect a 1%-of-mean effect; the "is this
+    experiment even worth running" planner, computed from the pooled
+    pilot in one pass (defaults: alpha 5% two-sided, power 80%).
+
+    One combinable aggregate to the two-arm moment relation; exact
+    DECIMAL(38,0) sums, the variance/sqrt in double at the end with
+    the two normal quantiles as fixed 1e-6-grid constants (no
+    per-row libm).
+
+    Returns one row:
+    (n_a, n_b, mean_a_e2, mean_b_e2, mde_e2, n_per_arm_1pct).
+    """
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(int(value_scale))
+    ).cast("decimal(38,0)")
+    # aggregate per arm, then pivot the two arms into one row
+    arms = df.select(F.col(arm_col).alias("arm"), v.alias("v")).groupBy(
+        "arm"
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    one = arms.agg(
+        F.min("arm").alias("arm_a"),
+        F.max("arm").alias("arm_b"),
+    )
+    j = arms.crossJoin(F.broadcast(one))
+    a = j.filter(F.col("arm") == F.col("arm_a")).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"),
+    )
+    b = j.filter(F.col("arm") == F.col("arm_b")).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"),
+    )
+    m = a.crossJoin(F.broadcast(b))
+    var_a = (
+        F.col("ssa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double")
+        / F.col("na").cast("double")
+    ) / (F.col("na").cast("double") - 1.0)
+    var_b = (
+        F.col("ssb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double")
+        / F.col("nb").cast("double")
+    ) / (F.col("nb").cast("double") - 1.0)
+    zz = (float(z_alpha_e6) + float(z_beta_e6)) / 1e6
+    mde = F.lit(zz) * F.sqrt(
+        var_a / F.col("na").cast("double")
+        + var_b / F.col("nb").cast("double")
+    )
+    # n per arm to detect 1% of the pooled mean with equal variances:
+    # n = 2·(z_a+z_b)²·s²_pool / delta²
+    mean_pool = (F.col("sa") + F.col("sb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    var_pool = (var_a + var_b) / F.lit(2.0)
+    delta = mean_pool * F.lit(0.01)
+    n_needed = (
+        F.lit(2.0) * F.lit(zz) * F.lit(zz) * var_pool / (delta * delta)
+    )
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr("CAST(sa div na AS BIGINT)").alias("mean_a_e2"),
+        F.expr("CAST(sb div nb AS BIGINT)").alias("mean_b_e2"),
+        F.floor(mde).cast("long").alias("mde_e2"),
+        F.ceil(n_needed).cast("long").alias("n_per_arm_1pct"),
+    )

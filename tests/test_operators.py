@@ -2256,3 +2256,22 @@ def test_hill_tail_index_recovers_pareto_alpha(spark):
     xk = top[-1]
     slr = sum(math.floor((math.log(x) - math.log(xk)) * 1e6) for x in top)
     assert got["alpha_ppm"] == (500 * 1_000_000 * 1_000_000) // slr
+
+
+def test_knee_point_finds_the_elbow(spark):
+    from iowa_liquor_sales_spark.operators.aggregates import knee_point
+
+    # classic saturating curve: steep then flat; knee at the bend
+    pts = [(1, 10), (2, 55), (3, 80), (4, 90), (5, 94), (6, 96),
+           (7, 97), (8, 98)]
+    got = knee_point(
+        spark.createDataFrame(pts, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    # exhaustive check of the normalized difference
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    dx, dy = max(xs) - min(xs), max(ys) - min(ys)
+    scores = [((y - min(ys)) * dx - (x - min(xs)) * dy, -x, x, y)
+              for x, y in pts]
+    best = max(scores)
+    assert (got["knee_x"], got["knee_y"]) == (best[2], best[3])
+    assert got["knee_x"] == 3  # the visible elbow

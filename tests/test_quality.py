@@ -507,3 +507,37 @@ def test_ucb_ranking_prefers_undertried_arms(spark):
     nn = 1004
     bonus = math.floor(math.sqrt(2 * math.log(nn) / 4) * 100)
     assert out["b"]["ucb_e2"] == 950 + bonus
+
+
+def test_mde_power_matches_closed_form(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.quality import mde_power
+
+    import random
+
+    rng = random.Random(59)
+    rows = [("a", 100 + rng.uniform(-10, 10)) for _ in range(400)] + [
+        ("b", 102 + rng.uniform(-10, 10)) for _ in range(500)
+    ]
+    got = mde_power(
+        spark.createDataFrame(rows, ["arm", "v"]), "arm", "v"
+    ).collect()[0]
+    va = [math.floor(v * 100) for g, v in rows if g == "a"]
+    vb = [math.floor(v * 100) for g, v in rows if g == "b"]
+
+    def var(xs):
+        n = len(xs)
+        return (sum(x * x for x in xs) - sum(xs) ** 2 / n) / (n - 1)
+
+    zz = (1_959_964 + 841_621) / 1e6
+    mde = zz * math.sqrt(var(va) / len(va) + var(vb) / len(vb))
+    assert got["mde_e2"] == math.floor(mde)
+    # the observed 2-unit (200 e2) gap should exceed the MDE at n=400+
+    assert got["mde_e2"] < 200
+    mean_pool = (sum(va) + sum(vb)) / 900
+    n_need = math.ceil(
+        2 * zz * zz * ((var(va) + var(vb)) / 2)
+        / (mean_pool * 0.01) ** 2
+    )
+    assert got["n_per_arm_1pct"] == n_need
