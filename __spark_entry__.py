@@ -9920,6 +9920,38 @@ def q_ucb_ranking(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_knee_point(spark: SparkSession, sf: str) -> DataFrame:
+    # Kneedle knee detection over the Lorenz decile curve
+    # (aggregates.knee_point): normalize x/y by cross-multiplication
+    # (exact DECIMAL(38,0), no division until the reported score) and
+    # take the max normalized difference — the "where does the curve
+    # stop paying" picker for every tuning curve the engine emits.
+    from iowa_liquor_sales_spark.operators.aggregates import (
+        knee_point,
+        lorenz_deciles,
+    )
+
+    lor = lorenz_deciles(
+        read_table(spark, sf, "documents"), "n_chars", "doc_id"
+    )
+    return knee_point(lor, "bin", "cum_share_ppm")
+
+
+def q_mde_power(spark: SparkSession, sf: str) -> DataFrame:
+    # A/B power planning from the observed two-arm pilot (quality.
+    # mde_power): minimum detectable effect at alpha 5%/power 80% and
+    # the per-arm n needed for a 1%-of-mean effect — exact
+    # DECIMAL(38,0) moments, normal quantiles as fixed 1e-6 constants,
+    # one sqrt at the end. Arms = user parity on event values.
+    from iowa_liquor_sales_spark.operators.quality import mde_power
+
+    ev = read_table(spark, sf, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "value"
+    )
+    return mde_power(ev, "arm", "value")
+
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -9964,7 +9996,8 @@ def q_ucb_ranking(spark: SparkSession, sf: str) -> DataFrame:
 # q_ngram_coverage, q_hill_tail, q_ams_f2, q_ktruss,
 # q_preference_pairs, q_truncated_recall, q_sprt, q_forecast_backtest,
 # q_best_f1, q_betweenness, q_negative_sampling, q_log_odds,
-# q_rolling_anomaly, q_conformal, q_ucb_ranking.
+# q_rolling_anomaly, q_conformal, q_ucb_ranking, q_knee_point,
+# q_mde_power.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -10465,6 +10498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_anomaly": q_rolling_anomaly,
         "q_conformal": q_conformal,
         "q_ucb_ranking": q_ucb_ranking,
+        "q_knee_point": q_knee_point,
+        "q_mde_power": q_mde_power,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -17978,6 +18013,88 @@ def oracle_sql() -> dict[str, str]:
         "q_ams_f2": _ams_f2_oracle(),
         "q_ktruss": _ktruss_oracle(),
         "q_betweenness": _betweenness_oracle(),
+        "q_knee_point": """
+            WITH r AS (SELECT n_chars AS v,
+                              row_number() OVER (ORDER BY n_chars,
+                                                 doc_id) AS rn
+                       FROM documents),
+            tot AS (SELECT COUNT(*) AS n,
+                           SUM(CAST(v AS HUGEINT)) AS mass FROM r),
+            binned AS (SELECT CAST((rn - 1) * 10
+                                   // (SELECT n FROM tot) AS INTEGER)
+                                AS bin,
+                              SUM(CAST(v AS HUGEINT)) AS mass
+                       FROM r GROUP BY 1),
+            cum AS (SELECT bin,
+                           SUM(mass) OVER (ORDER BY bin
+                                       ROWS UNBOUNDED PRECEDING)
+                             AS cum_mass
+                    FROM binned),
+            pts AS (SELECT CAST(bin AS HUGEINT) AS x,
+                           CAST((CAST(cum_mass AS HUGEINT) * 1000000)
+                                // (SELECT mass FROM tot) AS HUGEINT)
+                             AS y
+                    FROM cum),
+            sp AS (SELECT x, y,
+                          MIN(x) OVER () AS xmin, MAX(x) OVER () AS xmax,
+                          MIN(y) OVER () AS ymin, MAX(y) OVER () AS ymax
+                   FROM pts),
+            sc AS (SELECT x, y,
+                          (y - ymin) * (xmax - xmin)
+                          - (x - xmin) * (ymax - ymin) AS num,
+                          (xmax - xmin) * (ymax - ymin) AS den
+                   FROM sp),
+            best AS (SELECT x, y, num, den,
+                            row_number() OVER (ORDER BY num DESC, x ASC)
+                              AS rn
+                     FROM sc)
+            SELECT CAST(x AS BIGINT) AS knee_x,
+                   CAST(y AS BIGINT) AS knee_y,
+                   CAST(CASE WHEN den = 0 THEN 0
+                        ELSE (num * 1000000) // den END AS BIGINT)
+                     AS score_e6
+            FROM best WHERE rn = 1""",
+        "q_mde_power": """
+            WITH arms AS (
+              SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                          AS HUGEINT) AS s,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                              * CAST(floor(value * 100) AS BIGINT))
+                          AS HUGEINT) AS ss
+              FROM events GROUP BY 1),
+            a AS (SELECT n AS na, s AS sa, ss AS ssa FROM arms
+                  WHERE arm = (SELECT MIN(arm) FROM arms)),
+            b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM arms
+                  WHERE arm = (SELECT MAX(arm) FROM arms)),
+            m AS (SELECT * FROM a, b),
+            d AS (SELECT na, nb, sa, sb,
+                    (CAST(ssa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                       / CAST(na AS DOUBLE))
+                    / (CAST(na AS DOUBLE) - 1.0) AS var_a,
+                    (CAST(ssb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                       / CAST(nb AS DOUBLE))
+                    / (CAST(nb AS DOUBLE) - 1.0) AS var_b
+                  FROM m)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   CAST(sa // na AS BIGINT) AS mean_a_e2,
+                   CAST(sb // nb AS BIGINT) AS mean_b_e2,
+                   CAST(floor(2.801585
+                        * sqrt(var_a / CAST(na AS DOUBLE)
+                               + var_b / CAST(nb AS DOUBLE)))
+                        AS BIGINT) AS mde_e2,
+                   CAST(ceil(2.0 * 2.801585 * 2.801585
+                        * ((var_a + var_b) / 2.0)
+                        / ((CAST(sa + sb AS DOUBLE)
+                            / CAST(na + nb AS DOUBLE) * 0.01)
+                           * (CAST(sa + sb AS DOUBLE)
+                              / CAST(na + nb AS DOUBLE) * 0.01)))
+                        AS BIGINT) AS n_per_arm_1pct
+            FROM d""",
         "q_conformal": """
             WITH base AS (
               SELECT o_orderkey AS id, o_orderpriority AS g,

@@ -200,6 +200,8 @@ HEADLINE = [
     "q_rolling_anomaly",
     "q_conformal",
     "q_ucb_ranking",
+    "q_knee_point",
+    "q_mde_power",
 ]
 
 

@@ -226,6 +226,8 @@ FLAGSHIP = [
     "q_rolling_anomaly",
     "q_conformal",
     "q_ucb_ranking",
+    "q_knee_point",
+    "q_mde_power",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
