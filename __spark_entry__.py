@@ -9699,10 +9699,14 @@ def q_ktruss(spark: SparkSession, sf: str) -> DataFrame:
     # fixpoint, so any convergence round count <= 12 matches).
     from iowa_liquor_sales_spark.operators.graph import ktruss_converged
 
+    # 1000/1400 moduli keep average degree ~12-120 across gate/bench
+    # SFs: the wedge work is O(sum deg^2) PER PEEL ROUND, so the
+    # modulus is the scale knob (the q_triangles 500/700 fold reaches
+    # degree ~1000 at sf0.1 and pays ~7e8 wedges per round).
     o = read_table(spark, sf, "orders")
     edges = o.select(
-        (F.col("o_custkey") % 500).alias("src"),
-        (F.col("o_orderkey") % 700).alias("dst"),
+        (F.col("o_custkey") % 1000).alias("src"),
+        (F.col("o_orderkey") % 1400).alias("dst"),
     )
     return ktruss_converged(edges, k=4)
 
@@ -10557,11 +10561,11 @@ def _ktruss_oracle(rounds: int = 12, need: int = 2) -> str:
 
     parts = [
         """e0 AS MATERIALIZED (
-          SELECT DISTINCT least(o_custkey % 500, o_orderkey % 700) AS lo,
-                 greatest(o_custkey % 500, o_orderkey % 700) AS hi
+          SELECT DISTINCT least(o_custkey % 1000, o_orderkey % 1400) AS lo,
+                 greatest(o_custkey % 1000, o_orderkey % 1400) AS hi
           FROM orders
-          WHERE least(o_custkey % 500, o_orderkey % 700)
-                < greatest(o_custkey % 500, o_orderkey % 700))""",
+          WHERE least(o_custkey % 1000, o_orderkey % 1400)
+                < greatest(o_custkey % 1000, o_orderkey % 1400))""",
         tri(0),
     ]
     for r in range(1, rounds + 1):
