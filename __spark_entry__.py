@@ -9956,6 +9956,37 @@ def q_mde_power(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_two_prop_z(spark: SparkSession, sf: str) -> DataFrame:
+    # Two-proportion z-test of the purchase rate between user-parity
+    # arms (quality.two_proportion_z): the plainest A/B readout —
+    # pooled-variance z from exact integer counts, one double sqrt on
+    # the ppm grid; brackets q_wilson_ctr (one-arm CI) and
+    # q_abtest_srm (allocation check).
+    from iowa_liquor_sales_spark.operators.quality import two_proportion_z
+
+    ev = read_table(spark, sf, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    return two_proportion_z(ev, "arm", "is_purchase")
+
+
+def q_gini_split(spark: SparkSession, sf: str) -> DataFrame:
+    # Decision-stump split finder on the q_auc score/label pair
+    # (quality.best_gini_split): the threshold minimizing weighted
+    # Gini impurity from one suffix-sum pass over the O(distinct
+    # scores) relation — the root split a tree learner would make,
+    # ties to the higher threshold.
+    from iowa_liquor_sales_spark.operators.quality import best_gini_split
+
+    docs = read_table(spark, sf, "documents").select(
+        F.floor(F.col("n_chars")).cast("long").alias("score"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return best_gini_split(docs, "score", "is_en")
+
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -10001,7 +10032,7 @@ def q_mde_power(spark: SparkSession, sf: str) -> DataFrame:
 # q_preference_pairs, q_truncated_recall, q_sprt, q_forecast_backtest,
 # q_best_f1, q_betweenness, q_negative_sampling, q_log_odds,
 # q_rolling_anomaly, q_conformal, q_ucb_ranking, q_knee_point,
-# q_mde_power.
+# q_mde_power, q_two_prop_z, q_gini_split.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -10504,6 +10535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ucb_ranking": q_ucb_ranking,
         "q_knee_point": q_knee_point,
         "q_mde_power": q_mde_power,
+        "q_two_prop_z": q_two_prop_z,
+        "q_gini_split": q_gini_split,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -18017,6 +18050,71 @@ def oracle_sql() -> dict[str, str]:
         "q_ams_f2": _ams_f2_oracle(),
         "q_ktruss": _ktruss_oracle(),
         "q_betweenness": _betweenness_oracle(),
+        "q_two_prop_z": """
+            WITH cells AS (
+              SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS k
+              FROM events GROUP BY 1),
+            a AS (SELECT n AS na, k AS ka FROM cells
+                  WHERE arm = (SELECT MIN(arm) FROM cells)),
+            b AS (SELECT n AS nb, k AS kb FROM cells
+                  WHERE arm = (SELECT MAX(arm) FROM cells)),
+            m AS (SELECT * FROM a, b),
+            d AS (SELECT na, nb, ka, kb,
+                    CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+                    CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+                    CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+                      AS pp
+                  FROM m)
+            SELECT na AS n_a, nb AS n_b, ka AS k_a, kb AS k_b,
+                   CAST(floor((pa - pb) * 1e6) AS BIGINT) AS diff_ppm,
+                   CAST(floor((pa - pb)
+                        / sqrt(pp * (1.0 - pp)
+                               * (1.0 / CAST(na AS DOUBLE)
+                                  + 1.0 / CAST(nb AS DOUBLE)))
+                        * 1e6) AS BIGINT) AS z_ppm
+            FROM d""",
+        "q_gini_split": """
+            WITH g AS (
+              SELECT n_chars AS score,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS npos,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                          AS BIGINT) AS nneg
+              FROM documents GROUP BY 1),
+            c AS (SELECT score,
+                         SUM(npos) OVER (ORDER BY score DESC
+                             ROWS UNBOUNDED PRECEDING) AS lp,
+                         SUM(nneg) OVER (ORDER BY score DESC
+                             ROWS UNBOUNDED PRECEDING) AS ln,
+                         SUM(npos) OVER ()
+                           - SUM(npos) OVER (ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS rp,
+                         SUM(nneg) OVER ()
+                           - SUM(nneg) OVER (ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS rn
+                  FROM g),
+            sc AS (SELECT score, lp, ln, rp, rn,
+                     2.0 * (CASE WHEN lp + ln > 0 THEN
+                              CAST(lp AS DOUBLE) * CAST(ln AS DOUBLE)
+                              / CAST(lp + ln AS DOUBLE) ELSE 0.0 END
+                            + CASE WHEN rp + rn > 0 THEN
+                              CAST(rp AS DOUBLE) * CAST(rn AS DOUBLE)
+                              / CAST(rp + rn AS DOUBLE) ELSE 0.0 END)
+                       AS gw
+                   FROM c),
+            r AS (SELECT *, row_number() OVER (ORDER BY gw ASC,
+                               score DESC) AS rnk
+                  FROM sc)
+            SELECT CAST(score AS BIGINT) AS threshold,
+                   CAST(lp AS BIGINT) AS left_pos,
+                   CAST(ln AS BIGINT) AS left_neg,
+                   CAST(rp AS BIGINT) AS right_pos,
+                   CAST(rn AS BIGINT) AS right_neg,
+                   CAST(floor(gw * 1e6) AS BIGINT) AS gini_e6
+            FROM r WHERE rnk = 1""",
         "q_knee_point": """
             WITH r AS (SELECT n_chars AS v,
                               row_number() OVER (ORDER BY n_chars,

@@ -202,6 +202,8 @@ HEADLINE = [
     "q_ucb_ranking",
     "q_knee_point",
     "q_mde_power",
+    "q_two_prop_z",
+    "q_gini_split",
 ]
 
 

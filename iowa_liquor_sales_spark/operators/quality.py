@@ -2968,3 +2968,143 @@ def mde_power(
         F.floor(mde).cast("long").alias("mde_e2"),
         F.ceil(n_needed).cast("long").alias("n_per_arm_1pct"),
     )
+
+
+def two_proportion_z(
+    df: DataFrame,
+    arm_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Two-proportion z-test — the plainest A/B readout there is
+    (conversion rate arm A vs arm B, pooled-variance z): the test
+    :func:`wilson_ctr` (one-arm CI) and :func:`abtest_srm`
+    (allocation check) bracket but don't perform.
+
+    One conditional-count aggregate to the 2-cell relation; the z is
+    computed from exact integer counts with one double sqrt
+    (z = (p̂_a − p̂_b)/sqrt(p̂(1−p̂)(1/n_a+1/n_b)), every ratio a
+    division of exact int64s), ppm floor.
+
+    Returns one row: (n_a, n_b, k_a, k_b, diff_ppm, z_ppm).
+    """
+    cells = df.select(
+        F.col(arm_col).alias("arm"),
+        F.col(flag_col).cast("boolean").alias("y"),
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("k"),
+    )
+    one = cells.agg(F.min("arm").alias("a0"), F.max("arm").alias("a1"))
+    j = cells.crossJoin(F.broadcast(one))
+    a = j.filter(F.col("arm") == F.col("a0")).select(
+        F.col("n").alias("na"), F.col("k").alias("ka")
+    )
+    b = j.filter(F.col("arm") == F.col("a1")).select(
+        F.col("n").alias("nb"), F.col("k").alias("kb")
+    )
+    m = a.crossJoin(F.broadcast(b))
+    pa = F.col("ka").cast("double") / F.col("na").cast("double")
+    pb = F.col("kb").cast("double") / F.col("nb").cast("double")
+    pp = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("na").cast("double")
+            + F.lit(1.0) / F.col("nb").cast("double")
+        )
+    )
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("ka").cast("long").alias("k_a"),
+        F.col("kb").cast("long").alias("k_b"),
+        F.floor((pa - pb) * 1e6).cast("long").alias("diff_ppm"),
+        F.floor(z * 1e6).cast("long").alias("z_ppm"),
+    )
+
+
+def best_gini_split(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Decision-stump split finder: the threshold t minimizing the
+    weighted Gini impurity of "score >= t" vs "score < t" against a
+    binary label — the single most-informative cut, i.e. the root
+    split a tree learner would make, and the quantitative "is this
+    feature worth anything" probe next to :func:`best_f1_threshold`'s
+    deploy-knob question.
+
+    Grouped-first (the auc_exact shape): one combinable groupBy(score)
+    to the O(distinct) relation; suffix sums give the left/right
+    (pos, neg) composition at every threshold in one pass. The
+    weighted impurity
+    N·G(t) = (lp·ln − lp² − ln²... ) reduces to
+    2·[lp·lneg/(lp+lneg) + rp·rneg/(rp+rneg)], compared across
+    thresholds as a double built from exact int64s (identical IEEE
+    both engines), ties to the higher threshold.
+
+    Returns one row: (threshold, left_pos, left_neg, right_pos,
+    right_neg, gini_e6).
+    """
+    from pyspark.sql import Window
+
+    is_pos = F.col(label_col).cast("boolean")
+    g = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).cast("long").alias("npos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).cast("long").alias("nneg"),
+    )
+    wdesc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "score",
+        F.sum("npos").over(wdesc).alias("lp"),   # "left" = score >= t
+        F.sum("nneg").over(wdesc).alias("ln"),
+        (F.sum("npos").over(wall) - F.sum("npos").over(wdesc)).alias(
+            "rp"
+        ),
+        (F.sum("nneg").over(wall) - F.sum("nneg").over(wdesc)).alias(
+            "rn"
+        ),
+    )
+    gini = (
+        F.lit(2.0)
+        * (
+            F.when(
+                F.col("lp") + F.col("ln") > 0,
+                F.col("lp").cast("double")
+                * F.col("ln").cast("double")
+                / (F.col("lp") + F.col("ln")).cast("double"),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("rp") + F.col("rn") > 0,
+                F.col("rp").cast("double")
+                * F.col("rn").cast("double")
+                / (F.col("rp") + F.col("rn")).cast("double"),
+            ).otherwise(F.lit(0.0))
+        )
+    )
+    ranked = c.withColumn("gw", gini).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("gw").asc(), F.col("score").desc())
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") == 1)
+        .select(
+            F.col("score").cast("long").alias("threshold"),
+            F.col("lp").cast("long").alias("left_pos"),
+            F.col("ln").cast("long").alias("left_neg"),
+            F.col("rp").cast("long").alias("right_pos"),
+            F.col("rn").cast("long").alias("right_neg"),
+            F.floor(F.col("gw") * 1e6).cast("long").alias("gini_e6"),
+        )
+    )

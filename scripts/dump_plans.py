@@ -228,6 +228,8 @@ FLAGSHIP = [
     "q_ucb_ranking",
     "q_knee_point",
     "q_mde_power",
+    "q_two_prop_z",
+    "q_gini_split",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

@@ -541,3 +541,50 @@ def test_mde_power_matches_closed_form(spark):
         / (mean_pool * 0.01) ** 2
     )
     assert got["n_per_arm_1pct"] == n_need
+
+
+def test_two_proportion_z_matches_closed_form(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.quality import two_proportion_z
+
+    rows = [("a", i < 120) for i in range(400)] + [
+        ("b", i < 75) for i in range(300)
+    ]
+    got = two_proportion_z(
+        spark.createDataFrame(rows, ["arm", "y"]), "arm", "y"
+    ).collect()[0]
+    assert (got["n_a"], got["k_a"], got["n_b"], got["k_b"]) == (
+        400, 120, 300, 75,
+    )
+    pa, pb, pp = 120 / 400, 75 / 300, 195 / 700
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 400 + 1 / 300))
+    assert got["z_ppm"] == math.floor(z * 1e6)
+    assert got["diff_ppm"] == math.floor((pa - pb) * 1e6)
+
+
+def test_best_gini_split_matches_exhaustive(spark):
+    from iowa_liquor_sales_spark.operators.quality import best_gini_split
+
+    import random
+
+    rng = random.Random(61)
+    # label mostly turns on above score 10: the stump should find ~10
+    rows = [(s, rng.random() < (0.85 if s >= 10 else 0.15))
+            for s in (rng.randint(0, 20) for _ in range(600))]
+    got = best_gini_split(
+        spark.createDataFrame(rows, ["score", "y"]), "score", "y"
+    ).collect()[0]
+    best = None
+    for t in sorted({s for s, _ in rows}, reverse=True):
+        lp = sum(1 for s, y in rows if s >= t and y)
+        ln = sum(1 for s, y in rows if s >= t and not y)
+        rp = sum(1 for s, y in rows if s < t and y)
+        rn = sum(1 for s, y in rows if s < t and not y)
+        gw = 2.0 * ((lp * ln / (lp + ln) if lp + ln else 0.0)
+                    + (rp * rn / (rp + rn) if rp + rn else 0.0))
+        if best is None or gw < best[0] or (gw == best[0] and t > best[1]):
+            best = (gw, t, lp, ln, rp, rn)
+    assert got["threshold"] == best[1]
+    assert (got["left_pos"], got["left_neg"]) == (best[2], best[3])
+    assert 8 <= got["threshold"] <= 12  # the planted boundary
