@@ -9987,6 +9987,22 @@ def q_gini_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_relative_risk(spark: SparkSession, sf: str) -> DataFrame:
+    # 2x2 relative risk + odds ratio with log-scale Wald 95% CIs
+    # (quality.relative_risk): does a long document (exposure) raise
+    # the probability of the 'en' label (outcome)? Point estimates are
+    # cross-multiplied integer ratios on the ppm grid; only the CIs
+    # touch libm. The single-table base case q_mantel_haenszel pools.
+    from iowa_liquor_sales_spark.operators.quality import relative_risk
+
+    docs = read_table(spark, sf, "documents").select(
+        (F.col("n_chars") >= 500).alias("long_doc"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return relative_risk(docs, "long_doc", "is_en")
+
+
+
 # Head of the returned registry = the driver gate's 50-entry coverage
 # window; queries() promotes these names to the front of the (otherwise
 # stable) registry order, so each round's rotation is a one-list edit.
@@ -10032,7 +10048,7 @@ def q_gini_split(spark: SparkSession, sf: str) -> DataFrame:
 # q_preference_pairs, q_truncated_recall, q_sprt, q_forecast_backtest,
 # q_best_f1, q_betweenness, q_negative_sampling, q_log_odds,
 # q_rolling_anomaly, q_conformal, q_ucb_ranking, q_knee_point,
-# q_mde_power, q_two_prop_z, q_gini_split.
+# q_mde_power, q_two_prop_z, q_gini_split, q_relative_risk.
 _GATE_HEAD = [
     # round-8 rotation. Changed-code + never-gated first: q_token_budget
     # (boundary prefix sum de-skewed through ranking.global_cumsum) and
@@ -10537,6 +10553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mde_power": q_mde_power,
         "q_two_prop_z": q_two_prop_z,
         "q_gini_split": q_gini_split,
+        "q_relative_risk": q_relative_risk,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -18050,6 +18067,56 @@ def oracle_sql() -> dict[str, str]:
         "q_ams_f2": _ams_f2_oracle(),
         "q_ktruss": _ktruss_oracle(),
         "q_betweenness": _betweenness_oracle(),
+        "q_relative_risk": """
+            WITH cells AS (
+              SELECT CAST(SUM(CASE WHEN n_chars >= 500 AND lang = 'en'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                     CAST(SUM(CASE WHEN n_chars >= 500 AND lang <> 'en'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                     CAST(SUM(CASE WHEN n_chars < 500 AND lang = 'en'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                     CAST(SUM(CASE WHEN n_chars < 500 AND lang <> 'en'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS d
+              FROM documents),
+            est AS (SELECT a, b, c, d,
+                      ln(CAST(a AS DOUBLE) * CAST(c + d AS DOUBLE)
+                         / (CAST(c AS DOUBLE)
+                            * CAST(a + b AS DOUBLE))) AS lnrr,
+                      sqrt(1.0 / CAST(a AS DOUBLE)
+                           - 1.0 / CAST(a + b AS DOUBLE)
+                           + 1.0 / CAST(c AS DOUBLE)
+                           - 1.0 / CAST(c + d AS DOUBLE)) AS se_rr,
+                      ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                         / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                        AS lnor,
+                      sqrt(1.0 / CAST(a AS DOUBLE)
+                           + 1.0 / CAST(b AS DOUBLE)
+                           + 1.0 / CAST(c AS DOUBLE)
+                           + 1.0 / CAST(d AS DOUBLE)) AS se_or,
+                      (a = 0 OR b = 0 OR c = 0 OR d = 0) AS zz
+                    FROM cells)
+            SELECT a, b, c, d,
+                   CASE WHEN c = 0 OR a + b = 0 THEN NULL ELSE
+                     CAST((CAST(a AS HUGEINT) * (c + d) * 1000000)
+                          // (CAST(c AS HUGEINT) * (a + b)) AS BIGINT)
+                     END AS rr_ppm,
+                   CASE WHEN b = 0 OR c = 0 THEN NULL ELSE
+                     CAST((CAST(a AS HUGEINT) * d * 1000000)
+                          // (CAST(b AS HUGEINT) * c) AS BIGINT)
+                     END AS or_ppm,
+                   CASE WHEN zz THEN NULL ELSE
+                     CAST(floor(exp(lnrr + -1.959964 * se_rr) * 1e6)
+                          AS BIGINT) END AS rr_lo_ppm,
+                   CASE WHEN zz THEN NULL ELSE
+                     CAST(floor(exp(lnrr + 1.959964 * se_rr) * 1e6)
+                          AS BIGINT) END AS rr_hi_ppm,
+                   CASE WHEN zz THEN NULL ELSE
+                     CAST(floor(exp(lnor + -1.959964 * se_or) * 1e6)
+                          AS BIGINT) END AS or_lo_ppm,
+                   CASE WHEN zz THEN NULL ELSE
+                     CAST(floor(exp(lnor + 1.959964 * se_or) * 1e6)
+                          AS BIGINT) END AS or_hi_ppm
+            FROM est""",
         "q_two_prop_z": """
             WITH cells AS (
               SELECT CAST(user_id % 2 AS INTEGER) AS arm,

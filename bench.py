@@ -204,6 +204,7 @@ HEADLINE = [
     "q_mde_power",
     "q_two_prop_z",
     "q_gini_split",
+    "q_relative_risk",
 ]
 
 

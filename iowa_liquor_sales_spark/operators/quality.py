@@ -3108,3 +3108,94 @@ def best_gini_split(
             F.floor(F.col("gw") * 1e6).cast("long").alias("gini_e6"),
         )
     )
+
+
+def relative_risk(
+    df: DataFrame,
+    exposed_col: str,
+    outcome_col: str,
+    z_e6: int = 1_959_964,
+) -> DataFrame:
+    """2×2 relative risk and odds ratio with log-scale 95% CIs — the
+    epidemiology/A-B effect report for binary exposure × binary
+    outcome (:func:`mantel_haenszel_or` pools these across strata;
+    this is the single-table base case every incident review starts
+    from): RR = (a/(a+b))/(c/(c+d)), OR = ad/bc, with Wald CIs on the
+    ln scale (se_lnRR = sqrt(1/a − 1/(a+b) + 1/c − 1/(c+d)),
+    se_lnOR = sqrt(1/a + 1/b + 1/c + 1/d)).
+
+    One conditional-count pass to the four exact int64 cells; the
+    point estimates are cross-multiplied integer ratios on the ppm
+    truncating-div grid, and only the CIs touch libm (exp/ln of
+    exact-integer-derived doubles, identical both engines, ppm floor).
+
+    Returns one row: (a, b, c, d, rr_ppm, or_ppm, rr_lo_ppm,
+    rr_hi_ppm, or_lo_ppm, or_hi_ppm) — CI columns NULL when any cell
+    is zero (the Wald approximation is undefined there).
+    """
+    e = F.col(exposed_col).cast("boolean")
+    y = F.col(outcome_col).cast("boolean")
+    cells = df.agg(
+        F.sum(F.when(e & y, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(e & ~y, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~e & y, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~e & ~y, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    zz = float(z_e6) / 1e6
+    lnrr = F.log(
+        F.col("a").cast("double") * (F.col("c") + F.col("d")).cast("double")
+        / (
+            F.col("c").cast("double")
+            * (F.col("a") + F.col("b")).cast("double")
+        )
+    )
+    se_rr = F.sqrt(
+        F.lit(1.0) / F.col("a").cast("double")
+        - F.lit(1.0) / (F.col("a") + F.col("b")).cast("double")
+        + F.lit(1.0) / F.col("c").cast("double")
+        - F.lit(1.0) / (F.col("c") + F.col("d")).cast("double")
+    )
+    lnor = F.log(
+        F.col("a").cast("double") * F.col("d").cast("double")
+        / (F.col("b").cast("double") * F.col("c").cast("double"))
+    )
+    se_or = F.sqrt(
+        F.lit(1.0) / F.col("a").cast("double")
+        + F.lit(1.0) / F.col("b").cast("double")
+        + F.lit(1.0) / F.col("c").cast("double")
+        + F.lit(1.0) / F.col("d").cast("double")
+    )
+    any_zero = (
+        (F.col("a") == 0)
+        | (F.col("b") == 0)
+        | (F.col("c") == 0)
+        | (F.col("d") == 0)
+    )
+
+    def ci(center, se, sign):
+        return F.when(any_zero, F.lit(None).cast("long")).otherwise(
+            F.floor(F.exp(center + F.lit(sign * zz) * se) * 1e6).cast(
+                "long"
+            )
+        )
+
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "CASE WHEN c = 0 OR a + b = 0 THEN NULL ELSE"
+            " CAST((CAST(a AS DECIMAL(38,0)) * (c + d) * 1000000)"
+            " div (CAST(c AS DECIMAL(38,0)) * (a + b)) AS BIGINT) END"
+        ).alias("rr_ppm"),
+        F.expr(
+            "CASE WHEN b = 0 OR c = 0 THEN NULL ELSE"
+            " CAST((CAST(a AS DECIMAL(38,0)) * d * 1000000)"
+            " div (CAST(b AS DECIMAL(38,0)) * c) AS BIGINT) END"
+        ).alias("or_ppm"),
+        ci(lnrr, se_rr, -1).alias("rr_lo_ppm"),
+        ci(lnrr, se_rr, +1).alias("rr_hi_ppm"),
+        ci(lnor, se_or, -1).alias("or_lo_ppm"),
+        ci(lnor, se_or, +1).alias("or_hi_ppm"),
+    )

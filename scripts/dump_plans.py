@@ -230,6 +230,7 @@ FLAGSHIP = [
     "q_mde_power",
     "q_two_prop_z",
     "q_gini_split",
+    "q_relative_risk",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

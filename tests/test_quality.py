@@ -588,3 +588,32 @@ def test_best_gini_split_matches_exhaustive(spark):
     assert got["threshold"] == best[1]
     assert (got["left_pos"], got["left_neg"]) == (best[2], best[3])
     assert 8 <= got["threshold"] <= 12  # the planted boundary
+
+
+def test_relative_risk_matches_closed_form(spark):
+    import math
+
+    from iowa_liquor_sales_spark.operators.quality import relative_risk
+
+    # exposed: 30/100 events; unexposed: 10/100 -> RR = 3, OR = 3.857
+    rows = ([(True, True)] * 30 + [(True, False)] * 70
+            + [(False, True)] * 10 + [(False, False)] * 90)
+    got = relative_risk(
+        spark.createDataFrame(rows, ["e", "y"]), "e", "y"
+    ).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (30, 70, 10, 90)
+    assert got["rr_ppm"] == 3_000_000
+    assert got["or_ppm"] == (30 * 90 * 1_000_000) // (70 * 10)
+    zz = 1.959964
+    lnrr = math.log(30 * 100 / (10 * 100))
+    se = math.sqrt(1 / 30 - 1 / 100 + 1 / 10 - 1 / 100)
+    assert got["rr_lo_ppm"] == math.floor(math.exp(lnrr - zz * se) * 1e6)
+    assert got["rr_hi_ppm"] == math.floor(math.exp(lnrr + zz * se) * 1e6)
+    # a zero cell voids the Wald CI but not the counts
+    z0 = relative_risk(
+        spark.createDataFrame(
+            [(True, True)] * 5 + [(False, False)] * 5, ["e", "y"]
+        ),
+        "e", "y",
+    ).collect()[0]
+    assert z0["rr_lo_ppm"] is None and z0["or_hi_ppm"] is None
