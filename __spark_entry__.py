@@ -7448,12 +7448,40 @@ def q_mst_distributed(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     # zlib compression-ratio quality signal (operators/curation.
-    # compression_ratio) — the one declared query with NO SQL oracle:
-    # compression is genuinely non-SQL-expressible, so the driver records
-    # its weaker rows-only check here (byte counts pinned by pytest).
+    # compression_ratio). zlib byte counts are genuinely
+    # non-SQL-expressible (exact counts stay pytest-pinned,
+    # tests/test_curation.py), so the gated projection is the PARTIAL
+    # oracle the round-8 verdict asked for: doc_id and the exact utf-8
+    # input byte length match DuckDB bit-for-bit, and `zlib_in_bounds`
+    # folds the non-SQL outputs into a verifiable invariant — comp_len
+    # inside the deflate format's guaranteed envelope (zlib of b'' is 8
+    # bytes; stored-block worst case < raw + raw/1000 + 64) AND
+    # ratio_ppm exactly comp_len*1e6 DIV max(raw_len,1). The oracle
+    # asserts TRUE per row; any zlib misbehavior or ratio drift flips
+    # the Spark-side boolean and fails the value hash.
     from iowa_liquor_sales_spark.operators.curation import compression_ratio
 
-    return compression_ratio(read_table(spark, sf, "documents"))
+    cr = compression_ratio(read_table(spark, sf, "documents"))
+    return cr.select(
+        "doc_id",
+        F.col("raw_len").cast("long").alias("raw_len"),
+        (
+            (F.col("comp_len") >= F.lit(8))
+            & (
+                F.col("comp_len").cast("long")
+                <= F.col("raw_len").cast("long")
+                + F.expr("CAST(raw_len AS BIGINT) DIV 1000")
+                + F.lit(64)
+            )
+            & (
+                F.col("ratio_ppm")
+                == F.expr(
+                    "CAST(comp_len AS BIGINT) * 1000000"
+                    " DIV GREATEST(CAST(raw_len AS BIGINT), 1)"
+                )
+            )
+        ).alias("zlib_in_bounds"),
+    )
 
 
 def q_pipe_syntax(spark: SparkSession, sf: str) -> DataFrame:
@@ -8577,6 +8605,42 @@ def q_image_dhash(spark: SparkSession, sf: str) -> DataFrame:
     )
     hashes = image_dhash(ppm, grid_w=8, grid_h=8)
     return dhash_hamming_pairs(hashes, bits=56, bands=4, max_hamming=3)
+
+
+def q_ppm_zlib_decode(spark: SparkSession, sf: str) -> DataFrame:
+    # Compressed-container decode, stdlib-only (multimodal/binary_ops
+    # codec="zppm"): each document becomes a real 16x8 binary PPM, the
+    # WHOLE file is zlib-deflated in an Arrow pandas_udf
+    # (zlib_compress_payloads), and the dHash pipeline decodes it back
+    # through decompress -> netpbm header parse -> integer grayscale ->
+    # exact area-pool -> 56-bit gradient hash. The oracle computes the
+    # same dhash straight from the TEXT — so the zlib round-trip must
+    # reproduce every pixel bit-for-bit to hash-match, which makes this
+    # the in-sandbox, oracle-checked exercise of the compressed-decode
+    # arm (the PIL arm for JPEG/PNG shares the identical (w,h,rgb)
+    # contract and stays skipif-gated where PIL is absent — round-8
+    # verdict item 8).
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        image_dhash,
+        zlib_compress_payloads,
+    )
+
+    base = read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.rpad(
+            F.regexp_replace("text", r"[^\x20-\x7E]", ""), 384, "x"
+        ).alias("s"),
+    )
+    ppm = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("P6\n# zppm probe\n16 8\n255\n").cast("binary"),
+            F.col("s").cast("binary"),
+        ).alias("payload"),
+    )
+    return image_dhash(
+        zlib_compress_payloads(ppm), grid_w=8, grid_h=8, codec="zppm"
+    )
 
 
 def q_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
@@ -10027,22 +10091,13 @@ def q_relative_risk(spark: SparkSession, sf: str) -> DataFrame:
 # pair_source branch; the default path is plan-identical and was
 # re-verified bit-identical vs oracle at sf0.01 this round).
 # scripts/oracle_sweep.py still checks every entry locally each round.
-# Round-9 gate backlog (added late in round 8, oracle-checked in the
-# local sweep but past this round's 50-query window): q_kruskal_wallis,
-# q_anova_f, q_levene, q_silhouette, q_readability, q_rake_keywords,
-# q_jsd_drift, q_friedman, q_ndcg, q_dbscan_grid, q_t_closeness,
-# q_harmonic_centrality, q_assortativity, q_modularity,
-# q_cohens_kappa, q_mcc, q_theil_u, q_drawdown, q_decayed_topk,
-# q_cronbach, q_dedup_cascade, q_sax_words, q_lift_table, q_ece,
-# q_oov_rate, q_moments, q_mantel_haenszel, q_ljung_box, q_lorenz,
-# q_logrank, q_by_fdr, q_lsh_plan.
-# Round-9 backlog, continued (the round-8 statistics/encoding/graph
-# waves — every one oracle-checked in the local sf0.001 AND sf0.01
-# sweeps this round, never driver-gated): q_kendall_tau,
-# q_wasserstein, q_effect_sizes, q_cochran_armitage, q_mcnemar,
-# q_durbin_watson, q_target_encode, q_randomization_test, q_dp_mean,
-# q_neighbor_jaccard, q_map_mrr, q_holm, q_audio_zcr, q_hurst,
-# q_isotonic, q_quadratic_fit, q_auc_delong, q_stratified_kfold,
+# Round-10 gate backlog (never driver-gated after the round-9
+# rotation; all oracle-checked in the local sweeps each round), in
+# priority order: q_compression_ratio (gained its partial DuckDB
+# oracle in round 9 — needs its first GREEN row to retire the
+# perpetual err:no_oracle), q_ppm_zlib_decode (new in round 9:
+# zlib-compressed PPM decode, the pure-stdlib compressed-container
+# arm), then the 23-query tail of the round-8 statistics wave:
 # q_rolling_quantile, q_script_profile, q_diff_in_diff,
 # q_ngram_coverage, q_hill_tail, q_ams_f2, q_ktruss,
 # q_preference_pairs, q_truncated_recall, q_sprt, q_forecast_backtest,
@@ -10050,76 +10105,67 @@ def q_relative_risk(spark: SparkSession, sf: str) -> DataFrame:
 # q_rolling_anomaly, q_conformal, q_ucb_ranking, q_knee_point,
 # q_mde_power, q_two_prop_z, q_gini_split, q_relative_risk.
 _GATE_HEAD = [
-    # round-8 rotation. Changed-code + never-gated first: q_token_budget
-    # (boundary prefix sum de-skewed through ranking.global_cumsum) and
-    # q_image_dhash (ASCII-only projection guard) both changed THIS
-    # round and have never been driver-gated; positions 3-7 are the
-    # remaining round-7 additions (all sweep-green since r7).
-    "q_token_budget",
-    "q_image_dhash",
-    "q_ann_range",
-    "q_bh_fdr",
-    "q_leakage_split",
-    "q_canonical_dedup",
-    "q_join_delta",
-    # round-8 NEW queries: ANN index lifecycle (prebuilt IVF query +
-    # frozen-centroid delta assign), Zipf slope, n-gram novelty,
-    # Poisson-bootstrap CI, Spearman over distributed tie-ranks.
-    "q_ann_prebuilt",
-    "q_ann_assign_delta",
-    "q_zipf_slope",
-    "q_ngram_novelty",
-    "q_spearman_global",
-    # round-7 verdict-named re-gates (changed in r7, gated earlier):
-    # reliability's DECIMAL(38,0) score sum; the fuzzy_pairs
-    # pair_source branch feeding q_fuzzy_names/q_entity_resolution —
-    # and in r8 the PassJoin candidate generation was refactored into a
-    # two-sided helper (plan-equivalent; re-gate proves it).
-    "q_reliability",
-    "q_fuzzy_names",
-    "q_entity_resolution",
-    # round-8 changed-code re-gates: every query over the similarity
-    # functions that gained prebuilt-index parameters (default paths
-    # plan-identical), plus the other fuzzy consumer and the ranking
-    # module's original user.
-    "q_ann_ivf",
-    "q_ann_multiprobe",
-    "q_ann_ivf_pq",
-    "q_ann_pq",
-    "q_semdedup",
-    "q_ivf_cells",
-    "q_fuzzy_match",
-    "q_ann_recall_report",
-    "q_hard_negatives",
-    "q_global_rank",
-    # round-8 second batch, never gated: rank/drift statistics and the
-    # interleave order (added this round, oracle-checked in the sweep)
-    "q_mann_whitney",
-    "q_ks_drift",
-    "q_chi2_source_lang",
-    "q_gini_chars",
-    "q_dup_rate_curve",
-    "q_interleave_order",
-    # oldest-gated backfill (round-1 cohort, longest since last gate)
-    "q_scan_parquet",
-    "q_csv_roundtrip",
-    "q_project",
-    "q_filter_between",
-    "q_filter_notnull",
-    "q_limit",
-    "q_count",
-    "q_cast_ts",
-    "q_cast_num",
-    "q_fillna",
-    "q_date_dim",
-    "q_distinct_dim",
-    "q_dedup_key",
-    "q_dedup_rank",
-    "q_pk_check",
-    "q_fk_antijoin",
-    "q_fk_violations",
-    "q_groupby_agg",
-    "q_star_join",
+    # round-9 rotation: ALL 50 slots go to the never-driver-gated
+    # round-8 backlog (round-8 verdict item 1), oldest wave first.
+    # Surface growth is intentionally paused this round (+2 queries
+    # only, both queued for round 10) so cumulative gate coverage
+    # catches up: after this rotation the never-gated set is exactly
+    # the 23-query list above plus the two round-9 additions.
+    # Wave 1 — the 32 mid-round-8 statistics/agreement/graph-health
+    # queries (sweep-green since they landed; plan-dumped in PLANS.md):
+    "q_kruskal_wallis",
+    "q_anova_f",
+    "q_levene",
+    "q_silhouette",
+    "q_readability",
+    "q_rake_keywords",
+    "q_jsd_drift",
+    "q_friedman",
+    "q_ndcg",
+    "q_dbscan_grid",
+    "q_t_closeness",
+    "q_harmonic_centrality",
+    "q_assortativity",
+    "q_modularity",
+    "q_cohens_kappa",
+    "q_mcc",
+    "q_theil_u",
+    "q_drawdown",
+    "q_decayed_topk",
+    "q_cronbach",
+    "q_dedup_cascade",
+    "q_sax_words",
+    "q_lift_table",
+    "q_ece",
+    "q_oov_rate",
+    "q_moments",
+    "q_mantel_haenszel",
+    "q_ljung_box",
+    "q_lorenz",
+    "q_logrank",
+    "q_by_fdr",
+    "q_lsh_plan",
+    # Wave 2 — the first 18 of the 41 late-round-8 additions, in their
+    # original registry order (the remaining 23 are the round-10 list
+    # in the comment above):
+    "q_kendall_tau",
+    "q_wasserstein",
+    "q_effect_sizes",
+    "q_cochran_armitage",
+    "q_mcnemar",
+    "q_durbin_watson",
+    "q_target_encode",
+    "q_randomization_test",
+    "q_dp_mean",
+    "q_neighbor_jaccard",
+    "q_map_mrr",
+    "q_holm",
+    "q_audio_zcr",
+    "q_hurst",
+    "q_isotonic",
+    "q_quadratic_fit",
+    "q_auc_delong",
+    "q_stratified_kfold",
 ]
 
 
@@ -10465,6 +10511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_personalized_pagerank": q_personalized_pagerank,
         "q_ann_range": q_ann_range,
         "q_image_dhash": q_image_dhash,
+        "q_ppm_zlib_decode": q_ppm_zlib_decode,
         "q_bh_fdr": q_bh_fdr,
         "q_leakage_split": q_leakage_split,
         "q_token_budget": q_token_budget,
@@ -10700,11 +10747,11 @@ def _countmin_oracle() -> str:
 
 # Declared queries whose semantics are genuinely non-SQL-expressible:
 # the driver contract allows omitting their oracle_sql() entry and
-# records a weaker rows-only check. Keep this set MINIMAL and justified
-# per entry; everything else must carry a bit-exact oracle.
-NON_SQL_QUERIES = frozenset({
-    "q_compression_ratio",  # zlib byte counts — no SQL engine computes them
-})
+# records a weaker rows-only check. EMPTY since round 9: the last
+# member, q_compression_ratio, now gates through a partial oracle
+# (exact doc_id + utf-8 byte length, zlib outputs folded into a
+# verifiable-envelope boolean; exact byte counts stay pytest-pinned).
+NON_SQL_QUERIES = frozenset()
 
 
 def _canonical_dedup_oracle() -> str:
@@ -13697,9 +13744,18 @@ def oracle_sql() -> dict[str, str]:
         "q_theta_diff": _theta_diff_oracle(),
         "q_mst_boruvka": _mst_oracle(),
         "q_mst_distributed": _mst_oracle(),
-        # q_compression_ratio: deliberately ABSENT — zlib compression is
-        # non-SQL-expressible; the driver records a rows-only check and
-        # tests/test_multimodal-style pytest pins the exact byte counts.
+        # q_compression_ratio PARTIAL oracle (round-9, retires the
+        # perpetual err:no_oracle row): doc_id + exact utf-8 byte length
+        # are bit-exact; the zlib outputs are folded into the Spark-side
+        # `zlib_in_bounds` invariant, which the oracle asserts TRUE —
+        # exact byte counts stay pytest-pinned (non-SQL-expressible).
+        # DuckDB strlen() counts BYTES of the utf-8 string (octet
+        # semantics), matching the operator's len(text.encode('utf-8')).
+        "q_compression_ratio": """
+            SELECT doc_id,
+                   CAST(strlen(coalesce(text, '')) AS BIGINT) AS raw_len,
+                   TRUE AS zlib_in_bounds
+            FROM documents""",
         "q_pipe_syntax": """
             SELECT l_returnflag, l_linestatus,
                    COUNT(*) AS n_rows,
@@ -16003,6 +16059,31 @@ def oracle_sql() -> dict[str, str]:
                        AS hamming
             FROM hv x JOIN hv y ON x.aid < y.aid
             WHERE bit_count(xor(x.dhash, y.dhash)) <= 3""",
+        # q_ppm_zlib_decode: the oracle never sees the zlib container —
+        # it computes the 56-bit dHash straight from the text (same
+        # arithmetic as the q_image_dhash oracle, per-doc, no twins), so
+        # a hash match proves the Spark-side deflate/inflate round-trip
+        # reproduced every pixel byte.
+        "q_ppm_zlib_decode": """
+            WITH base AS (SELECT doc_id,
+                            rpad(regexp_replace(text, '[^\\x20-\\x7E]',
+                                                '', 'g'),
+                                 384, 'x') AS s
+                          FROM documents),
+            g AS (SELECT doc_id, r, c,
+                    (ascii(substr(s, (r*16+c)*3+1, 1))
+                     + ascii(substr(s, (r*16+c)*3+2, 1))
+                     + ascii(substr(s, (r*16+c)*3+3, 1))) // 3 AS gray
+                  FROM base, range(0,8) t1(r), range(0,16) t2(c)),
+            pooled AS (SELECT doc_id, r, c // 2 AS pc, SUM(gray) // 2 AS pg
+                       FROM g GROUP BY doc_id, r, c // 2)
+            SELECT a.doc_id,
+                   SUM(CASE WHEN a.pg > b.pg
+                       THEN (1::BIGINT << (a.r*7 + a.pc))
+                       ELSE 0 END) AS dhash
+            FROM pooled a JOIN pooled b
+              ON a.doc_id = b.doc_id AND a.r = b.r AND b.pc = a.pc + 1
+            GROUP BY a.doc_id""",
         "q_bh_fdr": """
             WITH c AS (SELECT user_id, COUNT(*) AS n
                        FROM events GROUP BY user_id),

@@ -64,12 +64,16 @@ def decode_image(payload: bytes, codec: str = "real"):
         return {"byte_len": len(payload), "n_a_bytes": payload.count(b"a")}
     if codec == "ppm":
         return _decode_ppm(payload)
+    if codec == "zppm":
+        pixels = _zppm_dims_pixels(payload)[2]
+        return {"byte_len": len(pixels), "n_a_bytes": pixels.count(b"a")}
     if codec == "pil":
         pixels = _pil_dims_pixels(payload)[2]
         return {"byte_len": len(pixels), "n_a_bytes": pixels.count(b"a")}
     raise NotImplementedError(
         "unknown image codec; use codec='pil' (JPEG/PNG/... where PIL is "
-        "installed), codec='ppm' (real, uncompressed, dependency-free) or "
+        "installed), codec='ppm' (real, uncompressed, dependency-free), "
+        "codec='zppm' (zlib-compressed PPM container, stdlib-only) or "
         "codec='fake'"
     )
 
@@ -129,6 +133,39 @@ def _ppm_dims_pixels(payload: bytes) -> tuple[int, int, bytes]:
 def _ppm_pixels(payload: bytes) -> bytes:
     """Raw RGB pixel buffer of a binary PPM (see :func:`_ppm_dims_pixels`)."""
     return _ppm_dims_pixels(payload)[2]
+
+
+def _zppm_dims_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a COMPRESSED image container with nothing but the stdlib:
+    a zlib-deflated binary PPM (the whole P6 file compressed with
+    ``zlib.compress``). Returns the same (width, height, raw w*h*3 RGB
+    buffer) contract as :func:`_ppm_dims_pixels` / :func:`_pil_dims_pixels`,
+    so every pixel consumer (:func:`image_dhash`, pooling, patching)
+    works unchanged on the compressed form. This arm exists so the
+    compressed-container code path — decompress, then header parse, then
+    pixel math — has an in-sandbox, oracle-checkable exercise even where
+    PIL is absent; real JPEG/PNG corpora use ``codec="pil"`` with the
+    identical downstream contract."""
+    import zlib
+
+    return _ppm_dims_pixels(zlib.decompress(bytes(payload)))
+
+
+def zlib_compress_payloads(
+    df: DataFrame, payload_col: str = "payload", level: int = 6
+) -> DataFrame:
+    """Compress a binary payload column with zlib (Arrow-batched
+    ``pandas_udf``, one Python hop per batch). The writer half of the
+    ``codec="zppm"`` container: a corpus staged through this sees its
+    decode path exercise the full decompress→parse→pixel-math chain."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _comp(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(lambda b: zlib.compress(bytes(b), level))
+
+    return df.withColumn(payload_col, _comp(F.col(payload_col)))
 
 
 def _decode_ppm(payload: bytes) -> dict:
@@ -576,16 +613,22 @@ def image_dhash(
     Arrow ``mapInPandas`` with numpy inside (whole pixel buffers
     vectorize; no per-pixel Python), declared output schema.
     ``codec="ppm"`` (default) parses uncompressed netpbm with zero
-    dependencies; ``codec="pil"`` decodes compressed formats
-    (JPEG/PNG/...) to the SAME (w, h, rgb) contract via
-    :func:`_pil_dims_pixels` wherever PIL is installed — everything
-    downstream of the decode is byte-identical between the two.
+    dependencies; ``codec="zppm"`` first zlib-inflates the payload
+    (stdlib-only compressed container, :func:`_zppm_dims_pixels`);
+    ``codec="pil"`` decodes compressed formats (JPEG/PNG/...) to the
+    SAME (w, h, rgb) contract via :func:`_pil_dims_pixels` wherever PIL
+    is installed — everything downstream of the decode is byte-identical
+    across the three.
     """
     if grid_w < 2 or (grid_w - 1) * grid_h > 63:
         raise ValueError("need 2 <= grid_w and (grid_w-1)*grid_h <= 63 bits")
-    if codec not in ("ppm", "pil"):
-        raise ValueError("codec must be 'ppm' or 'pil'")
-    dims_pixels = _ppm_dims_pixels if codec == "ppm" else _pil_dims_pixels
+    if codec not in ("ppm", "zppm", "pil"):
+        raise ValueError("codec must be 'ppm', 'zppm' or 'pil'")
+    dims_pixels = {
+        "ppm": _ppm_dims_pixels,
+        "zppm": _zppm_dims_pixels,
+        "pil": _pil_dims_pixels,
+    }[codec]
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

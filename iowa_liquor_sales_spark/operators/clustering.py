@@ -112,6 +112,8 @@ def grid_dbscan(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    observations: dict | None = None,
+    dense_cell_warn: int = 1024,
 ) -> DataFrame:
     """Density-based clustering (DBSCAN, Ester et al. 1996) over 2-D
     integer points, blocked by an ``eps``-sized grid: a point is CORE
@@ -134,6 +136,22 @@ def grid_dbscan(
     the shared pointer-jumping CC over the core-core edge relation
     (O(log diameter) rounds); the border assign is one more cell-
     blocked join of non-core against the O(cores) labeled relation.
+
+    Self-diagnosis at the contract edge (pass ``observations={}``):
+    candidates grow O(n · per-cell density), so a density that grows
+    WITH n (points piling into the same cells) bends the wall
+    superlinear even though the plan never goes all-pairs — the
+    measured 34→287 s growing-density arm in SCALE.md. When asked, the
+    operator (a) pre-flights a one-row cell-occupancy aggregate —
+    n_points, n_cells, max / p99 cell count, and the exact same-cell
+    candidate total Σcnt² (the dominant term of the 3×3 candidate
+    volume) — into ``observations["cell_density"]``, setting
+    ``grid_too_coarse`` (p99 ≥ ``dense_cell_warn``) with a remedy
+    string (quantize finer / shrink eps so occupancy drops), and (b)
+    attaches a ``pyspark.sql.Observation`` counting the ACTUAL
+    candidate pairs under ``observations["candidates"]``. The
+    pre-flight is one O(n) map + O(1)-row reduce (bounded driver
+    state); the Observation is free — it rides the existing job.
     """
     from .graph import connected_components
 
@@ -142,6 +160,48 @@ def grid_dbscan(
         F.col(x_col).cast("long").alias("px"),
         F.col(y_col).cast("long").alias("py"),
     )
+    if observations is not None:
+        # Pre-flight cell-occupancy diagnostic: one O(n) map + 1-row
+        # reduce. Σcnt² is the EXACT same-cell candidate count (ordered
+        # pairs incl. self), the dominant term of the 3×3 volume — the
+        # quantity whose growth bends the wall.
+        row = (
+            p.groupBy(
+                F.expr(f"px div {eps}").alias("cx"),
+                F.expr(f"py div {eps}").alias("cy"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.sum("cnt").alias("n_points"),
+                F.count(F.lit(1)).alias("n_cells"),
+                F.max("cnt").alias("max_cell"),
+                F.expr("percentile_approx(cnt, 0.99)").alias("p99_cell"),
+                F.sum(F.col("cnt") * F.col("cnt")).alias("same_cell_cand"),
+            )
+            .collect()[0]
+        )
+        too_coarse = (row["p99_cell"] or 0) >= dense_cell_warn
+        observations["cell_density"] = {
+            "n_points": row["n_points"],
+            "n_cells": row["n_cells"],
+            "max_cell": row["max_cell"],
+            "p99_cell": row["p99_cell"],
+            "same_cell_candidates": row["same_cell_cand"],
+            "grid_too_coarse": too_coarse,
+            "remedy": (
+                (
+                    f"p99 cell occupancy {row['p99_cell']} >= "
+                    f"{dense_cell_warn}: candidate volume is O(n x "
+                    "occupancy) and will dominate the wall — quantize "
+                    "coordinates finer or shrink eps so per-cell "
+                    "occupancy drops; expect ~9 x same_cell_candidates "
+                    f"(~{9 * (row['same_cell_cand'] or 0)}) candidate "
+                    "pairs at the current grid"
+                )
+                if too_coarse
+                else None
+            ),
+        }
     # 3x3 neighborhood explode on the LEFT side; equi-join on the cell.
     offs = F.expr(
         "explode(array(-1L, 0L, 1L))"
@@ -167,8 +227,15 @@ def grid_dbscan(
     d2 = (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx")) + (
         F.col("py") - F.col("qy")
     ) * (F.col("py") - F.col("qy"))
+    cand = left.join(right, ["cx", "cy"])
+    if observations is not None:
+        from pyspark.sql import Observation
+
+        cand_obs = Observation("dbscan_candidates")
+        cand = cand.observe(cand_obs, F.count(F.lit(1)).alias("n"))
+        observations["candidates"] = cand_obs
     nbrs = (
-        left.join(right, ["cx", "cy"])
+        cand
         .filter((F.col("pid") != F.col("qid")) & (d2 <= eps * eps))
         .select("pid", "qid")
     )

@@ -1035,6 +1035,7 @@ def hurst_rs(
     value_col: str,
     window_sizes: tuple[int, ...] = (8, 16, 32, 64),
     value_scale: int = 1_000_000,
+    distributed_index: bool = False,
 ) -> DataFrame:
     """Hurst exponent per series via classical rescaled-range (R/S)
     analysis (Hurst 1951; Mandelbrot & Wallis 1969): chop the series
@@ -1055,20 +1056,43 @@ def hurst_rs(
     Scale shape: rows replicate ×|window_sizes| (explode), every
     window partitions by (key, w, chunk) — O(w)-sized partitions, no
     global sort anywhere; everything after the chunk aggregate is
-    O(#chunks) then O(|window_sizes|) rows per key.
+    O(#chunks) then O(|window_sizes|) rows per key. The one
+    parallelism cap is the initial per-series index: the default
+    ``row_number() OVER (PARTITION BY key)`` runs one task per SERIES,
+    which is the right plan for many series but serializes when a few
+    very long series dominate (the measured x16/x64 tail in SCALE.md's
+    round-9 probe). ``distributed_index=True`` switches that step to
+    the range-partitioned ``ranking.global_row_number`` (ordered by
+    (key, order) so each series is contiguous) plus an O(#series)
+    first-row offset join — bit-identical indexes, parallelism bounded
+    by cores instead of series count. Default stays per-key: the
+    range-shuffle + persist + offset machinery only pays for itself in
+    the few-long-series regime.
 
     Returns (key, n_levels, hurst_ppm).
     """
     from pyspark.sql import Window
 
     wk = Window.partitionBy("k").orderBy("o")
-    base = df.select(
+    sel = df.select(
         F.col(key_col).alias("k"),
         F.col(order_col).alias("o"),
         F.floor(F.col(value_col).cast("double") * F.lit(int(value_scale)))
         .cast("decimal(38,0)")
         .alias("v"),
-    ).withColumn("idx", F.row_number().over(wk))
+    )
+    if distributed_index:
+        from .ranking import global_row_number
+
+        g = global_row_number(sel, ["k", "o"], out_col="_grn")
+        firsts = g.groupBy("k").agg(F.min("_grn").alias("_k0"))
+        base = (
+            g.join(F.broadcast(firsts), "k")
+            .withColumn("idx", (F.col("_grn") - F.col("_k0") + 1).cast("int"))
+            .drop("_grn", "_k0")
+        )
+    else:
+        base = sel.withColumn("idx", F.row_number().over(wk))
     lvls = F.array(*[F.lit(int(w)) for w in window_sizes])
     rep = base.withColumn("w", F.explode(lvls)).withColumn(
         "chunk", F.expr("CAST((idx - 1) div w AS BIGINT)")

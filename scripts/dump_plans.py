@@ -231,6 +231,9 @@ FLAGSHIP = [
     "q_two_prop_z",
     "q_gini_split",
     "q_relative_risk",
+    # round-9 additions
+    "q_ppm_zlib_decode",
+    "q_compression_ratio",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

@@ -125,6 +125,47 @@ def test_ppm_decode_is_real(spark):
         decode_image(b"\x89PNG...", codec="real")
 
 
+def test_zppm_decode_roundtrip_matches_ppm(spark):
+    """The stdlib compressed-container arm (codec='zppm'): deflating the
+    whole P6 file and decoding through decompress -> header parse ->
+    pixel math must be BIT-IDENTICAL to decoding the uncompressed PPM —
+    both for the feature dict and for the dHash over a Spark column
+    compressed by zlib_compress_payloads."""
+    import zlib
+
+    from iowa_liquor_sales_spark.multimodal.binary_ops import (
+        decode_image,
+        image_dhash,
+        zlib_compress_payloads,
+    )
+
+    def ppm(w, h, px):
+        assert len(px) == w * h * 3
+        return b"P6\n# zc\n%d %d\n255\n" % (w, h) + px
+
+    img1 = ppm(2, 2, b"a" * 12)
+    img2 = ppm(16, 8, bytes(range(256)) + bytes(range(128)))
+    for img in (img1, img2):
+        assert decode_image(zlib.compress(img, 6), codec="zppm") == decode_image(
+            img, codec="ppm"
+        )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(img2))], "doc_id long, payload binary"
+    )
+    plain = image_dhash(df, grid_w=8, grid_h=8, codec="ppm").collect()
+    comp = image_dhash(
+        zlib_compress_payloads(df), grid_w=8, grid_h=8, codec="zppm"
+    ).collect()
+    assert [r.asDict() for r in plain] == [r.asDict() for r in comp]
+
+    import pytest as _pytest
+
+    # A non-zlib payload must fail loudly, not parse garbage.
+    with _pytest.raises(Exception):
+        decode_image(img1, codec="zppm")
+
+
 def test_audio_frame_rms_known_values(spark):
     import math
 

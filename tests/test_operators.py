@@ -523,9 +523,10 @@ def test_sparse_cosine_exact_scores(spark):
 
 
 def test_compression_ratio_pins_zlib_bytes(spark):
-    # The rows-only declared query (q_compression_ratio) leans on this
-    # pin: zlib level-6 output for a fixed input is a stable, versioned
-    # format, so the exact byte counts are asserted here.
+    # q_compression_ratio's partial oracle covers doc_id/raw_len exactly
+    # and the zlib outputs only as an in-bounds invariant; this pin
+    # carries the exact byte counts — zlib level-6 output for a fixed
+    # input is a stable, versioned format, so they are asserted here.
     import zlib
 
     from iowa_liquor_sales_spark.operators.curation import compression_ratio
@@ -1726,6 +1727,50 @@ def test_grid_dbscan_roles_and_clusters(spark):
         assert got[pid]["cluster"] == 1
     assert got[5]["role"] == "border" and got[5]["cluster"] == 1
     assert got[6]["role"] == "noise" and got[6]["cluster"] == -1
+
+
+def test_grid_dbscan_self_diagnoses_dense_cells(spark):
+    # The contract-edge diagnostic (round-8 verdict item 5): a density
+    # that grows with n bends the wall O(n * occupancy) — the operator
+    # must SAY so. The growing-density shape = many points in one eps
+    # cell -> grid_too_coarse fires with a remedy; a spread-out corpus
+    # stays quiet. The attached Observation reports the actual candidate
+    # count (16 co-cell points x 16 through the 3x3 neighborhood = 256
+    # ordered pairs incl. self; no neighbors in adjacent cells).
+    from iowa_liquor_sales_spark.operators.clustering import grid_dbscan
+
+    dense = spark.createDataFrame(
+        [(i, i % 4, i // 4) for i in range(16)], ["id", "x", "y"]
+    )
+    obs: dict = {}
+    out = grid_dbscan(
+        dense, eps=10, min_pts=3, observations=obs, dense_cell_warn=10
+    )
+    cd = obs["cell_density"]
+    assert cd["n_points"] == 16 and cd["n_cells"] == 1
+    assert cd["max_cell"] == 16 and cd["p99_cell"] == 16
+    assert cd["same_cell_candidates"] == 256
+    assert cd["grid_too_coarse"] is True
+    assert "quantize" in cd["remedy"] and "2304" in cd["remedy"]
+    out.count()  # run the job so the Observation materializes
+    assert obs["candidates"].get["n"] == 256
+
+    sparse = spark.createDataFrame(
+        [(i, 100 * i, 0) for i in range(16)], ["id", "x", "y"]
+    )
+    obs2: dict = {}
+    grid_dbscan(sparse, eps=3, min_pts=2, observations=obs2, dense_cell_warn=10)
+    assert obs2["cell_density"]["grid_too_coarse"] is False
+    assert obs2["cell_density"]["remedy"] is None
+    # The diagnostic must not perturb the clustering itself.
+    base = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in grid_dbscan(dense, eps=10, min_pts=3).collect()
+    }
+    diag = {
+        r["id"]: (r["role"], r["cluster"]) for r in out.collect()
+    }
+    assert base == diag
 
 
 def test_t_closeness_hand_distribution(spark):

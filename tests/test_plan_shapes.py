@@ -304,3 +304,40 @@ def test_jsd_grid_broadcasts_group_relation(spark):
     # shuffles the whole vocabulary per group.
     plan = _plan(spark, "q_jsd_drift")
     assert "SortMergeJoin" not in plan
+
+
+def test_kendall_tau_counts_cell_pairs_not_row_pairs(spark):
+    # kendall_tau_b's concordant/discordant mass must come from the
+    # O(cells^2) contingency-cell quadrant sum (broadcast NL over the
+    # tiny cell relation), with the row->cell collapse combined
+    # map-side. A SortMergeJoin or CartesianProduct here means the
+    # engine fell back to row pairs — O(n^2) at corpus scale.
+    plan = _plan(spark, "q_kendall_tau")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_randomization_test_combines_replicates_map_side(spark):
+    # The n_reps explode must collapse through a map-side-combinable
+    # groupBy(rep) — the shuffle then carries O(n_reps) rows per task
+    # instead of n_rows x n_reps exploded rows. partial_sum in the plan
+    # IS that guarantee; losing it is the superlinear-tail mechanism
+    # probed in SCALE.md.
+    plan = _plan(spark, "q_randomization_test")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_quantile_windows_stay_day_partitioned(spark):
+    # rolling_grid_quantile must never sort raw events in a window: the
+    # per-row aggregate collapses map-side to daily histograms first
+    # (partial_sum), and every window that remains runs PARTITIONED BY
+    # day over the O(days x buckets) grid — an empty partition spec
+    # (global window) would serialize the whole relation through one
+    # task at scale.
+    plan = _plan(spark, "q_rolling_quantile")
+    assert "partial_sum" in plan
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.split(",")[0].startswith("tday"), frag[:120]

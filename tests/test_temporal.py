@@ -355,6 +355,34 @@ def test_hurst_rs_separates_persistence_regimes(spark):
     assert 300_000 < h < 800_000
 
 
+def test_hurst_distributed_index_is_bit_identical(spark):
+    # The few-long-series de-skew arm (distributed_index=True) swaps the
+    # per-key row_number for the range-partitioned global_row_number +
+    # first-row offset join; indexes — and therefore every downstream
+    # chunk statistic — must be BIT-identical to the default plan, under
+    # a hostile input partitioning.
+    import random
+
+    from iowa_liquor_sales_spark.operators.temporal import hurst_rs
+
+    rng = random.Random(7)
+    rows = [
+        (k, i, rng.random() * 50 + (i * 0.3 if k == "t" else 0))
+        for k in ("t", "a", "z")
+        for i in range(200)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "o", "v"]).repartition(13)
+    base = sorted(
+        tuple(r) for r in hurst_rs(df, "k", "o", "v").collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in hurst_rs(df, "k", "o", "v", distributed_index=True).collect()
+    )
+    assert base == dist
+
+
 def test_rolling_grid_quantile_matches_bruteforce(spark):
     from iowa_liquor_sales_spark.operators.temporal import (
         rolling_grid_quantile,
