@@ -1470,9 +1470,15 @@ def build_ann_index(
     assigned = ivf_assign(
         embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/assignments"
-    )
+    # Cluster by cell BEFORE the partitioned write: without it every
+    # write task emits a file into every cell it touches — tasks x cells
+    # files (measured 30,907 files at 128k vectors / 1024 cells, and a
+    # 17 s listing+scheduling tax on every query, SCALE.md round-9
+    # probe). One shuffle at build time buys one file per cell; large
+    # cells stay scan-parallel through parquet row-group splits.
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/assignments")
     if pq:
         _, codes, cents = _pq_train_encode(
             embeddings, m_sub, ksub, iters, dim, id_col, vec_col
@@ -1485,9 +1491,9 @@ def build_ann_index(
         stored = spark.read.parquet(f"{path}/assignments")
         codes.join(
             stored.select(F.col(id_col).alias("vid"), "cell"), "vid"
-        ).write.mode("overwrite").partitionBy("cell").parquet(
-            f"{path}/pq_codes"
-        )
+        ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{path}/pq_codes")
     return load_ann_index(spark, path)
 
 

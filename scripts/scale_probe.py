@@ -1758,6 +1758,22 @@ def bench_round9(spark) -> tuple[dict, dict, dict]:
             best = min(best, time.perf_counter() - t0)
         store.setdefault(label, {})[factor] = round(best, 2)
 
+    # Warm the JVM on tiny inputs first: the first timed op of a fresh
+    # session otherwise pays all of codegen/JIT (the first probe run put
+    # 107 s on an x1 arm whose x4 size measured 2.9 s).
+    warm = spark.range(20_000).select(
+        F.col("id"),
+        ((F.col("id") * 104729) % 1000).alias("v"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        (F.col("id") % 8).alias("k"),
+    )
+    for mk in (
+        lambda: randomization_test(warm, "v", "g", "a", "b", id_col="id", n_reps=5),
+        lambda: hurst_rs(warm, "k", "id", "v"),
+        lambda: hurst_rs(warm, "k", "id", "v", distributed_index=True),
+    ):
+        mk().write.format("noop").mode("overwrite").save()
+
     for factor in (1, 4, 16, 64):
         n = 200_000 * factor
         d = spark.range(n).select(
@@ -1898,13 +1914,27 @@ def render_round9(tails: dict, ann: dict, diag: dict) -> list[str]:
                 for f in sorted(r)
             )
             + " — flat-to-falling unit cost = no superlinear term.",
+            "",
+            "Reading: documented ACCEPT for randomization (the wall is",
+            "the O(n x reps) map volume the statistic requires; the",
+            "map-side combine already bounds the shuffle at O(reps) rows",
+            "per task — the plan gate",
+            "test_randomization_test_combines_replicates_map_side pins",
+            "it). hurst's extra factor is the 8-task per-series index",
+            "sort: the 1024-series arm (same rows, core-parallel) runs",
+            "the x64 size several times faster, and the new",
+            "distributed_index arm beats the default at x64 in the",
+            "8-series regime while losing at small sizes to its",
+            "range-shuffle + offset constant — default stays per-key,",
+            "distributed_index is the documented few-long-series remedy.",
         ]
     lines += [
         "",
         "**(b) ANN index lifecycle at base growth** (round-8 verdict",
         "item 9). Base 2k -> 16k -> 128k vectors (x1/x8/x64), n_cells",
         "scaled with the base (16/128/1024 — constant ~125-vector",
-        "cells, the FAISS sizing rule), nprobe=2 fixed. Build is the",
+        "cells, the cleanest isolation of the query-side claim),",
+        "nprobe=2 fixed. Build is the",
         "one-off; the query must stay ~flat because the broadcast",
         "probe join prunes the partitioned assignment scan to two",
         "constant-size cells regardless of base size.",
@@ -1918,6 +1948,19 @@ def render_round9(tails: dict, ann: dict, diag: dict) -> list[str]:
             + ", ".join(f"x{f}: {per[f]:.2f}s" for f in sorted(per))
             + " |"
         )
+    lines += [
+        "",
+        "The first run of this probe CAUGHT a real layout bug: the",
+        "build wrote partitionBy(cell) straight from the assignment",
+        "shuffle — tasks x cells output files (30,907 at x64) — and",
+        "every query paid a 17 s listing/scheduling tax. Fixed in",
+        "round 9 by clustering on cell before the write (one file per",
+        "cell; row-group splits keep big cells scan-parallel). The",
+        "table above is the fixed layout. Build is O(n x n_cells)",
+        "assignment distances — quadratic when cells scale WITH the",
+        "base; production sizes n_cells ~ sqrt(N) (the usual IVF",
+        "rule) for an O(n^1.5) build.",
+    ]
     g, fx = diag["growing_density_x16"], diag["fixed_density_x16"]
     lines += [
         "",
