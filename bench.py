@@ -357,6 +357,26 @@ def run_cohort(cohort: str) -> None:
     if cohort == "core":
         timings["q_warehouse_ingest"] = ingest_sec
 
+    # Fixed warm-up suite, untimed, identical for every cohort and every
+    # round: one pass over five queries covering the common codegen
+    # paths (parquet scan, hash aggregate, broadcast star join, string
+    # exprs, window, noop sink). Deliberately SMALL: an A/B at sf0.1
+    # showed a full untimed pre-pass over the whole cohort makes the
+    # timed portion 13-15% SLOWER (the pre-loaded codegen classes and
+    # heap history are exactly the code-cache/GC pressure the cohort
+    # split removes), while back-to-back runs of this small-warm-up
+    # protocol hold the 158-entry median within ~4% — that run-to-run
+    # stability, not absolute warmth, is what round-over-round
+    # comparison needs.
+    for wname in (
+        "q_scan_parquet",
+        "q_groupby_agg",
+        "q_star_join",
+        "q_token_count",
+        "q_events_window",
+    ):
+        _force(queries[wname](spark, wh))
+
     def timed(name, mk) -> None:
         # Best-of-2, cache cleared before each run: single-shot walls in
         # one busy JVM swing ±1s from GC/JIT/codegen; the min is the
