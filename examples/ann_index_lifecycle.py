@@ -8,7 +8,10 @@ the oracle-checked in-query forms deliberately inline:
    cells, so a query touches O(cell) data, not the corpus;
 3. INGEST deltas by assigning new vectors against the FROZEN centroids
    (one broadcast argmax — no retrain, no base scan) and appending to
-   the index's cell partitions.
+   the index's cell partitions;
+4. COMPACT periodically: appends add a file per (batch x touched cell),
+   so compact_ann_index rewrites each cell back to one file —
+   row-identical contents, queries unchanged, listing tax gone.
 
 Run: python examples/ann_index_lifecycle.py [sf_dir] [work_dir]
 """
@@ -53,13 +56,20 @@ def main(sf_dir: str, work_dir: str | None = None) -> dict:
         f"{path}/assignments"
     )
     idx2 = load_ann_index(spark, path)
+    n_after_ingest = idx2.assignments.count()
+
+    # 4. compact the appended cells back to one file per cell
+    from iowa_liquor_sales_spark.operators.similarity import compact_ann_index
+
+    compact_stats = compact_ann_index(spark, path)
 
     return {
         "base_vectors": base.count(),
         "delta_vectors": delta.count(),
-        "indexed_after_ingest": idx2.assignments.count(),
+        "indexed_after_ingest": n_after_ingest,
         "top5": top,
-        "cells": idx2.centroids.count(),
+        "cells": load_ann_index(spark, path).centroids.count(),
+        "compacted": compact_stats,
     }
 
 

@@ -1542,6 +1542,62 @@ def assign_new_vectors(
     )
 
 
+def compact_ann_index(spark, path: str) -> dict:
+    """Rewrite a persisted index's cell partitions back to one file per
+    cell. Incremental ingest (:func:`assign_new_vectors` + append)
+    necessarily adds a file per (ingest batch x touched cell); after
+    enough deltas a probe cell is many small files and the query-side
+    scan pays listing/open overhead per file — the same small-files tax
+    the round-9 build fix removed from the initial write (SCALE.md
+    measured 30,907 files costing ~17 s per query before clustering).
+    Periodic compaction is the standard companion to any append-based
+    ingest (FAISS merges inverted lists; lakehouse tables OPTIMIZE).
+
+    Mechanics: read → cluster on ``cell`` → write to a sibling
+    directory → swap via the Hadoop FileSystem API (works on HDFS and
+    local FS; on object stores without atomic rename, flip a pointer /
+    catalog entry instead — the rewrite step is identical). Contents
+    are row-identical; only the file layout changes, so queries against
+    the reloaded index are bit-identical. Compacts ``assignments`` and,
+    when present, ``pq_codes``. Returns per-relation
+    ``{files_before, files_after, rows}``.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    def _n_files(p: str) -> int:
+        it, n = fs.listFiles(HPath(p), True), 0
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    stats: dict[str, dict] = {}
+    for rel in ("assignments", "pq_codes"):
+        rel_path = f"{path}/{rel}"
+        if not fs.exists(HPath(rel_path)):
+            continue
+        df = spark.read.parquet(rel_path)
+        rows = df.count()
+        before = _n_files(rel_path)
+        tmp = f"{path}/{rel}__compacting"
+        df.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(tmp)
+        fs.delete(HPath(rel_path), True)
+        if not fs.rename(HPath(tmp), HPath(rel_path)):
+            raise IOError(f"compaction swap failed for {rel_path}")
+        stats[rel] = {
+            "files_before": before,
+            "files_after": _n_files(rel_path),
+            "rows": rows,
+        }
+    return stats
+
+
 def silhouette_labels(
     df: DataFrame,
     vec_col: str = "embedding",

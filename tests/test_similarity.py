@@ -313,6 +313,65 @@ def test_assign_new_vectors_matches_full_rebuild(spark, tmp_path):
     assert combined == full
 
 
+def test_compact_ann_index_one_file_per_cell_bit_identical(spark, tmp_path):
+    """Delta-append ingest leaves a file per (batch x touched cell);
+    compact_ann_index must rewrite to exactly one file per cell with
+    row-identical contents — queries against the reloaded index are
+    bit-identical, only the layout changes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.similarity import (
+        assign_new_vectors,
+        build_ann_index,
+        compact_ann_index,
+        ivf_topk,
+        load_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    is_delta = (F.col("vec_id") % 5 == 4) & (F.col("vec_id") >= 16)
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    path = str(tmp_path / "ann3")
+    build_ann_index(base, path, n_cells=16)
+    # two ingest batches -> extra files in the touched cell partitions
+    idx = load_ann_index(spark, path)
+    for batch in (delta.filter("vec_id % 2 = 0"), delta.filter("vec_id % 2 = 1")):
+        assign_new_vectors(batch, idx).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{path}/assignments")
+
+    def n_files():
+        return sum(
+            1
+            for root, _, files in os.walk(f"{path}/assignments")
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    idx = load_ann_index(spark, path)
+    before_rows = idx.assignments.count()
+    before_hits = sorted(
+        map(tuple, ivf_topk(emb, query_id=7, k=10, nprobe=2, index=idx).collect())
+    )
+    n_cells_used = idx.assignments.select("cell").distinct().count()
+    assert n_files() > n_cells_used  # the appends really fragmented it
+
+    stats = compact_ann_index(spark, path)
+    assert stats["assignments"]["rows"] == before_rows
+    assert stats["assignments"]["files_after"] == n_cells_used
+    assert stats["assignments"]["files_after"] < stats["assignments"]["files_before"]
+    assert n_files() == n_cells_used
+
+    idx2 = load_ann_index(spark, path)
+    assert idx2.assignments.count() == before_rows
+    after_hits = sorted(
+        map(tuple, ivf_topk(emb, query_id=7, k=10, nprobe=2, index=idx2).collect())
+    )
+    assert before_hits == after_hits
+
+
 def test_map_mrr_matches_bruteforce(spark):
     from iowa_liquor_sales_spark.operators.similarity import map_mrr_at_k
 
