@@ -10091,81 +10091,77 @@ def q_relative_risk(spark: SparkSession, sf: str) -> DataFrame:
 # pair_source branch; the default path is plan-identical and was
 # re-verified bit-identical vs oracle at sf0.01 this round).
 # scripts/oracle_sweep.py still checks every entry locally each round.
-# Round-10 gate backlog (never driver-gated after the round-9
-# rotation; all oracle-checked in the local sweeps each round), in
-# priority order: q_compression_ratio (gained its partial DuckDB
-# oracle in round 9 — needs its first GREEN row to retire the
-# perpetual err:no_oracle), q_ppm_zlib_decode (new in round 9:
-# zlib-compressed PPM decode, the pure-stdlib compressed-container
-# arm), then the 23-query tail of the round-8 statistics wave:
-# q_rolling_quantile, q_script_profile, q_diff_in_diff,
-# q_ngram_coverage, q_hill_tail, q_ams_f2, q_ktruss,
-# q_preference_pairs, q_truncated_recall, q_sprt, q_forecast_backtest,
-# q_best_f1, q_betweenness, q_negative_sampling, q_log_odds,
-# q_rolling_anomaly, q_conformal, q_ucb_ranking, q_knee_point,
-# q_mde_power, q_two_prop_z, q_gini_split, q_relative_risk.
+# Round-10 rotation: see the in-list comments below.
 _GATE_HEAD = [
-    # round-9 rotation: ALL 50 slots go to the never-driver-gated
-    # round-8 backlog (round-8 verdict item 1), oldest wave first.
-    # Surface growth is intentionally paused this round (+2 queries
-    # only, both queued for round 10) so cumulative gate coverage
-    # catches up: after this rotation the never-gated set is exactly
-    # the 23-query list above plus the two round-9 additions.
-    # Wave 1 — the 32 mid-round-8 statistics/agreement/graph-health
-    # queries (sweep-green since they landed; plan-dumped in PLANS.md):
-    "q_kruskal_wallis",
-    "q_anova_f",
-    "q_levene",
-    "q_silhouette",
-    "q_readability",
-    "q_rake_keywords",
-    "q_jsd_drift",
-    "q_friedman",
-    "q_ndcg",
-    "q_dbscan_grid",
-    "q_t_closeness",
-    "q_harmonic_centrality",
-    "q_assortativity",
-    "q_modularity",
-    "q_cohens_kappa",
-    "q_mcc",
-    "q_theil_u",
-    "q_drawdown",
-    "q_decayed_topk",
-    "q_cronbach",
-    "q_dedup_cascade",
-    "q_sax_words",
-    "q_lift_table",
-    "q_ece",
-    "q_oov_rate",
-    "q_moments",
-    "q_mantel_haenszel",
-    "q_ljung_box",
-    "q_lorenz",
-    "q_logrank",
-    "q_by_fdr",
-    "q_lsh_plan",
-    # Wave 2 — the first 18 of the 41 late-round-8 additions, in their
-    # original registry order (the remaining 23 are the round-10 list
-    # in the comment above):
-    "q_kendall_tau",
-    "q_wasserstein",
-    "q_effect_sizes",
-    "q_cochran_armitage",
-    "q_mcnemar",
-    "q_durbin_watson",
-    "q_target_encode",
-    "q_randomization_test",
-    "q_dp_mean",
-    "q_neighbor_jaccard",
-    "q_map_mrr",
-    "q_holm",
-    "q_audio_zcr",
+    # round-10 rotation (round-9 verdict item 1): positions 1-25 are
+    # the ENTIRE never-driver-gated backlog — q_compression_ratio's
+    # first green (partial DuckDB oracle landed round 9, retiring the
+    # perpetual err:no_oracle), q_ppm_zlib_decode (new round 9), then
+    # the 23-query statistics tail of the round-8 wave. After these
+    # gate green, every registry query has a lifetime green row — the
+    # strict 426/426 bar — for the first time in project history.
+    "q_compression_ratio",
+    "q_ppm_zlib_decode",
+    "q_rolling_quantile",
+    "q_script_profile",
+    "q_diff_in_diff",
+    "q_ngram_coverage",
+    "q_hill_tail",
+    "q_ams_f2",
+    "q_ktruss",
+    "q_preference_pairs",
+    "q_truncated_recall",
+    "q_sprt",
+    "q_forecast_backtest",
+    "q_best_f1",
+    "q_betweenness",
+    "q_negative_sampling",
+    "q_log_odds",
+    "q_rolling_anomaly",
+    "q_conformal",
+    "q_ucb_ranking",
+    "q_knee_point",
+    "q_mde_power",
+    "q_two_prop_z",
+    "q_gini_split",
+    "q_relative_risk",
+    # Positions 26-30: re-gates of code paths round 9/10 touched
+    # (round-9 verdict item 1): the ANN lifecycle pair (build write
+    # path gained cluster-on-cell in r9 and sqrt(N) self-sizing in
+    # r10), q_image_dhash (codec dispatch became a dict in r9),
+    # q_hurst (distributed_index branch + r10 unpersist fix),
+    # q_dbscan_grid (observations arm).
+    "q_ann_prebuilt",
+    "q_ann_assign_delta",
+    "q_image_dhash",
     "q_hurst",
-    "q_isotonic",
-    "q_quadratic_fit",
-    "q_auc_delong",
-    "q_stratified_kfold",
+    "q_dbscan_grid",
+    # Positions 31-50: freshness re-gates — the 20 queries whose only
+    # green row is round 1 (core scan/agg/set/window/ANN surface has
+    # not been re-gated since; scripts/oracle_sweep.py has re-checked
+    # them every round, but a driver row is the stricter record).
+    # New round-10 queries, as they land, replace entries from the
+    # TAIL of this block so positions 1-30 are never displaced.
+    "q_ann_bruteforce",
+    "q_ann_lsh",
+    "q_minhash_lsh",
+    "q_dedup_exact",
+    "q_socrata_scan",
+    "q_count_distinct",
+    "q_percentiles",
+    "q_window_running",
+    "q_topk_pergroup",
+    "q_pivot",
+    "q_rollup",
+    "q_cube",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+    "q_json_extract",
+    "q_string_funcs",
+    "q_stats_agg",
+    "q_null_semantics",
+    "q_wordcount",
 ]
 
 
