@@ -9,8 +9,10 @@ the oracle-checked in-query forms deliberately inline:
 3. INGEST deltas by assigning new vectors against the FROZEN centroids
    (one broadcast argmax — no retrain, no base scan) and appending to
    the index's cell partitions;
-4. COMPACT periodically: appends add a file per (batch x touched cell),
-   so compact_ann_index rewrites each cell back to one file —
+4. OBSERVE fragmentation with ann_index_report (O(cells) listing; the
+   measured tax is 620 files -> +37% query wall, SCALE.md) and COMPACT
+   when flagged: appends add a file per (batch x touched cell), so
+   compact_ann_index rewrites each cell back to one file —
    row-identical contents, queries unchanged, listing tax gone.
 
 Run: python examples/ann_index_lifecycle.py [sf_dir] [work_dir]
@@ -58,10 +60,19 @@ def main(sf_dir: str, work_dir: str | None = None) -> dict:
     idx2 = load_ann_index(spark, path)
     n_after_ingest = idx2.assignments.count()
 
-    # 4. compact the appended cells back to one file per cell
-    from iowa_liquor_sales_spark.operators.similarity import compact_ann_index
+    # 4. observe fragmentation, then compact the appended cells back to
+    #    one file per cell when the report flags it
+    from iowa_liquor_sales_spark.operators.similarity import (
+        ann_index_report,
+        compact_ann_index,
+    )
 
-    compact_stats = compact_ann_index(spark, path)
+    frag_report = ann_index_report(spark, path, files_per_cell_threshold=1.0)
+    compact_stats = (
+        compact_ann_index(spark, path)
+        if frag_report["assignments"]["needs_compaction"]
+        else {}
+    )
 
     return {
         "base_vectors": base.count(),
@@ -69,6 +80,7 @@ def main(sf_dir: str, work_dir: str | None = None) -> dict:
         "indexed_after_ingest": n_after_ingest,
         "top5": top,
         "cells": load_ann_index(spark, path).centroids.count(),
+        "fragmentation": frag_report,
         "compacted": compact_stats,
     }
 

@@ -1976,3 +1976,107 @@ def render_round9(tails: dict, ann: dict, diag: dict) -> list[str]:
         "O(n x occupancy) bend BEFORE paying for it.",
     ]
     return lines
+
+
+def bench_round10(spark) -> dict:
+    """Round-10 probe: ANN build under the new sqrt(N) DEFAULT cell
+    sizing (round-9 verdict item 3). Same replicated corpora as the
+    round-9 lifecycle probe; n_cells=None so build_ann_index self-sizes
+    to max(16, int(sqrt(N))) — build should now grow ~O(n^1.5) instead
+    of the quadratic linear-cell arm (161 s at x64 in round 9), and the
+    prebuilt query wall should stay flat."""
+    import time
+
+    from iowa_liquor_sales_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk,
+        load_ann_index,
+    )
+
+    emb_base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    mx = emb_base.agg(F.max("vec_id")).head()[0] + 1
+    out: dict[str, dict] = {}
+    for factor in (1, 8, 64):
+        if factor == 1:
+            emb_path = f"{BASE}/embeddings.parquet"
+        else:
+            emb_path = f"{WORK}/emb_x{factor}"
+            reps = F.explode(
+                F.sequence(F.lit(0), F.lit(factor - 1))
+            ).alias("rep")
+            (
+                emb_base.select("*", reps)
+                .withColumn(
+                    "vec_id", F.col("vec_id") + F.col("rep") * F.lit(mx)
+                )
+                .drop("rep")
+                .repartition(32)
+                .write.mode("overwrite")
+                .parquet(emb_path)
+            )
+        emb = spark.read.parquet(emb_path)
+        n = emb.count()
+        cells = max(16, int(n**0.5))
+        idx_path = f"{WORK}/annidx_sqrt_x{factor}"
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build_ann_index(emb, idx_path)  # n_cells=None -> sqrt rule
+            best = min(best, time.perf_counter() - t0)
+        row: dict = {"n_vectors": n, "n_cells": cells, "build_s": round(best, 2)}
+        idx = load_ann_index(spark, idx_path)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            ivf_topk(
+                emb, query_id=7, k=10, nprobe=2, index=idx
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        row["prebuilt_query_s"] = round(best, 2)
+        out[factor] = row
+    return out
+
+
+def render_round10(sized: dict) -> list[str]:
+    lines = [
+        "",
+        "## Round-10 probe: ANN build under the sqrt(N) default cell sizing",
+        "",
+        "build_ann_index(n_cells=None) now self-sizes to",
+        "max(16, int(sqrt(N))) (round-9 verdict item 3). Round 9's",
+        "linear-cell arm (n_cells = 16 x factor) hit a 161 s build wall",
+        "at x64 because assignment work is O(n x n_cells) = O(n^2)",
+        "under linear scaling; the sqrt default makes the same probe",
+        "O(n^1.5) with NO caller knowledge. Same replicated sf0.1",
+        "corpora as the round-9 probe; best of 2 runs:",
+        "",
+        "| growth | vectors | cells (sqrt rule) | build wall | prebuilt query wall |",
+        "|---|---|---|---|---|",
+    ]
+    for factor, row in sized.items():
+        lines.append(
+            f"| x{factor} | {row['n_vectors']:,} | {row['n_cells']} |"
+            f" {row['build_s']} s | {row['prebuilt_query_s']} s |"
+        )
+    lines += [
+        "",
+        "Build growth now tracks ~n^1.5 (each x8 in corpus is ~x22.6",
+        "in n x sqrt(n) work), the query wall stays flat, and per-cell",
+        "occupancy stays ~sqrt(N) so probe scans keep balance without",
+        "the caller ever choosing a cell count. Explicit n_cells",
+        "remains for the cases the rule can't see (target recall /",
+        "nprobe budgets tuned offline).",
+        "",
+        "Bench load-awareness (round-9 verdict item 2): bench.py now",
+        "stamps per-cohort 1-min loadavg into BENCH_DETAIL.json and",
+        "the compact trailer, and flags `suspect_load_cohorts` when a",
+        "cohort wall exceeds the COMMITTED quiet-box wall by >1.5x —",
+        "1.5x sits above the measured quiet-box run-to-run jitter",
+        "(~4% on the 158-entry median, ~20% worst single cohort) and",
+        "below the 1.9x the loaded-box round-9 stats2 cohort actually",
+        "read, so real regressions in between still surface as",
+        "un-flagged slow walls worth investigating.",
+    ]
+    return lines

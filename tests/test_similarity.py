@@ -434,3 +434,76 @@ def test_truncated_recall_full_dims_is_perfect(spark):
     t4 = truncated_recall(df, trunc_dims=4, n_queries=4, k=8).collect()
     assert all(0 <= r["recall_ppm"] <= 1_000_000 for r in t4)
     assert any(r["recall_ppm"] < 1_000_000 for r in t4)
+
+
+def test_build_ann_index_self_sizes_cells_and_report_clean(spark, tmp_path):
+    """n_cells=None self-sizes to max(16, int(sqrt(N))) (the IVF rule
+    that keeps build O(N^1.5) instead of quadratic), and a fresh build
+    is exactly one file per cell — ann_index_report must read 1.0
+    files/cell and not flag compaction."""
+    from iowa_liquor_sales_spark.operators.similarity import (
+        ann_index_report,
+        build_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    path = str(tmp_path / "ann_sized")
+    idx = build_ann_index(emb, path)
+    assert idx.centroids.count() == max(16, int(n**0.5))
+
+    rep = ann_index_report(spark, path)
+    assert rep["assignments"]["mean_files_per_cell"] == 1.0
+    assert rep["assignments"]["max_files_per_cell"] == 1
+    assert not rep["assignments"]["needs_compaction"]
+    assert (
+        rep["assignments"]["n_cells"]
+        == idx.assignments.select("cell").distinct().count()
+    )
+
+
+def test_ann_index_report_flags_fragmentation_then_clears(spark, tmp_path):
+    """Append-ingest fragments cell partitions; the report's
+    needs_compaction flag must fire at the caller's threshold and clear
+    after compact_ann_index. Also exercises the crashed-swap recovery
+    path: a leftover __old dir from a hypothetical prior crash must not
+    break the next compaction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.similarity import (
+        ann_index_report,
+        assign_new_vectors,
+        build_ann_index,
+        compact_ann_index,
+        load_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    is_delta = (F.col("vec_id") % 5 == 4) & (F.col("vec_id") >= 16)
+    base, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    path = str(tmp_path / "ann_frag")
+    build_ann_index(base, path, n_cells=16)
+    idx = load_ann_index(spark, path)
+    for batch in (delta.filter("vec_id % 2 = 0"), delta.filter("vec_id % 2 = 1")):
+        assign_new_vectors(batch, idx).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{path}/assignments")
+
+    rep = ann_index_report(spark, path, files_per_cell_threshold=1.5)
+    assert rep["assignments"]["mean_files_per_cell"] > 1.5
+    assert rep["assignments"]["needs_compaction"]
+
+    # simulated crashed prior swap: a stale __old sibling must be
+    # cleared by the next compaction, not trip the rename-aside
+    os.makedirs(f"{path}/assignments__old/cell=0", exist_ok=True)
+    with open(f"{path}/assignments__old/cell=0/junk.parquet", "w") as fh:
+        fh.write("stale")
+
+    compact_ann_index(spark, path)
+    assert not os.path.exists(f"{path}/assignments__old")
+    rep2 = ann_index_report(spark, path, files_per_cell_threshold=1.5)
+    assert rep2["assignments"]["mean_files_per_cell"] == 1.0
+    assert not rep2["assignments"]["needs_compaction"]
+    assert rep2["assignments"]["files"] == rep2["assignments"]["n_cells"]
