@@ -152,6 +152,11 @@ def grid_dbscan(
     candidate pairs under ``observations["candidates"]``. The
     pre-flight is one O(n) map + O(1)-row reduce (bounded driver
     state); the Observation is free — it rides the existing job.
+    NOTE the Observation contract: its metrics populate only when an
+    ACTION runs over the returned plan — read
+    ``observations["candidates"].get`` strictly AFTER materializing
+    the result (count/collect/write); calling ``.get`` first blocks
+    until an action happens (indefinitely if none ever does).
     """
     from .graph import connected_components
 

@@ -35,10 +35,20 @@ def global_row_number(
     order_cols: list[str],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Append a 1-based global ``row_number`` ordered by ``order_cols``
     (which should be a unique key for deterministic output) without ever
-    collapsing to one partition."""
+    collapsing to one partition.
+
+    The ranged intermediate is persisted (MEMORY_AND_DISK) to pin one
+    execution of the range shuffle — see the inline comment. That cache
+    entry outlives the call: pass ``cache_handle=[]`` to receive the
+    persisted DataFrame (appended to the list) and ``unpersist()`` it
+    once the output is materialized; callers that skip this in a
+    long-lived session accumulate one cached relation per call until
+    ``spark.catalog.clearCache()``.
+    """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(
         *order_cols
@@ -53,6 +63,8 @@ def global_row_number(
     # whose sampled boundaries are not guaranteed identical across jobs —
     # offsets from one partitioning applied to another would corrupt ranks.
     local = local.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handle is not None:
+        cache_handle.append(local)
     # O(#partitions) rows to the driver — bounded by cluster size, not data.
     counts = {
         r["_pid"]: r["_cnt"]

@@ -1064,9 +1064,16 @@ def hurst_rs(
     round-9 probe). ``distributed_index=True`` switches that step to
     the range-partitioned ``ranking.global_row_number`` (ordered by
     (key, order) so each series is contiguous) plus an O(#series)
-    first-row offset join — bit-identical indexes, parallelism bounded
-    by cores instead of series count. Default stays per-key: the
-    range-shuffle + persist + offset machinery only pays for itself in
+    first-row offset join — parallelism bounded by cores instead of
+    series count. The two arms are bit-identical WHEN (key_col,
+    order_col) is unique per row (the precondition global_row_number
+    documents); under duplicate order values both arms break ties
+    arbitrarily, so idx→value mappings (and downstream chunk
+    statistics) may differ between the plans. The distributed arm
+    materializes the indexed relation eagerly (localCheckpoint) so the
+    range-shuffle cache can be released before returning instead of
+    leaking one cached relation per call. Default stays per-key: that
+    shuffle + checkpoint + offset machinery only pays for itself in
     the few-long-series regime.
 
     Returns (key, n_levels, hurst_ppm).
@@ -1084,13 +1091,23 @@ def hurst_rs(
     if distributed_index:
         from .ranking import global_row_number
 
-        g = global_row_number(sel, ["k", "o"], out_col="_grn")
+        handle: list = []
+        g = global_row_number(
+            sel, ["k", "o"], out_col="_grn", cache_handle=handle
+        )
         firsts = g.groupBy("k").agg(F.min("_grn").alias("_k0"))
         base = (
             g.join(F.broadcast(firsts), "k")
             .withColumn("idx", (F.col("_grn") - F.col("_k0") + 1).cast("int"))
             .drop("_grn", "_k0")
+            # Eager localCheckpoint pins the indexed rows, after which
+            # the range-shuffle cache inside global_row_number can be
+            # released HERE — otherwise every call leaks one persisted
+            # relation into executor storage for the session's life.
+            .localCheckpoint(eager=True)
         )
+        for cached in handle:
+            cached.unpersist()
     else:
         base = sel.withColumn("idx", F.row_number().over(wk))
     lvls = F.array(*[F.lit(int(w)) for w in window_sizes])

@@ -493,3 +493,22 @@ def test_rolling_anomaly_flags_the_spike_not_the_trend(spark):
     assert "2024-01-21" in flagged  # the spike day
     # jitter days are not flagged
     assert len(flagged) <= 3
+
+
+def test_hurst_distributed_index_releases_cache(spark):
+    # global_row_number pins its range shuffle via persist (a
+    # CacheManager entry that nothing garbage-collects); the
+    # distributed_index arm must release it before returning
+    # (localCheckpoint + unpersist) or every call in a long-lived
+    # session leaks one cached relation into executor storage.
+    import random
+
+    from iowa_liquor_sales_spark.operators.temporal import hurst_rs
+
+    spark.catalog.clearCache()
+    rng = random.Random(11)
+    rows = [("s", i, rng.random() * 10) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    out = hurst_rs(df, "k", "o", "v", distributed_index=True).collect()
+    assert len(out) == 1
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
