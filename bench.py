@@ -27,6 +27,13 @@ environment — queries before it, code-cache population, heap history —
 is byte-identical round over round and its walls stay comparable
 forever. Cohort JVM startup/warm-up/ingest happen outside the timed
 regions and are NOT part of the headline total, same as before.
+
+LOAD AWARENESS: each cohort's 1-min loadavg (before/after) is stamped
+into BENCH_DETAIL.json and the compact trailer, and a cohort whose wall
+exceeds the previously COMMITTED quiet-box wall by >1.5x is listed in
+``suspect_load_cohorts`` — so a record taken on a loaded box (round 9's
+stats2 cohort: 253.7 s vs 135.5 s quiet, 6-9x per-query tails) is
+self-identifying instead of masquerading as a regression.
 """
 
 from __future__ import annotations
@@ -481,7 +488,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     stage_splits: dict[str, float] = {}
     cohort_walls: dict[str, float] = {}
+    cohort_loadavg: dict[str, list[float]] = {}
+    # Quiet-box reference walls: the COMMITTED BENCH_DETAIL.json from the
+    # last quiet run. Read BEFORE this run overwrites the file — a cohort
+    # whose wall exceeds its committed quiet wall by >1.5x is flagged
+    # suspect_load, so a loaded-box record is self-identifying (round-9's
+    # stats2 cohort read 253.7 s vs 135.5 s quiet — 6-9x per-query tails
+    # that the artifact alone could not distinguish from a regression).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    quiet_walls: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            quiet_walls = json.load(fh).get("cohort_walls", {}) or {}
+    except (OSError, ValueError):
+        pass
     for cohort in COHORTS:
+        la0 = os.getloadavg()[0]
         t0 = time.perf_counter()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cohort", cohort],
@@ -490,6 +514,7 @@ def main() -> None:
             env=os.environ,
         )
         cohort_walls[cohort] = round(time.perf_counter() - t0, 3)
+        cohort_loadavg[cohort] = [round(la0, 2), round(os.getloadavg()[0], 2)]
         payload = None
         for line in proc.stdout.splitlines():
             if line.startswith("BENCH_COHORT_RESULT "):
@@ -510,9 +535,17 @@ def main() -> None:
         "stage_splits": stage_splits,
         "sf": sf,
     }
+    suspect = sorted(
+        c
+        for c, w in cohort_walls.items()
+        if quiet_walls.get(c) and w > 1.5 * quiet_walls[c]
+    )
     detail = dict(full)
     detail["cohorts"] = {k: len(v) for k, v in COHORTS.items()}
     detail["cohort_walls"] = cohort_walls
+    detail["cohort_loadavg"] = cohort_loadavg
+    detail["quiet_reference_walls"] = quiet_walls
+    detail["suspect_load_cohorts"] = suspect
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         "w",
@@ -534,6 +567,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "top10": top10,
+                "loadavg": {
+                    c: la for c, la in cohort_loadavg.items()
+                },
+                "suspect_load_cohorts": suspect,
                 "detail": "BENCH_DETAIL.json",
             }
         ),
