@@ -10091,6 +10091,65 @@ def q_relative_risk(spark: SparkSession, sf: str) -> DataFrame:
 # pair_source branch; the default path is plan-identical and was
 # re-verified bit-identical vs oracle at sf0.01 this round).
 # scripts/oracle_sweep.py still checks every entry locally each round.
+def q_paragraph_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # Paragraph-grain MinHash+LSH near-dup (dedup.paragraph_neardup_pairs
+    # — the Dolma/CCNet sub-document pass; dedup_lines catches only
+    # EXACT unit copies). Single-line synthetic docs are chunked at 25
+    # words; same md5/affine signature conventions as q_minhash_lsh,
+    # composed through a doc*stride+para composite unit id. Candidates
+    # only are verified; nothing is O(units^2).
+    from iowa_liquor_sales_spark.operators.dedup import (
+        paragraph_neardup_pairs,
+    )
+
+    return paragraph_neardup_pairs(
+        read_table(spark, sf, "documents"),
+        "text",
+        "doc_id",
+        sep=None,
+        words_per_chunk=25,
+        n=3,
+        num_hashes=32,
+        rows_per_band=4,
+        min_jaccard=0.5,
+        min_words=3,
+        id_stride=1000,
+    )
+
+
+def q_match_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-doc duplicated-span LENGTH histogram (dedup.
+    # dup_span_length_histogram): the Lee-et-al. exact-substring
+    # family's knob-setting curve — the length distribution that picks
+    # a dedup pass's minimum-match threshold — off the k-gram islands,
+    # no suffix structures. Two combinable shuffles + one hash join,
+    # struct-state island fold, O(distinct lengths) output.
+    from iowa_liquor_sales_spark.operators.dedup import (
+        dup_span_length_histogram,
+    )
+
+    return dup_span_length_histogram(
+        read_table(spark, sf, "documents"), "text", "doc_id", k=5
+    )
+
+
+def q_contamination_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-source contamination matrix (text.contamination_matrix):
+    # train-slice x eval-set distinct-3-gram overlap ppm — the
+    # source-attribution audit (which slice leaks which benchmark),
+    # q_ngram_coverage's matrix generalization. One shingle join makes
+    # every cell at once; the dense O(sources^2) completion is a
+    # broadcast cross of two source lists.
+    from iowa_liquor_sales_spark.operators.text import contamination_matrix
+
+    docs = read_table(spark, sf, "documents")
+    return contamination_matrix(
+        docs.filter(~F.col("source").isin(["src0", "src1"])),
+        docs.filter(F.col("source").isin(["src0", "src1"])),
+        n=3,
+    )
+
+
 # Round-10 rotation: see the in-list comments below.
 _GATE_HEAD = [
     # round-10 rotation (round-9 verdict item 1): positions 1-25 are
@@ -10136,12 +10195,13 @@ _GATE_HEAD = [
     "q_image_dhash",
     "q_hurst",
     "q_dbscan_grid",
-    # Positions 31-50: freshness re-gates — the 20 queries whose only
+    # Positions 31-47: freshness re-gates — 17 queries whose only
     # green row is round 1 (core scan/agg/set/window/ANN surface has
     # not been re-gated since; scripts/oracle_sweep.py has re-checked
     # them every round, but a driver row is the stricter record).
-    # New round-10 queries, as they land, replace entries from the
-    # TAIL of this block so positions 1-30 are never displaced.
+    # Positions 48-50: the three NEW round-10 queries (paragraph-grain
+    # LSH, match-length histogram, contamination matrix), gated in
+    # their landing round per the round-9 verdict item 6.
     "q_ann_bruteforce",
     "q_ann_lsh",
     "q_minhash_lsh",
@@ -10159,9 +10219,9 @@ _GATE_HEAD = [
     "q_set_except",
     "q_json_extract",
     "q_string_funcs",
-    "q_stats_agg",
-    "q_null_semantics",
-    "q_wordcount",
+    "q_paragraph_neardup",
+    "q_match_length_histogram",
+    "q_contamination_matrix",
 ]
 
 
@@ -10597,6 +10657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_two_prop_z": q_two_prop_z,
         "q_gini_split": q_gini_split,
         "q_relative_risk": q_relative_risk,
+        # --- round-10 additions (gated in their landing round)
+        "q_paragraph_neardup": q_paragraph_neardup,
+        "q_match_length_histogram": q_match_length_histogram,
+        "q_contamination_matrix": q_contamination_matrix,
     }
     head = {k: reg[k] for k in _GATE_HEAD}
     head.update(reg)
@@ -18634,4 +18698,142 @@ def oracle_sql() -> dict[str, str]:
                              // (2 * tp + fp + fn) END AS BIGINT)
                      AS f1_ppm
             FROM r WHERE rn = 1""",
+        "q_paragraph_neardup": f"""
+            WITH w0 AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            p0 AS (
+              SELECT doc_id, CAST(i AS INT) AS para_idx,
+                     array_to_string(ws[i*25+1:i*25+25], ' ') AS para
+              FROM (
+                SELECT doc_id, ws,
+                       unnest(range(0,
+                         CAST(floor((len(ws) - 1) / 25) AS BIGINT) + 1)) AS i
+                FROM w0)),
+            u AS (
+              SELECT doc_id * 1000 + para_idx AS unit_id, para
+              FROM p0 WHERE len(string_split(para, ' ')) >= 3),
+            sh AS (
+              SELECT unit_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                       AS shingle
+              FROM (SELECT unit_id, string_split(para, ' ') AS ws FROM u)
+              WHERE len(ws) >= 3),
+            sz AS (SELECT unit_id, COUNT(*) AS sz FROM sh GROUP BY unit_id),
+            inter AS (
+              SELECT a.unit_id AS ua, b.unit_id AS ub, COUNT(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.unit_id < b.unit_id GROUP BY 1, 2),
+            jac AS (
+              SELECT ua, ub,
+                     CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+                       AS jaccard
+              FROM inter
+              JOIN sz sa ON sa.unit_id = ua
+              JOIN sz sb ON sb.unit_id = ub),
+            h31 AS (
+              SELECT unit_id,
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                         % 2147483647 AS h31
+              FROM sh),
+            hx AS (
+              SELECT unit_id, i,
+                     MIN(({_MH_A}[i + 1] * h31 + {_MH_B}[i + 1])
+                         % 2147483647) AS sig
+              FROM h31, range(32) t(i)
+              GROUP BY unit_id, i),
+            bands AS (
+              SELECT unit_id, CAST(i // 4 AS INTEGER) AS band,
+                     md5(string_agg(CAST(sig AS VARCHAR), ','
+                         ORDER BY i)) AS bucket
+              FROM hx GROUP BY unit_id, CAST(i // 4 AS INTEGER)),
+            cand AS (
+              SELECT DISTINCT a.unit_id AS ua, b.unit_id AS ub
+              FROM bands a JOIN bands b USING (band, bucket)
+              WHERE a.unit_id < b.unit_id)
+            SELECT CAST(ua // 1000 AS BIGINT) AS doc_a,
+                   CAST(ua % 1000 AS INT) AS para_a,
+                   CAST(ub // 1000 AS BIGINT) AS doc_b,
+                   CAST(ub % 1000 AS INT) AS para_b,
+                   jaccard
+            FROM cand JOIN jac USING (ua, ub)
+            WHERE jaccard >= 0.5""",
+        "q_match_length_histogram": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), ' +') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, CAST(i AS INT) AS start,
+                     array_to_string(ws[i:i + 4], ' ') AS gram
+              FROM (
+                SELECT doc_id, ws,
+                       unnest(range(1, len(ws) - 5 + 2)) AS i
+                FROM w WHERE len(ws) >= 5)),
+            dup AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING MIN(doc_id) <> MAX(doc_id)),
+            h AS (SELECT g.doc_id, g.start FROM g JOIN dup USING (gram)),
+            o AS (
+              SELECT doc_id, start,
+                     CASE WHEN start >= COALESCE(MAX(start + 5) OVER (
+                            PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)
+                          THEN 1 ELSE 0 END AS brk
+              FROM h),
+            i AS (
+              SELECT doc_id, start,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY start)
+                       AS gid
+              FROM o),
+            isl AS (
+              SELECT doc_id, gid,
+                     MAX(start) + 5 - MIN(start) AS span_len
+              FROM i GROUP BY doc_id, gid)
+            SELECT CAST(span_len AS BIGINT) AS span_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM isl GROUP BY span_len""",
+        "q_contamination_matrix": """
+            WITH w AS (
+              SELECT source, string_split(text, ' ') AS ws
+              FROM documents),
+            trg AS (
+              SELECT source AS train_source,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                       AS shingle
+              FROM w WHERE len(ws) >= 3
+                AND source NOT IN ('src0', 'src1')),
+            tr AS (SELECT DISTINCT train_source, shingle FROM trg),
+            evg AS (
+              SELECT source AS eval_source,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                       AS shingle
+              FROM w WHERE len(ws) >= 3
+                AND source IN ('src0', 'src1')),
+            ev AS (SELECT DISTINCT eval_source, shingle FROM evg),
+            totals AS (
+              SELECT eval_source, CAST(COUNT(*) AS BIGINT) AS n_eval_grams
+              FROM ev GROUP BY eval_source),
+            overlap AS (
+              SELECT train_source, eval_source,
+                     CAST(COUNT(*) AS BIGINT) AS n_overlap
+              FROM ev JOIN tr USING (shingle)
+              GROUP BY train_source, eval_source),
+            dense AS (
+              SELECT t.train_source, e.eval_source, e.n_eval_grams
+              FROM (SELECT DISTINCT train_source FROM tr) t, totals e)
+            SELECT d.train_source, d.eval_source,
+                   CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   d.n_eval_grams,
+                   CAST((COALESCE(o.n_overlap, 0) * 1000000)
+                        // d.n_eval_grams AS BIGINT) AS contamination_ppm
+            FROM dense d LEFT JOIN overlap o
+              USING (train_source, eval_source)""",
     }

@@ -1110,3 +1110,234 @@ def lsh_band_plan(
         )
         .orderBy("bands")
     )
+
+
+def split_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = "\n\n",
+    words_per_chunk: int | None = None,
+    min_words: int = 1,
+) -> DataFrame:
+    """Explode documents into PARAGRAPH-grain rows (doc_id, para_idx,
+    para) — the unit of the Dolma/CCNet within-and-across-document
+    near-dup pass (reference scope: the flat-table model at
+    /root/reference/src/transform.py has no sub-document grain at all;
+    this is engine surface for the LLM-pipeline brief).
+
+    Two segmentations, one output shape:
+
+    - ``sep`` (default blank line): real paragraph boundaries;
+    - ``words_per_chunk``: fixed word-count chunks for single-line
+      corpora (and for CDC-style bounded units regardless of
+      formatting) — chunk i covers words [i*W+1, i*W+W].
+
+    ``para_idx`` is the 0-based position of the unit in the ORIGINAL
+    document (pre-filter), so downstream span bookkeeping survives the
+    ``min_words`` drop. Zero shuffle: split/transform/posexplode only.
+    """
+    if (sep is None) == (words_per_chunk is None):
+        raise ValueError("exactly one of sep / words_per_chunk required")
+    if sep is not None:
+        units = F.split(F.col(text_col), F.lit(sep).cast("string"))
+    else:
+        w = int(words_per_chunk)
+        ws = F.split(F.col(text_col), " ")
+        units = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size(ws) - 1) / F.lit(w)).cast("int"),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(ws, i * w + 1, F.lit(w))
+            ),
+        )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(units).alias("para_idx", "para"),
+    )
+    return out.filter(
+        F.size(F.split(F.col("para"), " ")) >= int(min_words)
+    )
+
+
+def paragraph_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = "\n\n",
+    words_per_chunk: int | None = None,
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    min_jaccard: float = 0.8,
+    min_words: int = 3,
+    id_stride: int = 1_000_000,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate detection at the PARAGRAPH grain —
+    document-level LSH misses boilerplate that repeats as a paragraph
+    inside otherwise-distinct documents (the Dolma/CCNet motivation for
+    sub-document dedup; ``curation.dedup_lines`` catches only EXACT
+    unit copies, this is its approximate companion).
+
+    Composition, not new machinery: :func:`split_paragraphs` →
+    composite unit id ``doc_id * id_stride + para_idx`` →
+    :func:`minhash_lsh_pairs` (same md5/affine signature conventions,
+    banded buckets, candidate-only exact verification) → decode back to
+    (doc_a, para_a, doc_b, para_b, jaccard). ``cross_doc_only`` drops
+    within-document pairs (self-boilerplate) when only cross-corpus
+    leakage matters. Paragraph counts per doc must stay below
+    ``id_stride`` (raise it for pathological documents).
+
+    Scale shape is inherited: shuffles are keyed on shingle / unit id /
+    (band, bucket); candidates only are verified; nothing is O(docs²)
+    — and the unit being the paragraph SHRINKS per-unit shingle sets,
+    so signature aggregation is cheaper per row than doc-grain LSH.
+    """
+    paras = split_paragraphs(
+        df,
+        text_col,
+        id_col,
+        sep=sep,
+        words_per_chunk=words_per_chunk,
+        min_words=min_words,
+    )
+    units = paras.select(
+        (F.col("doc_id") * F.lit(int(id_stride)) + F.col("para_idx")).alias(
+            "unit_id"
+        ),
+        F.col("para"),
+    )
+    pairs = minhash_lsh_pairs(
+        units,
+        "para",
+        "unit_id",
+        n=n,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        min_jaccard=min_jaccard,
+    )
+    s = int(id_stride)
+    # integer `div`, not float division: composite ids above 2^53 would
+    # shear through a double on the way back to (doc, para)
+    out = pairs.select(
+        F.expr(f"CAST(doc_a div {s} AS BIGINT)").alias("doc_a"),
+        F.expr(f"CAST(doc_a % {s} AS INT)").alias("para_a"),
+        F.expr(f"CAST(doc_b div {s} AS BIGINT)").alias("doc_b"),
+        F.expr(f"CAST(doc_b % {s} AS INT)").alias("para_b"),
+        "jaccard",
+    )
+    if cross_doc_only:
+        out = out.filter(F.col("doc_a") != F.col("doc_b"))
+    return out
+
+
+def dup_span_length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Length HISTOGRAM of merged cross-document duplicated spans — the
+    knob-setting curve the Lee-et-al. exact-substring family needs:
+    :func:`duplicated_spans` tells you HOW MUCH of each doc is
+    duplicated; this tells you the length DISTRIBUTION of those
+    matches, which is what picks the minimum-match-length threshold for
+    a dedup pass (suffix-array pipelines read the same curve off the
+    LCP array; here it falls out of the k-gram islands with no suffix
+    structure at all).
+
+    Same two-shuffle dataflow as duplicated_spans (positioned k-grams →
+    cross-doc gram filter via min!=max → per-doc sorted starts); the
+    per-doc fold then emits each merged island's LENGTH (struct-state
+    higher-order aggregate — pure Catalyst, no window, no Python), and
+    one final O(distinct lengths) aggregate builds the histogram.
+
+    Returns (span_len, n_spans, n_docs) — span_len in covered word
+    positions, one row per observed length.
+    """
+    words = F.split(F.trim(F.col(text_col)), " +")
+    n = F.size(words)
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(
+                            " ", F.slice(words, i, F.lit(k))
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(
+                F.expr("array()").cast(
+                    "array<struct<start:int,gram:string>>"
+                )
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.start").alias("start"),
+        F.xxhash64("g.gram").alias("gh"),
+    )
+    cross_doc = (
+        grams.groupBy("gh")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("gh")
+    )
+    starts = (
+        grams.join(cross_doc, "gh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+    )
+    # struct-state fold: (lens, cur_start, cur_end); starts sorted and
+    # unique, islands merge exactly as in duplicated_spans, but here
+    # each closed island APPENDS its length instead of bumping a count.
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)").alias("lens"),
+        F.lit(0).cast("long").alias("cs"),
+        F.lit(0).cast("long").alias("ce"),
+    )
+    lens = F.aggregate(
+        F.col("starts"),
+        init,
+        lambda acc, s: F.when(
+            s >= acc["ce"],
+            F.struct(
+                F.when(
+                    acc["ce"] > 0,
+                    F.concat(
+                        acc["lens"], F.array(acc["ce"] - acc["cs"])
+                    ),
+                )
+                .otherwise(acc["lens"])
+                .alias("lens"),
+                s.cast("long").alias("cs"),
+                (s.cast("long") + k).alias("ce"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc["lens"].alias("lens"),
+                acc["cs"].alias("cs"),
+                (s.cast("long") + k).alias("ce"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["ce"] > 0,
+            F.concat(acc["lens"], F.array(acc["ce"] - acc["cs"])),
+        ).otherwise(acc["lens"]),
+    )
+    return (
+        starts.select("doc_id", F.explode(lens).alias("span_len"))
+        .groupBy("span_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )

@@ -1763,3 +1763,80 @@ def log_odds_ratio(
             .alias("z_ppm"),
         )
     )
+
+
+def contamination_matrix(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Per-source contamination MATRIX: for every (train_source,
+    eval_source) pair, the ppm of the eval set's distinct word n-grams
+    that the train source contains — :func:`ngram_coverage` answers the
+    per-document question against ONE train corpus; this is the
+    source-attribution version an LLM-data audit actually publishes
+    (which crawl slice leaks which benchmark), composing the same
+    shingle machinery over all pairs at once.
+
+    Dataflow: both sides collapse to distinct (source, shingle)
+    relations (map-side combinable — O(Σ distinct grams), never doc
+    rows); ONE hash join on shingle produces every matrix cell's
+    overlap simultaneously (no per-pair passes); the eval totals join
+    back on eval_source; finally the O(sources²) dense matrix is
+    completed with a broadcast cross of the two source lists so
+    zero-overlap cells appear explicitly as 0 ppm. Pure-integer div
+    ppm (exact, engine-portable).
+
+    Returns (train_source, eval_source, n_overlap, n_eval_grams,
+    contamination_ppm), one row per source pair.
+    """
+    from .curation import word_ngrams
+
+    tr = (
+        train.select(
+            F.col(source_col).alias("train_source"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    ev = (
+        eval_df.select(
+            F.col(source_col).alias("eval_source"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    totals = ev.groupBy("eval_source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_grams")
+    )
+    overlap = (
+        ev.join(tr, "shingle")
+        .groupBy("train_source", "eval_source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    dense = (
+        tr.select("train_source")
+        .distinct()
+        .crossJoin(F.broadcast(totals))
+    )
+    return (
+        # overlap is O(sources^2) rows — broadcast it so the dense
+        # completion never sort-merge-shuffles two tiny relations
+        dense.join(
+            F.broadcast(overlap), ["train_source", "eval_source"], "left"
+        )
+        .select(
+            "train_source",
+            "eval_source",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            "n_eval_grams",
+            F.expr(
+                "CAST((COALESCE(n_overlap, 0) * 1000000)"
+                " div n_eval_grams AS BIGINT)"
+            ).alias("contamination_ppm"),
+        )
+    )

@@ -234,6 +234,10 @@ FLAGSHIP = [
     # round-9 additions
     "q_ppm_zlib_decode",
     "q_compression_ratio",
+    # round-10 additions
+    "q_paragraph_neardup",
+    "q_match_length_histogram",
+    "q_contamination_matrix",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries

@@ -502,3 +502,101 @@ def test_preference_pairs_rank_gap_and_self_exclusion(spark):
     }
     # singleton group emits nothing (self pair excluded)
     assert not [k for k in out if k[0] == "g3"]
+
+
+def test_split_paragraphs_chunk_mode_and_sep_mode(spark):
+    from iowa_liquor_sales_spark.operators.dedup import split_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven")], ["doc_id", "text"]
+    )
+    chunks = {
+        (r["para_idx"], r["para"])
+        for r in split_paragraphs(
+            df, "text", "doc_id", sep=None, words_per_chunk=3, min_words=1
+        ).collect()
+    }
+    assert chunks == {
+        (0, "one two three"),
+        (1, "four five six"),
+        (2, "seven"),
+    }
+    # min_words drops the short tail but keeps ORIGINAL indexes
+    kept = {
+        r["para_idx"]
+        for r in split_paragraphs(
+            df, "text", "doc_id", sep=None, words_per_chunk=3, min_words=2
+        ).collect()
+    }
+    assert kept == {0, 1}
+
+    df2 = spark.createDataFrame(
+        [(2, "para one here\n\nsecond para here")], ["doc_id", "text"]
+    )
+    seps = {
+        (r["para_idx"], r["para"])
+        for r in split_paragraphs(df2, "text", "doc_id").collect()
+    }
+    assert seps == {(0, "para one here"), (1, "second para here")}
+
+
+def test_paragraph_neardup_finds_shared_boilerplate(spark):
+    from iowa_liquor_sales_spark.operators.dedup import (
+        paragraph_neardup_pairs,
+    )
+
+    boiler = "terms of service apply to all users of this site always"
+    rows = [
+        (10, f"alpha beta gamma delta epsilon zeta\n\n{boiler}"),
+        (20, f"{boiler}\n\ncompletely different second body text here"),
+        (30, "unrelated document with its own words entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = paragraph_neardup_pairs(
+        df, "text", "doc_id", sep="\n\n", min_jaccard=0.9, min_words=3
+    ).collect()
+    assert [
+        (r["doc_a"], r["para_a"], r["doc_b"], r["para_b"])
+        for r in pairs
+    ] == [(10, 1, 20, 0)]
+    assert pairs[0]["jaccard"] == 1.0
+    # cross_doc_only drops within-doc self-boilerplate
+    rows2 = rows + [(40, f"{boiler}\n\n{boiler}")]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    all_pairs = paragraph_neardup_pairs(
+        df2, "text", "doc_id", sep="\n\n", min_jaccard=0.9, min_words=3
+    )
+    cross = paragraph_neardup_pairs(
+        df2,
+        "text",
+        "doc_id",
+        sep="\n\n",
+        min_jaccard=0.9,
+        min_words=3,
+        cross_doc_only=True,
+    )
+    assert all_pairs.filter("doc_a = doc_b").count() == 1
+    assert cross.filter("doc_a = doc_b").count() == 0
+
+
+def test_dup_span_length_histogram_matches_bruteforce(spark):
+    from iowa_liquor_sales_spark.operators.dedup import (
+        dup_span_length_histogram,
+    )
+
+    # doc 1 and 2 share an 8-word run (two overlapping islands merge to
+    # one span of length 8); doc 3 shares nothing
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (1, f"a b c {shared} d e f"),
+        (2, f"{shared} x y z q r s t"),
+        (3, "p q r s t u v w unique tail words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["span_len"]: (r["n_spans"], r["n_docs"])
+        for r in dup_span_length_histogram(df, "text", "doc_id", k=5).collect()
+    }
+    # docs 1+2: the 8-word run -> one merged span of 8 in each; docs
+    # 2+3 share 'q r s t' (4 words) < k, no gram
+    assert got == {8: (2, 2)}

@@ -341,3 +341,45 @@ def test_rolling_quantile_windows_stay_day_partitioned(spark):
     assert "partial_sum" in plan
     for frag in plan.split("windowspecdefinition(")[1:]:
         assert frag.split(",")[0].startswith("tday"), frag[:120]
+
+
+def test_ams_f2_single_combinable_pass_no_smj(spark):
+    # ams_f2 folds all nine +-1 estimators into ONE map-side-combinable
+    # aggregate pass (partial_sum) and only ever joins O(1)-row
+    # summary relations (broadcast NL) — a SortMergeJoin or a
+    # CartesianProduct means an estimator fanned out into a per-row
+    # join, O(n x estimators) shuffled rows at corpus scale.
+    plan = _plan(spark, "q_ams_f2")
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conformal_no_global_sort_of_residuals(spark):
+    # conformal's calibration quantile must come from the windowed rank
+    # over the O(calibration) residual relation with broadcast joins of
+    # the O(1) threshold back onto the scoring side — SortMergeJoin /
+    # CartesianProduct would shuffle the full relation per quantile.
+    plan = _plan(spark, "q_conformal")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_anomaly_windows_stay_day_partitioned(spark):
+    # rolling_anomaly collapses raw events to daily aggregates FIRST
+    # (partial_sum) and every remaining value window runs PARTITIONED
+    # BY the day grid — a global-window sort of raw rows serializes
+    # the relation through one task at scale. (RowFrame specs and the
+    # O(days)-relation rank window are fine; raw-grain empty
+    # partition specs are not.)
+    plan = _plan(spark, "q_rolling_anomaly")
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        head = frag.split(",")[0]
+        assert (
+            head.startswith(("tday", "day", "ad#", "r#"))
+            or head.startswith("specifiedwindowframe")
+        ), frag[:120]

@@ -453,3 +453,37 @@ def test_log_odds_ratio_flags_distinguishing_terms(spark):
              - math.log(num_b) + math.log(den_b))
     var = 1000.0 / num_a + 1000.0 / num_b
     assert out["apple"]["z_ppm"] == math.floor(delta / math.sqrt(var) * 1e6)
+
+
+def test_contamination_matrix_dense_zero_fill(spark):
+    from iowa_liquor_sales_spark.operators.text import contamination_matrix
+
+    rows = [
+        (0, "a b c d e", "trainA"),
+        (1, "x y z w v", "trainB"),
+        (2, "a b c q r", "eval1"),
+        (3, "m n o p q", "eval2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    train = df.filter("source like 'train%'")
+    ev = df.filter("source like 'eval%'")
+    got = {
+        (r["train_source"], r["eval_source"]): (
+            r["n_overlap"],
+            r["n_eval_grams"],
+            r["contamination_ppm"],
+        )
+        for r in contamination_matrix(train, ev, n=3).collect()
+    }
+    # dense: all 4 cells present, including zero-overlap ones
+    assert set(got) == {
+        ("trainA", "eval1"),
+        ("trainA", "eval2"),
+        ("trainB", "eval1"),
+        ("trainB", "eval2"),
+    }
+    # eval1 has 3-grams {a b c, b c q, c q r}; trainA contains 'a b c'
+    assert got[("trainA", "eval1")] == (1, 3, 333_333)
+    assert got[("trainB", "eval1")] == (0, 3, 0)
+    assert got[("trainA", "eval2")] == (0, 3, 0)
+    assert got[("trainB", "eval2")] == (0, 3, 0)
