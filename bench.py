@@ -230,6 +230,10 @@ COHORTS: dict[str, list[str]] = {
         # round-9 additions (appended — frozen-boundary rule above)
         "q_ppm_zlib_decode",
         "q_compression_ratio",
+        # round-10 additions (appended — frozen-boundary rule above)
+        "q_paragraph_neardup",
+        "q_match_length_histogram",
+        "q_contamination_matrix",
     ],
     # the reference-baseline stage analogs (BASELINE.md's transform and
     # load stages) — their own tiny JVM so the baseline-facing numbers
@@ -495,15 +499,30 @@ def main() -> None:
     # suspect_load, so a loaded-box record is self-identifying (round-9's
     # stats2 cohort read 253.7 s vs 135.5 s quiet — 6-9x per-query tails
     # that the artifact alone could not distinguish from a regression).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
     quiet_walls: dict[str, float] = {}
     try:
-        with open(detail_path) as fh:
-            quiet_walls = json.load(fh).get("cohort_walls", {}) or {}
+        # the COMMITTED record, explicitly: back-to-back local runs
+        # would otherwise compare each run to the previous one (the
+        # working-tree file) and never to the tracked quiet reference
+        committed = subprocess.run(
+            ["git", "-C", repo, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            text=True,
+        )
+        if committed.returncode == 0:
+            quiet_walls = (
+                json.loads(committed.stdout).get("cohort_walls", {}) or {}
+            )
     except (OSError, ValueError):
         pass
+    if not quiet_walls:
+        try:
+            with open(detail_path) as fh:
+                quiet_walls = json.load(fh).get("cohort_walls", {}) or {}
+        except (OSError, ValueError):
+            pass
     for cohort in COHORTS:
         la0 = os.getloadavg()[0]
         t0 = time.perf_counter()
