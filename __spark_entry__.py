@@ -18808,7 +18808,11 @@ def oracle_sql() -> dict[str, str]:
                        AS shingle
               FROM w WHERE len(ws) >= 3
                 AND source NOT IN ('src0', 'src1')),
-            tr AS (SELECT DISTINCT train_source, shingle FROM trg),
+            tr AS (
+              SELECT DISTINCT train_source,
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                       AS gh
+              FROM trg),
             evg AS (
               SELECT source AS eval_source,
                      unnest(list_distinct(list_transform(
@@ -18817,14 +18821,18 @@ def oracle_sql() -> dict[str, str]:
                        AS shingle
               FROM w WHERE len(ws) >= 3
                 AND source IN ('src0', 'src1')),
-            ev AS (SELECT DISTINCT eval_source, shingle FROM evg),
+            ev AS (
+              SELECT DISTINCT eval_source,
+                     CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                       AS gh
+              FROM evg),
             totals AS (
               SELECT eval_source, CAST(COUNT(*) AS BIGINT) AS n_eval_grams
               FROM ev GROUP BY eval_source),
             overlap AS (
               SELECT train_source, eval_source,
                      CAST(COUNT(*) AS BIGINT) AS n_overlap
-              FROM ev JOIN tr USING (shingle)
+              FROM ev JOIN tr USING (gh)
               GROUP BY train_source, eval_source),
             dense AS (
               SELECT t.train_source, e.eval_source, e.n_eval_grams

@@ -828,6 +828,7 @@ def duplicated_spans(
     duplicated k-gram: ``(doc_id, n_dup_grams, n_spans, dup_tokens)``
     where ``dup_tokens`` counts word positions covered by merged spans.
     """
+    df = _ensure_parallelism(df)  # k-gram explode multiplies rows ~|words|x
     words = F.split(F.trim(F.col(text_col)), " +")
     n = F.size(words)
     grams = df.select(
@@ -1258,6 +1259,7 @@ def dup_span_length_histogram(
     Returns (span_len, n_spans, n_docs) — span_len in covered word
     positions, one row per observed length.
     """
+    df = _ensure_parallelism(df)  # k-gram explode multiplies rows ~|words|x
     words = F.split(F.trim(F.col(text_col)), " +")
     n = F.size(words)
     grams = df.select(

@@ -1780,18 +1780,24 @@ def contamination_matrix(
     (which crawl slice leaks which benchmark), composing the same
     shingle machinery over all pairs at once.
 
-    Dataflow: both sides collapse to distinct (source, shingle)
-    relations (map-side combinable — O(Σ distinct grams), never doc
-    rows); ONE hash join on shingle produces every matrix cell's
-    overlap simultaneously (no per-pair passes); the eval totals join
-    back on eval_source; finally the O(sources²) dense matrix is
-    completed with a broadcast cross of the two source lists so
-    zero-overlap cells appear explicitly as 0 ppm. Pure-integer div
-    ppm (exact, engine-portable).
+    Dataflow: both sides collapse to distinct (source, gram-hash)
+    relations — grams are hashed to the portable 60-bit
+    ``functions.hashing.hash60`` BEFORE the distinct, the
+    duplicated_spans rationale: the two distincts and the overlap join
+    then shuffle 8-byte ints instead of n-word strings (collision odds
+    ~grams²/2^61, far below the ppm grid). Map-side combinable —
+    O(Σ distinct grams), never doc rows; ONE hash join on the gram
+    hash produces every matrix cell's overlap simultaneously (no
+    per-pair passes); the eval totals join back on eval_source;
+    finally the O(sources²) dense matrix is completed with a broadcast
+    cross of the two source lists so zero-overlap cells appear
+    explicitly as 0 ppm. Pure-integer div ppm (exact,
+    engine-portable).
 
     Returns (train_source, eval_source, n_overlap, n_eval_grams,
     contamination_ppm), one row per source pair.
     """
+    from ..functions.hashing import hash60
     from .curation import word_ngrams
 
     tr = (
@@ -1799,6 +1805,7 @@ def contamination_matrix(
             F.col(source_col).alias("train_source"),
             F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
         )
+        .select("train_source", hash60("shingle").alias("gh"))
         .distinct()
     )
     ev = (
@@ -1806,13 +1813,14 @@ def contamination_matrix(
             F.col(source_col).alias("eval_source"),
             F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
         )
+        .select("eval_source", hash60("shingle").alias("gh"))
         .distinct()
     )
     totals = ev.groupBy("eval_source").agg(
         F.count(F.lit(1)).cast("long").alias("n_eval_grams")
     )
     overlap = (
-        ev.join(tr, "shingle")
+        ev.join(tr, "gh")
         .groupBy("train_source", "eval_source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )

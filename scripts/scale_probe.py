@@ -2107,10 +2107,21 @@ def bench_round10b(spark, docs_paths: dict) -> dict:
     from iowa_liquor_sales_spark.operators.text import contamination_matrix
 
     timings: dict[str, dict] = {}
+    warmed: set = set()
 
     def t(label, factor, mk):
+        if label not in warmed:
+            # untimed warm-up: the x1 cell runs first in a cold JVM and
+            # would otherwise record codegen/JIT compile, not the
+            # operator (first measured table read x1 SLOWER than x4)
+            spark.catalog.clearCache()
+            mk().write.format("noop").mode("overwrite").save()
+            warmed.add(label)
+        # best-of-4: the round-10 measurement box oscillates (see the
+        # bench re-base adjudication in SCALE.md) and contention only
+        # ever INFLATES a wall, so the minimum is the estimator
         best = float("inf")
-        for _ in range(2):
+        for _ in range(4):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             mk().write.format("noop").mode("overwrite").save()
