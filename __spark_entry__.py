@@ -18711,7 +18711,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM w0)),
             u AS (
               SELECT doc_id * 1000 + para_idx AS unit_id, para
-              FROM p0 WHERE len(string_split(para, ' ')) >= 3),
+              FROM p0
+              WHERE CASE WHEN len(trim(para)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(para), ' +'))
+                    END >= 3),
             sh AS (
               SELECT unit_id,
                      unnest(list_distinct(list_transform(
@@ -18836,7 +18839,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY train_source, eval_source),
             dense AS (
               SELECT t.train_source, e.eval_source, e.n_eval_grams
-              FROM (SELECT DISTINCT train_source FROM tr) t, totals e)
+              FROM (SELECT DISTINCT source AS train_source FROM documents
+                    WHERE source NOT IN ('src0', 'src1')) t, totals e)
             SELECT d.train_source, d.eval_source,
                    CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
                    d.n_eval_grams,

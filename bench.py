@@ -502,6 +502,7 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(repo, "BENCH_DETAIL.json")
     quiet_walls: dict[str, float] = {}
+    quiet_sizes: dict[str, int] = {}
     try:
         # the COMMITTED record, explicitly: back-to-back local runs
         # would otherwise compare each run to the previous one (the
@@ -512,17 +513,28 @@ def main() -> None:
             text=True,
         )
         if committed.returncode == 0:
-            quiet_walls = (
-                json.loads(committed.stdout).get("cohort_walls", {}) or {}
-            )
+            _ref = json.loads(committed.stdout)
+            quiet_walls = _ref.get("cohort_walls", {}) or {}
+            quiet_sizes = _ref.get("cohorts", {}) or {}
     except (OSError, ValueError):
         pass
     if not quiet_walls:
         try:
             with open(detail_path) as fh:
-                quiet_walls = json.load(fh).get("cohort_walls", {}) or {}
+                _ref = json.load(fh)
+                quiet_walls = _ref.get("cohort_walls", {}) or {}
+                quiet_sizes = _ref.get("cohorts", {}) or {}
         except (OSError, ValueError):
             pass
+    # A cohort that legitimately GAINED queries since the committed
+    # record (frozen-boundary rule: new queries append) would read as
+    # "suspect load" on membership growth alone — scale the reference
+    # wall by the size ratio before comparing.
+    for c in list(quiet_walls):
+        if quiet_sizes.get(c) and len(COHORTS.get(c, [])) > quiet_sizes[c]:
+            quiet_walls[c] = quiet_walls[c] * (
+                len(COHORTS[c]) / quiet_sizes[c]
+            )
     for cohort in COHORTS:
         la0 = os.getloadavg()[0]
         t0 = time.perf_counter()

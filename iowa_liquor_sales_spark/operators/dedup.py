@@ -801,33 +801,17 @@ def sorted_neighborhood_pairs(
     )
 
 
-def duplicated_spans(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 5,
+def _cross_doc_gram_hits(
+    df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """Cross-document exact-substring duplication (the span-level dedup of
-    Lee et al., "Deduplicating Training Data Makes Language Models
-    Better"): every word ``k``-gram occurring in two or more DISTINCT
-    documents marks a duplicated span ``[start, start+k)``; overlapping
-    spans merge per document.
-
-    Spark-first plan: one pass emits positioned k-grams via a
-    ``transform(sequence(...))`` + ``posexplode`` (pure Catalyst array
-    exprs, no Python); cross-doc grams are found with a single hash
-    aggregate on ``xxhash64(gram)`` using the ``min(id) <> max(id)``
-    trick (no count-distinct); the hash join back is shuffle-on-hash on
-    both sides (the scalable choice — the flagged-gram set is O(corpus)
-    and must not be broadcast); span merging is a per-doc
-    ``sort_array(collect_list)`` + higher-order ``aggregate`` fold —
-    gaps-and-islands without a window. Total: 2 wide shuffles (gram agg,
-    doc agg) + 1 hash join, all map-side combinable.
-
-    Returns one row per document that contains at least one cross-doc
-    duplicated k-gram: ``(doc_id, n_dup_grams, n_spans, dup_tokens)``
-    where ``dup_tokens`` counts word positions covered by merged spans.
-    """
+    """Shared first half of the Lee-et-al. span family: positioned word
+    k-grams (one pure-Catalyst transform + posexplode per doc), grams
+    hashed (xxhash64 — shuffle carries 8-byte ints), cross-doc grams
+    found via the min(id) != max(id) trick, and the hash join back.
+    Returns the hit relation (doc_id, start) consumed by
+    :func:`duplicated_spans` (count + merged-span stats) and
+    :func:`dup_span_length_histogram` (per-island lengths) — one copy
+    of the pipeline so the two can never diverge."""
     df = _ensure_parallelism(df)  # k-gram explode multiplies rows ~|words|x
     words = F.split(F.trim(F.col(text_col)), " +")
     n = F.size(words)
@@ -860,7 +844,37 @@ def duplicated_spans(
         .filter(F.col("lo") != F.col("hi"))
         .select("gh")
     )
-    hits = grams.join(cross_doc, "gh").select("doc_id", "start")
+    return grams.join(cross_doc, "gh").select("doc_id", "start")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Cross-document exact-substring duplication (the span-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every word ``k``-gram occurring in two or more DISTINCT
+    documents marks a duplicated span ``[start, start+k)``; overlapping
+    spans merge per document.
+
+    Spark-first plan: one pass emits positioned k-grams via a
+    ``transform(sequence(...))`` + ``posexplode`` (pure Catalyst array
+    exprs, no Python); cross-doc grams are found with a single hash
+    aggregate on ``xxhash64(gram)`` using the ``min(id) <> max(id)``
+    trick (no count-distinct); the hash join back is shuffle-on-hash on
+    both sides (the scalable choice — the flagged-gram set is O(corpus)
+    and must not be broadcast); span merging is a per-doc
+    ``sort_array(collect_list)`` + higher-order ``aggregate`` fold —
+    gaps-and-islands without a window. Total: 2 wide shuffles (gram agg,
+    doc agg) + 1 hash join, all map-side combinable.
+
+    Returns one row per document that contains at least one cross-doc
+    duplicated k-gram: ``(doc_id, n_dup_grams, n_spans, dup_tokens)``
+    where ``dup_tokens`` counts word positions covered by merged spans.
+    """
+    hits = _cross_doc_gram_hits(df, text_col, id_col, k)
     per_doc = hits.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_grams"),
         F.sort_array(F.collect_list("start")).alias("starts"),
@@ -1136,12 +1150,21 @@ def split_paragraphs(
 
     ``para_idx`` is the 0-based position of the unit in the ORIGINAL
     document (pre-filter), so downstream span bookkeeping survives the
-    ``min_words`` drop. Zero shuffle: split/transform/posexplode only.
+    ``min_words`` drop. ``sep`` is a LITERAL separator (regex-quoted
+    internally — a "|+|" or "." separator splits on those exact
+    characters, not on a regex). Word counting for ``min_words`` uses
+    trimmed ``' +'`` tokenization (empty paragraphs count 0 words, runs
+    of spaces don't inflate the count — the same convention as the
+    span operators below). Zero shuffle: split/transform/posexplode
+    only.
     """
     if (sep is None) == (words_per_chunk is None):
         raise ValueError("exactly one of sep / words_per_chunk required")
     if sep is not None:
-        units = F.split(F.col(text_col), F.lit(sep).cast("string"))
+        # \Q..\E quotes the separator: F.split takes a Java REGEX, and a
+        # literal like "|+|" would otherwise be a pattern-syntax error
+        # (or silently split on every character for ".")
+        units = F.split(F.col(text_col), "\\Q" + sep + "\\E")
     else:
         w = int(words_per_chunk)
         ws = F.split(F.col(text_col), " ")
@@ -1158,9 +1181,10 @@ def split_paragraphs(
         F.col(id_col).alias("doc_id"),
         F.posexplode(units).alias("para_idx", "para"),
     )
-    return out.filter(
-        F.size(F.split(F.col("para"), " ")) >= int(min_words)
+    n_words = F.when(F.length(F.trim(F.col("para"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("para")), " +"))
     )
+    return out.filter(n_words >= int(min_words))
 
 
 def paragraph_neardup_pairs(
@@ -1206,9 +1230,14 @@ def paragraph_neardup_pairs(
         min_words=min_words,
     )
     units = paras.select(
-        (F.col("doc_id") * F.lit(int(id_stride)) + F.col("para_idx")).alias(
-            "unit_id"
-        ),
+        # cast BEFORE the multiply: an IntegerType id column would
+        # compute doc_id * stride in int32 — ANSI overflow error at
+        # doc_id >= 2148 under the default stride (silent wraparound
+        # with ANSI off)
+        (
+            F.col("doc_id").cast("long") * F.lit(int(id_stride))
+            + F.col("para_idx")
+        ).alias("unit_id"),
         F.col("para"),
     )
     pairs = minhash_lsh_pairs(
@@ -1259,42 +1288,8 @@ def dup_span_length_histogram(
     Returns (span_len, n_spans, n_docs) — span_len in covered word
     positions, one row per observed length.
     """
-    df = _ensure_parallelism(df)  # k-gram explode multiplies rows ~|words|x
-    words = F.split(F.trim(F.col(text_col)), " +")
-    n = F.size(words)
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(1), n - k + 1),
-                    lambda i: F.struct(
-                        i.alias("start"),
-                        F.concat_ws(
-                            " ", F.slice(words, i, F.lit(k))
-                        ).alias("gram"),
-                    ),
-                ),
-            ).otherwise(
-                F.expr("array()").cast(
-                    "array<struct<start:int,gram:string>>"
-                )
-            )
-        ).alias("g"),
-    ).select(
-        "doc_id",
-        F.col("g.start").alias("start"),
-        F.xxhash64("g.gram").alias("gh"),
-    )
-    cross_doc = (
-        grams.groupBy("gh")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .filter(F.col("lo") != F.col("hi"))
-        .select("gh")
-    )
     starts = (
-        grams.join(cross_doc, "gh")
+        _cross_doc_gram_hits(df, text_col, id_col, k)
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("start")).alias("starts"))
     )

@@ -1592,13 +1592,20 @@ def compact_ann_index(spark, path: str) -> dict:
     stats: dict[str, dict] = {}
     for rel in ("assignments", "pq_codes"):
         rel_path = f"{path}/{rel}"
+        old = f"{path}/{rel}__old"
+        # self-recovery from THIS function's crash window: a crash
+        # between the two renames leaves the live dir missing and the
+        # full original under __old — restore it instead of silently
+        # skipping a relation the index actually has
+        if not fs.exists(HPath(rel_path)) and fs.exists(HPath(old)):
+            if not fs.rename(HPath(old), HPath(rel_path)):
+                raise IOError(f"crash recovery failed restoring {rel_path}")
         if not fs.exists(HPath(rel_path)):
             continue
         df = spark.read.parquet(rel_path)
         rows = df.count()
         before = _n_files(rel_path)
         tmp = f"{path}/{rel}__compacting"
-        old = f"{path}/{rel}__old"
         df.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(tmp)

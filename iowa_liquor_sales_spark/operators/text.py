@@ -1825,7 +1825,12 @@ def contamination_matrix(
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )
     dense = (
-        tr.select("train_source")
+        # the train AXIS comes from the raw source column, NOT from tr:
+        # re-deriving it from tr would re-run the whole shingle-explode
+        # + distinct a second time (the plan showed 4 corpus scans), and
+        # would silently drop a train source whose documents are all
+        # shorter than n words — it belongs in the matrix with 0 ppm
+        train.select(F.col(source_col).alias("train_source"))
         .distinct()
         .crossJoin(F.broadcast(totals))
     )

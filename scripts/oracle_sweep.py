@@ -96,17 +96,29 @@ def main() -> int:
             i += 1
 
     me = os.path.abspath(__file__)
+    import tempfile
+
+    # stderr goes to a FILE per shard, not a pipe: Spark chatters enough
+    # on stderr to fill a 64 KB pipe buffer and deadlock an undrained
+    # shard, but a dead shard's traceback (query exception, OOM, import
+    # error) lives there and must survive for diagnosis
+    err_files = [
+        tempfile.NamedTemporaryFile(
+            mode="w+", prefix=f"sweep_shard{s}_", suffix=".err", delete=False
+        )
+        for s in range(n_shards)
+    ]
     procs = [
         subprocess.Popen(
             [sys.executable, me, "--shard", str(s), str(n_shards), sf_dir],
             stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
+            stderr=err_files[s],
             text=True,
         )
         for s in range(n_shards)
     ]
     checked, fails, entry_rows = [], [], None
-    for p in procs:
+    for s, p in enumerate(procs):
         out, _ = p.communicate()
         payload = None
         for line in out.splitlines():
@@ -116,8 +128,13 @@ def main() -> int:
                 print(line)
         if payload is None:
             print(f"FAIL <shard rc={p.returncode}>: no SHARD_RESULT in output")
-            sys.stderr.write(out[-4000:] + "\n")
+            err_files[s].flush()
+            err_files[s].seek(0)
+            tail = err_files[s].read()[-6000:]
+            sys.stderr.write(out[-4000:] + "\n" + tail + "\n")
+            print(f"(full shard stderr: {err_files[s].name})")
             return 1
+        os.unlink(err_files[s].name)
         checked.extend(payload["checked"])
         fails.extend(payload["fails"])
         if payload["entry_rows"] is not None:

@@ -600,3 +600,55 @@ def test_dup_span_length_histogram_matches_bruteforce(spark):
     # docs 1+2: the 8-word run -> one merged span of 8 in each; docs
     # 2+3 share 'q r s t' (4 words) < k, no gram
     assert got == {8: (2, 2)}
+
+
+def test_split_paragraphs_literal_sep_and_empty_units(spark):
+    # review findings, reproduced live: (a) sep containing regex
+    # metacharacters must split on the LITERAL separator (it is
+    # regex-quoted internally), (b) empty / multi-space units must not
+    # miscount words for the min_words gate
+    from iowa_liquor_sales_spark.operators.dedup import split_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "first part|+|second part here")], ["doc_id", "text"]
+    )
+    got = {
+        (r["para_idx"], r["para"])
+        for r in split_paragraphs(
+            df, "text", "doc_id", sep="|+|", min_words=2
+        ).collect()
+    }
+    assert got == {(0, "first part"), (1, "second part here")}
+
+    # 'a\n\n\n\nb': the empty middle unit counts 0 words (dropped even
+    # at min_words=1); 'a  b' counts 2 words, not 3
+    df2 = spark.createDataFrame(
+        [(2, "one one\n\n\n\ntwo two"), (3, "a  b\n\nc d e")],
+        ["doc_id", "text"],
+    )
+    out = split_paragraphs(df2, "text", "doc_id", sep="\n\n", min_words=1)
+    assert out.filter("doc_id = 2").count() == 2  # empty middle dropped
+    out3 = split_paragraphs(df2, "text", "doc_id", sep="\n\n", min_words=3)
+    kept3 = {r["para"] for r in out3.filter("doc_id = 3").collect()}
+    assert kept3 == {"c d e"}  # 'a  b' is 2 words, not 3
+
+
+def test_paragraph_neardup_long_doc_ids_no_overflow(spark):
+    # composite unit id must be computed in int64 even when the id
+    # column arrives as int32 (ANSI sessions error at doc_id >= 2148
+    # under the default stride without the cast)
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.dedup import (
+        paragraph_neardup_pairs,
+    )
+
+    boiler = "terms of service apply to all users of this site always"
+    rows = [(5000, f"{boiler}"), (6000, f"{boiler}")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "doc_id", F.col("doc_id").cast("int")
+    )
+    pairs = paragraph_neardup_pairs(
+        df, "text", "doc_id", sep="\n\n", min_jaccard=0.9, min_words=3
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(5000, 6000)]

@@ -507,3 +507,28 @@ def test_ann_index_report_flags_fragmentation_then_clears(spark, tmp_path):
     assert rep2["assignments"]["mean_files_per_cell"] == 1.0
     assert not rep2["assignments"]["needs_compaction"]
     assert rep2["assignments"]["files"] == rep2["assignments"]["n_cells"]
+
+
+def test_compact_ann_index_recovers_crashed_swap(spark, tmp_path):
+    """Crash window: the live dir was renamed aside but the compacted
+    sibling never landed — the next compact_ann_index run must restore
+    the __old copy and proceed, not silently skip the relation."""
+    import os
+
+    from iowa_liquor_sales_spark.operators.similarity import (
+        build_ann_index,
+        compact_ann_index,
+        load_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    path = str(tmp_path / "ann_crash")
+    build_ann_index(emb, path, n_cells=16)
+    os.rename(f"{path}/assignments", f"{path}/assignments__old")
+    assert not os.path.exists(f"{path}/assignments")
+
+    stats = compact_ann_index(spark, path)
+    assert stats["assignments"]["rows"] == n
+    assert not os.path.exists(f"{path}/assignments__old")
+    assert load_ann_index(spark, path).assignments.count() == n
