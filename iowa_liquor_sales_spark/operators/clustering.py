@@ -239,10 +239,18 @@ def grid_dbscan(
         cand_obs = Observation("dbscan_candidates")
         cand = cand.observe(cand_obs, F.count(F.lit(1)).alias("n"))
         observations["candidates"] = cand_obs
+    # The verified neighbor relation is consumed THREE times (degree
+    # aggregate, core-core edges inside the CC, border assign) and each
+    # consumer would otherwise recompute the 9x-explode candidate join —
+    # the single most expensive subtree of the whole operator (the
+    # before-plan shows the cell equi-join duplicated per consumer).
+    # Persist it; the first materialization is the CC's eager
+    # checkpoint, a single job, so there is no multi-consumer race.
     nbrs = (
         cand
         .filter((F.col("pid") != F.col("qid")) & (d2 <= eps * eps))
         .select("pid", "qid")
+        .persist()
     )
     deg = nbrs.groupBy("pid").agg(F.count(F.lit(1)).alias("n_nbrs"))
     flags = p.join(deg, "pid", "left").select(
@@ -260,7 +268,10 @@ def grid_dbscan(
         .join(cores, nbrs["qid"] == cores["cid"])
         .select(F.col("pid").alias("doc_a"), F.col("qid").alias("doc_b"))
     )
-    comp = connected_components(core_edges)  # (node, component)
+    # core_edges already carries both directions of every core-core
+    # pair (the cell join emits all ordered pairs) — tell the CC so it
+    # does not re-symmetrize an 11M-edge relation into 22M rows.
+    comp = connected_components(core_edges, symmetric=True)
     # Isolated cores (no core neighbor) form their own singleton cluster.
     core_lbl = (
         cores.join(comp, cores["cid"] == comp["node"], "left")

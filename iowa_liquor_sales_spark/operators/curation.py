@@ -960,20 +960,28 @@ def dedup_cascade_report(
     from .graph import connected_components
 
     ids = df.select(F.col(id_col), F.col(text_col))
-    k1 = (
+    # Survivor selection is ONE aggregate per rung, not aggregate +
+    # join-back: ids are unique, so min(struct(id, text)) IS the
+    # winner row (the min id of the hash group, carrying its own
+    # text) — same rows as the old "min id per hash, join ids back"
+    # at half the passes and none of the full-text join shuffles.
+    # Each rung is persisted: the pair stage (via the CC's eager
+    # checkpoint) materializes them in one job, and the three report
+    # counts then read the cache instead of replaying the funnel.
+    s1 = (
         ids.groupBy(F.md5(F.col(text_col).cast("binary")).alias("h"))
-        .agg(F.min(id_col).alias("kid"))
-        .select(F.col("kid").alias(id_col))
+        .agg(F.min(F.struct(F.col(id_col), F.col(text_col))).alias("m"))
+        .select(F.col(f"m.{id_col}").alias(id_col), F.col(f"m.{text_col}").alias(text_col))
+        .persist()
     )
-    s1 = ids.join(k1, id_col)
-    k2 = (
+    s2 = (
         s1.groupBy(
             F.md5(normalize_text(text_col).cast("binary")).alias("h")
         )
-        .agg(F.min(id_col).alias("kid"))
-        .select(F.col("kid").alias(id_col))
+        .agg(F.min(F.struct(F.col(id_col), F.col(text_col))).alias("m"))
+        .select(F.col(f"m.{id_col}").alias(id_col), F.col(f"m.{text_col}").alias(text_col))
+        .persist()
     )
-    s2 = s1.join(k2, id_col)
     pairs = jaccard_pairs(
         shingles(s2, text_col, id_col, n=3),
         min_jaccard=min_jaccard,

@@ -36,6 +36,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum
     node id reachable from it. Returns (node, component).
@@ -71,11 +72,28 @@ def connected_components(
     node ids may be strings (entity resolution clusters names), so the
     check must stay type-agnostic.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .persist()
-    )
+    # Symmetrize with ONE evaluation of the (often expensive — a pair
+    # join, an LSH verify) upstream edge plan: a self-union would inline
+    # that plan twice and compute it twice when `sym` first materializes
+    # (Catalyst does not CSE across union branches); exploding each edge
+    # into its two directions is the same rows from a single pass.
+    # ``symmetric=True`` declares the input already contains BOTH
+    # directions of every edge (e.g. grid_dbscan's cell join emits all
+    # ordered pairs) — re-symmetrizing would double every downstream
+    # relation for nothing.
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not symmetric:
+        base = base.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(
+                        F.col("b").alias("a"), F.col("a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
+    sym = base.persist()
     m = (
         sym.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("hub"))
@@ -1448,10 +1466,27 @@ def harmonic_centrality(
 
     Returns one row per seed: (source, n_reached, harmonic_e6).
     """
+    # Explode-symmetrize (one pass over `edges`, not a self-union's
+    # two) and eagerly checkpoint: the adjacency is consumed by EVERY
+    # BFS round, and left lazy each round's join re-evaluates the
+    # scan→explode→distinct chain. An eager localCheckpoint beats a
+    # lazy persist here — all three round-joins land in ONE job, and
+    # concurrent stages racing to fill an unmaterialized cache
+    # duplicate the work they were meant to share (A/B: ckpt 2.4 s,
+    # persist 3.4 s, lazy 2.9 s, self-union 3.2 s warm at sf0.1).
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
     dist = spark.createDataFrame(
@@ -1485,24 +1520,38 @@ def degree_assortativity(
     graph-health check a pipeline tracks alongside the degree
     distribution.
 
-    Dataflow: distinct symmetric edges, one O(V) degree aggregate, two
-    broadcast-sized joins of degrees onto the edge list, then exact
-    DECIMAL(38,0) moment sums with ONE double sqrt at the end, floored
-    to ppb (the spearman_corr convention). No window, no all-pairs.
+    Dataflow: distinct symmetric edges, endpoint degrees via two COUNT
+    windows (the exchange on each endpoint key — no join, no second
+    evaluation of the edge set), then exact DECIMAL(38,0) moment sums
+    with ONE double sqrt at the end, floored to ppb (the spearman_corr
+    convention). No all-pairs.
     """
+    from pyspark.sql import Window
+    # Explode-symmetrize (one scan, not a self-union's two), then attach
+    # endpoint degrees with two COUNT windows instead of a degree
+    # aggregate joined back twice: in a symmetric edge relation the
+    # in-degree of b equals its degree, so partitioning by a and then by
+    # b yields deg(a)/deg(b) with zero joins and no recompute of the
+    # distinct edge set (the old plan evaluated `sym` once per join
+    # side).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
     )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("dg"))
     xy = (
-        sym.join(deg.withColumnRenamed("a", "ja"), F.col("a") == F.col("ja"))
-        .select("a", "b", F.col("dg").alias("x"))
-        .join(
-            deg.select(F.col("a").alias("jb"), F.col("dg").alias("y")),
-            F.col("b") == F.col("jb"),
+        sym.withColumn(
+            "x", F.count(F.lit(1)).over(Window.partitionBy("a"))
         )
+        .withColumn("y", F.count(F.lit(1)).over(Window.partitionBy("b")))
         .select(
             F.col("x").cast("decimal(38,0)").alias("x"),
             F.col("y").cast("decimal(38,0)").alias("y"),
@@ -1581,13 +1630,20 @@ def modularity_q(
         .cast("decimal(38,0)")
         .alias("mc2"),
     )
-    tot = both.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m2"))
-    s = per_c.crossJoin(F.broadcast(tot)).agg(
-        F.first("m2").alias("m2"),
+    # M = Σ_c d_c (every directed edge lands in exactly one ca group),
+    # and Σ_c (mc2·M − d_c²) = M·Σmc2 − Σd_c² — so ONE aggregate over
+    # the O(communities) relation yields everything. The old form ran
+    # a second full pass over `both` (sym + two label joins) just to
+    # count M, then cross-joined it back in.
+    s = per_c.agg(
+        F.sum("d_c").alias("m2"),
         F.count(F.lit(1)).cast("long").alias("n_communities"),
-        F.sum(
-            F.col("mc2") * F.col("m2") - F.col("d_c") * F.col("d_c")
-        ).alias("qnum"),
+        F.sum("mc2").alias("smc2"),
+        F.sum(F.col("d_c") * F.col("d_c")).alias("sd2"),
+    ).select(
+        F.col("m2"),
+        F.col("n_communities"),
+        (F.col("smc2") * F.col("m2") - F.col("sd2")).alias("qnum"),
     )
     return s.select(
         F.expr("CAST(m2 div 2 AS BIGINT)").alias("m_edges"),
@@ -1635,28 +1691,48 @@ def ktruss_converged(
         .localCheckpoint(eager=True)
     )
     need = int(k) - 2
-    n_edges = e.count()
-    sup = None
-    for _ in range(max_iter):
-        ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-        bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-        ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+
+    def _support(edge_set: DataFrame) -> DataFrame:
+        # ONE oriented wedge join enumerates each triangle once; each
+        # triangle credits its three edges via explode — a 3-way union
+        # of projections of `tri` would inline (and recompute) the
+        # wedge join three times per round (Catalyst does not CSE
+        # across union branches; the before-plan showed 3 SortMergeJoin
+        # pyramids feeding the Union).
+        ab = edge_set.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        bc = edge_set.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+        ac = edge_set.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
         tri = (
             ab.join(bc, "b")
             .join(ac, ["a", "c"], "left_semi")
             .select("a", "b", "c")
         )
-        sup = (
-            tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
-            .unionAll(
-                tri.select(F.col("b").alias("lo"), F.col("c").alias("hi"))
+        return (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("lo"), F.col("b").alias("hi")
+                        ),
+                        F.struct(
+                            F.col("b").alias("lo"), F.col("c").alias("hi")
+                        ),
+                        F.struct(
+                            F.col("a").alias("lo"), F.col("c").alias("hi")
+                        ),
+                    )
+                ).alias("e")
             )
-            .unionAll(
-                tri.select(F.col("a").alias("lo"), F.col("c").alias("hi"))
-            )
-            .groupBy("lo", "hi")
+            .groupBy(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
             .agg(F.count(F.lit(1)).cast("long").alias("support"))
         )
+
+    n_edges = e.count()
+    for _ in range(max_iter):
+        # Checkpoint the support relation: it is consumed by the peel
+        # AND (on the convergence round) by the returned join — left
+        # lazy, each consumer replays the full wedge enumeration.
+        sup = _support(e).localCheckpoint(eager=True)
         survivors = (
             e.join(sup, ["lo", "hi"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0)) >= need)
@@ -1664,27 +1740,22 @@ def ktruss_converged(
             .localCheckpoint(eager=True)
         )
         n_next = survivors.count()
-        e = survivors
         if n_next == n_edges:
-            break
+            # Converged: nothing was peeled this round, so `sup` —
+            # computed over exactly the surviving edge set — already
+            # describes the surviving subgraph. Returning it directly
+            # saves one full wedge enumeration (the old code always
+            # recomputed support once more after the loop).
+            return (
+                survivors.join(sup, ["lo", "hi"])
+                .select("lo", "hi", "support")
+            )
+        e = survivors
         n_edges = n_next
-    # final support on the converged edge set (recompute once so the
-    # reported numbers describe the SURVIVING subgraph)
-    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    tri = (
-        ab.join(bc, "b")
-        .join(ac, ["a", "c"], "left_semi")
-        .select("a", "b", "c")
-    )
-    sup = (
-        tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
-        .unionAll(tri.select(F.col("b").alias("lo"), F.col("c").alias("hi")))
-        .unionAll(tri.select(F.col("a").alias("lo"), F.col("c").alias("hi")))
-        .groupBy("lo", "hi")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-    )
+    # max_iter exhausted without convergence: report support over the
+    # final surviving subgraph (recompute once — `sup` above described
+    # the pre-peel set).
+    sup = _support(e)
     return e.join(sup, ["lo", "hi"]).select("lo", "hi", "support")
 
 
