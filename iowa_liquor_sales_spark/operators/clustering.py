@@ -261,11 +261,22 @@ def grid_dbscan(
             "is_core"
         ),
     )
+    # Measured-size join strategy (guide §3.1): cores / core labels /
+    # border are O(points) relations, while nbrs is O(points x per-cell
+    # density) — here orders of magnitude larger. None of the small
+    # sides carries usable size statistics (they hang off the persisted
+    # nbrs and an aggregate), so the planner would SortMergeJoin and
+    # drag the big pair relation through an exchange + sort per join.
+    # One O(n) count of the input decides: broadcast the point-sized
+    # sides when they fit, keep the shuffle plan for huge inputs.
+    from .graph import _BCAST_ROW_CAP
+
+    hint = F.broadcast if p.count() <= _BCAST_ROW_CAP else (lambda d: d)
     cores = flags.filter("is_core").select(F.col("pid").alias("cid"))
     core_edges = (
-        nbrs.join(cores, nbrs["pid"] == cores["cid"])
+        nbrs.join(hint(cores), nbrs["pid"] == cores["cid"])
         .drop("cid")
-        .join(cores, nbrs["qid"] == cores["cid"])
+        .join(hint(cores), nbrs["qid"] == cores["cid"])
         .select(F.col("pid").alias("doc_a"), F.col("qid").alias("doc_b"))
     )
     # core_edges already carries both directions of every core-core
@@ -282,8 +293,10 @@ def grid_dbscan(
     )
     border = (
         nbrs.join(
-            core_lbl.withColumnRenamed("pid", "qid").withColumnRenamed(
-                "cluster", "qcluster"
+            hint(
+                core_lbl.withColumnRenamed("pid", "qid").withColumnRenamed(
+                    "cluster", "qcluster"
+                )
             ),
             "qid",
         )
@@ -291,8 +304,8 @@ def grid_dbscan(
         .agg(F.min("qcluster").alias("bcluster"))
     )
     out = (
-        flags.join(core_lbl.select("pid", "cluster"), "pid", "left")
-        .join(border, "pid", "left")
+        flags.join(hint(core_lbl.select("pid", "cluster")), "pid", "left")
+        .join(hint(border), "pid", "left")
         .select(
             F.col("pid").alias(id_col),
             F.when(F.col("is_core"), F.lit("core"))

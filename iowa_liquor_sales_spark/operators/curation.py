@@ -988,8 +988,12 @@ def dedup_cascade_report(
         max_df=max_df,
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs)
+    # Project to the id BEFORE the component join: the count only needs
+    # ids, and joining the full rung would shuffle every surviving
+    # document's text (guide §2.3 — project before the exchange).
+    s2k = s2.select(id_col)
     k3 = (
-        s2.join(comp, s2[id_col] == comp["node"], "left")
+        s2k.join(comp, s2k[id_col] == comp["node"], "left")
         .select(
             F.coalesce(F.col("component"), F.col(id_col)).alias("cmp")
         )

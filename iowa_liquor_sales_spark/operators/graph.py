@@ -27,8 +27,19 @@ the judge can check semantics against a recursive-CTE oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Row cap for the measured-count broadcast decisions below (and in
+# grid_dbscan, which imports it): node-map relations are a handful of
+# ids + one label each (~50 B/row framed), so 2M rows is ~100 MB built —
+# comfortable on any executor profile this engine targets while staying
+# far under Spark's 8 GB / 512M-row broadcast hard cap. Production
+# clusters with smaller executors can lower it via env without touching
+# code; 0 disables the broadcast arm entirely.
+_BCAST_ROW_CAP = int(os.environ.get("IOWA_GRAPH_BROADCAST_ROWS", "2000000"))
 
 
 def connected_components(
@@ -99,11 +110,24 @@ def connected_components(
         .agg(F.least(F.col("a"), F.min("b")).alias("hub"))
         .localCheckpoint(eager=True)
     )
+    # Measured-size join strategy for the hub mapping (guide §3.1):
+    # ``m`` is O(nodes) while ``sym`` is O(pairs) — on clique-heavy
+    # near-dup graphs orders of magnitude larger. A localCheckpoint
+    # carries no size statistics, so the planner (and AQE, which only
+    # sees the stats after a shuffle stage it would already have run)
+    # falls back to SortMergeJoin and drags the full pair relation
+    # through TWO exchanges + sorts just to attach hub ids. ``m`` is
+    # already materialized, so counting it is nearly free — broadcast
+    # both mapping joins when the node map fits comfortably in memory,
+    # keep the shuffle plan for genuinely huge node sets.
+    small_m = m.count() <= _BCAST_ROW_CAP
+    hint = F.broadcast if small_m else (lambda d: d)
     hubs = (
-        sym.join(m.select("a", F.col("hub").alias("ha")), "a")
+        sym.join(hint(m.select("a", F.col("hub").alias("ha"))), "a")
         .select(F.col("b"), F.col("ha"))
         .join(
-            m.select(F.col("a").alias("b"), F.col("hub").alias("hb")), "b"
+            hint(m.select(F.col("a").alias("b"), F.col("hub").alias("hb"))),
+            "b",
         )
         .select(F.col("ha").alias("a"), F.col("hb").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -151,9 +175,10 @@ def connected_components(
         if changed == 0:
             break
     # Project hub components back onto every original node. Hubs with no
-    # hub edge (fully contracted components) label themselves.
+    # hub edge (fully contracted components) label themselves. labels is
+    # O(hub nodes) <= O(m) rows, so it broadcasts whenever m does.
     return m.join(
-        labels.withColumnRenamed("node", "hub"), "hub", "left"
+        hint(labels.withColumnRenamed("node", "hub")), "hub", "left"
     ).select(
         F.col("a").alias("node"),
         F.coalesce(F.col("component"), F.col("hub")).alias("component"),

@@ -1232,35 +1232,61 @@ def dup_rate_curve(
     near-dup mass; the knee tells you which shingle size separates
     natural language reuse from copying).
 
-    Per n: one explode + one exact distinct-aggregate (two map-side-
-    combinable passes over the shingle relation, the same cost class as
-    minhash's shingle scan); the per-n one-row results union into an
-    O(|ns|) relation. dup_ppm = (total - distinct) * 1e6 div total,
+    ONE pass over the corpus for ALL shingle sizes (optimization round
+    10): the old per-n union of five aggregates re-ran the scan + split
+    once per n — Catalyst does not CSE across union branches — so the
+    text was tokenized five times. Exploding the n-list against each
+    tokenized row and building grams with a dynamic ``slice`` shares a
+    single scan/split; the per-(n, gram) distinct is one two-level
+    aggregate keyed (n, g) with the same total shuffle volume as the
+    five separate ones. dup_ppm = (total - distinct) * 1e6 div total,
     exact integers (truncating div matches DuckDB ``//``).
     """
-    out = None
-    for n in ns:
-        ws = F.col("ws_")
-        grams = (
-            df.withColumn("ws_", F.split(F.col(text_col), " "))
-            .select(
-                F.when(
-                    F.size(ws) >= n,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                        _gram_at(ws, n),
-                    ),
-                )
-                .otherwise(F.array().cast("array<string>"))
-                .alias("grams")
-            )
-            .select(F.explode("grams").alias("g"))
+    ws = F.col("ws_")
+    n_c = F.col("n")
+    grams = (
+        df.withColumn("ws_", F.split(F.col(text_col), " "))
+        .select(
+            "ws_",
+            F.explode(
+                F.array(*[F.lit(int(n)).cast("int") for n in ns])
+            ).alias("n"),
         )
-        row = grams.agg(
-            F.lit(n).cast("int").alias("n"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.count_distinct("g").cast("long").alias("n_distinct"),
-        ).select(
+        .select(
+            "n",
+            F.when(
+                F.size(ws) >= n_c,
+                # sequence(1, 0) is DESCENDING [1, 0], not empty — the
+                # when-guard above keeps short documents out, matching
+                # the oracle's len(ws) >= n.
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - (n_c - F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, n_c)),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("grams"),
+        )
+        .select("n", F.explode("grams").alias("g"))
+    )
+    per_n = grams.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count_distinct("g").cast("long").alias("n_distinct"),
+    )
+    # Shingle sizes absent from the corpus output (0, 0, 0) rows in the
+    # old per-n form — restore them with a tiny n-list left join.
+    spark = df.sparkSession
+    n_dim = spark.createDataFrame([(int(n),) for n in ns], "n int")
+    return (
+        n_dim.join(F.broadcast(per_n), "n", "left")
+        .select(
+            F.col("n").cast("int").alias("n"),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_distinct"), F.lit(0))
+            .cast("long")
+            .alias("n_distinct"),
+        )
+        .select(
             "n",
             "n_grams",
             "n_distinct",
@@ -1270,8 +1296,7 @@ def dup_rate_curve(
                 " ELSE 0 END"
             ).alias("dup_ppm"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 def readability_flesch(
