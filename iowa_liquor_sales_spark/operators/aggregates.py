@@ -362,29 +362,42 @@ def spearman_corr(
     robust (monotone-invariant) companion to the exact-decimal Pearson
     aggregate: Pearson over TIE-CORRECTED average ranks.
 
-    The scale trick is in the ranking: no row-level window ever runs.
-    Each column's distinct-value relation (O(distinct), map-side
-    combinable counts) gets a DISTRIBUTED prefix sum of counts in value
-    order (:func:`.ranking.global_cumsum` — range shuffle + offsets,
-    never a single-task ORDER BY window); the tie-corrected average
-    rank of value v is then ``cum_before(v) + (cnt(v)+1)/2``, kept
-    exact-integer by carrying DOUBLED ranks ``r2 = 2·cum_before + cnt
-    + 1``. Two broadcast-free equi-joins attach r2x/r2y back to the
-    rows, and the correlation finishes as exact DECIMAL(38,0) moment
-    sums with one double sqrt at the very end, floored to the ppb grid
+    The scale trick is in the ranking: no row-level window ever runs,
+    and the FACT is consumed exactly once — one map-side-combinable
+    aggregate onto the O(distinct (x,y) pairs) count relation, from
+    which BOTH columns' marginal count relations derive (optimization
+    round 10: the old form re-ran the upstream three times — two rank
+    aggregates + the row-level join-back — and shuffled full data rows
+    twice to attach ranks; now every join and shuffle after the first
+    aggregate is O(distinct), with the pair relation persisted for its
+    three consumers). Each column's distinct-value counts get a
+    DISTRIBUTED prefix sum in value order (:func:`.ranking.
+    global_cumsum` — range shuffle + offsets, never a single-task
+    ORDER BY window); the tie-corrected average rank of value v is then
+    ``cum_before(v) + (cnt(v)+1)/2``, kept exact-integer by carrying
+    DOUBLED ranks ``r2 = 2·cum_before + cnt + 1``. The correlation
+    finishes as exact DECIMAL(38,0) moment sums WEIGHTED by the pair
+    counts (Σ_rows f(x,y) = Σ_pairs cnt·f(x,y) — identical integers)
+    with one double sqrt at the very end, floored to the ppb grid
     (identical IEEE sqrt in any engine given identical integer inputs).
 
     Returns one row: (n, spearman_ppb).
     """
+    from pyspark import StorageLevel
+
     from .ranking import global_cumsum
 
-    d = df.select(
-        F.col(x_col).alias("xv"), F.col(y_col).alias("yv")
+    pc = (
+        df.groupBy(
+            F.col(x_col).alias("xv"), F.col(y_col).alias("yv")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def ranks(col):
-        cnt = d.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
+        cnt = pc.groupBy(F.col(col).alias("v")).agg(
+            F.sum("pc").cast("long").alias("cnt")
         )
         cum = global_cumsum(cnt, ["v"], "cnt", out_col="cum")
         return cum.select(
@@ -396,17 +409,22 @@ def spearman_corr(
 
     rx = ranks("xv").withColumnsRenamed({"v": "xv", "r2": "r2x"})
     ry = ranks("yv").withColumnsRenamed({"v": "yv", "r2": "r2y"})
-    joined = d.join(rx, "xv").join(ry, "yv").select(
+    joined = pc.join(rx, "xv").join(ry, "yv").select(
+        F.col("pc").cast("decimal(38,0)").alias("c"),
         F.col("r2x").cast("decimal(38,0)").alias("x"),
         F.col("r2y").cast("decimal(38,0)").alias("y"),
     )
     s = joined.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        # coalesce keeps the empty-input contract of the old COUNT(*)
+        # form: n = 0 (not NULL) when no rows exist.
+        F.coalesce(
+            F.sum("c"), F.lit(0).cast("decimal(38,0)")
+        ).alias("n"),
+        F.sum(F.col("c") * F.col("x")).alias("sx"),
+        F.sum(F.col("c") * F.col("y")).alias("sy"),
+        F.sum(F.col("c") * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("c") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("c") * F.col("y") * F.col("y")).alias("syy"),
     )
     # corr = (nΣxy − ΣxΣy) / sqrt((nΣx²−Σx²)(nΣy²−Σy²)); numerator and
     # variance terms exact integers, ONE sqrt+division in double at the

@@ -206,45 +206,48 @@ def pagerank_e12(
     larger graphs. Fixed ``iters`` keeps the plan unrollable (and the
     DuckDB oracle expressible as chained CTEs).
     """
-    # Checkpoint the derived inputs ONCE: e/deg/nodes are re-consumed by
+    # Checkpoint the derived inputs ONCE: e/nodes are re-consumed by
     # every unrolled iteration, and ranks_i is consumed twice by
     # ranks_{i+1} — left lazy, the upstream edge derivation (often an
     # expensive join+distinct) re-executes O(2^iters) times and the
     # analyzer chews an exponentially growing plan (same trap as
     # connected_components above; measured 6.8s -> ~2s at sf0.1).
-    # Pre-partition the edge set by its join key BEFORE checkpointing:
-    # localCheckpoint preserves the physical partitioning, so all three
-    # per-iteration joins on "s" reuse it instead of re-exchanging the
-    # (large) edge relation every iteration — only the (small) updated
-    # ranks side shuffles per round.
-    e = (
+    # Pre-partition the edge set by its join key BEFORE checkpointing,
+    # and fold the STATIC out-degree into the checkpointed edge rows
+    # (optimization round 10): deg never changes across iterations, so
+    # joining it per round was a per-iteration sort+join of the large
+    # edge relation for no new information. The only per-round joins
+    # left attach the O(V) rank/inflow relations — broadcast by
+    # measured node count (same _BCAST_ROW_CAP contract as
+    # connected_components; huge graphs keep the shuffle plan), so the
+    # checkpointed edge relation streams map-side with no per-round
+    # exchange OR sort.
+    e0 = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .repartition(F.col("s"))
         .localCheckpoint(eager=True)
     )
     nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("d").alias("node")))
+        e0.select(F.col("s").alias("node"))
+        .unionByName(e0.select(F.col("d").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = (
-        e.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+    deg = e0.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e = e0.join(deg, "s").localCheckpoint(eager=True)
+    small_v = nodes.count() <= _BCAST_ROW_CAP
+    hint = F.broadcast if small_v else (lambda rel: rel)
     ranks = nodes.withColumn("rank_e12", F.lit(10**12).cast("long"))
     for i in range(iters):
         contrib = (
-            e.join(deg, "s")
-            .join(ranks.withColumnRenamed("node", "s"), "s")
+            e.join(hint(ranks.withColumnRenamed("node", "s")), "s")
             .select(
                 F.col("d").alias("node"),
                 F.expr("rank_e12 * 85 div (100 * deg)").alias("c"),
             )
         )
         inbound = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        ranks = nodes.join(inbound, "node", "left").select(
+        ranks = nodes.join(hint(inbound), "node", "left").select(
             "node",
             (
                 F.lit(15 * 10**10).cast("long")
@@ -292,7 +295,11 @@ def pagerank_personalized_e12(
     if not sources:
         raise ValueError("sources must be non-empty")
     n_s = len(sources)
-    e = (
+    # Same round-10 shape as pagerank_e12: static per-source weight
+    # sums fold into the checkpointed edge rows once; the O(V) rank /
+    # inflow sides broadcast by measured node count so the edge
+    # relation never re-sorts or re-shuffles per round.
+    e0 = (
         edges.select(
             F.col(src).alias("s"), F.col(dst).alias("d"), F.col(w).alias("w")
         )
@@ -300,15 +307,19 @@ def pagerank_personalized_e12(
         .localCheckpoint(eager=True)
     )
     nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("d").alias("node")))
+        e0.select(F.col("s").alias("node"))
+        .unionByName(e0.select(F.col("d").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    wsum = (
-        e.groupBy("s")
-        .agg(F.sum(F.col("w").cast("decimal(38,0)")).alias("wsum"))
-        .localCheckpoint(eager=True)
+    wsum = e0.groupBy("s").agg(
+        F.sum(F.col("w").cast("decimal(38,0)")).alias("wsum")
+    )
+    e = e0.join(wsum, "s").localCheckpoint(eager=True)
+    hint = (
+        F.broadcast
+        if nodes.count() <= _BCAST_ROW_CAP
+        else (lambda rel: rel)
     )
     seed = F.col("node").isin(*sources)
     teleport = F.when(
@@ -322,8 +333,7 @@ def pagerank_personalized_e12(
     )
     for i in range(iters):
         contrib = (
-            e.join(wsum, "s")
-            .join(ranks.withColumnRenamed("node", "s"), "s")
+            e.join(hint(ranks.withColumnRenamed("node", "s")), "s")
             .select(
                 F.col("d").alias("node"),
                 F.expr(
@@ -333,7 +343,7 @@ def pagerank_personalized_e12(
             )
         )
         inbound = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        ranks = nodes.join(inbound, "node", "left").select(
+        ranks = nodes.join(hint(inbound), "node", "left").select(
             "node",
             (teleport + F.coalesce(F.col("inflow"), F.lit(0))).alias(
                 "rank_e12"
@@ -720,6 +730,14 @@ def boruvka_mst_rounds(
             )
             .filter(F.col("la") != F.col("lb"))
         )
+        # NOTE (optimization round 10): the self-union double-evaluates
+        # cand (no CSE across union branches). An explode rewrite was
+        # A/B'd on q_mst_distributed and showed NO measurable win
+        # (explode 10.0 s vs union 8.4/10.3 s across reps=3 sessions —
+        # readings overlap): the two union branches run as concurrent
+        # stages over the persisted e, so spare cores absorb the
+        # duplicated work here. Kept as-is; the small-V variant keeps
+        # the explode, where its single evaluation measured -11%.
         per_comp = cand.select(
             F.col("la").alias("comp"), "w", "lo", "hi", "la", "lb"
         ).unionAll(
@@ -834,12 +852,15 @@ def _boruvka_small_v(e: DataFrame, rounds: int) -> DataFrame:
             )
             .filter(F.col("la") != F.col("lb"))
         )
+        # explode, not self-union: one evaluation of the broadcast
+        # candidate join per round (see boruvka_mst_rounds above).
         per_comp = cand.select(
-            F.col("la").alias("comp"), "w", "lo", "hi", "la", "lb"
-        ).unionAll(
-            cand.select(
-                F.col("lb").alias("comp"), "w", "lo", "hi", "la", "lb"
-            )
+            F.explode(F.array(F.col("la"), F.col("lb"))).alias("comp"),
+            "w",
+            "lo",
+            "hi",
+            "la",
+            "lb",
         )
         wmin = Window.partitionBy("comp").orderBy("w", "lo", "hi")
         chosen = {
@@ -1823,10 +1844,23 @@ def betweenness_sample(
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
+    # Pre-partition the adjacency on its (only) join key before the
+    # checkpoint so shuffle-plan fallbacks never re-exchange it, and
+    # decide ONCE from the measured edge count whether the per-level
+    # frontier/dependency relations (all O(k·V), bounded by k × the
+    # adjacency size) broadcast — every forward and backward join then
+    # streams the checkpointed adjacency map-side with no per-level
+    # exchange or sort (optimization round 10; localCheckpoint carries
+    # no size statistics, so without the explicit hint the planner
+    # falls back to sort-merge on every level).
     adj = und.select(
         F.col("a").alias("u"), F.col("b").alias("w")
     ).unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("w")))
-    adj = adj.localCheckpoint(eager=True)
+    adj = adj.repartition(F.col("u")).localCheckpoint(eager=True)
+    small = (
+        adj.count() * max(1, len(sources)) <= _BCAST_ROW_CAP
+    )
+    hint = F.broadcast if small else (lambda rel: rel)
 
     spark = edges.sparkSession
     frontier = spark.createDataFrame(
@@ -1838,12 +1872,11 @@ def betweenness_sample(
     visited = levels[0].select("s", "v")
     for _ in range(int(max_depth)):
         nxt = (
-            levels[-1]
-            .join(adj, levels[-1]["v"] == adj["u"])
+            adj.join(hint(levels[-1]), levels[-1]["v"] == adj["u"])
             .groupBy("s", "w")
             .agg(F.sum("sigma").alias("sigma"))
             .select("s", F.col("w").alias("v"), "sigma")
-            .join(visited, ["s", "v"], "left_anti")
+            .join(hint(visited), ["s", "v"], "left_anti")
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
@@ -1860,20 +1893,21 @@ def betweenness_sample(
     for lvl in range(len(levels) - 2, -1, -1):
         cur, succ = levels[lvl], delta
         term = (
-            cur.alias("c")
-            .join(adj, F.col("c.v") == adj["u"])
+            adj.join(hint(cur.alias("c")), F.col("c.v") == adj["u"])
             .join(
-                succ.alias("x"),
+                hint(succ.alias("x")),
                 (F.col("x.s") == F.col("c.s"))
                 & (F.col("x.v") == adj["w"]),
             )
             .join(
-                levels[lvl + 1]
-                .alias("n")
-                .select(
-                    F.col("n.s").alias("ns"),
-                    F.col("n.v").alias("nv"),
-                    F.col("n.sigma").alias("nsigma"),
+                hint(
+                    levels[lvl + 1]
+                    .alias("n")
+                    .select(
+                        F.col("n.s").alias("ns"),
+                        F.col("n.v").alias("nv"),
+                        F.col("n.sigma").alias("nsigma"),
+                    )
                 ),
                 (F.col("ns") == F.col("c.s"))
                 & (F.col("nv") == adj["w"]),
@@ -1890,7 +1924,7 @@ def betweenness_sample(
         dlvl = (
             cur.select("s", "v")
             .join(
-                term.groupBy("s", "v").agg(F.sum("t").alias("d")),
+                hint(term.groupBy("s", "v").agg(F.sum("t").alias("d"))),
                 ["s", "v"],
                 "left",
             )

@@ -1555,15 +1555,19 @@ def logrank_test(
     events in group 1 under the shared-hazard null, pooled into one z.
 
     ``group_col`` must be boolean-ish (group 1 = true). Dataflow: one
-    (group, time) count aggregate on the fact; at-risk counts come from
-    a cumulative window over the O(groups × distinct-times) relation
-    (bounded by the time domain — duration days, not rows). Per-time
+    (group, time) count aggregate on the fact — the ONLY pass over the
+    input; at-risk counts come from a cumulative window over the
+    O(distinct-times) pivoted relation (bounded by the time domain —
+    duration days, not rows; the no-PARTITION-BY window is a single
+    task over that bounded relation, never over data rows). Per-time
     O−E and variance terms round to exact 1e6 integers BEFORE pooling
     (the term_kl convention, identical fixed-shape formulas in both
     engines), and z finishes with one double sqrt, floor-scaled ppm.
 
     Returns one row: (n_event_times, o1_total, s_e6, v_e6, z_ppm).
     """
+    from pyspark.sql import Window
+
     d = df.select(
         F.col(time_col).cast("long").alias("t"),
         F.col(event_col).cast("boolean").cast("int").alias("e"),
@@ -1573,43 +1577,46 @@ def logrank_test(
         F.count(F.lit(1)).alias("c"),
         F.sum("e").alias("o"),
     )
-    # Dense per-time join of the two groups (missing side -> 0 events,
-    # at-risk = next-higher time's at-risk, i.e. the group's cumulative
-    # count of times >= t even when the group has no row AT t). Build
-    # the dense grid from distinct times x the O(2) group relation.
-    times = d.select("t").distinct()
-    groups = d.select("g").distinct()
-    grid = times.crossJoin(F.broadcast(groups))
-    # at-risk for (g, t) = count of the group's rows with time >= t:
-    # join the group's full per-time counts and re-aggregate — still
-    # O(groups x times^2 / 2) on a <=O(100)-row relation.
-    cnts = gt.select("g", F.col("t").alias("t2"), "c", "o")
-    dense = (
-        grid.join(cnts, "g")
-        .groupBy("g", "t")
-        .agg(
-            F.sum(
-                F.when(F.col("t2") >= F.col("t"), F.col("c")).otherwise(0)
-            ).alias("nr"),
-            F.sum(
-                F.when(F.col("t2") == F.col("t"), F.col("o")).otherwise(0)
-            ).alias("o"),
-        )
+    # Pivot the two groups side by side per time (missing side -> 0
+    # events / 0 count at that time), then at-risk n_g(t) = count of
+    # the group's rows with time >= t = descending cumulative sum —
+    # O(times) window work instead of the old O(times²) dense-grid
+    # re-aggregate, and the fact relation is consumed exactly once
+    # (the old times/groups distincts re-ran the whole upstream).
+    pt = gt.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("c")).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 1, F.col("o")).otherwise(0)).alias("o1"),
+        F.sum(F.when(F.col("g") == 0, F.col("c")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("g") == 0, F.col("o")).otherwise(0)).alias("o0"),
     )
-    g1 = dense.filter(F.col("g") == 1).select(
-        "t", F.col("nr").alias("n1"), F.col("o").alias("o1")
+    wcum = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    g0 = dense.filter(F.col("g") == 0).select(
-        "t", F.col("nr").alias("n0"), F.col("o").alias("o0")
+    wall = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    at = pt.select(
+        "t",
+        "o1",
+        "o0",
+        F.sum("c1").over(wcum).alias("n1r"),
+        F.sum("c0").over(wcum).alias("n0r"),
+        # group-presence totals: the old dense grid inner-joined the
+        # two group slices, so a degenerate single-group input yielded
+        # ZERO per-time rows — replicate that contract exactly.
+        F.sum("c1").over(wall).alias("tot1"),
+        F.sum("c0").over(wall).alias("tot0"),
     )
     per_t = (
-        g1.join(g0, "t")
+        at.filter((F.col("tot1") > 0) & (F.col("tot0") > 0))
         .select(
             "t",
             "o1",
             (F.col("o1") + F.col("o0")).alias("ot"),
-            F.col("n1").cast("double").alias("n1"),
-            (F.col("n1") + F.col("n0")).cast("double").alias("nt"),
+            F.col("n1r").cast("double").alias("n1"),
+            (F.col("n1r") + F.col("n0r")).cast("double").alias("nt"),
         )
         .filter((F.col("ot") > 0) & (F.col("nt") > 1))
     )
