@@ -707,24 +707,39 @@ def boruvka_mst_rounds(
     )
     if small_v:
         return _boruvka_small_v(e, rounds)
+    # Materialize the node set once and decide from its measured count
+    # whether every O(V) label/hop relation broadcasts (optimization
+    # round 10): labels is a localCheckpoint with no size statistics,
+    # so the planner sort-merged the per-round candidate join and
+    # re-exchanged the persisted O(E) edge relation every round.
     labels = (
         e.select(F.col("lo").alias("node"))
         .unionAll(e.select(F.col("hi").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    vhint = (
+        F.broadcast
+        if labels.count() <= _BCAST_ROW_CAP
+        else (lambda rel: rel)
     )
     chosen_all = None
     for _ in range(rounds):
         cand = (
             e.join(
-                labels.select(
-                    F.col("node").alias("lo"), F.col("label").alias("la")
+                vhint(
+                    labels.select(
+                        F.col("node").alias("lo"), F.col("label").alias("la")
+                    )
                 ),
                 "lo",
             )
             .join(
-                labels.select(
-                    F.col("node").alias("hi"), F.col("label").alias("lb")
+                vhint(
+                    labels.select(
+                        F.col("node").alias("hi"), F.col("label").alias("lb")
+                    )
                 ),
                 "hi",
             )
@@ -776,25 +791,36 @@ def boruvka_mst_rounds(
         for _hop in range(2):
             hop = (
                 lab_map.alias("m")
-                .join(ledges, "x", "left")
+                .join(vhint(ledges), "x", "left")
                 .groupBy("x")
                 .agg(F.least(F.min("y"), F.first("x")).alias("newx"))
             )
             # remap both the node labels and the label-edge endpoints
+            # (hop/ledges are O(components) ≤ O(V) — broadcast under
+            # the same measured gate as the candidate join above)
             labels = (
                 labels.join(
-                    hop.select(F.col("x").alias("label"), F.col("newx")),
+                    vhint(
+                        hop.select(
+                            F.col("x").alias("label"), F.col("newx")
+                        )
+                    ),
                     "label",
                 )
                 .select("node", F.col("newx").alias("label"))
             )
             ledges = (
                 ledges.join(
-                    hop.select(F.col("x"), F.col("newx").alias("nx")), "x"
+                    vhint(
+                        hop.select(F.col("x"), F.col("newx").alias("nx"))
+                    ),
+                    "x",
                 )
                 .join(
-                    hop.select(
-                        F.col("x").alias("y"), F.col("newx").alias("ny")
+                    vhint(
+                        hop.select(
+                            F.col("x").alias("y"), F.col("newx").alias("ny")
+                        )
                     ),
                     "y",
                 )
@@ -917,6 +943,13 @@ def adamic_adar(
 
     Returns (u, v, common, aa_scaled) with u < v.
     """
+    # NOTE (optimization round 10): a repartition-on-wedge-key +
+    # eager-cache-fill rewrite was A/B'd here and REJECTED (3.16 ->
+    # 3.91 s): at bench scale the persisted wedge relation
+    # auto-broadcasts, so the self-join already runs exchange-free with
+    # one cache fill via the broadcast build — the extra exchange and
+    # count jobs were pure overhead. Revisit only if the wedge relation
+    # outgrows the broadcast threshold in production.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
@@ -982,6 +1015,11 @@ def neighbor_jaccard(
 
     Returns (u, v, common, deg_u, deg_v, jaccard_ppm) with u < v.
     """
+    # Same rejected-experiment note as adamic_adar (optimization round
+    # 10): repartition-on-wedge-key + eager cache fills measured
+    # neutral here (3.64 -> 3.54 s, within session noise) because the
+    # persisted relations auto-broadcast at bench scale; kept in the
+    # original single-persist form.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),

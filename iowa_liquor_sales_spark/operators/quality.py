@@ -800,25 +800,26 @@ def ks_two_sample(
         .cast("long")
         .alias("cb"),
     )
-    # One range shuffle serves both prefix sums: cumsum the TOTAL count
-    # alongside group A's count derived from one packed long would cap
-    # group sizes at 2^31; instead cumsum ca and cnt=ca+cb separately —
-    # two O(distinct) range shuffles, no magnitude bound — and recover
-    # cumB = cum_cnt - cum_ca.
+    # ONE range shuffle serves both prefix sums (multi-column
+    # global_cumsum, optimization round 10): the old form ran the whole
+    # range-shuffle/persist/offsets machinery twice over the same
+    # O(distinct) relation — and, worse, each invocation plus the
+    # totals aggregate re-ran the fact scan+aggregate, three passes in
+    # all. Now the fact is consumed exactly once; the group totals
+    # derive from the cumsum OUTPUT (which reads the machinery's own
+    # persisted relation), not from a re-aggregate. cumB recovers as
+    # cum_cnt - cum_ca (packing both counts into one long would cap
+    # group sizes at 2^31 — still avoided).
     cnt = c.select("v", "ca", (F.col("ca") + F.col("cb")).alias("cnt"))
-    cum_a = global_cumsum(
-        cnt.select("v", "ca"), ["v"], "ca", out_col="cuma"
-    ).select("v", "cuma")
-    cum_t = global_cumsum(
-        cnt.select("v", "cnt"), ["v"], "cnt", out_col="cumt"
-    ).select("v", "cumt")
-    tot = c.agg(
-        F.sum("ca").cast("decimal(38,0)").alias("na"),
-        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    cum = global_cumsum(
+        cnt, ["v"], ["ca", "cnt"], out_col=["cuma", "cumt"]
+    ).select("v", "cuma", "cumt")
+    tot = cum.agg(
+        F.max("cuma").cast("decimal(38,0)").alias("na"),
+        (F.max("cumt") - F.max("cuma")).cast("decimal(38,0)").alias("nb"),
     )
     diff = (
-        cum_a.join(cum_t, "v")
-        .crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "v",
             "na",

@@ -88,8 +88,8 @@ def global_row_number(
 def global_cumsum(
     df: DataFrame,
     order_cols: list[str],
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Running (inclusive) sum of ``value_col`` in global ``order_cols``
@@ -106,9 +106,21 @@ def global_cumsum(
     ordinary window PARTITIONED by the range-partition id, so every
     window partition is one range partition — parallel, never global.
     ``order_cols`` should be a unique key (ties make any engine's
-    running sum order-arbitrary). Output column is ``long``.
+    running sum order-arbitrary). Output columns are ``long``.
+
+    ``value_col``/``out_col`` accept parallel LISTS to compute several
+    prefix sums over the SAME ordered relation in one pass (optimization
+    round 10): one range shuffle, one persisted relation, one offsets
+    collect and one window node serve all of them — callers that need
+    two cumulative counts (e.g. per-group ECDFs) previously paid the
+    whole machinery twice.
     """
     from pyspark.sql import Window
+
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col must have equal length")
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(
@@ -122,37 +134,50 @@ def global_cumsum(
     # global_row_number: the offsets job and the caller's output job
     # must see identical sampled boundaries).
     tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
-    sums = {
-        r["_pid"]: r["_s"]
+    sums: dict[int, list] = {
+        r["_pid"]: [r[f"_s{i}"] for i in range(len(vcols))]
         for r in tagged.groupBy("_pid")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("_s"))
+        .agg(
+            *[
+                F.sum(F.col(v).cast("long")).alias(f"_s{i}")
+                for i, v in enumerate(vcols)
+            ]
+        )
         .collect()
     }
-    offsets: dict[int, int] = {}
-    acc = 0
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(vcols)
     for p in sorted(sums):
-        offsets[p] = acc
-        acc += sums[p] or 0
-    if offsets:
-        offset_expr = F.coalesce(
-            F.element_at(
-                F.create_map(
-                    *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-                ),
-                F.col("_pid"),
-            ),
-            F.lit(0),
-        )
-    else:  # empty input: no partitions observed
-        offset_expr = F.lit(0)
+        offsets[p] = list(acc)
+        for i in range(len(vcols)):
+            acc[i] += sums[p][i] or 0
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return tagged.withColumn(
-        out_col,
-        (F.sum(F.col(value_col).cast("long")).over(w) + offset_expr).cast(
-            "long"
-        ),
-    ).drop("_mid", "_pid")
+    out = tagged
+    for i, (v, o) in enumerate(zip(vcols, ocols)):
+        if offsets:
+            offset_expr = F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[
+                            F.lit(x)
+                            for p, offs in sorted(offsets.items())
+                            for x in (p, offs[i])
+                        ]
+                    ),
+                    F.col("_pid"),
+                ),
+                F.lit(0),
+            )
+        else:  # empty input: no partitions observed
+            offset_expr = F.lit(0)
+        out = out.withColumn(
+            o,
+            (F.sum(F.col(v).cast("long")).over(w) + offset_expr).cast(
+                "long"
+            ),
+        )
+    return out.drop("_mid", "_pid")

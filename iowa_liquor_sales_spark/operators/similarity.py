@@ -336,11 +336,30 @@ def ivf_assign(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         )
     )
-    scored = embeddings.join(F.broadcast(cent)).select(
-        id_col,
-        vec_col,
-        "cid",
-        cosine_similarity(F.col(vec_col), F.col("cvec")).alias("csim"),
+    # Hoist the two L2 norms OUT of the per-pair expression
+    # (optimization round 10): cosine = dot/(‖v‖·‖c‖) evaluated per
+    # (vector, centroid) pair re-ran both array-aggregate norms
+    # n_cells× per vector and |V|× per centroid — and Catalyst
+    # higher-order functions are interpreted (CodegenFallback), so the
+    # redundant passes dominate the assignment wall. Computing each
+    # norm once per side feeds the SAME double operands into the SAME
+    # division, so csim is bit-identical.
+    scored = (
+        embeddings.withColumn("_vn", l2_norm(F.col(vec_col)))
+        .join(
+            F.broadcast(
+                cent.withColumn("_cn", l2_norm(F.col("cvec")))
+            )
+        )
+        .select(
+            id_col,
+            vec_col,
+            "cid",
+            (
+                dot(F.col(vec_col), F.col("cvec"))
+                / (F.col("_vn") * F.col("_cn"))
+            ).alias("csim"),
+        )
     )
     # max_by over a (sim, -cid) struct: deterministic argmax in any engine.
     return scored.groupBy(id_col, vec_col).agg(
@@ -1219,12 +1238,19 @@ def ann_recall_curve(
     assigned = ivf_assign(
         embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )
+    # q (the assigned corpus — a broadcast-centroid argmax aggregate,
+    # the operator's most expensive subtree) is consumed by anchors,
+    # probes and the scored relation; scored by the exact arm and every
+    # nprobe arm. Left lazy each consumer re-inlined the assignment
+    # (before plan: 30 scans of the corpus). Persist both; the anchor /
+    # probe broadcast builds materialize q's cache before the final
+    # job, so the scored fill is single-writer (optimization round 10).
     q = assigned.select(
         F.col(id_col).alias("vid"),
         quantize_e6(vec_col).alias("q"),
         F.col(vec_col).alias("vec"),
         "cell",
-    )
+    ).persist()
     anchors = (
         q.orderBy("vid")
         .limit(n_queries)
@@ -1263,7 +1289,7 @@ def ann_recall_curve(
         "vid",
         "cell",
         _dist2(F.col("q"), F.col("aq")).alias("dist2"),
-    )
+    ).persist()
     w = Window.partitionBy("query_id").orderBy("dist2", "vid")
     exact = (
         scored.withColumn("rnk", F.row_number().over(w))

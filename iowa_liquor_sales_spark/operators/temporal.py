@@ -1365,6 +1365,14 @@ def rolling_anomaly(
     """
     from pyspark.sql import Window
 
+    # The O(days) relations below are each consumed by several branches
+    # (the bounded-fanout join, the residual join, the three median /
+    # MAD broadcast builds and the final projection); left lazy, every
+    # branch re-inlined the whole upstream — the before plan carried 24
+    # scans of the fact for ONE aggregate's worth of information.
+    # Persist the three tiny relations (optimization round 10); the
+    # broadcast builds materialize them sequentially, so there is no
+    # same-job cache-fill race.
     daily = (
         df.select(
             F.to_date(F.date_trunc("DAY", F.col(ts_col))).alias("day"),
@@ -1376,6 +1384,7 @@ def rolling_anomaly(
         )
         .groupBy("day")
         .agg(F.sum("v").alias("v"))
+        .persist()
     )
     days = daily.select(
         F.col("day").alias("tday"),
@@ -1401,7 +1410,7 @@ def rolling_anomaly(
     resid = daily.join(med, "day").select(
         "day", "v", F.col("med").alias("med_trailing"),
         (F.col("v") - F.col("med")).alias("r"),
-    )
+    ).persist()
     # global lower-median of residuals, then MAD — both over O(days)
     wr = Window.orderBy("r", "day")
     wall = Window.partitionBy()
@@ -1416,7 +1425,7 @@ def rolling_anomaly(
     )
     dev = resid.crossJoin(F.broadcast(med_r)).withColumn(
         "ad", F.abs(F.col("r") - F.col("med_r"))
-    )
+    ).persist()
     wd = Window.orderBy("ad", "day")
     mad = (
         dev.select(

@@ -632,6 +632,9 @@ def sparse_cosine_pairs(
 
     Returns (doc_a, doc_b, dot, cos2_ppm).
     """
+    # tf is consumed by both the docfreq cap and the kept index — left
+    # lazy, the scan→explode→aggregate subtree ran twice (optimization
+    # round 10).
     tf = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -639,6 +642,7 @@ def sparse_cosine_pairs(
         )
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     # The df cap stays in-plan (1-row corpus count broadcast onto the
     # O(vocab) docfreq relation) — no driver action, one job end-to-end.
@@ -663,6 +667,11 @@ def sparse_cosine_pairs(
     )
     kept = tf.join(keep_words, "word")
     kept = kept.persist()
+    # Materialize the cache eagerly: the norms aggregate and the two
+    # self-join sides land in one job and would otherwise race on the
+    # uncached subtree (the same measured defect jaccard_pairs
+    # documents — optimization round 10).
+    kept.count()
     norms = kept.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("norm2")
     )
