@@ -712,6 +712,10 @@ def simhash_hamming_pairs(
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     fp = simhash(df, text_col, id_col, bits)
+    # Persist + eager fill (optimization round 10): the bucket
+    # self-join's two sides land in one job and re-ran the whole
+    # scan→tokenize→simhash aggregate once per side (racing the cache
+    # if lazily persisted — the measured jaccard_pairs defect).
     banded = fp.select(
         "doc_id",
         "simhash",
@@ -719,7 +723,8 @@ def simhash_hamming_pairs(
     ).withColumn(
         "block",
         F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}"),
-    )
+    ).persist()
+    banded.count()
     a = banded.select(
         "band", "block",
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),

@@ -948,6 +948,11 @@ def kruskal_wallis(
     d = df.select(
         F.col(value_col).alias("v"), F.col(group_col).alias("g")
     ).filter(F.col("g").isNotNull())
+    # NOTE (optimization round 10): deriving c from a persisted
+    # (v, g) aggregate (one fact pass instead of two) was A/B'd and
+    # REJECTED — 1.60 -> 2.02 s: the fact scan here is cheap while the
+    # extra shuffle + cache fill over the O(distinct·k) relation is
+    # not. Two direct map-side-combinable aggregates stay.
     c = d.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     r2 = global_cumsum(c, ["v"], "cnt", out_col="cum").select(
         "v",
@@ -1685,7 +1690,17 @@ def by_fdr(
     """
     from pyspark.sql import Window
 
-    cm = hypotheses.agg(F.count(F.lit(1)).cast("long").alias("m")).select(
+    # The hypothesis relation feeds both the c(m) count aggregate and
+    # the ranked window — left lazy, the (often expensive) upstream
+    # per-slice aggregation ran twice; the cm broadcast build fills
+    # this cache before the ranked job reads it (optimization round
+    # 10). bh_fdr/holm derive m from the window itself and need no
+    # second pass, but c_e9's harmonic sum must be computed ONCE from
+    # a 1-row relation, never per hypothesis.
+    h = hypotheses.select(
+        F.col(id_col).alias("id"), F.col(p_col).cast("long").alias("p")
+    ).persist()
+    cm = h.agg(F.count(F.lit(1)).cast("long").alias("m")).select(
         "m",
         F.expr(
             "aggregate(sequence(1, CAST(m AS INT)),"
@@ -1697,10 +1712,7 @@ def by_fdr(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     ranked = (
-        hypotheses.select(
-            F.col(id_col).alias("id"), F.col(p_col).cast("long").alias("p")
-        )
-        .select("id", "p", F.row_number().over(w).cast("long").alias("rnk"))
+        h.select("id", "p", F.row_number().over(w).cast("long").alias("rnk"))
         .crossJoin(broadcast(cm))
     )
     crit = F.expr(
@@ -2774,14 +2786,18 @@ def conformal_interval(
             )
             % 3
         ).alias("part"),  # 0 = fit, 1 = calibration, 2 = test
-    )
+    ).persist()
+    # base is consumed by all three split halves and means by two of
+    # them — left lazy each branch re-ran the fact scan + hash split
+    # (before plan: 10 scans). The qhat broadcast build materializes
+    # both caches before the final job (optimization round 10).
     fit = base.filter(F.col("part") == 0)
     means = fit.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("nf"),
         F.sum("v").cast("decimal(38,0)").alias("sf"),
     ).select(
         "g", "nf", F.expr("CAST(sf div nf AS BIGINT)").alias("pred")
-    )
+    ).persist()
     cal = base.filter(F.col("part") == 1).join(means, "g").select(
         F.abs(F.col("v") - F.col("pred")).alias("resid")
     )

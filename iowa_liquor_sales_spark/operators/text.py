@@ -1842,6 +1842,9 @@ def contamination_matrix(
         .select("train_source", hash60("shingle").alias("gh"))
         .distinct()
     )
+    # ev feeds both the totals (broadcast build, which fills this
+    # cache) and the overlap join — left lazy the eval-side
+    # shingle-explode + distinct ran twice (optimization round 10).
     ev = (
         eval_df.select(
             F.col(source_col).alias("eval_source"),
@@ -1849,6 +1852,7 @@ def contamination_matrix(
         )
         .select("eval_source", hash60("shingle").alias("gh"))
         .distinct()
+        .persist()
     )
     totals = ev.groupBy("eval_source").agg(
         F.count(F.lit(1)).cast("long").alias("n_eval_grams")
