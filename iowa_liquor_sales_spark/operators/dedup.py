@@ -842,7 +842,10 @@ def _cross_doc_gram_hits(
         "doc_id",
         F.col("g.start").alias("start"),
         F.xxhash64("g.gram").alias("gh"),
-    )
+    ).persist()
+    # persisted: grams feeds both the cross-doc aggregate and the join
+    # probe — left lazy, the k-gram explode (the expensive half) ran
+    # twice (optimization round 10).
     cross_doc = (
         grams.groupBy("gh")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))

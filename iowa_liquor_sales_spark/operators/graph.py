@@ -434,6 +434,13 @@ def kcore(
     Returns the vertices of the ``rounds``-peeled edge set with their
     remaining degree.
     """
+    # localCheckpoint per round (optimization round 10): each round
+    # references the previous edge set FOUR times (two degree-union
+    # branches + two semi-joins), so the lazy chain grew the plan — and
+    # the executed work, since Catalyst does not CSE — 4^rounds-fold
+    # (the before plan carried 500 scans / 750 exchanges for rounds=3).
+    # The checkpoint flattens each round to one O(E) job; results and
+    # the chained-CTE oracle are unchanged.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
@@ -441,6 +448,7 @@ def kcore(
         )
         .filter(F.col("lo") < F.col("hi"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
         degs = (
@@ -452,7 +460,9 @@ def kcore(
         keep = degs.filter(F.col("deg") >= k).select("v")
         e = e.join(
             keep.withColumnRenamed("v", "lo"), "lo", "left_semi"
-        ).join(keep.withColumnRenamed("v", "hi"), "hi", "left_semi")
+        ).join(
+            keep.withColumnRenamed("v", "hi"), "hi", "left_semi"
+        ).localCheckpoint(eager=True)
     return (
         e.select(F.col("lo").alias("v"))
         .unionAll(e.select(F.col("hi").alias("v")))
@@ -479,12 +489,17 @@ def bfs_hops(
     edge list plus a min-aggregate — O(E) per round, distances only ever
     shrink, so the result is partitioning-independent.
     """
+    # Checkpoint the adjacency once and each round's distance set
+    # (optimization round 10): dist is referenced twice per round
+    # (join + union) and und once, so the lazy chain re-inlined the
+    # edge derivation 2^rounds-fold (before plan: 28 scans). Results
+    # and the chained-CTE oracle are unchanged.
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     spark = edges.sparkSession
     dist = spark.createDataFrame([(source, 0)], "v long, d int")
-    for _ in range(rounds):
+    for i in range(rounds):
         relaxed = (
             dist.join(und, dist["v"] == und["a"])
             .select(F.col("b").alias("v"), (F.col("d") + 1).alias("d"))
@@ -494,6 +509,8 @@ def bfs_hops(
             .groupBy("v")
             .agg(F.min("d").alias("d"))
         )
+        if i < rounds - 1:
+            dist = dist.localCheckpoint(eager=True)
     return dist.select("v", F.col("d").cast("int").alias("hops"))
 
 

@@ -1004,12 +1004,19 @@ def power_iteration_pc1(
         "CASE WHEN cov_milli < 0 THEN -((-cov_milli) div 1000000)"
         " ELSE cov_milli div 1000000 END"
     ).alias("c")
+    # Checkpoint the O(d²) matrix once and the O(d) vector per round
+    # (optimization round 10): sym's lineage contains the O(N·d²)
+    # covariance build, and each round references sym once and the
+    # previous v twice (product + norm) — left lazy the unrolled chain
+    # re-inlined the covariance build ~2^iters-fold (before plan: 112
+    # scans / 198 exchanges). Results and the CTE-replay oracle are
+    # unchanged.
     upper = cov.select("i", "j", c_q)
     sym = upper.unionAll(
         upper.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), F.col("c")
         )
-    )
+    ).localCheckpoint(eager=True)
     spark = cov.sparkSession
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"),
@@ -1039,7 +1046,7 @@ def power_iteration_pc1(
             F.round(F.lit(float(scale)) * F.col("wq") / F.col("n"), 0)
             .cast("long")
             .alias("v"),
-        )
+        ).localCheckpoint(eager=True)
     pick = v.orderBy(F.abs(F.col("v")).desc(), F.col("j").asc()).limit(1)
     sgn = pick.select(
         F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("s")

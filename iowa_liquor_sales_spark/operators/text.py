@@ -1192,7 +1192,10 @@ def ngram_novelty(
     """
     from .dedup import shingles
 
-    sh = shingles(df, text_col, id_col, n=n)
+    # sh feeds both the min-id aggregate and the join probe — left
+    # lazy the scan+explode ran twice; the first-doc broadcast build
+    # fills this cache before the probe job (optimization round 10).
+    sh = shingles(df, text_col, id_col, n=n).persist()
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         sh.join(first, "shingle")
