@@ -2320,3 +2320,88 @@ def test_knee_point_finds_the_elbow(spark):
     best = max(scores)
     assert (got["knee_x"], got["knee_y"]) == (best[2], best[3])
     assert got["knee_x"] == 3  # the visible elbow
+
+
+def test_global_cumsum_multi_column_matches_single(spark):
+    # Round-10 internals change: global_cumsum accepts parallel
+    # value/out column lists and must produce the SAME longs as two
+    # independent single-column invocations over the same order key.
+    from pyspark.sql import functions as F
+
+    from iowa_liquor_sales_spark.operators.ranking import global_cumsum
+
+    df = spark.range(0, 503).select(
+        (F.col("id") * 5227 % 503).alias("v"),
+        (F.col("id") % 7 + 1).alias("a"),
+        (F.col("id") % 11 + 1).alias("b"),
+    )
+    both = global_cumsum(
+        df, ["v"], ["a", "b"], out_col=["ca", "cb"], num_partitions=8
+    ).select("v", "ca", "cb")
+    sa = global_cumsum(df, ["v"], "a", out_col="ca", num_partitions=8)
+    sb = global_cumsum(df, ["v"], "b", out_col="cb", num_partitions=8)
+    ref = sa.select("v", "ca").join(sb.select("v", "cb"), "v")
+    assert both.count() == 503
+    diff = both.join(ref, "v").filter(
+        (both["ca"] != ref["ca"]) | (both["cb"] != ref["cb"])
+    )
+    assert diff.count() == 0
+    # mismatched list lengths are rejected, not silently zipped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_cumsum(df, ["v"], ["a", "b"], out_col="only_one")
+
+
+def test_logrank_single_group_degenerate_contract(spark):
+    # Round-10 internals change: the at-risk machinery moved from a
+    # dense two-group grid join to a pivot + descending cumulative
+    # window. A degenerate single-group input must still yield ZERO
+    # per-time rows (the old inner join's contract): n_event_times = 0
+    # and null pooled sums.
+    from iowa_liquor_sales_spark.operators.quality import logrank_test
+
+    one_group = spark.createDataFrame(
+        [(3, True, True), (5, False, True), (3, True, True)],
+        "t long, e boolean, g boolean",
+    )
+    row = logrank_test(one_group, "t", "e", "g").first()
+    assert row["n_event_times"] == 0
+    assert row["o1_total"] is None
+    assert row["s_e6"] is None
+
+    # sanity: with both groups present the pivot path produces rows
+    both = spark.createDataFrame(
+        [(3, True, True), (3, True, False), (5, False, True),
+         (5, True, False), (4, True, True)],
+        "t long, e boolean, g boolean",
+    )
+    r2 = logrank_test(both, "t", "e", "g").first()
+    assert r2["n_event_times"] >= 1
+    assert r2["o1_total"] is not None
+
+
+def test_spearman_pair_weighted_contracts(spark):
+    # Round-10 internals change: spearman_corr aggregates to the
+    # O(distinct (x,y) pairs) relation and weights every moment by the
+    # pair count. Duplicated rows must therefore contribute exactly as
+    # in the row-level form, and an EMPTY input keeps n = 0 (not NULL).
+    from iowa_liquor_sales_spark.operators.aggregates import spearman_corr
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 30), (2, 30), (3, 20), (4, 40), (4, 40), (4, 40)],
+        "x long, y long",
+    )
+    got = spearman_corr(base, "x", "y").first()
+    assert got["n"] == 7
+    # the (3,20) inversion plus ties keep rho strictly inside (0, 1e9)
+    assert 0 < got["spearman_ppb"] < 10**9
+    # duplicate-collapsing sanity: tripling every row rescales n but
+    # leaves the rank correlation IDENTICAL (pair weights carry it)
+    tripled = base.unionAll(base).unionAll(base)
+    got3 = spearman_corr(tripled, "x", "y").first()
+    assert got3["n"] == 21
+    empty = spark.createDataFrame([], "x long, y long")
+    erow = spearman_corr(empty, "x", "y").first()
+    assert erow["n"] == 0
+    assert erow["spearman_ppb"] is None
