@@ -16138,9 +16138,9 @@ def oracle_sql() -> dict[str, str]:
             pooled AS (SELECT doc_id, r, c // 2 AS pc, SUM(gray) // 2 AS pg
                        FROM g GROUP BY doc_id, r, c // 2)
             SELECT a.doc_id,
-                   SUM(CASE WHEN a.pg > b.pg
+                   CAST(SUM(CASE WHEN a.pg > b.pg
                        THEN (1::BIGINT << (a.r*7 + a.pc))
-                       ELSE 0 END) AS dhash
+                       ELSE 0 END) AS BIGINT) AS dhash
             FROM pooled a JOIN pooled b
               ON a.doc_id = b.doc_id AND a.r = b.r AND b.pc = a.pc + 1
             GROUP BY a.doc_id""",

@@ -571,18 +571,32 @@ def main() -> None:
         for c, w in cohort_walls.items()
         if quiet_walls.get(c) and w > 1.5 * quiet_walls[c]
     )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     detail = dict(full)
+    detail["cpus"] = cpus
     detail["cohorts"] = {k: len(v) for k, v in COHORTS.items()}
     detail["cohort_walls"] = cohort_walls
     detail["cohort_loadavg"] = cohort_loadavg
     detail["quiet_reference_walls"] = quiet_walls
     detail["suspect_load_cohorts"] = suspect
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    # The full per-query map CANNOT ride the stdout contract: the
+    # driver parses a JSON line from the final ~2000 chars of output
+    # (round 8's >2000-char full line lost the whole record —
+    # BENCH_r08.json has rc=0 but no parsed payload), and 161 query
+    # names alone are ~4000 chars. So the same-run record lives in
+    # BOTH the canonical BENCH_DETAIL.json (the quiet-reference
+    # mechanics above) and a per-core-count file that a subsequent
+    # run at a DIFFERENT core count (the driver's scaling rerun)
+    # cannot overwrite — round 10's 8-core rerun clobbered the
+    # 32-core per-query record, leaving PERF_r10.per_query empty.
+    detail_percpu = f"BENCH_DETAIL_c{cpus}.json"
+    for fname in ("BENCH_DETAIL.json", detail_percpu):
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     print(json.dumps(full))
     # Compact trailer: ALWAYS the last line, short enough for any tail
     # window. Same metric name + total as the full line above.
@@ -597,12 +611,13 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf,
+                "cpus": cpus,
                 "top10": top10,
                 "loadavg": {
                     c: la for c, la in cohort_loadavg.items()
                 },
                 "suspect_load_cohorts": suspect,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_percpu,
             }
         ),
         flush=True,

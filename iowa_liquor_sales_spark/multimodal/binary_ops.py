@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from iowa_liquor_sales_spark.caching import pin
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -698,9 +700,9 @@ def dhash_hamming_pairs(
     # stage — and runs it twice. Persist the O(docs) (id, int64) relation
     # once (same contract as dedup.minhash_lsh_pairs' signature persist);
     # eager count so the two join sides can't race on the uncached tree.
-    fp = fingerprints.select(
+    fp = pin(fingerprints.select(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("fp")
-    ).persist()
+    ))
     fp.count()
     banded = fp.select(
         "doc_id",

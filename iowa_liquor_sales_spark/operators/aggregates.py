@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from iowa_liquor_sales_spark.caching import pin
 from iowa_liquor_sales_spark.functions.sums import davg, dsum
 
 
@@ -387,12 +388,11 @@ def spearman_corr(
 
     from .ranking import global_cumsum
 
-    pc = (
+    pc = pin(
         df.groupBy(
             F.col(x_col).alias("xv"), F.col(y_col).alias("yv")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("pc"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).agg(F.count(F.lit(1)).cast("long").alias("pc")),
+        StorageLevel.MEMORY_AND_DISK,
     )
 
     def ranks(col):
@@ -658,10 +658,9 @@ def kendall_tau_b(
 
     Returns one row: (n, concordant, discordant, tau_b_ppb).
     """
-    cells = (
+    cells = pin(
         df.groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
-        .persist()
     )
     a, b = cells.alias("a"), cells.alias("b")
     # Quadrant sum over cell pairs: x strictly increases; classify by y.

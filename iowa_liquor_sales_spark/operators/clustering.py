@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import pin
 from ..functions.hashing import hash60
 
 
@@ -246,11 +247,10 @@ def grid_dbscan(
     # before-plan shows the cell equi-join duplicated per consumer).
     # Persist it; the first materialization is the CC's eager
     # checkpoint, a single job, so there is no multi-consumer race.
-    nbrs = (
+    nbrs = pin(
         cand
         .filter((F.col("pid") != F.col("qid")) & (d2 <= eps * eps))
         .select("pid", "qid")
-        .persist()
     )
     deg = nbrs.groupBy("pid").agg(F.count(F.lit(1)).alias("n_nbrs"))
     flags = p.join(deg, "pid", "left").select(

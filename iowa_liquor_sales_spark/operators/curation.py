@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from iowa_liquor_sales_spark.caching import pin
+
 
 def word_ngrams(
     text: Column | str, n: int, from_array: bool = False
@@ -972,15 +974,14 @@ def dedup_cascade_report(
         ids.groupBy(F.md5(F.col(text_col).cast("binary")).alias("h"))
         .agg(F.min(F.struct(F.col(id_col), F.col(text_col))).alias("m"))
         .select(F.col(f"m.{id_col}").alias(id_col), F.col(f"m.{text_col}").alias(text_col))
-        .persist()
     )
-    s2 = (
+    s1 = pin(s1)
+    s2 = pin(
         s1.groupBy(
             F.md5(normalize_text(text_col).cast("binary")).alias("h")
         )
         .agg(F.min(F.struct(F.col(id_col), F.col(text_col))).alias("m"))
         .select(F.col(f"m.{id_col}").alias(id_col), F.col(f"m.{text_col}").alias(text_col))
-        .persist()
     )
     pairs = jaccard_pairs(
         shingles(s2, text_col, id_col, n=3),

@@ -32,6 +32,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from iowa_liquor_sales_spark.caching import pin
+
 # Row cap for the measured-count broadcast decisions below (and in
 # grid_dbscan, which imports it): node-map relations are a handful of
 # ids + one label each (~50 B/row framed), so 2M rows is ~100 MB built —
@@ -104,7 +106,7 @@ def connected_components(
                 )
             ).alias("e")
         ).select("e.a", "e.b")
-    sym = base.persist()
+    sym = pin(base)
     m = (
         sym.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("hub"))
@@ -638,13 +640,12 @@ def label_propagation(
 
     Returns (node, label).
     """
-    sym = (
+    sym = pin(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         .distinct()
-        .persist()
     )
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
@@ -711,7 +712,7 @@ def boruvka_mst_rounds(
     """
     from pyspark.sql import Window
 
-    e = (
+    e = pin(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
@@ -720,7 +721,6 @@ def boruvka_mst_rounds(
         .filter(F.col("lo") < F.col("hi"))
         .groupBy("lo", "hi")
         .agg(F.min("w").alias("w"))
-        .persist()
     )
     if small_v:
         return _boruvka_small_v(e, rounds)
@@ -967,14 +967,13 @@ def adamic_adar(
     # one cache fill via the broadcast build — the extra exchange and
     # count jobs were pure overhead. Revisit only if the wedge relation
     # outgrows the broadcast threshold in production.
-    und = (
+    und = pin(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
         )
         .filter(F.col("lo") < F.col("hi"))
         .distinct()
-        .persist()
     )
     adj = und.select(
         F.col("lo").alias("w"), F.col("hi").alias("u")
@@ -988,11 +987,11 @@ def adamic_adar(
         deg = deg.filter(F.col("deg") <= max_deg)
     # persisted: consumed TWICE by the wedge self-join — without the
     # cut, the whole edges→distinct→adj→deg lineage runs once per side.
-    mid = adj.join(deg, "w").withColumn(
+    mid = pin(adj.join(deg, "w").withColumn(
         "term",
         F.round(F.lit(1.0e9) / F.log(F.col("deg").cast("double")), 0)
         .cast("long"),
-    ).persist()
+    ))
     pairs = (
         mid.alias("a")
         .join(mid.alias("b"), "w")
@@ -1037,25 +1036,24 @@ def neighbor_jaccard(
     # neutral here (3.64 -> 3.54 s, within session noise) because the
     # persisted relations auto-broadcast at bench scale; kept in the
     # original single-persist form.
-    und = (
+    und = pin(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
         )
         .filter(F.col("lo") < F.col("hi"))
         .distinct()
-        .persist()
     )
     adj = und.select(
         F.col("lo").alias("w"), F.col("hi").alias("u")
     ).unionAll(und.select(F.col("hi").alias("w"), F.col("lo").alias("u")))
     # FULL degrees (uncapped) — the denominator must count every
     # neighbor; the cap below only prunes which middles generate wedges.
-    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg = pin(adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg")))
     mid_deg = deg.filter(F.col("deg") >= 2)
     if max_deg is not None:
         mid_deg = mid_deg.filter(F.col("deg") <= max_deg)
-    mid = adj.join(mid_deg.select("w"), "w").persist()
+    mid = pin(adj.join(mid_deg.select("w"), "w"))
     pairs = (
         mid.alias("a")
         .join(mid.alias("b"), "w")
@@ -1211,14 +1209,13 @@ def clustering_coefficient(
     Returns (v, deg, n_triangles, coeff_ppm) for vertices with
     deg >= 2.
     """
-    und = (
+    und = pin(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
         )
         .filter(F.col("lo") < F.col("hi"))
         .distinct()
-        .persist()
     )
     adj = und.select(
         F.col("lo").alias("w"), F.col("hi").alias("u")
@@ -1228,7 +1225,7 @@ def clustering_coefficient(
     )
     if max_deg is not None:
         deg = deg.filter(F.col("deg") <= max_deg)
-    mid = adj.join(deg, "w").persist()
+    mid = pin(adj.join(deg, "w"))
     wedges = (
         mid.alias("a")
         .join(mid.alias("b"), "w")

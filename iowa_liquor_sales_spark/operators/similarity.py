@@ -25,6 +25,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from iowa_liquor_sales_spark.caching import pin
 from iowa_liquor_sales_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
@@ -224,7 +225,7 @@ def _near_dup_pairs_blocked(
     # Python (measured ~2x on the matmul stage). The single collect_list
     # guarantees ids and vectors stay aligned; the flatten/transform
     # split happens JVM-side after aggregation.
-    packed = (
+    packed = pin(
         embeddings.select(
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
             .cast("int")
@@ -243,7 +244,6 @@ def _near_dup_pairs_blocked(
                 "flat"
             ),
         )
-        .persist()
     )
     # Materialize: both join legs below read the packed relation; lazy,
     # they'd race in one job and run the scan+pack aggregate twice.
@@ -1252,12 +1252,12 @@ def ann_recall_curve(
     # (before plan: 30 scans of the corpus). Persist both; the anchor /
     # probe broadcast builds materialize q's cache before the final
     # job, so the scored fill is single-writer (optimization round 10).
-    q = assigned.select(
+    q = pin(assigned.select(
         F.col(id_col).alias("vid"),
         quantize_e6(vec_col).alias("q"),
         F.col(vec_col).alias("vec"),
         "cell",
-    ).persist()
+    ))
     anchors = (
         q.orderBy("vid")
         .limit(n_queries)
@@ -1288,7 +1288,7 @@ def ann_recall_curve(
     ).select(
         "nprobe", F.col("query_id").alias("p_qid"), "p_cell"
     )
-    scored = q.join(
+    scored = pin(q.join(
         F.broadcast(anchors.select("query_id", "aq")),
         F.col("vid") != F.col("query_id"),
     ).select(
@@ -1296,7 +1296,7 @@ def ann_recall_curve(
         "vid",
         "cell",
         _dist2(F.col("q"), F.col("aq")).alias("dist2"),
-    ).persist()
+    ))
     w = Window.partitionBy("query_id").orderBy("dist2", "vid")
     exact = (
         scored.withColumn("rnk", F.row_number().over(w))
